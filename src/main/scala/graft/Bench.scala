@@ -1,23 +1,35 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries (SparkEntry.benchQueries)
+  * on SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Each query is fully executed via count() (materializes every operator
+  * in the plan; final ORDER BYs collapse under count per EliminateSorts).
+  * A warm-up pass on the smallest table initializes codegen/IO paths so
+  * timings measure the queries, not JVM warm-up.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors()))
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    spark.read.parquet(s"$sfDir/region.parquet").count() // warm-up
+
+    val results = SparkEntry.benchQueries.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

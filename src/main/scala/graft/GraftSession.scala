@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session tuning so Verify / Bench / tests run the same
+  * engine configuration (SURVEY.md §2.12).
+  *
+  * Knobs and why (sized for local[32]; the same settings scale to a real
+  * cluster where shuffle.partitions tracks total cores):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join
+  *    splitting replaces the reference's hand-tuned repartition(2/5)
+  *    (SURVEY §4).
+  *  - shuffle.partitions = cores, not 200: at local scale 200 partitions
+  *    means 200 tiny tasks per exchange — pure scheduler overhead.
+  *  - UTC timezone: oracle comparability (build.sbt sets it too; set
+  *    here as well so tests launched any other way agree).
+  */
+object GraftSession {
+  def build(master: String, shufflePartitions: Int,
+            appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, quality stats, language-ID heuristics,
+  * document fingerprinting.
+  *
+  * All pure Column expressions (no UDFs) → whole-stage codegen, fully
+  * distributed, no driver round-trips. At 100 TB these run as a single
+  * narrow projection stage over the scan.
+  */
+object TextFns {
+
+  /** Whitespace tokenization; empty strings removed so "a  b" → ["a","b"].
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count without materializing the token array twice. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segment count: runs of letters, digits, or single
+    * punctuation — a cheap proxy for tokenizer cost accounting. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Word n-gram shingles as space-joined strings, e.g. n=3:
+    * "a b c d" → ["a b c", "b c d"]. Built from built-in higher-order
+    * functions only (transform over an index sequence + slice), so it
+    * stays codegen-friendly and never leaves the executor.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Character n-gram shingles over the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = normalize(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => substring(t, i, lit(n))))
+      .otherwise(array(t))
+  }
+
+  /** Whitespace-collapse + trim + lowercase — canonical form for
+    * fingerprinting and near-dup shingling. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Deterministic 128-bit content fingerprint of the normalized text.
+    * md5 (not xxhash) so external systems can reproduce it. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Punctuation character ratio ∈ [0,1]. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Digit character ratio ∈ [0,1]. */
+  def digitRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+        / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  private val englishStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "this")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * quality-filter feature (C4/Gopher-style heuristics). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(englishStopwords: _*))).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length — short-token spam / boilerplate indicator. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  // ---- exact (integer-arithmetic) variants ---------------------------
+  // Ratio outputs meant for cross-engine comparison: computed as
+  // round-half-up in integer space via ScalarFns.roundFrac, so two
+  // engines can never disagree at a rounding boundary (see roundFrac).
+
+  private def sumTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+
+  private def stopwordHits(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isin(englishStopwords: _*)))
+
+  /** meanTokenLen rounded half-up at 4 decimals, exactly. */
+  def meanTokenLenExact(text: Column): Column =
+    coalesce(graft.functions.ScalarFns.roundFrac(
+      sumTokenLen(text), size(tokens(text)).cast("long"), 4), lit(0.0))
+
+  /** stopwordRatio rounded half-up at 4 decimals, exactly. */
+  def stopwordRatioExact(text: Column): Column =
+    coalesce(graft.functions.ScalarFns.roundFrac(
+      stopwordHits(text).cast("long"), size(tokens(text)).cast("long"), 4),
+      lit(0.0))
+
+  /** digitRatio rounded half-up at 4 decimals, exactly. */
+  def digitRatioExact(text: Column): Column =
+    coalesce(graft.functions.ScalarFns.roundFrac(
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long"),
+      length(text).cast("long"), 4), lit(0.0))
+
+  /** Composite quality score ∈ [0,1] quantized to 4 decimals: rewards
+    * stopword presence and sane token lengths, penalizes punct/digit
+    * noise (Gopher-rule flavor):
+    *   0.4·min(4·sw, 1) + 0.4·[2 ≤ meanTokLen ≤ 12] + 0.2·(1 − min(2·noise, 1))
+    *
+    * Computed ENTIRELY in integer space over the common denominator
+    * n_tokens·n_chars, then rounded half-up to 1e-4 via integer division
+    * — bit-reproducible in any engine (see ScalarFns.roundFrac). Empty
+    * or whitespace-only text scores 0.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = size(tokens(text)).cast("long")
+    val m1 = stopwordHits(text).cast("long")
+    val s = sumTokenLen(text)
+    val c = length(text).cast("long")
+    // punct+digit chars: ASCII punctuation (= Java \p{Punct}) and digits
+    val pd = (length(text)
+      - length(regexp_replace(text, "[!-/:-@\\[-`{-~0-9]", ""))).cast("long")
+    val d = n * c
+    val lenOkTerm = when(s >= n * 2 && s <= n * 12, d * 4000L).otherwise(lit(0L))
+    val num = least(m1 * c * 16000L, d * 4000L) + lenOkTerm +
+      (d * 2000L - least(pd * n * 4000L, d * 2000L))
+    coalesce(
+      when(n > 0 && c > 0,
+        graft.functions.ScalarFns.roundFrac(num, d, 0) / lit(10000.0)),
+      lit(0.0))
+  }
+
+  /** Language-ID via stopword-marker voting. Returns the language whose
+    * marker tokens occur most (ties → lexicographically first), "und" when
+    * nothing matches. Pure expression: one pass over the token array per
+    * language; for a handful of languages this beats shipping a model.
+    */
+  def languageId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+      "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it"),
+      "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une"),
+      "ru" -> Seq("и", "в", "не", "на", "что", "это"))
+    val toks = tokens(lower(text))
+    // struct(-hits, lang) ascending: max hits first, ties broken by
+    // lexicographically-first language.
+    val scored = markers.map { case (langName, ws) =>
+      struct(
+        (size(filter(toks, t => t.isin(ws: _*))) * -1).as("neg_hits"),
+        lit(langName).as("lang"))
+    }
+    val best = sort_array(array(scored: _*))(0)
+    when(best.getField("neg_hits") < 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+}

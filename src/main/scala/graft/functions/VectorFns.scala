@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+import org.apache.spark.sql.graftshim.Bridge
+
+/** Vector math over `array<float>` embedding columns.
+  *
+  * Two implementations of every kernel:
+  *  - `*Hof` — composed from built-in higher-order functions (zip_with /
+  *    aggregate). Portable, but each arithmetic step is a separate
+  *    expression tree node.
+  *  - the default — a native Catalyst [[CosineSimilarity]] expression with
+  *    `doGenCode` emitting one fused primitive loop. On brute-force ANN
+  *    (O(n²) pairs) the fused loop is the difference between the kernel
+  *    being memory-bound vs expression-overhead-bound, which is what
+  *    matters at 100 TB where a single pass touches billions of pairs.
+  */
+object VectorFns {
+
+  /** Cosine similarity via the native fused expression (preferred). */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Cosine similarity composed from higher-order built-ins — used by
+    * tests as a differential oracle for [[CosineSimilarity]]. */
+  def cosineHof(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    when(na =!= 0.0 && nb =!= 0.0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Dot product via higher-order built-ins. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+}
+
+/** Native cosine similarity over two `array<float>` columns.
+  *
+  * Single fused loop over both arrays computing dot, |a|², |b|² at once —
+  * in interpreted eval and in generated code. Null if either side is null;
+  * 0.0 if either norm is 0 or lengths differ (defensive: embeddings tables
+  * can mix dims; a throw would poison a 100 TB scan).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(FloatType, _)  => true
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _                                                   => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity needs array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+    case _                                                  => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements() || n == 0) return 0.0
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    val lf = isFloat(left); val rf = isFloat(right)
+    while (i < n) {
+      val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      s"""
+         |final int $n = $xs.numElements();
+         |if ($n != $ys.numElements() || $n == 0) {
+         |  ${ev.value} = 0.0;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double x = (double) $xs.$lGet($i);
+         |    final double y = (double) $ys.$rGet($i);
+         |    $dot += x * y; $nx += x * x; $ny += y * y;
+         |  }
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |    ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

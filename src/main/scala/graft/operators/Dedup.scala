@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale notes (the design constraint is ~100 TB of documents):
+  *  - Exact dedup is one hash shuffle on the fingerprint. No window
+  *    over the whole table, no global sort.
+  *  - MinHash signatures are computed as k aggregate measures in a
+  *    single groupBy(doc) pass over exploded shingles (one shuffle);
+  *    LSH banding turns O(n²) pair generation into a shuffle on
+  *    (band, bandHash) where only same-bucket docs ever meet. The
+  *    verify step re-checks candidates with exact Jaccard so emitted
+  *    pairs are exact — LSH only bounds recall, never precision.
+  *  - Bucket-size cap: a degenerate bucket (e.g. empty docs) would
+  *    produce a quadratic blow-up inside one task; buckets larger
+  *    than `maxBucket` are dropped and counted, the standard guard in
+  *    web-scale dedup.
+  *  - All hashing is xxhash64 (codegen'd built-in); the multiply-mod
+  *    scheme keeps operands < 2³¹ so ANSI-mode Long arithmetic can
+  *    never overflow.
+  */
+object Dedup {
+
+  /** Mersenne prime 2³¹−1: modulus for the universal-hash family. */
+  private val P = 2147483647L
+
+  /** Deterministic hash-family coefficients: (aᵢ, bᵢ) derived from a
+    * fixed seed via a splitmix-style scramble — reproducible across
+    * runs and cluster sizes. */
+  private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until numHashes).map { _ =>
+      (math.floorMod(next(), P - 1) + 1, math.floorMod(next(), P))
+    }
+  }
+
+  /** Exact dedup on a normalized-text fingerprint: keeps the row with
+    * the smallest `idCol` per distinct content. One shuffle; the
+    * min-by runs as partial+final aggregate (map-side combine). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__fp", TextFns.fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+      .drop("__fp")
+
+  /** Exact n-gram Jaccard near-dup pairs: explode word n-gram shingle
+    * sets, self-join on shingle, count intersections, filter by
+    * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Exact but O(pairs sharing a
+    * shingle) — the oracle/verifier for the sketch methods; at full
+    * scale run MinHash first and this only on candidates. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val shingles = docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh"))
+    val sizes = shingles.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = shingles.as("a")
+      .join(shingles.as("b"), col("a.sh") === col("b.sh")
+        && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature matrix: one row per doc, `numHashes` min-hash
+    * values computed as k aggregates in a single pass. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int,
+                        seed: Long = 42L): DataFrame = {
+    val hcols = coeffs(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("__h") + lit(b), lit(P))).as(s"mh_$i")
+    }
+    docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TextFns.wordShingles(col(textCol), shingleN))).as("sh"))
+      .withColumn("__h", pmod(xxhash64(col("sh")), lit(P)))
+      .groupBy(col("doc"))
+      .agg(hcols.head, hcols.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs. Signature split into `bands`; docs
+    * colliding on any full band become candidates. Deduplicated
+    * (id_a < id_b), bucket size capped at `maxBucket`. */
+  def minhashCandidates(signatures: DataFrame, bands: Int,
+                        maxBucket: Int = 1000): DataFrame = {
+    val mhCols = signatures.columns.filter(_.startsWith("mh_")).sortBy(
+      c => c.stripPrefix("mh_").toInt)
+    val rowsPerBand = mhCols.length / bands
+    require(rowsPerBand > 0, s"bands=$bands > numHashes=${mhCols.length}")
+    val bandCols = (0 until bands).map { b =>
+      val slice = mhCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+      struct(lit(b).as("band"),
+        xxhash64(slice.map(col): _*).as("sig")).as(s"band_$b")
+    }
+    val buckets = signatures
+      .select(col("doc") +: bandCols: _*)
+      .select(col("doc"), explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val small = buckets
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    small.as("a")
+      .join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs, verified with exact
+    * Jaccard so precision is 1.0 (recall bounded by the band curve
+    * 1−(1−t^r)^b). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val cands = minhashCandidates(
+      minhashSignatures(docs, idCol, textCol, shingleN, numHashes, seed), bands)
+    val exactPairs = ngramJaccardPairs(
+      docs.join(
+        cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct(),
+        idCol),
+      idCol, textCol, shingleN, threshold)
+    exactPairs.join(cands, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, bit-majority
+    * vote weighted by token frequency. Computed with one explode +
+    * one groupBy(doc) carrying 64 conditional-sum measures — single
+    * shuffle, no UDF. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"bit_$b")
+    }
+    val votes = docs
+      .select(col(idCol).as("doc"),
+        explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("tok"))
+      .withColumn("__h", xxhash64(col("tok")))
+      .groupBy(col("doc"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).map { b =>
+      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius. Blocking: split
+    * the 64-bit hash into `radius+1` chunks — by pigeonhole any pair
+    * within `radius` shares at least one exact chunk, so the join is
+    * on (chunk index, chunk value), never a cross join. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   radius: Int = 3): DataFrame = {
+    val chunks = radius + 1
+    val bitsPer = 64 / chunks
+    val sh = simhash(docs, idCol, textCol)
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("idx"),
+        shiftrightunsigned(col("simhash"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("v")).as(s"c_$c")
+    }
+    val blocked = sh
+      .select(col("doc"), col("simhash"),
+        explode(array(chunkCols: _*)).as("ck"))
+      .select(col("doc"), col("simhash"),
+        col("ck.idx").as("idx"), col("ck.v").as("v"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.idx") === col("b.idx") && col("a.v") === col("b.v")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+}

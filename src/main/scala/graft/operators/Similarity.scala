@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column: brute-force cosine top-k as the exact baseline, plus two
+  * sub-quadratic scale paths (random-hyperplane LSH and IVF/k-means-lite
+  * coarse quantization).
+  *
+  * Scale notes:
+  *  - Brute force is a crossJoin: broadcast the (small) query side,
+  *    stream the corpus — O(|corpus|·|queries|) work but no shuffle of
+  *    the corpus, and the fused [[graft.functions.CosineSimilarity]]
+  *    kernel keeps it memory-bandwidth-bound. Exact, fine when one side
+  *    is small; it is the recall oracle for the ANN paths.
+  *  - LSH/IVF bucket the corpus so candidate generation is a hash
+  *    shuffle on the bucket id; at 100 TB only same-bucket vectors ever
+  *    pair up. Recall is tunable (tables × hyperplanes / nProbe).
+  *  - Top-k per query = row_number over a window partitioned by the
+  *    query id — never a global sort.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k neighbors for every vector in
+    * `queries` against `corpus` (excluding self-matches on id). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table,
+    * plane, dim): hash-derived value in [-1, 1). Reproducible across
+    * runs/executors with no driver-side RNG state to ship. */
+  private def planeComponent(table: Int, plane: Int) = {
+    import org.apache.spark.sql.Column
+    (dimIdx: Column) =>
+      (pmod(xxhash64(lit(table), lit(plane), dimIdx), lit(2000000L))
+        .cast("double") / 1000000.0) - 1.0
+  }
+
+  /** Random-hyperplane (SRP) LSH bucketing: `planes` sign bits per
+    * table. Returns (id, table, bucket). */
+  def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 tables: Int, planes: Int): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val comp = planeComponent(t, p)
+        val dot = aggregate(
+          zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+            (v, i) => v.cast("double") * comp(i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      }
+      struct(lit(t).as("table"),
+        bits.reduce(_.bitwiseOR(_)).as("bucket")).as(s"t_$t")
+    }
+    df.select(col(idCol).as("id") +: bucketCols: _*)
+      .select(col("id"), explode(array((0 until tables).map(t => col(s"t_$t")): _*)).as("tb"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k via SRP-LSH: candidates = same (table, bucket), then
+    * exact cosine re-rank of candidates only. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              tables: Int = 8, planes: Int = 12): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val buckets = srpBuckets(df, idCol, vecCol, tables, planes)
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
+          && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("q_id"), col("b.id").as("c_id"))
+      .distinct()
+    val scored = cands
+      .join(vecs.withColumnRenamed("id", "q_id").withColumnRenamed("vec", "q_vec"), "q_id")
+      .join(vecs.withColumnRenamed("id", "c_id").withColumnRenamed("vec", "c_vec"), "c_id")
+      .select(col("q_id"), col("c_id"),
+        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-lite coarse quantization: centroid ids are drawn
+    * deterministically from the corpus (every `stride`-th id), each
+    * vector is assigned to its nearest `nProbe` centroids, and
+    * querying only pairs vectors sharing a centroid cell. One
+    * broadcast of the centroid table, one shuffle on cell id. */
+  def ivfCells(df: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, nProbe: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids = vecs
+      .withColumn("__r", pmod(xxhash64(col("id")), lit(1000000L)))
+      .orderBy(col("__r"), col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("cell").asc)
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cell"),
+        VectorFns.cosine(col("vec"), col("cvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= nProbe)
+      .select(col("id"), col("cell"))
+  }
+
+  /** ANN top-k via IVF cells + exact re-rank within shared cells. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCells: Int = 64, nProbe: Int = 2): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cells = ivfCells(df, idCol, vecCol, nCells, nProbe)
+    val cands = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("q_id"), col("b.id").as("c_id"))
+      .distinct()
+    val scored = cands
+      .join(vecs.withColumnRenamed("id", "q_id").withColumnRenamed("vec", "q_vec"), "q_id")
+      .join(vecs.withColumnRenamed("id", "c_id").withColumnRenamed("vec", "c_vec"), "c_id")
+      .select(col("q_id"), col("c_id"),
+        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

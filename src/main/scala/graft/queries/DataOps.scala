@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (the north-star set): dedup,
+  * embedding similarity, text analysis, multimodal column plumbing.
+  * Oracle SQL accompanies every operator whose math DuckDB can reproduce
+  * exactly (md5 fingerprints, set-based Jaccard, rational-ratio stats,
+  * double-precision cosine); the xxhash64-based sketches (SimHash, LSH
+  * buckets) get rows-only checks plus differential unit tests against
+  * their exact counterparts.
+  */
+object DataOps {
+
+  /** q26: exact dedup via content fingerprint — one hash shuffle, keeps
+    * min doc_id per distinct normalized text. */
+  private val q26 = QuerySpec(
+    "q26_dedup_exact",
+    (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("keep_id")),
+    oracle = Some("""
+      SELECT min(doc_id) AS keep_id, count(*) AS group_size
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      ORDER BY keep_id"""))
+
+  /** q27: exact word-3-gram Jaccard near-dup pairs (threshold 0.6) —
+    * the exact-math verifier the sketch methods are judged against. */
+  private val q27 = QuerySpec(
+    "q27_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.6)
+        .orderBy(col("id_a"), col("id_b")),
+    oracle = Some(jaccardOracle(0.6)),
+    bench = true)
+
+  /** q28: MinHash+LSH near-dup pairs, exact-Jaccard-verified. With 128
+    * hashes / 32 bands the miss probability at j=0.8 is (1−0.8⁴)³² ≈
+    * 5·10⁻⁸, so the verified output equals the exact pairs and shares
+    * their oracle — while candidate generation is the LSH bucket join,
+    * not the O(n²) shingle self-join. */
+  private val q28 = QuerySpec(
+    "q28_dedup_minhash",
+    (s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+    oracle = Some(jaccardOracle(0.8)),
+    bench = true)
+
+  /** q29: SimHash near-dup pairs within Hamming radius 3. xxhash64-based
+    * → no SQL oracle; differential-tested against q27 in DedupSpec. */
+  private val q29 = QuerySpec(
+    "q29_dedup_simhash",
+    (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", radius = 3)
+        .orderBy(col("id_a"), col("id_b")))
+
+  /** q30: embedding cosine near-dup pairs above 0.35 (the testdata embeddings are unclustered; the threshold sits in the top tail) — exact double
+    * arithmetic on both engines (floats widen losslessly). */
+  private val q30 = QuerySpec(
+    "q30_cosine_pairs",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", VectorFns.cosine(col("va"), col("vb")))
+        .filter(col("sim") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    oracle = Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+      ORDER BY id_a, id_b"""),
+    bench = true)
+
+  /** q31: exact brute-force cosine top-3 neighbors per vector — the ANN
+    * recall baseline. */
+  private val q31 = QuerySpec(
+    "q31_knn_bruteforce",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some("""
+      SELECT q_id, rank, c_id, round(sim, 4) AS sim FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim,
+               CAST(row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC) AS INTEGER) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""),
+    bench = true)
+
+  /** q32: SRP-LSH approximate top-3 — the sub-quadratic scale path.
+    * Bucketing is xxhash64-derived → rows-only check; recall vs q31 is
+    * asserted in SimilaritySpec. */
+  private val q32 = QuerySpec(
+    "q32_ann_lsh",
+    (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 3, tables = 8, planes = 12)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("rank")))
+
+  /** q33: per-document text statistics — token counts, char ratios, all
+    * exact rational arithmetic. */
+  private val q33 = QuerySpec(
+    "q33_text_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          TextFns.meanTokenLenExact(col("text")).as("mean_tok_len"),
+          TextFns.stopwordRatioExact(col("text")).as("stopword_ratio"),
+          TextFns.digitRatioExact(col("text")).as("digit_ratio"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, text,
+               CAST(len(toks) AS BIGINT) AS n,
+               CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                 AS BIGINT) AS s,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '' AND x IN ('the','a','an','and','or',
+                 'of','to','in','is','it','that','for','on','with','as','was',
+                 'at','by','this'))) AS BIGINT) AS sw,
+               CAST(length(text) AS BIGINT) AS c,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS BIGINT) AS dg
+        FROM t)
+      SELECT doc_id,
+             CAST(n AS INTEGER) AS n_tokens,
+             CAST(c AS INTEGER) AS n_chars,
+             CASE WHEN n > 0 THEN CAST((s * 20000 + n) // (n * 2) AS DOUBLE) / 10000.0
+                  ELSE 0.0 END AS mean_tok_len,
+             CASE WHEN n > 0 THEN CAST((sw * 20000 + n) // (n * 2) AS DOUBLE) / 10000.0
+                  ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN c > 0 THEN CAST((dg * 20000 + c) // (c * 2) AS DOUBLE) / 10000.0
+                  ELSE 0.0 END AS digit_ratio
+      FROM m
+      ORDER BY doc_id"""))
+
+  /** q34: language-ID by stopword-marker voting; the cascading CASE in
+    * the oracle reproduces the lexicographic tie-break exactly. */
+  private val q34 = QuerySpec(
+    "q34_lang_id",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.languageId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_pred")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS de,
+          len(list_filter(w, x -> x IN ('the','and','is','of','to','in','that','it'))) AS en,
+          len(list_filter(w, x -> x IN ('el','la','los','las','es','y','en','que'))) AS es,
+          len(list_filter(w, x -> x IN ('le','la','les','et','est','que','des','une'))) AS fr,
+          len(list_filter(w, x -> x IN ('и','в','не','на','что','это'))) AS ru
+        FROM t),
+      p AS (
+        SELECT doc_id,
+          CASE WHEN greatest(de, en, es, fr, ru) = 0 THEN 'und'
+               WHEN de >= en AND de >= es AND de >= fr AND de >= ru THEN 'de'
+               WHEN en >= es AND en >= fr AND en >= ru THEN 'en'
+               WHEN es >= fr AND es >= ru THEN 'es'
+               WHEN fr >= ru THEN 'fr'
+               ELSE 'ru' END AS lang_pred
+        FROM h)
+      SELECT lang_pred, count(*) AS n_docs
+      FROM p
+      GROUP BY lang_pred
+      ORDER BY lang_pred"""))
+
+  /** q35: md5 content fingerprint per document (reproducible outside
+    * Spark, unlike xxhash64). */
+  private val q35 = QuerySpec(
+    "q35_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** q36: composite quality score — Gopher-flavored heuristic. The oracle
+    * mirrors TextFns.qualityScore's integer formulation term for term:
+    * numerator over the common denominator n·c, rounded half-up to 1e-4
+    * by integer division — no float rounding anywhere. */
+  private val q36 = QuerySpec(
+    "q36_quality_score",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFns.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '' AND x IN ('the','a','an','and','or','of','to',
+            'in','is','it','that','for','on','with','as','was','at','by','this')))
+            AS BIGINT) AS m1,
+          CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+            AS BIGINT) AS s,
+          CAST(length(text) AS BIGINT) AS c,
+          CAST(length(text)
+            - length(regexp_replace(text, '[!-/:-@\[-`{-~0-9]', '', 'g'))
+            AS BIGINT) AS pd
+        FROM t)
+      SELECT doc_id,
+             CASE WHEN n > 0 AND c > 0 THEN
+               CAST((2 * (least(m1 * c * 16000, n * c * 4000)
+                          + (CASE WHEN s >= n * 2 AND s <= n * 12
+                             THEN n * c * 4000 ELSE 0 END)
+                          + (n * c * 2000 - least(pd * n * 4000, n * c * 2000)))
+                     + n * c)
+                    // (n * c * 2) AS DOUBLE) / 10000.0
+             ELSE 0.0 END AS quality
+      FROM m
+      ORDER BY doc_id"""))
+
+  /** q37: multimodal column plumbing — text treated as an opaque binary
+    * payload with typed metadata (byte length, magic prefix). The decode
+    * stage proper is the stubbed kernel in graft.multimodal. */
+  private val q37 = QuerySpec(
+    "q37_multimodal_meta",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          lower(substring(hex(col("payload")), 1, 8)).as("magic_hex"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             CAST(strlen(text) AS INTEGER) AS n_bytes,
+             lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Shared oracle for exact 3-gram Jaccard pairs at a threshold —
+    * reproduces TextFns.wordShingles (n=3, short-doc fallback to the
+    * whole text) and Dedup.ngramJaccardPairs exactly. */
+  private def jaccardOracle(threshold: Double): String = s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= $threshold
+      ORDER BY id_a, id_b"""
+
+  val specs: Seq[QuerySpec] = Seq(
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+}

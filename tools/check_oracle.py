@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
+the matching oracle SQL from oracle_sql.json in DuckDB over the sfDir
+tables, and compares schema + sorted rows. Exit 1 on any mismatch.
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def load_result(path):
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+def normalize(table):
+    # sort columns by name, then rows by everything (as python tuples)
+    cols = sorted(table.column_names)
+    table = table.select(cols)
+    rows = [tuple(str(v) for v in row) for row in zip(*[table.column(c).to_pylist() for c in cols])]
+    rows.sort()
+    return cols, [str(table.schema.field(c).type) for c in cols], rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failures = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        res = load_result(os.path.join(out_dir, name))
+        if res is None:
+            print(f"FAIL {name}: no spark result written"); failures += 1; continue
+        try:
+            exp = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); failures += 1; continue
+        gc, gt, gr = normalize(res)
+        ec, et, er = normalize(exp)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} vs oracle {ec}"); failures += 1; continue
+        if gt != et:
+            print(f"WARN {name}: types {list(zip(gc, gt, et))}")
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rows {len(gr)} vs oracle {len(er)}"); failures += 1; continue
+        bad = [(a, b) for a, b in zip(gr, er) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} differing rows; first: spark={bad[0][0]} oracle={bad[0][1]}")
+            failures += 1
+            continue
+        print(f"PASS {name} ({len(gr)} rows)")
+    # queries without oracle
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d not in oracle:
+            r = load_result(p)
+            n = r.num_rows if r is not None else "MISSING"
+            print(f"INFO {d}: rows-only check, rows={n}")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()
