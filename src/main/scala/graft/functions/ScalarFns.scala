@@ -33,7 +33,7 @@ object ScalarFns {
     * intent (`^www\.`) per SURVEY.md F4.
     */
   def normalizeDomain(url: Column): Column =
-    lower(regexp_replace(regexp_replace(url, "^https?://", ""), "^www\\.", ""))
+    regexp_replace(lower(regexp_replace(url, "^(?i)https?://", "")), "^www\\.", "")
 
   /** Extract hostname via capture group (reference: data_mart.scala:102-107). */
   def extractDomain(url: Column): Column =

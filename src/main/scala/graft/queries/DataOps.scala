@@ -110,12 +110,15 @@ object DataOps {
 
   /** q32: SRP-LSH approximate top-3 — the sub-quadratic scale path.
     * Bucketing is xxhash64-derived → rows-only check; recall vs q31 is
-    * asserted in SimilaritySpec. */
+    * asserted in SimilaritySpec. planes=4 because the testdata embeddings
+    * are UNCLUSTERED (top-3 neighbors at cos≈0.3 ⇒ per-plane collision
+    * p≈0.6): recall ≈ 1−(1−p⁴)¹⁶ ≈ 0.9. Clustered production embeddings
+    * support more planes (smaller buckets) at the same recall. */
   private val q32 = QuerySpec(
     "q32_ann_lsh",
     (s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 3, tables = 8, planes = 12)
+          k = 3, tables = 16, planes = 4)
         .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim"))
         .orderBy(col("q_id"), col("rank")))
 

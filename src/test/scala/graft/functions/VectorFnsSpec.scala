@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine matches hand-computed values") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),        // orthogonal
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f), 1.0), // identical
+      (Array(1f, 0f), Array(-1f, 0f), -1.0)        // opposite
+    ).toDF("a", "b", "expected")
+    rows(df.select(col("expected"), VectorFns.cosine(col("a"), col("b")).as("got")))
+      .foreach(r => r.getDouble(1) shouldBe r.getDouble(0) +- 1e-12)
+  }
+
+  test("native cosine: zero vector and length mismatch → 0.0, null → null") {
+    eval1(Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+      .select(VectorFns.cosine(col("a"), col("b")))) shouldBe 0.0
+    eval1(Seq((Array(1f), Array(1f, 2f))).toDF("a", "b")
+      .select(VectorFns.cosine(col("a"), col("b")))) shouldBe 0.0
+    val withNull = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
+      .toDF("a", "b").select(VectorFns.cosine(col("a"), col("b")))
+    eval1(withNull) shouldBe null.asInstanceOf[Any]
+  }
+
+  test("differential: native expression == higher-order composition on real embeddings") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(40)
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb")).limit(40)
+    val diff = a.crossJoin(b)
+      .select(abs(VectorFns.cosine(col("va"), col("vb"))
+        - VectorFns.cosineHof(col("va"), col("vb"))).as("d"))
+      .agg(max(col("d")))
+    assert(rows(diff).head.getDouble(0) < 1e-9)
+  }
+
+  test("native cosine accepts array<double> too") {
+    eval1(Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(VectorFns.cosine(col("a"), col("b"))))
+      .asInstanceOf[Double] shouldBe 1.0 +- 1e-12
+  }
+
+  test("interpreted eval path agrees with codegen (expression used inside a non-codegen context)") {
+    // Window partitioning forces some exprs through interpreted eval;
+    // simpler: disable WSCG for one query and compare.
+    val e = graft.Tables.embeddings(spark, sfDir).limit(10)
+    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("j"), col("embedding").as("vb")))
+    val expr = round(VectorFns.cosine(col("va"), col("vb")), 9).as("sim")
+    val on = pairs.select(col("i"), col("j"), expr).orderBy("i", "j").collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = pairs.select(col("i"), col("j"), expr).orderBy("i", "j").collect()
+      on.toSeq shouldBe off.toSeq
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("dotHof and l2Norm") {
+    eval1(Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+      .select(VectorFns.dotHof(col("a"), col("b")))) shouldBe 11.0
+    eval1(Seq(Array(3f, 4f)).toDF("a")
+      .select(VectorFns.l2Norm(col("a")))) shouldBe 5.0
+  }
+}

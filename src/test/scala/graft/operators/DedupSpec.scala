@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("exact dedup groups whitespace/case variants, keeps min id") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "different text"),
+      (4L, "HELLO\tWORLD ")
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.exact(df, "doc_id", "text").orderBy("keep_id"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Seq((1L, 3L), (3L, 1L))
+  }
+
+  test("ngramJaccardPairs finds known near-dup, exact jaccard value") {
+    // doc1/doc2: shingle sets {a b c, b c d, c d e} vs {a b c, b c d, c d X}
+    // intersection 2, union 4 → jaccard 0.5
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d X"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.4))
+    out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) shouldBe Seq((1L, 2L, 0.5))
+  }
+
+  test("differential: minhashPairs == exact jaccard pairs at threshold 0.8 on sf0.001") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b")
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .select("id_a", "id_b")
+    rows(mh.exceptAll(exact)) shouldBe empty      // precision 1.0 by construction
+    rows(exact.exceptAll(mh)) shouldBe empty      // recall: band-curve miss ~5e-8
+  }
+
+  test("simhash is deterministic and identical for identical normalized text") {
+    val df = Seq((1L, "Quick  Brown fox"), (2L, "quick brown FOX")).toDF("doc_id", "text")
+    val hs = rows(Dedup.simhash(df, "doc_id", "text")).map(_.getLong(1)).distinct
+    hs.size shouldBe 1
+  }
+
+  test("simhashPairs: near-identical docs within radius, unrelated docs not paired") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra"),                     // tiny perturbation
+      (3L, "completely unrelated numeric table of contents zone")
+    ).toDF("doc_id", "text")
+    val pairs = rows(Dedup.simhashPairs(df, "doc_id", "text", radius = 16))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("simhash pairs are unigram near-dups on sf0.001 (differential sanity)") {
+    // SimHash votes over TOKEN frequencies — it approximates bag-of-words
+    // similarity, not shingle-sequence similarity. The right differential
+    // oracle is unigram token-SET jaccard: every hamming<=3 pair must be
+    // a strong bag-of-words near-dup.
+    val uni = docs.select(col("doc_id").as("doc"),
+      explode(array_distinct(graft.functions.TextFns.tokens(
+        lower(col("text"))))).as("tok"))
+    val sizes = uni.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = uni.as("a")
+      .join(uni.as("b"), col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val uniJac = inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sa"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sb"), "id_b")
+      .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i")) >= 0.7)
+    val strong = rows(uniJac.select("id_a", "id_b"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = rows(Dedup.simhashPairs(docs, "doc_id", "text", radius = 3)
+      .select("id_a", "id_b")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.nonEmpty)
+    assert((sh -- strong).isEmpty,
+      s"simhash produced ${(sh -- strong).size}/${sh.size} pairs below unigram jaccard 0.7")
+  }
+
+  test("minhashCandidates caps degenerate buckets") {
+    // 60 identical docs → one LSH bucket of 60; maxBucket=10 must drop it
+    val many = (1L to 60L).map(i => (i, "same text for every doc")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(many, "doc_id", "text", 3, 16)
+    rows(Dedup.minhashCandidates(sigs, bands = 4, maxBucket = 10)) shouldBe empty
+    rows(Dedup.minhashCandidates(sigs, bands = 4, maxBucket = 100)) should not be empty
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK on hand-built vectors") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.9f, 0.1f)),   // closest to 1
+      (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = rows(Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 1)
+      .orderBy("q_id")).map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Seq((1L, 2L), (2L, 1L), (3L, 2L))
+  }
+
+  test("bruteForceTopK excludes self and returns exactly k ranks") {
+    val e = Tables.embeddings(spark, sfDir).limit(30)
+    val out = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+    rows(out.filter(col("q_id") === col("c_id"))) shouldBe empty
+    val perQuery = rows(out.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max("rank").as("mr")))
+    perQuery.foreach { r => r.getLong(1) shouldBe 3L; r.getInt(2) shouldBe 3 }
+  }
+
+  test("srpBuckets deterministic across invocations") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val b1 = rows(Similarity.srpBuckets(e, "vec_id", "embedding", 4, 8).orderBy("id", "table"))
+    val b2 = rows(Similarity.srpBuckets(e, "vec_id", "embedding", 4, 8).orderBy("id", "table"))
+    b1 shouldBe b2
+  }
+
+  test("LSH top-k recall vs brute force on unclustered embeddings (few planes)") {
+    // The testdata embeddings are unclustered random vectors: top-3
+    // neighbors sit near cos≈0.3, so per-plane collision p≈0.6 —
+    // planes must stay low for recall. p^4=0.13, 1-(1-p^4)^16 ≈ 0.9.
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val exact = rows(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+      .select("q_id", "c_id")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows(Similarity.lshTopK(e, "vec_id", "embedding", 3, tables = 16, planes = 4)
+      .select("q_id", "c_id")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("LSH finds genuine near-duplicates with near-certain recall") {
+    // Near-dup vectors (cos≈0.99): per-plane p≈0.97, recall ≈ 1 even
+    // with 12 planes — the regime LSH dedup actually targets.
+    val base = (0 until 16).map(i => math.sin(i * 1.7).toFloat).toArray
+    val perturbed = base.zipWithIndex.map { case (v, i) => v + 0.02f * math.cos(i).toFloat }
+    val noise = (1 to 60).map { s =>
+      (100L + s, (0 until 16).map(i => math.sin(s * 31.7 + i * 2.3).toFloat).toArray)
+    }
+    val df = (Seq((1L, base), (2L, perturbed)) ++ noise).toDF("vec_id", "embedding")
+    val out = rows(Similarity.lshTopK(df, "vec_id", "embedding", 1, tables = 8, planes = 12)
+      .filter(col("q_id") === 1L).select("c_id"))
+    out.map(_.getLong(0)) shouldBe Seq(2L)
+  }
+
+  test("IVF top-k returns ranked neighbors with sane similarity ordering") {
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    val out = rows(Similarity.ivfTopK(e, "vec_id", "embedding", 2, nCells = 8, nProbe = 2)
+      .orderBy("q_id", "rank"))
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(rs.head.fieldIndex("rank"))).map(_.getDouble(rs.head.fieldIndex("sim")))
+      sims shouldBe sims.sorted.reverse
+    }
+  }
+}
