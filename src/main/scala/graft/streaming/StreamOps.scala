@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.functions.ScalarFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators re-expressing the reference's streaming
+  * surface (SURVEY.md §2.9 ST1–ST7) with correct-by-default semantics:
+  *
+  *  - Tumbling event-time windows ([[tumblingCommerceAgg]] = the agg
+  *    module's revenue/visitors/purchases/AOV shape, agg/agg.scala:58-67).
+  *  - Watermarks REQUIRED: the reference runs stateful aggs with no
+  *    watermark, so state grows forever (SURVEY ST2). Here every stateful
+  *    op takes a `lateness` and installs `withWatermark`; the reference's
+  *    unbounded behavior is an explicit opt-in (`lateness = None` only on
+  *    [[tumblingCommerceAggUnbounded]]).
+  *  - Event split ([[splitByValue]] = filter/filter.scala's view/buy fork).
+  *  - Streaming dedup with bounded state ([[dedupeEvents]]).
+  *  - Declarative session windows ([[sessionAgg]]) plus an equivalent
+  *    custom-state [[Sessionize.flatMapSessions]] — the
+  *    `flatMapGroupsWithState` path for semantics the built-ins can't
+  *    express.
+  *
+  * Every transform is source-agnostic: it takes the (possibly streaming)
+  * DataFrame, so Kafka / file / rate / MemoryStream sources all work —
+  * the environment has no broker, tests use MemoryStream (SURVEY §7).
+  *
+  * Scale notes: streaming aggregation state is per-key in the StateStore;
+  * watermark eviction bounds it to (active windows × keys). The shuffle
+  * for groupBy(window) is on the window struct — at 1000 executors state
+  * partitioning follows `spark.sql.shuffle.partitions`, set at session
+  * build time (GraftSession).
+  */
+object StreamOps {
+
+  /** The agg module's 60-minute commerce aggregate with a watermark.
+    * Columns: window_start/window_end/revenue/visitors/purchases/aov.
+    *
+    * `countDistinct` is unsupported on streams, so `visitors` is
+    * `approx_count_distinct` (HLL++, mergeable per-window state) — the
+    * scalable form of the reference's intent.
+    */
+  def tumblingCommerceAgg(events: DataFrame, tsCol: String = "ts",
+                          typeCol: String = "event_type",
+                          userCol: String = "user_id",
+                          valueCol: String = "value",
+                          windowDur: String = "60 minutes",
+                          lateness: String = "1 hour"): DataFrame =
+    tumblingAggImpl(events.withWatermark(tsCol, lateness),
+      tsCol, typeCol, userCol, valueCol, windowDur)
+
+  /** The reference's literal no-watermark behavior (agg/agg.scala): state
+    * never expires, all late data accepted forever. Legal only in
+    * update/complete output modes. Kept as a documented opt-out. */
+  def tumblingCommerceAggUnbounded(events: DataFrame, tsCol: String = "ts",
+                                   typeCol: String = "event_type",
+                                   userCol: String = "user_id",
+                                   valueCol: String = "value",
+                                   windowDur: String = "60 minutes"): DataFrame =
+    tumblingAggImpl(events, tsCol, typeCol, userCol, valueCol, windowDur)
+
+  private def tumblingAggImpl(events: DataFrame, tsCol: String, typeCol: String,
+                              userCol: String, valueCol: String,
+                              windowDur: String): DataFrame = {
+    val isPurchase = col(typeCol) === "purchase"
+    val centsSum = sum(when(isPurchase, ScalarFns.cents(col(valueCol)))
+      .otherwise(lit(0L)))
+    events
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(
+        (centsSum.cast("double") / 100.0).as("revenue"),
+        approx_count_distinct(col(userCol)).as("visitors"),
+        ScalarFns.countIf(isPurchase).as("purchases"),
+        ScalarFns.roundFrac(centsSum, ScalarFns.countIf(isPurchase) * 100L, 4)
+          .as("aov"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("revenue"), col("visitors"), col("purchases"), col("aov"))
+  }
+
+  /** filter/filter.scala's event fork: one filtered branch per requested
+    * value of `typeCol`, each with the partition-date tag the reference
+    * adds before its partitioned write (filter.scala:53-54). Works
+    * identically on batch and streaming frames. */
+  def splitByValue(events: DataFrame, typeCol: String, tsCol: String,
+                   types: Seq[String]): Map[String, DataFrame] =
+    types.map { t =>
+      t -> events.filter(col(typeCol) === t)
+        .withColumn("p_date", ScalarFns.tsToDateTag(col(tsCol)))
+    }.toMap
+
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is evicted (dropDuplicatesWithinWatermark, Spark 3.5+). */
+  def dedupeEvents(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                   lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Declarative gap-based session aggregation (session_window): sessions
+    * close after `gap` of per-user inactivity; emits one row per closed
+    * session in append mode. */
+  def sessionAgg(events: DataFrame, tsCol: String = "ts",
+                 userCol: String = "user_id", valueCol: String = "value",
+                 gap: String = "30 minutes",
+                 lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("session_value"))
+      .select(col(userCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+}

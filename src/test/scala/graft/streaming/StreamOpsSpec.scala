@@ -1,0 +1,177 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def startQuery(df: DataFrame, name: String, mode: String) =
+    df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+
+  test("tumbling agg (update mode): revenue/visitors/purchases/aov per window") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = startQuery(
+      StreamOps.tumblingCommerceAggUnbounded(events), "tumbling_update", "update")
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), 1L, "purchase", 100.0),
+        (ts("2024-01-01 10:20:00"), 2L, "view", 0.0),
+        (ts("2024-01-01 10:40:00"), 1L, "purchase", 50.5))
+      q.processAllAvailable()
+      val r = spark.table("tumbling_update")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .orderBy(col("revenue").desc).collect()
+      // latest update for the 10:00 window has both purchases
+      r.head.getAs[Double]("revenue") shouldBe 150.5
+      r.head.getAs[Long]("visitors") shouldBe 2L
+      r.head.getAs[Long]("purchases") shouldBe 2L
+      r.head.getAs[Double]("aov") shouldBe 75.25
+      // a second batch updates the same window (update-mode re-emission)
+      in.addData((ts("2024-01-01 10:50:00"), 3L, "purchase", 49.5))
+      q.processAllAvailable()
+      val r2 = spark.table("tumbling_update")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .orderBy(col("revenue").desc).collect()
+      r2.head.getAs[Double]("revenue") shouldBe 200.0
+      r2.head.getAs[Long]("purchases") shouldBe 3L
+    } finally q.stop()
+  }
+
+  test("tumbling agg with watermark (append mode): window emits after watermark passes, late data dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = startQuery(
+      StreamOps.tumblingCommerceAgg(events, lateness = "10 minutes"),
+      "tumbling_append", "append")
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), 1L, "purchase", 100.0),
+        (ts("2024-01-01 10:20:00"), 2L, "view", 0.0))
+      q.processAllAvailable()
+      spark.table("tumbling_append").count() shouldBe 0 // watermark hasn't passed 11:00
+
+      // event at 12:00 advances the watermark to 11:50 > 11:00
+      in.addData((ts("2024-01-01 12:00:00"), 3L, "view", 0.0))
+      q.processAllAvailable()
+      // one more batch so the new watermark takes effect on emission
+      in.addData((ts("2024-01-01 12:01:00"), 3L, "view", 0.0))
+      q.processAllAvailable()
+      val emitted = spark.table("tumbling_append")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00")).collect()
+      emitted.length shouldBe 1
+      emitted.head.getAs[Double]("revenue") shouldBe 100.0
+
+      // late arrival for the closed 10:00 window: silently dropped
+      in.addData((ts("2024-01-01 10:30:00"), 9L, "purchase", 999.0))
+      q.processAllAvailable()
+      val after = spark.table("tumbling_append")
+        .filter(col("window_start") === ts("2024-01-01 10:00:00")).collect()
+      after.length shouldBe 1
+      after.head.getAs[Double]("revenue") shouldBe 100.0
+    } finally q.stop()
+  }
+
+  test("splitByValue forks typed branches with p_date tag (batch form)") {
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), "view"),
+      (ts("2024-01-02 11:00:00"), "buy"),
+      (ts("2024-01-02 12:00:00"), "view")
+    ).toDF("ts", "event_type")
+    val branches = StreamOps.splitByValue(events, "event_type", "ts", Seq("view", "buy"))
+    branches.keySet shouldBe Set("view", "buy")
+    rows(branches("view").select("p_date").orderBy("p_date"))
+      .map(_.getString(0)) shouldBe Seq("20240101", "20240102")
+    rows(branches("buy").select("p_date")).map(_.getString(0)) shouldBe Seq("20240102")
+  }
+
+  test("streaming dedup within watermark drops duplicate event ids") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "event_id", "payload")
+    val q = startQuery(
+      StreamOps.dedupeEvents(events, "ts", Seq("event_id"), "1 hour"),
+      "dedup_out", "append")
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:00:30"), 1L, "a-dup"),
+        (ts("2024-01-01 10:01:00"), 2L, "b"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:02:00"), 2L, "b-dup"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+      out shouldBe Array(1L, 2L)
+    } finally q.stop()
+  }
+
+  test("declarative session_window closes sessions after the gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = startQuery(
+      StreamOps.sessionAgg(events, gap = "10 minutes", lateness = "5 minutes"),
+      "sessions_out", "append")
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:05:00"), 1L, 2.0),   // same session (gap 5m < 10m)
+        (ts("2024-01-01 10:30:00"), 1L, 4.0))   // new session (gap 25m)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 12:00:00"), 2L, 0.0)) // advance watermark
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 12:01:00"), 2L, 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out")
+        .filter(col("user_id") === 1L).orderBy("session_start").collect()
+      sessions.length shouldBe 2
+      sessions(0).getAs[Long]("n_events") shouldBe 2L
+      sessions(0).getAs[Double]("session_value") shouldBe 3.0
+      sessions(1).getAs[Long]("n_events") shouldBe 1L
+      sessions(1).getAs[Double]("session_value") shouldBe 4.0
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization matches declarative sessions") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Sessionize.Event]
+    val withWm = in.toDS().withWatermark("ts", "5 minutes")
+      .as[Sessionize.Event]
+    val q = startQuery(
+      Sessionize.flatMapSessions(withWm, gapMs = 10 * 60 * 1000).toDF(),
+      "fmgws_out", "append")
+    try {
+      in.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 10:05:00"), 2.0),
+        Sessionize.Event(1L, ts("2024-01-01 10:30:00"), 4.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(2L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(2L, ts("2024-01-01 12:01:00"), 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("fmgws_out")
+        .filter(col("user_id") === 1L).orderBy("session_start").collect()
+      sessions.length shouldBe 2
+      sessions(0).getAs[Int]("n_events") shouldBe 2
+      sessions(0).getAs[Double]("session_value") shouldBe 3.0
+      sessions(0).getAs[Timestamp]("session_start") shouldBe ts("2024-01-01 10:00:00")
+      sessions(0).getAs[Timestamp]("session_end") shouldBe ts("2024-01-01 10:05:00")
+      sessions(1).getAs[Int]("n_events") shouldBe 1
+    } finally q.stop()
+  }
+}
