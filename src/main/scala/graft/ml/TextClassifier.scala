@@ -1,0 +1,68 @@
+package graft.ml
+
+import graft.functions.TextFns
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{CountVectorizer, IndexToString, StringIndexer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's ML train/serve capability (SURVEY.md §2.11 M1–M6)
+  * re-expressed as a reusable text classifier:
+  * tokens → CountVectorizer → StringIndexer → LogisticRegression →
+  * IndexToString (mlproject/train.scala:38-67, test.scala:46-71,
+  * dashboard/dashboard.scala:34-44).
+  *
+  * The fitted [[PipelineModel]] is a pure column transformer, so
+  * `model.transform` composes into BOTH batch and streaming plans —
+  * exactly how the reference serves the same model on a Kafka stream
+  * (test.scala:71) and an HDFS batch (dashboard.scala:34-44).
+  *
+  * Scale notes: `fit` runs one vocabulary job (CountVectorizer: a
+  * distributed word count + driver top-`vocabSize`), one distinct job
+  * (StringIndexer), then maxIter L-BFGS iterations each a treeAggregate
+  * over the training set — the driver holds only the (vocabSize ×
+  * classes) coefficient matrix. Scoring is embarrassingly parallel.
+  */
+object TextClassifier {
+
+  /** documents-shaped input → (id, tokens, label) training frame. */
+  def assemble(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", labelCol: String = "lang"): DataFrame =
+    docs.select(col(idCol), TextFns.tokens(lower(col(textCol))).as("tokens"),
+      col(labelCol).as("label_str"))
+
+  /** M1–M5: build + fit the pipeline. Hyperparameters mirror the
+    * reference (maxIter=10, regParam=0.001, mlproject/train.scala:49-51).
+    */
+  def train(training: DataFrame, vocabSize: Int = 10000,
+            maxIter: Int = 10, regParam: Double = 0.001): PipelineModel = {
+    val vectorizer = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features").setVocabSize(vocabSize)
+    // Eager indexer fit so IndexToString gets the label inventory — the
+    // reference's exact pattern (mlproject/train.scala:46,57); LR's
+    // prediction column carries no string metadata of its own.
+    val indexerModel = new StringIndexer()
+      .setInputCol("label_str").setOutputCol("label")
+      .setStringOrderType("alphabetAsc") // deterministic class indices
+      .fit(training)
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+    val relabel = new IndexToString()
+      .setInputCol("prediction").setOutputCol("predicted_label")
+      .setLabels(indexerModel.labelsArray(0))
+    new Pipeline()
+      .setStages(Array(vectorizer, indexerModel, lr, relabel))
+      .fit(training)
+  }
+
+  /** M6: score a (possibly streaming) tokens frame. */
+  def score(model: PipelineModel, df: DataFrame): DataFrame =
+    model.transform(df)
+
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+}
