@@ -1,0 +1,102 @@
+package graft.io
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parquet/json/csv sources round-trip through their sinks") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "x")
+
+    ParquetSink(s"$dir/p").write(df)
+    rows(ParquetSource(s"$dir/p").read(spark).orderBy("id")) shouldBe rows(df.orderBy("id"))
+
+    df.write.json(s"$dir/j")
+    val j = JsonSource(s"$dir/j", Some(df.schema)).read(spark)
+    rows(j.select("id", "name", "x").orderBy("id")) shouldBe rows(df.orderBy("id"))
+
+    df.write.option("header", "true").csv(s"$dir/c")
+    val c = CsvSource(s"$dir/c", header = true, Some(df.schema)).read(spark)
+    rows(c.select("id", "name", "x").orderBy("id")) shouldBe rows(df.orderBy("id"))
+  }
+
+  test("partitioned JSON sink lays out Hive-style partition dirs") {
+    val dir = Files.createTempDirectory("graft_io_part").toString
+    val df = Seq(("20240101", 1L), ("20240101", 2L), ("20240102", 3L))
+      .toDF("p_date", "id")
+    PartitionedJsonSink(s"$dir/out", Seq("p_date")).write(df)
+    val subdirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    subdirs shouldBe Array("p_date=20240101", "p_date=20240102")
+    // partition pruning: reading one partition touches only that dir
+    val back = spark.read.json(s"$dir/out").filter(col("p_date") === "20240101")
+    back.count() shouldBe 2
+    val scanned = back.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters"), scanned)
+  }
+
+  test("parquet sink coalesceTo compacts to N files") {
+    val dir = Files.createTempDirectory("graft_io_coal").toString
+    val df = spark.range(0, 1000, 1, 8).toDF("id")
+    ParquetSink(s"$dir/one", coalesceTo = Some(1)).write(df)
+    new java.io.File(s"$dir/one").listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 1
+  }
+
+  test("kafka source option assembly incl. per-partition offsets JSON") {
+    val s = KafkaSource("broker:9092", "events", streaming = false,
+      perPartitionOffsets = Map(0 -> 100L, 1 -> 250L))
+    s.options("startingOffsets") shouldBe """{"events":{"0":100,"1":250}}"""
+    s.options("subscribe") shouldBe "events"
+    s.options("kafka.bootstrap.servers") shouldBe "broker:9092"
+    KafkaSource("b", "t", streaming = true).options("startingOffsets") shouldBe "earliest"
+  }
+
+  test("jdbc source/sink option assembly incl. partitioned read") {
+    val src = JdbcSource("jdbc:postgresql://h/db", "clients", "u", "p",
+      "org.postgresql.Driver", Some("id"), Some(0L), Some(1000L), Some(8))
+    src.options("partitionColumn") shouldBe "id"
+    src.options("numPartitions") shouldBe "8"
+    JdbcSink("jdbc:postgresql://h/db", "out", "u", "p", "d")
+      .options("dbtable") shouldBe "out"
+  }
+
+  test("kafka stream sink serializes whole rows to a JSON value column") {
+    val sink = KafkaStreamSink("b:9092", "out", "/tmp/ckpt")
+    val df = Seq((1L, "x", 2.5)).toDF("id", "name", "v")
+    val ser = sink.serialize(df)
+    ser.columns.toSeq shouldBe Seq("value")
+    eval1(ser) shouldBe """{"id":1,"name":"x","v":2.5}"""
+    an[UnsupportedOperationException] should be thrownBy sink.write(df)
+  }
+
+  test("source substitution redirects a connector source to parquet") {
+    val dir = Files.createTempDirectory("graft_io_sub").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/standin")
+    spark.conf.set("spark.graft.io.substitute.kafka_events", s"$dir/standin")
+    try {
+      val df = Source.substituted(spark, "kafka_events",
+        KafkaSource("unreachable:9092", "t", streaming = false))
+      rows(df).map(_.getLong(0)) shouldBe Seq(1L)
+    } finally spark.conf.unset("spark.graft.io.substitute.kafka_events")
+  }
+
+  test("EventLogSplit writes complementary date-partitioned branches (filter.scala semantics)") {
+    val dir = Files.createTempDirectory("graft_els").toString
+    val out = EventLogSplit.run(spark, sfDir, dir.toString)
+    out.keySet shouldBe Set("view", "purchase")
+    val events = Tables.events(spark, sfDir)
+    val nView = events.filter(col("event_type") === "view").count()
+    val nBuy = events.filter(col("event_type") === "purchase").count()
+    spark.read.json(out("view")).count() shouldBe nView
+    spark.read.json(out("purchase")).count() shouldBe nBuy
+    // partition layout present
+    assert(new java.io.File(out("view")).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("p_date=")))
+  }
+}
