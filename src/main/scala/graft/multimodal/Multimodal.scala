@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video treated as opaque
+  * `binary` payloads with typed metadata, processed batch-wise with
+  * `mapPartitions` (the Scala analog of a vectorized pandas UDF: one
+  * heavyweight decoder init per PARTITION, then a streamed iterator of
+  * rows — never per-row init, never a driver collect).
+  *
+  * The decode kernels themselves are STUBS (this container ships no
+  * image/audio codecs): deterministic functions of the payload bytes
+  * that stand in for libjpeg/ffmpeg calls. Everything around them —
+  * schemas, encoders, partition-wise batching, init-once-per-partition
+  * lifecycle, frame-explosion shape — is the real distributed plumbing
+  * and is what the tests assert.
+  *
+  * Scale notes: payload columns ride through shuffles as opaque bytes;
+  * keep them OUT of wide shuffles (extract features first, join the
+  * small feature table). Feature extraction is a narrow map — at 100 TB
+  * it scales linearly with no coordination.
+  */
+object Multimodal {
+
+  case class MediaMeta(format: String, width: Int, height: Int,
+                       n_frames: Int, sample_rate: Int)
+  case class Media(media_id: Long, kind: String, payload: Array[Byte])
+  case class DecodedMedia(media_id: Long, kind: String, payload: Array[Byte],
+                          meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Wrap a testdata table into the media shape: text bytes play the
+    * opaque payload, `kind` cycles image/audio/video. Stand-in for a
+    * real `binaryFile`/parquet media source. */
+  def asMedia(documents: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): Dataset[Media] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(
+      col(idCol).as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .as[Media]
+  }
+
+  // ---- STUB decode kernel ---------------------------------------------
+  // Deterministic fake standing in for a codec call. A real deployment
+  // replaces ONLY this function (and the init in decodeAll) — the
+  // surrounding plumbing is unchanged.
+  private[multimodal] def stubDecode(kind: String, payload: Array[Byte]): MediaMeta = {
+    val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    def pick(lo: Int, hi: Int, salt: Long): Int =
+      (Math.floorMod(h ^ salt, (hi - lo).toLong) + lo).toInt
+    kind match {
+      case "image" => MediaMeta("png", pick(64, 4096, 1), pick(64, 4096, 2), 1, 0)
+      case "audio" => MediaMeta("wav", 0, 0, 0, Seq(16000, 22050, 44100)(pick(0, 3, 3)))
+      case "video" => MediaMeta("mp4", pick(320, 1920, 4), pick(240, 1080, 5),
+        pick(24, 2400, 6), 0)
+      case _ => MediaMeta("bin", 0, 0, 0, 0)
+    }
+  }
+
+  /** Decode metadata for every payload: one decoder "session" per
+    * partition (the init-once lifecycle a real codec binding needs),
+    * then a pure iterator map — no materialization of the partition. */
+  def decodeAll(media: Dataset[Media]): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val session = DecoderSession.open() // per-partition heavy init (stubbed)
+      it.map { m =>
+        DecodedMedia(m.media_id, m.kind, m.payload,
+          session.decode(m.kind, m.payload))
+      }
+    }
+  }
+
+  /** Fixed-dim feature vector per payload (stub for an embedding model):
+    * batch-iterated per partition, payload dropped from the output so
+    * downstream joins/shuffles move only (id, kind, dim floats). */
+  def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val session = DecoderSession.open()
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, session.embed(m.payload, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size
+    * chunk becomes a frame row (stub for ffmpeg frame extraction) —
+    * the one-to-many generator shape, one output row per sampled frame.
+    */
+  def sampleFrames(media: Dataset[Media], frameBytes: Int = 64,
+                   stride: Int = 4): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 => Frame(m.media_id, i, chunk) }
+    }
+  }
+
+  /** Decoded metadata joined back as columns — the typed-metadata table
+    * shape a catalog would persist alongside the payload store. */
+  def metadataTable(media: Dataset[Media]): DataFrame =
+    decodeAll(media).toDF().select(col("media_id"), col("kind"),
+      col("meta.format").as("format"), col("meta.width").as("width"),
+      col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
+      col("meta.sample_rate").as("sample_rate"),
+      octet_length(col("payload")).as("n_bytes"))
+}
+
+/** Stand-in for a native decoder handle (libjpeg/ffmpeg/soundfile
+  * binding). Tracks open() calls so tests can assert the
+  * once-per-partition lifecycle. */
+private[multimodal] class DecoderSession private () extends Serializable {
+  def decode(kind: String, payload: Array[Byte]): Multimodal.MediaMeta =
+    Multimodal.stubDecode(kind, payload)
+
+  /** Deterministic hash-derived pseudo-embedding in [-1, 1). */
+  def embed(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    payload.foreach(b => h = h * 31 + (b & 0xff))
+    var i = 0
+    while (i < dim) {
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+      out(i) = (Math.floorMod(h, 2000000L) / 1000000.0f) - 1.0f
+      i += 1
+    }
+    out
+  }
+}
+
+private[multimodal] object DecoderSession {
+  // Executor-side instrumentation: counts inits in this JVM (local-mode
+  // tests share one JVM, so the count is observable from the driver).
+  val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+  def open(): DecoderSession = { opened.incrementAndGet(); new DecoderSession() }
+}

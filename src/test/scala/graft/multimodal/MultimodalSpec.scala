@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.asMedia(Tables.documents(spark, sfDir))
+
+  test("asMedia: binary payload + cycling kind, schema as declared") {
+    val df = media.toDF()
+    df.schema("payload").dataType.typeName shouldBe "binary"
+    rows(df.select("kind").distinct()).map(_.getString(0)).toSet shouldBe
+      Set("image", "audio", "video")
+    media.count() shouldBe 500
+  }
+
+  test("decodeAll: typed metadata per kind, deterministic across runs") {
+    val a = rows(Multimodal.decodeAll(media).toDF()
+      .select("media_id", "meta.format", "meta.width", "meta.sample_rate")
+      .orderBy("media_id"))
+    val b = rows(Multimodal.decodeAll(media).toDF()
+      .select("media_id", "meta.format", "meta.width", "meta.sample_rate")
+      .orderBy("media_id"))
+    a shouldBe b
+    val byKind = rows(Multimodal.decodeAll(media).toDF()
+      .groupBy("kind").agg(
+        countDistinct(col("meta.format")).as("formats"),
+        max(col("meta.width")).as("maxw")))
+    byKind.foreach { r =>
+      r.getLong(1) shouldBe 1L  // one stub format per kind
+    }
+  }
+
+  test("decoder session opens once per partition, not per row") {
+    DecoderSession.opened.set(0)
+    val parts = 3
+    Multimodal.decodeAll(media.repartition(parts)).count()
+    val opened = DecoderSession.opened.get()
+    assert(opened == parts, s"expected $parts decoder inits, got $opened")
+  }
+
+  test("extractFeatures: fixed dim, payload dropped, deterministic") {
+    val f = Multimodal.extractFeatures(media, dim = 16)
+    f.columns.toSeq shouldBe Seq("media_id", "kind", "features")
+    val lens = rows(f.toDF().select(sql.functions.size(col("features"))).distinct())
+    lens.map(_.getInt(0)) shouldBe Seq(16)
+    val x = rows(f.toDF().select("media_id", "features").orderBy("media_id").limit(5))
+    val y = rows(Multimodal.extractFeatures(media, dim = 16)
+      .toDF().select("media_id", "features").orderBy("media_id").limit(5))
+    x.map(_.toString) shouldBe y.map(_.toString)
+  }
+
+  test("extracted features feed the similarity operators (plumbing composes)") {
+    val f = Multimodal.extractFeatures(media, dim = 16).toDF()
+      .withColumnRenamed("media_id", "vec_id")
+      .withColumnRenamed("features", "embedding")
+    val knn = graft.operators.Similarity.bruteForceTopK(
+      f.limit(50), f.limit(50), "vec_id", "embedding", 2)
+    knn.count() shouldBe 100 // 50 queries × k=2
+  }
+
+  test("sampleFrames: only video rows, stride-sampled chunk indices") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+    val kinds = frames.toDF().join(media.toDF().select(col("media_id"), col("kind")),
+      "media_id").select("kind").distinct()
+    rows(kinds).map(_.getString(0)) shouldBe Seq("video")
+    val idxs = rows(frames.toDF().select("frame_idx").distinct()
+      .orderBy("frame_idx").limit(3)).map(_.getInt(0))
+    idxs shouldBe idxs.map(i => i - i % 4) // all indices are stride multiples
+    // every frame is a non-empty chunk of at most frameBytes (the last
+    // chunk of a payload — which can be frame 0 on short payloads — may
+    // be shorter)
+    val badLens = frames.filter(f =>
+      f.frame_bytes.length == 0 || f.frame_bytes.length > 64).count()
+    badLens shouldBe 0
+  }
+
+  test("metadataTable: flat catalog columns with byte lengths") {
+    val t = Multimodal.metadataTable(media)
+    t.columns.toSeq shouldBe Seq("media_id", "kind", "format", "width",
+      "height", "n_frames", "sample_rate", "n_bytes")
+    rows(t.filter(col("n_bytes") <= 0)) shouldBe empty
+  }
+}
