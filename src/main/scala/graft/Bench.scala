@@ -21,11 +21,23 @@ object Bench {
 
     spark.read.parquet(s"$sfDir/region.parquet").count() // warm-up
 
-    val results = SparkEntry.benchQueries.map { name =>
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY="q27,q28" times a
+    // subset. The driver never sets it, so driver runs time everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.benchQueries
+      .filter(n => only.forall(f => f.exists(n.startsWith)))
+
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Operators may persist intermediates (shingle relations); release
+      // them so queries are timed in isolation, not under the previous
+      // query's cache pressure.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")

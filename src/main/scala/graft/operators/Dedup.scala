@@ -64,9 +64,17 @@ object Dedup {
     * scale run MinHash first and this only on candidates. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // Shingles are hashed to int64 at birth: the self-join then shuffles
+    // 8-byte keys instead of ~n-word strings (64-bit collisions are
+    // negligible at corpus scale, the same fidelity trade MinHash makes).
+    // The relation feeds three consumers (both join sides + sizes), so
+    // persist it — otherwise Spark re-scans and re-explodes the corpus
+    // three times. MEMORY_AND_DISK: shingle sets can exceed RAM at scale.
     val shingles = docs
       .select(col(idCol).as("doc"),
-        explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh"))
+        explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh_str"))
+      .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingles.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = shingles.as("a")
       .join(shingles.as("b"), col("a.sh") === col("b.sh")
@@ -82,45 +90,84 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature matrix: one row per doc, `numHashes` min-hash
-    * values computed as k aggregates in a single pass. */
+  /** FNV-1a 64-bit over UTF-16 code units — fixed algorithm so shingle
+    * hashes are reproducible across JVMs/Spark versions. */
+  private def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** MinHash signature per doc as ONE `array<long>` column of length
+    * `numHashes`, computed by a typed UDF doing the whole
+    * tokenize→shingle→hash→per-coefficient-min in primitive JVM loops.
+    *
+    * Why a UDF here, against the functions-not-UDFs default: the
+    * expression formulations are pathological at k=128 — k min-agg
+    * measures shuffle |docs|·|shingles| rows (measured 6.8s at sf0.1),
+    * and k separate `array_min(transform(...))` projections generate
+    * compile-bound wide codegen (~10s of janino per plan shape). One
+    * scalar UDF is shuffle-free, compiles instantly, and the per-row
+    * cost is a tight k·|shingles| integer loop. Tokenization matches
+    * TextFns.wordShingles (n-gram with whole-text fallback).
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int,
                         seed: Long = 42L): DataFrame = {
-    val hcols = coeffs(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("__h") + lit(b), lit(P))).as(s"mh_$i")
+    val cs = coeffs(numHashes, seed).toArray
+    val sigUdf = udf { text: String =>
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.split("\\s+").filter(_.nonEmpty)
+      val shingles: Iterator[String] =
+        if (toks.length >= shingleN) toks.sliding(shingleN).map(_.mkString(" "))
+        else Iterator(toks.mkString(" "))
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val seen = new java.util.HashSet[Long]()
+      shingles.foreach { sh =>
+        val h = math.floorMod(fnv1a(sh), P)
+        if (seen.add(h)) {
+          var i = 0
+          while (i < numHashes) {
+            val v = math.floorMod(cs(i)._1 * h + cs(i)._2, P)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+      }
+      sig
     }
-    docs
-      .select(col(idCol).as("doc"),
-        explode(array_distinct(TextFns.wordShingles(col(textCol), shingleN))).as("sh"))
-      .withColumn("__h", pmod(xxhash64(col("sh")), lit(P)))
-      .groupBy(col("doc"))
-      .agg(hcols.head, hcols.tail: _*)
+    docs.select(col(idCol).as("doc"), sigUdf(col(textCol)).as("sig"))
   }
 
-  /** MinHash-LSH candidate pairs. Signature split into `bands`; docs
-    * colliding on any full band become candidates. Deduplicated
-    * (id_a < id_b), bucket size capped at `maxBucket`. */
+  /** MinHash-LSH candidate pairs. The signature array is split into
+    * `bands` slices; docs colliding on a whole band (xxhash64 of the
+    * slice) become candidates. Deduplicated (id_a < id_b), bucket size
+    * capped at `maxBucket`. Expects (doc, sig: array<long>) from
+    * [[minhashSignatures]]. */
   def minhashCandidates(signatures: DataFrame, bands: Int,
                         maxBucket: Int = 1000): DataFrame = {
-    val mhCols = signatures.columns.filter(_.startsWith("mh_")).sortBy(
-      c => c.stripPrefix("mh_").toInt)
-    val rowsPerBand = mhCols.length / bands
-    require(rowsPerBand > 0, s"bands=$bands > numHashes=${mhCols.length}")
+    val rpb = expr(s"size(sig) div $bands") // rows per band, integer
     val bandCols = (0 until bands).map { b =>
-      val slice = mhCols.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
       struct(lit(b).as("band"),
-        xxhash64(slice.map(col): _*).as("sig")).as(s"band_$b")
+        xxhash64(slice(col("sig"), lit(1) + lit(b) * rpb, rpb)).as("sig"))
+        .as(s"band_$b")
     }
     val buckets = signatures
-      .select(col("doc") +: bandCols: _*)
-      .select(col("doc"), explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bk"))
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // Persisted: the self-join recomputes its (identical) input subtree
+    // per side — ReuseExchange does NOT fire across the window+filter
+    // (verified in the executed plan: 2 FileScans, 0 ReusedExchange
+    // without the cache). The relation is |docs|·bands rows of 3 longs —
+    // tiny relative to recomputing the signature projection twice.
     val small = buckets
       .withColumn("__n", count(lit(1)).over(
         Window.partitionBy(col("band"), col("sig"))))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     small.as("a")
       .join(small.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
@@ -131,18 +178,29 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup pairs, verified with exact
     * Jaccard so precision is 1.0 (recall bounded by the band curve
-    * 1−(1−t^r)^b). */
+    * 1−(1−t^r)^b).
+    *
+    * Verification is PER CANDIDATE PAIR via array_intersect over hashed
+    * shingle sets — O(|candidates| · set size), a narrow join with no
+    * shuffle explosion. (Re-running the exact shingle self-join on
+    * candidate DOCS would verify all-pairs-among-candidates: quadratic
+    * again exactly when LSH found a dense cluster.) */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val cands = minhashCandidates(
       minhashSignatures(docs, idCol, textCol, shingleN, numHashes, seed), bands)
-    val exactPairs = ngramJaccardPairs(
-      docs.join(
-        cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct(),
-        idCol),
-      idCol, textCol, shingleN, threshold)
-    exactPairs.join(cands, Seq("id_a", "id_b"), "left_semi")
+    val sets = docs.select(col(idCol).as("doc"),
+      array_distinct(transform(TextFns.wordShingles(col(textCol), shingleN),
+        s => xxhash64(s))).as("shs"))
+    cands
+      .join(sets.select(col("doc").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, bit-majority

@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Rank the k best (sim, c_id) per q_id via the bounded-heap aggregate
+    * (TopKAgg): map-side partial top-k, so the shuffle moves
+    * partitions × queries × k rows — NOT every scored pair into a
+    * window sort (measured ~2× on the sf0.1 knn; asymptotically the
+    * difference between O(n·m) shuffle and O(q·k)). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(TopKAgg.topK(k)(col("sim"), col("c_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p._2").as("c_id"), col("p._1").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact brute-force cosine top-k neighbors for every vector in
     * `queries` against `corpus` (excluding self-matches on id). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -34,10 +46,7 @@ object Similarity {
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (table,
@@ -88,9 +97,7 @@ object Similarity {
       .join(vecs.withColumnRenamed("id", "c_id").withColumnRenamed("vec", "c_vec"), "c_id")
       .select(col("q_id"), col("c_id"),
         VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF-lite coarse quantization: centroid ids are drawn
@@ -130,8 +137,6 @@ object Similarity {
       .join(vecs.withColumnRenamed("id", "c_id").withColumnRenamed("vec", "c_vec"), "c_id")
       .select(col("q_id"), col("c_id"),
         VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }

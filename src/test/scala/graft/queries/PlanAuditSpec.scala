@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan audits for the headline queries: the properties that
+  * make the 100 TB plan right — predicate pushdown into the parquet
+  * scan, column pruning, dimension broadcast, map-side partial
+  * aggregation, top-k without a global sort — asserted so a regression
+  * in plan shape fails CI even while results stay correct.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters push into the parquet scan; schema pruned to used columns") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value)"), plan)
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan)
+    assert(plan.contains("GreaterThan(value,50.0)"), plan)
+    // full events schema is 6 columns; the scan must not read props/ts
+    assert(!plan.contains("props"), "props column not pruned:\n" + plan)
+  }
+
+  test("q01: aggregation is partial+final hash agg (map-side combine)") {
+    val plan = planOf("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("q04: dimension joins broadcast; no dimension shuffles") {
+    val plan = planOf("q04_join_inner_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q25: datamart broadcasts nation/region, single user-key shuffle for pivot") {
+    val plan = planOf("q25_datamart")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // the pivot compiles to one hash aggregation, not one scan per value
+    assert("HashAggregate".r.findAllIn(plan).size <= 4, plan)
+  }
+
+  test("q09: global top-k is TakeOrderedAndProject, never a full sort") {
+    val plan = planOf("q09_topk_global")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q31: brute-force knn broadcasts the query side (no corpus shuffle)") {
+    val plan = planOf("q31_knn_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("whole-stage codegen active in scalar-heavy queries") {
+    // AQE finalizes the physical plan only on execution — run first,
+    // then read the final plan. WSCG stages print as `*(n)` prefixes.
+    // (Known, accepted: the text-stats projection itself sits OUTSIDE
+    // codegen — higher-order functions (filter/aggregate lambdas) don't
+    // participate in WSCG; the scan→ColumnarToRow and sort stages do.)
+    val df = graft.SparkEntry.queries("q33_text_stats")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+}
