@@ -308,6 +308,32 @@ object DataOps {
       WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= $threshold
       ORDER BY id_a, id_b"""
 
+  /** q44: IVF-lite ANN top-3 — the coarse-quantization scale path
+    * (alternative to q32's SRP-LSH). Centroid draw is hash-derived →
+    * rows-only check; ordering correctness asserted in SimilaritySpec. */
+  private val q44 = QuerySpec(
+    "q44_ann_ivf",
+    (s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 3, nCells = 32, nProbe = 3)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("rank")))
+
+  /** q45: ML train+score in one query (M1-M6 end-to-end): fit the
+    * lang classifier on the documents and score them. L-BFGS weights are
+    * not bit-stable across environments → rows-only check; learnability
+    * and scoring determinism are asserted in TextClassifierSpec. */
+  private val q45 = QuerySpec(
+    "q45_ml_score",
+    (s, dir) => {
+      import graft.ml.TextClassifier
+      val assembled = TextClassifier.assemble(Tables.documents(s, dir))
+      val model = TextClassifier.train(assembled, vocabSize = 2000, maxIter = 5)
+      TextClassifier.score(model, assembled)
+        .select(col("doc_id"), col("predicted_label"))
+        .orderBy(col("doc_id"))
+    })
+
   val specs: Seq[QuerySpec] = Seq(
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45)
 }

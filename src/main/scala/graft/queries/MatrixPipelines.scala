@@ -184,5 +184,28 @@ object MatrixPipelines {
       ORDER BY window_start"""),
     bench = true)
 
-  val specs: Seq[QuerySpec] = Seq(q14, q15, q23, q24, q25, q38)
+  /** q42: incremental matrix update — the users_items "update mode"
+    * (users_items.scala:85-101, SURVEY C4): the event log is split into
+    * two disjoint date halves, each pivoted independently (yesterday's
+    * snapshot + today's delta), then merged by summing per-key columns.
+    * Result must equal pivoting the whole log at once (the oracle). */
+  private val q42 = QuerySpec(
+    "q42_matrix_merge",
+    (s, dir) => {
+      val e = Tables.events(s, dir).withColumn("d", dayofmonth(col("ts")))
+      val early = PivotMatrix.countMatrix(
+        e.filter(col("d") <= 15), "user_id", "event_type", EventTypes)
+      val late = PivotMatrix.countMatrix(
+        e.filter(col("d") > 15), "user_id", "event_type", EventTypes)
+      PivotMatrix.mergeMatrices(early, late, "user_id")
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(s"""
+      SELECT user_id,
+             ${pivotOracle(t => s"count(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"")}
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q14, q15, q23, q24, q25, q38, q42)
 }

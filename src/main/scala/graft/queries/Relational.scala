@@ -453,7 +453,99 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** q39: URL scalar functions (reference F4/F5/F7, domain handling) on
+    * URLs synthesized from part attributes — the testdata carries no URL
+    * column, so the query constructs one deterministically first. */
+  private val q39 = QuerySpec(
+    "q39_url_fns",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+        .withColumn("url",
+          concat(lit("https://WWW."), lower(col("p_brand")), lit(".com/"),
+            regexp_replace(lower(col("p_type")), " ", "-"),
+            lit("?q="), col("p_partkey")))
+      p.select(
+        col("p_partkey"),
+        ScalarFns.extractDomain(col("url")).as("domain"),
+        ScalarFns.normalizeDomain(col("url")).as("norm"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      WITH u AS (
+        SELECT p_partkey,
+               'https://WWW.' || lower(p_brand) || '.com/' ||
+               replace(lower(p_type), ' ', '-') || '?q=' || p_partkey AS url
+        FROM part)
+      SELECT p_partkey,
+             regexp_extract(url, '^(?:https?://)?(?:www\.)?([^:/\n?]+)', 1) AS domain,
+             regexp_replace(regexp_replace(lower(url), '^https?://', ''),
+                            '^www\.', '') AS norm
+      FROM u
+      ORDER BY p_partkey"""))
+
+  /** q40: ROLLUP — hierarchical subtotals incl. grand total (capability
+    * superset of A1-A3: grouping sets compile to one shuffle with a
+    * grouping-id expand, not one scan per level). */
+  private val q40 = QuerySpec(
+    "q40_rollup",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** q41: set operations — INTERSECT / EXCEPT (set semantics) over user
+    * id sets by behavior. */
+  private val q41 = QuerySpec(
+    "q41_setops",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      val errorers = e.filter(col("event_type") === "error").select(col("user_id"))
+      val both = buyers.intersect(errorers).withColumn("rel", lit("both"))
+      val buyOnly = buyers.distinct().exceptAll(errorers.distinct())
+        .withColumn("rel", lit("buy_only"))
+      both.unionByName(buyOnly).orderBy(col("rel"), col("user_id"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+           e AS (SELECT user_id FROM events WHERE event_type = 'error')
+      SELECT user_id, 'both' AS rel FROM (SELECT user_id FROM b INTERSECT SELECT user_id FROM e)
+      UNION ALL
+      SELECT user_id, 'buy_only' AS rel
+      FROM (SELECT DISTINCT user_id FROM b EXCEPT ALL SELECT DISTINCT user_id FROM e)
+      ORDER BY rel, user_id"""))
+
+  /** q43: deterministic collect_list — sorted event-id journal per user
+    * (A8 made oracle-able via array_sort; collect_list order itself is
+    * undefined in both engines). */
+  private val q43 = QuerySpec(
+    "q43_collect_sorted_list",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("event_id"))),
+            x => x.cast("string")), ",").as("purchase_ids"))
+        .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id,
+             string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS purchase_ids
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q16, q17, q18, q19, q20, q21, q22)
+    q16, q17, q18, q19, q20, q21, q22, q39, q40, q41, q43)
 }
