@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT
+  * cosine_similarity(a, b) ...")` reaches the fused codegen kernel —
+  * the same plumbing a connector/extension jar uses
+  * (`spark.sql.extensions=graft.GraftExtensions`).
+  *
+  * This is the ONLY Catalyst hook the engine needs: per SURVEY.md §4 no
+  * custom optimizer Rule or SparkStrategy is required for reference
+  * parity — every reference behavior lands on built-in Catalyst paths —
+  * so none is installed. The hook exists to surface the custom
+  * Expression layer to SQL users.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSimilarity)
+  }
+}
+
+object GraftExtensions {
+  val cosineSimilarity: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"cosine_similarity takes 2 arguments, got ${children.length}")
+      CosineSimilarity(children.head, children(1))
+    })
+
+  /** Register on an already-built session (tests / notebooks that can't
+    * set spark.sql.extensions before session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = cosineSimilarity
+    spark.sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+  }
+}
