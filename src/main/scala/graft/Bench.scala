@@ -33,10 +33,14 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Operators may persist intermediates (shingle relations); release
-      // them so queries are timed in isolation, not under the previous
-      // query's cache pressure.
+      // Isolate queries: release persisted intermediates, then force a
+      // GC so the ContextCleaner actually reclaims prior queries'
+      // shuffle files and broadcasts — with a large heap the JVM may
+      // otherwise not GC for many queries and later timings absorb the
+      // accumulated cleanup (measured: q28 6.7s isolated vs 17.9s after
+      // nine queries without this).
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }

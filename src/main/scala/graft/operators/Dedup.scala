@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFns
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact,
@@ -11,19 +10,18 @@ import org.apache.spark.sql.functions._
   * Scale notes (the design constraint is ~100 TB of documents):
   *  - Exact dedup is one hash shuffle on the fingerprint. No window
   *    over the whole table, no global sort.
-  *  - MinHash signatures are computed as k aggregate measures in a
-  *    single groupBy(doc) pass over exploded shingles (one shuffle);
-  *    LSH banding turns O(n²) pair generation into a shuffle on
-  *    (band, bandHash) where only same-bucket docs ever meet. The
-  *    verify step re-checks candidates with exact Jaccard so emitted
+  *  - MinHash signatures are a NARROW per-doc computation (no explode,
+  *    no shuffle); LSH banding turns O(n²) pair generation into small
+  *    shuffles on (band, bandHash) where only same-bucket docs ever
+  *    meet, and candidates are re-checked with exact Jaccard so emitted
   *    pairs are exact — LSH only bounds recall, never precision.
   *  - Bucket-size cap: a degenerate bucket (e.g. empty docs) would
-  *    produce a quadratic blow-up inside one task; buckets larger
-  *    than `maxBucket` are dropped and counted, the standard guard in
-  *    web-scale dedup.
-  *  - All hashing is xxhash64 (codegen'd built-in); the multiply-mod
-  *    scheme keeps operands < 2³¹ so ANSI-mode Long arithmetic can
-  *    never overflow.
+  *    produce a quadratic blow-up inside one task; bucket sizes are
+  *    counted BEFORE any bucket is materialized and buckets outside
+  *    2..maxBucket are dropped — the standard guard in web-scale dedup.
+  *  - Shuffle keys are 64-bit hashes (xxhash64 in-plan, FNV-1a inside
+  *    the signature kernel); the multiply-mod scheme keeps operands
+  *    < 2⁶² so ANSI-mode Long arithmetic can never overflow.
   */
 object Dedup {
 
@@ -157,22 +155,25 @@ object Dedup {
     val buckets = signatures
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    // Persisted: the self-join recomputes its (identical) input subtree
-    // per side — ReuseExchange does NOT fire across the window+filter
-    // (verified in the executed plan: 2 FileScans, 0 ReusedExchange
-    // without the cache). The relation is |docs|·bands rows of 3 longs —
-    // tiny relative to recomputing the signature projection twice.
-    val small = buckets
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    small.as("a")
-      .join(small.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-          && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    // Pair generation without a self-join: count bucket sizes FIRST
+    // (the cap applies before any bucket is materialized — a degenerate
+    // bucket never reaches a collect_list buffer), keep 2..maxBucket,
+    // gather each surviving bucket's doc list, and expand i<j pairs
+    // inside the array with nested transforms. One narrow pipeline over
+    // three small shuffles; the previous window + broadcast-self-join
+    // form recomputed the signature pipeline per side and its timing was
+    // bimodal under AQE.
+    val sizes = buckets.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("band"), col("sig"))
+    buckets.join(sizes, Seq("band", "sig"), "left_semi")
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 

@@ -545,7 +545,39 @@ object Relational {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** q46: ranking/navigation window functions — dense_rank, ntile,
+    * lead, first_value over per-customer order timelines (§2.7
+    * capability superset beyond q11's frames). */
+  private val q46 = QuerySpec(
+    "q46_rank_fns",
+    (s, dir) => {
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(byPrice).as("price_rank"),
+          ntile(4).over(byPrice).as("quartile"),
+          date_format(lead(col("o_orderdate"), 1).over(byDate),
+            "yyyy-MM-dd").as("next_order_day"),
+          date_format(first_value(col("o_orderdate")).over(byDate),
+            "yyyy-MM-dd").as("first_order_day"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(dense_rank() OVER wp AS INTEGER) AS price_rank,
+             CAST(ntile(4) OVER wp AS INTEGER) AS quartile,
+             strftime(lead(o_orderdate, 1) OVER wd, '%Y-%m-%d') AS next_order_day,
+             strftime(first_value(o_orderdate) OVER wd, '%Y-%m-%d') AS first_order_day
+      FROM orders
+      WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+             wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q16, q17, q18, q19, q20, q21, q22, q39, q40, q41, q43)
+    q16, q17, q18, q19, q20, q21, q22, q39, q40, q41, q43, q46)
 }
