@@ -207,5 +207,33 @@ object MatrixPipelines {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q14, q15, q23, q24, q25, q38, q42)
+  /** q47: dense feature-vector packing — the features module's marquee
+    * output (features.scala:55-59 packs ~1000 pivot counts into one
+    * ArrayType column via `array(cols: _*)`): per-user event-type count
+    * vector (deterministic column order) + day-of-week pivot counts,
+    * ready for CountVectorizer-free ML consumption (F15, A3). */
+  private val q47 = QuerySpec(
+    "q47_feature_vector",
+    (s, dir) => {
+      val m = PivotMatrix.countMatrix(
+        Tables.events(s, dir), "user_id", "event_type", EventTypes)
+      val dows = (1 to 7).map(d => s"dow_$d")
+      val dowM = PivotMatrix.countMatrix(
+        Tables.events(s, dir).withColumn("dow", dayofweek(col("ts")).cast("string")),
+        "user_id", "dow", (1 to 7).map(_.toString), "dow_")
+      m.join(dowM, Seq("user_id"))
+        .select(col("user_id"),
+          array(EventTypes.map(col): _*).as("type_vec"),
+          array(dows.map(col): _*).as("dow_vec"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(s"""
+      SELECT user_id,
+             [${EventTypes.map(t => s"count(CASE WHEN event_type = '$t' THEN 1 END)").mkString(", ")}] AS type_vec,
+             [${(1 to 7).map(d => s"count(CASE WHEN dayofweek(ts) + 1 = $d THEN 1 END)").mkString(", ")}] AS dow_vec
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q14, q15, q23, q24, q25, q38, q42, q47)
 }
