@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: null/empty/whitespace documents, empty
+  * frames — the inputs a 100 TB crawl corpus is guaranteed to contain.
+  * A throw in any of these poisons a full-scan job (SURVEY §5 edge
+  * cases).
+  */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dirty = Seq(
+    (1L, "normal document text here"),
+    (2L, ""),
+    (3L, "   \t  "),
+    (4L, null.asInstanceOf[String]),
+    (5L, "normal document text here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: empty and whitespace texts group together; null text survives") {
+    val out = Dedup.exact(dirty, "doc_id", "text")
+    // docs 2,3 normalize to "" (one group); 1,5 duplicate; 4 null is its own group
+    val groups = rows(out.orderBy("keep_id")).map(r => (r.getLong(0), r.getLong(1)))
+    groups should contain((1L, 2L)) // 1+5
+    groups should contain((2L, 2L)) // 2+3
+    out.count() shouldBe 3
+  }
+
+  test("ngramJaccardPairs: degenerate docs pair only among themselves, no throw") {
+    val pairs = rows(Dedup.ngramJaccardPairs(dirty, "doc_id", "text", 3, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 5L))
+    // empty/whitespace docs share the "" shingle → legitimately pair
+    pairs should contain((2L, 3L))
+    pairs should have size 2
+  }
+
+  test("minhash pipeline survives null/empty docs end-to-end") {
+    val pairs = rows(Dedup.minhashPairs(dirty, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 5L))
+  }
+
+  test("simhash pipeline survives null/empty docs") {
+    noException should be thrownBy
+      Dedup.simhashPairs(dirty, "doc_id", "text", radius = 3).collect()
+  }
+
+  test("text functions return defaults, not nulls/throws, on degenerate text") {
+    import graft.functions.TextFns
+    val out = dirty.select(
+      col("doc_id"),
+      TextFns.qualityScore(col("text")).as("q"),
+      TextFns.languageId(col("text")).as("lang"),
+      TextFns.tokenCount(col("text")).as("n")).orderBy("doc_id").collect()
+    out(1).getDouble(1) shouldBe 0.0 // empty
+    out(2).getDouble(1) shouldBe 0.0 // whitespace
+    out(1).getString(2) shouldBe "und"
+    out(1).getInt(3) shouldBe 0
+  }
+
+  test("operators accept empty input frames") {
+    val empty = dirty.filter(col("doc_id") < 0)
+    Dedup.exact(empty, "doc_id", "text").count() shouldBe 0
+    Dedup.ngramJaccardPairs(empty, "doc_id", "text", 3, 0.5).count() shouldBe 0
+    Dedup.minhashPairs(empty, "doc_id", "text").count() shouldBe 0
+    TopK.global(empty, 5, col("doc_id").asc).count() shouldBe 0
+    PivotMatrix.countMatrix(empty, "doc_id", "text", Seq("a", "b")).count() shouldBe 0
+  }
+
+  test("similarity handles empty and mismatched-dim vectors without throwing") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f)),
+      (2L, Array[Float]()),
+      (3L, Array(1f, 2f))
+    ).toDF("vec_id", "embedding")
+    noException should be thrownBy
+      Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 2).collect()
+  }
+}
