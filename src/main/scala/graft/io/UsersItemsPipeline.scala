@@ -1,0 +1,51 @@
+package graft.io
+
+import graft.{GraftConf, Tables}
+import graft.operators.PivotMatrix
+import graft.queries.MatrixPipelines
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The users_items module end-to-end (users_items.scala): build a
+  * user × event-type count matrix snapshot, or — in update mode —
+  * merge the previous snapshot with the new log slice and write the
+  * result back.
+  *
+  * The reference's update path unpivots the old snapshot with a
+  * synthesized `stack(...)` string, unions with the new long-form log
+  * and re-pivots (users_items.scala:59-89). Here the merge is a single
+  * outer join summing per-key columns ([[PivotMatrix.mergeMatrices]]):
+  * one shuffle on the user key instead of unpivot→union→re-pivot
+  * (three). Update mode comes from typed config (SURVEY C4,
+  * `spark.graft.users_items.update_mode`).
+  */
+object UsersItemsPipeline {
+
+  val Prefix = "spark.graft.users_items"
+
+  /** Build the matrix for a log slice. */
+  def buildMatrix(events: DataFrame): DataFrame =
+    PivotMatrix.countMatrix(events, "user_id", "event_type",
+      MatrixPipelines.EventTypes)
+
+  /** Run one increment: read events from `sfDir` (optionally filtered
+    * by the caller), merge with the existing snapshot when update mode
+    * is on AND a snapshot exists, write the snapshot, return it. */
+  def run(spark: SparkSession, sfDir: String, snapshotDir: String,
+          slice: DataFrame => DataFrame = identity): DataFrame = {
+    val conf = GraftConf(spark, Prefix)
+    val fresh = buildMatrix(slice(Tables.events(spark, sfDir)))
+    val snapshotExists = new java.io.File(snapshotDir).exists()
+    val result =
+      if (conf.updateMode && snapshotExists)
+        PivotMatrix.mergeMatrices(
+          spark.read.parquet(snapshotDir), fresh, "user_id")
+      else fresh
+    // write via a temp dir: the overwrite target may be this job's input
+    val tmp = snapshotDir + "_tmp"
+    ParquetSink(tmp, SaveMode.Overwrite, coalesceTo = Some(1)).write(result)
+    val out = spark.read.parquet(tmp)
+    ParquetSink(snapshotDir, SaveMode.Overwrite, coalesceTo = Some(1)).write(out)
+    spark.read.parquet(snapshotDir)
+  }
+}
