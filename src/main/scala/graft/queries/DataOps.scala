@@ -334,6 +334,74 @@ object DataOps {
         .orderBy(col("doc_id"))
     })
 
+  /** q48: AS-OF join — attribute every view to the user's most recent
+    * purchase at or before it (graft.operators.AsOfJoin: union +
+    * windowed last_value, ONE shuffle — no inequality join). Purchases
+    * deduped to unique (user, ts) first so ties are well-defined. The
+    * oracle uses DuckDB's native ASOF LEFT JOIN over µs-truncated
+    * epochs (events.parquet is ns-precision; Spark reads µs). */
+  private val q48 = QuerySpec(
+    "q48_asof_join",
+    (s, dir) => {
+      import graft.operators.AsOfJoin
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("last_purchase_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.asof(views, purchases, Seq("user_id"), "ts",
+          Seq("last_purchase_id"))
+        .select(col("user_id"), col("event_id"), col("last_purchase_id"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
+                        max(event_id) AS last_purchase_id
+                 FROM events WHERE event_type = 'purchase'
+                 GROUP BY user_id, epoch_us(ts)),
+           v AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+                 FROM events WHERE event_type = 'view')
+      SELECT v.user_id, v.event_id, p.last_purchase_id
+      FROM v ASOF LEFT JOIN p
+        ON v.user_id = p.user_id AND v.tus >= p.tus
+      ORDER BY v.event_id"""),
+    bench = true)
+
+  /** q49: range (interval) join — bucket event values into tiers via
+    * the binned equi-join rewrite (graft.operators.RangeJoin), not a
+    * nested-loop theta join. The top tier is CLOSED at a constant above
+    * the value domain (purchase values top out ~476): an open-ended 1e9
+    * interval would explode into hi/binWidth bins — RangeJoin's
+    * documented contract is finite intervals near binWidth scale. */
+  private val q49 = QuerySpec(
+    "q49_range_join",
+    (s, dir) => {
+      import graft.operators.RangeJoin
+      val tiers = Seq(
+        (0.0, 10.0, "bronze"), (10.0, 50.0, "silver"),
+        (50.0, 100.0, "gold"), (100.0, 1000.0, "platinum"))
+      val spark = s
+      import spark.implicits._
+      val dim = tiers.toDF("lo", "hi", "tier")
+      RangeJoin.binned(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          dim, "value", "lo", "hi", binWidth = 25.0)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("tier"))
+    },
+    oracle = Some("""
+      WITH tiers(lo, hi, tier) AS (VALUES
+        (0.0, 10.0, 'bronze'), (10.0, 50.0, 'silver'),
+        (50.0, 100.0, 'gold'), (100.0, 1000.0, 'platinum'))
+      SELECT tier, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events JOIN tiers ON value >= lo AND value < hi
+      WHERE event_type = 'purchase'
+      GROUP BY tier
+      ORDER BY tier"""))
+
   val specs: Seq[QuerySpec] = Seq(
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
+    q48, q49)
 }
