@@ -401,7 +401,24 @@ object DataOps {
       GROUP BY tier
       ORDER BY tier"""))
 
+  /** q50: token-budget sequence packing + deterministic hash split —
+    * the LLM batch-prep step (graft.operators.Packing/Sampling).
+    * xxhash64-derived group/split assignment → rows-only check; budget
+    * and determinism invariants asserted in SamplingPackingSpec. */
+  private val q50 = QuerySpec(
+    "q50_pack_split",
+    (s, dir) => {
+      import graft.operators.{Packing, Sampling}
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      val packed = Packing.greedyPack(docs, "doc_id", "n_tokens",
+        budget = 256L, groups = 32)
+      Sampling.hashSplit(packed, "doc_id",
+          Seq("train" -> 0.9, "eval" -> 0.1))
+        .orderBy(col("doc_id"))
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49)
+    q48, q49, q50)
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+class SamplingPackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: weights respected within tolerance, exactly reproducible") {
+    val df = spark.range(0, 10000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(df, "id", splits)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts("train").toDouble / 10000 shouldBe 0.8 +- 0.02
+    counts("val").toDouble / 10000 shouldBe 0.1 +- 0.02
+    counts("test").toDouble / 10000 shouldBe 0.1 +- 0.02
+    // stability: repartitioned input gives IDENTICAL membership
+    val b = Sampling.hashSplit(df.repartition(13), "id", splits)
+    rows(a.exceptAll(b)) shouldBe empty
+    rows(b.exceptAll(a)) shouldBe empty
+  }
+
+  test("hashSplit: growing the corpus never moves an old row's split") {
+    val small = spark.range(0, 1000).toDF("id")
+    val grown = spark.range(0, 5000).toDF("id")
+    val splits = Seq("train" -> 0.9, "eval" -> 0.1)
+    val before = Sampling.hashSplit(small, "id", splits)
+    val after = Sampling.hashSplit(grown, "id", splits).filter(col("id") < 1000)
+    rows(before.exceptAll(after)) shouldBe empty
+  }
+
+  test("stratified: per-stratum fractions honored, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val fracs = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0)
+    val out = Sampling.stratified(docs, "doc_id", "lang", fracs)
+    val by = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    by.keySet should not contain "fr"
+    by("de") shouldBe total("de")
+    by("en").toDouble / total("en") shouldBe 0.5 +- 0.15
+    // strata not in the map are dropped entirely
+    by.keySet.subsetOf(Set("en", "de")) shouldBe true
+  }
+
+  test("greedyPack: no bin exceeds the budget except single oversized docs") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+    val budget = 120L
+    val packed = Packing.greedyPack(docs, "doc_id", "n_tokens", budget, groups = 8)
+    packed.count() shouldBe docs.count() // every doc assigned once
+    val binTotals = packed.filter(!col("truncated"))
+      .groupBy("pack_group", "bin")
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
+    rows(binTotals.filter(col("t") > budget)) shouldBe empty
+    // packing actually packs: average bin holds more than one doc
+    val avgDocs = binTotals.agg(avg(col("n"))).collect()(0).getDouble(0)
+    assert(avgDocs > 1.5, s"avg docs per bin $avgDocs — not packing")
+    // oversized docs sit alone in their bin, flagged
+    val oversized = packed.filter(col("truncated"))
+    val oversizedBins = oversized.join(binTotals,
+      Seq("pack_group", "bin"), "left_semi")
+    rows(oversizedBins) shouldBe empty
+  }
+
+  test("greedyPack deterministic across runs and partitionings") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+    val a = Packing.greedyPack(docs, "doc_id", "n_tokens", 200, 4)
+    val b = Packing.greedyPack(docs.repartition(17), "doc_id", "n_tokens", 200, 4)
+    rows(a.exceptAll(b)) shouldBe empty
+    rows(b.exceptAll(a)) shouldBe empty
+  }
+}
