@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL entry path: register the testdata tables as temp views (+ the
+  * graft SQL functions) so the whole engine is drivable from
+  * `spark.sql(...)` as well as the DataFrame API — both front ends
+  * build the same Catalyst plans, so every optimization in SCALE.md
+  * applies identically.
+  */
+object SqlFacade {
+
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Create one temp view per testdata table and register graft's SQL
+    * functions on the session. */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    TableNames.foreach { t =>
+      val df: DataFrame = t match {
+        case "events" => Tables.events(spark, sfDir) // ns→µs handling
+        case other    => spark.read.parquet(s"$sfDir/$other.parquet")
+      }
+      df.createOrReplaceTempView(t)
+    }
+    GraftExtensions.register(spark)
+  }
+
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}
