@@ -118,6 +118,26 @@ object TextFns {
       stopwordHits(text).cast("long"), size(tokens(text)).cast("long"), 4),
       lit(0.0))
 
+  // ---- tokens-column variants -----------------------------------------
+  // The text-based forms above each rebuild split(text) internally —
+  // convenient for one-off columns, but a stats projection computing
+  // five ratios re-splits the text ~10× per row. These take the token
+  // array as a column the caller materializes ONCE (Catalyst keeps a
+  // multiply-referenced non-trivial projection column materialized
+  // rather than inlining it).
+
+  /** meanTokenLenExact over a precomputed token array. */
+  def meanTokenLenExactFromTokens(toks: Column): Column =
+    coalesce(graft.functions.ScalarFns.roundFrac(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
+      size(toks).cast("long"), 4), lit(0.0))
+
+  /** stopwordRatioExact over precomputed (case-normalized) tokens. */
+  def stopwordRatioExactFromTokens(lowerToks: Column): Column =
+    coalesce(graft.functions.ScalarFns.roundFrac(
+      size(filter(lowerToks, t => t.isin(englishStopwords: _*))).cast("long"),
+      size(lowerToks).cast("long"), 4), lit(0.0))
+
   /** digitRatio rounded half-up at 4 decimals, exactly. */
   def digitRatioExact(text: Column): Column =
     coalesce(graft.functions.ScalarFns.roundFrac(

@@ -128,12 +128,17 @@ object DataOps {
     "q33_text_stats",
     (s, dir) =>
       Tables.documents(s, dir)
+        // tokenize ONCE; the ratio columns reference the arrays (a
+        // multi-referenced projection column stays materialized — the
+        // text-based forms would re-split the text per ratio)
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .withColumn("__ltoks", TextFns.tokens(lower(col("text"))))
         .select(
           col("doc_id"),
-          TextFns.tokenCount(col("text")).as("n_tokens"),
+          size(col("__toks")).as("n_tokens"),
           length(col("text")).as("n_chars"),
-          TextFns.meanTokenLenExact(col("text")).as("mean_tok_len"),
-          TextFns.stopwordRatioExact(col("text")).as("stopword_ratio"),
+          TextFns.meanTokenLenExactFromTokens(col("__toks")).as("mean_tok_len"),
+          TextFns.stopwordRatioExactFromTokens(col("__ltoks")).as("stopword_ratio"),
           TextFns.digitRatioExact(col("text")).as("digit_ratio"))
         .orderBy(col("doc_id")),
     oracle = Some("""
