@@ -19,14 +19,27 @@ object Bench {
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
-    spark.read.parquet(s"$sfDir/region.parquet").count() // warm-up
-
     // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY="q27,q28" times a
     // subset. The driver never sets it, so driver runs time everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.benchQueries
       .filter(n => only.forall(f => f.exists(n.startsWith)))
+
+    // Warm-up: run every selected query once at the smallest SF. Each
+    // distinct plan shape janino-compiles its generated code on first
+    // execution (hundreds of ms to seconds per query) and the code
+    // cache is keyed by source, so a tiny-SF pass pre-compiles the
+    // shapes and the timed runs below measure steady-state throughput —
+    // the quantity being compared across engines — not JVM compile
+    // cost. Failures are ignored here; the timed run reports them.
+    val warmDir = "/root/testdata/sf0.001"
+    selected.foreach { name =>
+      try { SparkEntry.queries(name)(spark, warmDir).count() }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    System.gc()
 
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)

@@ -68,7 +68,10 @@ object Dedup {
     // The relation feeds three consumers (both join sides + sizes), so
     // persist it — otherwise Spark re-scans and re-explodes the corpus
     // three times. MEMORY_AND_DISK: shingle sets can exceed RAM at scale.
+    // single-file inputs arrive as ONE split; fan out so the narrow
+    // shingle/explode stage uses every core, not one task
     val shingles = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh_str"))
       .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
@@ -140,7 +143,10 @@ object Dedup {
       }
       sig
     }
-    docs.select(col(idCol).as("doc"), sigUdf(col(textCol)).as("sig"))
+    // fan a single-split input across cores: the signature kernel is
+    // narrow, so without this it runs as one task
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"), sigUdf(col(textCol)).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs. The signature array is split into
@@ -195,7 +201,9 @@ object Dedup {
                    threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val cands = minhashCandidates(
       minhashSignatures(docs, idCol, textCol, shingleN, numHashes, seed), bands)
-    val sets = docs.select(col(idCol).as("doc"),
+    val sets = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"),
       array_distinct(transform(TextFns.wordShingles(col(textCol), shingleN),
         s => xxhash64(s))).as("shs"))
     cands
@@ -218,6 +226,7 @@ object Dedup {
         .otherwise(-1L)).as(s"bit_$b")
     }
     val votes = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"),
         explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("tok"))
       .withColumn("__h", xxhash64(col("tok")))

@@ -40,7 +40,14 @@ object Similarity {
     * `queries` against `corpus` (excluding self-matches on id). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    // Fan the streamed corpus out to all cores: a small corpus arrives
+    // as one file split, and a one-partition input serializes the whole
+    // |corpus|x|queries| loop onto a single task (measured 3.4s -> when
+    // the 4M-pair kernel ran on one of 32 cores). At real scale the
+    // corpus has many splits and AQE can coalesce the extra exchange.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .repartition(par)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))

@@ -66,7 +66,10 @@ object DataOps {
     "q30_cosine_pairs",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // single-file input = one split; fan out so the pair loop uses
+      // every core (see Similarity.bruteForceTopK note)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("sim", VectorFns.cosine(col("va"), col("vb")))
