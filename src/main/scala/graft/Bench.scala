@@ -54,6 +54,10 @@ object Bench {
       // nine queries without this).
       spark.catalog.clearCache()
       System.gc()
+      // the ContextCleaner processes GC'd shuffle/broadcast refs on its
+      // own thread — give it a moment so cleanup IO doesn't overlap the
+      // next timed query
+      Thread.sleep(500)
       name -> dt
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }

@@ -206,6 +206,7 @@ object Dedup {
       .select(col(idCol).as("doc"),
       array_distinct(transform(TextFns.wordShingles(col(textCol), shingleN),
         s => xxhash64(s))).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sets.select(col("doc").as("id_a"), col("shs").as("sa")), "id_a")
       .join(sets.select(col("doc").as("id_b"), col("shs").as("sb")), "id_b")
