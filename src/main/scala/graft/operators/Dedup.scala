@@ -217,6 +217,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → (doc, cluster) where
+    * cluster = min doc id reachable through the pair graph. The final
+    * step of near-dup dedup: pairs alone aren't a result until each
+    * cluster elects one canonical survivor.
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round every node takes the min of its own and its neighbors'
+    * labels; stop when a round changes nothing. Rounds needed ≈ graph
+    * diameter — near-dup clusters are small and dense, so a handful.
+    * Each round is one shuffle on the edge list; the driver only sees
+    * the converged/changed COUNT (one scalar per round), never data.
+    * `maxIters` bounds pathological chain graphs (then the result is a
+    * valid refinement: clusters may be split, never wrongly merged).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint each round: iterative self-reference otherwise
+    // compounds the logical plan (round N embeds all N-1 prior plans —
+    // analysis cost and plan strings grow without bound; lineage
+    // truncation is the standard fix for iterative Spark algorithms).
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** End-to-end near-dup dedup: MinHash-LSH pairs → connected
+    * components → one row per cluster (canonical keep = min doc id,
+    * plus the cluster size). Singleton docs (no near-dup) are included
+    * with group_size 1. */
+  def nearDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                    threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val clustered = connectedComponents(pairs)
+    val all = docs.select(col(idCol).as("doc"))
+      .join(clustered, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster"))
+    all.groupBy(col("cluster"))
+      .agg(min(col("doc")).as("keep_id"), count(lit(1)).as("group_size"))
+      .drop("cluster")
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64, bit-majority
     * vote weighted by token frequency. Computed with one explode +
     * one groupBy(doc) carrying 64 conditional-sum measures — single

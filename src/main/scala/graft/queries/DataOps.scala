@@ -426,7 +426,55 @@ object DataOps {
         .orderBy(col("doc_id"))
     })
 
+  /** q51: end-to-end near-dup dedup — MinHash-LSH pairs → connected
+    * components → one row per cluster (min-id survivor + size),
+    * singletons included. The oracle rebuilds the same clusters from
+    * the EXACT jaccard pair graph with a recursive closure (LSH recall
+    * at these settings ≈ 1, enforced by the q28 differential). */
+  private val q51 = QuerySpec(
+    "q51_dedup_clusters",
+    (s, dir) =>
+      Dedup.nearDupGroups(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy(col("keep_id")),
+    oracle = Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      prs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs),
+      reach(doc, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc, e.d FROM reach JOIN edges e ON reach.r = e.s),
+      labels AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)
+      SELECT min(doc) AS keep_id, count(*) AS group_size
+      FROM labels
+      GROUP BY cluster
+      ORDER BY keep_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49, q50)
+    q48, q49, q50, q51)
 }
