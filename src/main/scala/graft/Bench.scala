@@ -55,9 +55,11 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       // the ContextCleaner processes GC'd shuffle/broadcast refs on its
-      // own thread — give it a moment so cleanup IO doesn't overlap the
-      // next timed query
-      Thread.sleep(500)
+      // own thread — give it time so cleanup IO doesn't overlap the next
+      // timed query (isolated q28 runs at ~2.7s but measured up to 9.8s
+      // when timed directly after q27's 4M-row shuffle was being
+      // reclaimed underneath it)
+      Thread.sleep(2000)
       name -> dt
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }
