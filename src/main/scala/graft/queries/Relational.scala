@@ -577,7 +577,49 @@ object Relational {
              wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** q52: CUBE — all grouping-set combinations (completes the
+    * grouping-sets family next to q40's ROLLUP). */
+  private val q52 = QuerySpec(
+    "q52_cube",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+    oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** q53: exact continuous percentiles — both engines use the same
+    * linear interpolation at p·(n−1); money as exact cents keeps the
+    * interpolated midpoints bit-identical. */
+  private val q53 = QuerySpec(
+    "q53_percentile",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("cents", ScalarFns.cents(col("value")))
+        .groupBy(col("user_id"))
+        .agg(
+          (expr("percentile(cents, 0.5)") / 100.0).as("median_value"),
+          (expr("percentile(cents, 0.9)") / 100.0).as("p90_value"))
+        .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id,
+             quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0
+               AS median_value,
+             quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) / 100.0
+               AS p90_value
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q16, q17, q18, q19, q20, q21, q22, q39, q40, q41, q43, q46)
+    q16, q17, q18, q19, q20, q21, q22, q39, q40, q41, q43, q46, q52, q53)
 }
