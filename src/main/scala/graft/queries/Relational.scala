@@ -619,7 +619,50 @@ object Relational {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** q54: supplier roster per nation — covers the one testdata table
+    * the rest of the catalog doesn't touch. */
+  private val q54 = QuerySpec(
+    "q54_supplier_nation",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(ScalarFns.cents(col("s_acctbal"))).as("total_bal_cents"))
+        .orderBy(col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n_name, count(*) AS n_suppliers,
+             CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_bal_cents
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** q55: TPC-H Q6 shape — date-range + between predicates reaching the
+    * scan, single-scalar forecast revenue. */
+  private val q55 = QuerySpec(
+    "q55_forecast_revenue",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.06)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+    oracle = Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.06
+        AND l_quantity < 24"""),
+    bench = true)
+
   val specs: Seq[QuerySpec] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13,
-    q16, q17, q18, q19, q20, q21, q22, q39, q40, q41, q43, q46, q52, q53)
+    q16, q17, q18, q19, q20, q21, q22, q39, q40, q41, q43, q46, q52, q53,
+    q54, q55)
 }
