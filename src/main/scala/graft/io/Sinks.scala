@@ -79,7 +79,7 @@ final case class KafkaStreamSink(bootstrapServers: String, topic: String,
   /** The value-serialization projection, exposed for testing: the whole
     * row as a JSON string (agg.scala:70). */
   def serialize(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   def start(df: DataFrame): StreamingQuery =
     serialize(df).writeStream.format("kafka").options(options)

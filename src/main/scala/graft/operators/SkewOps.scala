@@ -27,7 +27,7 @@ object SkewOps {
                  salts: Int): DataFrame = {
     require(salts > 0)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(replicatedDim, Seq(key, "__salt"))
