@@ -44,8 +44,11 @@ object Bench {
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // A failed query must NOT silently deflate the total: it records
+      // value -1, lands in "errors", and the process exits non-zero.
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case t: Throwable => Some(t.toString.take(300)) }
+      val dt = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
       // Isolate queries: release persisted intermediates, then force a
       // GC so the ContextCleaner actually reclaims prior queries'
       // shuffle files and broadcasts — with a large heap the JVM may
@@ -60,12 +63,17 @@ object Bench {
       // when timed directly after q27's 4M-row shuffle was being
       // reclaimed underneath it)
       Thread.sleep(2000)
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s""""$k":"${e.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\r\n\t]", " ")}"""" }
+    val errField =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

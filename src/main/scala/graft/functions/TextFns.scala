@@ -155,19 +155,37 @@ object TextFns {
     * or whitespace-only text scores 0.
     */
   def qualityScore(text: Column): Column = {
-    val n = size(tokens(text)).cast("long")
-    val m1 = stopwordHits(text).cast("long")
+    val n0 = size(tokens(text)).cast("long")
+    val m0 = stopwordHits(text).cast("long")
     val s = sumTokenLen(text)
-    val c = length(text).cast("long")
+    val c0 = length(text).cast("long")
     // punct+digit chars: ASCII punctuation (= Java \p{Punct}) and digits
-    val pd = (length(text)
+    val pd0 = (length(text)
       - length(regexp_replace(text, "[!-/:-@\\[-`{-~0-9]", ""))).cast("long")
+    // Overflow guard: every product below is (token count) × (char
+    // count) × (≤16000), which exceeds Long for multi-MB documents
+    // (n·c > ~5.7e14) and would throw under ANSI mode mid-scan. Scaling
+    // ALL token counts by kt and ALL char counts by kc divides each
+    // product — numerator terms and the denominator d alike — by the
+    // same kt·kc, so the score is unchanged; the integer truncation in
+    // the scaling only engages past 2^22 (≈4.2M) tokens or chars, where
+    // a ±1e-4 wobble on a degenerate mega-document is irrelevant. The
+    // capped counts bound every product at 2^44·16000·2 ≈ 5.6e17 < 2^62.
+    val Cap = 1L << 22
+    val kt = greatest(lit(1L), floor(n0 / lit(Cap)).cast("long"))
+    val kc = greatest(lit(1L), floor(c0 / lit(Cap)).cast("long"))
+    val n = floor(n0 / kt).cast("long")
+    val m1 = floor(m0 / kt).cast("long")
+    val c = floor(c0 / kc).cast("long")
+    val pd = floor(pd0 / kc).cast("long")
     val d = n * c
-    val lenOkTerm = when(s >= n * 2 && s <= n * 12, d * 4000L).otherwise(lit(0L))
+    // mean-token-length test on the RAW counts (s/n0 ∈ [2,12]); s and
+    // n0·12 are both < 2^35, no overflow possible here
+    val lenOkTerm = when(s >= n0 * 2 && s <= n0 * 12, d * 4000L).otherwise(lit(0L))
     val num = least(m1 * c * 16000L, d * 4000L) + lenOkTerm +
       (d * 2000L - least(pd * n * 4000L, d * 2000L))
     coalesce(
-      when(n > 0 && c > 0,
+      when(n0 > 0 && c0 > 0,
         graft.functions.ScalarFns.roundFrac(num, d, 0) / lit(10000.0)),
       lit(0.0))
   }

@@ -35,7 +35,12 @@ object UsersItemsPipeline {
           slice: DataFrame => DataFrame = identity): DataFrame = {
     val conf = GraftConf(spark, Prefix)
     val fresh = buildMatrix(slice(Tables.events(spark, sfDir)))
-    val snapshotExists = new java.io.File(snapshotDir).exists()
+    // Hadoop FileSystem, not java.io.File: the snapshot may live on
+    // HDFS/S3, where a local-FS existence probe always says "missing"
+    // and update mode would silently rebuild from scratch.
+    val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshotExists = fs.exists(snapPath)
     val result =
       if (conf.updateMode && snapshotExists)
         PivotMatrix.mergeMatrices(
@@ -46,6 +51,7 @@ object UsersItemsPipeline {
     ParquetSink(tmp, SaveMode.Overwrite, coalesceTo = Some(1)).write(result)
     val out = spark.read.parquet(tmp)
     ParquetSink(snapshotDir, SaveMode.Overwrite, coalesceTo = Some(1)).write(out)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     spark.read.parquet(snapshotDir)
   }
 }

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * rows are visible to left rows at the same instant (>= semantics,
   * matching DuckDB/pandas ASOF).
   *
+  * All payload columns travel in ONE struct, so the window's
+  * `last(ignoreNulls)` skips only missing ROWS (left-side rows in the
+  * union), never individual NULL payload VALUES: a right row whose
+  * payload is legitimately NULL is matched as NULL, and a multi-column
+  * payload always comes from a single right row — never a mix.
+  *
   * Left rows with no preceding right row keep NULL payloads (LEFT ASOF
   * semantics).
   */
@@ -37,26 +43,28 @@ object AsOfJoin {
     require(!leftCols.exists(payloadCols.contains),
       s"payload columns ${payloadCols.filter(leftCols.contains)} collide with left side")
 
-    val l = left.withColumn("__side", lit(1))
-    val lPadded = payloadCols.foldLeft(l)((d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
+    val lPadded = left.withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
     val r = right.select(
-      (keyCols :+ tsCol).map(col) ++ payloadCols.map(col): _*)
+      (keyCols :+ tsCol).map(col) :+
+        struct(payloadCols.map(col): _*).as("__payload"): _*)
       .withColumn("__side", lit(0))
     val rPadded = leftCols.filterNot((keyCols :+ tsCol).contains)
       .foldLeft(r)((d, c) =>
         d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val u = lPadded.select(
-      (leftCols ++ payloadCols :+ "__side").map(col): _*)
-      .unionByName(rPadded.select(
-        (leftCols ++ payloadCols :+ "__side").map(col): _*))
+    val cols = leftCols ++ Seq("__payload", "__side")
+    val u = lPadded.select(cols.map(col): _*)
+      .unionByName(rPadded.select(cols.map(col): _*))
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(u)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1).drop("__side")
+    u.withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__payload").getField(c).as(c)): _*)
   }
 }

@@ -42,7 +42,10 @@ object SkewOps {
   def twoPhaseCountDistinct(df: DataFrame, key: String, value: String): DataFrame =
     df.select(col(key), col(value)).distinct()
       .groupBy(col(key))
-      .agg(count(lit(1)).as(s"n_distinct_$value"))
+      // count(col) skips the (key, NULL) row distinct() may keep, so a
+      // NULL value never counts as distinct — exactly countDistinct —
+      // while keys whose values are all NULL still appear with 0.
+      .agg(count(col(value)).as(s"n_distinct_$value"))
 
   /** Two-phase sum for a skewed group key: partial sums on
     * (key, salt) — map-side combine already bounds this, so the win is

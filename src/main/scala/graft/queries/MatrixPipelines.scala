@@ -221,16 +221,21 @@ object MatrixPipelines {
       val dowM = PivotMatrix.countMatrix(
         Tables.events(s, dir).withColumn("dow", dayofweek(col("ts")).cast("string")),
         "user_id", "dow", (1 to 7).map(_.toString), "dow_")
+      // The packed array is rendered as a comma-joined STRING for the
+      // oracle compare: the driver's pandas row-sort cannot order list
+      // columns (factorize on ndarray throws), so the vector payload
+      // crosses the compare boundary as a scalar. q50 keeps the true
+      // ArrayType form for in-engine consumers.
       m.join(dowM, Seq("user_id"))
         .select(col("user_id"),
-          array(EventTypes.map(col): _*).as("type_vec"),
-          array(dows.map(col): _*).as("dow_vec"))
+          array_join(array(EventTypes.map(c => col(c).cast("string")): _*), ",").as("type_vec"),
+          array_join(array(dows.map(c => col(c).cast("string")): _*), ",").as("dow_vec"))
         .orderBy(col("user_id"))
     },
     oracle = Some(s"""
       SELECT user_id,
-             [${EventTypes.map(t => s"count(CASE WHEN event_type = '$t' THEN 1 END)").mkString(", ")}] AS type_vec,
-             [${(1 to 7).map(d => s"count(CASE WHEN dayofweek(ts) + 1 = $d THEN 1 END)").mkString(", ")}] AS dow_vec
+             array_to_string([${EventTypes.map(t => s"count(CASE WHEN event_type = '$t' THEN 1 END)").mkString(", ")}], ',') AS type_vec,
+             array_to_string([${(1 to 7).map(d => s"count(CASE WHEN dayofweek(ts) + 1 = $d THEN 1 END)").mkString(", ")}], ',') AS dow_vec
       FROM events
       GROUP BY user_id
       ORDER BY user_id"""))

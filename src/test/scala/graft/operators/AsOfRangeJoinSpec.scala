@@ -30,6 +30,28 @@ class AsOfRangeJoinSpec extends SparkSpec {
       ("t1", Some(100.0)), ("t2", Some(110.0)), ("t3", None), ("t4", Some(50.0)))
   }
 
+  test("asof join matches NULL payload values and never mixes right rows") {
+    // right row at 11:00 has price=NULL, note set; at 10:00 both set.
+    // DuckDB/pandas ASOF semantics: a left row at 11:30 matches the
+    // 11:00 row WHOLE — price must be NULL (not inherited from 10:00)
+    // and note must be "late" (same row, not a mix).
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("early")),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Double], Option("late"))
+    ).toDF("key", "ts", "price", "note")
+    val left = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "t1"), // → (100.0, early)
+      (1L, ts("2024-01-01 11:30:00"), "t2")  // → (NULL, late) — one row
+    ).toDF("key", "ts", "trade_id")
+
+    val out = rows(
+      AsOfJoin.asof(left, right, Seq("key"), "ts", Seq("price", "note"))
+        .orderBy("trade_id").select("trade_id", "price", "note"))
+    out.map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))) shouldBe Seq(
+      ("t1", Some(100.0), Some("early")),
+      ("t2", None, Some("late")))
+  }
+
   test("asof join preserves left row count exactly") {
     val left = (1 to 200).map(i => (i.toLong % 5, ts(f"2024-01-01 ${10 + i % 10}%02d:00:00"), i))
       .toDF("key", "ts", "n")

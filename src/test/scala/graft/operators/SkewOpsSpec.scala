@@ -39,6 +39,23 @@ class SkewOpsSpec extends SparkSpec {
     rows(direct.exceptAll(phased)) shouldBe empty
   }
 
+  test("twoPhaseCountDistinct ignores NULL values like countDistinct") {
+    // countDistinct skips NULLs; a key whose values are ALL null must
+    // still appear, with count 0 (ADVICE r1: distinct used to keep the
+    // (key, NULL) row and count it as a distinct value).
+    val withNulls = Seq(
+      ("a", Option("x")), ("a", Option("x")), ("a", Option.empty[String]),
+      ("b", Option.empty[String]), ("b", Option.empty[String])
+    ).toDF("key", "v")
+    val direct = withNulls.groupBy("key")
+      .agg(countDistinct(col("v")).as("n_distinct_v"))
+    val phased = SkewOps.twoPhaseCountDistinct(withNulls, "key", "v")
+    rows(phased.exceptAll(direct)) shouldBe empty
+    rows(direct.exceptAll(phased)) shouldBe empty
+    rows(phased.orderBy("key")).map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Seq(("a", 1L), ("b", 0L))
+  }
+
   test("saltedSum equals plain sum") {
     val direct = fact.groupBy("key").agg(sum(col("v")).as("sum_v"))
     val salted = SkewOps.saltedSum(fact, "key", "v", salts = 8)
