@@ -1,0 +1,267 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{ScalarFns, TextFns}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 operator extensions: the analytics shapes a training-data /
+  * clickstream pipeline needs beyond the reference's own surface —
+  * sessionization, time-series gap-fill, range-frame windows, TF-IDF,
+  * embedding centroids, fuzzy (edit-distance) matching, deterministic
+  * hash sampling, grouping sets. All DuckDB-oracle-checked.
+  *
+  * Scale discipline (100 TB): every query shuffles on a real key
+  * (user, token, label, nation) with map-side partial aggregation
+  * where possible; the only global windows run over POST-aggregation
+  * relations whose size is bounded by the calendar or the schema, not
+  * the data volume.
+  */
+object Advanced {
+
+  /** q56: batch sessionization of the event stream — a new session
+    * starts after a >30 min silence. One shuffle on user_id; the gap
+    * test is a lag window inside each user partition (deterministic:
+    * it reads only the ts sequence, which ties cannot reorder).
+    * The streaming twin is Sessionize.flatMapGroupsWithState. */
+  private val q56 = QuerySpec(
+    "q56_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events)
+      SELECT user_id,
+             CAST(sum(CASE WHEN prev IS NULL
+                           OR date_diff('second', prev, ts) > 1800
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM g GROUP BY user_id ORDER BY user_id"""),
+    bench = true)
+
+  /** q57: time-series gap-fill — daily revenue with missing calendar
+    * days resurrected as 0 via an exploded date `sequence` over the
+    * observed bounds. The sequence comes from a 1-row aggregate, so the
+    * dense calendar costs O(days), never O(rows); revenue is exact
+    * integer cents. */
+  private val q57 = QuerySpec(
+    "q57_gapfill_daily",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(ScalarFns.cents(col("o_totalprice"))).as("revenue_cents"))
+      val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      days.join(daily, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day,
+             coalesce(c.revenue_cents, 0) AS revenue_cents
+      FROM days d LEFT JOIN daily c USING (day) ORDER BY day"""))
+
+  /** q58: TF-IDF top-3 terms per document. tf shuffles on (doc, token)
+    * with map-side combine, df on token; the corpus size N joins in as
+    * a broadcast 1-row aggregate (no driver collect). Ranking runs on
+    * the ROUNDED score so engine last-ulp `ln` differences can't
+    * reorder ties. */
+  private val q58 = QuerySpec(
+    "q58_tfidf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, "token").crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 4))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"), col("tfidf"))
+        .orderBy(col("doc_id"), col("token"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, tf.token AS token, round(tf * ln(n / df), 4) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+      SELECT doc_id, token, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token) AS rn
+        FROM scored)
+      WHERE rn <= 3 ORDER BY doc_id, token"""))
+
+  /** q59: per-label embedding centroid — the reduce step of k-means /
+    * class prototypes. posexplode → partial-aggregated mean per
+    * (label, dim) → re-pack sorted by dim. Components cross the oracle
+    * boundary as integer 1e-4 units in a comma-joined string: exact to
+    * compare, and no float→text formatting divergence (Java shortest
+    * round-trip vs DuckDB) and no list column for the driver's row
+    * sort to choke on. */
+  private val q59 = QuerySpec(
+    "q59_embedding_centroid",
+    (s, dir) => {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      ex.groupBy(col("label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"), count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => round(x.getField("m") * 10000, 0).cast("long").cast("string")),
+            ",").as("centroid"),
+          max(col("n")).as("n_vectors"))
+        .orderBy(col("label"))
+    },
+    oracle = Some("""
+      WITH ex AS (
+        SELECT label, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings),
+      m AS (SELECT label, pos, avg(v) AS m, count(*) AS n
+            FROM ex GROUP BY 1, 2)
+      SELECT label,
+             array_to_string(list(CAST(round(m * 10000) AS BIGINT) ORDER BY pos), ',') AS centroid,
+             CAST(max(n) AS BIGINT) AS n_vectors
+      FROM m GROUP BY label ORDER BY label"""))
+
+  /** q60: fuzzy self-match — customer-name pairs within edit distance 2,
+    * blocked on nation so the quadratic edit-distance filter runs inside
+    * equi-join buckets, never as a cross join. The blocking key choice
+    * is the scale lever: per-block cost is O(block²·len²). */
+  private val q60 = QuerySpec(
+    "q60_fuzzy_name_pairs",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey")
+            && col("a.c_custkey") < col("b.c_custkey"))
+        .withColumn("dist",
+          levenshtein(col("a.c_name"), col("b.c_name")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
+          col("dist"))
+        .orderBy(col("key_a"), col("key_b"))
+    },
+    oracle = Some("""
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+      ORDER BY key_a, key_b"""))
+
+  /** q61: deterministic hash sampling with an engine-portable hash —
+    * md5 of the key (identical bytes → identical hex in any engine),
+    * keep rows whose first hex digit < '2' (a fixed 1/8 slice). The
+    * production splitter is Sampling.hashSplit (xxhash64, cheaper);
+    * this md5 variant exists so sampling correctness itself is
+    * oracle-checkable. Narrow: no shuffle at all before the final
+    * order-for-compare. */
+  private val q61 = QuerySpec(
+    "q61_hash_sample",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) < "2")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    oracle = Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '2'
+      ORDER BY c_custkey"""))
+
+  /** q62: RANGE-frame window — 7-day sliding revenue over the daily
+    * rollup, keyed on epoch-day so the frame is a true time interval
+    * (skips absent days), not a row count. The global window is safe at
+    * any scale: it runs over the POST-aggregation calendar relation
+    * (one row per day), not the raw orders. */
+  private val q62 = QuerySpec(
+    "q62_sliding_revenue",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(ScalarFns.cents(col("o_totalprice"))).as("cents"))
+        .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+      daily
+        .withColumn("win_cents", sum(col("cents")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cents"), col("win_cents"))
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day
+        FROM orders GROUP BY 1)
+      SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+             CAST(sum(cents) OVER (ORDER BY epoch_day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
+      FROM daily ORDER BY day"""))
+
+  /** q63: GROUPING SETS — the explicit-sets sibling of q40 (rollup) and
+    * q52 (cube), via SQL so the engine's SQL front door is exercised
+    * too. NULL group keys are disambiguated with grouping() (the keys
+    * themselves are non-null in the data, but 'ALL' markers keep the
+    * compare order total). */
+  private val q63 = QuerySpec(
+    "q63_grouping_sets",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("adv_orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM adv_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY status, priority""")
+    },
+    oracle = Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY status, priority"""))
+
+  val specs: Seq[QuerySpec] =
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63)
+}

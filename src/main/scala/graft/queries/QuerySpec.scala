@@ -26,5 +26,5 @@ case class QuerySpec(
 
 object Catalog {
   lazy val all: Seq[QuerySpec] =
-    Relational.specs ++ MatrixPipelines.specs ++ DataOps.specs
+    Relational.specs ++ MatrixPipelines.specs ++ DataOps.specs ++ Advanced.specs
 }

@@ -52,6 +52,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q60: nation-blocked fuzzy match plans as a hash equi-join, not nested-loop") {
+    val plan = planOf("q60_fuzzy_name_pairs")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q58: corpus size N joins as a broadcast, not a driver collect") {
+    val plan = planOf("q58_tfidf")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
