@@ -162,9 +162,14 @@ object Dedup {
         xxhash64(slice(col("sig"), lit(1) + lit(b) * rpb, rpb)).as("sig"))
         .as(s"band_$b")
     }
+    // Persisted: both the size census and the bucket materialization
+    // consume this relation — without the persist the whole signature
+    // pipeline (UDF kernel included) executes twice. Small by
+    // construction: |docs|·bands rows of (id, int, int64).
     val buckets = signatures
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pair generation without a self-join: count bucket sizes FIRST
     // (the cap applies before any bucket is materialized — a degenerate
     // bucket never reaches a collect_list buffer), keep 2..maxBucket,
