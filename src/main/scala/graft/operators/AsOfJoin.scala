@@ -67,4 +67,36 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col("__payload").getField(c).as(c)): _*)
   }
+
+  /** As-of join for a DIM-SIZED right side: the right table collapses
+    * to one broadcast row per key holding its ts-sorted timeline, and
+    * every left row probes that array in place — the left (fact) side
+    * is never shuffled, re-sorted, or fanned out. Same semantics as
+    * [[asof]] (>= match, LEFT, whole-row payload).
+    *
+    * Use when |right| fits a broadcast (slowly-changing dimensions,
+    * price books, config history): at 100 TB of facts this replaces
+    * [[asof]]'s full shuffle-and-sort of the union with a map-side
+    * BroadcastHashJoin plus an O(timeline) in-row scan. NOT for a
+    * right side proportional to the fact stream — timelines then
+    * outgrow both the broadcast and the per-row scan.
+    */
+  def asofBroadcast(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                    tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payloadCols.contains),
+      s"payload columns ${payloadCols.filter(leftCols.contains)} collide with left side")
+
+    // struct sorts by field order, so ts first ⇒ sort_array = timeline
+    val timelines = right.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        (col(tsCol).as("__ts") +: payloadCols.map(col)): _*))).as("__tl"))
+    val probed = left.join(broadcast(timelines), keyCols, "left")
+      // last timeline entry at or before the probe ts; empty ⇒ NULL row
+      // (try_: ANSI element_at throws on an empty array)
+      .withColumn("__hit",
+        try_element_at(filter(col("__tl"), e => e.getField("__ts") <= col(tsCol)), lit(-1)))
+    probed.select(leftCols.map(col) ++
+      payloadCols.map(c => col("__hit").getField(c).as(c)): _*)
+  }
 }

@@ -262,6 +262,39 @@ object Advanced {
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       ORDER BY status, priority"""))
 
+  /** q64: the broadcast as-of join (AsOfJoin.asofBroadcast) on the q48
+    * shape — purchases collapse to per-user broadcast timelines and the
+    * view stream probes them with NO fact-side shuffle. Same DuckDB
+    * ASOF oracle as q48: the two implementations must agree with each
+    * other AND with DuckDB. */
+  private val q64 = QuerySpec(
+    "q64_asof_broadcast",
+    (s, dir) => {
+      import graft.operators.AsOfJoin
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("last_purchase_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.asofBroadcast(views, purchases, Seq("user_id"), "ts",
+          Seq("last_purchase_id"))
+        .select(col("user_id"), col("event_id"), col("last_purchase_id"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
+                        max(event_id) AS last_purchase_id
+                 FROM events WHERE event_type = 'purchase'
+                 GROUP BY user_id, epoch_us(ts)),
+           v AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+                 FROM events WHERE event_type = 'view')
+      SELECT v.user_id, v.event_id, p.last_purchase_id
+      FROM v ASOF LEFT JOIN p
+        ON v.user_id = p.user_id AND v.tus >= p.tus
+      ORDER BY v.event_id"""),
+    bench = true)
+
   val specs: Seq[QuerySpec] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

@@ -25,6 +25,17 @@ class IoSpec extends SparkSpec {
     rows(c.select("id", "name", "x").orderBy("id")) shouldBe rows(df.orderBy("id"))
   }
 
+  test("ORC round-trips through the generic format source/sink") {
+    // Spark's second columnar format needs no dedicated classes: the
+    // generic connector pair covers it via the path option.
+    val dir = Files.createTempDirectory("graft_io_orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "x")
+    FormatSink("orc", Map("path" -> s"$dir/o"),
+      org.apache.spark.sql.SaveMode.Overwrite).write(df)
+    rows(FormatSource("orc", Map("path" -> s"$dir/o")).read(spark)
+      .orderBy("id")) shouldBe rows(df.orderBy("id"))
+  }
+
   test("partitioned JSON sink lays out Hive-style partition dirs") {
     val dir = Files.createTempDirectory("graft_io_part").toString
     val df = Seq(("20240101", 1L), ("20240101", 2L), ("20240102", 3L))

@@ -61,6 +61,26 @@ class AsOfRangeJoinSpec extends SparkSpec {
       .count() shouldBe 200L
   }
 
+  test("asofBroadcast equals the shuffle as-of join, without shuffling the left side") {
+    val left = (1 to 300).map(i =>
+      (i.toLong % 7, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"), i))
+      .toDF("key", "ts", "n")
+    val right = (1 to 60).map(i =>
+      (i.toLong % 7, ts(f"2024-01-01 ${(i * 3) % 24}%02d:30:00"), i * 1.0, s"v$i"))
+      .toDF("key", "ts", "price", "tag")
+      .groupBy("key", "ts").agg(max("price").as("price"), max("tag").as("tag"))
+
+    val viaShuffle = AsOfJoin.asof(left, right, Seq("key"), "ts", Seq("price", "tag"))
+    val viaBroadcast = AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", Seq("price", "tag"))
+    rows(viaBroadcast.exceptAll(viaShuffle)) shouldBe empty
+    rows(viaShuffle.exceptAll(viaBroadcast)) shouldBe empty
+
+    // the fact side must reach the join without an Exchange: the only
+    // shuffle permitted is the small side's groupBy feeding broadcast
+    val plan = viaBroadcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("binned range join equals the naive theta join") {
     val fact = (1 to 500).map(i => (i.toLong, (i % 130) + 0.5)).toDF("id", "value")
     val dim = Seq(
