@@ -295,6 +295,123 @@ object Advanced {
       ORDER BY v.event_id"""),
     bench = true)
 
+  /** q65: last-write-wins upsert (Upsert.lastWriteWins) — per-customer
+    * profiles maintained incrementally: a pre-cutoff snapshot merged
+    * with a post-cutoff update batch, the update winning wherever it
+    * has a row (its version — last order day — is strictly newer).
+    * The oracle replicates LWW as a full outer join preferring the
+    * update side. */
+  private val q65 = QuerySpec(
+    "q65_upsert",
+    (s, dir) => {
+      import graft.operators.Upsert
+      def profile(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey").as("key"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("n_orders"),
+          sum(ScalarFns.cents(col("o_totalprice"))).as("cents"))
+      val orders = Tables.orders(s, dir)
+      val snapshot = profile(orders.filter(col("o_orderdate") < "2000-01-01"))
+      val updates = profile(orders.filter(col("o_orderdate") >= "2000-01-01"))
+      Upsert.lastWriteWins(snapshot, updates, Seq("key"), "last_day")
+        .select(col("key"), date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+          col("n_orders"), col("cents"))
+        .orderBy(col("key"))
+    },
+    oracle = Some("""
+      WITH s AS (
+        SELECT o_custkey AS key, max(CAST(o_orderdate AS DATE)) AS last_day,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate < DATE '2000-01-01' GROUP BY 1),
+      u AS (
+        SELECT o_custkey AS key, max(CAST(o_orderdate AS DATE)) AS last_day,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate >= DATE '2000-01-01' GROUP BY 1)
+      SELECT coalesce(u.key, s.key) AS key,
+             strftime(CASE WHEN u.key IS NOT NULL THEN u.last_day ELSE s.last_day END, '%Y-%m-%d') AS last_day,
+             CASE WHEN u.key IS NOT NULL THEN u.n_orders ELSE s.n_orders END AS n_orders,
+             CASE WHEN u.key IS NOT NULL THEN u.cents ELSE s.cents END AS cents
+      FROM s FULL OUTER JOIN u ON s.key = u.key
+      ORDER BY key"""))
+
+  /** q66: fixed-width histogram — the data-profiling primitive (floor
+    * arithmetic, engine-portable, unlike width_bucket which DuckDB
+    * lacks). Purchase values into 20 bins of width 25, top bin open. */
+  private val q66 = QuerySpec(
+    "q66_histogram",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("bucket",
+          least(floor(col("value") / 25).cast("long"), lit(19L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(ScalarFns.cents(col("value"))).as("cents"))
+        .orderBy(col("bucket")),
+    oracle = Some("""
+      SELECT least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY bucket"""))
+
+  /** q67: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL keys
+    * match each other instead of silently dropping, the semantics
+    * metadata joins need when a key is legitimately absent. NULLs are
+    * manufactured via nullif on a real segment. */
+  private val q67 = QuerySpec(
+    "q67_nullsafe_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val sizes = c.groupBy(col("seg")).agg(count(lit(1)).as("seg_n"))
+        .withColumnRenamed("seg", "sseg")
+      c.join(sizes, col("seg") <=> col("sseg"))
+        .select(col("c_custkey"), col("seg"), col("seg_n"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+      sizes AS (SELECT seg, count(*) AS seg_n FROM c GROUP BY seg)
+      SELECT c.c_custkey, c.seg, sizes.seg_n
+      FROM c JOIN sizes ON c.seg IS NOT DISTINCT FROM sizes.seg
+      ORDER BY c_custkey"""))
+
+  /** q68: ML inference as a vectorized expression — logistic scoring
+    * with FIXED deterministic weights over the embedding column, fully
+    * oracle-checkable (unlike q45's trained model, rows-only). The dot
+    * product is a sequential left fold in both engines, so the doubles
+    * agree bit-for-bit before the final rounding; the predicted label
+    * thresholds on the raw margin's sign, which rounding can't move. */
+  private val q68 = QuerySpec(
+    "q68_lr_score_fixed",
+    (s, dir) => {
+      import graft.functions.VectorFns
+      val w = (0 until 64).map(i => ((i * 37 % 19) - 9) / 10.0)
+      val margin = VectorFns.dotHof(col("embedding"), array(w.map(lit): _*))
+      Tables.embeddings(s, dir)
+        .withColumn("margin", margin)
+        .select(col("vec_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 4).as("score"),
+          when(col("margin") > 0, 1L).otherwise(0L).as("pred"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some {
+      val w = (0 until 64).map(i => ((i * 37 % 19) - 9) / 10.0)
+      s"""
+      WITH m AS (
+        SELECT vec_id,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                 [${w.mkString(", ")}]) AS margin
+        FROM embeddings)
+      SELECT vec_id,
+             round(1.0 / (1.0 + exp(-margin)), 4) AS score,
+             CASE WHEN margin > 0 THEN 1 ELSE 0 END::BIGINT AS pred
+      FROM m ORDER BY vec_id"""
+    })
+
   val specs: Seq[QuerySpec] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }
