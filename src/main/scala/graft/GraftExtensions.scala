@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -21,6 +21,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
+    ext.injectFunction(GraftExtensions.dotProduct)
   }
 }
 
@@ -35,11 +36,21 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  val dotProduct: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"dot_product takes 2 arguments, got ${children.length}")
+      DotProduct(children.head, children(1))
+    })
+
   /** Register on an already-built session (tests / notebooks that can't
     * set spark.sql.extensions before session construction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimilarity
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineSimilarity, dotProduct).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
 }

@@ -37,7 +37,13 @@ object VectorFns {
     when(na =!= 0.0 && nb =!= 0.0, dot / (na * nb)).otherwise(lit(0.0))
   }
 
-  /** Dot product via higher-order built-ins. */
+  /** Dot product via the native fused expression (preferred). */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Dot product via higher-order built-ins — differential oracle for
+    * [[DotProduct]] (same sequential left-fold summation order, so the
+    * doubles agree bitwise). */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -118,6 +124,83 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  }
          |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
          |    ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native dot product over two `array<float|double>` columns — the
+  * scoring kernel (q68 logistic margin, IVF probe). Same fused-loop
+  * design, null and codegen behavior as [[CosineSimilarity]];
+  * summation is the sequential left fold, so results are bitwise equal
+  * to the HOF `aggregate(zip_with(...))` form AND to engines that fold
+  * lists sequentially (DuckDB list_dot_product). Length mismatch → 0.0
+  * (defensive, like cosine: a throw would poison a 100 TB scan).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(FloatType, _)  => true
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _                                                   => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+    case _                                                  => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return 0.0
+    var dot = 0.0
+    var i = 0
+    val lf = isFloat(left); val rf = isFloat(right)
+    while (i < n) {
+      val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $xs.numElements();
+         |if ($n != $ys.numElements()) {
+         |  ${ev.value} = 0.0;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $xs.$lGet($i)) * ((double) $ys.$rGet($i));
+         |  }
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })

@@ -390,7 +390,7 @@ object Advanced {
     (s, dir) => {
       import graft.functions.VectorFns
       val w = (0 until 64).map(i => ((i * 37 % 19) - 9) / 10.0)
-      val margin = VectorFns.dotHof(col("embedding"), array(w.map(lit): _*))
+      val margin = VectorFns.dot(col("embedding"), array(w.map(lit): _*))
       Tables.embeddings(s, dir)
         .withColumn("margin", margin)
         .select(col("vec_id"),

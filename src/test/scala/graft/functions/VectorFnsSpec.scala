@@ -64,4 +64,26 @@ class VectorFnsSpec extends SparkSpec {
     eval1(Seq(Array(3f, 4f)).toDF("a")
       .select(VectorFns.l2Norm(col("a")))) shouldBe 5.0
   }
+
+  test("native dot product == HOF fold bitwise on real embeddings; SQL-registered") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(40)
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb")).limit(40)
+    // identical sequential fold → identical doubles, so EXACT equality
+    val diff = a.crossJoin(b)
+      .filter(VectorFns.dot(col("va"), col("vb"))
+        =!= VectorFns.dotHof(col("va"), col("vb")))
+    diff.count() shouldBe 0L
+
+    eval1(Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")))) shouldBe 11.0
+    // length mismatch is defensive 0.0, not a scan-poisoning throw
+    eval1(Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")))) shouldBe 0.0
+
+    graft.GraftExtensions.register(spark)
+    Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b").createOrReplaceTempView("dot_v")
+    spark.sql("SELECT dot_product(a, b) AS d FROM dot_v")
+      .collect().head.getDouble(0) shouldBe 11.0
+  }
 }
