@@ -25,4 +25,15 @@ class UpsertSpec extends SparkSpec {
       ("a", "upd-a5"), ("b", "snap-b7"), ("c", "upd-c2"),
       ("d", "snap-d1"), ("e", "upd-e9"))
   }
+
+  test("lastWriteWins is idempotent: re-applying the same batch changes nothing") {
+    val snapshot = (1 to 50).map(i => (s"k${i % 10}", i.toLong, s"s$i"))
+      .toDF("key", "version", "payload")
+    val updates = (30 to 70).map(i => (s"k${i % 13}", i.toLong, s"u$i"))
+      .toDF("key", "version", "payload")
+    val once = Upsert.lastWriteWins(snapshot, updates, Seq("key"), "version")
+    val twice = Upsert.lastWriteWins(once, updates, Seq("key"), "version")
+    rows(twice.exceptAll(once)) shouldBe empty
+    rows(once.exceptAll(twice)) shouldBe empty
+  }
 }
