@@ -71,6 +71,27 @@ class RobustnessSpec extends SparkSpec {
     PivotMatrix.countMatrix(empty, "doc_id", "text", Seq("a", "b")).count() shouldBe 0
   }
 
+  test("as-of joins: empty right side yields all-NULL payloads, both forms") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "x"))
+      .toDF("key", "ts", "tag")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("key", "ts", "price")
+    for (out <- Seq(
+        AsOfJoin.asof(left, right, Seq("key"), "ts", Seq("price")),
+        AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", Seq("price")))) {
+      val r = rows(out)
+      r should have size 1
+      assert(r.head.isNullAt(r.head.fieldIndex("price")))
+    }
+  }
+
+  test("upsert with an empty update batch returns the snapshot unchanged") {
+    val snapshot = Seq(("a", 1L, "v")).toDF("key", "version", "payload")
+    val updates = Seq.empty[(String, Long, String)].toDF("key", "version", "payload")
+    rows(Upsert.lastWriteWins(snapshot, updates, Seq("key"), "version")) shouldBe
+      rows(snapshot)
+  }
+
   test("similarity handles empty and mismatched-dim vectors without throwing") {
     val vecs = Seq(
       (1L, Array(1f, 2f, 3f)),
