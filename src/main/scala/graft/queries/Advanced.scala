@@ -61,9 +61,13 @@ object Advanced {
   private val q57 = QuerySpec(
     "q57_gapfill_daily",
     (s, dir) => {
+      // persisted: the bounds probe and the join both consume it — the
+      // full orders scan+aggregate must not run twice (same two-consumer
+      // pattern as Dedup's bucket relation)
       val daily = Tables.orders(s, dir)
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(ScalarFns.cents(col("o_totalprice"))).as("revenue_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("day"))
       days.join(daily, Seq("day"), "left")
@@ -91,10 +95,13 @@ object Advanced {
     "q58_tfidf",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // persisted: document frequency and the score join both read tf —
+      // without this the corpus is tokenized and aggregated twice
       val tf = docs
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(df, "token").crossJoin(broadcast(n))
