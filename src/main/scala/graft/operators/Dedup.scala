@@ -288,11 +288,18 @@ object Dedup {
       .drop("cluster")
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, bit-majority
-    * vote weighted by token frequency. Computed with one explode +
-    * one groupBy(doc) carrying 64 conditional-sum measures — single
-    * shuffle, no UDF. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash per document: per-token hash, bit-majority vote
+    * weighted by token frequency. Computed with one explode + one
+    * groupBy(doc) carrying 64 conditional-sum measures — single
+    * shuffle, no UDF.
+    *
+    * `tokenHash` defaults to xxhash64 (fast, not reproducible outside
+    * Spark); pass [[portableTokenHash]] for an md5-derived 60-bit hash
+    * any engine can recompute (the top 4 bits then never vote positive
+    * and stay 0 in the packed value — harmless for Hamming math). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                xxhash64(_)): DataFrame = {
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"bit_$b")
@@ -301,7 +308,7 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"),
         explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("tok"))
-      .withColumn("__h", xxhash64(col("tok")))
+      .withColumn("__h", tokenHash(col("tok")))
       .groupBy(col("doc"))
       .agg(bitSums.head, bitSums.tail: _*)
     val packed = (0 until 64).map { b =>
@@ -314,11 +321,19 @@ object Dedup {
     * the 64-bit hash into `radius+1` chunks — by pigeonhole any pair
     * within `radius` shares at least one exact chunk, so the join is
     * on (chunk index, chunk value), never a cross join. */
+  /** Engine-portable token hash: the low 60 bits of md5, parseable by
+    * any SQL engine (`('0x' || substring(md5(tok),1,15))::BIGINT` in
+    * DuckDB) — what makes q69's simhash fully oracle-checkable. */
+  def portableTokenHash(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   radius: Int = 3): DataFrame = {
+                   radius: Int = 3,
+                   tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                     xxhash64(_)): DataFrame = {
     val chunks = radius + 1
     val bitsPer = 64 / chunks
-    val sh = simhash(docs, idCol, textCol)
+    val sh = simhash(docs, idCol, textCol, tokenHash)
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("idx"),
         shiftrightunsigned(col("simhash"), c * bitsPer)

@@ -24,17 +24,23 @@ object Packing {
   final case class Packed(doc_id: Long, n_tokens: Long, pack_group: Long,
                           bin: Long, truncated: Boolean)
 
-  /** @return (doc_id, n_tokens, pack_group, bin, truncated) — join back
+  /** @param groupExpr override for the doc→group assignment (default:
+    *        xxhash64 of the id — fast and well-spread; pass e.g.
+    *        `pmod(col(id), lit(n))` when external reproducibility
+    *        matters more than spread, as q70's oracle does)
+    * @return (doc_id, n_tokens, pack_group, bin, truncated) — join back
     *         on doc_id for payloads. */
   def greedyPack(docs: DataFrame, idCol: String, tokenCountCol: String,
-                 budget: Long, groups: Int = 1024): DataFrame = {
+                 budget: Long, groups: Int = 1024,
+                 groupExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(budget > 0 && groups > 0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         col(tokenCountCol).cast("long").as("n_tokens"),
-        pmod(xxhash64(col(idCol)), lit(groups.toLong)).as("pack_group"))
+        groupExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(groups.toLong)))
+          .as("pack_group"))
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (group, it) =>

@@ -419,6 +419,87 @@ object Advanced {
       FROM m ORDER BY vec_id"""
     })
 
+  /** q69: ORACLE-CHECKED simhash — q29's twin with the engine-portable
+    * md5-derived token hash (Dedup.portableTokenHash), so the full
+    * pipeline (normalize → tokenize → 60-bit hash → frequency-weighted
+    * bit-majority → Hamming ≤ 3 pairs) is replicated in SQL: the
+    * oracle runs the exact quadratic pair filter, the Spark side the
+    * pigeonhole-blocked join — equal by construction, now proven per
+    * run rather than differential-tested only. */
+  private val q69 = QuerySpec(
+    "q69_simhash_portable",
+    (s, dir) =>
+      graft.operators.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          radius = 3, tokenHash = graft.operators.Dedup.portableTokenHash)
+        .orderBy(col("id_a"), col("id_b")),
+    oracle = Some {
+      val bitSums = (0 until 60).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n               ")
+      val packed = (0 until 60).map(b =>
+        s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                 x -> x <> '')) AS tok
+        FROM documents),
+      h AS (
+        SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        FROM toks),
+      votes AS (
+        SELECT doc_id,
+               $bitSums
+        FROM h GROUP BY doc_id),
+      sh AS (SELECT doc_id, $packed AS simhash FROM votes)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id_a, id_b"""
+    })
+
+  /** q70: ORACLE-CHECKED sequence packing — q50's greedy next-fit with
+    * a reproducible group assignment (doc_id mod groups instead of
+    * xxhash64), so DuckDB can replay the per-group sequential walk with
+    * a recursive CTE: one recursion level per item rank within its
+    * group. Proves bins never exceed the budget and bin boundaries
+    * fall exactly where the operator's scaladoc says. */
+  private val q70 = QuerySpec(
+    "q70_pack_oracle",
+    (s, dir) => {
+      import graft.operators.Packing
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      Packing.greedyPack(docs, "doc_id", "n_tokens", budget = 256L,
+          groups = 32, groupExpr = Some(pmod(col("doc_id"), lit(32L))))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE items AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+               doc_id % 32 AS pack_group,
+               row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+        FROM documents),
+      walk AS (
+        SELECT pack_group, rn, doc_id, n_tokens,
+               0::BIGINT AS bin,
+               least(greatest(n_tokens, 0), 256)::BIGINT AS used
+        FROM items WHERE rn = 1
+        UNION ALL
+        SELECT i.pack_group, i.rn, i.doc_id, i.n_tokens,
+               CASE WHEN w.used > 0 AND w.used + greatest(i.n_tokens, 0) > 256
+                    THEN w.bin + 1 ELSE w.bin END,
+               CASE WHEN w.used > 0 AND w.used + greatest(i.n_tokens, 0) > 256
+                    THEN least(greatest(i.n_tokens, 0), 256)
+                    ELSE w.used + least(greatest(i.n_tokens, 0), 256) END
+        FROM walk w JOIN items i
+          ON i.pack_group = w.pack_group AND i.rn = w.rn + 1)
+      SELECT doc_id, n_tokens, pack_group, bin, n_tokens > 256 AS truncated
+      FROM walk ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+      q69, q70)
 }
