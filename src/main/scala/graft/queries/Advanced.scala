@@ -499,7 +499,33 @@ object Advanced {
       SELECT doc_id, n_tokens, pack_group, bin, n_tokens > 256 AS truncated
       FROM walk ORDER BY doc_id"""))
 
+  /** q71: VariantType — Spark 4's semi-structured type. parse_json
+    * keeps the whole document as a typed variant (no up-front schema,
+    * unlike q18's from_json) and variant_get extracts paths lazily;
+    * the oracle reads the same field with DuckDB string extraction.
+    * At 100 TB the variant's binary encoding shreds into parquet and
+    * supports predicate pushdown on extracted paths — the modern
+    * answer to schema-on-read JSON columns. */
+  private val q71 = QuerySpec(
+    "q71_variant_extract",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", variant_get(parse_json(col("props")), "$.k", "bigint"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("value")), 2).as("max_value"),
+          round(min(col("value")), 2).as("min_value"))
+        .orderBy(col("k")),
+    oracle = Some("""
+      SELECT CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k,
+             count(*) AS n,
+             round(max(value), 2) AS max_value,
+             round(min(value), 2) AS min_value
+      FROM events
+      GROUP BY 1
+      ORDER BY k"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70)
+      q69, q70, q71)
 }
