@@ -60,6 +60,19 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.getLong(0)) shouldBe Seq(2L)
   }
 
+  test("IVF top-k recall vs brute force (unclustered data, generous probes)") {
+    // Unclustered random vectors are IVF's worst case (cells are
+    // arbitrary Voronoi regions, neighbors scatter across them) —
+    // recall here is a floor, not the operator's typical regime.
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val exact = rows(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+      .select("q_id", "c_id")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows(Similarity.ivfTopK(e, "vec_id", "embedding", 3, nCells = 8, nProbe = 4)
+      .select("q_id", "c_id")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+
   test("IVF top-k returns ranked neighbors with sane similarity ordering") {
     val e = Tables.embeddings(spark, sfDir).limit(100)
     val out = rows(Similarity.ivfTopK(e, "vec_id", "embedding", 2, nCells = 8, nProbe = 2)
