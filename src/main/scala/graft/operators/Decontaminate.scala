@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: find evaluation documents whose content
+  * leaks into the training corpus — the gate every LLM data pipeline
+  * runs before a benchmark number is believable. Two detectors:
+  *
+  *  - [[exactLeaks]]: normalized-content fingerprint equi-join. One
+  *    hash shuffle on the (128-bit, engine-portable md5) fingerprint;
+  *    at 100 TB this is the cheap first pass that removes the bulk.
+  *  - [[nearDupLeaks]]: word-shingle Jaccard ACROSS the corpus
+  *    boundary only — same kernel as Dedup.ngramJaccardPairs but the
+  *    join is train-side × eval-side, so cost is O(cross pairs sharing
+  *    a shingle), never within-corpus quadratic. At full scale run
+  *    MinHash banding per corpus first and verify only cross-corpus
+  *    candidates; this exact form is the verifier and the oracle
+  *    anchor.
+  *
+  * Both return eval-side identities (plus evidence), because the
+  * action taken is always "drop/flag the eval doc", never "fix train".
+  */
+object Decontaminate {
+
+  /** Eval docs whose normalized text appears verbatim in train.
+    * Output: (eval_id, train_id) with train_id the smallest matching
+    * train doc (deterministic evidence), one row per leaked eval doc. */
+  def exactLeaks(train: DataFrame, eval: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"),
+      TextFns.fingerprint(col(textCol)).as("__fp"))
+    val e = eval.select(col(idCol).as("eval_id"),
+      TextFns.fingerprint(col(textCol)).as("__fp"))
+    e.join(t, "__fp")
+      .groupBy(col("eval_id"))
+      .agg(min(col("train_id")).as("train_id"))
+  }
+
+  /** Eval docs near-duplicated in train: word n-gram Jaccard ≥
+    * threshold across the corpus boundary. Output one row per
+    * (eval_id, train_id) leak pair with the score. */
+  def nearDupLeaks(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, n: Int, threshold: Double): DataFrame = {
+    val parallelism = train.sparkSession.sparkContext.defaultParallelism
+    def shingles(df: DataFrame, side: String) = df
+      .repartition(parallelism)
+      .select(col(idCol).as(side),
+        explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh_str"))
+      .select(col(side), xxhash64(col("sh_str")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ts = shingles(train, "train_id")
+    val es = shingles(eval, "eval_id")
+    val tSizes = ts.groupBy(col("train_id")).agg(count(lit(1)).as("sz_t"))
+    val eSizes = es.groupBy(col("eval_id")).agg(count(lit(1)).as("sz_e"))
+    es.join(ts, "sh")
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(eSizes, "eval_id")
+      .join(tSizes, "train_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_e") + col("sz_t") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("eval_id"), col("train_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

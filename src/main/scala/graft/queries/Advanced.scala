@@ -525,7 +525,52 @@ object Advanced {
       GROUP BY 1
       ORDER BY k"""))
 
+  /** q72: train/eval decontamination (Decontaminate.nearDupLeaks) —
+    * the corpus splits deterministically on an md5 slice of the id
+    * (both engines recompute the split bit-for-bit), and eval docs
+    * near-duplicated (3-gram Jaccard ≥ 0.5) in the train side are
+    * flagged with their evidence pair. The shingle join crosses the
+    * corpus boundary ONLY, so cost is cross-pairs, never within-corpus
+    * quadratic. */
+  private val q72 = QuerySpec(
+    "q72_decontaminate",
+    (s, dir) => {
+      import graft.operators.Decontaminate
+      val docs = Tables.documents(s, dir)
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+      Decontaminate.nearDupLeaks(
+          docs.filter(!isEval), docs.filter(isEval),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("eval_id"), col("train_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, is_eval, s FROM (
+          SELECT doc_id, is_eval, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS isect
+        FROM sh e JOIN sh t ON e.s = t.s AND e.is_eval AND NOT t.is_eval
+        GROUP BY 1, 2)
+      SELECT eval_id, train_id,
+             round(CAST(isect AS DOUBLE) / (se.sz + st.sz - isect), 6) AS jaccard
+      FROM inter
+      JOIN sizes se ON se.doc_id = eval_id
+      JOIN sizes st ON st.doc_id = train_id
+      WHERE CAST(isect AS DOUBLE) / (se.sz + st.sz - isect) >= 0.5
+      ORDER BY eval_id, train_id"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71)
+      q69, q70, q71, q72)
 }

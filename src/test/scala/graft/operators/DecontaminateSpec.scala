@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely unrelated training material about spark"),
+    (3L, "  The   QUICK brown fox jumps over the lazy dog  ") // = doc 1 normalized
+  ).toDF("doc_id", "text")
+
+  private val eval = Seq(
+    (101L, "the quick brown fox jumps over the lazy dog"),   // exact leak (vs 1 and 3)
+    (102L, "the quick brown fox jumps over the lazy cat"),   // near-dup leak
+    (103L, "entirely novel evaluation content nothing shared")
+  ).toDF("doc_id", "text")
+
+  test("exactLeaks flags verbatim (normalized) duplicates with min train evidence") {
+    val out = rows(Decontaminate.exactLeaks(train, eval, "doc_id", "text")
+      .orderBy("eval_id"))
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq((101L, 1L))
+  }
+
+  test("nearDupLeaks finds cross-corpus near-duplicates only") {
+    val out = rows(Decontaminate.nearDupLeaks(train, eval, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("eval_id", "train_id"))
+    // 101 matches train 1 exactly (jaccard 1.0) and train 3 on the
+    // 5 of 9 union shingles unaffected by its case changes (0.556 —
+    // near-dup shingling is RAW text by design; exactLeaks normalizes);
+    // 102 overlaps train 1 on 6 of 8 (0.75); 103 matches nothing.
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq(
+      (101L, 1L), (101L, 3L), (102L, 1L))
+    val j = out.map(r => r.getDouble(2))
+    j.head shouldBe 1.0
+    j(1) shouldBe 0.555556 +- 1e-6
+    j(2) shouldBe 0.75 +- 1e-6
+  }
+
+  test("nearDupLeaks never reports within-corpus pairs") {
+    // train 1 and train 3 are near-identical; eval 101/102 are similar
+    // to each other too — none of those pairs may appear.
+    val out = rows(Decontaminate.nearDupLeaks(train, eval, "doc_id", "text", 3, 0.1))
+    out.foreach { r =>
+      assert(r.getLong(0) >= 100L, s"eval_id column holds a train doc: $r")
+      assert(r.getLong(1) < 100L, s"train_id column holds an eval doc: $r")
+    }
+  }
+}
