@@ -66,13 +66,24 @@ object Similarity {
         .cast("double") / 1000000.0) - 1.0
   }
 
+  /** [[planeComponent]]'s md5 twin: any engine recomputes the same
+    * hyperplanes from the "table_plane_dim" key string — what makes
+    * q74's LSH index oracle-checkable. */
+  def portablePlaneComponent(table: Int, plane: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    (dimIdx: org.apache.spark.sql.Column) =>
+      (pmod(graft.operators.Dedup.portableTokenHash(
+          concat_ws("_", lit(table), lit(plane), dimIdx)),
+        lit(2000000L)).cast("double") / 1000000.0) - 1.0
+
   /** Random-hyperplane (SRP) LSH bucketing: `planes` sign bits per
     * table. Returns (id, table, bucket). */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 tables: Int, planes: Int): DataFrame = {
+                 tables: Int, planes: Int,
+                 component: (Int, Int) => org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                   planeComponent): DataFrame = {
     val bucketCols = (0 until tables).map { t =>
       val bits = (0 until planes).map { p =>
-        val comp = planeComponent(t, p)
+        val comp = component(t, p)
         val dot = aggregate(
           zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
             (v, i) => v.cast("double") * comp(i)),
@@ -90,9 +101,11 @@ object Similarity {
   /** ANN top-k via SRP-LSH: candidates = same (table, bucket), then
     * exact cosine re-rank of candidates only. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              tables: Int = 8, planes: Int = 12): DataFrame = {
+              tables: Int = 8, planes: Int = 12,
+              component: (Int, Int) => org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                planeComponent): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val buckets = srpBuckets(df, idCol, vecCol, tables, planes)
+    val buckets = srpBuckets(df, idCol, vecCol, tables, planes, component)
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
@@ -112,11 +125,19 @@ object Similarity {
     * vector is assigned to its nearest `nProbe` centroids, and
     * querying only pairs vectors sharing a centroid cell. One
     * broadcast of the centroid table, one shuffle on cell id. */
+  /** Default centroid draw: xxhash64 scramble of the id (fast, Spark-
+    * only). [[portableCentroidRank]] is the md5 twin any engine can
+    * recompute — what makes q73 oracle-checkable. */
+  def portableCentroidRank(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(graft.operators.Dedup.portableTokenHash(id.cast("string")), lit(1000000L))
+
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
-               nCells: Int, nProbe: Int): DataFrame = {
+               nCells: Int, nProbe: Int,
+               centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                 id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = vecs
-      .withColumn("__r", pmod(xxhash64(col("id")), lit(1000000L)))
+      .withColumn("__r", centroidRank(col("id")))
       .orderBy(col("__r"), col("id")).limit(nCells)
       .select(col("id").as("cell"), col("vec").as("cvec"))
     val w = Window.partitionBy(col("id"))
@@ -131,9 +152,11 @@ object Similarity {
 
   /** ANN top-k via IVF cells + exact re-rank within shared cells. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              nCells: Int = 64, nProbe: Int = 2): DataFrame = {
+              nCells: Int = 64, nProbe: Int = 2,
+              centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val cells = ivfCells(df, idCol, vecCol, nCells, nProbe)
+    val cells = ivfCells(df, idCol, vecCol, nCells, nProbe, centroidRank)
     val cands = cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))

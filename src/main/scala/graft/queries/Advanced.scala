@@ -570,7 +570,108 @@ object Advanced {
       WHERE CAST(isect AS DOUBLE) / (se.sz + st.sz - isect) >= 0.5
       ORDER BY eval_id, train_id"""))
 
+  /** q73: ORACLE-CHECKED IVF ANN — q44's twin with the md5-derived
+    * centroid draw (Similarity.portableCentroidRank), so DuckDB
+    * replays the entire index: centroid selection, nearest-nProbe cell
+    * assignment, shared-cell candidate generation, and the exact
+    * cosine re-rank. Rank ties break on candidate id in both engines;
+    * the cosine doubles agree because both engines run the same
+    * sequential fused kernel (the q31 precedent). */
+  private val q73 = QuerySpec(
+    "q73_ann_ivf_portable",
+    (s, dir) =>
+      graft.operators.Similarity.ivfTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2,
+          centroidRank = graft.operators.Similarity.portableCentroidRank)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("rank")),
+    oracle = Some("""
+      WITH cent AS (
+        SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings
+        ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000000,
+                 vec_id
+        LIMIT 8),
+      assign AS (
+        SELECT id, cell FROM (
+          SELECT e.vec_id AS id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rnk <= 2),
+      cands AS (
+        SELECT DISTINCT a.id AS q_id, b.id AS c_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.id <> b.id),
+      scored AS (
+        SELECT q_id, c_id,
+               list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                                      CAST(ca.embedding AS DOUBLE[])) AS sim
+        FROM cands
+        JOIN embeddings qa ON qa.vec_id = q_id
+        JOIN embeddings ca ON ca.vec_id = c_id)
+      SELECT q_id, rank, c_id, round(sim, 4) AS sim FROM (
+        SELECT q_id, c_id, sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
+  /** q74: ORACLE-CHECKED SRP-LSH ANN — q32's twin with md5-derived
+    * hyperplanes (Similarity.portablePlaneComponent), completing the
+    * portable-twin set: DuckDB regenerates the 16×4 planes from the
+    * "table_plane_dim" key, reproduces every bucket sign bit, and
+    * re-ranks shared-bucket candidates exactly. (The oracle's per-dot
+    * summation order differs from Spark's sequential fold; a sign flip
+    * would need |dot| ≲ 1e-15, vanishingly unlikely over these
+    * magnitudes and checked by the hash compare anyway.) */
+  private val q74 = QuerySpec(
+    "q74_ann_lsh_portable",
+    (s, dir) =>
+      graft.operators.Similarity.lshTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 3, tables = 16, planes = 4,
+          component = graft.operators.Similarity.portablePlaneComponent)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("rank")),
+    oracle = Some("""
+      WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      comps AS (
+        SELECT t AS tbl, p AS pl, d AS dim,
+               (('0x' || substring(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+                 % 2000000) / 1000000.0 - 1.0 AS w
+        FROM range(16) rt(t), range(4) rp(p), range(64) rd(d)),
+      dots AS (
+        SELECT dims.vec_id, comps.tbl, comps.pl, sum(dims.v * comps.w) AS dot
+        FROM dims JOIN comps ON comps.dim = dims.dim
+        GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT vec_id, tbl,
+               CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << pl) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      scored AS (
+        SELECT q_id, c_id,
+               list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                                      CAST(ca.embedding AS DOUBLE[])) AS sim
+        FROM cands
+        JOIN embeddings qa ON qa.vec_id = q_id
+        JOIN embeddings ca ON ca.vec_id = c_id)
+      SELECT q_id, rank, c_id, round(sim, 4) AS sim FROM (
+        SELECT q_id, c_id, sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72)
+      q69, q70, q71, q72, q73, q74)
 }
