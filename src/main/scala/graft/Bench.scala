@@ -68,8 +68,10 @@ object Bench {
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // full JSON escaping (Verify.jsonString): exception messages can
+    // embed any control character (janino dumps, formatted source)
     val errs = results.collect { case (k, _, Some(e)) =>
-      s""""$k":"${e.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\r\n\t]", " ")}"""" }
+      s""""$k":${Verify.jsonString(e)}""" }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")

@@ -28,13 +28,16 @@ object VectorFns {
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   /** Cosine similarity composed from higher-order built-ins — used by
-    * tests as a differential oracle for [[CosineSimilarity]]. */
+    * tests as a differential oracle for [[CosineSimilarity]]. A NULL
+    * element propagates to a NULL result in both forms. */
   def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
     val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    when(na =!= 0.0 && nb =!= 0.0, dot / (na * nb)).otherwise(lit(0.0))
+    when(dot.isNull || na.isNull || nb.isNull, lit(null).cast("double"))
+      .when(na =!= 0.0 && nb =!= 0.0, dot / (na * nb))
+      .otherwise(lit(0.0))
   }
 
   /** Dot product via the native fused expression (preferred). */
@@ -56,9 +59,10 @@ object VectorFns {
 /** Native cosine similarity over two `array<float>` columns.
   *
   * Single fused loop over both arrays computing dot, |a|², |b|² at once —
-  * in interpreted eval and in generated code. Null if either side is null;
-  * 0.0 if either norm is 0 or lengths differ (defensive: embeddings tables
-  * can mix dims; a throw would poison a 100 TB scan).
+  * in interpreted eval and in generated code. Null if either side or any
+  * ELEMENT is null (matching the HOF fold and DuckDB); 0.0 if either norm
+  * is 0 or lengths differ (defensive: embeddings tables can mix dims; a
+  * throw would poison a 100 TB scan).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -94,6 +98,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     val lf = isFloat(left); val rf = isFloat(right)
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
       val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
       dot += x * y; nx += x * x; ny += y * y
@@ -101,6 +106,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
   }
+
+  override def nullable: Boolean = true
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (isFloat(left)) "getFloat" else "getDouble"
@@ -118,6 +125,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($xs.isNullAt($i) || $ys.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double x = (double) $xs.$lGet($i);
          |    final double y = (double) $ys.$rGet($i);
          |    $dot += x * y; $nx += x * x; $ny += y * y;
@@ -176,6 +184,10 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     val lf = isFloat(left); val rf = isFloat(right)
     while (i < n) {
+      // a NULL element poisons the product — match the HOF fold and
+      // DuckDB list_dot_product, which both return NULL (reading the
+      // zeroed slot instead would be a silently wrong score)
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
       val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
       dot += x * y
@@ -183,6 +195,8 @@ case class DotProduct(left: Expression, right: Expression)
     }
     dot
   }
+
+  override def nullable: Boolean = true
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (isFloat(left)) "getFloat" else "getDouble"
@@ -198,6 +212,7 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($xs.isNullAt($i) || $ys.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += ((double) $xs.$lGet($i)) * ((double) $ys.$rGet($i));
          |  }
          |  ${ev.value} = $dot;

@@ -91,7 +91,12 @@ object AsOfJoin {
     val timelines = right.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(
         (col(tsCol).as("__ts") +: payloadCols.map(col)): _*))).as("__tl"))
-    val probed = left.join(broadcast(timelines), keyCols, "left")
+      .select(keyCols.map(k => col(k).as(s"__rk_$k")) :+ col("__tl"): _*)
+    // null-safe key equality (<=>): [[asof]]'s window groups NULL keys
+    // together, so the broadcast form must match them too — a plain
+    // equi-join would silently drop every NULL-keyed left row's match
+    val joinCond = keyCols.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
+    val probed = left.join(broadcast(timelines), joinCond, "left")
       // last timeline entry at or before the probe ts; empty ⇒ NULL row
       // (try_: ANSI element_at throws on an empty array)
       .withColumn("__hit",

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Both return eval-side identities (plus evidence), because the
   * action taken is always "drop/flag the eval doc", never "fix train".
+  *
+  * Cache lifecycle (same contract as [[Dedup]]'s pair operators): the
+  * returned plan holds persisted shingle intermediates, which Spark
+  * can only release AFTER the plan is consumed — in a long-lived
+  * session, unpersist via `spark.catalog.clearCache()` (or unpersist
+  * the specific RDDs) once results are materialized.
   */
 object Decontaminate {
 

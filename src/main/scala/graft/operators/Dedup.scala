@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *  - Shuffle keys are 64-bit hashes (xxhash64 in-plan, FNV-1a inside
   *    the signature kernel); the multiply-mod scheme keeps operands
   *    < 2⁶² so ANSI-mode Long arithmetic can never overflow.
+  *  - Cache lifecycle: the pair operators persist multi-consumer
+  *    intermediates (shingle sets, LSH buckets) that Spark can only
+  *    release AFTER the returned plan is consumed. Long-lived sessions
+  *    should `spark.catalog.clearCache()` once results are
+  *    materialized (Bench/Verify do this between queries).
   */
 object Dedup {
 
@@ -317,16 +322,16 @@ object Dedup {
     votes.select(col("doc"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within a Hamming radius. Blocking: split
-    * the 64-bit hash into `radius+1` chunks — by pigeonhole any pair
-    * within `radius` shares at least one exact chunk, so the join is
-    * on (chunk index, chunk value), never a cross join. */
   /** Engine-portable token hash: the low 60 bits of md5, parseable by
     * any SQL engine (`('0x' || substring(md5(tok),1,15))::BIGINT` in
     * DuckDB) — what makes q69's simhash fully oracle-checkable. */
   def portableTokenHash(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** SimHash near-dup pairs within a Hamming radius. Blocking: split
+    * the 64-bit hash into `radius+1` chunks — by pigeonhole any pair
+    * within `radius` shares at least one exact chunk, so the join is
+    * on (chunk index, chunk value), never a cross join. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    radius: Int = 3,
                    tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =

@@ -120,17 +120,16 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF-lite coarse quantization: centroid ids are drawn
-    * deterministically from the corpus (every `stride`-th id), each
-    * vector is assigned to its nearest `nProbe` centroids, and
-    * querying only pairs vectors sharing a centroid cell. One
-    * broadcast of the centroid table, one shuffle on cell id. */
-  /** Default centroid draw: xxhash64 scramble of the id (fast, Spark-
-    * only). [[portableCentroidRank]] is the md5 twin any engine can
-    * recompute — what makes q73 oracle-checkable. */
+  /** md5 twin of the default xxhash64 centroid draw — any engine can
+    * recompute it, which is what makes q73 oracle-checkable. */
   def portableCentroidRank(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(graft.operators.Dedup.portableTokenHash(id.cast("string")), lit(1000000L))
 
+  /** IVF-lite coarse quantization: centroid ids are drawn
+    * deterministically from the corpus (by `centroidRank` scramble),
+    * each vector is assigned to its nearest `nProbe` centroids, and
+    * querying only pairs vectors sharing a centroid cell. One
+    * broadcast of the centroid table, one shuffle on cell id. */
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
                nCells: Int, nProbe: Int,
                centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =

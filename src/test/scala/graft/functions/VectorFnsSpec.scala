@@ -86,4 +86,16 @@ class VectorFnsSpec extends SparkSpec {
     spark.sql("SELECT dot_product(a, b) AS d FROM dot_v")
       .collect().head.getDouble(0) shouldBe 11.0
   }
+
+  test("NULL array elements yield NULL, never a silently-zeroed score (native == HOF)") {
+    val df = Seq((Array[java.lang.Float](1f, null), Array[java.lang.Float](2f, 3f)))
+      .toDF("a", "b")
+    for (e <- Seq(VectorFns.dot(col("a"), col("b")),
+                  VectorFns.dotHof(col("a"), col("b")),
+                  VectorFns.cosine(col("a"), col("b")),
+                  VectorFns.cosineHof(col("a"), col("b")))) {
+      val r = df.select(e.as("v")).collect().head
+      assert(r.isNullAt(0), s"expected NULL for $e, got ${r.get(0)}")
+    }
+  }
 }

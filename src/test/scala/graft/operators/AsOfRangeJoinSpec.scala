@@ -75,6 +75,17 @@ class AsOfRangeJoinSpec extends SparkSpec {
     rows(viaBroadcast.exceptAll(viaShuffle)) shouldBe empty
     rows(viaShuffle.exceptAll(viaBroadcast)) shouldBe empty
 
+    // NULL keys: the window form groups them together; the broadcast
+    // form's null-safe join (<=>) must agree, not drop the match
+    val ln = Seq((Option.empty[Long], ts("2024-01-01 12:00:00"), 1))
+      .toDF("key", "ts", "n")
+    val rn = Seq((Option.empty[Long], ts("2024-01-01 11:00:00"), 5.0, "n"))
+      .toDF("key", "ts", "price", "tag")
+    val sn = rows(AsOfJoin.asof(ln, rn, Seq("key"), "ts", Seq("price", "tag")))
+    val bn = rows(AsOfJoin.asofBroadcast(ln, rn, Seq("key"), "ts", Seq("price", "tag")))
+    sn shouldBe bn
+    bn.head.getDouble(bn.head.fieldIndex("price")) shouldBe 5.0
+
     // the fact side must reach the join without an Exchange: the only
     // shuffle permitted is the small side's groupBy feeding broadcast
     val plan = viaBroadcast.queryExecution.executedPlan.toString
