@@ -18,15 +18,24 @@ import org.apache.spark.sql.SparkSession
 object EventLogSplit {
 
   /** Batch form over the testdata events table. Returns the per-type
-    * output paths. */
+    * output paths.
+    *
+    * The source is persisted across the fan-out: each branch write is
+    * its own action, so without the persist every entry in `types`
+    * re-scans the full log from source — N types, N full passes (at
+    * 100 TB, N passes over the lake). Released once all branches have
+    * committed. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           types: Seq[String] = Seq("view", "purchase")): Map[String, String] = {
     val events = Tables.events(spark, sfDir)
-    StreamOps.splitByValue(events, "event_type", "ts", types).map {
-      case (t, branch) =>
-        val path = s"$outDir/$t"
-        PartitionedJsonSink(path, Seq("p_date")).write(branch)
-        t -> path
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      StreamOps.splitByValue(events, "event_type", "ts", types).map {
+        case (t, branch) =>
+          val path = s"$outDir/$t"
+          PartitionedJsonSink(path, Seq("p_date")).write(branch)
+          t -> path
+      }
+    finally events.unpersist()
   }
 }

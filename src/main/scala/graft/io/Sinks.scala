@@ -69,12 +69,14 @@ final case class FormatSink(format: String,
 final case class KafkaStreamSink(bootstrapServers: String, topic: String,
                                  checkpointLocation: String,
                                  trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-                                 outputMode: String = "update",
-                                 failOnDataLoss: Boolean = false) extends Sink {
+                                 outputMode: String = "update") extends Sink {
+  // failOnDataLoss deliberately absent: it is a Kafka SOURCE option
+  // (KafkaSource carries it). The reference passed it on its
+  // writeStream chain (agg.scala:78) where the kafka writer silently
+  // ignores it — a dead knob this API does not reproduce.
   def options: Map[String, String] =
     Map("kafka.bootstrap.servers" -> bootstrapServers, "topic" -> topic,
-      "checkpointLocation" -> checkpointLocation,
-      "failOnDataLoss" -> failOnDataLoss.toString)
+      "checkpointLocation" -> checkpointLocation)
 
   /** The value-serialization projection, exposed for testing: the whole
     * row as a JSON string (agg.scala:70). */

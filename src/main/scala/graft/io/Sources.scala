@@ -72,7 +72,8 @@ final case class KafkaSource(bootstrapServers: String, topic: String,
                              streaming: Boolean,
                              startingOffsets: String = "earliest",
                              perPartitionOffsets: Map[Int, Long] = Map.empty,
-                             maxOffsetsPerTrigger: Option[Long] = None)
+                             maxOffsetsPerTrigger: Option[Long] = None,
+                             failOnDataLoss: Boolean = true)
     extends Source {
   def options: Map[String, String] = {
     val so =
@@ -81,7 +82,11 @@ final case class KafkaSource(bootstrapServers: String, topic: String,
           .map { case (p, o) => s""""$p":$o""" }.mkString(",")}}}"""
       else startingOffsets
     Map("kafka.bootstrap.servers" -> bootstrapServers,
-      "subscribe" -> topic, "startingOffsets" -> so) ++
+      "subscribe" -> topic, "startingOffsets" -> so,
+      // SOURCE option (tolerate broker truncation, agg.scala:78 — the
+      // reference misplaced it on its writeStream chain, where Kafka
+      // ignores it; it belongs here on the read side)
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
       maxOffsetsPerTrigger.map(v => "maxOffsetsPerTrigger" -> v.toString)
   }
 

@@ -46,12 +46,14 @@ object UsersItemsPipeline {
         PivotMatrix.mergeMatrices(
           spark.read.parquet(snapshotDir), fresh, "user_id")
       else fresh
-    // write via a temp dir: the overwrite target may be this job's input
+    // write via a temp dir: the overwrite target may be this job's
+    // input. Swap by FILESYSTEM RENAME, not a second Spark write — the
+    // rename is a metadata op (crash window shrinks from a full job to
+    // one FS call) and the matrix isn't written+read twice.
     val tmp = snapshotDir + "_tmp"
     ParquetSink(tmp, SaveMode.Overwrite, coalesceTo = Some(1)).write(result)
-    val out = spark.read.parquet(tmp)
-    ParquetSink(snapshotDir, SaveMode.Overwrite, coalesceTo = Some(1)).write(out)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(snapPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), snapPath)
     spark.read.parquet(snapshotDir)
   }
 }

@@ -36,7 +36,10 @@ object PivotMatrix {
       .groupBy(col(key))
       .pivot(pivotCol, sorted)
       .count()
-      .na.fill(0L)
+      // fill ONLY the pivot value columns: a blanket fill would also
+      // rewrite a NULL group KEY to 0, conflating e.g. anonymous
+      // events with a real key 0
+      .na.fill(0L, sorted)
     sorted.foldLeft(pivoted)((d, v) => d.withColumnRenamed(v, s"$prefix$v"))
   }
 

@@ -131,24 +131,28 @@ object Advanced {
       WHERE rn <= 3 ORDER BY doc_id, token"""))
 
   /** q59: per-label embedding centroid — the reduce step of k-means /
-    * class prototypes. posexplode → partial-aggregated mean per
-    * (label, dim) → re-pack sorted by dim. Components cross the oracle
-    * boundary as integer 1e-4 units in a comma-joined string: exact to
-    * compare, and no float→text formatting divergence (Java shortest
-    * round-trip vs DuckDB) and no list column for the driver's row
-    * sort to choke on. */
+    * class prototypes. posexplode → per-(label, dim) partial aggregate
+    * → re-pack sorted by dim. Components are EXACT integer sums of
+    * per-element 1e-4-quantized values (divide by n_vectors for the
+    * mean): each float·10⁴ is an exact double (24+14 < 53 mantissa
+    * bits) so the element round is deterministic, and the integer sum
+    * is order-independent — unlike a float avg(), whose
+    * summation-order ulp could flip round(·) at a .5 boundary between
+    * engines. Comma-joined string: no float→text divergence, no list
+    * column for the driver's row sort to choke on. */
   private val q59 = QuerySpec(
     "q59_embedding_centroid",
     (s, dir) => {
       val ex = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q", round(col("v").cast("double") * 10000, 0).cast("long"))
       ex.groupBy(col("label"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"), count(lit(1)).as("n"))
+        .agg(sum(col("q")).as("m"), count(lit(1)).as("n"))
         .groupBy(col("label"))
         .agg(
           array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => round(x.getField("m") * 10000, 0).cast("long").cast("string")),
+            x => x.getField("m").cast("string")),
             ",").as("centroid"),
           max(col("n")).as("n_vectors"))
         .orderBy(col("label"))
@@ -158,10 +162,12 @@ object Advanced {
         SELECT label, unnest(embedding)::DOUBLE AS v,
                generate_subscripts(embedding, 1) AS pos
         FROM embeddings),
-      m AS (SELECT label, pos, avg(v) AS m, count(*) AS n
+      m AS (SELECT label, pos,
+                   CAST(sum(CAST(round(v * 10000) AS BIGINT)) AS BIGINT) AS m,
+                   count(*) AS n
             FROM ex GROUP BY 1, 2)
       SELECT label,
-             array_to_string(list(CAST(round(m * 10000) AS BIGINT) ORDER BY pos), ',') AS centroid,
+             array_to_string(list(m ORDER BY pos), ',') AS centroid,
              CAST(max(n) AS BIGINT) AS n_vectors
       FROM m GROUP BY label ORDER BY label"""))
 
@@ -278,12 +284,7 @@ object Advanced {
     "q64_asof_broadcast",
     (s, dir) => {
       import graft.operators.AsOfJoin
-      val e = Tables.events(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("last_purchase_id"))
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id"))
+      val (views, purchases) = DataOps.viewsAndPurchases(s, dir)
       AsOfJoin.asofBroadcast(views, purchases, Seq("user_id"), "ts",
           Seq("last_purchase_id"))
         .select(col("user_id"), col("event_id"), col("last_purchase_id"))

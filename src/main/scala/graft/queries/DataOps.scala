@@ -348,16 +348,25 @@ object DataOps {
     * deduped to unique (user, ts) first so ties are well-defined. The
     * oracle uses DuckDB's native ASOF LEFT JOIN over µs-truncated
     * epochs (events.parquet is ns-precision; Spark reads µs). */
+  /** Shared by q48 and its broadcast twin q64 — the two as-of
+    * implementations must compare on IDENTICAL inputs, so the prep
+    * lives in exactly one place. */
+  private[queries] def viewsAndPurchases(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("last_purchase_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    (views, purchases)
+  }
+
   private val q48 = QuerySpec(
     "q48_asof_join",
     (s, dir) => {
       import graft.operators.AsOfJoin
-      val e = Tables.events(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("last_purchase_id"))
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id"))
+      val (views, purchases) = viewsAndPurchases(s, dir)
       AsOfJoin.asof(views, purchases, Seq("user_id"), "ts",
           Seq("last_purchase_id"))
         .select(col("user_id"), col("event_id"), col("last_purchase_id"))

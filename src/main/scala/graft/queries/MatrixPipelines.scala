@@ -215,20 +215,25 @@ object MatrixPipelines {
   private val q47 = QuerySpec(
     "q47_feature_vector",
     (s, dir) => {
-      val m = PivotMatrix.countMatrix(
-        Tables.events(s, dir), "user_id", "event_type", EventTypes)
+      // BOTH vectors from ONE aggregation — 12 conditional counts in a
+      // single scan and single user_id shuffle (two countMatrix calls
+      // would scan and shuffle the events twice, then join).
       val dows = (1 to 7).map(d => s"dow_$d")
-      val dowM = PivotMatrix.countMatrix(
-        Tables.events(s, dir).withColumn("dow", dayofweek(col("ts")).cast("string")),
-        "user_id", "dow", (1 to 7).map(_.toString), "dow_")
+      val measures =
+        EventTypes.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"et_$t")) ++
+        (1 to 7).map(d =>
+          count(when(dayofweek(col("ts")) === d, 1)).as(s"dow_$d"))
       // The packed array is rendered as a comma-joined STRING for the
       // oracle compare: the driver's pandas row-sort cannot order list
       // columns (factorize on ndarray throws), so the vector payload
       // crosses the compare boundary as a scalar. q50 keeps the true
       // ArrayType form for in-engine consumers.
-      m.join(dowM, Seq("user_id"))
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(measures.head, measures.tail: _*)
         .select(col("user_id"),
-          array_join(array(EventTypes.map(c => col(c).cast("string")): _*), ",").as("type_vec"),
+          array_join(array(EventTypes.map(t => col(s"et_$t").cast("string")): _*), ",").as("type_vec"),
           array_join(array(dows.map(c => col(c).cast("string")): _*), ",").as("dow_vec"))
         .orderBy(col("user_id"))
     },

@@ -66,6 +66,10 @@ class IoSpec extends SparkSpec {
     s.options("subscribe") shouldBe "events"
     s.options("kafka.bootstrap.servers") shouldBe "broker:9092"
     KafkaSource("b", "t", streaming = true).options("startingOffsets") shouldBe "earliest"
+    // failOnDataLoss is a SOURCE option (the sink API has no such knob)
+    KafkaSource("b", "t", streaming = true, failOnDataLoss = false)
+      .options("failOnDataLoss") shouldBe "false"
+    KafkaStreamSink("b", "t", "/tmp/c").options should not contain key("failOnDataLoss")
   }
 
   test("jdbc source/sink option assembly incl. partitioned read") {

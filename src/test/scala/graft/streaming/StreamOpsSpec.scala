@@ -146,6 +146,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization under cross-batch disorder: late events extend backwards and bridge") {
+    // gap 30 min, watermark lateness 2 h. A later batch delivers an
+    // 11:20 event (above watermark, NOT droppable) before the open
+    // 12:00 session: 40 min of silence separates them, so it must NOT
+    // join that session. A further 11:45 event then bridges the two
+    // into ONE session spanning 11:20–12:00 — only a multi-session
+    // state can represent the intermediate shape.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Sessionize.Event]
+    val withWm = in.toDS().withWatermark("ts", "2 hours").as[Sessionize.Event]
+    val q = startQuery(
+      Sessionize.flatMapSessions(withWm, gapMs = 30 * 60 * 1000).toDF(),
+      "fmgws_disorder", "append")
+    try {
+      in.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(1L, ts("2024-01-01 11:20:00"), 2.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(1L, ts("2024-01-01 11:45:00"), 4.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(2L, ts("2024-01-01 15:00:00"), 0.0)) // advance wm
+      q.processAllAvailable()
+      val sessions = spark.table("fmgws_disorder")
+        .filter(col("user_id") === 1L).collect()
+      sessions.length shouldBe 1
+      sessions(0).getAs[Timestamp]("session_start") shouldBe ts("2024-01-01 11:20:00")
+      sessions(0).getAs[Timestamp]("session_end") shouldBe ts("2024-01-01 12:00:00")
+      sessions(0).getAs[Int]("n_events") shouldBe 3
+      sessions(0).getAs[Double]("session_value") shouldBe 7.0
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches declarative sessions") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Sessionize.Event]
