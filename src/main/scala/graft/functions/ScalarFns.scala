@@ -35,9 +35,13 @@ object ScalarFns {
   def normalizeDomain(url: Column): Column =
     regexp_replace(lower(regexp_replace(url, "^(?i)https?://", "")), "^www\\.", "")
 
-  /** Extract hostname via capture group (reference: data_mart.scala:102-107). */
+  /** Extract hostname via capture group (reference: data_mart.scala:102-107).
+    * Scheme and www are matched case-insensitively like
+    * [[normalizeDomain]] — URLs arrive in any case, and a
+    * case-sensitive pattern would return the SCHEME string for
+    * "HTTP://..." inputs. */
   def extractDomain(url: Column): Column =
-    regexp_extract(url, "^(?:https?://)?(?:www\\.)?([^:/\\n?]+)", 1)
+    regexp_extract(url, "^(?i)(?:https?://)?(?:www\\.)?([^:/\\n?]+)", 1)
 
   /** Hostname via the SQL builtin (reference F7 used callUDF("parse_url");
     * Spark 4.x exposes it directly). */

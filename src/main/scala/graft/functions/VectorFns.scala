@@ -59,10 +59,11 @@ object VectorFns {
 /** Native cosine similarity over two `array<float>` columns.
   *
   * Single fused loop over both arrays computing dot, |a|², |b|² at once —
-  * in interpreted eval and in generated code. Null if either side or any
-  * ELEMENT is null (matching the HOF fold and DuckDB); 0.0 if either norm
-  * is 0 or lengths differ (defensive: embeddings tables can mix dims; a
-  * throw would poison a 100 TB scan).
+  * in interpreted eval and in generated code. Null if either side, any
+  * ELEMENT, is null — or the lengths differ (matching the HOF fold,
+  * whose zip_with null-pads the short side); 0.0 if either norm is 0.
+  * Never a throw: a bad row must not poison a 100 TB scan, and NULL is
+  * visible where a made-up score would not be.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -93,7 +94,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    if (n != ys.numElements() || n == 0) return 0.0
+    // mismatched dims → NULL (the HOF fold's zip_with null-padding does
+    // the same); equal-but-empty → 0.0 (both norms are 0)
+    if (n != ys.numElements()) return null
+    if (n == 0) return 0.0
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     val lf = isFloat(left); val rf = isFloat(right)
@@ -120,7 +124,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       s"""
          |final int $n = $xs.numElements();
-         |if ($n != $ys.numElements() || $n == 0) {
+         |if ($n != $ys.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else if ($n == 0) {
          |  ${ev.value} = 0.0;
          |} else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
@@ -147,8 +153,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * design, null and codegen behavior as [[CosineSimilarity]];
   * summation is the sequential left fold, so results are bitwise equal
   * to the HOF `aggregate(zip_with(...))` form AND to engines that fold
-  * lists sequentially (DuckDB list_dot_product). Length mismatch → 0.0
-  * (defensive, like cosine: a throw would poison a 100 TB scan).
+  * lists sequentially (DuckDB list_dot_product). Length mismatch → NULL
+  * (like cosine and the HOF fold: visible, and never a scan-poisoning
+  * throw).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -179,7 +186,9 @@ case class DotProduct(left: Expression, right: Expression)
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    if (n != ys.numElements()) return 0.0
+    // mismatched dims: NULL, matching the HOF fold (zip_with pads the
+    // short side with NULL) — visible-but-harmless, never a throw
+    if (n != ys.numElements()) return null
     var dot = 0.0
     var i = 0
     val lf = isFloat(left); val rf = isFloat(right)
@@ -208,7 +217,7 @@ case class DotProduct(left: Expression, right: Expression)
       s"""
          |final int $n = $xs.numElements();
          |if ($n != $ys.numElements()) {
-         |  ${ev.value} = 0.0;
+         |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {

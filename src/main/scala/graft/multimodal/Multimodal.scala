@@ -50,8 +50,15 @@ object Multimodal {
   // Deterministic fake standing in for a codec call. A real deployment
   // replaces ONLY this function (and the init in decodeAll) — the
   // surrounding plumbing is unchanged.
+  /** Null payloads (a null source column survives asMedia's encode) are
+    * treated as empty byte arrays by every kernel — a real codec call
+    * would be skipped the same way; an executor NPE must never be the
+    * answer to one bad row. */
+  private[multimodal] def bytes(p: Array[Byte]): Array[Byte] =
+    if (p == null) Array.emptyByteArray else p
+
   private[multimodal] def stubDecode(kind: String, payload: Array[Byte]): MediaMeta = {
-    val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    val h = bytes(payload).foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
     def pick(lo: Int, hi: Int, salt: Long): Int =
       (Math.floorMod(h ^ salt, (hi - lo).toLong) + lo).toInt
     kind match {
@@ -101,7 +108,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      m.payload.grouped(frameBytes).zipWithIndex
+      bytes(m.payload).grouped(frameBytes).zipWithIndex
         .collect { case (chunk, i) if i % stride == 0 => Frame(m.media_id, i, chunk) }
     }
   }
@@ -127,7 +134,7 @@ private[multimodal] class DecoderSession private () extends Serializable {
   def embed(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
-    payload.foreach(b => h = h * 31 + (b & 0xff))
+    Multimodal.bytes(payload).foreach(b => h = h * 31 + (b & 0xff))
     var i = 0
     while (i < dim) {
       h ^= h << 13; h ^= h >>> 7; h ^= h << 17

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   *
   * Left rows with no preceding right row keep NULL payloads (LEFT ASOF
   * semantics).
+  *
+  * NULL event times: a right row with NULL ts has no position in time
+  * and is DROPPED in both implementations (without the explicit
+  * filter, the window form's nulls-first sort would treat it as
+  * "before everything" while the broadcast form's comparison would
+  * drop it — a silent divergence); a left row with NULL ts matches
+  * nothing and keeps NULL payloads.
   */
 object AsOfJoin {
 
@@ -47,9 +54,10 @@ object AsOfJoin {
       payloadCols.map(c => right.schema(c)))
     val lPadded = left.withColumn("__side", lit(1))
       .withColumn("__payload", lit(null).cast(payloadType))
-    val r = right.select(
-      (keyCols :+ tsCol).map(col) :+
-        struct(payloadCols.map(col): _*).as("__payload"): _*)
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(
+        (keyCols :+ tsCol).map(col) :+
+          struct(payloadCols.map(col): _*).as("__payload"): _*)
       .withColumn("__side", lit(0))
     val rPadded = leftCols.filterNot((keyCols :+ tsCol).contains)
       .foldLeft(r)((d, c) =>
@@ -88,7 +96,8 @@ object AsOfJoin {
       s"payload columns ${payloadCols.filter(leftCols.contains)} collide with left side")
 
     // struct sorts by field order, so ts first ⇒ sort_array = timeline
-    val timelines = right.groupBy(keyCols.map(col): _*)
+    val timelines = right.filter(col(tsCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(
         (col(tsCol).as("__ts") +: payloadCols.map(col)): _*))).as("__tl"))
       .select(keyCols.map(k => col(k).as(s"__rk_$k")) :+ col("__tl"): _*)

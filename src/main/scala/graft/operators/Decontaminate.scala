@@ -49,15 +49,8 @@ object Decontaminate {
     * (eval_id, train_id) leak pair with the score. */
   def nearDupLeaks(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, n: Int, threshold: Double): DataFrame = {
-    val parallelism = train.sparkSession.sparkContext.defaultParallelism
-    def shingles(df: DataFrame, side: String) = df
-      .repartition(parallelism)
-      .select(col(idCol).as(side),
-        explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh_str"))
-      .select(col(side), xxhash64(col("sh_str")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ts = shingles(train, "train_id")
-    val es = shingles(eval, "eval_id")
+    val ts = Dedup.hashedShingles(train, idCol, textCol, n, "train_id")
+    val es = Dedup.hashedShingles(eval, idCol, textCol, n, "eval_id")
     val tSizes = ts.groupBy(col("train_id")).agg(count(lit(1)).as("sz_t"))
     val eSizes = es.groupBy(col("eval_id")).agg(count(lit(1)).as("sz_e"))
     es.join(ts, "sh")

@@ -52,10 +52,16 @@ object Dedup {
 
   /** Exact dedup on a normalized-text fingerprint: keeps the row with
     * the smallest `idCol` per distinct content. One shuffle; the
-    * min-by runs as partial+final aggregate (map-side combine). */
+    * min-by runs as partial+final aggregate (map-side combine).
+    *
+    * NULL text has UNKNOWN content, so each such doc is its own
+    * singleton group (fingerprint NULL would otherwise be a regular
+    * group key and silently merge every extraction failure into one
+    * "duplicate" cluster). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .withColumn("__fp", TextFns.fingerprint(col(textCol)))
+      .withColumn("__fp", coalesce(TextFns.fingerprint(col(textCol)),
+        concat(lit("__null__"), col(idCol).cast("string"))))
       .groupBy(col("__fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
       .drop("__fp")
@@ -65,22 +71,27 @@ object Dedup {
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Exact but O(pairs sharing a
     * shingle) — the oracle/verifier for the sketch methods; at full
     * scale run MinHash first and this only on candidates. */
+  /** Exploded, int64-hashed, per-doc-distinct word shingles — the
+    * shared kernel of every Jaccard-flavored operator here and in
+    * [[Decontaminate]]. Hashing at birth means the downstream
+    * self-joins shuffle 8-byte keys instead of ~n-word strings (64-bit
+    * collisions are negligible at corpus scale, the same fidelity
+    * trade MinHash makes). Returned PERSISTED (MEMORY_AND_DISK) —
+    * every caller feeds it to 2-3 consumers; the input is also fanned
+    * to all cores first (single-file inputs arrive as ONE split).
+    */
+  private[operators] def hashedShingles(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, outIdName: String): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as(outIdName),
+        explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh_str"))
+      .select(col(outIdName), xxhash64(col("sh_str")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // Shingles are hashed to int64 at birth: the self-join then shuffles
-    // 8-byte keys instead of ~n-word strings (64-bit collisions are
-    // negligible at corpus scale, the same fidelity trade MinHash makes).
-    // The relation feeds three consumers (both join sides + sizes), so
-    // persist it — otherwise Spark re-scans and re-explodes the corpus
-    // three times. MEMORY_AND_DISK: shingle sets can exceed RAM at scale.
-    // single-file inputs arrive as ONE split; fan out so the narrow
-    // shingle/explode stage uses every core, not one task
-    val shingles = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc"),
-        explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh_str"))
-      .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingles = hashedShingles(docs, idCol, textCol, n, "doc")
     val sizes = shingles.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     // Co-shingle pairs via sort-merge self-join on the hashed shingle.
     // (The collect_list + in-array i<j expansion variant — the LSH

@@ -39,7 +39,10 @@ object Sampling {
     * rows in each stratum, membership decided by the id hash. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,
                  fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
-    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
+    // operator-distinct salt: with the SAME hash as hashSplit, composing
+    // the two is fully correlated (a 10% tail split then stratified(0.5)
+    // keeps zero rows instead of half) — the salt makes them independent
+    val bucket = pmod(xxhash64(lit("stratified"), col(idCol), lit(seed)), lit(10000L))
     val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
       acc || (col(stratumCol) === stratum && bucket < (f * 10000).toLong)
     }

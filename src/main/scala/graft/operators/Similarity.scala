@@ -30,7 +30,12 @@ object Similarity {
     * window sort (measured ~2× on the sf0.1 knn; asymptotically the
     * difference between O(n·m) shuffle and O(q·k)). */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("q_id"))
+    scored
+      // a NULL sim (corrupt embedding — the kernels deliberately return
+      // NULL, never a fake score) must not reach the heap aggregate:
+      // its non-nullable primitive encoder would fail the whole query
+      .filter(col("sim").isNotNull)
+      .groupBy(col("q_id"))
       .agg(TopKAgg.topK(k)(col("sim"), col("c_id")).as("nn"))
       .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "p")))
       .select(col("q_id"), col("p._2").as("c_id"), col("p._1").as("sim"),
@@ -105,7 +110,11 @@ object Similarity {
               component: (Int, Int) => org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                 planeComponent): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // persisted: both self-join sides read it — without this the SRP
+    // dot products (tables×planes×dim per vector) run twice (the same
+    // two-consumer rule as Dedup.minhashCandidates' buckets)
     val buckets = srpBuckets(df, idCol, vecCol, tables, planes, component)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
@@ -155,7 +164,9 @@ object Similarity {
               centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                 id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // persisted: self-joined below (same rationale as lshTopK's buckets)
     val cells = ivfCells(df, idCol, vecCol, nCells, nProbe, centroidRank)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))

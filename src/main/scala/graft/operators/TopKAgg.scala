@@ -69,7 +69,11 @@ object TopKAgg {
 
   /** Column form: `topK(k)(score, id)` → array<struct<_1,_2>> of the k
     * best, score-desc/id-asc. */
-  def topK(k: Int)(score: Column, id: Column): Column =
+  def topK(k: Int)(score: Column, id: Column): Column = {
+    // fail fast at call time: k = 0 would read buf(-1) inside an
+    // executor with an opaque mid-stage stack trace
+    require(k > 0, s"topK needs k > 0, got $k")
     udaf(new TopK(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
       .apply(score, id)
+  }
 }

@@ -477,7 +477,7 @@ object Relational {
                replace(lower(p_type), ' ', '-') || '?q=' || p_partkey AS url
         FROM part)
       SELECT p_partkey,
-             regexp_extract(url, '^(?:https?://)?(?:www\.)?([^:/\n?]+)', 1) AS domain,
+             regexp_extract(url, '^(?i)(?:https?://)?(?:www\.)?([^:/\n?]+)', 1) AS domain,
              regexp_replace(regexp_replace(lower(url), '^https?://', ''),
                             '^www\.', '') AS norm
       FROM u

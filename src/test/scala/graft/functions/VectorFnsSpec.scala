@@ -16,11 +16,12 @@ class VectorFnsSpec extends SparkSpec {
       .foreach(r => r.getDouble(1) shouldBe r.getDouble(0) +- 1e-12)
   }
 
-  test("native cosine: zero vector and length mismatch → 0.0, null → null") {
+  test("native cosine: zero vector → 0.0; length mismatch and null → NULL") {
     eval1(Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
       .select(VectorFns.cosine(col("a"), col("b")))) shouldBe 0.0
+    // mismatched dims: NULL, matching the HOF fold's zip_with padding
     eval1(Seq((Array(1f), Array(1f, 2f))).toDF("a", "b")
-      .select(VectorFns.cosine(col("a"), col("b")))) shouldBe 0.0
+      .select(VectorFns.cosine(col("a"), col("b")))) shouldBe null.asInstanceOf[Any]
     val withNull = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
       .toDF("a", "b").select(VectorFns.cosine(col("a"), col("b")))
     eval1(withNull) shouldBe null.asInstanceOf[Any]
@@ -77,9 +78,9 @@ class VectorFnsSpec extends SparkSpec {
 
     eval1(Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
       .select(VectorFns.dot(col("a"), col("b")))) shouldBe 11.0
-    // length mismatch is defensive 0.0, not a scan-poisoning throw
+    // length mismatch is NULL (= the HOF fold), not a scan-poisoning throw
     eval1(Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
-      .select(VectorFns.dot(col("a"), col("b")))) shouldBe 0.0
+      .select(VectorFns.dot(col("a"), col("b")))) shouldBe null.asInstanceOf[Any]
 
     graft.GraftExtensions.register(spark)
     Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b").createOrReplaceTempView("dot_v")

@@ -101,4 +101,31 @@ class RobustnessSpec extends SparkSpec {
     noException should be thrownBy
       Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 2).collect()
   }
+
+  test("similarity survives NULL embeddings: pair dropped, never an encoder crash") {
+    val vecs = Seq(
+      (1L, Option(Array(1f, 2f))),
+      (2L, Option(Array(2f, 4f))),
+      (3L, Option.empty[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = rows(Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 2))
+    // NULL-embedding rows produce NULL sims on every pair touching them
+    // — filtered before the non-nullable heap aggregate, so vec 3
+    // appears neither as query nor as candidate
+    out.foreach { r =>
+      r.getLong(0) should not be 3L
+      r.getLong(1) should not be 3L
+    }
+    out.map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+  }
+
+  test("exact dedup: multiple null-text docs stay SEPARATE singleton groups") {
+    val docs = Seq(
+      (1L, Option("same text")), (2L, Option("same text")),
+      (10L, Option.empty[String]), (11L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.exact(docs, "doc_id", "text").orderBy("keep_id"))
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq(
+      (1L, 2L), (10L, 1L), (11L, 1L))
+  }
 }
