@@ -33,12 +33,18 @@ object Bench {
     // shapes and the timed runs below measure steady-state throughput —
     // the quantity being compared across engines — not JVM compile
     // cost. Failures are ignored here; the timed run reports them.
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    var warmFailures = 0
     selected.foreach { name =>
       try { SparkEntry.queries(name)(spark, warmDir).count() }
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => warmFailures += 1 }
       spark.catalog.clearCache()
     }
+    // a missing warm dir must not pass silently: every timed query would
+    // then absorb its own janino compile and the totals inflate
+    if (warmFailures > 0)
+      System.err.println(
+        s"[bench] WARNING: $warmFailures/${selected.size} warm-up queries failed on $warmDir — timed runs include codegen compile cost")
     System.gc()
 
     val results = selected.map { name =>

@@ -26,11 +26,15 @@ final case class GraftConf(spark: SparkSession, prefix: String = "spark.graft") 
     }.getOrElse(default)
 
   def bool(key: String, default: Boolean): Boolean =
-    get(key).map {
-      case "true" | "1"  => true
-      case "false" | "0" => false
-      case v => throw new IllegalArgumentException(
-        s"$prefix.$key must be a boolean, got '$v'")
+    get(key).map { raw =>
+      // case-insensitive like Spark's own conf parsing: a Python-side
+      // driver writes str(True) == "True"
+      raw.toLowerCase match {
+        case "true" | "1"  => true
+        case "false" | "0" => false
+        case _ => throw new IllegalArgumentException(
+          s"$prefix.$key must be a boolean, got '$raw'")
+      }
     }.getOrElse(default)
 
   // ---- the reference's parameter surface, typed --------------------------

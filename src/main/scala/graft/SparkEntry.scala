@@ -18,16 +18,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q25_datamart")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. (lazy vals:
+    * Bench/Verify index these in per-query loops — the catalog maps
+    * are built once, not once per lookup.) */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     Catalog.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashing DuckDB can't
     * reproduce (xxhash64 sketches) → driver records rows-only checks. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     Catalog.all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 
   /** Headline subset timed by graft.Bench. */
-  def benchQueries: Seq[String] = Catalog.all.filter(_.bench).map(_.name)
+  lazy val benchQueries: Seq[String] = Catalog.all.filter(_.bench).map(_.name)
 }

@@ -17,13 +17,11 @@ object SqlFacade {
   /** Create one temp view per testdata table and register graft's SQL
     * functions on the session. */
   def register(spark: SparkSession, sfDir: String): Unit = {
-    TableNames.foreach { t =>
-      val df: DataFrame = t match {
-        case "events" => Tables.events(spark, sfDir) // ns→µs handling
-        case other    => spark.read.parquet(s"$sfDir/$other.parquet")
-      }
-      df.createOrReplaceTempView(t)
-    }
+    // dispatch through the typed loaders so per-table read handling
+    // (events' ns→µs conversion, any future case) can't diverge
+    // between the SQL views and the DataFrame API
+    TableNames.foreach(t =>
+      Tables.byName(spark, sfDir, t).createOrReplaceTempView(t))
     GraftExtensions.register(spark)
   }
 

@@ -37,4 +37,21 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Name-dispatched loader — the single source of per-table read
+    * handling (events' ns→µs conversion included), so SQL-facing code
+    * never re-implements path conventions. */
+  def byName(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "region"     => region(spark, dir)
+    case "nation"     => nation(spark, dir)
+    case "customer"   => customer(spark, dir)
+    case "supplier"   => supplier(spark, dir)
+    case "part"       => part(spark, dir)
+    case "orders"     => orders(spark, dir)
+    case "lineitem"   => lineitem(spark, dir)
+    case "events"     => events(spark, dir)
+    case "documents"  => documents(spark, dir)
+    case "embeddings" => embeddings(spark, dir)
+    case other => throw new IllegalArgumentException(s"unknown table '$other'")
+  }
 }

@@ -27,6 +27,7 @@ object Verify {
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
@@ -34,10 +35,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage).take(500)
       }
       // release any operator-persisted intermediates between queries
       spark.catalog.clearCache()
     }
+    // machine-readable failure record beside the dump: the exit code
+    // stays 0 (the driver's per-query DuckDB compare flags the missing
+    // dirs as FAILs; a non-zero rc could abort its whole round), but a
+    // partial dump must never LOOK complete to a human or a tool.
+    if (failures.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/_failures.json"),
+        failures.map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
+          .mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
       .mkString("{", ",", "}")
