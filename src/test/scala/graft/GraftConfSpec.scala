@@ -23,6 +23,21 @@ class GraftConfSpec extends SparkSpec {
       .foreach(k => spark.conf.unset(s"$p.$k"))
   }
 
+  test("booleans parse case-insensitively (a Python driver writes str(True))") {
+    val p = "spark.graft.test3"
+    spark.conf.set(s"$p.update_mode", "True")
+    try GraftConf(spark, p).updateMode shouldBe true
+    finally spark.conf.unset(s"$p.update_mode")
+    spark.conf.set(s"$p.update_mode", "FALSE")
+    try GraftConf(spark, p).updateMode shouldBe false
+    finally spark.conf.unset(s"$p.update_mode")
+  }
+
+  test("Tables.byName rejects unknown names instead of guessing a path") {
+    intercept[IllegalArgumentException](
+      Tables.byName(spark, "/tmp", "no_such_table"))
+  }
+
   test("malformed values throw with the offending key in the message") {
     val p = "spark.graft.test2"
     spark.conf.set(s"$p.trigger_seconds", "soon")
