@@ -672,7 +672,43 @@ object Advanced {
       WHERE rank <= 3
       ORDER BY q_id, rank"""))
 
+  /** q75: two-phase COUNT DISTINCT (SkewOps) under the oracle — the
+    * hot-key-safe formulation must equal plain COUNT(DISTINCT) exactly,
+    * NULL values ignored, all-NULL keys kept with 0. */
+  private val q75 = QuerySpec(
+    "q75_skew_count_distinct",
+    (s, dir) =>
+      graft.operators.SkewOps.twoPhaseCountDistinct(
+          Tables.events(s, dir), "user_id", "event_type")
+        .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_event_type
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** q76: salted skew join (SkewOps.saltedJoin) under the oracle — the
+    * salt-replicated equi-join must equal the PLAIN inner join
+    * row-for-row; the oracle runs the plain join, so any lost or
+    * duplicated row from the salt mechanics hash-mismatches. */
+  private val q76 = QuerySpec(
+    "q76_skew_salted_join",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val customers = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      graft.operators.SkewOps.saltedJoin(orders, customers, "o_custkey", salts = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o.o_orderkey, o.o_custkey, c.c_name
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o_orderkey"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q74)
+      q69, q70, q71, q72, q73, q74, q75, q76)
 }
