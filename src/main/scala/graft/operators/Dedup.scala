@@ -71,29 +71,62 @@ object Dedup {
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Exact but O(pairs sharing a
     * shingle) — the oracle/verifier for the sketch methods; at full
     * scale run MinHash first and this only on candidates. */
-  /** Exploded, int64-hashed, per-doc-distinct word shingles — the
-    * shared kernel of every Jaccard-flavored operator here and in
-    * [[Decontaminate]]. Hashing at birth means the downstream
-    * self-joins shuffle 8-byte keys instead of ~n-word strings (64-bit
-    * collisions are negligible at corpus scale, the same fidelity
-    * trade MinHash makes). Returned PERSISTED (MEMORY_AND_DISK) —
-    * every caller feeds it to 2-3 consumers; the input is also fanned
-    * to all cores first (single-file inputs arrive as ONE split).
-    */
-  private[operators] def hashedShingles(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, outIdName: String): DataFrame =
+  /** Per-doc DISTINCT word-shingle SET, 64-bit-hashed (FNV-1a), as one
+    * `array<long>` column — the shared kernel of every Jaccard-flavored
+    * operator here and in [[Decontaminate]]. One typed UDF does
+    * tokenize→n-gram→hash→dedupe in a single primitive pass (the HOF
+    * chain split→transform→array_join→array_distinct ran interpreted
+    * lambdas per shingle: 0.7s of the sf0.1 jaccard was tokenization).
+    * Hashing at birth means downstream self-joins shuffle 8-byte keys
+    * instead of ~n-word strings; 64-bit collisions are negligible at
+    * corpus scale — the same fidelity trade MinHash makes. Tokenization
+    * matches [[TextFns.wordShingles]] (n-gram, whole-text fallback for
+    * short docs); NULL text → NULL set (the doc joins into no pair).
+    * Returned PERSISTED (MEMORY_AND_DISK) — every caller feeds it to
+    * 2-3 consumers (sizes, self-join, exact re-check); the input is
+    * also fanned to all cores first (single-file inputs arrive as ONE
+    * split). */
+  private[operators] def shingleSets(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, outIdName: String): DataFrame = {
+    val shUdf = udf { text: String =>
+      if (text == null) null
+      else {
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val shingles: Iterator[String] =
+          if (toks.length >= n) toks.sliding(n).map(_.mkString(" "))
+          else Iterator(toks.mkString(" "))
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val out = scala.collection.mutable.ArrayBuilder.make[Long]
+        shingles.foreach { sh =>
+          val h = fnv1a(sh)
+          if (seen.add(h)) out += h
+        }
+        out.result()
+      }
+    }
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as(outIdName),
-        explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh_str"))
-      .select(col(outIdName), xxhash64(col("sh_str")).as("sh"))
+      .select(col(idCol).as(outIdName), shUdf(col(textCol)).as("shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Exploded (doc, shingle-hash) view of [[shingleSets]] — the join
+    * shape. Narrow on top of the persisted sets, so deriving both this
+    * and the per-doc sizes costs one tokenization pass total. */
+  private[operators] def hashedShingles(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, outIdName: String): DataFrame =
+    shingleSets(docs, idCol, textCol, n, outIdName)
+      .select(col(outIdName), explode(col("shs")).as("sh"))
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val shingles = hashedShingles(docs, idCol, textCol, n, "doc")
-    val sizes = shingles.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    // Co-shingle pairs via sort-merge self-join on the hashed shingle.
+    val sets = shingleSets(docs, idCol, textCol, n, "doc")
+    // |shingle set| is a NARROW projection of the persisted sets — the
+    // previous exploded groupBy(doc).count() was a full extra shuffle
+    val sizes = sets.select(col("doc"), size(col("shs")).as("sz"))
+    val shingles = sets.select(col("doc"), explode(col("shs")).as("sh"))
+    // Co-shingle pairs via self-join on the hashed shingle (AQE picks
+    // broadcast when the bucketed side is small; sort-merge at scale).
     // (The collect_list + in-array i<j expansion variant — the LSH
     // candidate pattern — measured 60% SLOWER here: at this fan-out the
     // interpreted HOF lambdas lose to the codegen'd join.)
@@ -135,34 +168,40 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L): DataFrame =
+    minhashSignaturesFromSets(
+      shingleSets(docs, idCol, textCol, shingleN, "doc"), numHashes, seed)
+
+  /** Signature kernel over pre-hashed shingle sets ([[shingleSets]]) —
+    * lets the MinHash pipeline share ONE tokenization pass with the
+    * exact-Jaccard verifier instead of re-splitting the text. The
+    * per-coefficient mins are identical to hashing the strings
+    * directly: h = floorMod(fnv1a(shingle), P) either way, and MinHash
+    * is idempotent on duplicate h (a mod-P collision between distinct
+    * raw hashes changes nothing). */
+  private[operators] def minhashSignaturesFromSets(sets: DataFrame,
+      numHashes: Int, seed: Long = 42L): DataFrame = {
     val cs = coeffs(numHashes, seed).toArray
-    val sigUdf = udf { text: String =>
-      val toks =
-        if (text == null) Array.empty[String]
-        else text.split("\\s+").filter(_.nonEmpty)
-      val shingles: Iterator[String] =
-        if (toks.length >= shingleN) toks.sliding(shingleN).map(_.mkString(" "))
-        else Iterator(toks.mkString(" "))
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      val seen = new java.util.HashSet[Long]()
-      shingles.foreach { sh =>
-        val h = math.floorMod(fnv1a(sh), P)
-        if (seen.add(h)) {
+    val as = cs.map(_._1); val bs = cs.map(_._2)
+    val sigUdf = udf { shs: Array[Long] =>
+      if (shs == null) null
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var j = 0
+        while (j < shs.length) {
+          val h = math.floorMod(shs(j), P)
           var i = 0
           while (i < numHashes) {
-            val v = math.floorMod(cs(i)._1 * h + cs(i)._2, P)
+            val v = math.floorMod(as(i) * h + bs(i), P)
             if (v < sig(i)) sig(i) = v
             i += 1
           }
+          j += 1
         }
+        sig
       }
-      sig
     }
-    // fan a single-split input across cores: the signature kernel is
-    // narrow, so without this it runs as one task
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc"), sigUdf(col(textCol)).as("sig"))
+    sets.select(col(sets.columns.head).as("doc"), sigUdf(col("shs")).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs. The signature array is split into
@@ -220,14 +259,12 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    // ONE shared tokenization pass: the persisted shingle sets feed the
+    // signature kernel AND the exact-Jaccard re-check of candidates
+    // (previously two independent tokenize→shingle pipelines).
+    val sets = shingleSets(docs, idCol, textCol, shingleN, "doc")
     val cands = minhashCandidates(
-      minhashSignatures(docs, idCol, textCol, shingleN, numHashes, seed), bands)
-    val sets = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc"),
-      array_distinct(transform(TextFns.wordShingles(col(textCol), shingleN),
-        s => xxhash64(s))).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minhashSignaturesFromSets(sets, numHashes, seed), bands)
     cands
       .join(sets.select(col("doc").as("id_a"), col("shs").as("sa")), "id_a")
       .join(sets.select(col("doc").as("id_b"), col("shs").as("sb")), "id_b")

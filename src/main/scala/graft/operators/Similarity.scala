@@ -24,21 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Rank the k best (sim, c_id) per q_id via the bounded-heap aggregate
-    * (TopKAgg): map-side partial top-k, so the shuffle moves
-    * partitions × queries × k rows — NOT every scored pair into a
+  /** Rank the k best (sim, c_id) per q_id via the native bounded-heap
+    * aggregate ([[TopKPairs]]): map-side partial top-k, so the shuffle
+    * moves partitions × queries × k rows — NOT every scored pair into a
     * window sort (measured ~2× on the sf0.1 knn; asymptotically the
-    * difference between O(n·m) shuffle and O(q·k)). */
+    * difference between O(n·m) shuffle and O(q·k)). The
+    * TypedImperativeAggregate form (vs the udaf [[TopKAgg]], kept as
+    * its differential twin) reads child primitives without an encoder
+    * round-trip — the udaf glue was ~1.5s of the 2.3s sf0.1 knn. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       // a NULL sim (corrupt embedding — the kernels deliberately return
-      // NULL, never a fake score) must not reach the heap aggregate:
-      // its non-nullable primitive encoder would fail the whole query
+      // NULL, never a fake score) is skipped by the aggregate; filtered
+      // here too so the scored relation's row count reflects real pairs
       .filter(col("sim").isNotNull)
       .groupBy(col("q_id"))
-      .agg(TopKAgg.topK(k)(col("sim"), col("c_id")).as("nn"))
+      .agg(TopKPairs.topK(k)(col("sim"), col("c_id")).as("nn"))
       .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "p")))
-      .select(col("q_id"), col("p._2").as("c_id"), col("p._1").as("sim"),
+      .select(col("q_id"), col("p.id").as("c_id"), col("p.sim").as("sim"),
         (col("pos") + 1).cast("int").as("rank"))
 
   /** Exact brute-force cosine top-k neighbors for every vector in

@@ -1,0 +1,133 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types._
+
+/** Primitive-array bounded top-k buffer: two parallel arrays kept
+  * sorted score-desc/id-asc. No per-row allocation once full — the
+  * hot path (row worse than the current k-th) is one comparison. */
+final class TopKPairsBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+
+  @inline private def better(s: Double, id: Long, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && id < ids(i))
+
+  def insert(s: Double, id: Long): Unit = {
+    if (n == k && !better(s, id, k - 1)) return
+    // binary search for the insertion point in the desc-sorted prefix
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (better(s, id, mid)) hi = mid else lo = mid + 1
+    }
+    val last = math.min(n, k - 1)
+    var j = last
+    while (j > lo) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
+    scores(lo) = s; ids(lo) = id
+    if (n < k) n += 1
+  }
+
+  def mergeInto(other: TopKPairsBuffer): TopKPairsBuffer = {
+    var i = 0
+    while (i < other.n) { insert(other.scores(i), other.ids(i)); i += 1 }
+    this
+  }
+}
+
+/** Native bounded-heap top-k (score, id) aggregate — the
+  * TypedImperativeAggregate twin of [[TopKAgg]].
+  *
+  * Same semantics (k best pairs, score desc / id asc, nulls skipped),
+  * but `update` reads the two child primitives straight off the
+  * InternalRow: no encoder round-trip, no Tuple2 boxing, no buffer
+  * reallocation — on a 4M-row knn the udaf form spent more time in
+  * encoder glue than the cosine kernel spent on math (measured ~1.5s
+  * of a 2.3s query; this form cuts the aggregate step to the insert
+  * loop). Runs under ObjectHashAggregateExec with map-side partial
+  * aggregation, so the shuffle still carries only groups × k rows.
+  *
+  * Output: array<struct<sim:double, id:bigint>>, score-desc/id-asc.
+  */
+case class TopKPairs(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKPairsBuffer]
+    with BinaryLike[Expression] {
+
+  require(k > 0, s"top_k_pairs needs k > 0, got $k")
+
+  override def createAggregationBuffer(): TopKPairsBuffer =
+    new TopKPairsBuffer(k)
+
+  override def update(buf: TopKPairsBuffer, input: InternalRow): TopKPairsBuffer = {
+    val s = left.eval(input)
+    if (s != null) {
+      val id = right.eval(input)
+      if (id != null)
+        buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKPairsBuffer, other: TopKPairsBuffer): TopKPairsBuffer =
+    buf.mergeInto(other)
+
+  override def eval(buf: TopKPairsBuffer): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) { out(i) = InternalRow(buf.scores(i), buf.ids(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKPairsBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKPairsBuffer(k)
+    buf.n = n
+    var i = 0
+    while (i < n) { buf.scores(i) = bb.getDouble; buf.ids(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("sim", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_pairs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairs =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopKPairs {
+  /** Column form: `TopKPairs.topK(k)(score, id)` →
+    * array<struct<sim,id>> of the k best, score-desc/id-asc. */
+  def topK(k: Int)(score: Column, id: Column): Column =
+    Bridge.column(
+      TopKPairs(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+}
