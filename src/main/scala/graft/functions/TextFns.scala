@@ -214,4 +214,70 @@ object TextFns {
     when(best.getField("neg_hits") < 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
+
+  // ---- PII redaction ----------------------------------------------------
+  // Conservative patterns written in the regex subset Java and RE2
+  // (DuckDB) interpret identically — no backrefs, no lookaround, no
+  // possessive quantifiers — so the oracle can reproduce the redaction
+  // byte for byte. Deliberately high-precision/lower-recall: a training
+  // pipeline redacts what it is SURE about and routes the rest to
+  // review; an over-eager pattern silently destroys clean text at scale.
+
+  /** Email addresses (user@host.tld). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic: each octet 1-3 digits). */
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** International-prefix phone numbers, +CC-XXX-XXXX shape. */
+  val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** Replace emails, IPv4s, and phone numbers with typed placeholder
+    * tags. Email first (its local part could otherwise half-match after
+    * another rule rewrites neighbors); the three patterns cannot match
+    * each other's replacements, so the chain is order-stable. Narrow,
+    * codegen'd regexp_replace — no shuffle, scales linearly. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of matches of `pattern` in `text` (regexp_count is
+    * codegen'd; used for PII audit columns). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("int")
+
+  // ---- Repetition signals (Gopher-style quality filters) ---------------
+
+  /** Per-doc repetition statistics in ONE narrow typed-UDF pass:
+    * struct<n_tokens, top_token_count, n_bigrams, n_distinct_bigrams>.
+    * `top_token_count` = occurrences of the most frequent token;
+    * bigrams are word 2-gram shingles with [[wordShingles]]'s whole-text
+    * fallback for sub-2-token docs. The downstream fractions
+    * (top-token share, duplicate-bigram share) are exact rationals via
+    * ScalarFns.roundFrac. Map-only — no shuffle at any corpus size;
+    * NULL text → NULL struct. */
+  def repetitionStats(text: Column): Column = {
+    val statsUdf = udf { t: String =>
+      if (t == null) null
+      else {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val counts = new java.util.HashMap[String, Int]()
+        var top = 0
+        toks.foreach { w =>
+          val c = counts.merge(w, 1, (a, b) => a + b)
+          if (c > top) top = c
+        }
+        val bigrams: Array[String] =
+          if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toArray
+          else Array(toks.mkString(" "))
+        val distinct = new java.util.HashSet[String]()
+        bigrams.foreach(distinct.add)
+        (toks.length, top, bigrams.length, distinct.size)
+      }
+    }
+    statsUdf(text)
+  }
 }

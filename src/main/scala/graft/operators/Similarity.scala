@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,47 @@ object Similarity {
       .select(col("q_id"), col("c_id"),
         VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
     rankTopK(scored, k)
+  }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale 127/max|x|, elements floor(x·scale + 0.5) — "round half
+    * toward +∞" spelled as floor so ANY IEEE-754 engine reproduces the
+    * quantized values bit for bit (round() half-handling differs
+    * between engines; floor does not). All-zero vectors quantize to
+    * zeros. Emitted as array<double> holding exact small integers:
+    * the integer dot products downstream stay exact in doubles
+    * (|q|≤127 ⇒ dot ≤ 127²·dim ≪ 2⁵³) and feed the fused
+    * [[graft.functions.DotProduct]] kernel directly. */
+  def quantize(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = lit(127.0) / mx
+    when(mx === 0.0, transform(vec, _ => lit(0.0)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") * scale + lit(0.5))))
+  }
+
+  /** Exact-arithmetic quantized knn: top-k neighbors per vector by
+    * int8-quantized dot product. The 100 TB motivation is memory
+    * bandwidth — int8 vectors are 4× smaller than float32 (shuffle,
+    * cache, broadcast all shrink 4×), and the scoring loop reads a
+    * quarter of the bytes, at a small recall cost re-rankable with the
+    * exact kernel over the top candidates. Scores are exact integers,
+    * so results are engine-reproducible (unlike float cosine ranking,
+    * which is only reproducible because both engines run IEEE doubles
+    * in the same order). */
+  def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val c = df.select(col(idCol).as("c_id"), quantize(col(vecCol)).as("c_vec"))
+      .repartition(par)
+    val q = df.select(col(idCol).as("q_id"), quantize(col(vecCol)).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorFns.dot(col("q_vec"), col("c_vec")).as("sim"))
+    rankTopK(scored, k)
+      .withColumn("qdot", col("sim").cast("long"))
+      .drop("sim")
   }
 
   /** Deterministic pseudo-random hyperplane component for (table,

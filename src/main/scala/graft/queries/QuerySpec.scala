@@ -26,5 +26,6 @@ case class QuerySpec(
 
 object Catalog {
   lazy val all: Seq[QuerySpec] =
-    Relational.specs ++ MatrixPipelines.specs ++ DataOps.specs ++ Advanced.specs
+    Relational.specs ++ MatrixPipelines.specs ++ DataOps.specs ++
+      Advanced.specs ++ TrainingOps.specs
 }

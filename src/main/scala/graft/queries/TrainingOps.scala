@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{ScalarFns, TextFns}
+import graft.operators.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 training-data operators: PII redaction, repetition-based
+  * quality signals, quantized ANN, and deterministic per-source quota
+  * sampling. All four are oracle-checked — the PII patterns are written
+  * in the Java∩RE2 regex subset, the repetition fractions are exact
+  * rationals, the quantized dot products are exact small integers, and
+  * the quota ranks order by md5.
+  */
+object TrainingOps {
+
+  /** q77: PII redaction audit. The corpus text is digit-free, so the
+    * query first APPENDS a deterministic synthetic contact line
+    * (email + IPv4 + phone derived from doc_id) — the redaction then
+    * provably fires on every row, and the oracle rebuilds the same
+    * line. Output: per-doc PII counts plus the fully redacted text.
+    * Narrow regexp work only — no shuffle at any scale. */
+  private val q77 = QuerySpec(
+    "q77_pii_redact",
+    (s, dir) => {
+      val withContact = Tables.documents(s, dir)
+        .withColumn("raw",
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+            lit(" from 10."), pmod(col("doc_id"), lit(200)), lit(".0.1"),
+            lit(" tel +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      withContact.select(
+          col("doc_id"),
+          TextFns.piiCount(col("raw"), TextFns.emailRe).as("n_emails"),
+          TextFns.piiCount(col("raw"), TextFns.ipv4Re).as("n_ips"),
+          TextFns.piiCount(col("raw"), TextFns.phoneRe).as("n_phones"),
+          TextFns.redactPii(col("raw")).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com'
+                    || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+                    || ' tel +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails,
+             CAST(len(regexp_extract_all(raw,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER)
+               AS n_ips,
+             CAST(len(regexp_extract_all(raw,
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                 '<IP>', 'g'),
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      FROM raw
+      ORDER BY doc_id"""))
+
+  /** q78: repetition quality signals (Gopher-style) — share of the most
+    * frequent token and share of duplicated word bigrams, exact
+    * rational rounding. One narrow UDF pass per doc; no shuffle. */
+  private val q78 = QuerySpec(
+    "q78_repetition",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.repetitionStats(col("text")).as("r"))
+        .select(
+          col("doc_id"),
+          col("r._1").cast("int").as("n_tokens"),
+          coalesce(ScalarFns.roundFrac(col("r._2").cast("long"),
+            col("r._1").cast("long"), 4), lit(0.0)).as("top_token_frac"),
+          coalesce(ScalarFns.roundFrac(
+            (col("r._3") - col("r._4")).cast("long"),
+            col("r._3").cast("long"), 4), lit(0.0)).as("dup_bigram_frac"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      tc AS (
+        SELECT doc_id, x AS tok, count(*) AS c
+        FROM t, unnest(w) AS u(x) GROUP BY 1, 2),
+      tp AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS topc,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM tc GROUP BY 1),
+      bm AS (
+        SELECT doc_id,
+               CAST(len(b) AS BIGINT) AS t2,
+               CAST(len(list_distinct(b)) AS BIGINT) AS d2
+        FROM (SELECT doc_id,
+                CASE WHEN len(w) >= 2 THEN
+                  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END AS b
+              FROM t))
+      SELECT t.doc_id,
+             CAST(coalesce(tp.n, 0) AS INTEGER) AS n_tokens,
+             CASE WHEN coalesce(tp.n, 0) > 0
+               THEN CAST((tp.topc * 20000 + tp.n) // (tp.n * 2) AS DOUBLE) / 10000.0
+               ELSE 0.0 END AS top_token_frac,
+             CASE WHEN bm.t2 > 0
+               THEN CAST(((bm.t2 - bm.d2) * 20000 + bm.t2) // (bm.t2 * 2) AS DOUBLE) / 10000.0
+               ELSE 0.0 END AS dup_bigram_frac
+      FROM t
+      LEFT JOIN tp ON tp.doc_id = t.doc_id
+      JOIN bm ON bm.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
+
+  /** q79: int8-quantized knn top-3 (Similarity.quantizedTopK) — the
+    * memory-bandwidth scale path for ANN. Quantized dot products are
+    * exact integers, so the full index is oracle-checkable (unlike
+    * float-cosine ranking, reproducible only by arithmetic-order
+    * luck). */
+  private val q79 = QuerySpec(
+    "q79_ann_quantized",
+    (s, dir) =>
+      Similarity.quantizedTopK(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 3)
+        .select(col("q_id"), col("rank"), col("c_id"), col("qdot"))
+        .orderBy(col("q_id"), col("rank")),
+    oracle = Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(x))) AS mx
+        FROM embeddings),
+      q AS (
+        SELECT vec_id,
+               CASE WHEN mx = 0 THEN list_transform(emb, x -> 0.0)
+                    ELSE list_transform(emb,
+                      x -> floor(x * (127.0 / mx) + 0.5)) END AS qv
+        FROM v)
+      SELECT q_id, rank, c_id, qdot FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot,
+               CAST(row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.qv, b.qv) DESC, b.vec_id ASC)
+                 AS INTEGER) AS rank
+        FROM q a JOIN q b ON a.vec_id <> b.vec_id)
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
+  /** q80: deterministic per-source quota sampling — mixture control for
+    * training corpora: at most N docs per source, chosen by md5 rank so
+    * any engine reproduces the sample and reruns are stable. The window
+    * shuffles once on source; for exact quotas the per-source rank is
+    * unavoidable, for PROPORTIONAL sampling use Sampling.hashSplit
+    * (no window, no skew risk on a mega-source). */
+  private val q80 = QuerySpec(
+    "q80_source_quota",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy(col("source"), col("rk"))
+    },
+    oracle = Some("""
+      SELECT source, rk, doc_id FROM (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        FROM documents)
+      WHERE rk <= 5
+      ORDER BY source, rk"""))
+
+  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80)
+}
