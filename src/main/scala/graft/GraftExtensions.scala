@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
     ext.injectFunction(GraftExtensions.dotProduct)
+    ext.injectFunction(GraftExtensions.topKPairs)
   }
 }
 
@@ -46,11 +47,35 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
+  /** `top_k_pairs(score, id, k)` — the native bounded-heap top-k
+    * aggregate; k must be a literal int (it sizes the buffer at plan
+    * time). Score/id casts mirror the Column builder's coercion. */
+  val topKPairs: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_pairs"),
+    new ExpressionInfo(
+      classOf[graft.operators.TopKPairs].getName, "top_k_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        s"top_k_pairs takes (score, id, k), got ${children.length} args")
+      val k = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"top_k_pairs k must be a literal int, got $other")
+      }
+      graft.operators.TopKPairs(
+        org.apache.spark.sql.catalyst.expressions.Cast(children.head,
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+          org.apache.spark.sql.types.LongType), k)
+    })
+
   /** Register on an already-built session (tests / notebooks that can't
     * set spark.sql.extensions before session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimilarity, dotProduct).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry
-        .registerFunction(id, info, builder)
+    Seq(cosineSimilarity, dotProduct, topKPairs).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry
+          .registerFunction(id, info, builder)
     }
 }

@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
   * tokenization, n-gram shingling, quality stats, language-ID heuristics,
-  * document fingerprinting.
+  * document fingerprinting, PII redaction, repetition signals.
   *
-  * All pure Column expressions (no UDFs) → whole-stage codegen, fully
-  * distributed, no driver round-trips. At 100 TB these run as a single
-  * narrow projection stage over the scan.
+  * Pure Column expressions (whole-stage codegen, fully distributed, no
+  * driver round-trips) with ONE exception: [[repetitionStats]] is a
+  * typed UDF, because its multiset counting (top-token frequency,
+  * distinct bigrams) would otherwise need either a shuffle or a
+  * per-row interpreted-HOF chain — the same justified-UDF trade as
+  * Dedup's shingle/signature kernels. Everything here runs as a single
+  * narrow stage over the scan at any corpus size.
   */
 object TextFns {
 

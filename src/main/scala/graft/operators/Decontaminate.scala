@@ -49,10 +49,15 @@ object Decontaminate {
     * (eval_id, train_id) leak pair with the score. */
   def nearDupLeaks(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, n: Int, threshold: Double): DataFrame = {
-    val ts = Dedup.hashedShingles(train, idCol, textCol, n, "train_id")
-    val es = Dedup.hashedShingles(eval, idCol, textCol, n, "eval_id")
-    val tSizes = ts.groupBy(col("train_id")).agg(count(lit(1)).as("sz_t"))
-    val eSizes = es.groupBy(col("eval_id")).agg(count(lit(1)).as("sz_e"))
+    // shared shingle-set kernel: per-corpus sizes are NARROW size(shs)
+    // projections of the persisted sets — not counting shuffles over
+    // the exploded view (same migration as Dedup.ngramJaccardPairs)
+    val tSets = Dedup.shingleSets(train, idCol, textCol, n, "train_id")
+    val eSets = Dedup.shingleSets(eval, idCol, textCol, n, "eval_id")
+    val ts = tSets.select(col("train_id"), explode(col("shs")).as("sh"))
+    val es = eSets.select(col("eval_id"), explode(col("shs")).as("sh"))
+    val tSizes = tSets.select(col("train_id"), size(col("shs")).as("sz_t"))
+    val eSizes = eSets.select(col("eval_id"), size(col("shs")).as("sz_e"))
     es.join(ts, "sh")
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("inter"))

@@ -87,7 +87,8 @@ object Dedup {
     * also fanned to all cores first (single-file inputs arrive as ONE
     * split). */
   private[operators] def shingleSets(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, outIdName: String): DataFrame = {
+      textCol: String, n: Int, outIdName: String,
+      cache: Boolean = true): DataFrame = {
     val shUdf = udf { text: String =>
       if (text == null) null
       else {
@@ -104,10 +105,14 @@ object Dedup {
         out.result()
       }
     }
-    docs
+    val sets = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as(outIdName), shUdf(col(textCol)).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache=false for single-consumer callers (standalone signature
+    // export): persisting a once-read relation is pure overhead and the
+    // entry would linger until the session's next clearCache
+    if (cache) sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sets
   }
 
   /** Exploded (doc, shingle-hash) view of [[shingleSets]] — the join
@@ -170,7 +175,8 @@ object Dedup {
                         shingleN: Int, numHashes: Int,
                         seed: Long = 42L): DataFrame =
     minhashSignaturesFromSets(
-      shingleSets(docs, idCol, textCol, shingleN, "doc"), numHashes, seed)
+      shingleSets(docs, idCol, textCol, shingleN, "doc", cache = false),
+      numHashes, seed)
 
   /** Signature kernel over pre-hashed shingle sets ([[shingleSets]]) —
     * lets the MinHash pipeline share ONE tokenization pass with the
@@ -222,6 +228,11 @@ object Dedup {
     // pipeline (UDF kernel included) executes twice. Small by
     // construction: |docs|·bands rows of (id, int, int64).
     val buckets = signatures
+      // NULL signatures (NULL text) must not reach banding: xxhash64
+      // over a NULL slice degenerates to the seed, so every such doc
+      // would share one bucket per band and generate candidate pairs
+      // that downstream verification only then discards
+      .filter(col("sig").isNotNull)
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

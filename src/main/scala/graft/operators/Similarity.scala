@@ -73,13 +73,18 @@ object Similarity {
     * the integer dot products downstream stay exact in doubles
     * (|q|≤127 ⇒ dot ≤ 127²·dim ≪ 2⁵³) and feed the fused
     * [[graft.functions.DotProduct]] kernel directly. */
-  def quantize(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = lit(127.0) / mx
+  def quantize(vec: Column): Column =
+    quantizeWithMax(vec, array_max(transform(vec, x => abs(x.cast("double")))))
+
+  /** [[quantize]] with the per-vector max passed in. Callers that can
+    * hoist `mx` into its own projection column MUST (see
+    * [[quantizedTopK]]): a lambda-invariant subtree inside `transform`
+    * is re-evaluated per ELEMENT — inlining the max scan makes
+    * quantization O(dim²) interpreted work per vector. */
+  def quantizeWithMax(vec: Column, mx: Column): Column =
     when(mx === 0.0, transform(vec, _ => lit(0.0)))
       .otherwise(transform(vec,
-        x => floor(x.cast("double") * scale + lit(0.5))))
-  }
+        x => floor(x.cast("double") * (lit(127.0) / mx) + lit(0.5))))
 
   /** Exact-arithmetic quantized knn: top-k neighbors per vector by
     * int8-quantized dot product. The 100 TB motivation is memory
@@ -93,9 +98,14 @@ object Similarity {
   def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val c = df.select(col(idCol).as("c_id"), quantize(col(vecCol)).as("c_vec"))
-      .repartition(par)
-    val q = df.select(col(idCol).as("q_id"), quantize(col(vecCol)).as("q_vec"))
+    // mx hoisted to its own projection so the transform lambda reads a
+    // plain column instead of re-scanning the array per element
+    def quantized(id: String, vecName: String) = df
+      .select(col(idCol).as(id), col(vecCol).as("__v"),
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("__mx"))
+      .select(col(id), quantizeWithMax(col("__v"), col("__mx")).as(vecName))
+    val c = quantized("c_id", "c_vec").repartition(par)
+    val q = quantized("q_id", "q_vec")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -64,6 +65,19 @@ case class TopKPairs(left: Expression, right: Expression, k: Int,
     with BinaryLike[Expression] {
 
   require(k > 0, s"top_k_pairs needs k > 0, got $k")
+
+  /** Exact types only — `update` reads primitives straight off the
+    * row, so a mistyped child would ClassCastException inside an
+    * executor; this fails at ANALYSIS instead. The Column builder
+    * ([[TopKPairs.topK]]) inserts the casts (float score → double,
+    * int id → long), matching the udaf twin's encoder coercion. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_pairs needs (double, bigint) inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
 
   override def createAggregationBuffer(): TopKPairsBuffer =
     new TopKPairsBuffer(k)
@@ -128,6 +142,7 @@ object TopKPairs {
     * array<struct<sim,id>> of the k best, score-desc/id-asc. */
   def topK(k: Int)(score: Column, id: Column): Column =
     Bridge.column(
-      TopKPairs(Bridge.expression(score), Bridge.expression(id), k)
+      TopKPairs(Bridge.expression(score.cast("double")),
+        Bridge.expression(id.cast("long")), k)
         .toAggregateExpression())
 }

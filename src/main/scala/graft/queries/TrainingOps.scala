@@ -106,12 +106,18 @@ object TrainingOps {
                   list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
                 ELSE [array_to_string(w, ' ')] END AS b
               FROM t))
+      -- NULL text mirrors the Spark side's NULL stats struct:
+      -- n_tokens NULL, both fractions 0.0 (w IS NULL only for NULL
+      -- text; empty text filters to an empty — not NULL — list)
       SELECT t.doc_id,
-             CAST(coalesce(tp.n, 0) AS INTEGER) AS n_tokens,
-             CASE WHEN coalesce(tp.n, 0) > 0
+             CASE WHEN t.w IS NULL THEN NULL
+               ELSE CAST(coalesce(tp.n, 0) AS INTEGER) END AS n_tokens,
+             CASE WHEN t.w IS NULL THEN 0.0
+               WHEN coalesce(tp.n, 0) > 0
                THEN CAST((tp.topc * 20000 + tp.n) // (tp.n * 2) AS DOUBLE) / 10000.0
                ELSE 0.0 END AS top_token_frac,
-             CASE WHEN bm.t2 > 0
+             CASE WHEN t.w IS NULL THEN 0.0
+               WHEN bm.t2 > 0
                THEN CAST(((bm.t2 - bm.d2) * 20000 + bm.t2) // (bm.t2 * 2) AS DOUBLE) / 10000.0
                ELSE 0.0 END AS dup_bigram_frac
       FROM t

@@ -14,6 +14,26 @@ class GraftExtensionsSpec extends SparkSpec {
     r.getDouble(1) shouldBe 0.0 +- 1e-12
   }
 
+  test("top_k_pairs callable from SQL as an aggregate, coercing int inputs") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT g, top_k_pairs(s, id, 2) AS nn FROM VALUES" +
+        " ('a', 1, 10), ('a', 3, 20), ('a', 2, 30), ('a', 3, 5)" +
+        " AS t(g, s, id) GROUP BY g")
+      .selectExpr("g", "inline(nn)")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    rows shouldBe Seq(("a", 3.0, 5L), ("a", 3.0, 20L))
+  }
+
+  test("top_k_pairs rejects a non-literal k") {
+    GraftExtensions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT top_k_pairs(s, id, id) FROM VALUES (1.0, 10L) AS t(s, id)")
+        .collect()
+    }
+    ex.getMessage should include("literal int")
+  }
+
   test("extension class injects without error (config wiring is creation-time only)") {
     // Config-based wiring (spark.sql.extensions=graft.GraftExtensions)
     // only runs at SparkSession CREATION, which a shared-JVM suite can't
