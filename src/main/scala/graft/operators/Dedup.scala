@@ -213,8 +213,11 @@ object Dedup {
   /** MinHash-LSH candidate pairs. The signature array is split into
     * `bands` slices; docs colliding on a whole band (xxhash64 of the
     * slice) become candidates. Deduplicated (id_a < id_b), bucket size
-    * capped at `maxBucket`. Expects (doc, sig: array<long>) from
-    * [[minhashSignatures]]. */
+    * capped at `maxBucket`. Expects (doc: bigint, sig: array<long>)
+    * from [[minhashSignatures]] — integral ids are a requirement of
+    * the bounded-collect bucket aggregate (string-keyed corpora should
+    * join through a surrogate id, which they want anyway so shuffles
+    * move 8-byte keys). */
   def minhashCandidates(signatures: DataFrame, bands: Int,
                         maxBucket: Int = 1000): DataFrame = {
     val rpb = expr(s"size(sig) div $bands") // rows per band, integer
@@ -223,10 +226,6 @@ object Dedup {
         xxhash64(slice(col("sig"), lit(1) + lit(b) * rpb, rpb)).as("sig"))
         .as(s"band_$b")
     }
-    // Persisted: both the size census and the bucket materialization
-    // consume this relation — without the persist the whole signature
-    // pipeline (UDF kernel included) executes twice. Small by
-    // construction: |docs|·bands rows of (id, int, int64).
     val buckets = signatures
       // NULL signatures (NULL text) must not reach banding: xxhash64
       // over a NULL slice degenerates to the seed, so every such doc
@@ -235,22 +234,20 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Pair generation without a self-join: count bucket sizes FIRST
-    // (the cap applies before any bucket is materialized — a degenerate
-    // bucket never reaches a collect_list buffer), keep 2..maxBucket,
-    // gather each surviving bucket's doc list, and expand i<j pairs
-    // inside the array with nested transforms. One narrow pipeline over
-    // three small shuffles; the previous window + broadcast-self-join
-    // form recomputed the signature pipeline per side and its timing was
-    // bimodal under AQE.
-    val sizes = buckets.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
-      .select(col("band"), col("sig"))
-    buckets.join(sizes, Seq("band", "sig"), "left_semi")
-      .groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+    // Pair generation in ONE bucket shuffle: bounded_collect carries an
+    // EXACT bucket count plus at most maxBucket member ids — the
+    // degenerate-bucket guard (empty docs, boilerplate) lives INSIDE
+    // the aggregate buffer, so a pathological bucket is detected by its
+    // count and dropped without ever having been materialized. This
+    // replaced a census → semi-join → collect_list two-phase (the
+    // standard guard formulation): same semantics, two fewer shuffles,
+    // no persisted bucket relation, and a HARD per-group memory bound
+    // where collect_list had none. Surviving buckets (2..maxBucket
+    // members, ids sorted) expand to i<j pairs inside the array.
+    buckets.groupBy(col("band"), col("sig"))
+      .agg(BoundedCollectLong.boundedCollect(maxBucket)(col("doc")).as("bc"))
+      .filter(col("bc.n") >= 2 && col("bc.n") <= maxBucket)
+      .select(col("bc.items").as("docs"))
       .select(explode(flatten(transform(col("docs"), (x, i) =>
         transform(slice(col("docs"), i + lit(2), size(col("docs"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -185,5 +185,46 @@ object TrainingOps {
       WHERE rk <= 5
       ORDER BY source, rk"""))
 
-  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80)
+  /** q81: overlapping token-window chunking (window 64, stride 32) —
+    * the context-length prep step before packing (q50/q70): long
+    * documents become training-sized pieces, short ones pass through
+    * as a single (possibly empty) chunk. Pure narrow expressions:
+    * tokenize → posexplode over the stride sequence → slice; no
+    * shuffle at any corpus size. NULL text is chunked as empty (both
+    * engines coalesce first). */
+  private val q81 = QuerySpec(
+    "q81_chunking",
+    (s, dir) => {
+      val toks = TextFns.tokens(coalesce(col("text"), lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("__toks"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(1),
+            greatest(size(col("__toks")), lit(1)), lit(32)))
+            .as(Seq("chunk_id", "s")),
+          col("__toks"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("int").as("chunk_id"),
+          size(slice(col("__toks"), col("s"), lit(64))).as("n_chunk_tokens"),
+          array_join(slice(col("__toks"), col("s"), lit(64)), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      c AS (
+        SELECT doc_id, w, i AS s
+        FROM t, unnest(range(1, greatest(len(w), 1) + 1, 32)) AS r(i))
+      SELECT doc_id,
+             CAST((s - 1) // 32 AS INTEGER) AS chunk_id,
+             CAST(len(w[s:s+63]) AS INTEGER) AS n_chunk_tokens,
+             array_to_string(w[s:s+63], ' ') AS chunk_text
+      FROM c
+      ORDER BY doc_id, chunk_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81)
 }
