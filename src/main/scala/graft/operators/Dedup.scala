@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   *  - Shuffle keys are 64-bit hashes (xxhash64 in-plan, FNV-1a inside
   *    the signature kernel); the multiply-mod scheme keeps operands
   *    < 2⁶² so ANSI-mode Long arithmetic can never overflow.
-  *  - Cache lifecycle: the pair operators persist multi-consumer
-  *    intermediates (shingle sets, LSH buckets) that Spark can only
+  *  - Cache lifecycle: the pair operators persist ONE multi-consumer
+  *    intermediate — the per-doc shingle sets — which Spark can only
   *    release AFTER the returned plan is consumed. Long-lived sessions
   *    should `spark.catalog.clearCache()` once results are
-  *    materialized (Bench/Verify do this between queries).
+  *    materialized (Bench/Verify do this between queries). LSH buckets
+  *    are NOT cached: since the bounded-collect rewrite they have a
+  *    single consumer.
   */
 object Dedup {
 
@@ -82,10 +84,11 @@ object Dedup {
     * corpus scale — the same fidelity trade MinHash makes. Tokenization
     * matches [[TextFns.wordShingles]] (n-gram, whole-text fallback for
     * short docs); NULL text → NULL set (the doc joins into no pair).
-    * Returned PERSISTED (MEMORY_AND_DISK) — every caller feeds it to
-    * 2-3 consumers (sizes, self-join, exact re-check); the input is
-    * also fanned to all cores first (single-file inputs arrive as ONE
-    * split). */
+    * Returned PERSISTED (MEMORY_AND_DISK) when `cache` is true (the
+    * default — pair operators feed it to 2-3 consumers: sizes,
+    * self-join, exact re-check); single-consumer callers pass
+    * cache=false. The input is also fanned to all cores first
+    * (single-file inputs arrive as ONE split). */
   private[operators] def shingleSets(docs: DataFrame, idCol: String,
       textCol: String, n: Int, outIdName: String,
       cache: Boolean = true): DataFrame = {
@@ -220,6 +223,14 @@ object Dedup {
     * move 8-byte keys). */
   def minhashCandidates(signatures: DataFrame, bands: Int,
                         maxBucket: Int = 1000): DataFrame = {
+    // fail fast on non-integral ids: the bounded-collect bucket
+    // aggregate casts to long, which under ANSI would die deep in the
+    // bucket shuffle (or, ANSI off, silently null out every candidate)
+    val docType = signatures.schema("doc").dataType
+    require(docType == org.apache.spark.sql.types.LongType
+        || docType == org.apache.spark.sql.types.IntegerType,
+      s"minhashCandidates needs an integral doc id, got " +
+        s"${docType.catalogString}; map string keys to a surrogate id first")
     val rpb = expr(s"size(sig) div $bands") // rows per band, integer
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -199,8 +199,12 @@ object TrainingOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("__toks"))
         .select(col("doc_id"),
+          // last start is len−window+stride = len−32: later starts
+          // would emit chunks wholly contained in their predecessor
+          // (duplicated training text); this bound still covers every
+          // token and each chunk contributes ≥1 new one
           posexplode(sequence(lit(1),
-            greatest(size(col("__toks")), lit(1)), lit(32)))
+            greatest(size(col("__toks")) - 32, lit(1)), lit(32)))
             .as(Seq("chunk_id", "s")),
           col("__toks"))
         .select(
@@ -218,7 +222,7 @@ object TrainingOps {
         FROM documents),
       c AS (
         SELECT doc_id, w, i AS s
-        FROM t, unnest(range(1, greatest(len(w), 1) + 1, 32)) AS r(i))
+        FROM t, unnest(range(1, greatest(len(w) - 32, 1) + 1, 32)) AS r(i))
       SELECT doc_id,
              CAST((s - 1) // 32 AS INTEGER) AS chunk_id,
              CAST(len(w[s:s+63]) AS INTEGER) AS n_chunk_tokens,

@@ -96,6 +96,27 @@ object StreamOps {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Dedup-on-ingest: drop streaming documents whose normalized-content
+    * fingerprint already exists in a STATIC corpus index — the online
+    * complement of [[graft.operators.Dedup.exact]] (batch) for a
+    * continuously-fed training corpus. Stream-static left_anti join,
+    * no streaming state at all; within-stream repeats are handled by
+    * composing [[dedupeEvents]] upstream. NOTE: a plain file-based
+    * static side snapshots its file LISTING at query start — files
+    * appended to the index directory later are invisible until
+    * restart; an index that must grow mid-query needs a transactional
+    * table format (or periodic query restarts, the common batch-ingest
+    * cadence). The index should be the fingerprint column alone — at
+    * 100 TB the md5 index is ~3% of corpus bytes and
+    * partition-prunable. */
+  def dedupeAgainstIndex(docs: DataFrame, corpusIndex: DataFrame,
+                         textCol: String = "text",
+                         fpCol: String = "fp"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextFns.fingerprint(col(textCol)))
+      .join(corpusIndex.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Declarative gap-based session aggregation (session_window): sessions
     * close after `gap` of per-user inactivity; emits one row per closed
     * session in append mode. */

@@ -119,6 +119,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-on-ingest drops docs already fingerprinted in the static index") {
+    implicit val ctx = spark.sqlContext
+    val indexDir = Files.createTempDirectory("corpus_index").toString
+    // static corpus index: fingerprints of two known docs (one stored
+    // with different whitespace/case — fingerprint normalizes)
+    Seq("known doc one", "KNOWN   doc two")
+      .toDF("text")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(indexDir)
+    val corpusIndex = spark.read.parquet(indexDir)
+
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = startQuery(
+      StreamOps.dedupeAgainstIndex(docs, corpusIndex), "ingest_dedup", "append")
+    try {
+      in.addData(
+        (1L, "known doc one"),        // exact duplicate → dropped
+        (2L, "Known Doc Two"),        // case/space-normalized dup → dropped
+        (3L, "a genuinely new doc"))  // survives
+      q.processAllAvailable()
+      val out = spark.table("ingest_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      out shouldBe Array(3L)
+      // the surviving row keeps its original columns, no helper column
+      spark.table("ingest_dedup").columns.sorted shouldBe Array("doc_id", "text")
+    } finally q.stop()
+  }
+
   test("declarative session_window closes sessions after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
