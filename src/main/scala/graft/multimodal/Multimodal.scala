@@ -113,6 +113,42 @@ object Multimodal {
     }
   }
 
+  /** Resize images to fit a bounding box (stub for a libvips/Pillow
+    * resample): aspect-preserving target dims from the decoded meta,
+    * payload re-encoded proportionally to the pixel-count change — the
+    * shape of the real op (bytes in, smaller bytes + new dims out)
+    * without the codec. Non-image payloads pass through untouched.
+    * Same partition-wise lifecycle as the other kernels: one decoder
+    * session per partition, narrow map, linear at any corpus size. */
+  def resizeImages(media: Dataset[Media], maxW: Int = 256,
+                   maxH: Int = 256): Dataset[DecodedMedia] = {
+    require(maxW > 0 && maxH > 0, s"resize box must be positive, got ${maxW}x$maxH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val session = DecoderSession.open()
+      it.map { m =>
+        val meta = session.decode(m.kind, m.payload)
+        if (m.kind != "image" || (meta.width <= maxW && meta.height <= maxH))
+          DecodedMedia(m.media_id, m.kind, m.payload, meta)
+        else {
+          // aspect-preserving fit: one integer scale per axis, floor —
+          // deterministic, no float-rounding drift across engines
+          val scaleNum = math.min(maxW.toLong * meta.height,
+            maxH.toLong * meta.width)
+          val w = (scaleNum / meta.height).toInt.max(1)
+          val h = (scaleNum / meta.width).toInt.max(1)
+          val outLen = math.max(1,
+            (m.payload.length.toLong * (w.toLong * h) /
+              (meta.width.toLong * meta.height)).toInt)
+          DecodedMedia(m.media_id, m.kind,
+            java.util.Arrays.copyOf(bytes(m.payload), outLen),
+            meta.copy(width = w, height = h))
+        }
+      }
+    }
+  }
+
   /** Decoded metadata joined back as columns — the typed-metadata table
     * shape a catalog would persist alongside the payload store. */
   def metadataTable(media: Dataset[Media]): DataFrame =

@@ -135,11 +135,76 @@ object Similarity {
         lit(2000000L)).cast("double") / 1000000.0) - 1.0
 
   /** Random-hyperplane (SRP) LSH bucketing: `planes` sign bits per
-    * table. Returns (id, table, bucket). */
+    * table. Returns (id, table, bucket).
+    *
+    * The hyperplane matrix is MATERIALIZED ONCE on the driver — by
+    * evaluating the component Column expressions over dims 0..d−1, so
+    * the values are identical to the in-plan form by construction —
+    * and the sign bits come from one primitive-loop UDF over the
+    * vector. The previous all-expression form re-derived every
+    * component inside interpreted HOF lambdas PER VECTOR
+    * (tables×planes×dim hash evaluations each: 4096 per vector at
+    * 16×4×64 — bucketing alone cost more than the brute-force scan it
+    * was supposed to beat). The matrix is tables×planes×dim doubles
+    * (~32 KB at 16×4×64) shipped in the UDF closure; recomputing it
+    * per query is one driver-side job over `dim` rows. Fixed-dim
+    * contract: dimensionality is probed from the first non-NULL
+    * vector; NULL vectors get no buckets (they can never produce a
+    * scored pair anyway — the cosine kernel nulls them out). */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
                  tables: Int, planes: Int,
                  component: (Int, Int) => org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                    planeComponent): DataFrame = {
+    val spark = df.sparkSession
+    val probe = df.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull).limit(1).collect()
+    if (probe.isEmpty)
+      return df.select(col(idCol).as("id"), lit(0).as("table"),
+        lit(0L).as("bucket")).limit(0)
+    val dim = probe(0).getInt(0)
+    import spark.implicits._
+    val compCols = for (t <- 0 until tables; p <- 0 until planes)
+      yield component(t, p)(col("d")).as(s"c_${t}_$p")
+    val matRows = (0 until dim).toDF("d")
+      .select(col("d") +: compCols: _*).orderBy(col("d")).collect()
+    val mat: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, planes, dim)((t, p, d) =>
+        matRows(d).getDouble(1 + t * planes + p))
+    val bucketUdf = udf { vec: Array[Float] =>
+      if (vec == null) null
+      else {
+        val out = new Array[Long](tables)
+        val n = math.min(vec.length, dim)
+        var t = 0
+        while (t < tables) {
+          var bits = 0L
+          var p = 0
+          while (p < planes) {
+            val pl = mat(t)(p)
+            var dot = 0.0
+            var i = 0
+            while (i < n) { dot += vec(i).toDouble * pl(i); i += 1 }
+            if (dot >= 0) bits |= (1L << p)
+            p += 1
+          }
+          out(t) = bits
+          t += 1
+        }
+        out
+      }
+    }
+    df.select(col(idCol).as("id"),
+        posexplode(bucketUdf(col(vecCol))).as(Seq("table", "bucket")))
+      .select(col("id"), col("table").cast("int").as("table"), col("bucket"))
+  }
+
+  /** The all-expression SRP form (zip_with/aggregate HOFs) — kept as
+    * the differential twin for [[srpBuckets]]: same hyperplanes, same
+    * fold order, so the sign bits agree bitwise. */
+  private[operators] def srpBucketsHof(df: DataFrame, idCol: String,
+      vecCol: String, tables: Int, planes: Int,
+      component: (Int, Int) => org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        planeComponent): DataFrame = {
     val bucketCols = (0 until tables).map { t =>
       val bits = (0 until planes).map { p =>
         val comp = component(t, p)

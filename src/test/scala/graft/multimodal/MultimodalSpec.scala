@@ -83,4 +83,31 @@ class MultimodalSpec extends SparkSpec {
       "height", "n_frames", "sample_rate", "n_bytes")
     rows(t.filter(col("n_bytes") <= 0)) shouldBe empty
   }
+
+  test("resizeImages: images fit the box aspect-preserved, others untouched") {
+    val decoded = Multimodal.decodeAll(media).collect()
+      .map(d => d.media_id -> d).toMap
+    val resized = Multimodal.resizeImages(media, maxW = 64, maxH = 64).collect()
+    resized.foreach { r =>
+      val orig = decoded(r.media_id)
+      if (r.kind != "image") {
+        r.meta shouldBe orig.meta
+        r.payload shouldBe orig.payload
+      } else {
+        r.meta.width should be <= 64
+        r.meta.height should be <= 64
+        // aspect preserved within integer-floor rounding: w/h ratio
+        // cannot invert
+        (r.meta.width <= r.meta.height) shouldBe
+          (orig.meta.width <= orig.meta.height)
+        // payload shrinks with the pixel count, never grows, never empty
+        r.payload.length should be <= orig.payload.length
+        r.payload.length should be >= 1
+      }
+    }
+    // deterministic across runs
+    val again = Multimodal.resizeImages(media, maxW = 64, maxH = 64).collect()
+    resized.map(r => (r.media_id, r.meta, r.payload.length)).sortBy(_._1) shouldBe
+      again.map(r => (r.media_id, r.meta, r.payload.length)).sortBy(_._1)
+  }
 }

@@ -33,6 +33,20 @@ class SimilaritySpec extends SparkSpec {
     b1 shouldBe b2
   }
 
+  test("srpBuckets UDF form ≡ HOF expression form, both hash families") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val udfB = rows(Similarity.srpBuckets(e, "vec_id", "embedding", 4, 8)
+      .orderBy("id", "table"))
+    val hofB = rows(Similarity.srpBucketsHof(e, "vec_id", "embedding", 4, 8)
+      .orderBy("id", "table"))
+    udfB shouldBe hofB
+    val udfP = rows(Similarity.srpBuckets(e, "vec_id", "embedding", 2, 4,
+      Similarity.portablePlaneComponent).orderBy("id", "table"))
+    val hofP = rows(Similarity.srpBucketsHof(e, "vec_id", "embedding", 2, 4,
+      Similarity.portablePlaneComponent).orderBy("id", "table"))
+    udfP shouldBe hofP
+  }
+
   test("LSH top-k recall vs brute force on unclustered embeddings (few planes)") {
     // The testdata embeddings are unclustered random vectors: top-3
     // neighbors sit near cos≈0.3, so per-plane collision p≈0.6 —
