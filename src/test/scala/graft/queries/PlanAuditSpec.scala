@@ -52,6 +52,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q78: repetition stats are map-only — no exchange before the oracle sort") {
+    val plan = planOf("q78_repetition")
+    // exactly ONE exchange: the rangepartitioning for the final ORDER BY
+    // (oracle determinism); the stats themselves never shuffle
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert(plan.contains("rangepartitioning") || !plan.contains("Exchange"), plan)
+  }
+
+  test("q79: quantized knn broadcasts queries and ranks via the object-hash top-k aggregate") {
+    val plan = planOf("q79_ann_quantized")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("top_k_pairs"), plan)
+    // the hoisted quantization max must survive optimization as its own
+    // projection column — re-inlined it makes quantization O(dim²)
+    assert(plan.contains("__mx"), plan)
+  }
+
+  test("q28: LSH bucket aggregation is the single-shuffle bounded collect") {
+    val plan = planOf("q28_dedup_minhash")
+    assert(plan.contains("bounded_collect"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("q60: nation-blocked fuzzy match plans as a hash equi-join, not nested-loop") {
     val plan = planOf("q60_fuzzy_name_pairs")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
