@@ -69,4 +69,36 @@ object Decontaminate {
       .select(col("eval_id"), col("train_id"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** [[nearDupLeaks]]'s LSH-banded scale form: MinHash-band both
+    * corpora, candidates = cross-corpus bucket collisions only, exact
+    * Jaccard verification per candidate pair — so precision is exactly
+    * 1.0 and recall follows the band curve (≈1−5·10⁻⁸ missing
+    * probability at j=0.8 with 128/32, the q28 argument). At 100 TB
+    * the exact form's shingle join touches every co-shingle pair
+    * across corpora; this touches only banded collisions, and the
+    * shingle sets are tokenized ONCE and reused for signatures and
+    * verification alike. */
+  def nearDupLeaksLsh(train: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String, n: Int = 3, numHashes: Int = 128,
+                      bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val tSets = Dedup.shingleSets(train, idCol, textCol, n, "train_id")
+    val eSets = Dedup.shingleSets(eval, idCol, textCol, n, "eval_id")
+    def buckets(sets: DataFrame, id: String) = Dedup.bandBuckets(
+        Dedup.minhashSignaturesFromSets(sets, numHashes), bands)
+      .withColumnRenamed("doc", id)
+    val cands = buckets(eSets, "eval_id")
+      .join(buckets(tSets, "train_id"), Seq("band", "sig"))
+      .select(col("eval_id"), col("train_id"))
+      .distinct()
+    cands
+      .join(eSets.select(col("eval_id"), col("shs").as("se")), "eval_id")
+      .join(tSets.select(col("train_id"), col("shs").as("st")), "train_id")
+      .withColumn("inter", size(array_intersect(col("se"), col("st"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("se")) + size(col("st")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("eval_id"), col("train_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 }

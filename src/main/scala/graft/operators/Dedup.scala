@@ -221,6 +221,28 @@ object Dedup {
     * the bounded-collect bucket aggregate (string-keyed corpora should
     * join through a surrogate id, which they want anyway so shuffles
     * move 8-byte keys). */
+  /** LSH banding: (doc, sig: array<long>) → (doc, band, sig) bucket
+    * rows, one per band, the slice xxhash64'd. NULL signatures (NULL
+    * text) are dropped — xxhash64 over a NULL slice degenerates to the
+    * seed, so every such doc would share one bucket per band and
+    * generate candidate pairs that downstream verification only then
+    * discards. Shared by within-corpus candidates
+    * ([[minhashCandidates]]) and cross-corpus decontamination
+    * ([[Decontaminate.nearDupLeaksLsh]]). */
+  private[operators] def bandBuckets(signatures: DataFrame,
+      bands: Int): DataFrame = {
+    val rpb = expr(s"size(sig) div $bands") // rows per band, integer
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), lit(1) + lit(b) * rpb, rpb)).as("sig"))
+        .as(s"band_$b")
+    }
+    signatures
+      .filter(col("sig").isNotNull)
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
   def minhashCandidates(signatures: DataFrame, bands: Int,
                         maxBucket: Int = 1000): DataFrame = {
     // fail fast on non-integral ids: the bounded-collect bucket
@@ -231,20 +253,7 @@ object Dedup {
         || docType == org.apache.spark.sql.types.IntegerType,
       s"minhashCandidates needs an integral doc id, got " +
         s"${docType.catalogString}; map string keys to a surrogate id first")
-    val rpb = expr(s"size(sig) div $bands") // rows per band, integer
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), lit(1) + lit(b) * rpb, rpb)).as("sig"))
-        .as(s"band_$b")
-    }
-    val buckets = signatures
-      // NULL signatures (NULL text) must not reach banding: xxhash64
-      // over a NULL slice degenerates to the seed, so every such doc
-      // would share one bucket per band and generate candidate pairs
-      // that downstream verification only then discards
-      .filter(col("sig").isNotNull)
-      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val buckets = bandBuckets(signatures, bands)
     // Pair generation in ONE bucket shuffle: bounded_collect carries an
     // EXACT bucket count plus at most maxBucket member ids — the
     // degenerate-bucket guard (empty docs, boilerplate) lives INSIDE

@@ -230,5 +230,52 @@ object TrainingOps {
       FROM c
       ORDER BY doc_id, chunk_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81)
+  /** q82: LSH-banded decontamination (Decontaminate.nearDupLeaksLsh) —
+    * q72's scale twin, the q27/q28 sharing pattern across the corpus
+    * boundary: candidates come from cross-corpus MinHash band
+    * collisions instead of the full co-shingle join, then exact
+    * verification makes precision 1.0. At threshold 0.8 with 128
+    * hashes / 32 bands the band-curve miss probability is ≈5·10⁻⁸, so
+    * the output equals the exact cross-corpus pairs and shares their
+    * oracle. */
+  private val q82 = QuerySpec(
+    "q82_decontaminate_lsh",
+    (s, dir) => {
+      import graft.operators.Decontaminate
+      val docs = Tables.documents(s, dir)
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+      Decontaminate.nearDupLeaksLsh(
+          docs.filter(!isEval), docs.filter(isEval),
+          "doc_id", "text", n = 3, numHashes = 128, bands = 32,
+          threshold = 0.8)
+        .orderBy(col("eval_id"), col("train_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, is_eval, s FROM (
+          SELECT doc_id, is_eval, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS isect
+        FROM sh e JOIN sh t ON e.s = t.s AND e.is_eval AND NOT t.is_eval
+        GROUP BY 1, 2)
+      SELECT eval_id, train_id,
+             round(CAST(isect AS DOUBLE) / (se.sz + st.sz - isect), 6) AS jaccard
+      FROM inter
+      JOIN sizes se ON se.doc_id = eval_id
+      JOIN sizes st ON st.doc_id = train_id
+      WHERE CAST(isect AS DOUBLE) / (se.sz + st.sz - isect) >= 0.8
+      ORDER BY eval_id, train_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81, q82)
 }

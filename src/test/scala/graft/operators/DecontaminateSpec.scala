@@ -48,4 +48,25 @@ class DecontaminateSpec extends SparkSpec {
       assert(r.getLong(1) < 100L, s"train_id column holds an eval doc: $r")
     }
   }
+
+  test("nearDupLeaksLsh ≡ exact nearDupLeaks at high threshold (planted + testdata)") {
+    // planted corpus: thresholds where band recall ≈ 1
+    val exactP = rows(Decontaminate.nearDupLeaks(train, eval, "doc_id", "text",
+        3, 0.75).orderBy("eval_id", "train_id")).map(_.toSeq)
+    val lshP = rows(Decontaminate.nearDupLeaksLsh(train, eval, "doc_id", "text",
+        3, 128, 32, 0.75).orderBy("eval_id", "train_id")).map(_.toSeq)
+    lshP shouldBe exactP
+    lshP should not be empty
+    // the sf0.001 corpus with the q72/q82 md5 split
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+    val exactT = rows(Decontaminate.nearDupLeaks(docs.filter(!isEval),
+        docs.filter(isEval), "doc_id", "text", 3, 0.8)
+      .orderBy("eval_id", "train_id")).map(_.toSeq)
+    val lshT = rows(Decontaminate.nearDupLeaksLsh(docs.filter(!isEval),
+        docs.filter(isEval), "doc_id", "text", 3, 128, 32, 0.8)
+      .orderBy("eval_id", "train_id")).map(_.toSeq)
+    lshT shouldBe exactT
+  }
 }
