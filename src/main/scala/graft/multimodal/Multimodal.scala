@@ -134,15 +134,16 @@ object Multimodal {
         else {
           // aspect-preserving fit: one integer scale per axis, floor —
           // deterministic, no float-rounding drift across engines
+          val pb = bytes(m.payload) // null payload → empty, never NPE
           val scaleNum = math.min(maxW.toLong * meta.height,
             maxH.toLong * meta.width)
           val w = (scaleNum / meta.height).toInt.max(1)
           val h = (scaleNum / meta.width).toInt.max(1)
           val outLen = math.max(1,
-            (m.payload.length.toLong * (w.toLong * h) /
+            (pb.length.toLong * (w.toLong * h) /
               (meta.width.toLong * meta.height)).toInt)
           DecodedMedia(m.media_id, m.kind,
-            java.util.Arrays.copyOf(bytes(m.payload), outLen),
+            java.util.Arrays.copyOf(pb, outLen),
             meta.copy(width = w, height = h))
         }
       }

@@ -81,24 +81,27 @@ object Decontaminate {
     * verification alike. */
   def nearDupLeaksLsh(train: DataFrame, eval: DataFrame, idCol: String,
                       textCol: String, n: Int = 3, numHashes: Int = 128,
-                      bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+                      bands: Int = 32, threshold: Double = 0.8,
+                      maxBucket: Int = 1000): DataFrame = {
     val tSets = Dedup.shingleSets(train, idCol, textCol, n, "train_id")
     val eSets = Dedup.shingleSets(eval, idCol, textCol, n, "eval_id")
+    // Per-side degenerate-bucket cap BEFORE the cross join — the same
+    // guard as minhashCandidates, same bounded_collect mechanics: all
+    // boilerplate/empty docs share one signature, so an uncapped
+    // (band, sig) join key would materialize |eval bucket|·|train
+    // bucket| rows. A bucket larger than maxBucket on EITHER side is
+    // dropped whole (its members are not near-dup evidence, they are
+    // degenerate content).
     def buckets(sets: DataFrame, id: String) = Dedup.bandBuckets(
         Dedup.minhashSignaturesFromSets(sets, numHashes), bands)
-      .withColumnRenamed("doc", id)
+      .groupBy(col("band"), col("sig"))
+      .agg(BoundedCollectLong.boundedCollect(maxBucket)(col("doc")).as("bc"))
+      .filter(col("bc.n") <= maxBucket)
+      .select(col("band"), col("sig"), explode(col("bc.items")).as(id))
     val cands = buckets(eSets, "eval_id")
       .join(buckets(tSets, "train_id"), Seq("band", "sig"))
       .select(col("eval_id"), col("train_id"))
       .distinct()
-    cands
-      .join(eSets.select(col("eval_id"), col("shs").as("se")), "eval_id")
-      .join(tSets.select(col("train_id"), col("shs").as("st")), "train_id")
-      .withColumn("inter", size(array_intersect(col("se"), col("st"))))
-      .withColumn("jaccard", col("inter").cast("double")
-        / (size(col("se")) + size(col("st")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("eval_id"), col("train_id"),
-        round(col("jaccard"), 6).as("jaccard"))
+    Dedup.verifyJaccard(cands, "eval_id", "train_id", eSets, tSets, threshold)
   }
 }

@@ -293,15 +293,29 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, shingleN, "doc")
     val cands = minhashCandidates(
       minhashSignaturesFromSets(sets, numHashes, seed), bands)
-    cands
-      .join(sets.select(col("doc").as("id_a"), col("shs").as("sa")), "id_a")
-      .join(sets.select(col("doc").as("id_b"), col("shs").as("sb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("inter").cast("double")
-        / (size(col("sa")) + size(col("sb")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(cands, "id_a", "id_b", sets, sets, threshold)
   }
+
+  /** Exact-Jaccard verification of candidate (aId, bId) pairs against
+    * per-doc hashed shingle sets ([[shingleSets]] shape, id column
+    * first): array_intersect per PAIR — O(|cands|·|set|), narrow, no
+    * shuffle explosion. The ONE implementation behind every LSH
+    * operator's verification step (within-corpus [[minhashPairs]],
+    * cross-corpus [[Decontaminate.nearDupLeaksLsh]]), so the
+    * exact/LSH twins cannot drift apart. */
+  private[operators] def verifyJaccard(cands: DataFrame, aId: String,
+      bId: String, aSets: DataFrame, bSets: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(aSets.select(col(aSets.columns.head).as(aId),
+        col("shs").as("__sa")), aId)
+      .join(bSets.select(col(bSets.columns.head).as(bId),
+        col("shs").as("__sb")), bId)
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__inter").cast("double")
+        / (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(aId), col(bId), round(col("jaccard"), 6).as("jaccard"))
 
   /** Connected components over near-dup pairs → (doc, cluster) where
     * cluster = min doc id reachable through the pair graph. The final

@@ -156,9 +156,13 @@ object Similarity {
                  component: (Int, Int) => org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                    planeComponent): DataFrame = {
     val spark = df.sparkSession
-    val probe = df.select(size(col(vecCol)).as("d"))
-      .filter(col("d").isNotNull).limit(1).collect()
-    if (probe.isEmpty)
+    // MAX dim, not first-row dim: limit(1) over an unordered relation is
+    // scheduling-dependent (nondeterministic buckets run to run) and a
+    // shorter probe would silently truncate longer vectors' dots. With
+    // the max, every vector uses its full length — identical semantics
+    // to the HOF twin on mixed-dim input. One column-pruned agg scan.
+    val probe = df.agg(max(size(col(vecCol))).as("d")).collect()
+    if (probe(0).isNullAt(0))
       return df.select(col(idCol).as("id"), lit(0).as("table"),
         lit(0L).as("bucket")).limit(0)
     val dim = probe(0).getInt(0)
@@ -193,8 +197,15 @@ object Similarity {
         out
       }
     }
+    // a NULL ELEMENT would NPE Spark's Array[Float] converter before
+    // the UDF body runs; a corrupt vector gets NO buckets instead (its
+    // every cosine would be NULL downstream anyway — same "excluded
+    // from the index" outcome, decided early and cheaply)
+    val cleanVec = when(exists(col(vecCol), x => x.isNull),
+      lit(null).cast(df.schema(df.schema.fieldIndex(vecCol)).dataType))
+      .otherwise(col(vecCol))
     df.select(col(idCol).as("id"),
-        posexplode(bucketUdf(col(vecCol))).as(Seq("table", "bucket")))
+        posexplode(bucketUdf(cleanVec)).as(Seq("table", "bucket")))
       .select(col("id"), col("table").cast("int").as("table"), col("bucket"))
   }
 

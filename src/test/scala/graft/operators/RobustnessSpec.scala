@@ -119,6 +119,18 @@ class RobustnessSpec extends SparkSpec {
     out.map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
   }
 
+  test("LSH bucketing excludes NULL vectors and NULL-element vectors, no crash") {
+    val vecs = Seq(
+      (1L, Option(Seq[Option[Float]](Some(1f), Some(2f)))),
+      (2L, Option(Seq[Option[Float]](Some(2f), None))), // corrupt element
+      (3L, Option.empty[Seq[Option[Float]]])            // null vector
+    ).toDF("vec_id", "embedding")
+    val buckets = rows(Similarity.srpBuckets(vecs, "vec_id", "embedding", 2, 2))
+    // only the intact vector is indexed; corrupt rows get no buckets
+    // (their every cosine would be NULL downstream anyway)
+    buckets.map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
+
   test("exact dedup: multiple null-text docs stay SEPARATE singleton groups") {
     val docs = Seq(
       (1L, Option("same text")), (2L, Option("same text")),
