@@ -1,0 +1,106 @@
+package graft.pipelines
+
+import graft.functions.TextFns
+import graft.operators.{Chunking, Decontaminate, Dedup, Packing, Sampling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus build — the composition the
+  * individual operators exist for, wired in the canonical order a
+  * production data pipeline runs them:
+  *
+  *   1. quality filter      (TextFns.qualityScore ≥ minQuality)
+  *   2. exact dedup         (Dedup.exact — cheap, removes the bulk)
+  *   3. near-dup dedup      (Dedup.nearDupGroups — MinHash-LSH +
+  *                           connected components, min-id survivor)
+  *   4. decontamination     (exact + LSH near-dup leaks vs the eval
+  *                           holdout — leaked docs DROPPED)
+  *   5. chunking            (Chunking.tokenWindows)
+  *   6. sequence packing    (Packing.greedyPack on chunk token counts)
+  *   7. deterministic split (Sampling.hashSplit on the doc id, so all
+  *                           chunks of a document land in ONE split —
+  *                           splitting per chunk would leak overlapping
+  *                           windows of the same text across splits)
+  *
+  * Every stage is the already-verified operator — this object adds no
+  * new math, only the composition and its ordering constraints
+  * (dedup BEFORE chunking so near-dup detection sees whole documents;
+  * decontamination before chunking for the same reason; the split key
+  * is the surviving document, never the chunk).
+  *
+  * Scale shape: stages 1, 5 are narrow; 2 is one fingerprint shuffle;
+  * 3 is the banded-LSH path; 4 crosses corpora on banded collisions
+  * only; 6 shuffles once on the pack group; 7 is narrow. No stage
+  * collects to the driver.
+  */
+object TrainingCorpusPipeline {
+
+  case class Config(
+      minQuality: Double = 0.3,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      nearDupThreshold: Double = 0.8,
+      chunkWindow: Int = 64,
+      chunkStride: Int = 32,
+      packBudget: Long = 256L,
+      packGroups: Int = 32,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "eval" -> 0.1))
+
+  /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_id, split).
+    * Deterministic: same inputs → same corpus, any cluster size. */
+  def run(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
+          textCol: String, cfg: Config = Config()): DataFrame = {
+    // 1. quality floor — narrow scan
+    val quality = docs.filter(
+      TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
+
+    // 2. exact dedup: keep the min-id survivor per distinct content
+    val exactKeep = Dedup.exact(quality, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exactDeduped = quality.join(exactKeep, Seq(idCol), "left_semi")
+
+    // 3. near-dup dedup: MinHash-LSH clusters, min-id survivor
+    val nearKeep = Dedup.nearDupGroups(exactDeduped, idCol, textCol,
+        cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
+      .select(col("keep_id").as(idCol))
+    val deduped = exactDeduped.join(nearKeep, Seq(idCol), "left_semi")
+
+    // 4. decontamination: drop OUR docs that leak into the eval
+    // holdout — exact fingerprint matches plus banded near-dup
+    // collisions. The Decontaminate operators flag their second
+    // ("eval") argument, so our corpus takes that seat.
+    val leakedExact = Decontaminate
+      .exactLeaks(evalHoldout, deduped, idCol, textCol)
+      .select(col("eval_id").as(idCol))
+    val leakedNear = Decontaminate
+      .nearDupLeaksLsh(evalHoldout, deduped, idCol, textCol,
+        cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
+      .select(col("eval_id").as(idCol))
+    val clean = deduped
+      .join(leakedExact.union(leakedNear).distinct(), Seq(idCol), "left_anti")
+
+    // 5. chunk to training windows — narrow
+    val chunks = Chunking.tokenWindows(clean, idCol, textCol,
+      cfg.chunkWindow, cfg.chunkStride)
+
+    // 6. pack chunks to the token budget. Chunk key = doc·2²⁰ + chunk
+    // (chunk counts are bounded far below 2²⁰ by n_tokens/stride);
+    // pack identity = (pack_group, bin) from greedyPack.
+    val chunkKey = col(idCol).cast("long") * lit(1L << 20) + col("chunk_id")
+    val packed = Packing.greedyPack(
+      chunks.select(chunkKey.as("__ck"), col("n_chunk_tokens")),
+      "__ck", "n_chunk_tokens", cfg.packBudget, cfg.packGroups)
+
+    // 7. split on the DOCUMENT id — overlapping windows of one text
+    // must never straddle train/eval
+    chunks
+      .join(packed.select(col("doc_id").as("__ck"),
+        col("pack_group"), col("bin"), col("truncated")),
+        chunkKey === col("__ck"))
+      .drop("__ck")
+      .join(Sampling.hashSplit(clean.select(col(idCol)), idCol, cfg.splits),
+        Seq(idCol))
+  }
+}

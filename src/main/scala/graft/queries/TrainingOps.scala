@@ -194,26 +194,10 @@ object TrainingOps {
     * engines coalesce first). */
   private val q81 = QuerySpec(
     "q81_chunking",
-    (s, dir) => {
-      val toks = TextFns.tokens(coalesce(col("text"), lit("")))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("__toks"))
-        .select(col("doc_id"),
-          // last start is len−window+stride = len−32: later starts
-          // would emit chunks wholly contained in their predecessor
-          // (duplicated training text); this bound still covers every
-          // token and each chunk contributes ≥1 new one
-          posexplode(sequence(lit(1),
-            greatest(size(col("__toks")) - 32, lit(1)), lit(32)))
-            .as(Seq("chunk_id", "s")),
-          col("__toks"))
-        .select(
-          col("doc_id"),
-          col("chunk_id").cast("int").as("chunk_id"),
-          size(slice(col("__toks"), col("s"), lit(64))).as("n_chunk_tokens"),
-          array_join(slice(col("__toks"), col("s"), lit(64)), " ").as("chunk_text"))
-        .orderBy(col("doc_id"), col("chunk_id"))
-    },
+    (s, dir) =>
+      graft.operators.Chunking.tokenWindows(
+          Tables.documents(s, dir), "doc_id", "text", window = 64, stride = 32)
+        .orderBy(col("doc_id"), col("chunk_id")),
     oracle = Some("""
       WITH t AS (
         SELECT doc_id,

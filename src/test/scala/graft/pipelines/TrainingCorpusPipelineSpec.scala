@@ -1,0 +1,73 @@
+package graft.pipelines
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** End-to-end invariants of the composed corpus build on the sf0.001
+  * documents: every stage's guarantee must survive the composition. */
+class TrainingCorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // holdout = the md5-tail slice of the corpus (the q72 convention);
+  // the rest is the raw training pool, so planted near-dups of the
+  // holdout exist in the pool by construction of the testdata.
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+  private lazy val pool = docs.filter(!isEval).select("doc_id", "text")
+  private lazy val holdout = docs.filter(isEval).select("doc_id", "text")
+
+  private lazy val cfg = TrainingCorpusPipeline.Config(
+    minQuality = 0.2, nearDupThreshold = 0.8,
+    chunkWindow = 32, chunkStride = 16, packBudget = 128L, packGroups = 8)
+
+  private lazy val out = TrainingCorpusPipeline
+    .run(pool, holdout, "doc_id", "text", cfg)
+    .persist()
+
+  test("pipeline produces chunks with the declared schema and rows") {
+    out.columns.toSet shouldBe Set("doc_id", "chunk_id", "n_chunk_tokens",
+      "chunk_text", "pack_group", "bin", "truncated", "split")
+    out.count() should be > 0L
+  }
+
+  test("no surviving document near-duplicates another above the threshold") {
+    val survivors = pool.join(out.select("doc_id").distinct(), Seq("doc_id"),
+      "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "text",
+      cfg.shingleN, cfg.nearDupThreshold)
+    pairs.count() shouldBe 0L
+  }
+
+  test("no surviving document leaks into the holdout (exact or near-dup)") {
+    val survivors = pool.join(out.select("doc_id").distinct(), Seq("doc_id"),
+      "left_semi")
+    graft.operators.Decontaminate.exactLeaks(holdout, survivors,
+      "doc_id", "text").count() shouldBe 0L
+    graft.operators.Decontaminate.nearDupLeaks(holdout, survivors,
+      "doc_id", "text", cfg.shingleN, cfg.nearDupThreshold)
+      .count() shouldBe 0L
+  }
+
+  test("chunks respect the window size and every doc's chunks share one split") {
+    rows(out.filter(col("n_chunk_tokens") > cfg.chunkWindow)) shouldBe empty
+    val multiSplit = out.groupBy("doc_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1)
+    rows(multiSplit) shouldBe empty
+  }
+
+  test("packing respects the token budget per (pack_group, bin)") {
+    val over = out.filter(!col("truncated"))
+      .groupBy("pack_group", "bin")
+      .agg(sum(col("n_chunk_tokens")).as("t"))
+      .filter(col("t") > cfg.packBudget)
+    rows(over) shouldBe empty
+  }
+
+  test("deterministic: a second run builds the identical corpus") {
+    val again = TrainingCorpusPipeline.run(pool, holdout, "doc_id", "text", cfg)
+    again.exceptAll(out).count() shouldBe 0L
+    out.exceptAll(again).count() shouldBe 0L
+  }
+}
