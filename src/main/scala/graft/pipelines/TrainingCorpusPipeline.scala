@@ -44,12 +44,23 @@ object TrainingCorpusPipeline {
       chunkWindow: Int = 64,
       chunkStride: Int = 32,
       packBudget: Long = 256L,
-      packGroups: Int = 32,
+      // matches greedyPack's own default: each pack group materializes
+      // in one task, so groups must scale with the corpus — a small
+      // value is a single-task bottleneck at exactly the scale this
+      // pipeline serves
+      packGroups: Int = 1024,
       splits: Seq[(String, Double)] = Seq("train" -> 0.9, "eval" -> 0.1))
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
-    * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_id, split).
-    * Deterministic: same inputs → same corpus, any cluster size. */
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
+    * truncated, split). Deterministic: same inputs → same corpus, any
+    * cluster size.
+    *
+    * Cache contract (inherited from Dedup/Decontaminate and the
+    * persists below): the returned plan holds MEMORY_AND_DISK
+    * intermediates that Spark can only release after the result is
+    * consumed — materialize, then `spark.catalog.clearCache()` in a
+    * long-lived session. */
   def run(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
           textCol: String, cfg: Config = Config()): DataFrame = {
     // 1. quality floor — narrow scan
@@ -78,29 +89,40 @@ object TrainingCorpusPipeline {
       .nearDupLeaksLsh(evalHoldout, deduped, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("eval_id").as(idCol))
+    // persisted: `clean` feeds chunking AND would otherwise re-run the
+    // whole quality→dedup→decontaminate DAG per downstream subtree
+    // (identical subplans do not reliably hit ReuseExchange)
     val clean = deduped
       .join(leakedExact.union(leakedNear).distinct(), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 5. chunk to training windows — narrow
+    // 5. chunk to training windows — narrow. Persisted: both the pack
+    // input and the final join read it.
     val chunks = Chunking.tokenWindows(clean, idCol, textCol,
-      cfg.chunkWindow, cfg.chunkStride)
+        cfg.chunkWindow, cfg.chunkStride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 6. pack chunks to the token budget. Chunk key = doc·2²⁰ + chunk
-    // (chunk counts are bounded far below 2²⁰ by n_tokens/stride);
-    // pack identity = (pack_group, bin) from greedyPack.
-    val chunkKey = col(idCol).cast("long") * lit(1L << 20) + col("chunk_id")
+    // 6. pack chunks to the token budget. Chunk key = xxhash64(doc,
+    // chunk) — arithmetic packing (doc·2²⁰+chunk) would overflow for
+    // 64-bit surrogate ids under ANSI and silently COLLIDE for
+    // mega-documents; a 64-bit hash has neither failure mode (collision
+    // odds are the corpus-scale-negligible birthday bound) and packing
+    // needs only a deterministic, well-spread key. Pack identity =
+    // (pack_group, bin) from greedyPack.
+    val chunkKey = xxhash64(col(idCol), col("chunk_id"))
     val packed = Packing.greedyPack(
       chunks.select(chunkKey.as("__ck"), col("n_chunk_tokens")),
       "__ck", "n_chunk_tokens", cfg.packBudget, cfg.packGroups)
 
     // 7. split on the DOCUMENT id — overlapping windows of one text
-    // must never straddle train/eval
-    chunks
-      .join(packed.select(col("doc_id").as("__ck"),
-        col("pack_group"), col("bin"), col("truncated")),
-        chunkKey === col("__ck"))
-      .drop("__ck")
-      .join(Sampling.hashSplit(clean.select(col(idCol)), idCol, cfg.splits),
-        Seq(idCol))
+    // must never straddle train/eval. hashSplit is a pure function of
+    // the id column, so it applies directly to the joined chunk rows.
+    Sampling.hashSplit(
+      chunks
+        .join(packed.select(col("doc_id").as("__ck"),
+          col("pack_group"), col("bin"), col("truncated")),
+          chunkKey === col("__ck"))
+        .drop("__ck"),
+      idCol, cfg.splits)
   }
 }

@@ -31,6 +31,11 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     out.count() should be > 0L
   }
 
+  // NOTE for the two zero-count LSH checks below: they hold because
+  // band recall at threshold 0.8 with 128/32 is ~1−5·10⁻⁸ per pair on
+  // this data. Lowering the threshold or hash/band counts in cfg turns
+  // them probabilistic (a just-over-threshold pair can miss every
+  // band) — don't weaken cfg without revisiting these.
   test("no surviving document near-duplicates another above the threshold") {
     val survivors = pool.join(out.select("doc_id").distinct(), Seq("doc_id"),
       "left_semi")
