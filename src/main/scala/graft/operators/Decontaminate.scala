@@ -70,6 +70,40 @@ object Decontaminate {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact shared-n-gram contamination (the GPT-3-style "any shared
+    * 13-gram" detector): every (eval, train) pair sharing at least one
+    * distinct word n-gram, with the shared-gram count as evidence.
+    * Stricter evidence than Jaccard — ONE verbatim 13-token span flags
+    * the pair even when the documents are otherwise unrelated (the
+    * quoted-benchmark-question case a global similarity score dilutes
+    * away).
+    *
+    * Scale shape: eval benchmark suites are tiny next to a 100 TB
+    * train corpus, so the eval side's exploded (gram, eval_id) view is
+    * BROADCAST and the train corpus streams through a broadcast hash
+    * join — the train side is never shuffled; the one shuffle is the
+    * per-pair count aggregation over matches only. Grams travel as
+    * 64-bit hashes from [[Dedup.shingleSets]] (8-byte join keys,
+    * per-doc distinct at birth — so `n_shared` counts DISTINCT shared
+    * grams).
+    *
+    * Docs shorter than n tokens degrade to whole-text matching (the
+    * shingle kernel's fallback), i.e. a short eval doc is only flagged
+    * when some short train doc equals it verbatim. NULL text yields no
+    * grams and is never flagged. */
+  def ngramLeaks(train: DataFrame, eval: DataFrame, idCol: String,
+                 textCol: String, n: Int = 13): DataFrame = {
+    val tg = Dedup.shingleSets(train, idCol, textCol, n, "train_id",
+        cache = false)
+      .select(col("train_id"), explode(col("shs")).as("g"))
+    val eg = Dedup.shingleSets(eval, idCol, textCol, n, "eval_id",
+        cache = false)
+      .select(col("eval_id"), explode(col("shs")).as("g"))
+    tg.join(broadcast(eg), "g")
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+  }
+
   /** [[nearDupLeaks]]'s LSH-banded scale form: MinHash-band both
     * corpora, candidates = cross-corpus bucket collisions only, exact
     * Jaccard verification per candidate pair — so precision is exactly

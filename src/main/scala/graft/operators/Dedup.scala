@@ -383,6 +383,55 @@ object Dedup {
       .drop("cluster")
   }
 
+  /** Incremental exact dedup against a (large) historical index via a
+    * broadcast Bloom filter: keep the rows of `incoming` whose content
+    * fingerprint does NOT already appear in `index`. Result is EXACTLY
+    * `incoming LEFT ANTI JOIN index ON fingerprint` — the Bloom filter
+    * has no false negatives, and its false positives are re-checked
+    * exactly — the filter only changes the PLAN, never the answer.
+    *
+    * Why this shape at 100 TB: the naive anti join shuffles BOTH the
+    * new batch and the whole historical index on the fingerprint. Here
+    * the index is scanned (never shuffled) twice — once aggregated into
+    * a Bloom filter (`fpp` error at `expectedItems` keys: ~1.2 GB of
+    * bits per 10⁹ keys at 1%, broadcastable), once probed by a
+    * broadcast semi-join against the tiny set of bloom-POSITIVE
+    * fingerprints. Rows failing the bloom test (the overwhelming
+    * majority of genuinely-new content) pass through with NO join at
+    * all. A production index should store the (narrow, columnar)
+    * fingerprints, making both scans cheap column reads.
+    *
+    * Within-batch duplicates are NOT collapsed (that is [[exact]]'s
+    * job); NULL text rows pass through, matching anti-join semantics
+    * (NULL keys never match). */
+  def bloomDedupe(incoming: DataFrame, index: DataFrame, idCol: String,
+                  textCol: String, expectedItems: Long,
+                  fpp: Double = 0.01): DataFrame = {
+    val idxFp = index
+      .select(TextFns.fingerprint(col(textCol)).as("__fp"))
+      .filter(col("__fp").isNotNull)
+    // driver-side action: one scan of the index, merged per-partition
+    // (treeAggregate under the hood) — only the filter bits travel
+    val bloom = idxFp.stat.bloomFilter("__fp", expectedItems, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightUdf = udf { fp: String =>
+      fp != null && bc.value.mightContainString(fp)
+    }
+    val tagged = incoming
+      .withColumn("__fp", TextFns.fingerprint(col(textCol)))
+      .withColumn("__maybe", mightUdf(col("__fp")))
+    // bloom-positive fingerprints, confirmed against the real index by
+    // a broadcast semi-join (index side streams, small side broadcasts)
+    val confirmed = idxFp
+      .join(broadcast(tagged.filter(col("__maybe"))
+        .select(col("__fp")).distinct()), "__fp")
+      .distinct()
+    tagged.filter(!col("__maybe"))
+      .unionByName(tagged.filter(col("__maybe"))
+        .join(broadcast(confirmed), Seq("__fp"), "left_anti"))
+      .drop("__fp", "__maybe")
+  }
+
   /** 64-bit SimHash per document: per-token hash, bit-majority vote
     * weighted by token frequency. Computed with one explode + one
     * groupBy(doc) carrying 64 conditional-sum measures — single

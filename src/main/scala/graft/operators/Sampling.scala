@@ -35,6 +35,42 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Deterministic global shuffle for training-order randomization:
+    * every row gets an exact position 1..n in the order of
+    * `(md5(seed || '_' || id), id)` — a pure function of the row, so
+    * the epoch order is reproducible across runs, engines, cluster
+    * sizes, and repartitioning (randomSplit/orderBy(rand()) are none
+    * of these).
+    *
+    * Positions are assigned by TWO-PHASE ranking, never a global
+    * window: rows are bucketed by the first 3 hex chars of the order
+    * key (4096 buckets; the bucket is a PREFIX of the sort key, so
+    * (bucket, key) order ≡ key order), ranked within their bucket, and
+    * offset by the cumulative counts of the buckets before them. The
+    * per-bucket ranking is a 4096-way parallel window; the offsets are
+    * a 4096-row aggregate — broadcast back, with its own (tiny) window
+    * run on one partition, the distributed-zipWithIndex-by-sort-key
+    * pattern. A single global row_number() window would drag all
+    * 100 TB through ONE task. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           seed: Long = 42L): DataFrame = {
+    val ord = md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string")))
+    val keyed = df.withColumn("__ord", ord)
+      .withColumn("__b", conv(substring(col("__ord"), 1, 3), 16, 10).cast("int"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__ord"), col(idCol))
+    val ranked = keyed.withColumn("__rk", row_number().over(wB))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    ranked.join(broadcast(offsets), "__b")
+      .withColumn("pos", col("__off") + col("__rk"))
+      .drop("__ord", "__b", "__rk", "__off")
+  }
+
   /** Deterministic stratified sample: keeps ~`fraction(stratum)` of the
     * rows in each stratum, membership decided by the id hash. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,

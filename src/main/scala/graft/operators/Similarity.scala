@@ -288,6 +288,49 @@ object Similarity {
       .select(col("id"), col("cell"))
   }
 
+  /** Embedding-cosine near-dup removal (SemDeDup-style): assign every
+    * vector to its nearest centroid cell ([[ivfCells]], nProbe=1), then
+    * inside each cell drop any vector with a SMALLER-id neighbor at
+    * cosine ≥ `threshold`. Returns the kept (id, cell) rows — the
+    * semantic-diversity-preserving subset.
+    *
+    * The drop rule is deterministic and local: v is dropped iff some
+    * same-cell u < v has cos(u,v) ≥ θ. Chains (a~b, b~c, a≁c) drop both
+    * b and c — the documented greedy-by-id semantics (identical to
+    * SemDeDup's keep-one-per-ε-ball up to the id ordering), chosen over
+    * connected-components canonicalization because it needs NO
+    * iteration: one self-join per cell, so the whole operator is one
+    * broadcast (centroids) + one shuffle (cell) + one anti join.
+    *
+    * At 100 TB the within-cell pair scan is the designed cost model:
+    * O(Σ|cell|²) with |cell| ≈ n/nCells — nCells is the knob that keeps
+    * cells task-sized (SemDeDup runs 50k clusters at web scale).
+    * NULL/corrupt embeddings are excluded UP FRONT (filtered before
+    * assignment — [[ivfCells]] would otherwise still give them a cell,
+    * with a NULL sim at every rank), consistent with the ANN
+    * operators' "excluded from the index" contract. */
+  def semanticDedupe(df: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, threshold: Double,
+                     centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                       id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
+    val clean = df.filter(col(vecCol).isNotNull
+      && !exists(col(vecCol), x => x.isNull))
+    val vecs = clean.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // persisted: the assignment feeds both self-join sides AND the
+    // final anti join (three consumers of one crossJoin+window plan)
+    val assigned = ivfCells(clean, idCol, vecCol, nCells, nProbe = 1, centroidRank)
+      .join(vecs, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(VectorFns.cosine(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"))
+  }
+
   /** ANN top-k via IVF cells + exact re-rank within shared cells. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nCells: Int = 64, nProbe: Int = 2,

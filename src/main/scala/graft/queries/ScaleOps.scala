@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Decontaminate, Dedup, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-3 scale-path operators: Bloom-filter incremental dedup,
+  * deterministic global corpus shuffle, exact shared-n-gram
+  * decontamination, and embedding-cosine semantic dedup. All four are
+  * oracle-checked — the Bloom filter never changes the answer (only
+  * the plan), the shuffle key and cell draw are md5-derived, and the
+  * cosine doubles agree between engines (the q30/q73 precedent).
+  */
+object ScaleOps {
+
+  /** q83: Bloom-filter incremental dedup (Dedup.bloomDedupe) — the
+    * "new crawl batch vs 100 TB historical index" shape. The index is
+    * the md5-first-hex < '4' quarter of the corpus, the batch is the
+    * rest; survivors are batch docs whose content is not in the index.
+    * The result is provably the plain anti join (bloom false positives
+    * are re-verified, false negatives impossible) — which is exactly
+    * what the oracle runs. */
+  private val q83 = QuerySpec(
+    "q83_bloom_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val inIndex = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+      Dedup.bloomDedupe(docs.filter(!inIndex), docs.filter(inIndex),
+          "doc_id", "text", expectedItems = 10000L, fpp = 0.01)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH fp AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_idx,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents)
+      SELECT n.doc_id
+      FROM fp n
+      WHERE NOT n.is_idx
+        AND (n.fp IS NULL OR n.fp NOT IN
+             (SELECT fp FROM fp WHERE is_idx AND fp IS NOT NULL))
+      ORDER BY n.doc_id"""))
+
+  /** q84: deterministic global corpus shuffle
+    * (Sampling.deterministicShuffle) — epoch-order randomization with
+    * exact positions, assigned by two-phase bucketed ranking instead of
+    * a single-task global window. The oracle IS the global window: both
+    * engines order by (md5('42_' || id), id), so positions match
+    * exactly. */
+  private val q84 = QuerySpec(
+    "q84_corpus_shuffle",
+    (s, dir) =>
+      Sampling.deterministicShuffle(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", seed = 42L)
+        .select(col("pos"), col("doc_id"))
+        .orderBy(col("pos")),
+    oracle = Some("""
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5('42_' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS pos,
+             doc_id
+      FROM documents
+      ORDER BY pos"""))
+
+  /** q85: exact shared-n-gram decontamination (Decontaminate.ngramLeaks)
+    * — the GPT-3-style "any verbatim shared 13-gram" detector, the
+    * strict companion of q72/q82's Jaccard forms. Same md5 eval/train
+    * split as q82; n_shared counts DISTINCT shared grams. */
+  private val q85 = QuerySpec(
+    "q85_ngram_leaks",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+      Decontaminate.ngramLeaks(docs.filter(!isEval), docs.filter(isEval),
+          "doc_id", "text", n = 13)
+        .orderBy(col("eval_id"), col("train_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, is_eval, s FROM (
+          SELECT doc_id, is_eval, unnest(
+            CASE WHEN len(w) >= 13 THEN
+              list_transform(range(1, len(w) - 11),
+                i -> array_to_string(w[i:i+12], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks))
+      SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+             CAST(count(*) AS INTEGER) AS n_shared
+      FROM g e JOIN g t ON e.s = t.s AND e.is_eval AND NOT t.is_eval
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** q86: semantic dedup (Similarity.semanticDedupe) — embedding-cosine
+    * near-dup removal inside nearest-centroid cells, SemDeDup-style.
+    * Portable md5 centroid draw (the q73 pattern) so DuckDB replays
+    * centroid selection, nearest-cell assignment, the within-cell
+    * cosine prune, and the greedy-by-id drop rule. Threshold 0.35
+    * matches q30's near-dup bar on this corpus. */
+  private val q86 = QuerySpec(
+    "q86_semantic_dedup",
+    (s, dir) =>
+      Similarity.semanticDedupe(Tables.embeddings(s, dir), "vec_id",
+          "embedding", nCells = 8, threshold = 0.35,
+          centroidRank = Similarity.portableCentroidRank)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy(col("vec_id")),
+    oracle = Some("""
+      WITH cent AS (
+        SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings
+        ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000000,
+                 vec_id
+        LIMIT 8),
+      assign AS (
+        SELECT id, cell FROM (
+          SELECT e.vec_id AS id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rnk <= 1),
+      dropped AS (
+        SELECT DISTINCT b.id
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.id < b.id
+        JOIN embeddings va ON va.vec_id = a.id
+        JOIN embeddings vb ON vb.vec_id = b.id
+        WHERE list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                                     CAST(vb.embedding AS DOUBLE[])) >= 0.35)
+      SELECT a.id AS vec_id, a.cell
+      FROM assign a
+      WHERE a.id NOT IN (SELECT id FROM dropped)
+      ORDER BY vec_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Round-3 scale-path operators: Bloom dedup, deterministic shuffle,
+  * exact n-gram decontamination, semantic dedup. Mostly differential —
+  * each operator has a brute-force definition it must equal exactly.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  // ---------- bloomDedupe ----------
+
+  test("bloomDedupe equals the plain anti join on fingerprint") {
+    val split = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+    val index = docs.filter(split)
+    val batch = docs.filter(!split)
+    val got = Dedup.bloomDedupe(batch, index, "doc_id", "text", 10000L)
+      .select(col("doc_id"))
+    val want = batch
+      .withColumn("__fp", TextFns.fingerprint(col("text")))
+      .join(index.select(TextFns.fingerprint(col("text")).as("__fp"))
+        .filter(col("__fp").isNotNull).distinct(),
+        Seq("__fp"), "left_anti")
+      .select(col("doc_id"))
+    rows(got.exceptAll(want)) shouldBe empty
+    rows(want.exceptAll(got)) shouldBe empty
+  }
+
+  test("bloomDedupe stays exact when the filter is saturated with false positives") {
+    // expectedItems=1 at fpp 0.5 → nearly everything tests positive;
+    // the verify join must still produce the exact anti-join answer
+    val index = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text")
+    val batch = Seq((10L, "alpha beta"), (11L, "fresh content"),
+      (12L, "gamma  delta"), (13L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Dedup.bloomDedupe(batch, index, "id", "text", 1L, fpp = 0.5)
+      .select("id").as[Long].collect().sorted
+    // 10 dup, 12 dup after whitespace normalization, 11 new, 13 NULL passes
+    out shouldBe Array(11L, 13L)
+  }
+
+  test("bloomDedupe does not collapse within-batch duplicates") {
+    val index = Seq((1L, "seen")).toDF("id", "text")
+    val batch = Seq((2L, "twice"), (3L, "twice")).toDF("id", "text")
+    Dedup.bloomDedupe(batch, index, "id", "text", 100L)
+      .count() shouldBe 2L
+  }
+
+  // ---------- deterministicShuffle ----------
+
+  test("deterministicShuffle equals the global-window rank") {
+    val df = docs.select(col("doc_id"))
+    val got = Sampling.deterministicShuffle(df, "doc_id", seed = 42L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(concat_ws("_", lit("42"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    val want = df.withColumn("pos", row_number().over(w).cast("long"))
+    rows(got.select("doc_id", "pos").exceptAll(want.select("doc_id", "pos"))) shouldBe empty
+    rows(want.select("doc_id", "pos").exceptAll(got.select("doc_id", "pos"))) shouldBe empty
+  }
+
+  test("deterministicShuffle: positions are an exact 1..n permutation, stable under repartition") {
+    val df = spark.range(0, 2000).toDF("id")
+    val a = Sampling.deterministicShuffle(df, "id")
+    val ps = a.select("pos").as[Long].collect().sorted
+    ps shouldBe (1L to 2000L).toArray
+    val b = Sampling.deterministicShuffle(df.repartition(17), "id")
+    rows(a.exceptAll(b)) shouldBe empty
+    rows(b.exceptAll(a)) shouldBe empty
+  }
+
+  test("deterministicShuffle: different seeds give different orders") {
+    val df = spark.range(0, 500).toDF("id")
+    val a = Sampling.deterministicShuffle(df, "id", seed = 1L)
+    val b = Sampling.deterministicShuffle(df, "id", seed = 2L)
+    a.join(b, Seq("id"))
+      .filter(a("pos") === b("pos")).count() should be < 50L
+  }
+
+  // ---------- ngramLeaks ----------
+
+  test("ngramLeaks flags a planted verbatim 13-token span and nothing else") {
+    val span = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"preamble words here $span trailing content words"),
+      (2L, "completely unrelated training document with many distinct words")
+    ).toDF("id", "text")
+    val eval = Seq(
+      (100L, s"benchmark question quoting $span verbatim in context"),
+      (101L, "clean eval document sharing nothing with training data at all")
+    ).toDF("id", "text")
+    val out = Decontaminate.ngramLeaks(train, eval, "id", "text", n = 13)
+      .collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((100L, 1L))
+  }
+
+  test("ngramLeaks counts DISTINCT shared grams") {
+    // 15 shared tokens in a row → three 13-grams shared (positions 1..3)
+    val shared = (1 to 15).map(i => s"w$i").mkString(" ")
+    val train = Seq((1L, s"$shared tail1 tail2")).toDF("id", "text")
+    val eval = Seq((2L, s"head1 head2 $shared")).toDF("id", "text")
+    val out = Decontaminate.ngramLeaks(train, eval, "id", "text", n = 13)
+      .collect()
+    out.length shouldBe 1
+    out(0).getInt(2) shouldBe 3
+  }
+
+  test("ngramLeaks: short docs fall back to whole-text matching; NULL text never flagged") {
+    val train = Seq((1L, "short doc"), (2L, "other short")).toDF("id", "text")
+    val eval = Seq((10L, "short doc"), (11L, "short doc extra"),
+      (12L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Decontaminate.ngramLeaks(train, eval, "id", "text", n = 13)
+      .collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((10L, 1L))
+  }
+
+  // ---------- semanticDedupe ----------
+
+  test("semanticDedupe equals the brute-force greedy-by-id rule") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val kept = Similarity.semanticDedupe(emb, "vec_id", "embedding",
+        nCells = 4, threshold = 0.35,
+        centroidRank = Similarity.portableCentroidRank)
+      .select(col("id"), col("cell"))
+    // brute force over the same cell assignment
+    val cells = Similarity.ivfCells(emb, "vec_id", "embedding", 4, 1,
+        Similarity.portableCentroidRank)
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val av = cells.join(vecs, "id")
+    val droppedWant = av.as("a").join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(graft.functions.VectorFns.cosine(col("a.vec"), col("b.vec")) >= 0.35)
+      .select(col("b.id").as("id")).distinct()
+    val want = av.join(droppedWant, Seq("id"), "left_anti").select("id", "cell")
+    rows(kept.exceptAll(want)) shouldBe empty
+    rows(want.exceptAll(kept)) shouldBe empty
+    // and it actually dropped something on this corpus
+    kept.count() should be < emb.count()
+  }
+
+  test("semanticDedupe: kept set has no same-cell pair above threshold with ordered ids where the smaller survived") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val kept = Similarity.semanticDedupe(emb, "vec_id", "embedding",
+      nCells = 4, threshold = 0.35,
+      centroidRank = Similarity.portableCentroidRank)
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val kv = kept.join(vecs, "id")
+    // a kept v with a kept smaller-id near-dup in the same cell would
+    // violate the drop rule (v should have been dropped)
+    kv.as("a").join(kv.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(graft.functions.VectorFns.cosine(col("a.vec"), col("b.vec")) >= 0.35)
+      .count() shouldBe 0L
+  }
+
+  test("semanticDedupe: corrupt (null-element) vectors are excluded from the output") {
+    val good = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)), (3L, Array(0.0f, 1.0f)))
+    val df = good.toDF("id", "vec")
+      .union(Seq((4L, null.asInstanceOf[Array[Float]])).toDF("id", "vec"))
+    val kept = Similarity.semanticDedupe(df, "id", "vec", nCells = 2,
+      threshold = 0.95)
+    kept.select("id").as[Long].collect() should not contain 4L
+  }
+}
