@@ -88,6 +88,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("q83: bloom dedup joins are all broadcast — the index is never shuffled") {
+    val plan = planOf("q83_bloom_dedup")
+    // both the confirm semi-join and the final anti join build on the
+    // (tiny) broadcast side; a SortMergeJoin would mean the historical
+    // index got dragged through an exchange
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q84: shuffle positions rank inside hash-partitioned buckets; offsets broadcast back") {
+    val plan = planOf("q84_corpus_shuffle")
+    // the per-bucket window runs under hashpartitioning(__b) — 4096-way
+    // parallel — and the cumulative offsets come back as a broadcast
+    assert(plan.contains("hashpartitioning(__b"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly one SinglePartition exchange: the 4096-row offsets window
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("q85: n-gram leak join broadcasts the eval grams; train side never shuffles pre-join") {
+    val plan = planOf("q85_ngram_leaks")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q86: semantic dedup broadcasts centroids and anti-joins the dropped set") {
+    val plan = planOf("q86_semantic_dedup")
+    // centroid assignment = broadcast nested-loop cross join; the
+    // within-cell pair join and the left_anti stay hash joins
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
