@@ -383,6 +383,40 @@ object Dedup {
       .drop("cluster")
   }
 
+  /** Per-document boilerplate fraction: the share of a doc's DISTINCT
+    * word n-gram shingles that are "common" — occurring in at least
+    * `minDocs` distinct documents. High values flag templated /
+    * boilerplate content (navigation chrome, licence headers, form
+    * letters) — the corpus-level companion of the within-doc
+    * repetition signals (q78), in the spirit of the C4/MassiveText
+    * repeated-content filters.
+    *
+    * Scale shape: shingle document-frequency is ONE groupBy on the
+    * 8-byte shingle hash (per-doc sets are distinct at birth, so
+    * count(*) IS the doc frequency); the common set joins back to the
+    * exploded view as a hash join (the common set is corpus-sized in
+    * the worst case — not broadcastable by assumption). Everything
+    * derives from ONE persisted [[shingleSets]] pass. NULL-text docs
+    * are excluded (no shingles → no signal). */
+  def boilerplateFraction(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, minDocs: Int = 5): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n, "doc")
+    val exploded = sets.select(col("doc"), explode(col("shs")).as("sh"))
+    val common = exploded.groupBy(col("sh"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("sh"))
+    val nCommon = exploded.join(common, "sh")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_common"))
+    sets.filter(col("shs").isNotNull)
+      .select(col("doc"), size(col("shs")).as("n_shingles"))
+      .join(nCommon, Seq("doc"), "left")
+      .withColumn("n_common",
+        coalesce(col("n_common"), lit(0L)).cast("int"))
+      .withColumn("boilerplate_frac", graft.functions.ScalarFns.roundFrac(
+        col("n_common").cast("long"), col("n_shingles").cast("long"), 4))
+  }
+
   /** Incremental exact dedup against a (large) historical index via a
     * broadcast Bloom filter: keep the rows of `incoming` whose content
     * fingerprint does NOT already appear in `index`. Result is EXACTLY

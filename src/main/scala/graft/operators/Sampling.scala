@@ -71,6 +71,46 @@ object Sampling {
       .drop("__ord", "__b", "__rk", "__off")
   }
 
+  /** Temperature-scaled mixture resampling (α = ½): re-weight a corpus
+    * so each group (source/domain/language) contributes in proportion
+    * to √n_g instead of n_g — the standard data-mixture flattening
+    * (GPT-3/multilingual style: big domains damped, small ones
+    * boosted) — then keep a deterministic hash sample hitting an
+    * expected `budget` total rows.
+    *
+    * Per-group keep rate (in basis points of the hash space):
+    * `min(10000, (budget · w_g · 10000) div (Σw · n_g))` with
+    * `w_g = floor(√n_g)`. Every step is INTEGER arithmetic on exact
+    * inputs — floor of a correctly-rounded IEEE sqrt of an integer is
+    * exact in any engine, integer sums are order-free — so the rates
+    * (and hence membership) are reproducible bit-for-bit by any SQL
+    * engine; a float `pow(n, α)` for general α would instead expose
+    * last-ulp library differences at the floor boundary, which is why
+    * α is fixed at ½. Membership = portable md5 bucket of the id
+    * (salted, independent of [[hashSplit]]/[[stratified]]).
+    *
+    * One count shuffle over the corpus; rates are a tiny broadcast
+    * back. Rates cap at 10000 (no upsampling — replication is a
+    * separate, explicit step). Returns the kept rows plus their
+    * group's `rate_bp`. */
+  def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
+                         budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val total = counts.agg(sum(col("__w")).as("__tw"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("rate_bp", least(lit(10000L),
+        expr(s"($budget * __w * 10000) div (__tw * __n)")))
+      .select(col("__g"), col("rate_bp"))
+    val bucket = pmod(Dedup.portableTokenHash(
+      concat(lit("mix_"), col(idCol).cast("string"))), lit(10000L))
+    df.join(broadcast(rates), col(groupCol) === col("__g"))
+      .filter(bucket < col("rate_bp"))
+      .drop("__g")
+  }
+
   /** Deterministic stratified sample: keeps ~`fraction(stratum)` of the
     * rows in each stratum, membership decided by the id hash. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,

@@ -139,5 +139,86 @@ object ScaleOps {
       WHERE a.id NOT IN (SELECT id FROM dropped)
       ORDER BY vec_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86)
+  /** q87: corpus-level boilerplate fraction (Dedup.boilerplateFraction)
+    * — share of each doc's distinct 3-gram shingles occurring in ≥ 10
+    * docs, the templated-content quality signal (C4/MassiveText
+    * style); the corpus-level companion of q78's within-doc repetition
+    * signals. */
+  private val q87 = QuerySpec(
+    "q87_boilerplate_frac",
+    (s, dir) =>
+      Dedup.boilerplateFraction(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, minDocs = 10)
+        .select(col("doc").as("doc_id"), col("n_shingles"), col("n_common"),
+          col("boilerplate_frac"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      common AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 10),
+      nc AS (SELECT doc_id, count(*) AS n_common
+             FROM sh JOIN common USING (s) GROUP BY 1),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1)
+      SELECT sz.doc_id,
+             CAST(sz.n_shingles AS INTEGER) AS n_shingles,
+             CAST(coalesce(nc.n_common, 0) AS INTEGER) AS n_common,
+             CAST((coalesce(nc.n_common, 0) * 20000 + sz.n_shingles)
+                  // (sz.n_shingles * 2) AS DOUBLE) / 10000.0
+               AS boilerplate_frac
+      FROM sz LEFT JOIN nc ON nc.doc_id = sz.doc_id
+      ORDER BY sz.doc_id"""))
+
+  /** q88: temperature-scaled mixture resample
+    * (Sampling.temperatureMixture, α=½) — domains damped toward √n so
+    * small sources punch above their row count, rates computed in
+    * exact integer arithmetic (floor-sqrt weights) so any engine
+    * reproduces membership bit-for-bit. The "domain" here is a derived
+    * 4:2:1-skewed bucketing of doc_id (the corpus's real sources are
+    * uniform — skew is what makes the reweighting visible). */
+  private val q88 = QuerySpec(
+    "q88_mixture_temperature",
+    (s, dir) => {
+      val grp = when(pmod(col("doc_id"), lit(7)) < 4, "big")
+        .when(pmod(col("doc_id"), lit(7)) < 6, "mid")
+        .otherwise("small")
+      Sampling.temperatureMixture(
+          Tables.documents(s, dir).withColumn("grp", grp)
+            .select(col("doc_id"), col("grp")),
+          "doc_id", "grp", budget = 200L)
+        .select(col("grp"), col("rate_bp"), col("doc_id"))
+        .orderBy(col("grp"), col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 < 4 THEN 'big'
+                    WHEN doc_id % 7 < 6 THEN 'mid'
+                    ELSE 'small' END AS grp
+        FROM documents),
+      counts AS (
+        SELECT grp, count(*) AS n,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        FROM d GROUP BY grp),
+      rates AS (
+        SELECT grp, CAST(least(10000,
+                 (200 * w * 10000) // ((SELECT sum(w) FROM counts) * n))
+               AS BIGINT) AS rate_bp
+        FROM counts)
+      SELECT d.grp, r.rate_bp, d.doc_id
+      FROM d JOIN rates r ON r.grp = d.grp
+      WHERE ('0x' || substring(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000 < r.rate_bp
+      ORDER BY d.grp, d.doc_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88)
 }

@@ -118,6 +118,66 @@ class ScaleOpsSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((10L, 1L))
   }
 
+  // ---------- boilerplateFraction ----------
+
+  test("boilerplateFraction: planted boilerplate phrase scores high; unique docs score zero") {
+    val boiler = "all rights reserved contact us terms of service"
+    val docs = (1L to 6L).map(i => (i, s"unique$i words here $boiler"))
+      .toDF("id", "text")
+      .union(Seq((7L, "entirely fresh content with no repeats anywhere at all"))
+        .toDF("id", "text"))
+    val out = Dedup.boilerplateFraction(docs, "id", "text", n = 3, minDocs = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the 6 boiler docs share the 6 shingles inside the boiler span;
+    // their leading "uniqueN words here" shingles are theirs alone
+    (1L to 6L).foreach { i => out(i) should be > 0.4 }
+    out(7L) shouldBe 0.0
+  }
+
+  test("boilerplateFraction: frac is n_common/n_shingles half-up at 4 digits; NULL text excluded") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c x y z"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Dedup.boilerplateFraction(docs, "id", "text", n = 3, minDocs = 2)
+      .collect()
+    out.map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    // doc1 shingles: {abc, bca, cab, abc(dup)} -> distinct {a b c, b c a, c a b};
+    // only "a b c" also occurs in doc2 -> 1/3
+    byId(1L) shouldBe ((3, 1, 0.3333))
+    // doc2: {a b c, b c x, c x y, x y z} -> 1/4
+    byId(2L) shouldBe ((4, 1, 0.25))
+  }
+
+  // ---------- temperatureMixture ----------
+
+  test("temperatureMixture: sqrt damping boosts small groups, caps at 10000, hits the budget") {
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("g", when(col("id") < 9000, "big").otherwise("small"))
+    val out = Sampling.temperatureMixture(df, "id", "g", budget = 1000L)
+    val rates = out.select("g", "rate_bp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_big=94, w_small=31, tot=125: rate_big = 1000*94*10000/(125*9000)=835
+    // rate_small = 1000*31*10000/(125*1000) = 2480
+    rates("big") shouldBe 835L
+    rates("small") shouldBe 2480L
+    // small's PER-ROW keep rate ~3x big's: the flattening worked
+    val kept = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("small").toDouble / 1000 should be > (kept("big").toDouble / 9000) * 2
+    // expected total = 9000*835/10000 + 1000*2480/10000 = 999.5
+    (kept("big") + kept("small")).toDouble shouldBe 1000.0 +- 100.0
+  }
+
+  test("temperatureMixture: membership is a pure function of the id (repartition-stable)") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("g", pmod(col("id"), lit(3)).cast("string"))
+    val a = Sampling.temperatureMixture(df, "id", "g", budget = 300L)
+    val b = Sampling.temperatureMixture(df.repartition(11), "id", "g", budget = 300L)
+    rows(a.exceptAll(b)) shouldBe empty
+    rows(b.exceptAll(a)) shouldBe empty
+  }
+
   // ---------- semanticDedupe ----------
 
   test("semanticDedupe equals the brute-force greedy-by-id rule") {
