@@ -282,6 +282,10 @@ object TextFns {
         (toks.length, top, bigrams.length, distinct.size)
       }
     }
-    statsUdf(text)
+    // the tuple encoder names fields _1.._4; cast to the documented
+    // names so callers bind col("r.n_tokens"), not positional aliases
+    statsUdf(text).cast(
+      "struct<n_tokens:int,top_token_count:int," +
+        "n_bigrams:int,n_distinct_bigrams:int>")
   }
 }

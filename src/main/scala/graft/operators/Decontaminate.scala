@@ -117,6 +117,18 @@ object Decontaminate {
                       textCol: String, n: Int = 3, numHashes: Int = 128,
                       bands: Int = 32, threshold: Double = 0.8,
                       maxBucket: Int = 1000): DataFrame = {
+    // fail fast on non-integral ids, same hazard as minhashCandidates:
+    // the bounded-collect bucket aggregate casts ids to long — string
+    // keys would die mid-shuffle under ANSI, or (ANSI off) null out
+    // every bucket member and SILENTLY report zero leaks, the worst
+    // possible failure mode for a contamination gate
+    Seq(train, eval).foreach { side =>
+      val idType = side.schema(side.schema.fieldIndex(idCol)).dataType
+      require(idType == org.apache.spark.sql.types.LongType
+          || idType == org.apache.spark.sql.types.IntegerType,
+        s"nearDupLeaksLsh needs an integral doc id, got " +
+          s"${idType.catalogString}; map string keys to a surrogate id first")
+    }
     val tSets = Dedup.shingleSets(train, idCol, textCol, n, "train_id")
     val eSets = Dedup.shingleSets(eval, idCol, textCol, n, "eval_id")
     // Per-side degenerate-bucket cap BEFORE the cross join — the same

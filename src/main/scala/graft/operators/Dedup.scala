@@ -451,9 +451,15 @@ object Dedup {
     val mightUdf = udf { fp: String =>
       fp != null && bc.value.mightContainString(fp)
     }
+    // persisted: three consumers (pass-through filter, verify-side
+    // filter, and the broadcast candidate-fp build) would otherwise
+    // each re-scan the batch and re-run normalize+md5+bloom probe —
+    // same multi-consumer rule as shingleSets. Released by the
+    // session's next clearCache (Bench/Verify do this per query).
     val tagged = incoming
       .withColumn("__fp", TextFns.fingerprint(col(textCol)))
       .withColumn("__maybe", mightUdf(col("__fp")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bloom-positive fingerprints, confirmed against the real index by
     // a broadcast semi-join (index side streams, small side broadcasts)
     val confirmed = idxFp

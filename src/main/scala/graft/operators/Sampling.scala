@@ -51,7 +51,14 @@ object Sampling {
     * a 4096-row aggregate — broadcast back, with its own (tiny) window
     * run on one partition, the distributed-zipWithIndex-by-sort-key
     * pattern. A single global row_number() window would drag all
-    * 100 TB through ONE task. */
+    * 100 TB through ONE task.
+    *
+    * `idCol` must be UNIQUE (it is the row's identity): rows sharing
+    * an id share a sort key, so their positions within that block are
+    * arbitrary — determinism is only as strong as the key. (Enforcing
+    * uniqueness here would cost a full extra shuffle; dedup first if
+    * in doubt.) NULL ids all hash identically and are likewise only
+    * block-deterministic. */
   def deterministicShuffle(df: DataFrame, idCol: String,
                            seed: Long = 42L): DataFrame = {
     val ord = md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string")))
@@ -79,31 +86,49 @@ object Sampling {
     * expected `budget` total rows.
     *
     * Per-group keep rate (in basis points of the hash space):
-    * `min(10000, (budget · w_g · 10000) div (Σw · n_g))` with
+    * `clamp(1, 10000, (budget · w_g · 10000) div (Σw · n_g))` with
     * `w_g = floor(√n_g)`. Every step is INTEGER arithmetic on exact
     * inputs — floor of a correctly-rounded IEEE sqrt of an integer is
     * exact in any engine, integer sums are order-free — so the rates
     * (and hence membership) are reproducible bit-for-bit by any SQL
     * engine; a float `pow(n, α)` for general α would instead expose
     * last-ulp library differences at the floor boundary, which is why
-    * α is fixed at ½. Membership = portable md5 bucket of the id
-    * (salted, independent of [[hashSplit]]/[[stratified]]).
+    * α is fixed at ½. The lower clamp means a non-empty group is
+    * DAMPED, never silently eliminated: without it, any group whose
+    * ideal rate floors below one ten-thousandth would contribute zero
+    * rows. Membership = portable md5 bucket of the id (salted,
+    * independent of [[hashSplit]]/[[stratified]]).
     *
-    * One count shuffle over the corpus; rates are a tiny broadcast
-    * back. Rates cap at 10000 (no upsampling — replication is a
-    * separate, explicit step). Returns the kept rows plus their
-    * group's `rate_bp`. */
+    * One count shuffle over the corpus; the per-GROUP count relation
+    * (domains/sources/languages — small by definition) is collected
+    * and the rates computed on the driver in BigInt, so
+    * `budget·w·10000` cannot overflow Long however large the corpus
+    * (the oracle's HUGEINT does the same). Rates cap at 10000 (no
+    * upsampling — replication is a separate, explicit step). Returns
+    * the kept rows plus their group's `rate_bp`. */
   def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
                          budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
     val counts = df.groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
-    val total = counts.agg(sum(col("__w")).as("__tw"))
-    val rates = counts.crossJoin(broadcast(total))
-      .withColumn("rate_bp", least(lit(10000L),
-        expr(s"($budget * __w * 10000) div (__tw * __n)")))
-      .select(col("__g"), col("rate_bp"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    val ws = counts.map { case (g, n) =>
+      (g, n, BigInt(math.sqrt(n.toDouble).toLong))
+    }
+    val tw = ws.map(_._3).sum
+    val rateRows = ws.map { case (g, n, w) =>
+      val ideal = (BigInt(budget) * w * 10000) / (tw * BigInt(n))
+      org.apache.spark.sql.Row(g, ideal.min(10000).max(1).toLong)
+    }
+    val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
+    val rates = spark.createDataFrame(
+      java.util.Arrays.asList(rateRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__g", gType),
+        org.apache.spark.sql.types.StructField("rate_bp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val bucket = pmod(Dedup.portableTokenHash(
       concat(lit("mix_"), col(idCol).cast("string"))), lit(10000L))
     df.join(broadcast(rates), col(groupCol) === col("__g"))

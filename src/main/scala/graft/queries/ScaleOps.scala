@@ -210,8 +210,8 @@ object ScaleOps {
                CAST(floor(sqrt(count(*))) AS BIGINT) AS w
         FROM d GROUP BY grp),
       rates AS (
-        SELECT grp, CAST(least(10000,
-                 (200 * w * 10000) // ((SELECT sum(w) FROM counts) * n))
+        SELECT grp, CAST(least(10000, greatest(1,
+                 (200::HUGEINT * w * 10000) // ((SELECT sum(w) FROM counts) * n)))
                AS BIGINT) AS rate_bp
         FROM counts)
       SELECT d.grp, r.rate_bp, d.doc_id

@@ -78,12 +78,12 @@ object TrainingOps {
         .select(col("doc_id"), TextFns.repetitionStats(col("text")).as("r"))
         .select(
           col("doc_id"),
-          col("r._1").cast("int").as("n_tokens"),
-          coalesce(ScalarFns.roundFrac(col("r._2").cast("long"),
-            col("r._1").cast("long"), 4), lit(0.0)).as("top_token_frac"),
+          col("r.n_tokens").as("n_tokens"),
+          coalesce(ScalarFns.roundFrac(col("r.top_token_count").cast("long"),
+            col("r.n_tokens").cast("long"), 4), lit(0.0)).as("top_token_frac"),
           coalesce(ScalarFns.roundFrac(
-            (col("r._3") - col("r._4")).cast("long"),
-            col("r._3").cast("long"), 4), lit(0.0)).as("dup_bigram_frac"))
+            (col("r.n_bigrams") - col("r.n_distinct_bigrams")).cast("long"),
+            col("r.n_bigrams").cast("long"), 4), lit(0.0)).as("dup_bigram_frac"))
         .orderBy(col("doc_id")),
     oracle = Some("""
       WITH t AS (

@@ -117,6 +117,28 @@ object StreamOps {
       .join(corpusIndex.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
 
+  /** Ingest hygiene gate for a continuously-fed training corpus: score
+    * each streaming document ([[graft.functions.TextFns.qualityScore]],
+    * the batch pipeline's exact rule), drop those below `minQuality`,
+    * and emit the PII-REDACTED text plus the score and redaction
+    * counts as audit columns. Entirely narrow expressions (regex +
+    * arithmetic) — stateless, watermark-free, any output mode, and the
+    * SAME columns a batch run produces, so batch backfill and live
+    * ingest agree row for row. Compose [[dedupeEvents]] /
+    * [[dedupeAgainstIndex]] downstream for the dedup stages. */
+  def ingestGate(docs: DataFrame, textCol: String = "text",
+                 minQuality: Double = 0.3): DataFrame = {
+    import graft.functions.TextFns
+    docs
+      .withColumn("quality", TextFns.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .withColumn("n_pii",
+        TextFns.piiCount(col(textCol), TextFns.emailRe)
+          + TextFns.piiCount(col(textCol), TextFns.ipv4Re)
+          + TextFns.piiCount(col(textCol), TextFns.phoneRe))
+      .withColumn(textCol, TextFns.redactPii(col(textCol)))
+  }
+
   /** Declarative gap-based session aggregation (session_window): sessions
     * close after `gap` of per-user inactivity; emits one row per closed
     * session in append mode. */

@@ -36,7 +36,8 @@ class PiiRepetitionSpec extends SparkSpec {
 
   private def stats(s: String): (Int, Int, Int, Int) = {
     val r = Seq(s).toDF("t").select(TextFns.repetitionStats(col("t")).as("r"))
-      .select(col("r._1"), col("r._2"), col("r._3"), col("r._4")).collect()(0)
+      .select(col("r.n_tokens"), col("r.top_token_count"),
+        col("r.n_bigrams"), col("r.n_distinct_bigrams")).collect()(0)
     (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
 

@@ -148,6 +148,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest gate filters low-quality docs and redacts PII in-stream") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = startQuery(StreamOps.ingestGate(docs), "ingest_gate", "append")
+    try {
+      val decent = "the quick brown fox jumps over the lazy dog and keeps " +
+        "running through the quiet forest toward the distant river bank"
+      // two 30-char gibberish tokens: no stopwords (0), mean token
+      // length 30 > 12 (0), no punct noise (0.2) → score 0.2 < 0.3
+      in.addData(
+        (1L, s"$decent contact me at body@mail.example.com today"),
+        (2L, "a" * 30 + " " + "b" * 30))
+      q.processAllAvailable()
+      val out = spark.table("ingest_gate")
+      out.select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+      val kept = out.collect()(0)
+      kept.getAs[String]("text") should include("<EMAIL>")
+      kept.getAs[String]("text") should not include "body@mail.example.com"
+      kept.getAs[Int]("n_pii") shouldBe 1
+      kept.getAs[Double]("quality") should be >= 0.3
+      // batch parity: the same frame through the same gate, same rows
+      val batch = StreamOps.ingestGate(
+        Seq((1L, s"$decent contact me at body@mail.example.com today"),
+          (2L, "a" * 30 + " " + "b" * 30)).toDF("doc_id", "text"))
+      rows(batch.exceptAll(out.select(batch.columns.map(col): _*))) shouldBe empty
+    } finally q.stop()
+  }
+
   test("declarative session_window closes sessions after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
