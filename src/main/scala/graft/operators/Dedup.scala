@@ -445,8 +445,15 @@ object Dedup {
       .select(TextFns.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull)
     // driver-side action: one scan of the index, merged per-partition
-    // (treeAggregate under the hood) — only the filter bits travel
-    val bloom = idxFp.stat.bloomFilter("__fp", expectedItems, fpp)
+    // (treeAggregate under the hood) — only the filter bits travel.
+    // EMPTY index guard: stat.bloomFilter NPEs on a zero-row input
+    // (null aggregation buffer fed to BloomFilter.readFrom) — and an
+    // empty index is the legitimate first-ingest case, where the
+    // correct filter is "contains nothing"
+    val bloom =
+      if (idxFp.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else idxFp.stat.bloomFilter("__fp", expectedItems, fpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightUdf = udf { fp: String =>
       fp != null && bc.value.mightContainString(fp)

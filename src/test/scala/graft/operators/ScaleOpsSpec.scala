@@ -217,6 +217,21 @@ class ScaleOpsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("all six operators are total on empty inputs") {
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    val someDocs = Seq((1L, "some content here")).toDF("id", "text")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    Dedup.bloomDedupe(noDocs, someDocs, "id", "text", 10L).count() shouldBe 0L
+    // empty INDEX: bloom rejects nothing is wrong — it must PASS everything
+    Dedup.bloomDedupe(someDocs, noDocs, "id", "text", 10L).count() shouldBe 1L
+    Sampling.deterministicShuffle(noDocs, "id").count() shouldBe 0L
+    Sampling.temperatureMixture(noDocs, "id", "text", 10L).count() shouldBe 0L
+    Decontaminate.ngramLeaks(noDocs, someDocs, "id", "text").count() shouldBe 0L
+    Decontaminate.ngramLeaks(someDocs, noDocs, "id", "text").count() shouldBe 0L
+    Dedup.boilerplateFraction(noDocs, "id", "text").count() shouldBe 0L
+    Similarity.semanticDedupe(noVecs, "id", "vec", 4, 0.9).count() shouldBe 0L
+  }
+
   test("semanticDedupe: corrupt (null-element) vectors are excluded from the output") {
     val good = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)), (3L, Array(0.0f, 1.0f)))
