@@ -115,6 +115,31 @@ object Similarity {
       .drop("sim")
   }
 
+  /** Two-stage ANN: int8-quantized candidate generation
+    * ([[quantizedTopK]], top `k·overfetch` by exact integer dot) +
+    * exact float-cosine re-rank of just those candidates — the
+    * standard production retrieval shape. Stage 1 reads quarter-width
+    * vectors (the 100 TB scan is memory-bandwidth-bound, so the
+    * candidate pass is ~4× cheaper than a float scan); stage 2 touches
+    * only |queries|·k·overfetch pairs, restoring exact-cosine ranking
+    * among the candidates. Recall loss is confined to true neighbors
+    * the quantized metric pushes below rank k·overfetch — `overfetch`
+    * is the recall knob (QuantizedTopKSpec measures the stage-1
+    * recall this bounds). Both stages are deterministic (integer dots;
+    * IEEE cosine), so the whole index is oracle-checkable. */
+  def quantizedRerank(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, overfetch: Int = 4): DataFrame = {
+    val cands = quantizedTopK(df, idCol, vecCol, k * overfetch)
+      .select(col("q_id"), col("c_id"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val scored = cands
+      .join(vecs.withColumnRenamed("id", "q_id").withColumnRenamed("vec", "q_vec"), "q_id")
+      .join(vecs.withColumnRenamed("id", "c_id").withColumnRenamed("vec", "c_vec"), "c_id")
+      .select(col("q_id"), col("c_id"),
+        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table,
     * plane, dim): hash-derived value in [-1, 1). Reproducible across
     * runs/executors with no driver-side RNG state to ship. */

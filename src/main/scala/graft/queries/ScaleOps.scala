@@ -220,5 +220,54 @@ object ScaleOps {
               % 10000 < r.rate_bp
       ORDER BY d.grp, d.doc_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88)
+  /** q89: two-stage ANN — quantized candidates, exact re-rank
+    * (Similarity.quantizedRerank): q79's int8 index generates top-12
+    * candidates per query, exact cosine restores float ranking for the
+    * top-3. Both stages deterministic, so DuckDB replays the full
+    * pipeline: quantize → integer-dot candidate ranks → cosine
+    * re-rank. */
+  private val q89 = QuerySpec(
+    "q89_quantized_rerank",
+    (s, dir) =>
+      graft.operators.Similarity.quantizedRerank(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 3, overfetch = 4)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("rank")),
+    oracle = Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(x))) AS mx
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, emb,
+               CASE WHEN mx = 0 THEN list_transform(emb, x -> 0.0)
+                    ELSE list_transform(emb,
+                      x -> floor(x * (127.0 / mx) + 0.5)) END AS qv
+        FROM v),
+      cands AS (
+        SELECT q_id, c_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.qv, b.qv) DESC, b.vec_id ASC)
+                   AS rnk
+          FROM q a JOIN q b ON a.vec_id <> b.vec_id)
+        WHERE rnk <= 12),
+      scored AS (
+        SELECT q_id, c_id,
+               list_cosine_similarity(qa.emb, ca.emb) AS sim
+        FROM cands
+        JOIN q qa ON qa.vec_id = q_id
+        JOIN q ca ON ca.vec_id = c_id)
+      SELECT q_id, rank, c_id, round(sim, 4) AS sim FROM (
+        SELECT q_id, c_id, sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
+  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89)
 }

@@ -54,4 +54,30 @@ class QuantizedTopKSpec extends SparkSpec {
     // winners; anything below ~half would mean the quantizer is broken
     hits.toDouble / n should be >= 0.5
   }
+
+  test("quantizedRerank beats raw quantized ranking and orders candidates by exact cosine") {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 1)
+      .select(col("q_id"), col("c_id").as("exact_c"))
+    val n = exact.count()
+    def top1Hits(df: org.apache.spark.sql.DataFrame): Long =
+      exact.join(df.filter(col("rank") === 1)
+        .select(col("q_id"), col("c_id").as("got_c")), "q_id")
+        .filter(col("exact_c") === col("got_c")).count()
+    val rawHits = top1Hits(Similarity.quantizedTopK(e, "vec_id", "embedding", 1))
+    val rerank = Similarity.quantizedRerank(e, "vec_id", "embedding",
+      k = 1, overfetch = 8)
+    val rerankHits = top1Hits(rerank)
+    // re-ranking the overfetched candidate list with exact cosine can
+    // only fix stage-1 inversions, never introduce new ones
+    rerankHits should be >= rawHits
+    rerankHits.toDouble / n should be >= 0.8
+    // and the emitted sim IS the exact cosine (spot the whole frame)
+    val vecs = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val vecsC = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val bad = rerank.join(vecs, "q_id").join(vecsC, "c_id")
+      .withColumn("want", graft.functions.VectorFns.cosine(col("qv"), col("cv")))
+      .filter(col("sim") =!= col("want"))
+    bad.count() shouldBe 0L
+  }
 }
