@@ -26,5 +26,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plan RENDERING must never threaten the driver heap: deeply
+      // composed pipelines (multi-detector decontamination etc.) reach
+      // plan strings of hundreds of MB at the default ~2GB cap, built
+      // eagerly by AQE's explain updates. 8 MB keeps every diagnostic
+      // readable while bounding the allocation.
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       .getOrCreate()
 }

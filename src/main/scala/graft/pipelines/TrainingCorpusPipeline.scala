@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   * individual operators exist for, wired in the canonical order a
   * production data pipeline runs them:
   *
-  *   1. quality filter      (TextFns.qualityScore ≥ minQuality)
+  *   0. incremental gate    (opt-in: Dedup.bloomDedupe vs a historical
+  *                           corpus index — skip what's already kept)
+  *   1. quality filter      (TextFns.qualityScore ≥ minQuality; opt-in
+  *                           boilerplate ceiling via
+  *                           Dedup.boilerplateFraction)
   *   2. exact dedup         (Dedup.exact — cheap, removes the bulk)
   *   3. near-dup dedup      (Dedup.nearDupGroups — MinHash-LSH +
   *                           connected components, min-id survivor)
   *   4. decontamination     (exact + LSH near-dup leaks vs the eval
-  *                           holdout — leaked docs DROPPED)
+  *                           holdout, opt-in verbatim-n-gram detector —
+  *                           leaked docs DROPPED)
   *   5. chunking            (Chunking.tokenWindows)
   *   6. sequence packing    (Packing.greedyPack on chunk token counts)
   *   7. deterministic split (Sampling.hashSplit on the doc id, so all
@@ -49,7 +54,19 @@ object TrainingCorpusPipeline {
       // value is a single-task bottleneck at exactly the scale this
       // pipeline serves
       packGroups: Int = 1024,
-      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "eval" -> 0.1))
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "eval" -> 0.1),
+      // ---- opt-in curation stages (None/default = stage off, prior
+      // pipeline behavior unchanged) ----
+      // drop docs whose share of corpus-common shingles exceeds this
+      // (Dedup.boilerplateFraction > maxBoilerplate → templated content)
+      maxBoilerplate: Option[Double] = None,
+      boilerplateMinDocs: Int = 10,
+      // additionally drop docs sharing ANY verbatim n-gram with the
+      // eval holdout (Decontaminate.ngramLeaks — the strict GPT-3-style
+      // detector on top of the Jaccard ones)
+      ngramLeakN: Option[Int] = None,
+      // expected size hint for the historical-index Bloom filter
+      bloomExpectedItems: Long = 1000000L)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -62,21 +79,52 @@ object TrainingCorpusPipeline {
     * consumed — materialize, then `spark.catalog.clearCache()` in a
     * long-lived session. */
   def run(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
-          textCol: String, cfg: Config = Config()): DataFrame = {
+          textCol: String, cfg: Config = Config(),
+          historicalIndex: Option[DataFrame] = None): DataFrame = {
+    // 0. (opt-in) incremental dedup against a historical corpus index:
+    // the "don't re-ingest what previous crawls kept" gate, before any
+    // per-doc scoring is spent on rows that are already in the corpus
+    val fresh = historicalIndex match {
+      case Some(index) => Dedup.bloomDedupe(docs, index, idCol, textCol,
+        cfg.bloomExpectedItems)
+      case None => docs
+    }
+
     // 1. quality floor — narrow scan
-    val quality = docs.filter(
+    val quality0 = fresh.filter(
       TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
+
+    // 1b. (opt-in) boilerplate ceiling: drop templated content whose
+    // shingles are mostly corpus-common (runs on the quality survivors
+    // so the frequency counts reflect the corpus being kept)
+    val quality = cfg.maxBoilerplate match {
+      case Some(maxFrac) =>
+        val keep = Dedup.boilerplateFraction(quality0, idCol, textCol,
+            cfg.shingleN, cfg.boilerplateMinDocs)
+          .filter(col("boilerplate_frac") <= maxFrac)
+          .select(col("doc").as(idCol))
+        quality0.join(keep, Seq(idCol), "left_semi")
+      case None => quality0
+    }
 
     // 2. exact dedup: keep the min-id survivor per distinct content
     val exactKeep = Dedup.exact(quality, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val exactDeduped = quality.join(exactKeep, Seq(idCol), "left_semi")
 
-    // 3. near-dup dedup: MinHash-LSH clusters, min-id survivor
+    // 3. near-dup dedup: MinHash-LSH clusters, min-id survivor.
+    // localCheckpoint: `deduped` is re-referenced by every
+    // decontamination detector AND the final anti join — four copies
+    // of the full stage-0..3 DAG in one logical plan. Truncating
+    // lineage here turns them into leaf scans: analysis/AQE cost stays
+    // bounded however many detectors are enabled (the same
+    // plan-growth fix as Dedup.connectedComponents; without it the
+    // fully-enabled pipeline's plan STRING alone is heap-threatening).
     val nearKeep = Dedup.nearDupGroups(exactDeduped, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("keep_id").as(idCol))
     val deduped = exactDeduped.join(nearKeep, Seq(idCol), "left_semi")
+      .localCheckpoint(true)
 
     // 4. decontamination: drop OUR docs that leak into the eval
     // holdout — exact fingerprint matches plus banded near-dup
@@ -89,11 +137,21 @@ object TrainingCorpusPipeline {
       .nearDupLeaksLsh(evalHoldout, deduped, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("eval_id").as(idCol))
+    // 4b. (opt-in) strict verbatim-span detector: any shared n-gram
+    // with the holdout drops the doc, even when global similarity is
+    // low (the quoted-benchmark-question case)
+    val leakedNgram = cfg.ngramLeakN match {
+      case Some(n) => Decontaminate
+        .ngramLeaks(deduped, evalHoldout, idCol, textCol, n)
+        .select(col("train_id").as(idCol))
+      case None => leakedExact.limit(0)
+    }
     // persisted: `clean` feeds chunking AND would otherwise re-run the
     // whole quality→dedup→decontaminate DAG per downstream subtree
     // (identical subplans do not reliably hit ReuseExchange)
     val clean = deduped
-      .join(leakedExact.union(leakedNear).distinct(), Seq(idCol), "left_anti")
+      .join(leakedExact.union(leakedNear).union(leakedNgram).distinct(),
+        Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5. chunk to training windows — narrow. Persisted: both the pack

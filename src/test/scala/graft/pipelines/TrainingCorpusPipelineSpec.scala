@@ -75,4 +75,31 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     again.exceptAll(out).count() shouldBe 0L
     out.exceptAll(again).count() shouldBe 0L
   }
+
+  test("opt-in stages: historical index, boilerplate ceiling, verbatim n-gram leaks") {
+    // historical index = half the pool's docs: their content must not
+    // re-enter the corpus
+    val historic = pool.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val strictCfg = cfg.copy(maxBoilerplate = Some(0.999),
+      ngramLeakN = Some(13), bloomExpectedItems = 10000L)
+    val out2 = TrainingCorpusPipeline.run(pool, holdout, "doc_id", "text",
+        strictCfg, historicalIndex = Some(historic))
+      .persist()
+    out2.count() should be > 0L
+    // no surviving doc's content is in the historical index
+    val survivors = pool.join(out2.select("doc_id").distinct(), Seq("doc_id"),
+      "left_semi")
+    graft.operators.Decontaminate.exactLeaks(historic, survivors,
+      "doc_id", "text").count() shouldBe 0L
+    // no surviving doc shares a verbatim 13-gram with the holdout
+    graft.operators.Decontaminate.ngramLeaks(survivors, holdout,
+      "doc_id", "text", 13).count() shouldBe 0L
+    // NOT asserted: out2 ⊆ out. Removing docs earlier re-elects
+    // near-dup survivors (min-id of a shrunken cluster) and can split
+    // clusters, so the surviving-id SET legitimately differs — the
+    // contract is the invariants above, not a particular id choice.
+    // The near-dup invariant must still hold on the reshuffled set:
+    Dedup.ngramJaccardPairs(survivors, "doc_id", "text",
+      strictCfg.shingleN, strictCfg.nearDupThreshold).count() shouldBe 0L
+  }
 }
