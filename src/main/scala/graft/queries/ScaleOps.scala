@@ -269,5 +269,39 @@ object ScaleOps {
       WHERE rank <= 3
       ORDER BY q_id, rank"""))
 
-  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89)
+  /** q90: vocabulary build + token-id encoding (operators.Vocabulary)
+    * — top-50 corpus vocabulary by (count desc, token asc), then every
+    * document's tokens to integer ids, OOV → 0. The tokenize-to-ids
+    * step training tensors are made of; restricted here to the first
+    * 8 tokens of the first 40 docs so the oracle output stays compact
+    * while covering in-vocab, OOV, and ordering. */
+  private val q90 = QuerySpec(
+    "q90_token_ids",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Vocabulary.build(docs, "text", 50)
+      graft.operators.Vocabulary.encode(
+          docs.filter(col("doc_id") < 40), vocab, "doc_id", "text")
+        .filter(col("pos") < 8)
+        .select(col("id").as("doc_id"), col("pos"), col("tok"), col("tok_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, w[i] AS tok, CAST(i - 1 AS INTEGER) AS pos
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents) t,
+             unnest(range(1, len(w) + 1)) AS r(i)),
+      vocab AS (
+        SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INTEGER)
+                 AS tok_id
+        FROM (SELECT tok, count(*) AS n FROM tok GROUP BY tok
+              ORDER BY n DESC, tok ASC LIMIT 50))
+      SELECT t.doc_id, t.pos, t.tok, coalesce(v.tok_id, 0) AS tok_id
+      FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+      WHERE t.doc_id < 40 AND t.pos < 8
+      ORDER BY t.doc_id, t.pos"""))
+
+  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90)
 }

@@ -217,6 +217,33 @@ class ScaleOpsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  // ---------- Vocabulary ----------
+
+  test("Vocabulary: ids rank by (count desc, token asc); OOV encodes to 0; order preserved") {
+    val docs = Seq(
+      (1L, "b a a c b a"),   // a×3 b×2 c×1
+      (2L, "a b zz")).toDF("id", "text")
+    val vocab = Vocabulary.build(docs, "text", 3)
+    vocab.orderBy("tok_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))) shouldBe
+      Seq(("a", 4L, 1), ("b", 3L, 2), ("c", 1L, 3))
+    // size cap: "zz" (count 1, after "c" alphabetically) fell off
+    val enc = Vocabulary.encode(docs, vocab, "id", "text")
+      .filter(col("id") === 2L).orderBy("pos").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    enc shouldBe Seq((0, "a", 1), (1, "b", 2), (2, "zz", 0))
+  }
+
+  test("Vocabulary: build is deterministic under repartition; NULL text encodes to no rows") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Vocabulary.build(docs, "text", 20)
+    val b = Vocabulary.build(docs.repartition(7), "text", 20)
+    rows(a.exceptAll(b)) shouldBe empty
+    rows(b.exceptAll(a)) shouldBe empty
+    val nullDoc = Seq((9L, null.asInstanceOf[String])).toDF("id", "text")
+    Vocabulary.encode(nullDoc, a, "id", "text").count() shouldBe 0L
+  }
+
   test("all six operators are total on empty inputs") {
     val noDocs = Seq.empty[(Long, String)].toDF("id", "text")
     val someDocs = Seq((1L, "some content here")).toDF("id", "text")
