@@ -444,16 +444,18 @@ object Dedup {
     val idxFp = index
       .select(TextFns.fingerprint(col(textCol)).as("__fp"))
       .filter(col("__fp").isNotNull)
-    // driver-side action: one scan of the index, merged per-partition
-    // (treeAggregate under the hood) — only the filter bits travel.
-    // EMPTY index guard: stat.bloomFilter NPEs on a zero-row input
-    // (null aggregation buffer fed to BloomFilter.readFrom) — and an
-    // empty index is the legitimate first-ingest case, where the
-    // correct filter is "contains nothing"
-    val bloom =
-      if (idxFp.isEmpty)
-        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-      else idxFp.stat.bloomFilter("__fp", expectedItems, fpp)
+    // driver-side action: ONE scan of the index via treeAggregate with
+    // an empty filter as the zero value — only the filter bits travel.
+    // (Not stat.bloomFilter: that NPEs on a zero-row input — a null
+    // aggregation buffer fed to BloomFilter.readFrom — and an empty
+    // index is the legitimate first-ingest case; guarding it with
+    // isEmpty would cost an extra action per call.)
+    val bloom = idxFp.toDF("__fp").rdd
+      .map(_.getString(0))
+      .treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
+        (bf, fp) => { bf.putString(fp); bf },
+        (a, b) => { a.mergeInPlace(b); a })
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightUdf = udf { fp: String =>
       fp != null && bc.value.mightContainString(fp)

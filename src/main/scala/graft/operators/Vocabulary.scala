@@ -33,10 +33,9 @@ object Vocabulary {
       .select(explode(TextFns.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
-    // the window input is bounded first (cheap partial top-k would
-    // need a per-partition rank; orderBy+limit lets Spark run
-    // TakeOrderedAndProject — no global sort materialization)
-    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(size)
+    // the window input is bounded first via TopK.global
+    // (TakeOrderedAndProject — no global sort materialization)
+    val top = TopK.global(counts, size, col("n").desc, col("tok").asc)
     top.withColumn("tok_id",
       row_number().over(Window.orderBy(col("n").desc, col("tok").asc))
         .cast("int"))

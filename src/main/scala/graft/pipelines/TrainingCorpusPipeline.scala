@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *
   *   0. incremental gate    (opt-in: Dedup.bloomDedupe vs a historical
   *                           corpus index — skip what's already kept)
-  *   1. quality filter      (TextFns.qualityScore ≥ minQuality; opt-in
-  *                           boilerplate ceiling via
-  *                           Dedup.boilerplateFraction)
-  *   2. exact dedup         (Dedup.exact — cheap, removes the bulk)
+  *   1. quality filter      (TextFns.qualityScore ≥ minQuality)
+  *   2. exact dedup         (Dedup.exact — cheap, removes the bulk;
+  *                           opt-in boilerplate ceiling AFTER it, so
+  *                           shingle doc-frequency counts distinct
+  *                           contents, not crawl copies)
   *   3. near-dup dedup      (Dedup.nearDupGroups — MinHash-LSH +
   *                           connected components, min-id survivor)
   *   4. decontamination     (exact + LSH near-dup leaks vs the eval
@@ -77,7 +78,13 @@ object TrainingCorpusPipeline {
     * persists below): the returned plan holds MEMORY_AND_DISK
     * intermediates that Spark can only release after the result is
     * consumed — materialize, then `spark.catalog.clearCache()` in a
-    * long-lived session. */
+    * long-lived session. The dedup survivor set is additionally a
+    * LAZY localCheckpoint (lineage truncation, see stage 3): its
+    * blocks are released by RDD garbage collection once the returned
+    * Dataset is unreferenced — NOT by clearCache() — and, unlike a
+    * persist, are not recomputable if an executor holding them is
+    * lost mid-job (rerun the pipeline in that case; it is
+    * deterministic). */
   def run(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
           textCol: String, cfg: Config = Config(),
           historicalIndex: Option[DataFrame] = None): DataFrame = {
@@ -91,45 +98,55 @@ object TrainingCorpusPipeline {
     }
 
     // 1. quality floor — narrow scan
-    val quality0 = fresh.filter(
+    val quality = fresh.filter(
       TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
-
-    // 1b. (opt-in) boilerplate ceiling: drop templated content whose
-    // shingles are mostly corpus-common (runs on the quality survivors
-    // so the frequency counts reflect the corpus being kept)
-    val quality = cfg.maxBoilerplate match {
-      case Some(maxFrac) =>
-        val keep = Dedup.boilerplateFraction(quality0, idCol, textCol,
-            cfg.shingleN, cfg.boilerplateMinDocs)
-          .filter(col("boilerplate_frac") <= maxFrac)
-          .select(col("doc").as(idCol))
-        quality0.join(keep, Seq(idCol), "left_semi")
-      case None => quality0
-    }
 
     // 2. exact dedup: keep the min-id survivor per distinct content
     val exactKeep = Dedup.exact(quality, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val exactDeduped = quality.join(exactKeep, Seq(idCol), "left_semi")
+    val exactDeduped0 = quality.join(exactKeep, Seq(idCol), "left_semi")
+
+    // 2b. (opt-in) boilerplate ceiling: drop templated content whose
+    // shingles are mostly corpus-common. Runs AFTER exact dedup —
+    // shingle document-frequency must count distinct CONTENTS: on the
+    // raw pool, a unique article crawled ≥ minDocs times verbatim
+    // would push every one of its own shingles over the threshold and
+    // annihilate ALL copies, where dedup keeps one.
+    val exactDeduped = cfg.maxBoilerplate match {
+      case Some(maxFrac) =>
+        val keep = Dedup.boilerplateFraction(exactDeduped0, idCol, textCol,
+            cfg.shingleN, cfg.boilerplateMinDocs)
+          .filter(col("boilerplate_frac") <= maxFrac)
+          .select(col("doc").as(idCol))
+        exactDeduped0.join(keep, Seq(idCol), "left_semi")
+      case None => exactDeduped0
+    }
 
     // 3. near-dup dedup: MinHash-LSH clusters, min-id survivor.
-    // localCheckpoint: `deduped` is re-referenced by every
+    // LAZY localCheckpoint: `deduped` is re-referenced by every
     // decontamination detector AND the final anti join — four copies
     // of the full stage-0..3 DAG in one logical plan. Truncating
     // lineage here turns them into leaf scans: analysis/AQE cost stays
     // bounded however many detectors are enabled (the same
     // plan-growth fix as Dedup.connectedComponents; without it the
     // fully-enabled pipeline's plan STRING alone is heap-threatening).
+    // eager=false keeps run() job-free until the caller consumes the
+    // result. Trade-offs vs persist, documented in run()'s scaladoc:
+    // checkpointed partitions are released by RDD GC (not
+    // clearCache()), and are not recomputable after an executor loss.
     val nearKeep = Dedup.nearDupGroups(exactDeduped, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("keep_id").as(idCol))
     val deduped = exactDeduped.join(nearKeep, Seq(idCol), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // 4. decontamination: drop OUR docs that leak into the eval
     // holdout — exact fingerprint matches plus banded near-dup
-    // collisions. The Decontaminate operators flag their second
-    // ("eval") argument, so our corpus takes that seat.
+    // collisions. Seating differs per detector: exactLeaks /
+    // nearDupLeaksLsh flag their SECOND ("eval") argument, so our
+    // corpus takes that seat; ngramLeaks (4b) flags pairs with both
+    // ids and BROADCASTS its second argument's exploded grams — the
+    // small holdout MUST stay second there, and we read train_id.
     val leakedExact = Decontaminate
       .exactLeaks(evalHoldout, deduped, idCol, textCol)
       .select(col("eval_id").as(idCol))
