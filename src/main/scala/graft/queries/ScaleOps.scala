@@ -303,5 +303,60 @@ object ScaleOps {
       WHERE t.doc_id < 40 AND t.pos < 8
       ORDER BY t.doc_id, t.pos"""))
 
-  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90)
+  /** q91: corpus profiling report (operators.CorpusReport) — the
+    * data-card summary: per-source doc/token counts, exact-rational
+    * mean quality, interpolated median length, plus the ROLLUP grand
+    * total. The quality column mirrors q36's oracle expression; the
+    * median follows q53's percentile/quantile_cont parity. */
+  private val q91 = QuerySpec(
+    "q91_corpus_report",
+    (s, dir) =>
+      graft.operators.CorpusReport.bySource(
+          Tables.documents(s, dir), "text", "source")
+        .orderBy(col("source")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT source, text,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT source,
+          CAST(len(toks) AS BIGINT) AS n,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '' AND x IN ('the','a','an','and','or','of','to',
+            'in','is','it','that','for','on','with','as','was','at','by','this')))
+            AS BIGINT) AS m1,
+          CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+            AS BIGINT) AS s,
+          CAST(length(text) AS BIGINT) AS c,
+          CAST(length(text)
+            - length(regexp_replace(text, '[!-/:-@\[-`{-~0-9]', '', 'g'))
+            AS BIGINT) AS pd
+        FROM t),
+      perdoc AS (
+        SELECT source,
+               coalesce(n, 0) AS nt,
+               CASE WHEN n > 0 AND c > 0 THEN
+                 (2 * (least(m1 * c * 16000, n * c * 4000)
+                       + (CASE WHEN s >= n * 2 AND s <= n * 12
+                          THEN n * c * 4000 ELSE 0 END)
+                       + (n * c * 2000 - least(pd * n * 4000, n * c * 2000)))
+                  + n * c) // (n * c * 2)
+               ELSE 0 END AS qk
+        FROM m)
+      SELECT source, n_docs, n_tokens, mean_quality, median_tokens, max_tokens
+      FROM (
+        SELECT coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST((sum(qk) * 20000 + count(*) * 10000)
+                    // (count(*) * 10000 * 2) AS DOUBLE) / 10000.0
+                 AS mean_quality,
+               quantile_cont(nt, 0.5) AS median_tokens,
+               max(nt) AS max_tokens
+        FROM perdoc
+        GROUP BY ROLLUP(source))
+      ORDER BY source"""))
+
+  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

@@ -217,6 +217,23 @@ class ScaleOpsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  // ---------- CorpusReport ----------
+
+  test("CorpusReport: ALL row equals the recombined per-source stats; NULL text is a zero-token doc") {
+    val d = Seq(
+      ("s1", "the quick fox"), ("s1", "a b"),
+      ("s2", null.asInstanceOf[String])).toDF("source", "text")
+    val rep = CorpusReport.bySource(d, "text", "source")
+      .orderBy("source").collect()
+    rep.map(_.getString(0)) shouldBe Array("ALL", "s1", "s2")
+    val all = rep(0); val s1 = rep(1); val s2 = rep(2)
+    all.getLong(1) shouldBe 3L                      // n_docs
+    all.getLong(2) shouldBe (s1.getLong(2) + s2.getLong(2)) // token sum
+    s2.getLong(2) shouldBe 0L                       // NULL text → 0 tokens
+    s2.getDouble(3) shouldBe 0.0                    // quality 0
+    s1.getDouble(4) shouldBe 2.5                    // median of {3,2}
+  }
+
   // ---------- Vocabulary ----------
 
   test("Vocabulary: ids rank by (count desc, token asc); OOV encodes to 0; order preserved") {
