@@ -1,0 +1,49 @@
+package graft.pipelines
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming mirror of [[TrainingCorpusPipeline]]'s front half —
+  * continuous corpus ingest with the same hygiene guarantees, built
+  * from the verified streaming operators:
+  *
+  *   1. hygiene gate        (StreamOps.ingestGate: quality floor +
+  *                           PII redaction, stateless)
+  *   2. in-stream dedup     (dropDuplicatesWithinWatermark on the
+  *                           content fingerprint — bounded state)
+  *   3. index dedup         (StreamOps.dedupeAgainstIndex: stream-
+  *                           static left_anti vs the historical
+  *                           fingerprint index, zero streaming state)
+  *
+  * Batch/stream parity: stages 1 and 3 are the literal batch
+  * operators (narrow expressions / a static join), and stage 2 is the
+  * streaming analogue of [[graft.operators.Dedup.exact]] restricted
+  * to the watermark horizon — so a batch backfill through
+  * TrainingCorpusPipeline and live ingest through this pipeline admit
+  * the same documents, except in-stream duplicates separated by more
+  * than `lateness`, which only the periodic batch dedup can see (the
+  * standard lambda-architecture division of labor).
+  *
+  * The fingerprint dedup keys on content (not id), so re-crawls of
+  * the same text under new ids are dropped within the horizon. The
+  * result still carries the redacted text: write it straight to the
+  * corpus sink. Chunk/pack/split stay batch stages — they need the
+  * whole corpus.
+  */
+object StreamingIngestPipeline {
+
+  def run(docs: DataFrame, corpusIndex: DataFrame, tsCol: String,
+          textCol: String, minQuality: Double = 0.3,
+          lateness: String = "1 hour", fpCol: String = "fp"): DataFrame = {
+    val gated = StreamOps.ingestGate(docs, textCol, minQuality)
+      // fingerprint of the REDACTED text: two docs differing only in
+      // their PII values are the same training document
+      .withColumn("__fp", graft.functions.TextFns.fingerprint(col(textCol)))
+    val inStreamDeduped = gated
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+    StreamOps.dedupeAgainstIndex(inStreamDeduped, corpusIndex, textCol, fpCol)
+      .drop("__fp")
+  }
+}
