@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
 object CorpusReport {
 
   /** (source, n_docs, n_tokens, mean_quality, median_tokens,
-    * max_tokens) per source plus an 'ALL' rollup row. NULL text counts
-    * as a zero-token doc with quality 0 (the score's own convention).
+    * max_tokens) per source plus exactly one 'ALL' rollup row
+    * (distinguished by `grouping()`, so a NULL source VALUE reports as
+    * its own '(none)' group instead of colliding with the total).
+    * NULL text counts as a zero-token doc with quality 0 (the score's
+    * own convention).
     */
   def bySource(docs: DataFrame, textCol: String,
                sourceCol: String): DataFrame = {
@@ -38,11 +41,20 @@ object CorpusReport {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__nt")).as("n_tokens"),
-        ScalarFns.roundFrac(sum(col("__q")),
-          count(lit(1)) * lit(10000L), 4).as("mean_quality"),
+        // mean over the 1e-4-quantized scores, half-up, computed as
+        // (2·Σk + n) div (2n) — the ×10⁴-cancelled form of
+        // roundFrac(Σk, n·10⁴, 4): Σk ≤ n·10⁴, so the numerator stays
+        // < 2^63 out to ~4.6e14 documents where the uncancelled form
+        // would overflow (ANSI ArithmeticException) near 5e10 on the
+        // grand-total row
+        (ScalarFns.intDiv(sum(col("__q")) * 2 + count(lit(1)),
+          count(lit(1)) * 2).cast("double") / 10000.0).as("mean_quality"),
         expr("percentile(__nt, 0.5)").as("median_tokens"),
-        max(col("__nt")).as("max_tokens"))
-      .select(coalesce(col("__src"), lit("ALL")).as("source"),
+        max(col("__nt")).as("max_tokens"),
+        grouping(col("__src")).as("__total"))
+      .select(
+        when(col("__total") === 1, "ALL")
+          .otherwise(coalesce(col("__src"), lit("(none)"))).as("source"),
         col("n_docs"), col("n_tokens"), col("mean_quality"),
         col("median_tokens"), col("max_tokens"))
   }

@@ -36,14 +36,21 @@ object StreamingIngestPipeline {
   def run(docs: DataFrame, corpusIndex: DataFrame, tsCol: String,
           textCol: String, minQuality: Double = 0.3,
           lateness: String = "1 hour", fpCol: String = "fp"): DataFrame = {
-    val gated = StreamOps.ingestGate(docs, textCol, minQuality)
-      // fingerprint of the REDACTED text: two docs differing only in
-      // their PII values are the same training document
-      .withColumn("__fp", graft.functions.TextFns.fingerprint(col(textCol)))
+    // Fingerprint the RAW text BEFORE the gate redacts it: the
+    // historical index (built by the batch pipeline / Dedup.exact)
+    // fingerprints raw content, so a redacted-side fingerprint would
+    // re-admit every already-ingested PII-bearing document — and
+    // collapse stream docs differing only in PII values, diverging
+    // from the batch dedup in both directions. Computed ONCE here and
+    // reused by both dedup stages.
+    val withFp = docs.withColumn("__fp",
+      graft.functions.TextFns.fingerprint(col(textCol)))
+    val gated = StreamOps.ingestGate(withFp, textCol, minQuality)
     val inStreamDeduped = gated
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__fp")
-    StreamOps.dedupeAgainstIndex(inStreamDeduped, corpusIndex, textCol, fpCol)
+    inStreamDeduped
+      .join(corpusIndex.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
   }
 }

@@ -346,12 +346,12 @@ object ScaleOps {
         FROM m)
       SELECT source, n_docs, n_tokens, mean_quality, median_tokens, max_tokens
       FROM (
-        SELECT coalesce(source, 'ALL') AS source,
+        SELECT CASE WHEN grouping(source) = 1 THEN 'ALL'
+                    ELSE coalesce(source, '(none)') END AS source,
                count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens,
-               CAST((sum(qk) * 20000 + count(*) * 10000)
-                    // (count(*) * 10000 * 2) AS DOUBLE) / 10000.0
-                 AS mean_quality,
+               CAST((sum(qk) * 2 + count(*)) // (count(*) * 2) AS DOUBLE)
+                 / 10000.0 AS mean_quality,
                quantile_cont(nt, 0.5) AS median_tokens,
                max(nt) AS max_tokens
         FROM perdoc

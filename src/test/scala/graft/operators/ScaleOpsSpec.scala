@@ -234,6 +234,17 @@ class ScaleOpsSpec extends SparkSpec {
     s1.getDouble(4) shouldBe 2.5                    // median of {3,2}
   }
 
+  test("CorpusReport: a NULL source VALUE gets its own '(none)' row, never a second 'ALL'") {
+    val d = Seq(
+      (null.asInstanceOf[String], "some words here"),
+      ("s1", "other words there")).toDF("source", "text")
+    val rep = CorpusReport.bySource(d, "text", "source")
+      .orderBy("source").collect()
+    rep.map(_.getString(0)) shouldBe Array("(none)", "ALL", "s1")
+    rep.count(_.getString(0) == "ALL") shouldBe 1
+    rep.find(_.getString(0) == "ALL").get.getLong(1) shouldBe 2L
+  }
+
   // ---------- Vocabulary ----------
 
   test("Vocabulary: ids rank by (count desc, token asc); OOV encodes to 0; order preserved") {
