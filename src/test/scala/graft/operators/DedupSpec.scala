@@ -95,4 +95,31 @@ class DedupSpec extends SparkSpec {
     rows(Dedup.minhashCandidates(sigs, bands = 4, maxBucket = 10)) shouldBe empty
     rows(Dedup.minhashCandidates(sigs, bands = 4, maxBucket = 100)) should not be empty
   }
+
+  test("shingle kernel's incremental hash equals fnv1a over the joined shingle strings") {
+    // the kernel streams FNV-1a over (token, ' ') sequences without
+    // materializing the shingle; this pins it to the reference form,
+    // including multi-space runs, leading/trailing ws, tabs/newlines,
+    // short-doc fallback, and the empty-text fallback hash
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "  leading  and   multi\t space\nnewline "),
+      (3L, "short doc"),
+      (4L, ""),
+      (5L, "   ")).toDF("id", "text")
+    val got = Dedup.shingleSets(docs, "id", "text", 3, "id", cache = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def want(text: String): Set[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val shingles =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      shingles.map(Dedup.fnv1a).toSet
+    }
+    got(1L) shouldBe want("alpha beta gamma delta epsilon")
+    got(2L) shouldBe want("  leading  and   multi\t space\nnewline ")
+    got(3L) shouldBe want("short doc")
+    got(4L) shouldBe want("")
+    got(5L) shouldBe want("   ")
+  }
 }
