@@ -167,13 +167,43 @@ object Dedup {
     shingleSets(docs, idCol, textCol, n, outIdName)
       .select(col(outIdName), explode(col("shs")).as("sh"))
 
+  /** Exact n-gram Jaccard similarity over all co-shingle pairs.
+    *
+    * `maxDf` is the HOT-SHINGLE GUARD: a shingle shared by d documents
+    * contributes d·(d-1)/2 join rows, so one boilerplate 3-gram in 10⁶
+    * docs would push 10¹² rows through a single join key. Shingles with
+    * document frequency above `maxDf` are excluded from the similarity
+    * space — both from the intersection join AND from the per-doc set
+    * sizes, so `jaccard` remains an EXACT set similarity (of the
+    * df-filtered shingle sets; near-universal shingles carry ~zero
+    * Jaccard information, the same reason IDF downweights them). The
+    * default mirrors [[minhashCandidates]]' `maxBucket`. DedupSpec pins
+    * the differential: on any corpus whose max shingle df ≤ maxDf the
+    * output is bit-identical to the uncapped operator. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 2, s"maxDf must allow co-occurrence (>= 2), got $maxDf")
     val sets = shingleSets(docs, idCol, textCol, n, "doc")
     // |shingle set| is a NARROW projection of the persisted sets — the
     // previous exploded groupBy(doc).count() was a full extra shuffle
-    val sizes = sets.select(col("doc"), size(col("shs")).as("sz"))
-    val shingles = sets.select(col("doc"), explode(col("shs")).as("sh"))
+    val rawSizes = sets.select(col("doc"), size(col("shs")).as("sz"))
+    val allShingles = sets.select(col("doc"), explode(col("shs")).as("sh"))
+    // df census: one aggregate over the exploded shingles (cheap — 8-byte
+    // keys, map-side combine). `hot` is the boilerplate set: tiny by
+    // construction, so AQE broadcasts both the anti- and semi-joins.
+    val hot = allShingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sh"))
+    val shingles = allShingles.join(hot, Seq("sh"), "left_anti")
+    // sizes over the SAME df-filtered space, without a second full
+    // groupBy(doc) shuffle: only docs that CONTAIN a hot shingle (a
+    // small relation when hot is small) shuffle for the correction
+    val hotPerDoc = allShingles.join(hot, Seq("sh"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
+    val sizes = rawSizes.join(hotPerDoc, Seq("doc"), "left_outer")
+      .select(col("doc"),
+        (col("sz") - coalesce(col("__nhot"), lit(0L))).cast("int").as("sz"))
     // Co-shingle pairs via self-join on the hashed shingle (AQE picks
     // broadcast when the bucketed side is small; sort-merge at scale).
     // (The collect_list + in-array i<j expansion variant — the LSH

@@ -99,39 +99,45 @@ object Sampling {
     * rows. Membership = portable md5 bucket of the id (salted,
     * independent of [[hashSplit]]/[[stratified]]).
     *
-    * One count shuffle over the corpus; the per-GROUP count relation
-    * (domains/sources/languages — small by definition) is collected
-    * and the rates computed on the driver in BigInt, so
-    * `budget·w·10000` cannot overflow Long however large the corpus
-    * (the oracle's HUGEINT does the same). Rates cap at 10000 (no
-    * upsampling — replication is a separate, explicit step). Returns
-    * the kept rows plus their group's `rate_bp`. */
+    * The rates are computed ENTIRELY IN-PLAN: one count shuffle over
+    * the corpus builds the per-group count relation, a single-row
+    * aggregate over it yields Σw, and the per-group rate is exact
+    * DECIMAL(38,0) arithmetic (`budget·w·10000 ≤ 2⁶³·2³²·10⁴ < 10³²`
+    * digits — never overflows; the oracle's HUGEINT does the same).
+    * Nothing is collected to the driver, so the operator holds up
+    * when the group key is high-cardinality (web domains: 10⁷–10⁸
+    * groups) where a collect-based rate table would OOM the driver;
+    * for the usual handful of sources AQE broadcasts the tiny rate
+    * relation at runtime.
+    *
+    * Rows with a NULL group form a group like any other — counted,
+    * weighted, damped — via the null-safe join; dropping them
+    * silently would both lose data and (worse) skew every other
+    * group's rate, since their count would inflate Σw. Rates cap at
+    * 10000 (no upsampling — replication is a separate, explicit
+    * step). Returns the kept rows plus their group's `rate_bp`. */
   def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
                          budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val spark = df.sparkSession
+    val D = "decimal(38,0)"
     val counts = df.groupBy(col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__n"))
-      .collect()
-      .map(r => (r.get(0), r.getLong(1)))
-    val ws = counts.map { case (g, n) =>
-      (g, n, BigInt(math.sqrt(n.toDouble).toLong))
-    }
-    val tw = ws.map(_._3).sum
-    val rateRows = ws.map { case (g, n, w) =>
-      val ideal = (BigInt(budget) * w * 10000) / (tw * BigInt(n))
-      org.apache.spark.sql.Row(g, ideal.min(10000).max(1).toLong)
-    }
-    val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
-    val rates = spark.createDataFrame(
-      java.util.Arrays.asList(rateRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__g", gType),
-        org.apache.spark.sql.types.StructField("rate_bp",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      // floor of a correctly-rounded IEEE sqrt of an integer is exact
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val totalW = counts.agg(sum(col("__w")).as("__tw"))
+    val rates = counts.crossJoin(broadcast(totalW))
+      .withColumn("__num",
+        col("__w").cast(D) * lit(budget).cast(D) * lit(10000L).cast(D))
+      .withColumn("__den", col("__tw").cast(D) * col("__n").cast(D))
+      // clamp BEFORE dividing: an un-clamped quotient (one tiny group)
+      // can exceed Long and `div`'s BIGINT result would overflow
+      .withColumn("rate_bp",
+        when(col("__num") >= col("__den") * lit(10000L).cast(D), lit(10000L))
+          .otherwise(greatest(lit(1L), expr("__num div __den"))))
+      .select(col("__g"), col("rate_bp"))
     val bucket = pmod(Dedup.portableTokenHash(
       concat(lit("mix_"), col(idCol).cast("string"))), lit(10000L))
-    df.join(broadcast(rates), col(groupCol) === col("__g"))
+    df.join(rates, col(groupCol) <=> col("__g"))
       .filter(bucket < col("rate_bp"))
       .drop("__g")
   }

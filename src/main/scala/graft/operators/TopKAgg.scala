@@ -31,6 +31,10 @@ object TopKAgg {
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
     override def reduce(buf: Array[Pair], in: Pair): Array[Pair] = {
+      // NaN skipped like NULL (mirrors TopKPairs.update): better() is
+      // false both ways for NaN, so one admitted NaN in the last slot
+      // would block every later genuine score
+      if (in._1.isNaN) return buf
       if (buf.length < k) {
         insert(buf, in)
       } else if (better(in, buf(buf.length - 1))) {

@@ -84,7 +84,10 @@ case class TopKPairs(left: Expression, right: Expression, k: Int,
 
   override def update(buf: TopKPairsBuffer, input: InternalRow): TopKPairsBuffer = {
     val s = left.eval(input)
-    if (s != null) {
+    if (s != null && !s.asInstanceOf[Double].isNaN) {
+      // NaN is skipped like NULL: `better()` is false in BOTH directions
+      // for NaN, so a NaN that reached slot k-1 would make the full-buffer
+      // fast path reject every subsequent genuine score
       val id = right.eval(input)
       if (id != null)
         buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])

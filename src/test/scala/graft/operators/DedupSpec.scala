@@ -32,6 +32,37 @@ class DedupSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) shouldBe Seq((1L, 2L, 0.5))
   }
 
+  test("ngramJaccardPairs differential: maxDf cap is a no-op on a low-df corpus") {
+    // sf0.001 max shingle df is far below the default cap: the guarded
+    // operator must be bit-identical to the uncapped one
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6,
+      maxDf = Int.MaxValue)
+    rows(capped.exceptAll(uncapped)) shouldBe empty
+    rows(uncapped.exceptAll(capped)) shouldBe empty
+  }
+
+  test("ngramJaccardPairs: maxDf excises a planted hot shingle from the similarity space") {
+    // every doc carries the boilerplate footer shingle "x y z"; docs 1/2
+    // additionally share real content. With the footer's df (7) over the
+    // cap, it must count toward NEITHER intersections NOR set sizes.
+    val df = (Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "a b c d X x y z")
+    ) ++ (3L to 7L).map(i => (i, s"u$i v$i w$i x y z"))).toDF("doc_id", "text")
+    // uncapped: footer pairs ALL 21 doc pairs; doc1/doc2 jaccard 3/9
+    val un = rows(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.01,
+      maxDf = Int.MaxValue))
+    un.size shouldBe 21
+    // capped: only the real near-dup survives, at the FILTERED-set
+    // jaccard — sets {abc,bcd,cde,dex,exy} vs {abc,bcd,cdX,dXx,Xxy},
+    // inter 2, union 8
+    val capped = rows(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.01,
+      maxDf = 6))
+    capped.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) shouldBe
+      Seq((1L, 2L, 0.25))
+  }
+
   test("differential: minhashPairs == exact jaccard pairs at threshold 0.8 on sf0.001") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b")

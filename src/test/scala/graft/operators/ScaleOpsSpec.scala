@@ -178,6 +178,34 @@ class ScaleOpsSpec extends SparkSpec {
     rows(b.exceptAll(a)) shouldBe empty
   }
 
+  test("temperatureMixture: NULL group is damped like any other, not dropped") {
+    // 9000 'big' + 1000 NULL-keyed rows: the NULL group must get its own
+    // rate (null-safe join) and the named group's rate must match the
+    // two-group math — a dropped-but-counted NULL group would skew it
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("g", when(col("id") < 9000, "big").otherwise(lit(null: String)))
+    val out = Sampling.temperatureMixture(df, "id", "g", budget = 1000L)
+    val rates = out.select("g", "rate_bp").distinct().collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    // identical counts to the big/small test -> identical rates
+    rates("big") shouldBe 835L
+    rates(null) shouldBe 2480L
+    out.filter(col("g").isNull).count() should be > 0L
+  }
+
+  test("temperatureMixture: high-cardinality group key stays in-plan (1e5 groups)") {
+    // one row per group: w=1 for all, tw=1e5, ideal rate = budget*10000/1e5
+    // = 5000 bp for budget 50000 -> every group damped to ~coin-flip.
+    // The point is the operator completes with NO driver-side rate table.
+    val n = 100000L
+    val df = spark.range(0, n).toDF("id")
+      .withColumn("g", concat(lit("d"), col("id")))
+    val out = Sampling.temperatureMixture(df, "id", "g", budget = 50000L)
+    out.select("rate_bp").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(5000L)
+    val kept = out.count()
+    kept.toDouble shouldBe 50000.0 +- 2000.0
+  }
+
   // ---------- semanticDedupe ----------
 
   test("semanticDedupe equals the brute-force greedy-by-id rule") {

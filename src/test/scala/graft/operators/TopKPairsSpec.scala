@@ -66,18 +66,30 @@ class TopKPairsSpec extends SparkSpec {
     run(32).head shouldBe Seq(96.0, 96L)
   }
 
-  test("differential: native ≡ udaf on seeded random inputs") {
+  test("differential: native ≡ udaf on seeded random inputs (NaN rows planted)") {
     val rnd = new scala.util.Random(7)
     (1 to 10).foreach { _ =>
       val n = 1 + rnd.nextInt(60)
       val rows = Seq.fill(n)((
         Seq("a", "b", "c")(rnd.nextInt(3)),
-        // coarse grid forces score ties so the tie-break path is hit
-        (rnd.nextInt(9) - 4).toDouble,
+        // coarse grid forces score ties so the tie-break path is hit;
+        // ~1-in-10 NaN exercises the skip path in BOTH aggregates (a NaN
+        // admitted to the last slot would poison the whole group's top-k)
+        if (rnd.nextInt(10) == 0) Double.NaN else (rnd.nextInt(9) - 4).toDouble,
         rnd.nextInt(50).toLong))
       val k = 1 + rnd.nextInt(6)
       runNative(rows, k) shouldBe runUdaf(rows, k)
     }
+  }
+
+  test("NaN scores are skipped and cannot block later genuine scores") {
+    // k=1: the NaN arrives first — if admitted it would reject 3.0 forever
+    runNative(Seq(("a", Double.NaN, 1L), ("a", 3.0, 2L), ("a", 1.0, 3L)), 1) shouldBe
+      Seq(("a", 3.0, 2L))
+    runUdaf(Seq(("a", Double.NaN, 1L), ("a", 3.0, 2L), ("a", 1.0, 3L)), 1) shouldBe
+      Seq(("a", 3.0, 2L))
+    // all-NaN group -> empty result, not a NaN row
+    runNative(Seq(("a", Double.NaN, 1L), ("a", Double.NaN, 2L)), 2) shouldBe empty
   }
 
   test("serialize/deserialize round-trips the buffer") {
