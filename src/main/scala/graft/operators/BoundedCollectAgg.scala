@@ -14,19 +14,33 @@ import org.apache.spark.sql.types._
 
 /** Bounded collect buffer: exact running count, element storage capped
   * at `cap` — the first `cap` long values seen (any order; callers sort
-  * at eval). */
+  * at eval). Storage GROWS geometrically up to the cap instead of
+  * eagerly allocating `cap` longs: a hash aggregate holds one buffer
+  * PER GROUP, and the common shape (LSH buckets) is millions of groups
+  * of 1–2 members — eager allocation would cost cap·8 bytes per bucket
+  * (8 KB each at the default, gigabytes across a partition's hash
+  * table) for storage that is almost never used, and would make a
+  * deliberately-huge "effectively unbounded" cap an instant OOM. */
 final class BoundedCollectBuffer(val cap: Int) {
   var n: Long = 0L
-  val items = new Array[Long](cap)
+  var items = new Array[Long](math.min(cap, 4))
   var m: Int = 0
+
+  private def ensure(k: Int): Unit =
+    if (k > items.length) {
+      val next = math.min(cap.toLong,
+        math.max(k.toLong, items.length * 2L)).toInt
+      items = java.util.Arrays.copyOf(items, next)
+    }
 
   def add(v: Long): Unit = {
     n += 1
-    if (m < cap) { items(m) = v; m += 1 }
+    if (m < cap) { ensure(m + 1); items(m) = v; m += 1 }
   }
 
   def mergeInto(other: BoundedCollectBuffer): BoundedCollectBuffer = {
     n += other.n
+    ensure(math.min(cap.toLong, m.toLong + other.m).toInt)
     var i = 0
     while (i < other.m && m < cap) { items(m) = other.items(i); m += 1; i += 1 }
     this
@@ -91,9 +105,11 @@ case class BoundedCollectLong(child: Expression, cap: Int,
     val bb = ByteBuffer.wrap(bytes)
     val buf = new BoundedCollectBuffer(cap)
     buf.n = bb.getLong
-    buf.m = bb.getInt
+    val m = bb.getInt
+    buf.items = new Array[Long](math.max(m, 4))
+    buf.m = m
     var i = 0
-    while (i < buf.m) { buf.items(i) = bb.getLong; i += 1 }
+    while (i < m) { buf.items(i) = bb.getLong; i += 1 }
     buf
   }
 

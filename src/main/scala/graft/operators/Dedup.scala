@@ -358,7 +358,17 @@ object Dedup {
     * shingle sets — O(|candidates| · set size), a narrow join with no
     * shuffle explosion. (Re-running the exact shingle self-join on
     * candidate DOCS would verify all-pairs-among-candidates: quadratic
-    * again exactly when LSH found a dense cluster.) */
+    * again exactly when LSH found a dense cluster.)
+    *
+    * Verification scores FULL shingle sets, while [[ngramJaccardPairs]]
+    * df-filters its similarity space (`maxDf`) — so the exact/LSH
+    * "twins" (and DedupSpec's differential) coincide only on corpora
+    * whose max shingle df ≤ the exact operator's maxDf. On hot-shingle
+    * corpora this operator scores pairs INCLUDING boilerplate shingles
+    * the exact operator excises; that is intentional — per-pair
+    * verification touches each candidate once, so hot shingles cost
+    * O(set size) here, not the d²/2 join fan-out that forced the cap on
+    * the exact side. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
@@ -593,32 +603,69 @@ object Dedup {
 
   /** SimHash near-dup pairs within a Hamming radius. Blocking: split
     * the 64-bit hash into `radius+1` chunks — by pigeonhole any pair
-    * within `radius` shares at least one exact chunk, so the join is
-    * on (chunk index, chunk value), never a cross join. */
+    * within `radius` shares at least one exact chunk, so pairing is
+    * on (chunk index, chunk value), never a cross join.
+    *
+    * `maxBucket` is the DEGENERATE-BLOCK GUARD, same shape as
+    * [[minhashCandidates]]: a (chunk, value) block of d docs expands to
+    * d·(d−1)/2 pairs, and templated / near-identical corpora
+    * concentrate docs onto few chunk values (at 10⁹ docs even the
+    * UNIFORM expectation is ~15k docs per 16-bit block). Blocks above
+    * `maxBucket` are dropped inside the bounded-collect aggregate —
+    * their buffers never hold more than `maxBucket` ids. A pair is lost
+    * ONLY if every chunk it shares is oversized; since an oversized
+    * block is itself a (transitively) near-duplicate crowd, the
+    * downstream clustering treatment of such crowds is better served by
+    * [[exact]] / [[minhashPairs]] at a higher threshold than by
+    * materializing the quadratic pair list. On corpora where every
+    * block is ≤ maxBucket the output is bit-identical to the unguarded
+    * join (DedupSpec pins the differential). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    radius: Int = 3,
                    tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                     xxhash64(_)): DataFrame = {
+                     xxhash64(_),
+                   maxBucket: Int = 1000): DataFrame = {
+    // same fail-fast as minhashCandidates: the bounded-collect buffer
+    // carries long ids
+    val docType = docs.schema(idCol).dataType
+    require(docType == org.apache.spark.sql.types.LongType
+        || docType == org.apache.spark.sql.types.IntegerType,
+      s"simhashPairs needs an integral doc id, got " +
+        s"${docType.catalogString}; map string keys to a surrogate id first")
     val chunks = radius + 1
     val bitsPer = 64 / chunks
+    // persisted: consumed by the blocking pass AND twice by the
+    // Hamming join-back — recomputing the 64-measure simhash aggregate
+    // three times would triple the operator's one real shuffle.
+    // Released by the session's next clearCache (Bench/Verify do this
+    // per query).
     val sh = simhash(docs, idCol, textCol, tokenHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("idx"),
         shiftrightunsigned(col("simhash"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)).as("v")).as(s"c_$c")
     }
     val blocked = sh
-      .select(col("doc"), col("simhash"),
-        explode(array(chunkCols: _*)).as("ck"))
-      .select(col("doc"), col("simhash"),
-        col("ck.idx").as("idx"), col("ck.v").as("v"))
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.idx") === col("b.idx") && col("a.v") === col("b.v")
-          && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .select(col("doc"), explode(array(chunkCols: _*)).as("ck"))
+      .select(col("ck.idx").as("idx"), col("ck.v").as("v"), col("doc"))
+    // ONE block shuffle; the guard lives IN the aggregate buffer (exact
+    // count + at most maxBucket ids), mirroring minhashCandidates.
+    // Surviving blocks (2..maxBucket ids, sorted) expand to i<j pairs.
+    val pairs = blocked.groupBy(col("idx"), col("v"))
+      .agg(BoundedCollectLong.boundedCollect(maxBucket)(col("doc")).as("bc"))
+      .filter(col("bc.n") >= 2 && col("bc.n") <= maxBucket)
+      .select(col("bc.items").as("docs"))
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+    pairs
+      .join(sh.select(col("doc").as("id_a"), col("simhash").as("__ha")), "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("simhash").as("__hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .filter(col("hamming") <= radius)
   }
 }

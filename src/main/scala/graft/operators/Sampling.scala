@@ -102,8 +102,11 @@ object Sampling {
     * The rates are computed ENTIRELY IN-PLAN: one count shuffle over
     * the corpus builds the per-group count relation, a single-row
     * aggregate over it yields Σw, and the per-group rate is exact
-    * DECIMAL(38,0) arithmetic (`budget·w·10000 ≤ 2⁶³·2³²·10⁴ < 10³²`
-    * digits — never overflows; the oracle's HUGEINT does the same).
+    * DECIMAL(38,0) arithmetic: the numerator `budget·w·10⁴ ≤
+    * 2⁶³·2³²·10⁴ < 10³³` and the denominator `Σw·n ≤ n_total² < 10³⁸`
+    * for any corpus under ~10¹⁹ rows, so under ANSI (Spark 4 default)
+    * neither side can throw at the stated design point; the oracle's
+    * HUGEINT does the same math.
     * Nothing is collected to the driver, so the operator holds up
     * when the group key is high-cardinality (web domains: 10⁷–10⁸
     * groups) where a collect-based rate table would OOM the driver;
@@ -130,9 +133,15 @@ object Sampling {
         col("__w").cast(D) * lit(budget).cast(D) * lit(10000L).cast(D))
       .withColumn("__den", col("__tw").cast(D) * col("__n").cast(D))
       // clamp BEFORE dividing: an un-clamped quotient (one tiny group)
-      // can exceed Long and `div`'s BIGINT result would overflow
+      // can exceed Long and `div`'s BIGINT result would overflow. The
+      // clamp test `num ≥ den·10⁴` is evaluated with the 10⁴ cancelled
+      // from BOTH sides (w·budget ≥ tw·n) so neither operand outgrows
+      // the factors already present: w·budget < 10²⁹ and tw·n ≤
+      // n_total² < 10³⁸ for any corpus under ~10¹⁹ rows — the den-side
+      // bound the naive `den·10⁴` form would have burned 4 digits of
       .withColumn("rate_bp",
-        when(col("__num") >= col("__den") * lit(10000L).cast(D), lit(10000L))
+        when(col("__w").cast(D) * lit(budget).cast(D) >= col("__den"),
+            lit(10000L))
           .otherwise(greatest(lit(1L), expr("__num div __den"))))
       .select(col("__g"), col("rate_bp"))
     val bucket = pmod(Dedup.portableTokenHash(

@@ -29,13 +29,18 @@ object DataOps {
       ORDER BY keep_id"""))
 
   /** q27: exact word-3-gram Jaccard near-dup pairs (threshold 0.6) —
-    * the exact-math verifier the sketch methods are judged against. */
+    * the exact-math verifier the sketch methods are judged against.
+    * The operator's default hot-shingle cap (maxDf = 1000) is passed
+    * EXPLICITLY and mirrored in the oracle SQL's df census, so the two
+    * stay in lockstep on any corpus — including one with a planted
+    * df > 1000 boilerplate shingle. */
   private val q27 = QuerySpec(
     "q27_ngram_jaccard",
     (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.6)
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.6,
+        maxDf = 1000)
         .orderBy(col("id_a"), col("id_b")),
-    oracle = Some(jaccardOracle(0.6)),
+    oracle = Some(jaccardOracle(0.6, maxDf = Some(1000))),
     bench = true)
 
   /** q28: MinHash+LSH near-dup pairs, exact-Jaccard-verified. With 128
@@ -289,20 +294,36 @@ object DataOps {
 
   /** Shared oracle for exact 3-gram Jaccard pairs at a threshold —
     * reproduces TextFns.wordShingles (n=3, short-doc fallback to the
-    * whole text) and Dedup.ngramJaccardPairs exactly. */
-  private def jaccardOracle(threshold: Double): String = s"""
+    * whole text) and Dedup.ngramJaccardPairs exactly, INCLUDING the
+    * hot-shingle guard when `maxDf` is given: shingles with document
+    * frequency over the cap are excluded from both intersections and
+    * set sizes, mirroring the operator's df census, so oracle and
+    * operator share semantics on ANY corpus (not just ones whose max
+    * df happens to sit under the cap). `maxDf = None` models the
+    * uncapped similarity — the form [[Dedup.minhashPairs]]'s full-set
+    * verification computes (q28). */
+  private def jaccardOracle(threshold: Double,
+                            maxDf: Option[Int] = None): String = {
+    // per-doc shingles are DISTINCT at birth, so count(*) per shingle
+    // IS its document frequency
+    val dfFilter = maxDf.map(cap => s"""
+      df_ok AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= $cap),
+      sh AS (SELECT doc_id, s FROM sh_all JOIN df_ok USING (s)),""")
+      .getOrElse("""
+      sh AS (SELECT doc_id, s FROM sh_all),""")
+    s"""
       WITH toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
         FROM documents),
-      sh AS (
+      sh_all AS (
         SELECT DISTINCT doc_id, s FROM (
           SELECT doc_id, unnest(
             CASE WHEN len(w) >= 3 THEN
               list_transform(range(1, len(w) - 1),
                 i -> array_to_string(w[i:i+2], ' '))
             ELSE [array_to_string(w, ' ')] END) AS s
-          FROM toks)),
+          FROM toks)),$dfFilter
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
@@ -315,6 +336,7 @@ object DataOps {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= $threshold
       ORDER BY id_a, id_b"""
+  }
 
   /** q44: IVF-lite ANN top-3 — the coarse-quantization scale path
     * (alternative to q32's SRP-LSH). Centroid draw is hash-derived →

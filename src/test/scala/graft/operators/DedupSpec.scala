@@ -119,6 +119,29 @@ class DedupSpec extends SparkSpec {
       s"simhash produced ${(sh -- strong).size}/${sh.size} pairs below unigram jaccard 0.7")
   }
 
+  test("simhashPairs differential: maxBucket cap is a no-op on sf0.001") {
+    // sf0.001's chunk blocks are far below the default cap: the guarded
+    // operator must be bit-identical to an effectively-unguarded run
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", radius = 3)
+    val unguarded = Dedup.simhashPairs(docs, "doc_id", "text", radius = 3,
+      maxBucket = Int.MaxValue / 2)
+    rows(capped.exceptAll(unguarded)) shouldBe empty
+    rows(unguarded.exceptAll(capped)) shouldBe empty
+  }
+
+  test("simhashPairs caps degenerate chunk blocks (bounded fan-out)") {
+    // 60 identical docs → identical simhash → every chunk block has all
+    // 60 docs. maxBucket=10 must drop every block (no pair ever
+    // materialized); maxBucket=100 pairs all of them.
+    val many = (1L to 60L).map(i => (i, "same text for every doc")).toDF("doc_id", "text")
+    rows(Dedup.simhashPairs(many, "doc_id", "text", radius = 3,
+      maxBucket = 10)) shouldBe empty
+    val all = rows(Dedup.simhashPairs(many, "doc_id", "text", radius = 3,
+      maxBucket = 100))
+    all.size shouldBe 60 * 59 / 2
+    all.map(_.getInt(2)).distinct shouldBe Seq(0) // hamming 0 for identical text
+  }
+
   test("minhashCandidates caps degenerate buckets") {
     // 60 identical docs → one LSH bucket of 60; maxBucket=10 must drop it
     val many = (1L to 60L).map(i => (i, "same text for every doc")).toDF("doc_id", "text")
