@@ -47,43 +47,52 @@ object Bench {
         s"[bench] WARNING: $warmFailures/${selected.size} warm-up queries failed on $warmDir — timed runs include codegen compile cost")
     System.gc()
 
-    // Two timed runs per query, report the MIN: ambient host load
-    // swings single measurements ±30% at these run lengths; the min of
-    // two steady-state runs is the standard noise-resistant estimator
-    // of the query's actual cost (warm-up above already removed
-    // compile effects, so the two runs are identically conditioned).
+    // INTERLEAVED rounds, min per query: three full passes over the
+    // query list (A,B,C,A,B,C,A,B,C), each query reporting its minimum
+    // across rounds. Ambient host load swings single measurements ±30%
+    // at these run lengths, and back-to-back runs of the SAME query
+    // share the spike — interleaving spreads each query's samples
+    // minutes apart so a transient spike corrupts at most one sample
+    // per query and the min recovers the steady-state cost. (Warm-up
+    // above already removed compile effects, so rounds are identically
+    // conditioned.)
     val timedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2).max(1)
-    val results = selected.map { name =>
-      val fn = SparkEntry.queries(name)
-      var best = Double.MaxValue
-      var err: Option[String] = None
-      var r = 0
-      while (r < timedRuns && err.isEmpty) {
-        val t0 = System.nanoTime()
-        // A failed query must NOT silently deflate the total: it records
-        // value -1, lands in "errors", and the process exits non-zero.
-        err = try { fn(spark, sfDir).count(); None }
-              catch { case t: Throwable => Some(t.toString.take(300)) }
-        if (err.isEmpty) best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        // Isolate runs: release persisted intermediates, then force a
-        // GC so the ContextCleaner actually reclaims prior queries'
-        // shuffle files and broadcasts — with a large heap the JVM may
-        // otherwise not GC for many queries and later timings absorb the
-        // accumulated cleanup (measured: q28 6.7s isolated vs 17.9s after
-        // nine queries without this).
-        spark.catalog.clearCache()
-        System.gc()
-        // the ContextCleaner processes GC'd shuffle/broadcast refs on its
-        // own thread — give it time so cleanup IO doesn't overlap the next
-        // timed query (isolated q28 runs at ~2.7s but measured up to 9.8s
-        // when timed directly after q27's 4M-row shuffle was being
-        // reclaimed underneath it)
-        Thread.sleep(2000)
-        r += 1
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3).max(1)
+    val best = scala.collection.mutable.LinkedHashMap[String, Double](
+      selected.map(_ -> Double.MaxValue): _*)
+    // A failed query must NOT silently deflate the total: it records
+    // value -1, lands in "errors", and the process exits non-zero.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    var round = 0
+    while (round < timedRuns) {
+      selected.foreach { name =>
+        if (!failed.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sfDir).count()
+            best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
+          } catch { case t: Throwable => failed(name) = t.toString.take(300) }
+          // Isolate runs: release persisted intermediates, then force a
+          // GC so the ContextCleaner actually reclaims prior queries'
+          // shuffle files and broadcasts — with a large heap the JVM may
+          // otherwise not GC for many queries and later timings absorb the
+          // accumulated cleanup (measured: q28 6.7s isolated vs 17.9s after
+          // nine queries without this).
+          spark.catalog.clearCache()
+          System.gc()
+          // the ContextCleaner processes GC'd shuffle/broadcast refs on its
+          // own thread — give it time so cleanup IO doesn't overlap the next
+          // timed query (isolated q28 runs at ~2.7s but measured up to 9.8s
+          // when timed directly after q27's 4M-row shuffle was being
+          // reclaimed underneath it)
+          Thread.sleep(2000)
+        }
       }
-      val dt = if (err.isDefined) -1.0 else best
-      (name, dt, err)
+      round += 1
+    }
+    val results = selected.map { name =>
+      val err = failed.get(name)
+      (name, if (err.isDefined) -1.0 else best(name), err)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")

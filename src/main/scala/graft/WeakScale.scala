@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Dedup, Decontaminate, Sampling}
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weak-scaling measurement harness behind SCALE.md's measured tables.
+  *
+  * Protocol (same as the round-3 dedup/ANN rows): the sf0.1 corpus is
+  * replicated k× with a per-replica tag token appended to the text —
+  * intra-replica near-dup structure is preserved, cross-replica
+  * fingerprint/shingle collisions are impossible — and embeddings are
+  * replicated with a per-replica epsilon so no two replicas' vectors
+  * coincide. Each operator is timed twice per scale (min reported) on
+  * the shared local[32] session after one tiny warm-up pass compiles
+  * the plan shapes.
+  *
+  * Run: `sbt "runMain graft.WeakScale"`; optional env
+  * SPARK_GRAFT_SF_DIR (base corpus) and SPARK_GRAFT_SCALES (e.g.
+  * "1,4,16").
+  */
+object WeakScale {
+
+  /** k disjoint tagged copies: ids offset per replica, one replica tag
+    * token appended (keeps every intra-replica shingle/fingerprint
+    * relation, creates none across replicas). */
+  def replicateDocs(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replicatag$i")).as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ union _)
+
+  /** k copies with a per-replica epsilon on every component — preserves
+    * intra-replica geometry, separates replicas. */
+  def replicateVecs(vecs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      vecs.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(i * 1e-3f)).as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+
+  private def time(runs: Int)(body: => Long): (Double, Long) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    (0 until runs).foreach { _ =>
+      val t0 = System.nanoTime()
+      rows = body
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = GraftSession.build("local[32]", 32, "graft-weakscale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseDocs = Tables.documents(spark, sfDir)
+    val baseVecs = Tables.embeddings(spark, sfDir)
+    // fixed-size eval suite for decontamination: the weak-scaling axis
+    // is the TRAIN corpus; eval suites stay ~constant in real use
+    val evalSuite = baseDocs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+
+    // one warm-up at 1x per operator family compiles the plan shapes
+    def measurements(k: Int, runs: Int): Seq[(String, Double, Long)] = {
+      val docs = replicateDocs(baseDocs, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vecs = replicateVecs(baseVecs, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count(); vecs.count() // materialize outside the timed region
+      // historical index: the replicas' other half — same scale as the
+      // batch, zero overlap (both sides grow k x, the q83 shape)
+      val batch = docs.filter(col("doc_id") % 2 === 0)
+      val index = docs.filter(col("doc_id") % 2 === 1)
+      val out = Seq(
+        ("bloom_dedup_q83", time(runs) {
+          Dedup.bloomDedupe(batch, index, "doc_id", "text",
+            expectedItems = 5000L * k).count()
+        }),
+        ("ngram_leaks_q85", time(runs) {
+          Decontaminate.ngramLeaks(docs, evalSuite, "doc_id", "text").count()
+        }),
+        // nCells scales with k: the documented SemDeDup sizing rule
+        // (cells stay task-sized), keeping within-cell work linear
+        ("semantic_dedup_q86", time(runs) {
+          Similarity.semanticDedupe(vecs, "vec_id", "embedding",
+            nCells = 32 * k, threshold = 0.995).count()
+        }),
+        ("temperature_mixture_q88", time(runs) {
+          Sampling.temperatureMixture(docs, "doc_id", "source",
+            budget = 1000L * k).count()
+        }))
+      docs.unpersist(); vecs.unpersist()
+      out.map { case (n, (s, r)) => (n, s, r) }
+    }
+
+    measurements(1, runs = 1) // warm-up: compile shapes, ignore timings
+    scales.foreach { k =>
+      measurements(k, runs = 2).foreach { case (name, sec, rows) =>
+        println(f"""{"op":"$name","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -54,6 +54,38 @@ final case class JdbcSink(url: String, table: String, user: String,
     df.write.format("jdbc").options(options).mode(mode).save()
 }
 
+/** K6: out-of-band JDBC DDL (data_mart.scala:149-151) — after writing
+  * the mart table the reference opens a raw JDBC connection and runs a
+  * `GRANT SELECT` so the checker account can read it. This is not a
+  * Spark operator (no DataFrame flows through it): it is a driver-side
+  * single-statement session executed AFTER the Spark write completes.
+  * Kept beside [[JdbcSink]] because real deployments pair the two —
+  * write, then grant.
+  */
+object JdbcDdl {
+  /** Execute one DDL/DCL statement (GRANT, CREATE, DROP …) and close
+    * the connection. Returns false when the statement produced no
+    * result set (the normal DDL case, mirroring `Statement.execute`).
+    */
+  def execute(url: String, user: String, password: String, driver: String,
+              ddl: String): Boolean = {
+    Class.forName(driver)
+    val props = new java.util.Properties()
+    if (user.nonEmpty) props.setProperty("user", user)
+    if (password.nonEmpty) props.setProperty("password", password)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(ddl) finally st.close()
+    } finally conn.close()
+  }
+
+  /** The reference's statement shape (data_mart.scala:150): read grant
+    * on a freshly-written table to a named account. */
+  def grantSelect(table: String, to: String): String =
+    s"GRANT SELECT ON $table TO $to"
+}
+
 /** K4: generic connector append (Elasticsearch `es` etc.,
   * dashboard.scala:56-60). */
 final case class FormatSink(format: String,

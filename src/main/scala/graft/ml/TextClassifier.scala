@@ -34,9 +34,24 @@ object TextClassifier {
 
   /** M1–M5: build + fit the pipeline. Hyperparameters mirror the
     * reference (maxIter=10, regParam=0.001, mlproject/train.scala:49-51).
+    *
+    * Training is DETERMINISTIC within a session: the input is
+    * hash-repartitioned on `idCol` and sorted within partitions, so
+    * every pass over the data (CountVectorizer's word count + top-N
+    * vocabulary draw, L-BFGS treeAggregate gradients) sees an identical
+    * layout — two fits on the same frame produce bit-identical models.
+    * Without this, vocabulary count ties and float summation order
+    * float with the incoming partitioning and repeated trains can
+    * disagree on argmax-marginal docs. One extra shuffle, amortized
+    * over maxIter full passes.
     */
   def train(training: DataFrame, vocabSize: Int = 10000,
-            maxIter: Int = 10, regParam: Double = 0.001): PipelineModel = {
+            maxIter: Int = 10, regParam: Double = 0.001,
+            idCol: String = "doc_id"): PipelineModel = {
+    val conditioned =
+      if (training.columns.contains(idCol))
+        training.repartition(col(idCol)).sortWithinPartitions(idCol)
+      else training
     val vectorizer = new CountVectorizer()
       .setInputCol("tokens").setOutputCol("features").setVocabSize(vocabSize)
     // Eager indexer fit so IndexToString gets the label inventory — the
@@ -45,7 +60,7 @@ object TextClassifier {
     val indexerModel = new StringIndexer()
       .setInputCol("label_str").setOutputCol("label")
       .setStringOrderType("alphabetAsc") // deterministic class indices
-      .fit(training)
+      .fit(conditioned)
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
@@ -54,7 +69,7 @@ object TextClassifier {
       .setLabels(indexerModel.labelsArray(0))
     new Pipeline()
       .setStages(Array(vectorizer, indexerModel, lr, relabel))
-      .fit(training)
+      .fit(conditioned)
   }
 
   /** M6: score a (possibly streaming) tokens frame. */

@@ -351,8 +351,12 @@ object DataOps {
 
   /** q45: ML train+score in one query (M1-M6 end-to-end): fit the
     * lang classifier on the documents and score them. L-BFGS weights are
-    * not bit-stable across environments → rows-only check; learnability
-    * and scoring determinism are asserted in TextClassifierSpec. */
+    * not bit-stable across ENVIRONMENTS (JVM, BLAS, core count) so the
+    * per-doc predictions stay rows-only; within a session training is
+    * deterministic (TextClassifier.train conditions the input layout)
+    * and q92 makes the driver witness that via a full oracle check.
+    * Learnability and scoring determinism are asserted in
+    * TextClassifierSpec. */
   private val q45 = QuerySpec(
     "q45_ml_score",
     (s, dir) => {
@@ -363,6 +367,40 @@ object DataOps {
         .select(col("doc_id"), col("predicted_label"))
         .orderBy(col("doc_id"))
     })
+
+  /** q92: ML training determinism, oracle-witnessed. Trains the q45
+    * pipeline TWICE on identically-prepared input and reports (corpus
+    * size, classes the model learned, prediction disagreements between
+    * the two fits). Deterministic conditioning in TextClassifier.train
+    * makes the fits bit-identical, so n_disagree is exactly 0 and
+    * n_classes equals the label inventory — both facts DuckDB can
+    * state independently, which upgrades the ML family from rows-only
+    * to a hash-checked oracle row. */
+  private val q92 = QuerySpec(
+    "q92_ml_determinism",
+    (s, dir) => {
+      import graft.ml.TextClassifier
+      val assembled = TextClassifier.assemble(Tables.documents(s, dir))
+      val m1 = TextClassifier.train(assembled, vocabSize = 2000, maxIter = 5)
+      val m2 = TextClassifier.train(assembled, vocabSize = 2000, maxIter = 5)
+      val nClasses = m1.stages.last
+        .asInstanceOf[org.apache.spark.ml.feature.IndexToString]
+        .getLabels.length
+      val s1 = TextClassifier.score(m1, assembled)
+        .select(col("doc_id"), col("predicted_label").as("p1"))
+      val s2 = TextClassifier.score(m2, assembled)
+        .select(col("doc_id"), col("predicted_label").as("p2"))
+      s1.join(s2, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("n_disagree"))
+        .withColumn("n_classes", lit(nClasses))
+        .select(col("n_docs"), col("n_classes"), col("n_disagree"))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n_docs,
+             CAST(count(DISTINCT lang) AS INT) AS n_classes,
+             CAST(0 AS BIGINT) AS n_disagree
+      FROM documents"""))
 
   /** q48: AS-OF join — attribute every view to the user's most recent
     * purchase at or before it (graft.operators.AsOfJoin: union +
@@ -507,5 +545,5 @@ object DataOps {
 
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49, q50, q51)
+    q48, q49, q50, q51, q92)
 }

@@ -81,6 +81,29 @@ class IoSpec extends SparkSpec {
       .options("dbtable") shouldBe "out"
   }
 
+  test("JdbcDdl executes out-of-band statements on a live JDBC session (K6)") {
+    // Derby ships with Spark, so the helper is exercised against a real
+    // database: DDL + DML through JdbcDdl, then the table read back
+    // through the ordinary Spark JDBC source — proving the statements
+    // committed in the same database the engine would then scan.
+    val url = "jdbc:derby:memory:graftddl;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    JdbcDdl.execute(url, "", "", drv,
+      "CREATE TABLE marts (id INT PRIMARY KEY, name VARCHAR(32))") shouldBe false
+    JdbcDdl.execute(url, "", "", drv,
+      "INSERT INTO marts VALUES (1, 'clients'), (2, 'features')") shouldBe false
+    val back = spark.read.format("jdbc")
+      .options(Map("url" -> url, "dbtable" -> "marts", "driver" -> drv))
+      .load().orderBy("id")
+    rows(back).map(r => (r.getInt(0), r.getString(1))) shouldBe
+      Seq((1, "clients"), (2, "features"))
+    // the reference's GRANT shape (data_mart.scala:149-151); Derby needs
+    // sqlAuthorization to accept GRANTs so the statement text is pinned
+    // rather than executed
+    JdbcDdl.grantSelect("clients_mart", "checker") shouldBe
+      "GRANT SELECT ON clients_mart TO checker"
+  }
+
   test("kafka stream sink serializes whole rows to a JSON value column") {
     val sink = KafkaStreamSink("b:9092", "out", "/tmp/ckpt")
     val df = Seq((1L, "x", 2.5)).toDF("id", "name", "v")

@@ -55,6 +55,29 @@ class TextClassifierSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("two independent trains produce bit-identical models (q45/q92 determinism)") {
+    // train() conditions the layout (hash-repartition on doc_id + sort
+    // within partitions), so the vocabulary draw and every L-BFGS
+    // treeAggregate see identical data order: coefficients — not just
+    // argmax predictions — must match exactly.
+    val assembled = TextClassifier.assemble(corpus)
+    val m1 = TextClassifier.train(assembled, vocabSize = 50, maxIter = 5)
+    val m2 = TextClassifier.train(assembled, vocabSize = 50, maxIter = 5)
+    def coefs(m: org.apache.spark.ml.PipelineModel): Seq[Double] =
+      m.stages(2).asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+        .coefficientMatrix.toArray.toSeq
+    def vocab(m: org.apache.spark.ml.PipelineModel): Seq[String] =
+      m.stages(0).asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel]
+        .vocabulary.toSeq
+    vocab(m1) shouldBe vocab(m2)
+    coefs(m1) shouldBe coefs(m2)
+    val a = TextClassifier.score(m1, assembled)
+      .select("doc_id", "predicted_label").orderBy("doc_id").collect().toSeq
+    val b = TextClassifier.score(m2, assembled)
+      .select("doc_id", "predicted_label").orderBy("doc_id").collect().toSeq
+    a shouldBe b
+  }
+
   test("fitted model transforms a STREAMING frame (ST7: stream-side inference)") {
     val model = TextClassifier.train(TextClassifier.assemble(corpus))
     implicit val ctx = spark.sqlContext

@@ -44,4 +44,56 @@ class StreamingIngestPipelineSpec extends SparkSpec {
       out.columns should contain allOf ("quality", "n_pii")
     } finally q.stop()
   }
+
+  test("soak: dedup state plateaus under the watermark across 100 micro-batches") {
+    // The 100 TB streaming risk is unbounded state growth. Drive the
+    // pipeline through 100 micro-batches of all-unique documents, event
+    // time advancing one minute per batch with a 10-minute watermark:
+    // dropDuplicatesWithinWatermark must evict fingerprints older than
+    // the horizon, so state-store rows plateau near (horizon / batch
+    // interval) instead of tracking the 100-doc cumulative input.
+    implicit val ctx = spark.sqlContext
+    val decent = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank"
+    val emptyIndex = Seq.empty[String].toDF("text")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val q = StreamingIngestPipeline
+      .run(docs, emptyIndex, "ts", "text", minQuality = 0.3,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("soak_ingest")
+      .outputMode("append").start()
+    try {
+      val stateRows = Array.newBuilder[Long]
+      for (batch <- 0 until 100) {
+        in.addData((new Timestamp(base + batch * 60000L), batch.toLong,
+          s"$decent unique document number $batch"))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators(0).numRowsTotal
+      }
+      val sizes = stateRows.result()
+      assert(sizes.nonEmpty, "no state operator progress reported")
+      // every batch's doc is unique and above the quality floor
+      spark.table("soak_ingest").count() shouldBe 100
+      // plateau: by batch 25 the watermark is deep into eviction; state
+      // must never trend up afterwards (±2 slack for the eviction batch
+      // boundary) and must sit far below the cumulative 100 inputs.
+      // Retention per entry is ~2x the delay: the watermark lags max
+      // event time by `lateness`, and the entry lives until the
+      // watermark passes its own time + `lateness` — so at 1 batch/min
+      // with a 10-minute delay the steady state is ~20 rows (measured:
+      // exactly 20), NOT the 100 cumulative uniques.
+      val early = sizes.slice(25, 45).max
+      val late = sizes.takeRight(20).max
+      assert(late <= early + 2,
+        s"state grew across the soak: early max $early, late max $late")
+      assert(late <= 25,
+        s"state ($late rows) exceeds the ~20-row (2x watermark) horizon")
+    } finally q.stop()
+  }
 }
