@@ -195,15 +195,29 @@ object Dedup {
     val hot = allShingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("sh"))
-    val shingles = allShingles.join(hot, Seq("sh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded driver round-trip (a boolean over the tiny persisted
+    // hot relation — the census reads the already-persisted shingle
+    // sets): on the common no-hot-shingle corpus it short-circuits the
+    // anti/semi/outer correction joins below, whose empty-side stages
+    // would otherwise still schedule a full cached-scan pass each. On
+    // the hot corpus the persisted census is reused by both joins.
+    val noHot = hot.isEmpty
+    val shingles =
+      if (noHot) { hot.unpersist(); allShingles }
+      else allShingles.join(hot, Seq("sh"), "left_anti")
     // sizes over the SAME df-filtered space, without a second full
     // groupBy(doc) shuffle: only docs that CONTAIN a hot shingle (a
     // small relation when hot is small) shuffle for the correction
-    val hotPerDoc = allShingles.join(hot, Seq("sh"), "left_semi")
-      .groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
-    val sizes = rawSizes.join(hotPerDoc, Seq("doc"), "left_outer")
-      .select(col("doc"),
-        (col("sz") - coalesce(col("__nhot"), lit(0L))).cast("int").as("sz"))
+    val sizes =
+      if (noHot) rawSizes
+      else {
+        val hotPerDoc = allShingles.join(hot, Seq("sh"), "left_semi")
+          .groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
+        rawSizes.join(hotPerDoc, Seq("doc"), "left_outer")
+          .select(col("doc"),
+            (col("sz") - coalesce(col("__nhot"), lit(0L))).cast("int").as("sz"))
+      }
     // Co-shingle pairs via self-join on the hashed shingle (AQE picks
     // broadcast when the bucketed side is small; sort-merge at scale).
     // (The collect_list + in-array i<j expansion variant — the LSH
