@@ -32,5 +32,13 @@ object GraftSession {
       // eagerly by AQE's explain updates. 8 MB keeps every diagnostic
       // readable while bounding the allocation.
       .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
+      // static conf, default 100 compiled classes: a multi-query
+      // session (Bench's 15 queries x several codegen fragments each,
+      // Verify's 90+) evicts LRU entries mid-run and silently re-pays
+      // seconds of janino per evicted shape — measured as a ~0.5s
+      // in-suite penalty on q27 vs the same query isolated. 1000
+      // entries holds every shape this library generates; memory cost
+      // is tens of MB of classes on a 100+ GB driver.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
 }
