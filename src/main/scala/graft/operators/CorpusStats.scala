@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.{ScalarFns, TextFns}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-composition statistics for training-mix design: pairwise
+  * n-gram overlap between corpus partitions (sources/domains) and
+  * Zipf head-mass per group. Both are data-card numbers — they tell
+  * you whether two sources are near-copies of each other (crawl
+  * overlap) and how repetitive each slice's token distribution is.
+  */
+object CorpusStats {
+
+  /** Pairwise word-n-gram-shingle Jaccard between values of `partCol`
+    * (e.g. sources): the source-level contamination/diversity matrix.
+    * Output: (src_a, src_b, n_common: long, jaccard: double(6)) for
+    * every unordered pair sharing at least one shingle, src_a < src_b.
+    *
+    * 100 TB design: the corpus collapses to DISTINCT (source, shingle)
+    * with map-side combine — output is vocabulary-sized per source, not
+    * corpus-sized. The self-join key is the shingle; each key carries at
+    * most one row per source, so per-key fan-out is bounded by S²/2 for
+    * S sources — the size of the answer itself. Set sizes join back by
+    * source (S rows, broadcast). Nothing here scales with document
+    * count beyond the initial distinct.
+    */
+  def sourceNgramOverlap(docs: DataFrame, partCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    // persisted: feeds both the per-source set sizes and the pair join
+    val sh = docs
+      .select(col(partCol).as("src"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val union = col("sa.sz") + col("sb.sz") - col("n_common")
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.as("sa")), col("src_a") === col("sa.src"))
+      .join(broadcast(sizes.as("sb")), col("src_b") === col("sb.src"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        ScalarFns.roundFrac(col("n_common"), union, 6).as("jaccard"))
+  }
+
+  /** Zipf head mass: per group, the fraction of all token occurrences
+    * covered by the k most frequent tokens (ties broken alphabetically),
+    * plus the single most frequent token. High coverage = repetitive /
+    * templated slice. Output: (grp, n_tokens: long, top_token,
+    * topk_frac: double(4)).
+    *
+    * 100 TB design: the corpus reduces to (group, token, count) with
+    * map-side combine before any window — the ranked relation is
+    * vocabulary-sized per group. The rank window sorts that relation,
+    * not the corpus; for a 10⁸-token vocabulary prefer a bounded top-k
+    * aggregate (operators.TopKAgg) for the head and a plain sum for the
+    * denominator — same output, no full vocabulary sort.
+    */
+  def topTokenCoverage(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int = 10): DataFrame = {
+    val tc = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c").desc, col("token").asc)
+    tc.withColumn("rk", row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("rk") <= k, col("c")).otherwise(lit(0L))).as("topk"),
+        max(when(col("rk") === 1, col("token"))).as("top_token"))
+      .select(col("grp"), col("n_tokens"), col("top_token"),
+        ScalarFns.roundFrac(col("topk"), col("n_tokens"), 4).as("topk_frac"))
+  }
+}

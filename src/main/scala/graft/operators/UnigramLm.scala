@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus unigram language model + per-document mean-log-probability
+  * scoring — the classic CCNet/Gopher-family "LM quality" signal: a
+  * document whose tokens are improbable under the corpus distribution
+  * (gibberish, wrong language, OCR noise) scores low; boilerplate made
+  * of ultra-frequent tokens scores high. Both tails are filter targets.
+  *
+  * Cross-engine determinism: a float `avg(ln p)` is irreproducible —
+  * engines sum partial aggregates in different orders and land on
+  * opposite sides of rounding boundaries. Instead each DISTINCT token's
+  * log-probability is quantized ONCE to an integer (`lp_micro =
+  * round(ln(c/N)·10⁶)` — one `ln` call per vocabulary entry, the same
+  * risk class as q58's tf·idf), and per-document scores are then exact
+  * integer dot products Σ tf·lp_micro whose value is independent of
+  * summation order. Only the final display division is floating point,
+  * performed in the same operation order by every engine.
+  *
+  * 100 TB design: the LM build is one token groupBy with map-side
+  * combine — vocabulary-sized output (10⁶–10⁸ rows), tiny next to the
+  * corpus. Scoring aggregates tf per (doc, token) FIRST (corpus →
+  * per-doc-distinct rows), then joins the LM on token. The LM side has
+  * exactly one row per key, so the join output equals its left input —
+  * no fan-out — and hot tokens ("the") cost only partition imbalance,
+  * which AQE skew-split absorbs; a small LM broadcasts and skips the
+  * shuffle entirely (AQE picks this automatically under the threshold).
+  */
+object UnigramLm {
+
+  /** Build the unigram LM over `textCol`: one row per token with its
+    * corpus count and micro-quantized log-probability.
+    * Output: (token, cnt: long, lp_micro: long). */
+  def build(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    // total corpus size: single scalar, broadcast into the projection
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(
+        col("token"),
+        col("cnt"),
+        round(log(col("cnt").cast("double") / col("n_total")) * lit(1e6), 0)
+          .cast("long").as("lp_micro"))
+  }
+
+  /** Score each document by its mean token log-probability under `lm`
+    * (built by [[build]], or externally — any (token, lp_micro) table).
+    * Documents with zero tokens (empty/NULL text) produce NO row; keep
+    * them with a left join at the call site if required.
+    * Output: (idCol, n_tokens: int, lp_sum_micro: long,
+    * avg_logprob: double rounded to 4). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            lm: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(lm.select(col("token"), col("lp_micro")), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("int").as("n_tokens"),
+        sum(col("tf") * col("lp_micro")).as("lp_sum_micro"))
+      .withColumn("avg_logprob",
+        round(col("lp_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
+  }
+
+  /** Self-scoring convenience: build the LM over the corpus and score
+    * the same corpus, tokenizing once. Persisted tf feeds both the LM
+    * aggregation and the scoring dot product. */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val lm = counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("n_total")) * lit(1e6), 0)
+          .cast("long").as("lp_micro"))
+    tf.join(lm, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("int").as("n_tokens"),
+        sum(col("tf") * col("lp_micro")).as("lp_sum_micro"))
+      .withColumn("avg_logprob",
+        round(col("lp_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{CorpusStats, OutlierTrim, UnigramLm}
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-curation operators: unigram-LM quality scoring,
+  * per-language length-outlier trimming, source-pair n-gram overlap,
+  * and Zipf head-mass — the data-card / mix-design layer on top of the
+  * dedup + filtering families. All four are fully oracle-checked; the
+  * determinism tricks are documented on the operators (integer-quantized
+  * log-probs, dyadic-exact quartile fences, roundFrac rationals).
+  */
+object CurationOps {
+
+  /** q93: mean token log-probability under the corpus's own unigram LM
+    * (UnigramLm.selfScore) — the CCNet-style quality signal. Documents
+    * with no tokens keep a row via the left join (n_tokens 0, score
+    * NULL). Per-token logs are quantized to integers once per
+    * vocabulary entry, so the per-doc sums are order-independent. */
+  private val q93 = QuerySpec(
+    "q93_unigram_lm",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"))
+        .join(UnigramLm.selfScore(docs, "doc_id", "text"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+          col("avg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      lm AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+      n AS (SELECT count(*) AS n_total FROM toks),
+      lmq AS (
+        SELECT token,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / n_total) * 1000000, 0) AS BIGINT)
+                 AS lp_micro
+        FROM lm CROSS JOIN n),
+      sc AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf) AS INTEGER) AS n_tokens,
+               sum(tf * lp_micro) AS lp_sum
+        FROM tf JOIN lmq USING (token) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(sc.n_tokens, 0) AS INTEGER) AS n_tokens,
+             round(CAST(sc.lp_sum AS DOUBLE) / sc.n_tokens / 1000000.0, 4)
+               AS avg_logprob
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** q94: per-language Tukey-fence trim on document length — keep docs
+    * with n_chars inside [q1 − 1.5·iqr, q3 + 1.5·iqr] of their
+    * language. Quartile positions are exact dyadic doubles, so both
+    * engines compute bit-identical fences (OutlierTrim scaladoc). */
+  private val q94 = QuerySpec(
+    "q94_length_trim",
+    (s, dir) =>
+      OutlierTrim.tukey(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH f AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.25) AS q1,
+               quantile_cont(n_chars, 0.75) AS q3
+        FROM documents GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM documents d JOIN f ON f.lang = d.lang
+      WHERE d.n_chars >= f.q1 - 1.5 * (f.q3 - f.q1)
+        AND d.n_chars <= f.q3 + 1.5 * (f.q3 - f.q1)
+      ORDER BY d.doc_id"""))
+
+  /** q95: source-pair 3-gram overlap matrix
+    * (CorpusStats.sourceNgramOverlap) — which sources are near-copies
+    * of each other. Jaccard over DISTINCT shingle sets per source,
+    * exact-rational rounding. */
+  private val q95 = QuerySpec(
+    "q95_source_overlap",
+    (s, dir) =>
+      CorpusStats.sourceNgramOverlap(Tables.documents(s, dir), "source", "text", n = 3)
+        .orderBy(col("src_a"), col("src_b")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT source, s FROM (
+          SELECT source, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_common,
+             CAST((n_common * 2000000 + (sa.sz + sb.sz - n_common))
+                  // ((sa.sz + sb.sz - n_common) * 2) AS DOUBLE) / 1000000.0
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b
+      ORDER BY src_a, src_b"""))
+
+  /** q96: Zipf head mass per language (CorpusStats.topTokenCoverage) —
+    * fraction of token occurrences covered by the 10 most frequent
+    * tokens, ties alphabetical; the repetitiveness data-card stat. */
+  private val q96 = QuerySpec(
+    "q96_zipf_coverage",
+    (s, dir) =>
+      CorpusStats.topTokenCoverage(Tables.documents(s, dir), "lang", "text", k = 10)
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        FROM documents),
+      tc AS (SELECT lang, token, count(*) AS c FROM toks GROUP BY 1, 2),
+      rk AS (
+        SELECT lang, token, c,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rk
+        FROM tc)
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             max(CASE WHEN rk = 1 THEN token END) AS top_token,
+             CAST((sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) * 20000 + sum(c))
+                  // (sum(c) * 2) AS DOUBLE) / 10000.0 AS topk_frac
+      FROM rk GROUP BY 1 ORDER BY lang"""))
+
+  val specs: Seq[QuerySpec] = Seq(q93, q94, q95, q96)
+}

@@ -27,5 +27,6 @@ case class QuerySpec(
 object Catalog {
   lazy val all: Seq[QuerySpec] =
     Relational.specs ++ MatrixPipelines.specs ++ DataOps.specs ++
-      Advanced.specs ++ TrainingOps.specs ++ ScaleOps.specs
+      Advanced.specs ++ TrainingOps.specs ++ ScaleOps.specs ++
+      CurationOps.specs
 }

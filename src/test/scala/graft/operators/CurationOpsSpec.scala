@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the round-5 curation operators:
+  * UnigramLm (integer-quantized log-prob scoring), OutlierTrim (Tukey
+  * fences), CorpusStats (source overlap + Zipf head mass). The q93–q96
+  * catalog entries get full DuckDB oracle checks; these specs pin the
+  * arithmetic on fixtures small enough to verify by hand, including the
+  * cases the sf corpus doesn't exercise (planted outliers, empty text).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("UnigramLm.selfScore: hand-computed micro-quantized log-probs") {
+    // corpus: a:2 b:2 c:1, N=5
+    // lp_micro(a) = lp_micro(b) = round(ln(0.4)·1e6) = -916291
+    // lp_micro(c) = round(ln(0.2)·1e6) = -1609438
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = UnigramLm.selfScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.length shouldBe 2
+    // doc 1: 3 tokens, lp_sum = 3·(-916291) = -2748873
+    out(0).getAs[Int]("n_tokens") shouldBe 3
+    out(0).getAs[Long]("lp_sum_micro") shouldBe -2748873L
+    out(0).getAs[Double]("avg_logprob") shouldBe -0.9163
+    // doc 2: 2 tokens, lp_sum = -916291 - 1609438 = -2525729
+    out(1).getAs[Long]("lp_sum_micro") shouldBe -2525729L
+    out(1).getAs[Double]("avg_logprob") shouldBe -1.2629
+  }
+
+  test("UnigramLm.score drops token-less docs; caller left-joins them back") {
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val lm = UnigramLm.build(docs, "text")
+    val scored = UnigramLm.score(docs, "doc_id", "text", lm)
+    scored.select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+    val kept = docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0)).as("n_tokens"))
+      .orderBy("doc_id").as[(Long, Int)].collect()
+    kept shouldBe Array((1L, 2), (2L, 0), (3L, 0))
+  }
+
+  test("OutlierTrim.tukey: dyadic fences drop the planted outlier only") {
+    // values 1..5 + 100: q1 = 2.25, q3 = 4.75, iqr = 2.5,
+    // fences [-1.5, 8.5] → keeps 1..5, drops 100
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 5L),
+      ("g", 100L)).toDF("grp", "v")
+    val fences = OutlierTrim.tukeyFences(df, "grp", "v").collect()(0)
+    fences.getAs[Double]("q1") shouldBe 2.25
+    fences.getAs[Double]("q3") shouldBe 4.75
+    fences.getAs[Double]("lo") shouldBe -1.5
+    fences.getAs[Double]("hi") shouldBe 8.5
+    OutlierTrim.tukey(df, "grp", "v")
+      .select("v").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("OutlierTrim.tukey trims per group independently, schema unchanged") {
+    val df = Seq(("a", 10L), ("a", 11L), ("a", 12L), ("a", 13L), ("a", 1000L),
+      ("b", 1000L), ("b", 1001L), ("b", 1002L), ("b", 1003L))
+      .toDF("grp", "v")
+    val out = OutlierTrim.tukey(df, "grp", "v")
+    out.columns.toSeq shouldBe Seq("grp", "v")
+    // a's 1000 is an outlier within a; b's 1000s are normal within b
+    out.filter($"grp" === "a").select("v").as[Long].collect().max should be < 1000L
+    out.filter($"grp" === "b").count() shouldBe 4
+  }
+
+  test("CorpusStats.sourceNgramOverlap: only sharing pairs, exact jaccard") {
+    // A: {"a b c","b c d"}  B: {"a b c"}  C: {"x y z"}
+    // (A,B): common 1 → jaccard 1/(2+1-1) = 0.5; no other pair shares
+    val docs = Seq(("A", "a b c d"), ("B", "a b c"), ("C", "x y z"))
+      .toDF("source", "text")
+    val out = CorpusStats.sourceNgramOverlap(docs, "source", "text", n = 3)
+      .collect()
+    out.length shouldBe 1
+    out(0).getAs[String]("src_a") shouldBe "A"
+    out(0).getAs[String]("src_b") shouldBe "B"
+    out(0).getAs[Long]("n_common") shouldBe 1L
+    out(0).getAs[Double]("jaccard") shouldBe 0.5
+  }
+
+  test("CorpusStats.topTokenCoverage: head mass with alphabetical ties") {
+    // tokens: a×3, b×2, c×1 → top2 covers 5/6 = 0.8333
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val out = CorpusStats.topTokenCoverage(docs, "lang", "text", k = 2)
+      .collect()(0)
+    out.getAs[Long]("n_tokens") shouldBe 6L
+    out.getAs[String]("top_token") shouldBe "a"
+    out.getAs[Double]("topk_frac") shouldBe 0.8333
+  }
+
+  test("q94 on sf0.001 equals a manually-computed fence filter") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val trimmed = OutlierTrim.tukey(docs, "lang", "n_chars")
+    // recompute fences independently with Spark SQL percentile and
+    // verify row-set equality (differential, not just row count)
+    val fences = docs.groupBy("lang").agg(
+      percentile(col("n_chars"), lit(0.25)).as("q1"),
+      percentile(col("n_chars"), lit(0.75)).as("q3"))
+    val expected = docs.join(fences, "lang")
+      .filter(col("n_chars") >= col("q1") - lit(1.5) * (col("q3") - col("q1")) &&
+        col("n_chars") <= col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    trimmed.count() shouldBe expected.count()
+    trimmed.select("doc_id").exceptAll(expected.select("doc_id")).count() shouldBe 0L
+  }
+}
