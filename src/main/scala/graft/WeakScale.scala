@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, Decontaminate, Sampling}
-import graft.operators.Similarity
+import graft.operators.{CorpusStats, Dedup, Decontaminate, OutlierTrim, Sampling}
+import graft.operators.{Similarity, UnigramLm}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,20 @@ object WeakScale {
         ("temperature_mixture_q88", time(runs) {
           Sampling.temperatureMixture(docs, "doc_id", "source",
             budget = 1000L * k).count()
+        }),
+        ("unigram_lm_q93", time(runs) {
+          UnigramLm.selfScore(docs, "doc_id", "text").count()
+        }),
+        ("length_trim_q94", time(runs) {
+          OutlierTrim.tukey(
+            docs.withColumn("n_chars", length(col("text"))),
+            "lang", "n_chars").count()
+        }),
+        ("source_overlap_q95", time(runs) {
+          CorpusStats.sourceNgramOverlap(docs, "source", "text", n = 3).count()
+        }),
+        ("zipf_coverage_q96", time(runs) {
+          CorpusStats.topTokenCoverage(docs, "lang", "text", k = 10).count()
         }))
       docs.unpersist(); vecs.unpersist()
       out.map { case (n, (s, r)) => (n, s, r) }
