@@ -93,6 +93,15 @@ class CurationOpsSpec extends SparkSpec {
     out.getAs[Double]("topk_frac") shouldBe 0.8333
   }
 
+  test("UnigramLm.selfScore ≡ build + score (differential, sf0.001)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val fused = UnigramLm.selfScore(docs, "doc_id", "text")
+    val composed = UnigramLm.score(docs, "doc_id", "text",
+      UnigramLm.build(docs, "text"))
+    fused.exceptAll(composed).count() shouldBe 0L
+    composed.exceptAll(fused).count() shouldBe 0L
+  }
+
   test("q94 on sf0.001 equals a manually-computed fence filter") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))

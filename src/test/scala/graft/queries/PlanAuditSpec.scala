@@ -121,6 +121,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("q94: trim fences broadcast; the corpus is filtered, never shuffled on data") {
+    val plan = planOf("q94_length_trim")
+    // fence table joins back as a broadcast hash join — the only
+    // exchanges are the group-cardinality fence aggregate and the
+    // final ORDER BY, both tiny; the corpus side stays narrow
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q93: LM total is a broadcast scalar, not a driver round-trip") {
+    val plan = planOf("q93_unigram_lm")
+    // the 1-row corpus-total relation enters as BroadcastNestedLoopJoin
+    // (cross of 1 row); token-keyed joins stay hash joins
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
