@@ -71,6 +71,28 @@ object UnigramLm {
         round(col("lp_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
   }
 
+  /** [[score]] against an EXTERNAL LM whose vocabulary may not cover
+    * the documents: out-of-vocabulary tokens take `oovLpMicro` (a
+    * strong improbability penalty by default — ln p ≈ −20), keeping
+    * scores total over any input. This is the form streaming ingest
+    * applies per micro-batch ([[graft.streaming.StreamOps.lmScoreEachBatch]]);
+    * same output schema as [[score]]. */
+  def scoreWithOov(docs: DataFrame, idCol: String, textCol: String,
+                   lm: DataFrame, oovLpMicro: Long = -20000000L): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(lm.select(col("token"), col("lp_micro")), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("int").as("n_tokens"),
+        sum(col("tf") * coalesce(col("lp_micro"), lit(oovLpMicro)))
+          .as("lp_sum_micro"))
+      .withColumn("avg_logprob",
+        round(col("lp_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
+  }
+
   /** Self-scoring convenience: build the LM over the corpus and score
     * the same corpus, tokenizing once. Persisted tf feeds both the LM
     * aggregation and the scoring dot product. */

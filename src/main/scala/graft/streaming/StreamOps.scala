@@ -139,6 +139,33 @@ object StreamOps {
       .withColumn(textCol, TextFns.redactPii(col(textCol)))
   }
 
+  /** Unigram-LM quality scoring for a document stream: applies the
+    * batch operator ([[graft.operators.UnigramLm.scoreWithOov]] against
+    * an offline-built LM) to each micro-batch via `foreachBatch` — the
+    * production deployment shape: the LM trains offline on the
+    * reference corpus, ingest scores against it live, and batch
+    * backfill reproduces identical scores (same integer-quantized
+    * arithmetic).
+    *
+    * Why foreachBatch and not a streaming groupBy: the score needs a
+    * per-doc aggregate over exploded tokens, and a STREAMING groupBy
+    * would accumulate doc_id state forever (unbounded state store —
+    * exactly what the ingest pipeline's soak test forbids). Each doc
+    * arrives in exactly one micro-batch of an append source, so
+    * batch-local aggregation is semantically identical and stateless:
+    * no watermark, no state store, any trigger. Per batch the LM join
+    * is a plain broadcast/hash join that AQE sizes. `sink` receives
+    * (scored-batch DataFrame, batchId) — write, upsert, or assert. */
+  def lmScoreEachBatch(docs: DataFrame, lm: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       oovLpMicro: Long = -20000000L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.operators.UnigramLm.scoreWithOov(
+        batch, idCol, textCol, lm, oovLpMicro), id)
+    }
+
   /** Declarative gap-based session aggregation (session_window): sessions
     * close after `gap` of per-user inactivity; emits one row per closed
     * session in append mode. */
