@@ -93,6 +93,52 @@ object UnigramLm {
         round(col("lp_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
   }
 
+  /** Per-document log-likelihood ratio between a TARGET-domain LM and
+    * a SOURCE (general) LM — the importance weight of DSIR-style data
+    * selection (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): documents that look more like the
+    * target domain than the background corpus get positive weight.
+    * Both lookups are left joins with the OOV penalty, so the ratio is
+    * total; the per-token average divides exact integer sums, making
+    * ranking deterministic. Output: (idCol, n_tokens: int,
+    * llr_sum_micro: long, llr_per_token: double(4)).
+    *
+    * 100 TB design: identical shape to [[score]] run twice — two
+    * one-row-per-key joins on the tf relation, no fan-out; both LMs
+    * are vocabulary-sized. */
+  def logLikelihoodRatio(docs: DataFrame, idCol: String, textCol: String,
+                         targetLm: DataFrame, sourceLm: DataFrame,
+                         oovLpMicro: Long = -20000000L): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(targetLm.select(col("token"), col("lp_micro").as("__lp_t")),
+        Seq("token"), "left")
+      .join(sourceLm.select(col("token"), col("lp_micro").as("__lp_s")),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("int").as("n_tokens"),
+        sum(col("tf") * (coalesce(col("__lp_t"), lit(oovLpMicro))
+          - coalesce(col("__lp_s"), lit(oovLpMicro)))).as("llr_sum_micro"))
+      .withColumn("llr_per_token",
+        round(col("llr_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
+  }
+
+  /** DSIR-style selection: the k documents most like the target domain
+    * by per-token log-likelihood ratio (ties by id — fully
+    * deterministic). Global top-k compiles to TakeOrderedAndProject
+    * (bounded per-partition heaps), never a full sort. */
+  def dsirTopK(docs: DataFrame, idCol: String, textCol: String,
+               targetLm: DataFrame, sourceLm: DataFrame, k: Int,
+               oovLpMicro: Long = -20000000L): DataFrame =
+    logLikelihoodRatio(docs, idCol, textCol, targetLm, sourceLm, oovLpMicro)
+      .orderBy(
+        (col("llr_sum_micro").cast("double") / col("n_tokens")).desc,
+        col(idCol))
+      .limit(k)
+
   /** Self-scoring convenience: build the LM over the corpus and score
     * the same corpus, tokenizing once. Persisted tf feeds both the LM
     * aggregation and the scoring dot product. */

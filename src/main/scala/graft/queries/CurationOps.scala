@@ -140,5 +140,57 @@ object CurationOps {
                   // (sum(c) * 2) AS DOUBLE) / 10000.0 AS topk_frac
       FROM rk GROUP BY 1 ORDER BY lang"""))
 
-  val specs: Seq[QuerySpec] = Seq(q93, q94, q95, q96)
+  /** q97: DSIR-style target-domain selection (UnigramLm.dsirTopK) —
+    * the 100 documents most like the 'en' slice by per-token
+    * log-likelihood ratio between the en-LM and the rest-LM. Exact
+    * integer weights; the double ranking key is the same IEEE division
+    * in both engines, ties broken by doc_id. */
+  private val q97 = QuerySpec(
+    "q97_dsir_select",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = UnigramLm.build(docs.filter(col("lang") === "en"), "text")
+      val source = UnigramLm.build(docs.filter(col("lang") =!= "en"), "text")
+      UnigramLm.dsirTopK(docs, "doc_id", "text", target, source, k = 100)
+        .select(col("doc_id"), col("n_tokens"), col("llr_sum_micro"),
+          col("llr_per_token"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      tgt AS (SELECT token, count(*) AS cnt FROM toks WHERE lang = 'en' GROUP BY 1),
+      tgtn AS (SELECT sum(cnt) AS n FROM tgt),
+      tgtq AS (
+        SELECT token,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1000000, 0) AS BIGINT) AS lp
+        FROM tgt CROSS JOIN tgtn),
+      src AS (SELECT token, count(*) AS cnt FROM toks WHERE lang <> 'en' GROUP BY 1),
+      srcn AS (SELECT sum(cnt) AS n FROM src),
+      srcq AS (
+        SELECT token,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1000000, 0) AS BIGINT) AS lp
+        FROM src CROSS JOIN srcn),
+      sc AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf) AS INTEGER) AS n_tokens,
+               CAST(sum(tf * (coalesce(t.lp, -20000000)
+                 - coalesce(s.lp, -20000000))) AS BIGINT) AS llr_sum_micro
+        FROM tf
+        LEFT JOIN tgtq t USING (token)
+        LEFT JOIN srcq s USING (token)
+        GROUP BY 1),
+      sel AS (
+        SELECT * FROM sc
+        ORDER BY CAST(llr_sum_micro AS DOUBLE) / n_tokens DESC, doc_id
+        LIMIT 100)
+      SELECT doc_id, n_tokens, llr_sum_micro,
+             round(CAST(llr_sum_micro AS DOUBLE) / n_tokens / 1000000.0, 4)
+               AS llr_per_token
+      FROM sel ORDER BY doc_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q93, q94, q95, q96, q97)
 }

@@ -102,6 +102,27 @@ class CurationOpsSpec extends SparkSpec {
     composed.exceptAll(fused).count() shouldBe 0L
   }
 
+  test("UnigramLm.dsirTopK prefers target-like docs; OOV cancels in the ratio") {
+    // target LM: only token "t"; source LM: only token "s"
+    val target = Seq((1L, "t t")).toDF("doc_id", "text")
+    val source = Seq((2L, "s s")).toDF("doc_id", "text")
+    val tLm = UnigramLm.build(target, "text")
+    val sLm = UnigramLm.build(source, "text")
+    // candidates: pure-target, pure-source, OOV-for-both
+    val docs = Seq((10L, "t t t"), (11L, "s s"), (12L, "x y"))
+      .toDF("doc_id", "text")
+    val ranked = UnigramLm.dsirTopK(docs, "doc_id", "text", tLm, sLm, k = 3)
+      .collect()
+    ranked.map(_.getLong(0)).toSeq shouldBe Seq(10L, 12L, 11L)
+    // "t": lp_t = ln(1)·1e6 = 0, lp_s = OOV −2e7 → +2e7 per token
+    ranked(0).getAs[Long]("llr_sum_micro") shouldBe 60000000L
+    ranked(0).getAs[Double]("llr_per_token") shouldBe 20.0
+    // OOV-for-both: penalties cancel exactly → 0
+    ranked(1).getAs[Long]("llr_sum_micro") shouldBe 0L
+    // pure-source mirrors pure-target: −2e7 per token
+    ranked(2).getAs[Double]("llr_per_token") shouldBe -20.0
+  }
+
   test("q94 on sf0.001 equals a manually-computed fence filter") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
