@@ -47,6 +47,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val wordPool = Seq("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(30, Gen.choose(2, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(wordPool)).map(_.mkString(" "))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def docSamples(n: Int): Seq[List[(Long, String)]] =
+    (1 to n).flatMap(i => docsGen(Gen.Parameters.default, Seed(100L + i)))
+
+  test("curation invariants hold over arbitrary corpora") {
+    docSamples(4).foreach { docsList =>
+      val docs = docsList.toDF("doc_id", "text")
+        .withColumn("grp", (col("doc_id") % 3).cast("string"))
+
+      // selfScore: one row per non-empty doc, scores repartition-stable
+      val s1 = UnigramLm.selfScore(docs, "doc_id", "text")
+      s1.count() shouldBe docs.count()
+      val s2 = UnigramLm.selfScore(docs.repartition(7), "doc_id", "text")
+      rows(s1.exceptAll(s2)) shouldBe empty
+
+      // trim: output ⊆ input, and a constant-value group is untouched
+      val lens = docs.withColumn("len", expr("length(text)"))
+      val trimmed = OutlierTrim.tukey(lens, "grp", "len")
+      trimmed.count() should be <= lens.count()
+      rows(trimmed.exceptAll(lens)) shouldBe empty
+
+      // Zipf coverage: frac ∈ (0,1]; k ≥ vocabulary ⟹ frac = 1.0
+      val cov = CorpusStats.topTokenCoverage(docs, "grp", "text", k = 3)
+      cov.collect().foreach { r =>
+        val f = r.getAs[Double]("topk_frac")
+        f should be > 0.0
+        f should be <= 1.0
+      }
+      CorpusStats.topTokenCoverage(docs, "grp", "text", k = wordPool.size)
+        .collect().foreach(_.getAs[Double]("topk_frac") shouldBe 1.0)
+
+      // overlap: jaccard ∈ (0,1], pairs ordered, at most C(3,2) rows
+      val ov = CorpusStats.sourceNgramOverlap(docs, "grp", "text", n = 2)
+      ov.count() should be <= 3L
+      ov.collect().foreach { r =>
+        r.getAs[String]("src_a") should be < r.getAs[String]("src_b")
+        val j = r.getAs[Double]("jaccard")
+        j should be > 0.0
+        j should be <= 1.0
+      }
+    }
+  }
+
+  test("constant-value groups survive Tukey trim whole") {
+    val df = (1L to 40L).map(i => ("g", 7L)).toDF("grp", "v")
+    OutlierTrim.tukey(df, "grp", "v").count() shouldBe 40L
+  }
+
   test("matrix merge of any disjoint split equals the whole-log matrix") {
     samples(3).zipWithIndex.foreach { case (events, i) =>
       val pivotUid = (i % 8) + 1L
