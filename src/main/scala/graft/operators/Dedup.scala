@@ -482,6 +482,38 @@ object Dedup {
       .drop("cluster")
   }
 
+  /** [[nearDupGroups]] with a KEEP-BEST policy instead of keep-min-id:
+    * within each near-dup cluster the surviving document is the one
+    * with the highest `scoreCol` (longest copy, best quality score —
+    * whatever the pipeline ranks by), ties by smallest id. This is the
+    * policy production dedup actually wants: of N crawls of the same
+    * page, keep the least-truncated one, not the one with the smallest
+    * crawl id. Output: (keep_id, group_size, score) per cluster,
+    * singletons included.
+    *
+    * The argmax is a single hash aggregate over cluster labels — a
+    * lexicographic `max(struct(score, −id))` with map-side combine —
+    * not a per-cluster window: no sort, no skew sensitivity to one
+    * giant cluster. */
+  def keepBestInClusters(docs: DataFrame, idCol: String, textCol: String,
+                         scoreCol: String, shingleN: Int = 3,
+                         numHashes: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val clustered = connectedComponents(pairs)
+    docs.select(col(idCol).as("doc"), col(scoreCol).as("__score"))
+      .join(clustered, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster"),
+        col("__score"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("group_size"),
+        max(struct(col("__score").as("s"), (-col("doc")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("keep_id"), col("group_size"),
+        col("m.s").as("score"))
+  }
+
   /** Per-document boilerplate fraction: the share of a doc's DISTINCT
     * word n-gram shingles that are "common" — occurring in at least
     * `minDocs` distinct documents. High values flag templated /

@@ -78,6 +78,42 @@ object Sampling {
       .drop("__ord", "__b", "__rk", "__off")
   }
 
+  /** Token-budget corpus cut: take an unbiased, deterministic prefix of
+    * the corpus whose total `nTokensCol` stays within `budget` — "give
+    * me 10 B tokens of this corpus" without length bias (sampling ROWS
+    * uniformly would over-represent short docs in token mass; taking
+    * docs in md5-shuffled order and cutting on the running token sum
+    * keeps every doc's inclusion probability independent of its
+    * content). The running sum is monotone, so the result is a clean
+    * prefix: every selected doc's cumulative total ≤ budget.
+    *
+    * Same two-phase machinery as [[deterministicShuffle]] (the bucket
+    * is a prefix of the md5 sort key): per-bucket token prefix sums in
+    * a 4096-way parallel window, bucket offsets as a tiny broadcast
+    * relation — never a one-task global window. Output: input columns
+    * + `cum_tokens` (the running total INCLUDING the row). */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, nTokensCol: String,
+                        budget: Long, seed: Long = 42L): DataFrame = {
+    val ord = md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string")))
+    val keyed = df.withColumn("__ord", ord)
+      .withColumn("__b", conv(substring(col("__ord"), 1, 3), 16, 10).cast("int"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__ord"), col(idCol))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__b"))
+      .agg(sum(col(nTokensCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    keyed
+      .withColumn("__cum_in", sum(col(nTokensCol)).over(wB))
+      .join(broadcast(offsets), "__b")
+      .withColumn("cum_tokens", col("__off") + col("__cum_in"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__ord", "__b", "__cum_in", "__off")
+  }
+
   /** Temperature-scaled mixture resampling (α = ½): re-weight a corpus
     * so each group (source/domain/language) contributes in proportion
     * to √n_g instead of n_g — the standard data-mixture flattening

@@ -192,5 +192,96 @@ object CurationOps {
                AS llr_per_token
       FROM sel ORDER BY doc_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q93, q94, q95, q96, q97)
+  /** q98: keep-best near-dup resolution (Dedup.keepBestInClusters) —
+    * q51's clusters with the production keep policy: the LONGEST copy
+    * (n_chars, ties by min id) survives, not the min-id one. Oracle
+    * rebuilds the exact-jaccard cluster graph recursively and ranks
+    * inside each cluster. */
+  private val q98 = QuerySpec(
+    "q98_keep_best",
+    (s, dir) =>
+      graft.operators.Dedup.keepBestInClusters(
+          Tables.documents(s, dir), "doc_id", "text", "n_chars",
+          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy(col("keep_id")),
+    oracle = Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      prs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs),
+      reach(doc, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc, e.d FROM reach JOIN edges e ON reach.r = e.s),
+      labels AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+      scored AS (
+        SELECT l.doc, l.cluster, d.n_chars
+        FROM labels l JOIN documents d ON d.doc_id = l.doc),
+      rk AS (
+        SELECT doc, cluster, n_chars,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY n_chars DESC, doc) AS rk
+        FROM scored),
+      gs AS (SELECT cluster, count(*) AS group_size FROM scored GROUP BY 1)
+      SELECT rk.doc AS keep_id, gs.group_size, rk.n_chars AS score
+      FROM rk JOIN gs USING (cluster)
+      WHERE rk.rk = 1
+      ORDER BY keep_id"""))
+
+  /** q99: token-budget corpus cut (Sampling.tokenBudgetSelect) — the
+    * docs whose running token total in md5-shuffled order stays within
+    * 15k tokens (~half the corpus); unbiased "give me N tokens" selection. Token counts
+    * use the q33 whitespace convention. */
+  private val q99 = QuerySpec(
+    "q99_token_budget",
+    (s, dir) => {
+      import graft.functions.TextFns
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.operators.Sampling.tokenBudgetSelect(
+          docs, "doc_id", "n_tok", budget = 15000L, seed = 42L)
+        .select(col("doc_id"), col("n_tok"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               CAST(sum(n_tok) OVER (
+                 ORDER BY md5('42_' || CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM t)
+      SELECT doc_id, n_tok, cum_tokens
+      FROM c WHERE cum_tokens <= 15000
+      ORDER BY doc_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q93, q94, q95, q96, q97, q98, q99)
 }

@@ -123,6 +123,48 @@ class CurationOpsSpec extends SparkSpec {
     ranked(2).getAs[Double]("llr_per_token") shouldBe -20.0
   }
 
+  test("Dedup.keepBestInClusters keeps the highest score, min-id on ties") {
+    // docs 1,2 near-dups (8 of 9 shingles shared → jaccard 0.89): the
+    // LONGER doc 2 must survive; 3 is a singleton; 4,5 identical text
+    // and score → min id 4 survives
+    val base = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, base, 10L), (2L, base + " k", 11L),
+      (3L, "x y z w v u t s r q", 10L),
+      (4L, "p o n m l k j i h g", 10L), (5L, "p o n m l k j i h g", 10L))
+      .toDF("doc_id", "text", "len")
+    val out = Dedup.keepBestInClusters(docs, "doc_id", "text", "len")
+      .orderBy("keep_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((2L, 2L, 11L), (3L, 1L, 10L), (4L, 2L, 10L))
+  }
+
+  test("Sampling.tokenBudgetSelect is a budget-true prefix of the md5 order") {
+    val docs = (1L to 50L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tok")
+    val budget = 300L
+    val picked = Sampling.tokenBudgetSelect(docs, "doc_id", "n_tok", budget)
+      .collect()
+    // every running total within budget, and the selection is exactly
+    // the maximal prefix of the deterministic md5 order
+    picked.map(_.getAs[Long]("cum_tokens")).max should be <= budget
+    val order = docs
+      .withColumn("ord", md5(concat_ws("_", lit("42"), col("doc_id"))))
+      .orderBy("ord", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = order.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) =>
+      (id, n, cum + n)
+    }.drop(1).takeWhile(_._3 <= budget).map(_._1).toSet
+    picked.map(_.getLong(0)).toSet shouldBe expected
+    expected.size should be < 50 // the budget actually cuts
+    // full-budget run selects everything
+    Sampling.tokenBudgetSelect(docs, "doc_id", "n_tok", 100000L)
+      .count() shouldBe 50L
+    // repartition-stable determinism
+    val again = Sampling.tokenBudgetSelect(
+      docs.repartition(7), "doc_id", "n_tok", budget)
+    again.collect().map(_.getLong(0)).toSet shouldBe expected
+  }
+
   test("q94 on sf0.001 equals a manually-computed fence filter") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
