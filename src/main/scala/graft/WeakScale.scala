@@ -110,6 +110,21 @@ object WeakScale {
         }),
         ("zipf_coverage_q96", time(runs) {
           CorpusStats.topTokenCoverage(docs, "lang", "text", k = 10).count()
+        }),
+        ("dsir_select_q97", time(runs) {
+          val tgt = UnigramLm.build(docs.filter(col("lang") === "en"), "text")
+          val src = UnigramLm.build(docs.filter(col("lang") =!= "en"), "text")
+          UnigramLm.dsirTopK(docs, "doc_id", "text", tgt, src,
+            k = 100 * k).count()
+        }),
+        ("keep_best_q98", time(runs) {
+          Dedup.keepBestInClusters(docs, "doc_id", "text", "doc_id").count()
+        }),
+        ("token_budget_q99", time(runs) {
+          Sampling.tokenBudgetSelect(
+            docs.withColumn("n_tok",
+              graft.functions.TextFns.tokenCount(col("text")).cast("long")),
+            "doc_id", "n_tok", budget = 15000L * k).count()
         }))
       docs.unpersist(); vecs.unpersist()
       out.map { case (n, (s, r)) => (n, s, r) }
