@@ -253,6 +253,24 @@ object TextFns {
   def piiCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("int")
 
+  // ---- Encoding-damage signals (mojibake / transcode audit) ------------
+
+  /** U+FFFD REPLACEMENT CHARACTER — the scar a lossy decode leaves. */
+  val replacementCharRe = "\uFFFD"
+
+  /** C0/C1-ish control characters EXCLUDING \t \n \r (legitimate
+    * whitespace) — raw controls in text mean binary contamination or a
+    * charset mix-up. */
+  val controlCharRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Strip encoding damage: replacement + control chars become spaces
+    * (not deletions — deleting can fuse neighboring words). Narrow
+    * regexp work only. */
+  def stripEncodingDamage(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, replacementCharRe, " "),
+      controlCharRe, " ")
+
   // ---- Repetition signals (Gopher-style quality filters) ---------------
 
   /** Per-doc repetition statistics in ONE narrow typed-UDF pass:

@@ -283,5 +283,58 @@ object CurationOps {
       FROM c WHERE cum_tokens <= 15000
       ORDER BY doc_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q93, q94, q95, q96, q97, q98, q99)
+  /** q100: encoding-damage audit + repair (TextFns encoding signals) —
+    * U+FFFD replacement chars (lossy decode scars) and raw control
+    * chars (binary contamination) counted per doc, damage stripped to
+    * spaces. The corpus text is clean, so the query PLANTS deterministic
+    * damage first (q77's pattern): docs ≡0 mod 3 gain a replacement
+    * char, ≡0 mod 5 two control chars — every branch provably fires. */
+  private val q100 = QuerySpec(
+    "q100_encoding_audit",
+    (s, dir) => {
+      import graft.functions.TextFns
+      val damaged = Tables.documents(s, dir)
+        .withColumn("raw", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" bad\uFFFDdecode"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" ctl\u0007\u001Fchars"))
+            .otherwise(lit(""))))
+      damaged.select(
+          col("doc_id"),
+          TextFns.piiCount(col("raw"), TextFns.replacementCharRe)
+            .as("n_replacement"),
+          TextFns.piiCount(col("raw"), TextFns.controlCharRe).as("n_control"),
+          TextFns.stripEncodingDamage(col("raw")).as("clean"))
+        .withColumn("is_clean",
+          col("n_replacement") === 0 && col("n_control") === 0)
+        .select(col("doc_id"), col("n_replacement"), col("n_control"),
+          col("is_clean"), col("clean"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               text
+                 || CASE WHEN doc_id % 3 = 0
+                      THEN ' bad' || chr(65533) || 'decode' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                      THEN ' ctl' || chr(7) || chr(31) || 'chars' ELSE '' END
+                 AS raw
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(raw, chr(65533))) AS INTEGER)
+               AS n_replacement,
+             CAST(len(regexp_extract_all(raw,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS INTEGER) AS n_control,
+             len(regexp_extract_all(raw, chr(65533))) = 0
+               AND len(regexp_extract_all(raw,
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) = 0 AS is_clean,
+             regexp_replace(
+               regexp_replace(raw, chr(65533), ' ', 'g'),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g') AS clean
+      FROM raw
+      ORDER BY doc_id"""))
+
+  val specs: Seq[QuerySpec] =
+    Seq(q93, q94, q95, q96, q97, q98, q99, q100)
 }

@@ -66,6 +66,19 @@ class TextFnsSpec extends SparkSpec {
     eval1(Seq("   ").toDF("t").select(TextFns.qualityScore(col("t")))) shouldBe 0.0
   }
 
+  test("encoding signals: damage counted and repaired to spaces, \\t\\n kept") {
+    val df = Seq("ok\uFFFDtext\u0007with\u001Fjunk\tkeep\nws")
+      .toDF("raw")
+      .select(
+        TextFns.piiCount(col("raw"), TextFns.replacementCharRe).as("n_rep"),
+        TextFns.piiCount(col("raw"), TextFns.controlCharRe).as("n_ctl"),
+        TextFns.stripEncodingDamage(col("raw")).as("clean"))
+    val r = rows(df).head
+    r.getAs[Int]("n_rep") shouldBe 1
+    r.getAs[Int]("n_ctl") shouldBe 2
+    r.getAs[String]("clean") shouldBe "ok text with junk\tkeep\nws"
+  }
+
   test("languageId votes by marker stopwords, und when none") {
     val df = Seq(
       ("the cat is on the mat and it is flat", "en"),
