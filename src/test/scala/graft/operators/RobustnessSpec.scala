@@ -131,6 +131,36 @@ class RobustnessSpec extends SparkSpec {
     buckets.map(_.getLong(0)).toSet shouldBe Set(1L)
   }
 
+  test("curation ops survive null/empty/whitespace docs, no throw") {
+    val tagged = dirty.withColumn("grp", lit("g"))
+      .withColumn("n", expr("length(coalesce(text, ''))").cast("long"))
+    // LM scoring: token-less docs (2,3,4) legitimately absent
+    UnigramLm.selfScore(dirty, "doc_id", "text").count() shouldBe 2L
+    // trim: every row keeps or drops, never throws; null-safe filter
+    OutlierTrim.tukey(tagged, "grp", "n").count() should be <= 5L
+    // overlap/coverage over a single group: no pairs, one coverage row
+    CorpusStats.sourceNgramOverlap(tagged, "grp", "text").count() shouldBe 0L
+    CorpusStats.topTokenCoverage(tagged, "grp", "text", 5).count() shouldBe 1L
+    // budget cut with zero budget selects nothing; full budget all rows
+    Sampling.tokenBudgetSelect(tagged, "doc_id", "n", 0L).count() shouldBe 0L
+    Sampling.tokenBudgetSelect(tagged, "doc_id", "n", 1000L).count() shouldBe 5L
+    // keep-best: null text forms its own singleton, dup texts merge
+    Dedup.keepBestInClusters(dirty, "doc_id", "text", "doc_id")
+      .count() should be >= 3L
+  }
+
+  test("empty-corpus curation: every operator returns an empty frame") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("grp", lit("g"))
+    UnigramLm.selfScore(empty, "doc_id", "text").count() shouldBe 0L
+    OutlierTrim.tukey(empty.withColumn("n", lit(1L)), "grp", "n")
+      .count() shouldBe 0L
+    CorpusStats.sourceNgramOverlap(empty, "grp", "text").count() shouldBe 0L
+    CorpusStats.topTokenCoverage(empty, "grp", "text", 5).count() shouldBe 0L
+    Sampling.tokenBudgetSelect(empty.withColumn("n", lit(1L)),
+      "doc_id", "n", 10L).count() shouldBe 0L
+  }
+
   test("exact dedup: multiple null-text docs stay SEPARATE singleton groups") {
     val docs = Seq(
       (1L, Option("same text")), (2L, Option("same text")),
