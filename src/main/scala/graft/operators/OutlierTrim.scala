@@ -40,7 +40,10 @@ object OutlierTrim {
   }
 
   /** Keep rows with valueCol inside the group's Tukey fences. Schema is
-    * unchanged (fence columns are dropped after the filter). */
+    * unchanged (fence columns are dropped after the filter).
+    * NULL-group rows are DROPPED (the equi-join cannot match them) and
+    * NULL values fail both fence comparisons — treat both as "not
+    * provably inlying"; pre-bucket NULL groups if they must survive. */
   def tukey(df: DataFrame, groupCol: String, valueCol: String,
             k: Double = 1.5): DataFrame = {
     val fences = tukeyFences(df, groupCol, valueCol, k)

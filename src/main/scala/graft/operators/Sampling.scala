@@ -91,7 +91,10 @@ object Sampling {
     * is a prefix of the md5 sort key): per-bucket token prefix sums in
     * a 4096-way parallel window, bucket offsets as a tiny broadcast
     * relation — never a one-task global window. Output: input columns
-    * + `cum_tokens` (the running total INCLUDING the row). */
+    * + `cum_tokens` (the running total INCLUDING the row).
+    * `nTokensCol` must be ≥ 0 (a negative count would break the
+    * monotonicity the prefix cut relies on); NULL counts are treated
+    * as 0 by the window sum. */
   def tokenBudgetSelect(df: DataFrame, idCol: String, nTokensCol: String,
                         budget: Long, seed: Long = 42L): DataFrame = {
     val ord = md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string")))

@@ -137,6 +137,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q97: DSIR top-k is TakeOrderedAndProject, never a full sort") {
+    val plan = planOf("q97_dsir_select")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
