@@ -110,4 +110,29 @@ class MultimodalSpec extends SparkSpec {
     resized.map(r => (r.media_id, r.meta, r.payload.length)).sortBy(_._1) shouldBe
       again.map(r => (r.media_id, r.meta, r.payload.length)).sortBy(_._1)
   }
+
+  test("decode → embed → quantized ANN composes end-to-end over media") {
+    // the full multimodal retrieval shape: binary payloads become
+    // embedding columns (per-partition decoder session), which feed the
+    // same quantized top-k the text/embedding family uses — the plumbing
+    // a real image-dedup / similar-media search runs, with only the
+    // decoder stubbed
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.asMedia(
+      graft.Tables.documents(spark, sfDir).limit(64))
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .toDF().select(col("media_id"), col("features"))
+    val hits = graft.operators.Similarity.quantizedTopK(
+      feats, "media_id", "features", k = 3)
+    val byQuery = hits.groupBy("q_id").count().collect()
+    byQuery.length shouldBe 64
+    byQuery.foreach(_.getLong(1) shouldBe 3L)
+    // self-retrieval sanity: embeddings are deterministic per payload,
+    // so reruns return the identical hit set
+    val again = graft.operators.Similarity.quantizedTopK(
+      Multimodal.extractFeatures(media, dim = 8)
+        .toDF().select(col("media_id"), col("features")),
+      "media_id", "features", k = 3)
+    hits.exceptAll(again).count() shouldBe 0L
+  }
 }
