@@ -78,6 +78,44 @@ object Sampling {
       .drop("__ord", "__b", "__rk", "__off")
   }
 
+  /** Curriculum ordering: a deterministic global training order that is
+    * BIN-MAJOR (e.g. quality deciles ascending, so the highest-quality
+    * data lands at the end of the epoch — the standard annealing-phase
+    * layout) and uniformly shuffled WITHIN each bin (no accidental
+    * correlation between intra-bin position and any attribute). Output:
+    * input columns + `pos` (1-based global position).
+    *
+    * Same two-phase machinery as [[deterministicShuffle]], with the
+    * bucket extended to (bin, hash-prefix): per-(bin, prefix) windows
+    * rank in parallel, and the offset relation — #bins × 4096 rows,
+    * still tiny — is broadcast back. (bin, prefix) is a PREFIX of the
+    * full sort key (bin, md5, id), so block order ≡ global order; no
+    * one-task global window at any scale. `binCol` must be of an
+    * ordered type (int bin index, zero-padded label); rows with NULL
+    * bin sort first (Spark/SQL NULLS FIRST ascending default). */
+  def curriculumOrder(df: DataFrame, idCol: String, binCol: String,
+                      seed: Long = 42L): DataFrame = {
+    val ord = md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string")))
+    val keyed = df.withColumn("__ord", ord)
+      .withColumn("__b", conv(substring(col("__ord"), 1, 3), 16, 10).cast("int"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(binCol), col("__b")).orderBy(col("__ord"), col(idCol))
+    val ranked = keyed.withColumn("__rk", row_number().over(wB))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col(binCol).asc_nulls_first, col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col(binCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col(binCol).as("__obin"), col("__b").as("__ob"), col("__off"))
+    // null-safe bin match: a NULL bin is a legitimate (first) bin and
+    // must not be silently dropped by a plain equi-join
+    ranked.join(broadcast(offsets),
+        col(binCol) <=> col("__obin") && col("__b") === col("__ob"))
+      .withColumn("pos", col("__off") + col("__rk"))
+      .drop("__ord", "__b", "__rk", "__off", "__obin", "__ob")
+  }
+
   /** Token-budget corpus cut: take an unbiased, deterministic prefix of
     * the corpus whose total `nTokensCol` stays within `budget` — "give
     * me 10 B tokens of this corpus" without length bias (sampling ROWS

@@ -335,6 +335,31 @@ object CurationOps {
       FROM raw
       ORDER BY doc_id"""))
 
+  /** q101: sequence-length curriculum order
+    * (Sampling.curriculumOrder) — global training positions that walk
+    * length bins short→long (250-char bins of n_chars) with a uniform
+    * md5 shuffle inside each bin; the "train short sequences first"
+    * schedule, fully deterministic and engine-reproducible. */
+  private val q101 = QuerySpec(
+    "q101_curriculum",
+    (s, dir) => {
+      val binned = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (col("n_chars") / lit(250)).cast("int").as("bin"))
+      graft.operators.Sampling.curriculumOrder(binned, "doc_id", "bin")
+        .select(col("doc_id"), col("bin"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(n_chars // 250 AS INTEGER) AS bin
+        FROM documents)
+      SELECT doc_id, bin,
+             CAST(row_number() OVER (
+               ORDER BY bin, md5('42_' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS pos
+      FROM t ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q93, q94, q95, q96, q97, q98, q99, q100)
+    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101)
 }

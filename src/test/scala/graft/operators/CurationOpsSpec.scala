@@ -165,6 +165,32 @@ class CurationOpsSpec extends SparkSpec {
     again.collect().map(_.getLong(0)).toSet shouldBe expected
   }
 
+  test("Sampling.curriculumOrder: bin-major, shuffled within, NULL bin first") {
+    val df = (1L to 40L).map(i => (i, if (i <= 5) None else Some((i % 3).toInt)))
+      .toDF("doc_id", "bin")
+    val out = Sampling.curriculumOrder(df, "doc_id", "bin").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getLong(2)))
+    out.length shouldBe 40
+    // positions are a permutation of 1..40
+    out.map(_._3).sorted shouldBe (1L to 40L).toArray
+    // bin-major: every NULL-bin position < every bin-0 position < bin-1 …
+    val byBin = out.groupBy(_._2).map { case (b, rs) =>
+      b -> (rs.map(_._3).min, rs.map(_._3).max) }
+    val order = Seq(None, Some(0), Some(1), Some(2))
+    order.sliding(2).foreach { case Seq(lo, hi) =>
+      byBin(lo)._2 should be < byBin(hi)._1
+    }
+    // within a bin the order is the deterministic md5 shuffle: relative
+    // order of any bin's members matches deterministicShuffle positions
+    val shuffled = Sampling.deterministicShuffle(df, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.groupBy(_._2).values.foreach { rs =>
+      rs.sortBy(_._3).map(_._1).toSeq shouldBe
+        rs.sortBy(r => shuffled(r._1)).map(_._1).toSeq
+    }
+  }
+
   test("q94 on sf0.001 equals a manually-computed fence filter") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
