@@ -4,12 +4,15 @@ import graft.Tables
 import graft.operators.{CorpusStats, OutlierTrim, UnigramLm}
 import org.apache.spark.sql.functions._
 
-/** Round-5 corpus-curation operators: unigram-LM quality scoring,
-  * per-language length-outlier trimming, source-pair n-gram overlap,
-  * and Zipf head-mass — the data-card / mix-design layer on top of the
-  * dedup + filtering families. All four are fully oracle-checked; the
-  * determinism tricks are documented on the operators (integer-quantized
-  * log-probs, dyadic-exact quartile fences, roundFrac rationals).
+/** Round-5 corpus-curation operators — the selection / mix-design /
+  * data-card layer on top of the dedup + filtering families: unigram-LM
+  * quality scoring (q93), length-outlier trimming (q94), source overlap
+  * (q95), Zipf head mass (q96), DSIR target-domain selection (q97),
+  * keep-best near-dup resolution (q98), token-budget cut (q99),
+  * encoding-damage audit (q100), and curriculum ordering (q101). All
+  * nine are fully oracle-checked; the determinism tricks are documented
+  * on the operators (integer-quantized log-probs, dyadic-exact quartile
+  * fences, roundFrac rationals, md5 order keys).
   */
 object CurationOps {
 
