@@ -79,55 +79,72 @@ object WeakScale {
       // batch, zero overlap (both sides grow k x, the q83 shape)
       val batch = docs.filter(col("doc_id") % 2 === 0)
       val index = docs.filter(col("doc_id") % 2 === 1)
-      val out = Seq(
-        ("bloom_dedup_q83", time(runs) {
+      val ops: Seq[(String, () => Long)] = Seq(
+        ("bloom_dedup_q83", () => {
           Dedup.bloomDedupe(batch, index, "doc_id", "text",
             expectedItems = 5000L * k).count()
         }),
-        ("ngram_leaks_q85", time(runs) {
+        ("ngram_leaks_q85", () => {
           Decontaminate.ngramLeaks(docs, evalSuite, "doc_id", "text").count()
         }),
         // nCells scales with k: the documented SemDeDup sizing rule
         // (cells stay task-sized), keeping within-cell work linear
-        ("semantic_dedup_q86", time(runs) {
+        ("semantic_dedup_q86", () => {
           Similarity.semanticDedupe(vecs, "vec_id", "embedding",
             nCells = 32 * k, threshold = 0.995).count()
         }),
-        ("temperature_mixture_q88", time(runs) {
+        ("temperature_mixture_q88", () => {
           Sampling.temperatureMixture(docs, "doc_id", "source",
             budget = 1000L * k).count()
         }),
-        ("unigram_lm_q93", time(runs) {
+        ("unigram_lm_q93", () => {
           UnigramLm.selfScore(docs, "doc_id", "text").count()
         }),
-        ("length_trim_q94", time(runs) {
+        ("length_trim_q94", () => {
           OutlierTrim.tukey(
             docs.withColumn("n_chars", length(col("text"))),
             "lang", "n_chars").count()
         }),
-        ("source_overlap_q95", time(runs) {
+        ("source_overlap_q95", () => {
           CorpusStats.sourceNgramOverlap(docs, "source", "text", n = 3).count()
         }),
-        ("zipf_coverage_q96", time(runs) {
+        ("zipf_coverage_q96", () => {
           CorpusStats.topTokenCoverage(docs, "lang", "text", k = 10).count()
         }),
-        ("dsir_select_q97", time(runs) {
+        ("dsir_select_q97", () => {
           val tgt = UnigramLm.build(docs.filter(col("lang") === "en"), "text")
           val src = UnigramLm.build(docs.filter(col("lang") =!= "en"), "text")
           UnigramLm.dsirTopK(docs, "doc_id", "text", tgt, src,
             k = 100 * k).count()
         }),
-        ("keep_best_q98", time(runs) {
+        ("keep_best_q98", () => {
           Dedup.keepBestInClusters(docs, "doc_id", "text", "doc_id").count()
         }),
-        ("token_budget_q99", time(runs) {
+        ("token_budget_q99", () => {
           Sampling.tokenBudgetSelect(
             docs.withColumn("n_tok",
               graft.functions.TextFns.tokenCount(col("text")).cast("long")),
             "doc_id", "n_tok", budget = 15000L * k).count()
         }))
+      val out = ops.map { case (name, body) =>
+        // isolate each operator from its predecessors: drop the
+        // operator-internal persisted relations (shingle sets, tf,
+        // census tables — cached by logical plan, they otherwise pile
+        // up across the 11 ops and the later rows are measured under
+        // eviction/ContextCleaner churn, the exact distortion
+        // Bench.scala documents), then re-pin the replicated inputs
+        // OUTSIDE the timed region and let the cleaner settle.
+        spark.catalog.clearCache()
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count(); vecs.count()
+        System.gc()
+        Thread.sleep(1000)
+        val (sec, rows) = time(runs)(body())
+        (name, sec, rows)
+      }
       docs.unpersist(); vecs.unpersist()
-      out.map { case (n, (s, r)) => (n, s, r) }
+      out
     }
 
     measurements(1, runs = 1) // warm-up: compile shapes, ignore timings

@@ -44,6 +44,11 @@ object TextClassifier {
     * float with the incoming partitioning and repeated trains can
     * disagree on argmax-marginal docs. One extra shuffle, amortized
     * over maxIter full passes.
+    *
+    * The guarantee is CONDITIONAL on `idCol` being present: a frame
+    * without it trains on whatever layout arrives (a loud stderr
+    * warning flags it) — pass the id column through, or rename via
+    * `idCol`, to get reproducible fits.
     */
   def train(training: DataFrame, vocabSize: Int = 10000,
             maxIter: Int = 10, regParam: Double = 0.001,
@@ -51,7 +56,13 @@ object TextClassifier {
     val conditioned =
       if (training.columns.contains(idCol))
         training.repartition(col(idCol)).sortWithinPartitions(idCol)
-      else training
+      else {
+        System.err.println(
+          s"[graft.TextClassifier] WARNING: no '$idCol' column — input " +
+            "layout is not conditioned and repeated fits may differ; " +
+            "include the id column for bit-identical training")
+        training
+      }
     val vectorizer = new CountVectorizer()
       .setInputCol("tokens").setOutputCol("features").setVocabSize(vocabSize)
     // Eager indexer fit so IndexToString gets the label inventory — the

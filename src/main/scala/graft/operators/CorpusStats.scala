@@ -29,10 +29,15 @@ object CorpusStats {
     */
   def sourceNgramOverlap(docs: DataFrame, partCol: String, textCol: String,
                          n: Int = 3): DataFrame = {
-    // persisted: feeds both the per-source set sizes and the pair join
+    // persisted: feeds both the per-source set sizes and the pair join.
+    // Empty/NULL docs produce wordShingles' "" / NULL fallback entry —
+    // filtered out here: an empty doc carries no content, so it must
+    // neither inflate a source's set size nor let two sources "overlap"
+    // on shared emptiness.
     val sh = docs
       .select(col(partCol).as("src"),
         explode(TextFns.wordShingles(col(textCol), n)).as("s"))
+      .filter(col("s").isNotNull && col("s") =!= "")
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))

@@ -710,7 +710,10 @@ object Dedup {
     pairs
       .join(sh.select(col("doc").as("id_a"), col("simhash").as("__ha")), "id_a")
       .join(sh.select(col("doc").as("id_b"), col("simhash").as("__hb")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      // the bounded-collect buffer carries longs; surface the caller's
+      // id type unchanged (an IntegerType corpus gets int pairs back)
+      .select(col("id_a").cast(docType).as("id_a"),
+        col("id_b").cast(docType).as("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .filter(col("hamming") <= radius)
   }

@@ -35,6 +35,19 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** The ONE definition of the deterministic shuffle key shared by
+    * [[deterministicShuffle]], [[curriculumOrder]], and
+    * [[tokenBudgetSelect]]: adds `__ord` (md5 of seed_id — the global
+    * random order) and `__b` (first 3 hex chars as an int — a 4096-way
+    * bucket that is a PREFIX of `__ord`, so (bucket, ord) order ≡ ord
+    * order). CurationOpsSpec asserts the operators' orders agree;
+    * this helper is what makes the agreement structural. */
+  private def withShuffleKey(df: DataFrame, idCol: String,
+                             seed: Long): DataFrame =
+    df.withColumn("__ord",
+        md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string"))))
+      .withColumn("__b", conv(substring(col("__ord"), 1, 3), 16, 10).cast("int"))
+
   /** Deterministic global shuffle for training-order randomization:
     * every row gets an exact position 1..n in the order of
     * `(md5(seed || '_' || id), id)` — a pure function of the row, so
@@ -61,9 +74,7 @@ object Sampling {
     * block-deterministic. */
   def deterministicShuffle(df: DataFrame, idCol: String,
                            seed: Long = 42L): DataFrame = {
-    val ord = md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string")))
-    val keyed = df.withColumn("__ord", ord)
-      .withColumn("__b", conv(substring(col("__ord"), 1, 3), 16, 10).cast("int"))
+    val keyed = withShuffleKey(df, idCol, seed)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(col("__ord"), col(idCol))
     val ranked = keyed.withColumn("__rk", row_number().over(wB))
@@ -95,9 +106,7 @@ object Sampling {
     * bin sort first (Spark/SQL NULLS FIRST ascending default). */
   def curriculumOrder(df: DataFrame, idCol: String, binCol: String,
                       seed: Long = 42L): DataFrame = {
-    val ord = md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string")))
-    val keyed = df.withColumn("__ord", ord)
-      .withColumn("__b", conv(substring(col("__ord"), 1, 3), 16, 10).cast("int"))
+    val keyed = withShuffleKey(df, idCol, seed)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col(binCol), col("__b")).orderBy(col("__ord"), col(idCol))
     val ranked = keyed.withColumn("__rk", row_number().over(wB))
@@ -135,9 +144,7 @@ object Sampling {
     * as 0 by the window sum. */
   def tokenBudgetSelect(df: DataFrame, idCol: String, nTokensCol: String,
                         budget: Long, seed: Long = 42L): DataFrame = {
-    val ord = md5(concat_ws("_", lit(seed.toString), col(idCol).cast("string")))
-    val keyed = df.withColumn("__ord", ord)
-      .withColumn("__b", conv(substring(col("__ord"), 1, 3), 16, 10).cast("int"))
+    val keyed = withShuffleKey(df, idCol, seed)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(col("__ord"), col(idCol))
     val wOff = org.apache.spark.sql.expressions.Window

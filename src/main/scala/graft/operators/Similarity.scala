@@ -330,6 +330,13 @@ object Similarity {
     * At 100 TB the within-cell pair scan is the designed cost model:
     * O(Σ|cell|²) with |cell| ≈ n/nCells — nCells is the knob that keeps
     * cells task-sized (SemDeDup runs 50k clusters at web scale).
+    * CAVEAT (measured, SCALE.md weak-scaling): the EXACT centroid
+    * assignment here is n·nCells dot products, so sizing nCells ∝ n
+    * makes assignment grow ∝ n² — it dominated the ×16 harness point.
+    * At real scale either fix nCells by a cell-capacity target
+    * (assignment back to ∝ n, cells grow instead) or assign through
+    * the quantized/IVF machinery (q79/q73) and keep the exact
+    * assignment as the small-scale verifier.
     * NULL/corrupt embeddings are excluded UP FRONT (filtered before
     * assignment — [[ivfCells]] would otherwise still give them a cell,
     * with a NULL sim at every rank), consistent with the ANN

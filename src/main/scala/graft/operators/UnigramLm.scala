@@ -29,18 +29,25 @@ import org.apache.spark.storage.StorageLevel
   * no fan-out — and hot tokens ("the") cost only partition imbalance,
   * which AQE skew-split absorbs; a small LM broadcasts and skips the
   * shuffle entirely (AQE picks this automatically under the threshold).
+  *
+  * Every entry point shares ONE tf aggregation ([[tfOf]]) and ONE LM
+  * quantization ([[lmFromCounts]]) — the tokenization and micro-log
+  * conventions that the q93/q97 oracles mirror live in exactly one
+  * place each.
   */
 object UnigramLm {
 
-  /** Build the unigram LM over `textCol`: one row per token with its
-    * corpus count and micro-quantized log-probability.
-    * Output: (token, cnt: long, lp_micro: long). */
-  def build(docs: DataFrame, textCol: String): DataFrame = {
-    val counts = docs
-      .select(explode(TextFns.tokens(col(textCol))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("cnt"))
-    // total corpus size: single scalar, broadcast into the projection
+  /** The shared per-(doc, token) frequency relation — the single place
+    * the operator tokenizes. */
+  private def tfOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (token, cnt) → (token, cnt, lp_micro): the single place the
+    * micro-quantized log-probability is defined. */
+  private def lmFromCounts(counts: DataFrame): DataFrame = {
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     counts.crossJoin(broadcast(total))
       .select(
@@ -50,26 +57,40 @@ object UnigramLm {
           .cast("long").as("lp_micro"))
   }
 
-  /** Score each document by its mean token log-probability under `lm`
-    * (built by [[build]], or externally — any (token, lp_micro) table).
-    * Documents with zero tokens (empty/NULL text) produce NO row; keep
-    * them with a left join at the call site if required.
-    * Output: (idCol, n_tokens: int, lp_sum_micro: long,
-    * avg_logprob: double rounded to 4). */
-  def score(docs: DataFrame, idCol: String, textCol: String,
-            lm: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    tf.join(lm.select(col("token"), col("lp_micro")), Seq("token"))
+  /** The shared scoring aggregate over a joined (idCol, tf, lp) frame. */
+  private def aggScore(joined: DataFrame, idCol: String,
+                       lp: org.apache.spark.sql.Column): DataFrame =
+    joined
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).cast("int").as("n_tokens"),
-        sum(col("tf") * col("lp_micro")).as("lp_sum_micro"))
+        sum(col("tf") * lp).as("lp_sum_micro"))
       .withColumn("avg_logprob",
         round(col("lp_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
-  }
+
+  /** Build the unigram LM over `textCol`: one row per token with its
+    * corpus count and micro-quantized log-probability.
+    * Output: (token, cnt: long, lp_micro: long). */
+  def build(docs: DataFrame, textCol: String): DataFrame =
+    lmFromCounts(docs
+      .select(explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** Score each document by its mean token log-probability under `lm`
+    * (built by [[build]], or externally — any (token, lp_micro) table).
+    * Documents with zero tokens (empty/NULL text) produce NO row; keep
+    * them with a left join at the call site if required. The inner join
+    * assumes the LM covers the corpus (true when self-built); for an
+    * external LM use [[scoreWithOov]].
+    * Output: (idCol, n_tokens: int, lp_sum_micro: long,
+    * avg_logprob: double rounded to 4). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            lm: DataFrame): DataFrame =
+    aggScore(
+      tfOf(docs, idCol, textCol)
+        .join(lm.select(col("token"), col("lp_micro")), Seq("token")),
+      idCol, col("lp_micro"))
 
   /** [[score]] against an EXTERNAL LM whose vocabulary may not cover
     * the documents: out-of-vocabulary tokens take `oovLpMicro` (a
@@ -78,20 +99,11 @@ object UnigramLm {
     * applies per micro-batch ([[graft.streaming.StreamOps.lmScoreEachBatch]]);
     * same output schema as [[score]]. */
   def scoreWithOov(docs: DataFrame, idCol: String, textCol: String,
-                   lm: DataFrame, oovLpMicro: Long = -20000000L): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    tf.join(lm.select(col("token"), col("lp_micro")), Seq("token"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("tf")).cast("int").as("n_tokens"),
-        sum(col("tf") * coalesce(col("lp_micro"), lit(oovLpMicro)))
-          .as("lp_sum_micro"))
-      .withColumn("avg_logprob",
-        round(col("lp_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
-  }
+                   lm: DataFrame, oovLpMicro: Long = -20000000L): DataFrame =
+    aggScore(
+      tfOf(docs, idCol, textCol)
+        .join(lm.select(col("token"), col("lp_micro")), Seq("token"), "left"),
+      idCol, coalesce(col("lp_micro"), lit(oovLpMicro)))
 
   /** Per-document log-likelihood ratio between a TARGET-domain LM and
     * a SOURCE (general) LM — the importance weight of DSIR-style data
@@ -108,12 +120,9 @@ object UnigramLm {
     * are vocabulary-sized. */
   def logLikelihoodRatio(docs: DataFrame, idCol: String, textCol: String,
                          targetLm: DataFrame, sourceLm: DataFrame,
-                         oovLpMicro: Long = -20000000L): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    tf.join(targetLm.select(col("token"), col("lp_micro").as("__lp_t")),
+                         oovLpMicro: Long = -20000000L): DataFrame =
+    tfOf(docs, idCol, textCol)
+      .join(targetLm.select(col("token"), col("lp_micro").as("__lp_t")),
         Seq("token"), "left")
       .join(sourceLm.select(col("token"), col("lp_micro").as("__lp_s")),
         Seq("token"), "left")
@@ -124,7 +133,6 @@ object UnigramLm {
           - coalesce(col("__lp_s"), lit(oovLpMicro)))).as("llr_sum_micro"))
       .withColumn("llr_per_token",
         round(col("llr_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
-  }
 
   /** DSIR-style selection: the k documents most like the target domain
     * by per-token log-likelihood ratio (ties by id — fully
@@ -140,26 +148,15 @@ object UnigramLm {
       .limit(k)
 
   /** Self-scoring convenience: build the LM over the corpus and score
-    * the same corpus, tokenizing once. Persisted tf feeds both the LM
-    * aggregation and the scoring dot product. */
+    * the same corpus, tokenizing once — the persisted tf relation feeds
+    * both the LM aggregation and the scoring dot product, through the
+    * same [[lmFromCounts]] projection [[build]] uses. */
   def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = tfOf(docs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("n_total"))
-    val lm = counts.crossJoin(broadcast(total))
-      .select(col("token"),
-        round(log(col("cnt").cast("double") / col("n_total")) * lit(1e6), 0)
-          .cast("long").as("lp_micro"))
-    tf.join(lm, Seq("token"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("tf")).cast("int").as("n_tokens"),
-        sum(col("tf") * col("lp_micro")).as("lp_sum_micro"))
-      .withColumn("avg_logprob",
-        round(col("lp_sum_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
+    val lm = lmFromCounts(
+      tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt")))
+    aggScore(tf.join(lm.select(col("token"), col("lp_micro")), Seq("token")),
+      idCol, col("lp_micro"))
   }
 }

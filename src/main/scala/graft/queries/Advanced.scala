@@ -426,12 +426,17 @@ object Advanced {
     * bit-majority → Hamming ≤ 3 pairs) is replicated in SQL: the
     * oracle runs the exact quadratic pair filter, the Spark side the
     * pigeonhole-blocked join — equal by construction, now proven per
-    * run rather than differential-tested only. */
+    * run rather than differential-tested only. maxBucket is UNGUARDED
+    * at this call site: the oracle computes the exact uncapped pair
+    * set, so the operator must too — the production default (1000)
+    * would silently diverge on a corpus whose every shared chunk block
+    * is oversized (the q27-maxDf call-site split). */
   private val q69 = QuerySpec(
     "q69_simhash_portable",
     (s, dir) =>
       graft.operators.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          radius = 3, tokenHash = graft.operators.Dedup.portableTokenHash)
+          radius = 3, tokenHash = graft.operators.Dedup.portableTokenHash,
+          maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b")),
     oracle = Some {
       val bitSums = (0 until 60).map(b =>

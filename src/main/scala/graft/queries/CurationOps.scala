@@ -102,7 +102,8 @@ object CurationOps {
               list_transform(range(1, len(w) - 1),
                 i -> array_to_string(w[i:i+2], ' '))
             ELSE [array_to_string(w, ' ')] END) AS s
-          FROM toks)),
+          FROM toks)
+        WHERE s IS NOT NULL AND s <> ''),
       sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
       inter AS (
         SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common

@@ -62,7 +62,12 @@ object DataOps {
   private val q29 = QuerySpec(
     "q29_dedup_simhash",
     (s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", radius = 3)
+      // maxBucket unguarded HERE because the check is rows-only vs the
+      // exact differential: the production default (1000) may drop
+      // pairs on a degenerate corpus by design, which a verifier must
+      // not — same call-site split as q27's explicit maxDf
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", radius = 3,
+          maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b")))
 
   /** q30: embedding cosine near-dup pairs above 0.35 (the testdata embeddings are unclustered; the threshold sits in the top tail) — exact double

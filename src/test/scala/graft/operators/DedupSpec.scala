@@ -176,4 +176,13 @@ class DedupSpec extends SparkSpec {
     got(4L) shouldBe want("")
     got(5L) shouldBe want("   ")
   }
+
+  test("simhashPairs preserves an IntegerType id through the long buffer") {
+    val df = Seq((1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(df, "doc_id", "text", radius = 3)
+    out.schema("id_a").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    out.schema("id_b").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    rows(out).map(r => (r.getInt(0), r.getInt(1))) should contain((1, 2))
+  }
 }
