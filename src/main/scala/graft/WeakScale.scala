@@ -93,6 +93,13 @@ object WeakScale {
           Similarity.semanticDedupe(vecs, "vec_id", "embedding",
             nCells = 32 * k, threshold = 0.995).count()
         }),
+        // the measured mitigation for q86's n·nCells assignment term:
+        // nCells ∝ √n (the classic IVF balance) puts assignment AND the
+        // within-cell pair scan at ∝ n^1.5 instead of n²
+        ("semantic_dedup_sqrtcells", () => {
+          Similarity.semanticDedupe(vecs, "vec_id", "embedding",
+            nCells = 32 * math.sqrt(k).toInt, threshold = 0.995).count()
+        }),
         ("temperature_mixture_q88", () => {
           Sampling.temperatureMixture(docs, "doc_id", "source",
             budget = 1000L * k).count()
@@ -126,7 +133,12 @@ object WeakScale {
               graft.functions.TextFns.tokenCount(col("text")).cast("long")),
             "doc_id", "n_tok", budget = 15000L * k).count()
         }))
-      val out = ops.map { case (name, body) =>
+      // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
+      // subset (local iteration; the committed SCALE.md rows use the
+      // full run)
+      val only = sys.env.get("SPARK_GRAFT_WEAKSCALE_ONLY")
+      val out = ops.filter(o => only.forall(o._1.contains)).map {
+        case (name, body) =>
         // isolate each operator from its predecessors: drop the
         // operator-internal persisted relations (shingle sets, tf,
         // census tables — cached by logical plan, they otherwise pile

@@ -330,13 +330,14 @@ object Similarity {
     * At 100 TB the within-cell pair scan is the designed cost model:
     * O(Σ|cell|²) with |cell| ≈ n/nCells — nCells is the knob that keeps
     * cells task-sized (SemDeDup runs 50k clusters at web scale).
-    * CAVEAT (measured, SCALE.md weak-scaling): the EXACT centroid
-    * assignment here is n·nCells dot products, so sizing nCells ∝ n
-    * makes assignment grow ∝ n² — it dominated the ×16 harness point.
-    * At real scale either fix nCells by a cell-capacity target
-    * (assignment back to ∝ n, cells grow instead) or assign through
-    * the quantized/IVF machinery (q79/q73) and keep the exact
-    * assignment as the small-scale verifier.
+    * SIZING TRADE (both points measured, SCALE.md weak-scaling): the
+    * EXACT centroid assignment is n·nCells dot products — ∝ n² when
+    * nCells ∝ n — while the within-cell pair scan is ∝ n²/nCells. At
+    * low dim (the 16-dim harness) assignment is memory-cheap and
+    * nCells ∝ n wins (flat within-cell cost); high-dim production
+    * embeddings shift weight toward assignment, favoring √n-ish cell
+    * counts or assignment through the quantized/IVF machinery
+    * (q79/q73). Measure at your dim; don't assume either extreme.
     * NULL/corrupt embeddings are excluded UP FRONT (filtered before
     * assignment — [[ivfCells]] would otherwise still give them a cell,
     * with a NULL sim at every rank), consistent with the ANN
