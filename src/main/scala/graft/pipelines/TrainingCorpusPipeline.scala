@@ -16,17 +16,26 @@ import org.apache.spark.sql.functions._
   *                           opt-in boilerplate ceiling AFTER it, so
   *                           shingle doc-frequency counts distinct
   *                           contents, not crawl copies)
+  *   2c. LM floor           (opt-in: UnigramLm.selfScore over the
+  *                           exact-deduped pool ≥ lmLogProbFloor —
+  *                           the CCNet-style improbable-token gate)
   *   3. near-dup dedup      (Dedup.nearDupGroups — MinHash-LSH +
   *                           connected components, min-id survivor)
   *   4. decontamination     (exact + LSH near-dup leaks vs the eval
   *                           holdout, opt-in verbatim-n-gram detector —
   *                           leaked docs DROPPED)
+  *   4c. token budget       (opt-in: Sampling.tokenBudgetSelect —
+  *                           unbiased md5-order prefix of the clean
+  *                           corpus to a total token budget)
   *   5. chunking            (Chunking.tokenWindows)
   *   6. sequence packing    (Packing.greedyPack on chunk token counts)
   *   7. deterministic split (Sampling.hashSplit on the doc id, so all
   *                           chunks of a document land in ONE split —
   *                           splitting per chunk would leak overlapping
   *                           windows of the same text across splits)
+  *   8. curriculum order    (opt-in: Sampling.curriculumOrder — a
+  *                           short-docs-first `pos` column, all chunks
+  *                           of a doc sharing its position)
   *
   * Every stage is the already-verified operator — this object adds no
   * new math, only the composition and its ordering constraints
@@ -67,7 +76,19 @@ object TrainingCorpusPipeline {
       // detector on top of the Jaccard ones)
       ngramLeakN: Option[Int] = None,
       // expected size hint for the historical-index Bloom filter
-      bloomExpectedItems: Long = 1000000L)
+      bloomExpectedItems: Long = 1000000L,
+      // drop docs whose mean log-prob under the corpus's own unigram
+      // LM (UnigramLm.selfScore, built on the exact-deduped pool so
+      // crawl copies don't bias the LM) falls below the floor —
+      // gibberish/wrong-language tail (CCNet-style)
+      lmLogProbFloor: Option[Double] = None,
+      // cut the decontaminated corpus to a total token budget
+      // (Sampling.tokenBudgetSelect — unbiased md5-order prefix)
+      tokenBudget: Option[Long] = None,
+      // emit a `pos` training-order column: sequence-length curriculum
+      // (Sampling.curriculumOrder over n-char bins of this width,
+      // short docs first; all chunks of a doc share its position)
+      curriculumBinChars: Option[Int] = None)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -122,6 +143,21 @@ object TrainingCorpusPipeline {
       case None => exactDeduped0
     }
 
+    // 2c. (opt-in) unigram-LM floor: drop the improbable-token tail.
+    // Runs on the exact-deduped pool — the LM trains on distinct
+    // contents, so a million crawl copies of one page can't inflate
+    // its tokens' probabilities (same reasoning as the boilerplate
+    // ceiling's seating).
+    val lmGated = cfg.lmLogProbFloor match {
+      case Some(floor) =>
+        val keep = graft.operators.UnigramLm
+          .selfScore(exactDeduped, idCol, textCol)
+          .filter(col("avg_logprob") >= floor)
+          .select(col(idCol))
+        exactDeduped.join(keep, Seq(idCol), "left_semi")
+      case None => exactDeduped
+    }
+
     // 3. near-dup dedup: MinHash-LSH clusters, min-id survivor.
     // LAZY localCheckpoint: `deduped` is re-referenced by every
     // decontamination detector AND the final anti join — four copies
@@ -134,10 +170,10 @@ object TrainingCorpusPipeline {
     // result. Trade-offs vs persist, documented in run()'s scaladoc:
     // checkpointed partitions are released by RDD GC (not
     // clearCache()), and are not recomputable after an executor loss.
-    val nearKeep = Dedup.nearDupGroups(exactDeduped, idCol, textCol,
+    val nearKeep = Dedup.nearDupGroups(lmGated, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("keep_id").as(idCol))
-    val deduped = exactDeduped.join(nearKeep, Seq(idCol), "left_semi")
+    val deduped = lmGated.join(nearKeep, Seq(idCol), "left_semi")
       .localCheckpoint(false)
 
     // 4. decontamination: drop OUR docs that leak into the eval
@@ -166,10 +202,23 @@ object TrainingCorpusPipeline {
     // persisted: `clean` feeds chunking AND would otherwise re-run the
     // whole quality→dedup→decontaminate DAG per downstream subtree
     // (identical subplans do not reliably hit ReuseExchange)
-    val clean = deduped
+    val clean0 = deduped
       .join(leakedExact.union(leakedNear).union(leakedNgram).distinct(),
         Seq(idCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 4c. (opt-in) token-budget cut: an unbiased md5-order prefix of
+    // the clean corpus — "this corpus, but N tokens of it". After
+    // decontamination (a budget spent on leaked docs is wasted),
+    // before chunking (budgets are FULL documents; cutting chunks
+    // would truncate documents mid-text).
+    val clean = (cfg.tokenBudget match {
+      case Some(budget) => Sampling.tokenBudgetSelect(
+          clean0.withColumn("__n_tok",
+            TextFns.tokenCount(col(textCol)).cast("long")),
+          idCol, "__n_tok", budget)
+        .drop("__n_tok", "cum_tokens")
+      case None => clean0
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5. chunk to training windows — narrow. Persisted: both the pack
     // input and the final join read it.
@@ -192,12 +241,27 @@ object TrainingCorpusPipeline {
     // 7. split on the DOCUMENT id — overlapping windows of one text
     // must never straddle train/eval. hashSplit is a pure function of
     // the id column, so it applies directly to the joined chunk rows.
-    Sampling.hashSplit(
+    val split = Sampling.hashSplit(
       chunks
         .join(packed.select(col("doc_id").as("__ck"),
           col("pack_group"), col("bin"), col("truncated")),
           chunkKey === col("__ck"))
         .drop("__ck"),
       idCol, cfg.splits)
+
+    // 8. (opt-in) curriculum position: sequence-length order over the
+    // surviving DOCUMENTS (short first, md5-shuffled within a bin);
+    // every chunk carries its document's position — downstream orders
+    // by (pos, chunk_id) for the curriculum epoch.
+    cfg.curriculumBinChars match {
+      case Some(binChars) =>
+        val pos = Sampling.curriculumOrder(
+            clean.select(col(idCol),
+              (length(col(textCol)) / lit(binChars)).cast("int").as("__bin")),
+            idCol, "__bin")
+          .select(col(idCol), col("pos"))
+        split.join(pos, Seq(idCol), "left")
+      case None => split
+    }
   }
 }

@@ -102,4 +102,47 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     Dedup.ngramJaccardPairs(survivors, "doc_id", "text",
       strictCfg.shingleN, strictCfg.nearDupThreshold).count() shouldBe 0L
   }
+
+  test("opt-in curation stages: LM floor, token budget, curriculum position") {
+    import graft.functions.TextFns
+    val curCfg = cfg.copy(
+      lmLogProbFloor = Some(-10.0),   // corpus scores ≈ -3.4: keeps all
+      tokenBudget = Some(8000L),
+      curriculumBinChars = Some(250))
+    val out2 = TrainingCorpusPipeline
+      .run(pool, holdout, "doc_id", "text", curCfg).persist()
+    out2.count() should be > 0L
+    val survivors = pool.join(out2.select("doc_id").distinct(),
+      Seq("doc_id"), "left_semi")
+    // the budget bounds the SURVIVING DOCS' total tokens
+    val totalTok = survivors
+      .agg(sum(TextFns.tokenCount(col("text")).cast("long"))).collect()(0).getLong(0)
+    totalTok should be <= 8000L
+    // every chunk carries its doc's curriculum position; positions are
+    // doc-constant and bin-major by length
+    out2.filter(col("pos").isNull).count() shouldBe 0L
+    out2.groupBy("doc_id").agg(countDistinct(col("pos")).as("n"))
+      .filter(col("n") =!= 1).count() shouldBe 0L
+    val posByLen = survivors
+      .join(out2.select("doc_id", "pos").distinct(), Seq("doc_id"))
+      .select(expr("cast(length(text) / 250 as int)").as("bin"), col("pos"))
+    // max pos of bin b < min pos of bin b+1 for every adjacent pair
+    val bins = posByLen.groupBy("bin")
+      .agg(min("pos").as("lo"), max("pos").as("hi"))
+      .orderBy("bin").collect()
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        a.getAs[Long]("hi") should be < b.getAs[Long]("lo")
+      case _ =>
+    }
+    // an LM floor inside the score distribution (corpus scores span
+    // [-3.72, -3.39]) drops the least-probable tail vs the default run
+    val floorCfg = cfg.copy(lmLogProbFloor = Some(-3.41))
+    val out3 = TrainingCorpusPipeline
+      .run(pool, holdout, "doc_id", "text", floorCfg)
+    val defaultDocs = out.select("doc_id").distinct().count()
+    val flooredDocs = out3.select("doc_id").distinct().count()
+    flooredDocs should be < defaultDocs
+    flooredDocs should be > 0L
+  }
 }
