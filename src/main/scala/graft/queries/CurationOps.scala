@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * quality scoring (q93), length-outlier trimming (q94), source overlap
   * (q95), Zipf head mass (q96), DSIR target-domain selection (q97),
   * keep-best near-dup resolution (q98), token-budget cut (q99),
-  * encoding-damage audit (q100), and curriculum ordering (q101). All
-  * nine are fully oracle-checked; the determinism tricks are documented
+  * encoding-damage audit (q100), curriculum ordering (q101), and the
+  * per-source curation funnel (q102). All ten are fully
+  * oracle-checked; the determinism tricks are documented
   * on the operators (integer-quantized log-probs, dyadic-exact quartile
   * fences, roundFrac rationals, md5 order keys).
   */
@@ -364,6 +365,142 @@ object CurationOps {
                AS BIGINT) AS pos
       FROM t ORDER BY doc_id"""))
 
+  /** q102: per-source curation funnel — the audit table every corpus
+    * build publishes: how many docs each source contributes at each
+    * deterministic stage (raw → length-trimmed → near-dup survivor →
+    * near-dup-decontaminated vs the md5<'2' holdout). Composes OutlierTrim,
+    * Dedup.nearDupGroups, and Decontaminate.nearDupLeaksLsh; the oracle rebuilds
+    * each stage from the exact-jaccard cluster graph (q51/q82 machinery). */
+  private val q102 = QuerySpec(
+    "q102_curation_funnel",
+    (s, dir) => {
+      import graft.operators.{Dedup, Decontaminate, OutlierTrim}
+      val docs = Tables.documents(s, dir)
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+      val pool = docs.filter(!isEval)
+      val holdout = docs.filter(isEval)
+      // stage 1: global Tukey trim on n_chars (single fence group)
+      val lenOk = OutlierTrim.tukey(
+          pool.withColumn("__g", lit("all")), "__g", "n_chars")
+        .drop("__g")
+      // stage 2: NEAR-dup cluster survivors (min-id per MinHash cluster,
+      // q51's machinery) of the trimmed pool
+      val kept = lenOk.join(
+        Dedup.nearDupGroups(lenOk, "doc_id", "text",
+            shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // stage 3: drop survivors that near-duplicate the holdout
+      // (q82's cross-boundary detector at the same threshold)
+      val clean = kept.join(
+        Decontaminate.nearDupLeaksLsh(kept, holdout, "doc_id", "text",
+            n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+          .select(col("train_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      pool.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+        .join(lenOk.groupBy(col("source")).agg(count(lit(1)).as("n_len_ok")),
+          Seq("source"), "left")
+        .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
+          Seq("source"), "left")
+        .join(clean.groupBy(col("source")).agg(count(lit(1)).as("n_clean")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_len_ok"), lit(0L)).as("n_len_ok"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE
+      pool AS (
+        SELECT * FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'),
+      holdout AS (
+        SELECT * FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+      f AS (
+        SELECT quantile_cont(n_chars, 0.25) AS q1,
+               quantile_cont(n_chars, 0.75) AS q3
+        FROM pool),
+      len_ok AS (
+        SELECT p.* FROM pool p CROSS JOIN f
+        WHERE p.n_chars >= f.q1 - 1.5 * (f.q3 - f.q1)
+          AND p.n_chars <= f.q3 + 1.5 * (f.q3 - f.q1)),
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM len_ok),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      prs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs),
+      reach(doc, r) AS (
+        SELECT doc_id, doc_id FROM len_ok
+        UNION
+        SELECT reach.doc, e.d FROM reach JOIN edges e ON reach.r = e.s),
+      labels AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+      keepers AS (SELECT min(doc) AS doc FROM labels GROUP BY cluster),
+      kept AS (
+        SELECT l.* FROM len_ok l JOIN keepers k ON k.doc = l.doc_id),
+      htoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM holdout),
+      hsh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM htoks)),
+      hsizes AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
+      hinter AS (
+        SELECT t.doc_id AS tid, h.doc_id AS hid, count(*) AS isect
+        FROM sh t
+        JOIN keepers k ON k.doc = t.doc_id
+        JOIN hsh h ON t.s = h.s
+        GROUP BY 1, 2),
+      leaky AS (
+        SELECT DISTINCT tid FROM hinter
+        JOIN sizes st ON st.doc_id = tid
+        JOIN hsizes hs ON hs.doc_id = hid
+        WHERE CAST(isect AS DOUBLE) / (st.sz + hs.sz - isect) >= 0.8),
+      clean AS (
+        SELECT * FROM kept
+        WHERE doc_id NOT IN (SELECT tid FROM leaky))
+      SELECT p.source,
+             count(*) AS n_total,
+             CAST(coalesce(l.n, 0) AS BIGINT) AS n_len_ok,
+             CAST(coalesce(k.n, 0) AS BIGINT) AS n_kept,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n_clean
+      FROM pool p
+      LEFT JOIN (SELECT source, count(*) AS n FROM len_ok GROUP BY 1) l
+        ON l.source = p.source
+      LEFT JOIN (SELECT source, count(*) AS n FROM kept GROUP BY 1) k
+        ON k.source = p.source
+      LEFT JOIN (SELECT source, count(*) AS n FROM clean GROUP BY 1) c
+        ON c.source = p.source
+      GROUP BY p.source, l.n, k.n, c.n
+      ORDER BY p.source"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101)
+    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
 }
