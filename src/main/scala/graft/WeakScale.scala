@@ -79,55 +79,60 @@ object WeakScale {
       // batch, zero overlap (both sides grow k x, the q83 shape)
       val batch = docs.filter(col("doc_id") % 2 === 0)
       val index = docs.filter(col("doc_id") % 2 === 1)
-      val ops: Seq[(String, () => Long)] = Seq(
-        ("bloom_dedup_q83", () => {
+      // third tuple element: which replicated input the op reads, so
+      // the isolation block below re-pins only that one (re-counting a
+      // 16x corpus the op never touches is minutes of wasted wall-clock
+      // per scale)
+      val D = "docs"; val V = "vecs"
+      val ops: Seq[(String, String, () => Long)] = Seq(
+        ("bloom_dedup_q83", D, () => {
           Dedup.bloomDedupe(batch, index, "doc_id", "text",
             expectedItems = 5000L * k).count()
         }),
-        ("ngram_leaks_q85", () => {
+        ("ngram_leaks_q85", D, () => {
           Decontaminate.ngramLeaks(docs, evalSuite, "doc_id", "text").count()
         }),
         // nCells scales with k: the documented SemDeDup sizing rule
         // (cells stay task-sized), keeping within-cell work linear
-        ("semantic_dedup_q86", () => {
+        ("semantic_dedup_q86", V, () => {
           Similarity.semanticDedupe(vecs, "vec_id", "embedding",
             nCells = 32 * k, threshold = 0.995).count()
         }),
         // the measured mitigation for q86's n·nCells assignment term:
         // nCells ∝ √n (the classic IVF balance) puts assignment AND the
         // within-cell pair scan at ∝ n^1.5 instead of n²
-        ("semantic_dedup_sqrtcells", () => {
+        ("semantic_dedup_sqrtcells", V, () => {
           Similarity.semanticDedupe(vecs, "vec_id", "embedding",
-            nCells = 32 * math.sqrt(k).toInt, threshold = 0.995).count()
+            nCells = (32 * math.sqrt(k)).toInt, threshold = 0.995).count()
         }),
-        ("temperature_mixture_q88", () => {
+        ("temperature_mixture_q88", D, () => {
           Sampling.temperatureMixture(docs, "doc_id", "source",
             budget = 1000L * k).count()
         }),
-        ("unigram_lm_q93", () => {
+        ("unigram_lm_q93", D, () => {
           UnigramLm.selfScore(docs, "doc_id", "text").count()
         }),
-        ("length_trim_q94", () => {
+        ("length_trim_q94", D, () => {
           OutlierTrim.tukey(
             docs.withColumn("n_chars", length(col("text"))),
             "lang", "n_chars").count()
         }),
-        ("source_overlap_q95", () => {
+        ("source_overlap_q95", D, () => {
           CorpusStats.sourceNgramOverlap(docs, "source", "text", n = 3).count()
         }),
-        ("zipf_coverage_q96", () => {
+        ("zipf_coverage_q96", D, () => {
           CorpusStats.topTokenCoverage(docs, "lang", "text", k = 10).count()
         }),
-        ("dsir_select_q97", () => {
+        ("dsir_select_q97", D, () => {
           val tgt = UnigramLm.build(docs.filter(col("lang") === "en"), "text")
           val src = UnigramLm.build(docs.filter(col("lang") =!= "en"), "text")
           UnigramLm.dsirTopK(docs, "doc_id", "text", tgt, src,
             k = 100 * k).count()
         }),
-        ("keep_best_q98", () => {
+        ("keep_best_q98", D, () => {
           Dedup.keepBestInClusters(docs, "doc_id", "text", "doc_id").count()
         }),
-        ("token_budget_q99", () => {
+        ("token_budget_q99", D, () => {
           Sampling.tokenBudgetSelect(
             docs.withColumn("n_tok",
               graft.functions.TextFns.tokenCount(col("text")).cast("long")),
@@ -138,18 +143,18 @@ object WeakScale {
       // full run)
       val only = sys.env.get("SPARK_GRAFT_WEAKSCALE_ONLY")
       val out = ops.filter(o => only.forall(o._1.contains)).map {
-        case (name, body) =>
+        case (name, input, body) =>
         // isolate each operator from its predecessors: drop the
         // operator-internal persisted relations (shingle sets, tf,
         // census tables — cached by logical plan, they otherwise pile
-        // up across the 11 ops and the later rows are measured under
+        // up across the ops and the later rows are measured under
         // eviction/ContextCleaner churn, the exact distortion
-        // Bench.scala documents), then re-pin the replicated inputs
-        // OUTSIDE the timed region and let the cleaner settle.
+        // Bench.scala documents), then re-pin THIS op's replicated
+        // input OUTSIDE the timed region and let the cleaner settle.
         spark.catalog.clearCache()
-        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        docs.count(); vecs.count()
+        val pin = if (input == V) vecs else docs
+        pin.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pin.count()
         System.gc()
         Thread.sleep(1000)
         val (sec, rows) = time(runs)(body())

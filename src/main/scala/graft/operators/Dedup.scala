@@ -385,13 +385,18 @@ object Dedup {
     * the exact side. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+                   threshold: Double = 0.8, seed: Long = 42L,
+                   maxBucket: Int = 1000): DataFrame = {
     // ONE shared tokenization pass: the persisted shingle sets feed the
     // signature kernel AND the exact-Jaccard re-check of candidates
     // (previously two independent tokenize→shingle pipelines).
+    // `maxBucket` (the minhashCandidates degenerate-bucket guard) is
+    // plumbed so ORACLE-CHECKED call sites can disable it: an oracle
+    // computing the exact uncapped pair set must see the uncapped
+    // operator (the q27-maxDf / q69-maxBucket call-site split).
     val sets = shingleSets(docs, idCol, textCol, shingleN, "doc")
     val cands = minhashCandidates(
-      minhashSignaturesFromSets(sets, numHashes, seed), bands)
+      minhashSignaturesFromSets(sets, numHashes, seed), bands, maxBucket)
     verifyJaccard(cands, "id_a", "id_b", sets, sets, threshold)
   }
 
@@ -470,9 +475,10 @@ object Dedup {
     * with group_size 1. */
   def nearDupGroups(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                    threshold: Double = 0.8): DataFrame = {
+                    threshold: Double = 0.8, seed: Long = 42L,
+                    maxBucket: Int = 1000): DataFrame = {
     val pairs = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
-      bands, threshold)
+      bands, threshold, seed, maxBucket)
     val clustered = connectedComponents(pairs)
     val all = docs.select(col(idCol).as("doc"))
       .join(clustered, Seq("doc"), "left")
@@ -498,9 +504,10 @@ object Dedup {
   def keepBestInClusters(docs: DataFrame, idCol: String, textCol: String,
                          scoreCol: String, shingleN: Int = 3,
                          numHashes: Int = 128, bands: Int = 32,
-                         threshold: Double = 0.8): DataFrame = {
+                         threshold: Double = 0.8, seed: Long = 42L,
+                         maxBucket: Int = 1000): DataFrame = {
     val pairs = minhashPairs(docs, idCol, textCol, shingleN, numHashes,
-      bands, threshold)
+      bands, threshold, seed, maxBucket)
     val clustered = connectedComponents(pairs)
     docs.select(col(idCol).as("doc"), col(scoreCol).as("__score"))
       .join(clustered, Seq("doc"), "left")

@@ -92,8 +92,8 @@ object TrainingCorpusPipeline {
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
-    * truncated, split). Deterministic: same inputs → same corpus, any
-    * cluster size.
+    * truncated, split[, pos when curriculumBinChars is set]).
+    * Deterministic: same inputs → same corpus, any cluster size.
     *
     * Cache contract (inherited from Dedup/Decontaminate and the
     * persists below): the returned plan holds MEMORY_AND_DISK

@@ -205,9 +205,12 @@ object CurationOps {
   private val q98 = QuerySpec(
     "q98_keep_best",
     (s, dir) =>
+      // maxBucket unguarded: the recursive oracle ranks the exact
+      // uncapped cluster graph
       graft.operators.Dedup.keepBestInClusters(
           Tables.documents(s, dir), "doc_id", "text", "n_chars",
-          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8,
+          maxBucket = Int.MaxValue)
         .orderBy(col("keep_id")),
     oracle = Some("""
       WITH RECURSIVE
@@ -387,14 +390,16 @@ object CurationOps {
       // q51's machinery) of the trimmed pool
       val kept = lenOk.join(
         Dedup.nearDupGroups(lenOk, "doc_id", "text",
-            shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+            shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8,
+            maxBucket = Int.MaxValue)
           .select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
       // stage 3: drop survivors that near-duplicate the holdout
       // (q82's cross-boundary detector at the same threshold)
       val clean = kept.join(
         Decontaminate.nearDupLeaksLsh(kept, holdout, "doc_id", "text",
-            n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+            n = 3, numHashes = 128, bands = 32, threshold = 0.8,
+            maxBucket = Int.MaxValue)
           .select(col("train_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       pool.groupBy(col("source")).agg(count(lit(1)).as("n_total"))

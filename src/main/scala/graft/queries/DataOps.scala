@@ -51,8 +51,11 @@ object DataOps {
   private val q28 = QuerySpec(
     "q28_dedup_minhash",
     (s, dir) =>
+      // maxBucket unguarded: the oracle is the exact uncapped pair set
+      // (the q27-maxDf / q69-maxBucket call-site split)
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8,
+          maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b")),
     oracle = Some(jaccardOracle(0.8)),
     bench = true)
@@ -508,8 +511,11 @@ object DataOps {
   private val q51 = QuerySpec(
     "q51_dedup_clusters",
     (s, dir) =>
+      // maxBucket unguarded: the recursive oracle clusters the exact
+      // uncapped pair graph
       Dedup.nearDupGroups(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+          shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8,
+          maxBucket = Int.MaxValue)
         .orderBy(col("keep_id")),
     oracle = Some("""
       WITH RECURSIVE

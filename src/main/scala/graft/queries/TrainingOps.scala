@@ -228,10 +228,12 @@ object TrainingOps {
       import graft.operators.Decontaminate
       val docs = Tables.documents(s, dir)
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+      // maxBucket unguarded: the oracle computes the exact uncapped
+      // cross-corpus pair set
       Decontaminate.nearDupLeaksLsh(
           docs.filter(!isEval), docs.filter(isEval),
           "doc_id", "text", n = 3, numHashes = 128, bands = 32,
-          threshold = 0.8)
+          threshold = 0.8, maxBucket = Int.MaxValue)
         .orderBy(col("eval_id"), col("train_id"))
     },
     oracle = Some("""
