@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword and hybrid retrieval over a document corpus — the selection
+  * tools a training-data pipeline uses to pull topical slices ("find
+  * the k docs most about X") and to combine lexical with embedding
+  * evidence: Okapi BM25 scoring and reciprocal-rank fusion.
+  *
+  * Cross-engine determinism follows the [[UnigramLm]] playbook: each
+  * term's idf is quantized ONCE to an integer (`idf_micro`), each
+  * (doc, term) contribution is rounded to an integer micro-score in a
+  * single fixed-shape IEEE expression, and per-document totals are
+  * integer sums — order-free, so any SQL engine reproduces the ranking
+  * bit for bit. RRF needs no quantization at all: `10⁶ div (c + rank)`
+  * is pure integer arithmetic.
+  *
+  * 100 TB design: BM25 against a FIXED query filters the exploded
+  * token stream to the query's terms before any shuffle — the grouped
+  * relation is at most |docs|·|query| rows regardless of corpus size;
+  * document length and corpus stats ride along as one narrow
+  * projection plus a broadcast single-row aggregate. The global top-k
+  * compiles to TakeOrderedAndProject (bounded per-partition heaps),
+  * never a full sort. RRF unions ranking relations that are already
+  * top-k-sized (thousands of rows), so its cost is nil next to the
+  * rankings that feed it.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k for one keyword query: score =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) over the
+    * query's terms, idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the
+    * Robertson/Lucene always-positive form). Documents matching no
+    * query term are absent (score would be 0). Ties break by id.
+    *
+    * Output: (rank: int, idCol, n_hits: int — distinct query terms
+    * present, score_micro: long — exact integer total,
+    * score: double — display value rounded to 4).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // one narrow pass: per-doc length, then the token stream filtered
+    // to the query's terms BEFORE the grouping shuffle
+    val lengths = docs.select(col(idCol),
+      TextFns.tokenCount(col(textCol)).cast("long").as("__dl"))
+    val hits = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus stats: N and avgdl (one row, broadcast); df per query term
+    // (≤ |query| rows, broadcast). avgdl is the same exact-integer
+    // division in the oracle: CAST(Σdl AS DOUBLE) / N.
+    val stats = lengths.agg(
+      count(lit(1)).as("__n_docs"), sum(col("__dl")).as("__dl_sum"))
+    val dfRel = hits.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        round(log(lit(1.0) +
+            (col("__n_docs").cast("double") - col("__df") + lit(0.5)) /
+              (col("__df") + lit(0.5))) * lit(1e6), 0)
+          .cast("long").as("__idf_micro"))
+    // per-(doc, term) micro contribution: ONE fixed-shape double
+    // expression, rounded to an integer so the per-doc sum is order-free
+    val contrib = hits
+      .join(lengths, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfRel), Seq("token"))
+      .withColumn("__avgdl",
+        col("__dl_sum").cast("double") / col("__n_docs"))
+      .withColumn("__c_micro",
+        round(col("__idf_micro").cast("double") *
+          (col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) *
+              (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))), 0)
+          .cast("long"))
+    val scored = contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"),
+        sum(col("__c_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_micro").desc, col(idCol)))
+          .cast("int"))
+      .withColumn("score",
+        round(col("score_micro").cast("double") / lit(1e6), 4))
+      .select(col("rank"), col(idCol), col("n_hits"), col("score_micro"),
+        col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    * (id, rank) relations: fused score = Σ_lists 10⁶ div (c + rank) —
+    * pure integer arithmetic, reproducible by construction. An id
+    * appearing in only some lists simply collects fewer terms (the
+    * standard RRF treatment of non-retrieved items). Ties break by id.
+    *
+    * Output: (rank: int, idCol, n_lists: int, rrf_micro: long,
+    * rrf_score: double rounded to 6).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(c >= 0, "rank constant must be non-negative")
+    val contribs = rankings.map(r =>
+      r.select(col(idCol),
+        expr(s"1000000L div (${c}L + cast(rank as long))").as("__rrf")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        sum(col("__rrf")).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_micro").desc, col(idCol)))
+          .cast("int"))
+      .withColumn("rrf_score",
+        round(col("rrf_micro").cast("double") / lit(1e6), 6))
+      .select(col("rank"), col(idCol), col("n_lists"), col("rrf_micro"),
+        col("rrf_score"))
+  }
+}

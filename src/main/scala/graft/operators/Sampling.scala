@@ -235,6 +235,46 @@ object Sampling {
       .drop("__g")
   }
 
+  /** Epoch replication — the UPSAMPLING half of mixture design that
+    * [[temperatureMixture]] deliberately excludes (its rates cap at
+    * 1×): each group's documents are repeated `epochs(group)` times
+    * ("Wikipedia 3 epochs, web 1"), groups mapped to 0 are dropped,
+    * unmapped groups take `defaultEpochs`. Every copy carries its
+    * `epoch` number (1-based) and a deterministic global training
+    * position `pos` over the REPLICATED stream, shuffled on the
+    * composite (id, epoch) identity so the copies of one document
+    * scatter across the epoch instead of clumping.
+    *
+    * 100 TB design: the replication itself is narrow — a CASE lookup
+    * (the epoch map is code-sized, not data-sized) and a
+    * `sequence`-explode whose fan-out is the small epoch count;
+    * position assignment reuses [[deterministicShuffle]]'s two-phase
+    * ranking (4096-way parallel windows + a broadcast offset relation),
+    * so no global one-task window at any scale. Rows with a NULL group
+    * take `defaultEpochs` (the CASE falls through), matching
+    * [[temperatureMixture]]'s keep-NULL-groups stance. */
+  def epochReplicate(df: DataFrame, idCol: String, groupCol: String,
+                     epochs: Map[String, Int], defaultEpochs: Int = 1,
+                     seed: Long = 42L): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "epoch counts must be non-negative")
+    // stable CASE order (sorted keys): the plan, not just the result,
+    // is reproducible
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (g, n)) => when(col(groupCol) === g, lit(n)).otherwise(acc)
+    }
+    val replicated = df
+      .withColumn("__e", e)
+      // sequence(1, 0) would generate a DESCENDING [1, 0] — zero-epoch
+      // groups need the explicit empty branch
+      .withColumn("epoch", explode(when(col("__e") >= 1,
+        sequence(lit(1), col("__e"))).otherwise(array().cast("array<int>"))))
+      .drop("__e")
+      .withColumn("__rid",
+        concat_ws("#", col(idCol).cast("string"), col("epoch").cast("string")))
+    deterministicShuffle(replicated, "__rid", seed).drop("__rid")
+  }
+
   /** Deterministic stratified sample: keeps ~`fraction(stratum)` of the
     * rows in each stratum, membership decided by the id hash. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,

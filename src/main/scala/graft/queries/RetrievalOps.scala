@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{LineDedup, Retrieval, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-5 retrieval + corpus-surgery extensions: corpus-level line
+  * deduplication (q103), BM25 keyword retrieval (q104), hybrid
+  * lexical+embedding reciprocal-rank fusion (q105), and epoch
+  * replication — the upsampling half of mixture design (q106). All
+  * four fully oracle-checked; determinism comes from the established
+  * tricks (micro-quantized idf, integer RRF terms, md5 shuffle keys,
+  * first-occurrence line winners).
+  */
+object RetrievalOps {
+
+  /** The fixed keyword query q104/q105 share — three mid-frequency
+    * corpus terms, so idf spread and tf saturation both exercise. */
+  private val QueryTerms = Seq("spark", "window", "merge")
+
+  /** q103: corpus-level line dedup (LineDedup.firstOccurrence) — the
+    * CCNet-style boilerplate-line strip. The corpus text is single-line,
+    * so the query PLANTS deterministic line structure first (q100's
+    * planting pattern): every doc's tokens are re-wrapped 8 per line,
+    * docs ≡0 mod 4 gain a shared newsletter header, ≡0 mod 6 a shared
+    * copyright footer — both boilerplate lines provably survive only in
+    * their first carrier (doc 0), and natural 8-token chunk collisions
+    * dedupe too. */
+  private val q103 = QuerySpec(
+    "q103_line_dedup",
+    (s, dir) => {
+      val lined = Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .withColumn("__nc", expr("(size(__toks) + 7) div 8").cast("int"))
+        .withColumn("__body", when(col("__nc") >= 1,
+            transform(sequence(lit(0), col("__nc") - 1),
+              i => array_join(slice(col("__toks"), i * 8 + 1, lit(8)), " ")))
+          .otherwise(array().cast("array<string>")))
+        .withColumn("raw", concat_ws("\n", concat(
+          when(pmod(col("doc_id"), lit(4)) === 0,
+              array(lit("subscribe to our newsletter today")))
+            .otherwise(array().cast("array<string>")),
+          col("__body"),
+          when(pmod(col("doc_id"), lit(6)) === 0,
+              array(lit("copyright footer all rights reserved")))
+            .otherwise(array().cast("array<string>")))))
+        .select(col("doc_id"), col("raw"))
+      LineDedup.firstOccurrence(lined, "doc_id", "raw")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      lined AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0
+            THEN ['subscribe to our newsletter today'] ELSE [] END
+          || CASE WHEN len(w) >= 1 THEN
+               list_transform(range(0, (len(w) + 7) // 8),
+                 i -> array_to_string(w[i*8+1:i*8+8], ' '))
+             ELSE [] END
+          || CASE WHEN doc_id % 6 = 0
+            THEN ['copyright footer all rights reserved'] ELSE [] END
+          AS lines
+        FROM t),
+      occ AS (
+        SELECT doc_id, u.p AS pos, u.l AS line FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(lines)+1),
+            i -> {'p': i, 'l': lines[i]})) AS u
+          FROM lined)),
+      rk AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+        FROM occ),
+      reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS clean
+        FROM rk WHERE rk = 1 GROUP BY 1),
+      cnt AS (SELECT doc_id, count(*) AS n_lines FROM occ GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(cnt.n_lines, 0) AS INTEGER) AS n_lines,
+             CAST(coalesce(reb.n_kept, 0) AS INTEGER) AS n_kept,
+             coalesce(reb.clean, '') AS clean
+      FROM documents d
+      LEFT JOIN cnt USING (doc_id)
+      LEFT JOIN reb USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  /** q104: Okapi BM25 top-50 (Retrieval.bm25TopK) for a fixed keyword
+    * query — idf micro-quantized per term, per-(doc,term) contribution
+    * rounded in one fixed-shape IEEE expression, doc totals exact
+    * integer sums (the q93 determinism playbook applied to ranking). */
+  private val q104 = QuerySpec(
+    "q104_bm25_topk",
+    (s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          QueryTerms, k = 50)
+        .orderBy(col("rank")),
+    oracle = Some("""
+      WITH dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS dl
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum FROM dl),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS token
+        FROM documents),
+      hits AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      dfr AS (
+        SELECT token,
+               CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - cdf + 0.5)
+                 / (cdf + 0.5)) * 1000000, 0) AS BIGINT) AS idf_micro
+        FROM (SELECT token, count(*) AS cdf FROM hits GROUP BY 1)
+        CROSS JOIN stats),
+      con AS (
+        SELECT h.doc_id,
+               CAST(round(CAST(idf_micro AS DOUBLE) *
+                 (tf * (1.2 + 1) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                 0) AS BIGINT) AS c
+        FROM hits h
+        JOIN dl USING (doc_id) JOIN dfr USING (token)
+        CROSS JOIN (SELECT CAST(dl_sum AS DOUBLE) / n_docs AS avgdl FROM stats)),
+      sc AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_hits,
+               CAST(sum(c) AS BIGINT) AS score_micro
+        FROM con GROUP BY 1
+        ORDER BY score_micro DESC, doc_id LIMIT 50)
+      SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+               AS INTEGER) AS rank,
+             doc_id, n_hits, score_micro,
+             round(CAST(score_micro AS DOUBLE) / 1000000.0, 4) AS score
+      FROM sc ORDER BY rank"""))
+
+  /** q105: hybrid retrieval — BM25 (q104's query) fused with exact
+    * cosine top-50 around a fixed query embedding (vec_id 7, joined on
+    * the doc_id=vec_id convention) by reciprocal-rank fusion
+    * (Retrieval.rrfFuse). RRF terms are pure integer `10⁶ div (60+rank)`
+    * — no float anywhere in the fused ranking. */
+  private val q105 = QuerySpec(
+    "q105_rrf_fusion",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bm = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          QueryTerms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val knn = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 50)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, knn), "doc_id", k = 20)
+        .orderBy(col("rank"))
+    },
+    oracle = Some("""
+      WITH dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS dl
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum FROM dl),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS token
+        FROM documents),
+      hits AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      dfr AS (
+        SELECT token,
+               CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - cdf + 0.5)
+                 / (cdf + 0.5)) * 1000000, 0) AS BIGINT) AS idf_micro
+        FROM (SELECT token, count(*) AS cdf FROM hits GROUP BY 1)
+        CROSS JOIN stats),
+      con AS (
+        SELECT h.doc_id,
+               CAST(round(CAST(idf_micro AS DOUBLE) *
+                 (tf * (1.2 + 1) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                 0) AS BIGINT) AS c
+        FROM hits h
+        JOIN dl USING (doc_id) JOIN dfr USING (token)
+        CROSS JOIN (SELECT CAST(dl_sum AS DOUBLE) / n_docs AS avgdl FROM stats)),
+      bm AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sm DESC, doc_id)
+                 AS INTEGER) AS rank
+        FROM (SELECT doc_id, sum(c) AS sm FROM con GROUP BY 1
+              ORDER BY sm DESC, doc_id LIMIT 50) x),
+      knn AS (
+        SELECT c_id AS doc_id, rank FROM (
+          SELECT b.vec_id AS c_id,
+                 CAST(row_number() OVER (ORDER BY
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) DESC,
+                   b.vec_id) AS INTEGER) AS rank
+          FROM embeddings b,
+               (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+          WHERE b.vec_id <> 7)
+        WHERE rank <= 50),
+      uni AS (
+        SELECT doc_id, 1000000 // (60 + rank) AS r FROM bm
+        UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM knn),
+      f AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lists,
+               CAST(sum(r) AS BIGINT) AS rrf_micro
+        FROM uni GROUP BY 1
+        ORDER BY rrf_micro DESC, doc_id LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+               AS INTEGER) AS rank,
+             doc_id, n_lists, rrf_micro,
+             round(CAST(rrf_micro AS DOUBLE) / 1000000.0, 6) AS rrf_score
+      FROM f ORDER BY rank"""))
+
+  /** q106: epoch replication (Sampling.epochReplicate) — src0 upsampled
+    * 3×, src1 2×, src2 dropped, every other source 1×; each copy takes
+    * a deterministic global training position over the replicated
+    * stream (md5 of the id#epoch composite — the q84 shuffle-key
+    * convention extended to copies). */
+  private val q106 = QuerySpec(
+    "q106_epoch_mix",
+    (s, dir) =>
+      Sampling.epochReplicate(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src0" -> 3, "src1" -> 2, "src2" -> 0), defaultEpochs = 1)
+        .select(col("doc_id"), col("source"), col("epoch"), col("pos"))
+        .orderBy(col("doc_id"), col("epoch")),
+    oracle = Some("""
+      WITH e AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                 WHEN 'src2' THEN 0 ELSE 1 END AS ne
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+               CAST(unnest(range(1, ne + 1)) AS INTEGER) AS epoch
+        FROM e)
+      SELECT doc_id, source, epoch,
+             CAST(row_number() OVER (ORDER BY
+               md5('42_' || CAST(doc_id AS VARCHAR) || '#'
+                 || CAST(epoch AS VARCHAR)),
+               CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR))
+               AS BIGINT) AS pos
+      FROM r ORDER BY doc_id, epoch"""))
+
+  val specs: Seq[QuerySpec] = Seq(q103, q104, q105, q106)
+}
