@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{CorpusStats, Dedup, Decontaminate, OutlierTrim, Sampling}
-import graft.operators.{Similarity, UnigramLm}
+import graft.operators.{LineDedup, Retrieval, Similarity, UnigramLm}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,30 @@ object WeakScale {
             docs.withColumn("n_tok",
               graft.functions.TextFns.tokenCount(col("text")).cast("long")),
             "doc_id", "n_tok", budget = 15000L * k).count()
+        }),
+        // lines = 8-token wraps (the q103 construction minus the planted
+        // boilerplate). The replica tag sits in each doc's LAST line
+        // only, so all earlier lines duplicate across replicas — the
+        // realistic corpus-wide-boilerplate shape: occurrences grow k x
+        // while distinct lines stay ~1x
+        ("line_dedup_q103", D, () => {
+          val lined = docs
+            .withColumn("__toks", graft.functions.TextFns.tokens(col("text")))
+            .withColumn("__nc", expr("(size(__toks) + 7) div 8").cast("int"))
+            .withColumn("raw", concat_ws("\n", when(col("__nc") >= 1,
+                transform(sequence(lit(0), col("__nc") - 1),
+                  i => array_join(slice(col("__toks"), i * 8 + 1, lit(8)), " ")))
+              .otherwise(array().cast("array<string>"))))
+            .select(col("doc_id"), col("raw"))
+          LineDedup.firstOccurrence(lined, "doc_id", "raw").count()
+        }),
+        ("bm25_q104", D, () => {
+          Retrieval.bm25TopK(docs, "doc_id", "text",
+            Seq("spark", "window", "merge"), k = 100).count()
+        }),
+        ("epoch_mix_q106", D, () => {
+          Sampling.epochReplicate(docs, "doc_id", "source",
+            Map("src0" -> 3, "src1" -> 2, "src2" -> 0)).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
       // subset (local iteration; the committed SCALE.md rows use the

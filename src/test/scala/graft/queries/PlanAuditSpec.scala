@@ -142,6 +142,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q103: line winners aggregate map-side (partial min) on the line key; doc rebuild joins back") {
+    val plan = planOf("q103_line_dedup")
+    // each partition emits at most one (line → min (id,pos)) candidate
+    // before the shuffle — the property that bounds the line shuffle at
+    // ~|distinct lines| rows
+    assert(plan.contains("partial_min"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q104: BM25 top-k is TakeOrderedAndProject with map-side partial sums") {
+    val plan = planOf("q104_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    // corpus stats and idf relations enter as broadcasts, never a
+    // corpus-sized sort-merge join
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q106: epoch positions rank inside hash-partitioned buckets (q84's two-phase shape)") {
+    val plan = planOf("q106_epoch_mix")
+    assert(plan.contains("hashpartitioning(__b"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly one SinglePartition exchange: the 4096-row offsets window
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
