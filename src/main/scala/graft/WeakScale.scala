@@ -161,6 +161,10 @@ object WeakScale {
         ("epoch_mix_q106", D, () => {
           Sampling.epochReplicate(docs, "doc_id", "source",
             Map("src0" -> 3, "src1" -> 2, "src2" -> 0)).count()
+        }),
+        ("kmeans_q107", V, () => {
+          graft.operators.KMeans.fitAssign(vecs, "vec_id", "embedding",
+            k = 8, iters = 2).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
       // subset (local iteration; the committed SCALE.md rows use the

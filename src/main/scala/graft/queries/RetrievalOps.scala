@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{LineDedup, Retrieval, Sampling, Similarity}
+import graft.operators.{KMeans, LineDedup, Retrieval, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-5 retrieval + corpus-surgery extensions: corpus-level line
@@ -251,5 +251,83 @@ object RetrievalOps {
                AS BIGINT) AS pos
       FROM r ORDER BY doc_id, epoch"""))
 
-  val specs: Seq[QuerySpec] = Seq(q103, q104, q105, q106)
+  /** q107: distributed Lloyd k-means (KMeans.fitAssign) — 2 training
+    * rounds from the portable md5 seed draw, then the final
+    * assignment. Everything after the one-time micro-quantization is
+    * integer arithmetic (exact squared distances, truncating integer
+    * centroid means), so a SQL engine unrolling the same two rounds
+    * reproduces the clustering bit for bit — a trained-model oracle,
+    * not just a scoring one. */
+  private val q107 = QuerySpec(
+    "q107_kmeans",
+    (s, dir) =>
+      KMeans.fitAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy(col("vec_id")),
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      init AS (
+        SELECT CAST(row_number() OVER (ORDER BY r, vec_id) AS INTEGER) AS cid, v
+        FROM seeded ORDER BY r, vec_id LIMIT 8),
+      d1 AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN init c),
+      a1 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM d1) WHERE rk = 1),
+      m1 AS (
+        SELECT a1.cid, t.i, CAST(sum(q.v[t.i]) AS BIGINT) // count(*) AS ci
+        FROM a1 JOIN q USING (vec_id)
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) t
+        GROUP BY 1, 2),
+      c1 AS (
+        SELECT init.cid, coalesce(m.nv, init.v) AS v
+        FROM init LEFT JOIN (
+          SELECT cid, list(ci ORDER BY i) AS nv FROM m1 GROUP BY 1) m
+          USING (cid)),
+      d2 AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c1 c),
+      a2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM d2) WHERE rk = 1),
+      m2 AS (
+        SELECT a2.cid, t.i, CAST(sum(q.v[t.i]) AS BIGINT) // count(*) AS ci
+        FROM a2 JOIN q USING (vec_id)
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) t
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT c1.cid, coalesce(m.nv, c1.v) AS v
+        FROM c1 LEFT JOIN (
+          SELECT cid, list(ci ORDER BY i) AS nv FROM m2 GROUP BY 1) m
+          USING (cid)),
+      dF AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c2 c)
+      SELECT vec_id, cid AS cluster, dist AS dist_sq_micro FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM dF) WHERE rk = 1
+      ORDER BY vec_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q103, q104, q105, q106, q107)
 }
