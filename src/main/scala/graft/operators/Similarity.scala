@@ -349,10 +349,39 @@ object Similarity {
     val clean = df.filter(col(vecCol).isNotNull
       && !exists(col(vecCol), x => x.isNull))
     val vecs = clean.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    dedupeWithinCells(
+      ivfCells(clean, idCol, vecCol, nCells, nProbe = 1, centroidRank)
+        .join(vecs, "id"),
+      threshold)
+  }
+
+  /** [[semanticDedupe]] over TRAINED cells: centroids from a few Lloyd
+    * rounds ([[KMeans.fit]]) instead of raw corpus draws. Same greedy
+    * drop rule and output shape (cell is the int cluster id); tighter
+    * cells mean the within-cell pair scans — the operator's designed
+    * cost — do strictly less work for the same nCells, which is the
+    * whole value of training (KMeansSpec measures the cost drop). */
+  def semanticDedupeTrained(df: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int, iters: Int,
+                            threshold: Double): DataFrame = {
+    val clean = df.filter(col(vecCol).isNotNull
+      && !exists(col(vecCol), x => x.isNull))
+    val model = KMeans.fit(clean, idCol, vecCol, nCells, iters)
+    dedupeWithinCells(
+      KMeans.assign(clean, idCol, vecCol, model)
+        .select(col(idCol).as("id"), col("cluster").as("cell"))
+        .join(clean.select(col(idCol).as("id"), col(vecCol).as("vec")), "id"),
+      threshold)
+  }
+
+  /** The shared SemDeDup tail over an (id, cell, vec) assignment:
+    * within each cell drop any vector with a smaller-id neighbor at
+    * cosine ≥ threshold (greedy-by-id, see [[semanticDedupe]]). */
+  private def dedupeWithinCells(assignedIn: DataFrame,
+                                threshold: Double): DataFrame = {
     // persisted: the assignment feeds both self-join sides AND the
-    // final anti join (three consumers of one crossJoin+window plan)
-    val assigned = ivfCells(clean, idCol, vecCol, nCells, nProbe = 1, centroidRank)
-      .join(vecs, "id")
+    // final anti join (three consumers of one assignment plan)
+    val assigned = assignedIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = assigned.as("a")
       .join(assigned.as("b"),

