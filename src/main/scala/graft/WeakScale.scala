@@ -165,6 +165,13 @@ object WeakScale {
         ("kmeans_q107", V, () => {
           graft.operators.KMeans.fitAssign(vecs, "vec_id", "embedding",
             k = 8, iters = 2).count()
+        }),
+        // production-guarded form (maxDf on): the replicas make every
+        // base fingerprint df ≥ k, so the pair-join side of the cost
+        // is governed by the guard — the shape a templated corpus hits
+        ("winnow_q108", D, () => {
+          graft.operators.Winnowing.matchPairs(docs, "doc_id", "text",
+            topN = 100 * k).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
       // subset (local iteration; the committed SCALE.md rows use the

@@ -115,12 +115,17 @@ object KMeans {
     * (literal centroids, no join, no shuffle).
     * Output: (idCol, cluster: int, dist_sq_micro: long). */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-             centroids: Model): DataFrame =
+             centroids: Model): DataFrame = {
+    // an empty model would silently assign NULL clusters to every row
+    // (array_min over an empty literal) — fail loudly instead; fit on
+    // an empty corpus is the only way to produce one
+    require(centroids.nonEmpty, "cannot assign against an empty model")
     withAssignment(
         df.filter(col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull))
           .withColumn("__v", microVec(col(vecCol))),
         centroids)
       .select(col(idCol), col("cluster"), col("dist_sq_micro"))
+  }
 
   /** Fit then assign — the one-call clustering most callers want. */
   def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,

@@ -329,5 +329,50 @@ object RetrievalOps {
         FROM dF) WHERE rk = 1
       ORDER BY vec_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q103, q104, q105, q106, q107)
+  /** q108: winnowing fingerprint match report (Winnowing.matchPairs)
+    * — MOSS-style near-verbatim-reuse detection: 4-gram hashes, window
+    * 4, rightmost-min tie-break packed into one integer key so the SQL
+    * oracle reproduces the selected fingerprint set exactly. maxDf
+    * guard OFF at this call site (the oracle models the unguarded
+    * report — the q27/q69 convention for guarded operators). */
+  private val q108 = QuerySpec(
+    "q108_winnow_pairs",
+    (s, dir) =>
+      graft.operators.Winnowing.matchPairs(Tables.documents(s, dir),
+          "doc_id", "text", k = 4, w = 4, maxDf = Int.MaxValue, topN = 25),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, u.p AS pos, u.g AS gram, len(w) - 3 AS n_grams
+        FROM (
+          SELECT doc_id, w,
+                 unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+                   i -> {'p': i, 'g': array_to_string(w[i:i+3], ' ')})) AS u
+          FROM t WHERE len(w) >= 4)),
+      keyed AS (
+        SELECT doc_id, pos, n_grams,
+               (CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+                 % 274877906944) * 33554432 + (16777216 - pos) AS key
+        FROM grams),
+      wmin AS (
+        SELECT doc_id, pos, n_grams,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+        FROM keyed),
+      fp AS (
+        SELECT DISTINCT doc_id, wkey // 33554432 AS fp_hash
+        FROM wmin WHERE pos <= greatest(n_grams - 3, 1)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared
+      FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 25"""))
+
+  val specs: Seq[QuerySpec] = Seq(q103, q104, q105, q106, q107, q108)
 }

@@ -161,6 +161,31 @@ class RobustnessSpec extends SparkSpec {
       "doc_id", "n", 10L).count() shouldBe 0L
   }
 
+  test("retrieval family survives empty/degenerate corpora") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    LineDedup.firstOccurrence(noDocs, "doc_id", "text").count() shouldBe 0L
+    Retrieval.bm25TopK(noDocs, "doc_id", "text", Seq("x"), 5).count() shouldBe 0L
+    // NULL-text docs never reach the BM25 ranking (no tokens, no hits)
+    val withNull = Seq((1L, "hit pad"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    Retrieval.bm25TopK(withNull, "doc_id", "text", Seq("hit"), 5)
+      .select("doc_id").as[Long].collect() shouldBe Array(1L)
+    val emptyRank = Seq.empty[(Long, Int)].toDF("doc_id", "rank")
+    Retrieval.rrfFuse(Seq(emptyRank, emptyRank), "doc_id", 5).count() shouldBe 0L
+    Sampling.epochReplicate(noDocs.withColumn("src", lit("a")),
+      "doc_id", "src", Map.empty).count() shouldBe 0L
+    // k-means: fit on an empty corpus yields an empty model; assigning
+    // against one fails loudly instead of emitting NULL clusters
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val m = KMeans.fit(noVecs, "vec_id", "embedding", k = 3, iters = 2)
+    m.isEmpty shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      KMeans.assign(noVecs, "vec_id", "embedding", m)
+    // k > n: the model degrades to one centroid per point
+    val two = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
+    KMeans.fit(two, "vec_id", "embedding", k = 5, iters = 1).size shouldBe 2
+  }
+
   test("exact dedup: multiple null-text docs stay SEPARATE singleton groups") {
     val docs = Seq(
       (1L, Option("same text")), (2L, Option("same text")),
