@@ -374,5 +374,55 @@ object RetrievalOps {
       SELECT doc_a, doc_b, n_shared
       FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 25"""))
 
-  val specs: Seq[QuerySpec] = Seq(q103, q104, q105, q106, q107, q108)
+  /** q109: integer-exact PageRank (GraphOps.pageRank) — authority
+    * weighting over the customer→supplier purchase graph (orders ⋈
+    * lineitem, two power-iteration rounds), the link-side curation
+    * signal. All arithmetic is truncating-integer micro-units, so the
+    * oracle unrolls the same two rounds exactly. */
+  private val q109 = QuerySpec(
+    "q109_pagerank",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 2)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(25)
+    },
+    oracle = Some("""
+      WITH edges AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      i1 AS (
+        SELECT e.dst AS node, sum(r0.r // od.d) AS m
+        FROM edges e
+        JOIN r0 ON r0.node = e.src
+        JOIN outdeg od ON od.src = e.src
+        GROUP BY 1),
+      r1 AS (
+        SELECT n.node,
+               CAST(150000 + (8500 * coalesce(i1.m, 0)) // 10000 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN i1 ON i1.node = n.node),
+      i2 AS (
+        SELECT e.dst AS node, sum(r1.r // od.d) AS m
+        FROM edges e
+        JOIN r1 ON r1.node = e.src
+        JOIN outdeg od ON od.src = e.src
+        GROUP BY 1),
+      r2 AS (
+        SELECT n.node,
+               CAST(150000 + (8500 * coalesce(i2.m, 0)) // 10000 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN i2 ON i2.node = n.node)
+      SELECT node, r AS rank_micro FROM r2
+      ORDER BY r DESC, node LIMIT 25"""))
+
+  val specs: Seq[QuerySpec] =
+    Seq(q103, q104, q105, q106, q107, q108, q109)
 }
