@@ -172,6 +172,31 @@ object WeakScale {
         ("winnow_q108", D, () => {
           graft.operators.Winnowing.matchPairs(docs, "doc_id", "text",
             topN = 100 * k).count()
+        }),
+        // synthetic ring-neighbor graph (v→v+1, v+2, v+7): linear edge
+        // growth, bounded degree — isolates triangleCounts' own scaling
+        // from the cost of BUILDING a similarity graph (q110 uses the
+        // q31 kNN edges; knn has its own rows above)
+        ("triangles_q110", V, () => {
+          val ids = vecs.select(col("vec_id"))
+          val edges = Seq(1L, 2L, 7L).map(d =>
+              ids.select(col("vec_id").as("src"),
+                (col("vec_id") + d).as("dst")))
+            .reduce(_ union _)
+          graft.operators.GraphOps.triangleCounts(edges, "src", "dst").count()
+        }),
+        // the q103 line construction, deduped WITHIN each doc — the
+        // zero-shuffle path; expected to track corpus size ~linearly
+        ("intradoc_dedup_q111", D, () => {
+          val lined = docs
+            .withColumn("__toks", graft.functions.TextFns.tokens(col("text")))
+            .withColumn("__nc", expr("(size(__toks) + 7) div 8").cast("int"))
+            .withColumn("raw", concat_ws("\n", when(col("__nc") >= 1,
+                transform(sequence(lit(0), col("__nc") - 1),
+                  i => array_join(slice(col("__toks"), i * 8 + 1, lit(8)), " ")))
+              .otherwise(array().cast("array<string>"))))
+            .select(col("doc_id"), col("raw"))
+          LineDedup.intraDoc(lined, "doc_id", "raw").count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
       // subset (local iteration; the committed SCALE.md rows use the

@@ -70,4 +70,74 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected graph given as a
+    * (possibly directed, possibly duplicated) edge relation — the
+    * transitivity signal of a similarity graph: near-dup clusters and
+    * semantic clumps show up as triangle-dense neighborhoods, isolated
+    * chains as triangle-free ones. Node ids must be a total-orderable
+    * type (numeric or string); self-loops and duplicate/reverse edges
+    * collapse.
+    *
+    * Output: (node — input key type, n_tri: long) for every node in at
+    * least one triangle; each triangle contributes 1 to all three
+    * corners.
+    *
+    * 100 TB design — degree-ordered wedge counting, NOT the naive
+    * triple join: every edge is oriented from its lower endpoint to its
+    * higher endpoint under the total order K(n) = (deg(n), n). The
+    * orientation is acyclic, each triangle has exactly one corner with
+    * two out-edges, and — the load-bearing bound — every node's
+    * out-degree under K is O(√m) REGARDLESS of its raw degree (a node
+    * out-ranks only neighbors of ≥ its own degree, and there can be at
+    * most 2√m nodes of degree ≥ √m). So the wedge self-join fans out to
+    * O(m^1.5) candidate pairs worst-case instead of the Σdeg² of a
+    * naive neighbor join — a celebrity node with 10⁸ followers
+    * contributes wedges only through its (bounded) out-list, never a
+    * 10¹⁶-pair explosion. Three shuffles total: the degree count, the
+    * wedge self-join on the apex key, and the hash semi-join of wedges
+    * against the oriented edge list; the degree relation is node-sized
+    * and AQE-broadcastable when small.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    // canonical undirected edge set: u < v, no self-loops, no dups
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge toward the K-larger endpoint, carrying the
+    // destination's K so the wedge join can order its two legs
+    val du = deg.select(col("node").as("u"), col("deg").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("__dv"))
+    val uFirst = (col("__du") < col("__dv")) ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    // persisted: read three times below (two wedge legs + closing edges)
+    val oriented = und.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("__dv")).otherwise(col("__du")).as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges (a→b, a→c) with K(b) < K(c); the closing edge, if present,
+    // is oriented b→c by construction
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"),
+      col("ddeg").as("__db"))
+    val e2 = oriented.select(col("src").as("a"), col("dst").as("c"),
+      col("ddeg").as("__dc"))
+    val legOrder = (col("__db") < col("__dc")) ||
+      (col("__db") === col("__dc") && col("b") < col("c"))
+    val wedges = e1.join(e2, Seq("a")).filter(legOrder)
+      .select(col("a"), col("b"), col("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
 }

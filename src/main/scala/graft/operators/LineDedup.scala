@@ -68,4 +68,42 @@ object LineDedup {
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("clean"), lit("")).as("clean"))
   }
+
+  /** Intra-document line dedup — each document keeps only the FIRST
+    * occurrence of each of ITS OWN lines (repeated nav separators,
+    * pagination artifacts, copy-pasted paragraphs), independent of
+    * every other document. The within-doc complement of
+    * [[firstOccurrence]]: same split/empty-drop/rebuild conventions,
+    * same output shape, but the keep rule is scoped to the document.
+    *
+    * 100 TB design: ZERO shuffles — where the corpus-level rule needs a
+    * global line shuffle to find cross-document winners, the intra-doc
+    * rule is a pure per-row computation (split → indexed-filter →
+    * rejoin), so it runs entirely inside the scan's projection and
+    * composes into any pipeline for free. The first-occurrence test is
+    * `array_position(lines, x) == i+1` — an O(L²) string-compare scan
+    * per doc. For typical documents (≤10⁴ lines) that is microseconds
+    * and beats paying a shuffle; a pathological single doc with 10⁶+
+    * lines would instead want the exploded window form (one shuffle,
+    * O(L log L)) — at that point the doc is 100 MB+ of text and has
+    * upstream problems anyway.
+    *
+    * Output: (idCol, n_lines: int — non-empty lines before dedup,
+    * n_kept: int, clean: string — surviving lines re-joined with
+    * `sep`, original order preserved). NULL text → (0, 0, "").
+    */
+  def intraDoc(df: DataFrame, idCol: String, textCol: String,
+               sep: String = "\n"): DataFrame = {
+    val split0 = filter(
+      split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)),
+      l => length(l) > 0)
+    df.withColumn("__ls", split0)
+      .withColumn("__ks",
+        filter(col("__ls"), (x, i) => array_position(col("__ls"), x) === i + 1))
+      .select(col(idCol),
+        size(col("__ls")).as("n_lines"),
+        size(col("__ks")).as("n_kept"),
+        array_join(col("__ks"), sep).as("clean"))
+  }
 }

@@ -28,5 +28,5 @@ object Catalog {
   lazy val all: Seq[QuerySpec] =
     Relational.specs ++ MatrixPipelines.specs ++ DataOps.specs ++
       Advanced.specs ++ TrainingOps.specs ++ ScaleOps.specs ++
-      CurationOps.specs ++ RetrievalOps.specs
+      CurationOps.specs ++ RetrievalOps.specs ++ StructureOps.specs
 }

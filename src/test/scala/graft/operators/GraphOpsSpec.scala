@@ -61,4 +61,72 @@ class GraphOpsSpec extends SparkSpec {
       .orderBy("node").collect()
     a shouldBe b
   }
+
+  // ------------------------------------------------------------ triangles
+
+  test("triangles: K4 has 4, every node in 3; C4 (no chord) has none") {
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d")).toDF("src", "dst")
+    val r = GraphOps.triangleCounts(k4, "src", "dst")
+      .orderBy("node").as[(String, Long)].collect()
+    r shouldBe Array(("a", 3L), ("b", 3L), ("c", 3L), ("d", 3L))
+
+    val c4 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    GraphOps.triangleCounts(c4, "src", "dst").count() shouldBe 0L
+  }
+
+  test("triangles: self-loops, duplicates, and reverse edges collapse") {
+    // one real triangle, noised with every degenerate edge form
+    val edges = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("x", "y"),
+      ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val r = GraphOps.triangleCounts(edges, "src", "dst")
+      .orderBy("node").as[(String, Long)].collect()
+    r shouldBe Array(("x", 1L), ("y", 1L), ("z", 1L))
+  }
+
+  test("triangles: star hub is triangle-free; hub wedges stay bounded") {
+    // a 50-leaf star: the naive neighbor join would expand 50·49/2
+    // wedges at the hub; degree orientation points every edge INTO the
+    // hub (leaves have lower (deg, id)), so the hub has out-degree 0
+    // and contributes no wedges at all
+    val star = (1 to 50).map(i => (f"leaf$i%02d", "hub")).toDF("src", "dst")
+    GraphOps.triangleCounts(star, "src", "dst").count() shouldBe 0L
+  }
+
+  test("triangles: differential vs naive triple join on a seeded graph") {
+    // 200 pseudo-random edges over 40 nodes (hash-derived, seeded) —
+    // pins the orientation algebra against the obviously-correct
+    // a<b<c enumeration on a graph with mixed degrees
+    val edges = (1 to 200)
+      .map { i =>
+        val a = math.abs((i * 2654435761L) % 40)
+        val b = math.abs((i * 40503L + 7) % 40)
+        (f"n$a%02d", f"n$b%02d")
+      }
+      .toDF("src", "dst")
+    val fast = GraphOps.triangleCounts(edges, "src", "dst")
+      .orderBy("node").as[(String, Long)].collect()
+
+    val und = edges.selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .filter(col("u") =!= col("v")).distinct()
+    val e1 = und.select(col("u").as("a"), col("v").as("b"))
+    val e2 = und.select(col("u").as("b"), col("v").as("c"))
+    val e3 = und.select(col("u").as("a"), col("v").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val naive = tri.selectExpr("explode(array(a, b, c)) AS node")
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node").as[(String, Long)].collect()
+    fast shouldBe naive
+  }
+
+  test("triangles: result independent of input partitioning") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "a")).toDF("src", "dst")
+    val a = GraphOps.triangleCounts(edges, "src", "dst")
+      .orderBy("node").collect()
+    val b = GraphOps.triangleCounts(edges.repartition(5), "src", "dst")
+      .orderBy("node").collect()
+    a shouldBe b
+  }
 }

@@ -65,6 +65,46 @@ class RetrievalSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("intraDoc: repeats within a doc drop, order preserved") {
+    val docs = Seq((1L, "nav\nalpha\nnav\nbeta\nalpha\nnav"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.intraDoc(docs, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect()
+    out shouldBe Array((1L, 6, 3, "nav\nalpha\nbeta"))
+  }
+
+  test("intraDoc: does NOT dedupe across documents (scope is the doc)") {
+    // the same shared line survives in BOTH docs — the exact point
+    // where intraDoc and firstOccurrence diverge
+    val docs = Seq((1L, "shared\na"), (2L, "shared\nb")).toDF("doc_id", "text")
+    val out = LineDedup.intraDoc(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect()
+    out shouldBe Array((1L, 2, 2, "shared\na"), (2L, 2, 2, "shared\nb"))
+  }
+
+  test("intraDoc: empty lines dropped; empty/NULL text yields (0, 0, '')") {
+    val docs = Seq((1L, "a\n\n\na"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = LineDedup.intraDoc(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect()
+    out shouldBe Array((1L, 2, 1, "a"), (2L, 0, 0, ""), (3L, 0, 0, ""))
+  }
+
+  test("intraDoc agrees with firstOccurrence on a one-document corpus") {
+    // with a single doc the corpus-level and intra-doc rules coincide
+    val docs = Seq((7L, "x\ny\nx\nz\ny")).toDF("doc_id", "text")
+    val a = LineDedup.intraDoc(docs, "doc_id", "text").collect()
+    val b = LineDedup.firstOccurrence(docs, "doc_id", "text").collect()
+    a shouldBe b
+  }
+
+  test("intraDoc plan is shuffle-free (narrow, scan-local)") {
+    val docs = Seq((1L, "a\nb\na")).toDF("doc_id", "text")
+    val plan = LineDedup.intraDoc(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   // ------------------------------------------------------------------- BM25
 
   test("bm25TopK: shorter doc outranks longer at equal tf (length norm)") {

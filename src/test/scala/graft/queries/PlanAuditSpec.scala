@@ -168,6 +168,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("q110: triangle joins aggregate map-side; no cartesian beyond the documented knn broadcast") {
+    val plan = planOf("q110_triangle_count")
+    // degree count and per-node triangle count both combine map-side
+    assert(plan.contains("partial_count"), plan)
+    // the only nested-loop allowed is bruteForceTopK's broadcast of the
+    // (small, documented) query side; the triangle machinery itself
+    // must stay in hash joins — a CartesianProduct would mean the
+    // orientation/wedge algebra regressed to all-pairs
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q111: intra-doc dedup operator is shuffle-free up to the result-edge sort") {
+    // the catalog query ends in an orderBy for the oracle; the operator
+    // itself (everything below the sort) must contain NO exchange —
+    // asserted here on the un-sorted form
+    val lined = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val plan = graft.operators.LineDedup.intraDoc(lined, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
