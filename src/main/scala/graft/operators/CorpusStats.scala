@@ -83,4 +83,68 @@ object CorpusStats {
       .select(col("grp"), col("n_tokens"), col("top_token"),
         ScalarFns.roundFrac(col("topk"), col("n_tokens"), 4).as("topk_frac"))
   }
+
+  /** Per-source corpus profile in SKETCH form — the fixed-memory
+    * estimators a 100 TB data card actually runs: HLL++ for the
+    * vocabulary size (`approx_count_distinct`, relative sd `rsd`) and a
+    * GK quantile sketch for the p90 document length
+    * (`percentile_approx`). Both aggregate map-side into constant-size
+    * partial states and merge associatively — the exact forms below
+    * keep a per-key hash set / a full value multiset per partition,
+    * which is fine per-source but pathological for high-cardinality
+    * keys. Estimates are deterministic for a given dataset (hash-based,
+    * no RNG), but NOT engine-portable — the catalog checks this query
+    * rows-only and oracles its exact twin [[distinctProfile]];
+    * ApproxSpec pins the error bound differentially.
+    *
+    * Output: (source, n_docs: long, approx_distinct_tokens: long,
+    * approx_p90_chars: double). NULL source groups as '(none)',
+    * all-empty sources report 0 distinct tokens.
+    */
+  def sketchProfile(docs: DataFrame, sourceCol: String, textCol: String,
+                    rsd: Double = 0.05): DataFrame = {
+    val src = coalesce(col(sourceCol).cast("string"), lit("(none)"))
+    val lens = docs.groupBy(src.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(length(coalesce(col(textCol), lit(""))),
+          lit(0.9), lit(10000)).cast("double").as("approx_p90_chars"))
+    val vocab = docs
+      .select(src.as("source"),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("tok"), rsd).as("approx_distinct_tokens"))
+    lens.join(vocab, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("approx_distinct_tokens"), lit(0L))
+          .as("approx_distinct_tokens"),
+        col("approx_p90_chars"))
+  }
+
+  /** Exact twin of [[sketchProfile]]: same shape, `count(DISTINCT)` and
+    * the q53 p·(n−1)-interpolated exact percentile — engine-portable,
+    * so this is the oracle-checked form. At scale the exact distinct is
+    * the expensive one (its partial state is the per-source hash SET of
+    * tokens, not a constant-size register bank); run it when auditing
+    * the sketches, run the sketches in production.
+    *
+    * Output: (source, n_docs: long, n_distinct_tokens: long,
+    * p90_chars: double).
+    */
+  def distinctProfile(docs: DataFrame, sourceCol: String,
+                      textCol: String): DataFrame = {
+    val src = coalesce(col(sourceCol).cast("string"), lit("(none)"))
+    val lens = docs.groupBy(src.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"percentile(length(coalesce($textCol, '')), 0.9)")
+          .as("p90_chars"))
+    val vocab = docs
+      .select(src.as("source"),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+    lens.join(vocab, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        col("p90_chars"))
+  }
 }

@@ -6,11 +6,12 @@ import graft.operators.{GraphOps, LineDedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Corpus-structure family: graph transitivity over the embedding
-  * similarity graph (q110) and within-document line dedup (q111) —
-  * structure signals AT two scopes the earlier families don't cover:
-  * the corpus-level neighbor graph's clustering shape, and the single
-  * document's internal repetition, with a zero-shuffle operator for
-  * the latter.
+  * similarity graph (q110), within-document line dedup (q111), and the
+  * per-source profile in sketch + exact-twin form (q112/q113) —
+  * structure signals at scopes the earlier families don't cover: the
+  * corpus-level neighbor graph's clustering shape, the single
+  * document's internal repetition (zero-shuffle), and the fixed-memory
+  * estimator pattern a 100 TB data card runs.
   */
 object StructureOps {
 
@@ -120,5 +121,52 @@ object StructureOps {
       FROM kept
       ORDER BY doc_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q110, q111)
+  /** q112: per-source corpus profile in SKETCH form
+    * (CorpusStats.sketchProfile) — HLL++ vocabulary estimate + GK
+    * quantile p90 length, the fixed-memory estimators that replace
+    * exact distinct/percentile at 100 TB. Sketch registers aren't
+    * engine-portable → rows-only check; q113 is the oracle-checked
+    * exact twin and ApproxSpec pins the sketch-vs-exact error bound
+    * differentially (the q29→q69 / q32→q74 pattern).
+    */
+  private val q112 = QuerySpec(
+    "q112_sketch_profile",
+    (s, dir) =>
+      graft.operators.CorpusStats
+        .sketchProfile(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source")))
+
+  /** q113: exact twin of q112 (CorpusStats.distinctProfile) — same
+    * shape with count(DISTINCT) and the q53 p·(n−1)-interpolated exact
+    * percentile; p90 rounded to 2dp on both sides (interpolation is
+    * engine-exact on integer lengths per the q53 precedent, rounding
+    * removes any last-ulp concern). */
+  private val q113 = QuerySpec(
+    "q113_distinct_profile",
+    (s, dir) =>
+      graft.operators.CorpusStats
+        .distinctProfile(Tables.documents(s, dir), "source", "text")
+        .withColumn("p90_chars", round(col("p90_chars"), 2))
+        .orderBy(col("source")),
+    oracle = Some("""
+      WITH lens AS (
+        SELECT coalesce(CAST(source AS VARCHAR), '(none)') AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               quantile_cont(length(coalesce(text, '')), 0.9) AS p90_chars
+        FROM documents GROUP BY 1),
+      vocab AS (
+        SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+        FROM (
+          SELECT coalesce(CAST(source AS VARCHAR), '(none)') AS source,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                   x -> x <> '')) AS tok
+          FROM documents)
+        GROUP BY 1)
+      SELECT l.source, l.n_docs,
+             coalesce(v.n_distinct_tokens, 0) AS n_distinct_tokens,
+             round(CAST(l.p90_chars AS DOUBLE), 2) AS p90_chars
+      FROM lens l LEFT JOIN vocab v ON v.source = l.source
+      ORDER BY l.source"""))
+
+  val specs: Seq[QuerySpec] = Seq(q110, q111, q112, q113)
 }

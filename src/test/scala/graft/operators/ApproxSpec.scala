@@ -42,4 +42,34 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(merged - exact).toDouble / exact <= 0.1,
       s"merged HLL $merged vs exact $exact")
   }
+
+  test("sketchProfile tracks distinctProfile per source (q112 vs q113 twin)") {
+    val docs = Tables.documents(spark, sfDir)
+    val approx = CorpusStats.sketchProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = CorpusStats.distinctProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (src, (nDocs, nDistinct, p90)) =>
+      val (aDocs, aDistinct, aP90) = approx(src)
+      aDocs shouldBe nDocs // doc count is exact in both forms
+      assert(math.abs(aDistinct - nDistinct).toDouble /
+        math.max(nDistinct, 1L) <= 0.15,
+        s"$src: approx distinct $aDistinct vs exact $nDistinct")
+      assert(math.abs(aP90 - p90) / math.max(p90, 1e-9) <= 0.05,
+        s"$src: approx p90 $aP90 vs exact $p90")
+    }
+  }
+
+  test("sketchProfile: all-empty source reports 0 distinct tokens; NULL source groups") {
+    import spark.implicits._
+    val docs = Seq((1L, "", "s1"), (2L, "a b", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val r = CorpusStats.sketchProfile(docs, "source", "text")
+      .orderBy("source")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    r shouldBe Array(("(none)", 1L, 2L), ("s1", 1L, 0L))
+  }
 }
