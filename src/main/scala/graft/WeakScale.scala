@@ -185,6 +185,17 @@ object WeakScale {
             .reduce(_ union _)
           graft.operators.GraphOps.triangleCounts(edges, "src", "dst").count()
         }),
+        // same ring graph as triangles_q110: linear edges, bounded
+        // degree; 2 synchronous rounds — cost should track edge count
+        ("label_prop_q114", V, () => {
+          val ids = vecs.select(col("vec_id"))
+          val edges = Seq(1L, 2L, 7L).map(d =>
+              ids.select(col("vec_id").as("src"),
+                (col("vec_id") + d).as("dst")))
+            .reduce(_ union _)
+          graft.operators.GraphOps.labelPropagation(edges, "src", "dst",
+            iters = 2).count()
+        }),
         // the q103 line construction, deduped WITHIN each doc — the
         // zero-shuffle path; expected to track corpus size ~linearly
         ("intradoc_dedup_q111", D, () => {

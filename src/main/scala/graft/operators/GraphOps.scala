@@ -71,6 +71,61 @@ object GraphOps {
     ranks
   }
 
+  /** Synchronous label propagation over an undirected graph — cheap
+    * community detection for the similarity graph: where
+    * [[Dedup.connectedComponents]] merges anything with ANY path
+    * (correct for near-dup clusters, too coarse for topical
+    * structure), label propagation keeps communities where membership
+    * is reinforced by neighbor MAJORITY — the topic-bucketing signal
+    * of a corpus neighbor graph. Deterministic by construction:
+    * synchronous rounds (every round-t label depends only on round-t−1
+    * labels, never on update order — the asynchronous variant's
+    * nondeterminism is exactly what's excluded), each node starts as
+    * its own label and adopts the most frequent neighbor label, ties
+    * broken by smallest label. A fixed round count (converged labels
+    * simply stop changing) keeps the computation an unrollable pure
+    * function of the edge set, so a SQL engine reproduces it exactly.
+    *
+    * 100 TB design: per round, one edges⋈labels hash join (the label
+    * relation is NODE-sized — one 2-column row per node, never
+    * edge-sized) into a map-side-combined (node, label) count, then a
+    * per-node argmax window partitioned on the node key — partitions
+    * are single-node groups, so no skew beyond a node's own degree,
+    * and a hot node's window is bounded by its distinct neighbor
+    * LABELS, not neighbors. Per-round lazy localCheckpoint keeps the
+    * plan flat at any round count (the [[pageRank]] /
+    * connectedComponents envelope).
+    *
+    * Output: (node — input key type, label — same type), one row per
+    * node with at least one edge.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val sym = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to iters).foreach { _ =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label").asc)
+      labels = sym
+        .join(labels.withColumnRenamed("node", "u"), Seq("u"))
+        .groupBy(col("v").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   /** Per-node triangle counts over an undirected graph given as a
     * (possibly directed, possibly duplicated) edge relation — the
     * transitivity signal of a similarity graph: near-dup clusters and

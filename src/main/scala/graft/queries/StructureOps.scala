@@ -168,5 +168,57 @@ object StructureOps {
       FROM lens l LEFT JOIN vocab v ON v.source = l.source
       ORDER BY l.source"""))
 
-  val specs: Seq[QuerySpec] = Seq(q110, q111, q112, q113)
+  /** q114: synchronous label propagation (GraphOps.labelPropagation) —
+    * two rounds of majority-label communities over the same symmetrized
+    * kNN graph as q110: the topic-bucketing complement to q51's
+    * connected components (any-path merge) and q110's triangles (local
+    * transitivity). Deterministic by synchrony + smallest-label
+    * tie-break, so the oracle unrolls both rounds as CTEs. */
+  private val q114 = QuerySpec(
+    "q114_label_prop",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val knn = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+      GraphOps.labelPropagation(
+          knn.select(col("q_id").as("src"), col("c_id").as("dst")),
+          "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    },
+    oracle = Some("""
+      WITH knn AS (
+        SELECT q_id, c_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                 CAST(row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC)
+                   AS INTEGER) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        WHERE rank <= 3),
+      edges AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT q_id AS u, c_id AS v FROM knn
+          UNION ALL SELECT c_id, q_id FROM knn)
+        WHERE u <> v),
+      l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+      c1 AS (
+        SELECT e.v AS node, l.label, count(*) AS c
+        FROM edges e JOIN l0 l ON l.node = e.u
+        GROUP BY 1, 2),
+      l1 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label ASC) AS rk
+          FROM c1) WHERE rk = 1),
+      c2 AS (
+        SELECT e.v AS node, l.label, count(*) AS c
+        FROM edges e JOIN l1 l ON l.node = e.u
+        GROUP BY 1, 2),
+      l2 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label ASC) AS rk
+          FROM c2) WHERE rk = 1)
+      SELECT node, label FROM l2 ORDER BY node"""))
+
+  val specs: Seq[QuerySpec] = Seq(q110, q111, q112, q113, q114)
 }

@@ -62,6 +62,58 @@ class GraphOpsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  // ---------------------------------------------------- label propagation
+
+  test("labelProp: barbell hand values — left clique converges, bridge pulls") {
+    // cliques {1,2,3} and {4,5,6}, bridge 3–4; two synchronous rounds
+    // hand-unrolled: L1 = {1→2, 2→1, 3→1, 4→3, 5→4, 6→4} (min label on
+    // all-tie neighborhoods), L2 = {1→1, 2→1, 3→1, 4→4, 5→3, 6→3}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.labelPropagation(edges, "src", "dst", iters = 2)
+      .orderBy("node").as[(Long, Long)].collect()
+    r shouldBe Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 3L),
+      (6L, 3L))
+  }
+
+  test("labelProp: iters = 0 returns identity labels") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphOps.labelPropagation(edges, "src", "dst", iters = 0)
+      .orderBy("node").as[(Long, Long)].collect()
+    r shouldBe Array((1L, 1L), (2L, 2L), (3L, 3L))
+  }
+
+  test("labelProp: majority beats smaller label; ties take smallest") {
+    // hub 9 with neighbors 5, 6, 7 relabeled by round 1; round 1 from
+    // identity: hub sees {5,6,7} all count 1 → tie → 5
+    val edges = Seq((9L, 5L), (9L, 6L), (9L, 7L)).toDF("src", "dst")
+    val r1 = GraphOps.labelPropagation(edges, "src", "dst", iters = 1)
+      .orderBy("node").as[(Long, Long)].collect()
+    // leaves see only the hub (label 9); hub ties → min = 5
+    r1 shouldBe Array((5L, 9L), (6L, 9L), (7L, 9L), (9L, 5L))
+  }
+
+  test("labelProp: duplicate and reverse edges collapse (no double votes)") {
+    val clean = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val a = GraphOps.labelPropagation(clean, "src", "dst", iters = 2)
+      .orderBy("node").collect()
+    val b = GraphOps.labelPropagation(noisy, "src", "dst", iters = 2)
+      .orderBy("node").collect()
+    a shouldBe b
+  }
+
+  test("labelProp: result independent of input partitioning") {
+    val edges = (1 to 80).map(i => ((i % 20).toLong, ((i * 13 + 3) % 20).toLong))
+      .toDF("src", "dst")
+    val a = GraphOps.labelPropagation(edges, "src", "dst", iters = 3)
+      .orderBy("node").collect()
+    val b = GraphOps.labelPropagation(edges.repartition(7), "src", "dst", iters = 3)
+      .orderBy("node").collect()
+    a shouldBe b
+  }
+
   // ------------------------------------------------------------ triangles
 
   test("triangles: K4 has 4, every node in 3; C4 (no chord) has none") {
