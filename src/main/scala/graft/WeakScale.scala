@@ -196,6 +196,18 @@ object WeakScale {
           graft.operators.GraphOps.labelPropagation(edges, "src", "dst",
             iters = 2).count()
         }),
+        // ring graph again; k=4 < ring degree 6, so NO node drops and
+        // both peel rounds run at full edge volume — the conservative
+        // (max-work) measurement for the per-round cost
+        ("kcore_q115", V, () => {
+          val ids = vecs.select(col("vec_id"))
+          val edges = Seq(1L, 2L, 7L).map(d =>
+              ids.select(col("vec_id").as("src"),
+                (col("vec_id") + d).as("dst")))
+            .reduce(_ union _)
+          graft.operators.GraphOps.kCore(edges, "src", "dst",
+            k = 4, rounds = 2).count()
+        }),
         // the q103 line construction, deduped WITHIN each doc — the
         // zero-shuffle path; expected to track corpus size ~linearly
         ("intradoc_dedup_q111", D, () => {

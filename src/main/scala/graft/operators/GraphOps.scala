@@ -71,6 +71,58 @@ object GraphOps {
     ranks
   }
 
+  /** Bounded-round k-core peeling over an undirected graph — dense
+    * subgraph extraction: repeatedly drop every node whose current
+    * degree is < k, restricting the edge set to survivors each round.
+    * On a similarity graph the surviving core is the tightly
+    * inter-connected blob (template families, mass near-duplicates,
+    * SEO farms) that triangle counts flag locally and this extracts
+    * globally; its complement is the "organic" periphery.
+    *
+    * `rounds` is FIXED (not run-to-convergence): each round is a pure
+    * function of the previous edge set, so the whole computation
+    * unrolls into SQL for the oracle, and a bounded round count is
+    * also the operational choice at scale — each peel is cheap, and
+    * after a few rounds the survivor set has essentially stabilized
+    * for the screening use-case (run more rounds when the exact core
+    * matters; the fixpoint is reached when no node drops).
+    *
+    * Output: (node — input key type, deg: long — the node's degree in
+    * the edge set that survived `rounds` peels). A node with deg < k
+    * in the output is one the NEXT round would drop — callers wanting
+    * the true k-core filter on `deg >= k` after convergence.
+    *
+    * 100 TB design: per round, one map-side-combined degree count on
+    * the node key and two semi-joins restricting the edge list to
+    * survivors (hash joins against the node-sized survivor relation —
+    * AQE broadcasts it when small). The edge relation never grows —
+    * it only shrinks — and per-round lazy localCheckpoint keeps the
+    * plan flat (the [[pageRank]] / [[labelPropagation]] envelope).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    var sym = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (1 to rounds).foreach { _ =>
+      // degree on the symmetric form = undirected degree
+      val survivors = sym.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("node"))
+      sym = sym
+        .join(survivors.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(survivors.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(false)
+    }
+    sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Synchronous label propagation over an undirected graph — cheap
     * community detection for the similarity graph: where
     * [[Dedup.connectedComponents]] merges anything with ANY path

@@ -220,5 +220,47 @@ object StructureOps {
           FROM c2) WHERE rk = 1)
       SELECT node, label FROM l2 ORDER BY node"""))
 
-  val specs: Seq[QuerySpec] = Seq(q110, q111, q112, q113, q114)
+  /** q115: bounded-round k-core peeling (GraphOps.kCore) — the dense
+    * blob of the kNN graph: two peels at k=4 strip the organic
+    * periphery (454 of 500 nodes at sf0.01) and keep the mutually
+    * reinforcing core the dedup family would inspect. Fixed rounds
+    * unroll into the oracle; output keeps each survivor's current
+    * degree (rows with deg < 4 are exactly the next round's drops). */
+  private val q115 = QuerySpec(
+    "q115_kcore",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val knn = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+      GraphOps.kCore(
+          knn.select(col("q_id").as("src"), col("c_id").as("dst")),
+          "src", "dst", k = 4, rounds = 2)
+        .orderBy(col("node"))
+    },
+    oracle = Some("""
+      WITH knn AS (
+        SELECT q_id, c_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                 CAST(row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC)
+                   AS INTEGER) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        WHERE rank <= 3),
+      e0 AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT q_id AS u, c_id AS v FROM knn
+          UNION ALL SELECT c_id, q_id FROM knn)
+        WHERE u <> v),
+      s1 AS (SELECT u AS node FROM e0 GROUP BY 1 HAVING count(*) >= 4),
+      e1 AS (SELECT e.u, e.v FROM e0 e
+             WHERE e.u IN (SELECT node FROM s1)
+               AND e.v IN (SELECT node FROM s1)),
+      s2 AS (SELECT u AS node FROM e1 GROUP BY 1 HAVING count(*) >= 4),
+      e2 AS (SELECT e.u, e.v FROM e1 e
+             WHERE e.u IN (SELECT node FROM s2)
+               AND e.v IN (SELECT node FROM s2))
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM e2 GROUP BY 1 ORDER BY node"""))
+
+  val specs: Seq[QuerySpec] = Seq(q110, q111, q112, q113, q114, q115)
 }

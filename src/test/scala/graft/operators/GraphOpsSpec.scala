@@ -114,6 +114,43 @@ class GraphOpsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  // --------------------------------------------------------------- k-core
+
+  test("kCore: triangle survives k=2 peeling, tail node drops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.kCore(edges, "src", "dst", k = 2, rounds = 2)
+      .orderBy("node").as[(Long, Long)].collect()
+    r shouldBe Array((1L, 2L), (2L, 2L), (3L, 2L))
+  }
+
+  test("kCore: a path fully dissolves under k=2 (cascading peel)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    GraphOps.kCore(edges, "src", "dst", k = 2, rounds = 2)
+      .count() shouldBe 0L
+  }
+
+  test("kCore: one round leaves deg<k rows — the documented next-drop set") {
+    // path 1–2–3–4–5, k=2: round 1 drops the endpoints; survivors
+    // 2–3–4 now have degrees 1, 2, 1 — the <k rows a second round
+    // would peel
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r1 = GraphOps.kCore(edges, "src", "dst", k = 2, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect()
+    r1 shouldBe Array((2L, 1L), (3L, 2L), (4L, 1L))
+    GraphOps.kCore(edges, "src", "dst", k = 2, rounds = 3)
+      .count() shouldBe 0L
+  }
+
+  test("kCore: result independent of input partitioning") {
+    val edges = (1 to 100).map(i => ((i % 25).toLong, ((i * 7 + 2) % 25).toLong))
+      .toDF("src", "dst")
+    val a = GraphOps.kCore(edges, "src", "dst", k = 3, rounds = 2)
+      .orderBy("node").collect()
+    val b = GraphOps.kCore(edges.repartition(9), "src", "dst", k = 3, rounds = 2)
+      .orderBy("node").collect()
+    a shouldBe b
+  }
+
   // ------------------------------------------------------------ triangles
 
   test("triangles: K4 has 4, every node in 3; C4 (no chord) has none") {

@@ -148,6 +148,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intraDoc line dedup composes into a stream unchanged (stateless narrow op)") {
+    // the zero-shuffle property pays off twice: the same operator call
+    // runs on an unbounded stream with NO state store, no watermark,
+    // no output-mode constraint — it is just a projection
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = startQuery(
+      graft.operators.LineDedup.intraDoc(docs, "doc_id", "text"),
+      "intradoc_stream", "append")
+    try {
+      in.addData((1L, "nav\nbody\nnav"), (2L, "a\na\na"))
+      q.processAllAvailable()
+      val out = spark.table("intradoc_stream")
+        .orderBy("doc_id")
+        .as[(Long, Int, Int, String)].collect()
+      out shouldBe Array((1L, 3, 2, "nav\nbody"), (2L, 3, 1, "a"))
+    } finally q.stop()
+  }
+
   test("ingest gate filters low-quality docs and redacts PII in-stream") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
