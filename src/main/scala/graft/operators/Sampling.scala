@@ -35,6 +35,52 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Leakage-free split: assign whole NEAR-DUP CLUSTERS to splits, so
+    * no split ever holds a near-duplicate of another split's document
+    * — the failure [[hashSplit]] cannot prevent (two near-identical
+    * docs have unrelated ids, ~20% of pairs straddle a 80/10/10 row
+    * split; an eval set contaminated by train near-dups overstates
+    * every benchmark it feeds). `pairs` is any near-dup pair relation
+    * (`id_a`, `id_b` — minhashPairs, winnowing matches, semantic
+    * dedup…); docs in no pair form singleton clusters. The bucket is
+    * the PORTABLE md5 hash of the cluster label (not xxhash64): the
+    * split of a cluster is reproducible by any engine, which is what
+    * makes the assignment auditable downstream.
+    *
+    * Output: input columns + (cluster — the min doc id of the
+    * cluster, split: string). Same-cluster rows get the same split BY
+    * CONSTRUCTION (the bucket is a function of the cluster alone).
+    *
+    * 100 TB design: connected components is the bounded iterative
+    * min-label propagation ([[Dedup.connectedComponents]]); the
+    * label relation joined back is node-sized; the split decision is
+    * a narrow expression. Nothing here scales with pair count beyond
+    * the CC rounds themselves.
+    */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0))
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .sliding(2).toSeq.zip(splits).map { case (Seq(lo, hi), (name, _)) =>
+        (name, (lo * 10000).toLong, (hi * 10000).toLong)
+      }
+    val clustered = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc", idCol)
+    val bucket = pmod(Dedup.portableTokenHash(
+      concat(lit(s"split${seed}_"), col("cluster").cast("string"))),
+      lit(10000L))
+    val splitCol = bounds.tail.foldLeft(
+      when(bucket < bounds.head._3, bounds.head._1)) {
+      case (acc, (name, _, hi)) => acc.when(bucket < hi, name)
+    }.otherwise(bounds.last._1)
+    docs
+      .join(clustered, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("split", splitCol)
+  }
+
   /** The ONE definition of the deterministic shuffle key shared by
     * [[deterministicShuffle]], [[curriculumOrder]], and
     * [[tokenBudgetSelect]]: adds `__ord` (md5 of seed_id — the global

@@ -262,5 +262,68 @@ object StructureOps {
       SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
       FROM e2 GROUP BY 1 ORDER BY node"""))
 
-  val specs: Seq[QuerySpec] = Seq(q110, q111, q112, q113, q114, q115)
+  /** q116: leakage-free train/val/test split
+    * (Sampling.clusterSafeSplit) — whole near-dup clusters assigned to
+    * one split via the PORTABLE md5 hash of the cluster label, so no
+    * eval row has a train near-duplicate. Pairs from the unguarded
+    * minhash graph; the oracle rebuilds q51's recursive-CTE clusters
+    * and applies the identical md5 basis-point bucket (q88's portable
+    * hash formula). */
+  private val q116 = QuerySpec(
+    "q116_cluster_split",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // maxBucket unguarded: the recursive oracle clusters the exact
+      // uncapped pair graph (the q51 convention)
+      val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8,
+        maxBucket = Int.MaxValue)
+      graft.operators.Sampling.clusterSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      prs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs),
+      reach(doc, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc, e.d FROM reach JOIN edges e ON reach.r = e.s),
+      labels AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+      bkt AS (
+        SELECT doc AS doc_id, cluster,
+               ('0x' || substring(md5('split42_' || CAST(cluster AS VARCHAR)),
+                 1, 15))::BIGINT % 10000 AS bp
+        FROM labels)
+      SELECT doc_id, cluster,
+             CASE WHEN bp < 8000 THEN 'train'
+                  WHEN bp < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM bkt ORDER BY doc_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q110, q111, q112, q113, q114, q115, q116)
 }

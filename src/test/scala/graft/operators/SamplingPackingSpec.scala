@@ -31,6 +31,41 @@ class SamplingPackingSpec extends SparkSpec {
     rows(before.exceptAll(after)) shouldBe empty
   }
 
+  test("clusterSafeSplit: no near-dup pair ever straddles two splits") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8,
+      maxBucket = Int.MaxValue)
+    val split = Sampling.clusterSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every doc present exactly once
+    split.count() shouldBe docs.count()
+    // the invariant hashSplit can't give: join each pair's two sides
+    // to their splits — zero pairs may disagree
+    val sa = split.select(col("doc_id").as("id_a"), col("split").as("sp_a"))
+    val sb = split.select(col("doc_id").as("id_b"), col("split").as("sp_b"))
+    val crossers = pairs.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("sp_a") =!= col("sp_b"))
+    crossers.count() shouldBe 0L
+    // and the same-cluster⇒same-split form of it
+    split.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count() shouldBe 0L
+  }
+
+  test("clusterSafeSplit: singletons get their own cluster; membership repartition-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val s1 = Sampling.clusterSafeSplit(docs, "doc_id", noPairs,
+      Seq("train" -> 0.9, "eval" -> 0.1))
+    // no pairs → cluster == own id everywhere
+    s1.filter(col("cluster") =!= col("doc_id")).count() shouldBe 0L
+    val s2 = Sampling.clusterSafeSplit(docs.repartition(11), "doc_id",
+      noPairs, Seq("train" -> 0.9, "eval" -> 0.1))
+    rows(s1.select("doc_id", "cluster", "split")
+      .exceptAll(s2.select("doc_id", "cluster", "split"))) shouldBe empty
+  }
+
   test("stratified: per-stratum fractions honored, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val fracs = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0)
