@@ -114,6 +114,22 @@ class GraphOpsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("empty edge relation: all three graph ops return empty, not error") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    GraphOps.triangleCounts(empty, "src", "dst").count() shouldBe 0L
+    GraphOps.labelPropagation(empty, "src", "dst", iters = 2)
+      .count() shouldBe 0L
+    GraphOps.kCore(empty, "src", "dst", k = 2, rounds = 2)
+      .count() shouldBe 0L
+  }
+
+  test("all-self-loop input collapses to empty for the undirected ops") {
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    GraphOps.triangleCounts(loops, "src", "dst").count() shouldBe 0L
+    GraphOps.kCore(loops, "src", "dst", k = 1, rounds = 1)
+      .count() shouldBe 0L
+  }
+
   // --------------------------------------------------------------- k-core
 
   test("kCore: triangle survives k=2 peeling, tail node drops") {
