@@ -334,4 +334,62 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Efraimidis–Spirakis "A-ES" weighted sampling WITHOUT replacement:
+    * keep the k rows with the largest key uᵢ^(1/wᵢ) (uᵢ uniform in
+    * (0,1)) — each row's inclusion probability tracks its weight, and
+    * no row repeats. Deterministic: uᵢ is a hash of the row id + seed,
+    * not an RNG draw, so the sample is a pure function of (corpus,
+    * seed) — stable across runs, cluster sizes and re-partitioning,
+    * the same property [[hashSplit]] gives unweighted splits.
+    * (Reference behavior: the sampling stage of the reference's corpus
+    * pipeline; see SURVEY §2 sampling row.)
+    *
+    * The ordering is computed in log space as floor(10⁹ · ln(u)/w) —
+    * the monotone image of u^(1/w) for w > 0 — quantized to integer
+    * "nano-log" units like the catalog's other cross-engine float
+    * orderings (FIXTURES §C micro-log trick): both engines floor the
+    * same IEEE-double expression, and the id tie-break keeps the total
+    * order identical even when two keys quantize equal. Rows with NULL
+    * or non-positive weight are dropped (w = 0 means "never sample";
+    * negative weights are meaningless in A-ES).
+    *
+    * `uniform` maps (id column, seed) to u ∈ (0,1): the default
+    * [[xxhashUniform]] is the cheap production path; [[md5Uniform]] is
+    * the engine-portable variant any SQL engine replays byte-for-byte
+    * (q117's oracle regenerates it in DuckDB — q61's portable-hash
+    * precedent).
+    *
+    * 100 TB design: one narrow projection (hash + ln per row) into a
+    * TakeOrderedAndProject top-k — per-partition size-k heaps, one
+    * driver merge of partitions·k rows, no shuffle of the corpus. k
+    * must be driver-small, which a sample is by definition; for
+    * billion-row samples take the key column and cut by a quantile
+    * instead of limit(). Output: surviving input rows + `es_key`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L,
+                     uniform: (Column, Long) => Column = xxhashUniform)
+      : DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key",
+        floor(log(uniform(col(idCol), seed)) /
+          col(weightCol).cast("double") * lit(1e9)))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** u ∈ (0,1) from xxhash64(id, seed): low 48 bits, bucket-centered
+    * so u is never exactly 0 or 1 (ln(0) = -Inf would poison the key). */
+  def xxhashUniform(id: Column, seed: Long): Column =
+    (pmod(xxhash64(id, lit(seed)), lit(1L << 48)).cast("double") + 0.5) /
+      lit((1L << 48).toDouble)
+
+  /** Engine-portable u ∈ (0,1): first 12 md5 hex digits (48 bits) of
+    * "id:seed", bucket-centered. Any engine with md5 replays it —
+    * DuckDB via CAST('0x' || hex AS BIGINT) (q117's oracle). */
+  def md5Uniform(id: Column, seed: Long): Column =
+    (conv(substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 12),
+        16, 10).cast("long").cast("double") + 0.5) /
+      lit(281474976710656.0) // 16^12
 }

@@ -28,5 +28,6 @@ object Catalog {
   lazy val all: Seq[QuerySpec] =
     Relational.specs ++ MatrixPipelines.specs ++ DataOps.specs ++
       Advanced.specs ++ TrainingOps.specs ++ ScaleOps.specs ++
-      CurationOps.specs ++ RetrievalOps.specs ++ StructureOps.specs
+      CurationOps.specs ++ RetrievalOps.specs ++ StructureOps.specs ++
+      SelectionOps.specs
 }

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Selection-and-evaluation family: weighted corpus sampling (q117),
+  * the declarative session-window operator in oracle-checkable batch
+  * form (q118), and ANN recall measurement (q119) — the pieces that
+  * decide WHAT a training run sees (a weighted subsample), segment
+  * user activity without hand-built gaps-and-islands plumbing, and
+  * quantify how much an approximate index loses versus ground truth.
+  */
+object SelectionOps {
+
+  /** q117: A-ES weighted sampling ([[Sampling.weightedSample]]) — the
+    * top-50 documents under n_chars-proportional inclusion (longer
+    * docs more likely, the usual proxy for token-weighted corpus
+    * subsampling). The portable md5 uniform is passed at this call
+    * site so DuckDB replays the exact draw (the production default is
+    * the cheaper xxhash64); the emitted `es_key` is the quantized
+    * nano-log A-ES key itself, so the oracle re-derives the full
+    * ordering evidence, not just the survivor set. */
+  private val q117 = QuerySpec(
+    "q117_weighted_sample",
+    (s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
+          k = 50, seed = 42L, uniform = Sampling.md5Uniform)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id")),
+    oracle = Some("""
+      WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               CAST(floor(ln((CAST(concat('0x',
+                        substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12))
+                        AS BIGINT) + 0.5) / 281474976710656.0)
+                      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS es_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0)
+      SELECT doc_id, source, n_chars, es_key
+      FROM keyed
+      ORDER BY es_key DESC, doc_id
+      LIMIT 50"""))
+
+  /** q118: gap-based sessionization via the DECLARATIVE session_window
+    * operator (30-minute gap) — the engine-native form of q56's
+    * hand-built lag/flag/cumsum sessions, and the batch twin of the
+    * streaming sessionizer (StreamOps.sessionWindowAgg): same operator,
+    * same semantics, one oracle. A session's window is
+    * [first event, last event + gap); a new event at exactly
+    * last + gap starts a NEW session (window end is exclusive), which
+    * the oracle mirrors with `diff >= gap`. Timestamps leave as
+    * formatted strings (FIXTURES §C). Scale shape: one shuffle on
+    * user_id, then per-key ordered merge — identical to what the
+    * hand-built window variant costs; no extra stage for the native
+    * operator. */
+  private val q118 = QuerySpec(
+    "q118_session_native",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+    oracle = Some("""
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  /** q119: ANN recall@3 per query point — the evaluation harness for
+    * the approximate index family: exact brute-force top-3 (q31's
+    * oracle-proven baseline) LEFT-joined against the portable SRP-LSH
+    * top-3 (q74's md5-derived planes), n_hit = |exact ∩ lsh| per
+    * query. recall3 is the exact rational n_hit/3 rounded to 4 — no
+    * float accumulation. Whole-corpus mean ≈ 0.92 on the testdata
+    * (the 1−(1−p⁴)¹⁶ analysis at q32). The exact side is the O(n²)
+    * baseline — an EVALUATION query by construction, run on a sampled
+    * slice at scale (the estimator needs only enough query points for
+    * a confidence interval, not the whole corpus); the LSH side is
+    * the sub-quadratic production path being graded. */
+  private val q119 = QuerySpec(
+    "q119_ann_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+        .select(col("q_id"), col("c_id"))
+      val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
+          k = 3, tables = 16, planes = 4,
+          component = Similarity.portablePlaneComponent)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("q_id", "c_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          round(col("n_hit").cast("double") / 3.0, 4).as("recall3"))
+        .orderBy(col("q_id"))
+    },
+    oracle = Some("""
+      WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      comps AS (
+        SELECT t AS tbl, p AS pl, d AS dim,
+               (('0x' || substring(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+                 % 2000000) / 1000000.0 - 1.0 AS w
+        FROM range(16) rt(t), range(4) rp(p), range(64) rd(d)),
+      dots AS (
+        SELECT dims.vec_id, comps.tbl, comps.pl, sum(dims.v * comps.w) AS dot
+        FROM dims JOIN comps ON comps.dim = dims.dim
+        GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT vec_id, tbl,
+               CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << pl) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      scored AS (
+        SELECT q_id, c_id,
+               list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                                      CAST(ca.embedding AS DOUBLE[])) AS sim
+        FROM cands
+        JOIN embeddings qa ON qa.vec_id = q_id
+        JOIN embeddings ca ON ca.vec_id = c_id),
+      lsh AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, c_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 3),
+      exact AS (
+        SELECT q_id, c_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        WHERE rank <= 3)
+      SELECT e.q_id AS q_id,
+             CAST(count(l.c_id) AS BIGINT) AS n_hit,
+             round(CAST(count(l.c_id) AS DOUBLE) / 3.0, 4) AS recall3
+      FROM exact e LEFT JOIN lsh l ON l.q_id = e.q_id AND l.c_id = e.c_id
+      GROUP BY e.q_id
+      ORDER BY q_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q117, q118, q119)
+}

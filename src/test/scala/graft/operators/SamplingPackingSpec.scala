@@ -109,4 +109,46 @@ class SamplingPackingSpec extends SparkSpec {
     rows(a.exceptAll(b)) shouldBe empty
     rows(b.exceptAll(a)) shouldBe empty
   }
+
+  test("weightedSample: md5 path equals the exact local A-ES reference") {
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("w", (col("id") % 7 + 1).cast("double"))
+    val got = Sampling.weightedSample(df, "id", "w", k = 40, seed = 7L,
+        uniform = Sampling.md5Uniform)
+      .select(col("id"), col("es_key")).as[(Long, Long)].collect().toSeq
+    // identical formula, computed locally
+    def key(id: Long, w: Double): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      math.floor(math.log(u) / w * 1e9).toLong
+    }
+    val expected = (0L until 500L)
+      .map(i => (i, key(i, (i % 7 + 1).toDouble)))
+      .sortBy { case (i, k) => (-k, i) }.take(40)
+    got.sortBy { case (i, k) => (-k, i) } shouldBe expected
+  }
+
+  test("weightedSample: repartition-stable and weight-biased") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("w", when(col("id") < 1000, 1.0).otherwise(100.0))
+    val a = Sampling.weightedSample(df, "id", "w", 200)
+    val b = Sampling.weightedSample(df.repartition(17), "id", "w", 200)
+    rows(a.exceptAll(b)) shouldBe empty
+    rows(b.exceptAll(a)) shouldBe empty
+    // 100× weight must dominate the sample (A-ES: P(light beats heavy)
+    // needs u_light > u_heavy^(1/100) ≈ 1)
+    a.filter(col("id") >= 1000).count().toDouble should be > 180.0
+  }
+
+  test("weightedSample: NULL and non-positive weights are dropped") {
+    val bad = Seq(
+      (1L, java.lang.Double.valueOf(0.0)),
+      (2L, java.lang.Double.valueOf(-1.0)),
+      (3L, null.asInstanceOf[java.lang.Double]),
+      (4L, java.lang.Double.valueOf(2.0))).toDF("id", "w")
+    Sampling.weightedSample(bad, "id", "w", 10)
+      .select(col("id")).as[Long].collect() shouldBe Array(4L)
+  }
 }

@@ -191,6 +191,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("q117: weighted sample is a narrow projection into TakeOrderedAndProject — zero shuffles") {
+    val plan = planOf("q117_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // the w > 0 guard reaches the parquet scan; text is never read
+    assert(plan.contains("GreaterThan(n_chars,0)"), plan)
+    assert(!plan.contains("text"), "text column not pruned:\n" + plan)
+  }
+
+  test("q118: native session_window merges sessions after ONE user-key shuffle") {
+    val plan = planOf("q118_session_native")
+    assert(plan.contains("MergingSessions"), plan)
+    // partial count before the shuffle (map-side combine)
+    assert(plan.contains("partial_count"), plan)
+    // one hashpartitioning for the session merge + one rangepartitioning
+    // for the oracle ORDER BY — nothing else
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
