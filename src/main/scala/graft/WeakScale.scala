@@ -220,6 +220,15 @@ object WeakScale {
               .otherwise(array().cast("array<string>"))))
             .select(col("doc_id"), col("raw"))
           LineDedup.intraDoc(lined, "doc_id", "raw").count()
+        }),
+        // sample size grows with the corpus (the weak-scaling form of a
+        // fixed sampling RATE): per-partition heaps of size 1000·k, one
+        // narrow pass, no shuffle — cost should track corpus size with
+        // a small k·partitions driver-merge term
+        ("weighted_sample_q117", D, () => {
+          Sampling.weightedSample(
+            docs.withColumn("n_chars", length(col("text"))),
+            "doc_id", "n_chars", k = 1000 * k).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
       // subset (local iteration; the committed SCALE.md rows use the
