@@ -371,13 +371,41 @@ object Sampling {
                      uniform: (Column, Long) => Column = xxhashUniform)
       : DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
+    esKeyed(df, idCol, weightCol, seed, uniform)
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-group A-ES: the k highest-keyed rows of EVERY group — balanced
+    * weighted subsampling (per-source eval slices, per-language probes)
+    * where [[weightedSample]]'s single global heap would let one huge
+    * group crowd out the rest. Same keys, same determinism; groups
+    * smaller than k keep all their rows.
+    *
+    * Scale shape: one shuffle on the group key; the rank ≤ k filter is
+    * recognized by Spark's WindowGroupLimit rule, which pushes a
+    * per-partition top-k BEFORE the shuffle (map-side partial heap,
+    * the same trick TakeOrderedAndProject plays globally) — asserted
+    * in the q120 plan audit. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String,
+                             weightCol: String, groupCol: String,
+                             kPerGroup: Int, seed: Long = 42L,
+                             uniform: (Column, Long) => Column = xxhashUniform)
+      : DataFrame = {
+    require(kPerGroup > 0, s"per-group sample size must be positive, got $kPerGroup")
+    TopK.perGroup(esKeyed(df, idCol, weightCol, seed, uniform),
+      Seq(groupCol), kPerGroup, col("es_key").desc, col(idCol))
+  }
+
+  /** Shared A-ES keying: drop unusable weights, attach the nano-log
+    * key (scaladoc at [[weightedSample]]). */
+  private def esKeyed(df: DataFrame, idCol: String, weightCol: String,
+                      seed: Long, uniform: (Column, Long) => Column)
+      : DataFrame =
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("es_key",
         floor(log(uniform(col(idCol), seed)) /
           col(weightCol).cast("double") * lit(1e9)))
-      .orderBy(col("es_key").desc, col(idCol))
-      .limit(k)
-  }
 
   /** u ∈ (0,1) from xxhash64(id, seed): low 48 bits, bucket-centered
     * so u is never exactly 0 or 1 (ln(0) = -Inf would poison the key). */

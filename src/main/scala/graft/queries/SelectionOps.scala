@@ -165,5 +165,39 @@ object SelectionOps {
       GROUP BY e.q_id
       ORDER BY q_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q117, q118, q119)
+  /** q120: balanced per-source A-ES —
+    * [[Sampling.weightedSamplePerGroup]] keeps the 5 highest-keyed
+    * docs of EVERY source (q117's keys, grouped), the balanced form a
+    * per-source eval slice needs where the global heap would let one
+    * huge source crowd out the rest. The rank ≤ 5 filter is planned as
+    * WindowGroupLimit: a per-partition top-5 heap runs BEFORE the
+    * group-key shuffle (plan-audited), so the exchanged volume is
+    * ≤ 5·partitions rows per source, not the corpus. */
+  private val q120 = QuerySpec(
+    "q120_group_sample",
+    (s, dir) =>
+      Sampling.weightedSamplePerGroup(Tables.documents(s, dir), "doc_id",
+          "n_chars", "source", kPerGroup = 5, seed = 42L,
+          uniform = Sampling.md5Uniform)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("es_key"))
+        .orderBy(col("source"), col("es_key").desc, col("doc_id")),
+    oracle = Some("""
+      WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               CAST(floor(ln((CAST(concat('0x',
+                        substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12))
+                        AS BIGINT) + 0.5) / 281474976710656.0)
+                      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS es_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0),
+      ranked AS (
+        SELECT doc_id, source, n_chars, es_key,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY es_key DESC, doc_id ASC) AS rk
+        FROM keyed)
+      SELECT doc_id, source, n_chars, es_key
+      FROM ranked WHERE rk <= 5
+      ORDER BY source, es_key DESC, doc_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q117, q118, q119, q120)
 }

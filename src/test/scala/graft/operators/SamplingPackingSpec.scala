@@ -151,4 +151,25 @@ class SamplingPackingSpec extends SparkSpec {
     Sampling.weightedSample(bad, "id", "w", 10)
       .select(col("id")).as[Long].collect() shouldBe Array(4L)
   }
+
+  test("weightedSamplePerGroup: exactly min(k, |group|) per group; within-group order = global keys") {
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("string"))
+      .withColumn("w", (col("id") % 5 + 1).cast("double"))
+      // group "2" made tiny: only ids 2 and 5 keep positive weight
+      .withColumn("w", when(col("g") === "2" && col("id") > 5, -1.0)
+        .otherwise(col("w")))
+    val got = Sampling.weightedSamplePerGroup(df, "id", "w", "g", 10)
+    got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("0" -> 10L, "1" -> 10L, "2" -> 2L)
+    // the grouped sample of g is EXACTLY the global sampler run on g's
+    // rows alone (same keys, same order) — per-group restriction of A-ES
+    val onlyG0 = df.filter(col("g") === "0")
+    val viaGlobal = Sampling.weightedSample(onlyG0, "id", "w", 10)
+      .select("id", "es_key")
+    val viaGroup = got.filter(col("g") === "0").select("id", "es_key")
+    rows(viaGlobal.exceptAll(viaGroup)) shouldBe empty
+    rows(viaGroup.exceptAll(viaGlobal)) shouldBe empty
+  }
 }

@@ -210,6 +210,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("q120: per-group sample pushes a map-side WindowGroupLimit heap before the shuffle") {
+    val plan = planOf("q120_group_sample")
+    // Spark's WindowGroupLimit rule recognizes row_number <= k and runs
+    // a partial per-partition top-k on the map side — the grouped
+    // analogue of TakeOrderedAndProject. Both phases must be present.
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+    // one hashpartitioning for the group window + one rangepartitioning
+    // for the oracle ORDER BY
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
