@@ -199,5 +199,42 @@ object SelectionOps {
       FROM ranked WHERE rk <= 5
       ORDER BY source, es_key DESC, doc_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q117, q118, q119, q120)
+  /** q121: NFC normalization audit under the oracle — every doc gets a
+    * DECOMPOSED suffix (" Cafe" + combining acute U+0301; the corpus
+    * itself is synthetic ASCII, so the canonical-equivalence case is
+    * constructed in-query), then the native [[graft.functions.UnicodeNorm]]
+    * expression composes it. The compared md5 of the normalized string
+    * pins the exact output BYTES against DuckDB's nfc_normalize —
+    * proving canonical composition, not just length bookkeeping. The
+    * expression runs inside whole-stage codegen with an is-normalized
+    * fast path (UnicodeNormSpec asserts both). */
+  private val q121 = QuerySpec(
+    "q121_unicode_nfc",
+    (s, dir) => {
+      val raw = concat(col("text"), lit(" Cafe\u0301"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("nfc", graft.functions.UnicodeNorm.nfc(col("raw")))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("len_dec"),
+          length(col("nfc")).cast("long").as("len_nfc"),
+          (col("nfc") =!= col("raw")).as("changed"),
+          md5(col("nfc")).as("nfc_hash"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH dec AS (
+        SELECT doc_id, text || ' Cafe' || chr(769) AS raw
+        FROM documents),
+      norm AS (
+        SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM dec)
+      SELECT doc_id,
+             CAST(length(raw) AS BIGINT) AS len_dec,
+             CAST(length(nfc) AS BIGINT) AS len_nfc,
+             (nfc <> raw) AS changed,
+             md5(nfc) AS nfc_hash
+      FROM norm
+      ORDER BY doc_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q117, q118, q119, q120, q121)
 }
