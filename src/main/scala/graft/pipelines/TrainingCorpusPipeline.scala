@@ -96,7 +96,13 @@ object TrainingCorpusPipeline {
       // scoring (LineDedup.firstOccurrence on this separator) — the
       // CCNet boilerplate-line strip; docs reduced to nothing (pure
       // boilerplate) are dropped
-      lineDedupSep: Option[String] = None)
+      lineDedupSep: Option[String] = None,
+      // canonically normalize text at ingest (UnicodeNorm.normalize,
+      // usually "NFC") BEFORE every hashing stage — including the
+      // historical-index gate, whose index must then also hold
+      // normalized text — so byte-different spellings of identical
+      // text dedup together instead of hashing apart
+      normalizeForm: Option[String] = None)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -117,13 +123,24 @@ object TrainingCorpusPipeline {
   def run(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
           textCol: String, cfg: Config = Config(),
           historicalIndex: Option[DataFrame] = None): DataFrame = {
+    // -1. (opt-in) Unicode normalization: the first text rewrite —
+    // every later stage hashes text (Bloom gate, lines, shingles,
+    // n-grams), and canonically-equivalent spellings must agree
+    // before ANY of them (a narrow codegen'd expression; already-
+    // normalized text passes through without copying)
+    val canon = cfg.normalizeForm match {
+      case Some(form) => docs.withColumn(textCol,
+        graft.functions.UnicodeNorm.normalize(col(textCol), form))
+      case None => docs
+    }
+
     // 0. (opt-in) incremental dedup against a historical corpus index:
     // the "don't re-ingest what previous crawls kept" gate, before any
     // per-doc scoring is spent on rows that are already in the corpus
     val fresh = historicalIndex match {
-      case Some(index) => Dedup.bloomDedupe(docs, index, idCol, textCol,
+      case Some(index) => Dedup.bloomDedupe(canon, index, idCol, textCol,
         cfg.bloomExpectedItems)
-      case None => docs
+      case None => canon
     }
 
     // 0b. (opt-in) line-level boilerplate strip: every distinct line

@@ -168,4 +168,30 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     out2.filter(col("chunk_text").contains("bannerxyz") &&
       col("doc_id") =!= -1L).count() shouldBe 0L
   }
+
+  test("opt-in NFC normalization: canonically-equivalent spellings dedup to one survivor") {
+    // two spellings of the same text: composed U+00E9 and decomposed
+    // e+U+0301 — byte-different, canonically equivalent. Repeated
+    // filler makes both pass the quality floor.
+    val filler = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val composed = s"$filler caf\u00e9 terrace review"
+    val decomposed = s"$filler cafe\u0301 terrace review"
+    val pool2 = pool.union(Seq(
+      (9000001L, composed), (9000002L, decomposed)).toDF("doc_id", "text"))
+    // stage OFF: both spellings survive exact dedup (different bytes)
+    val off = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text", cfg)
+      .select("doc_id").distinct()
+      .filter(col("doc_id") >= 9000000L)
+    off.count() shouldBe 2L
+    // stage ON: they collapse to the min-id survivor, and its chunks
+    // carry the COMPOSED bytes
+    val on = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text",
+        cfg.copy(normalizeForm = Some("NFC")))
+      .persist()
+    val planted = on.filter(col("doc_id") >= 9000000L)
+    planted.select("doc_id").distinct()
+      .as[Long].collect() shouldBe Array(9000001L)
+    planted.filter(col("chunk_text").contains("caf\u00e9")).count() should be > 0L
+    planted.filter(col("chunk_text").contains("cafe\u0301")).count() shouldBe 0L
+  }
 }
