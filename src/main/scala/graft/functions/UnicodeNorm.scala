@@ -56,7 +56,9 @@ case class UnicodeNormalize(child: Expression, form: String)
         s"unknown normalization form '$form' (NFC/NFD/NFKC/NFKD)")
     else TypeCheckResult.TypeCheckSuccess
 
-  private def javaForm: java.text.Normalizer.Form =
+  // resolved once, not per row; @transient — re-derived from `form`
+  // after executor-side deserialization
+  @transient private lazy val javaForm: java.text.Normalizer.Form =
     java.text.Normalizer.Form.valueOf(form)
 
   override def nullSafeEval(input: Any): Any = {

@@ -350,15 +350,24 @@ object Sampling {
     * "nano-log" units like the catalog's other cross-engine float
     * orderings (FIXTURES §C micro-log trick): both engines floor the
     * same IEEE-double expression, and the id tie-break keeps the total
-    * order identical even when two keys quantize equal. Rows with NULL
-    * or non-positive weight are dropped (w = 0 means "never sample";
-    * negative weights are meaningless in A-ES).
+    * order identical even when two keys quantize equal. Rows with a
+    * NULL id (no hash → no draw) or NULL/non-positive weight are
+    * dropped (w = 0 means "never sample"; negative weights are
+    * meaningless in A-ES).
     *
     * `uniform` maps (id column, seed) to u ∈ (0,1): the default
     * [[xxhashUniform]] is the cheap production path; [[md5Uniform]] is
     * the engine-portable variant any SQL engine replays byte-for-byte
     * (q117's oracle regenerates it in DuckDB — q61's portable-hash
     * precedent).
+    *
+    * Weight scale: A-ES ordering is invariant under rescaling all
+    * weights by a constant (ln(u)/(c·w) preserves the ln(u)/w order),
+    * so weights carry no unit — but the QUANTIZED key must fit a
+    * BIGINT: |ln u| ≤ 34 here, so weights below ~4e-9 overflow
+    * 10⁹·ln(u)/w past Long range (Spark saturates, a SQL oracle
+    * replay hard-errors). Rescale fractional weights so the minimum
+    * is ≥ ~1e-6 — free by the invariance above.
     *
     * 100 TB design: one narrow projection (hash + ln per row) into a
     * TakeOrderedAndProject top-k — per-partition size-k heaps, one
@@ -371,9 +380,8 @@ object Sampling {
                      uniform: (Column, Long) => Column = xxhashUniform)
       : DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
-    esKeyed(df, idCol, weightCol, seed, uniform)
-      .orderBy(col("es_key").desc, col(idCol))
-      .limit(k)
+    TopK.global(esKeyed(df, idCol, weightCol, seed, uniform), k,
+      col("es_key").desc, col(idCol))
   }
 
   /** Per-group A-ES: the k highest-keyed rows of EVERY group — balanced
@@ -397,12 +405,14 @@ object Sampling {
       Seq(groupCol), kPerGroup, col("es_key").desc, col(idCol))
   }
 
-  /** Shared A-ES keying: drop unusable weights, attach the nano-log
-    * key (scaladoc at [[weightedSample]]). */
+  /** Shared A-ES keying: drop rows that cannot draw (NULL id — no
+    * hash, no u — or unusable weight), attach the nano-log key
+    * (scaladoc at [[weightedSample]]). */
   private def esKeyed(df: DataFrame, idCol: String, weightCol: String,
                       seed: Long, uniform: (Column, Long) => Column)
       : DataFrame =
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("es_key",
         floor(log(uniform(col(idCol), seed)) /
           col(weightCol).cast("double") * lit(1e9)))

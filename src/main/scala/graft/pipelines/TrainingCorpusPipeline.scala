@@ -127,11 +127,20 @@ object TrainingCorpusPipeline {
     // every later stage hashes text (Bloom gate, lines, shingles,
     // n-grams), and canonically-equivalent spellings must agree
     // before ANY of them (a narrow codegen'd expression; already-
-    // normalized text passes through without copying)
-    val canon = cfg.normalizeForm match {
-      case Some(form) => docs.withColumn(textCol,
-        graft.functions.UnicodeNorm.normalize(col(textCol), form))
-      case None => docs
+    // normalized text passes through without copying). The HOLDOUT is
+    // normalized with the same form: the decontamination detectors
+    // compare train text against holdout text byte-wise, and a
+    // normalized-vs-raw mismatch would let canonically-equivalent
+    // leaks ship — the exact contamination class this stage exists to
+    // close. (historicalIndex, per the Config doc, must already hold
+    // normalized text — it is a product of a previous normalized run.)
+    val (canon, holdoutCanon) = cfg.normalizeForm match {
+      case Some(form) =>
+        (docs.withColumn(textCol,
+          graft.functions.UnicodeNorm.normalize(col(textCol), form)),
+         evalHoldout.withColumn(textCol,
+           graft.functions.UnicodeNorm.normalize(col(textCol), form)))
+      case None => (docs, evalHoldout)
     }
 
     // 0. (opt-in) incremental dedup against a historical corpus index:
@@ -225,10 +234,10 @@ object TrainingCorpusPipeline {
     // ids and BROADCASTS its second argument's exploded grams — the
     // small holdout MUST stay second there, and we read train_id.
     val leakedExact = Decontaminate
-      .exactLeaks(evalHoldout, deduped, idCol, textCol)
+      .exactLeaks(holdoutCanon, deduped, idCol, textCol)
       .select(col("eval_id").as(idCol))
     val leakedNear = Decontaminate
-      .nearDupLeaksLsh(evalHoldout, deduped, idCol, textCol,
+      .nearDupLeaksLsh(holdoutCanon, deduped, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("eval_id").as(idCol))
     // 4b. (opt-in) strict verbatim-span detector: any shared n-gram
@@ -236,7 +245,7 @@ object TrainingCorpusPipeline {
     // low (the quoted-benchmark-question case)
     val leakedNgram = cfg.ngramLeakN match {
       case Some(n) => Decontaminate
-        .ngramLeaks(deduped, evalHoldout, idCol, textCol, n)
+        .ngramLeaks(deduped, holdoutCanon, idCol, textCol, n)
         .select(col("train_id").as(idCol))
       case None => leakedExact.limit(0)
     }

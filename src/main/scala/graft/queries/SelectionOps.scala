@@ -36,24 +36,26 @@ object SelectionOps {
                         AS BIGINT) + 0.5) / 281474976710656.0)
                       / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS es_key
         FROM documents
-        WHERE n_chars IS NOT NULL AND n_chars > 0)
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
       SELECT doc_id, source, n_chars, es_key
       FROM keyed
       ORDER BY es_key DESC, doc_id
       LIMIT 50"""))
 
   /** q118: gap-based sessionization via the DECLARATIVE session_window
-    * operator (30-minute gap) — the engine-native form of q56's
-    * hand-built lag/flag/cumsum sessions, and the batch twin of the
-    * streaming sessionizer (StreamOps.sessionWindowAgg): same operator,
-    * same semantics, one oracle. A session's window is
-    * [first event, last event + gap); a new event at exactly
-    * last + gap starts a NEW session (window end is exclusive), which
-    * the oracle mirrors with `diff >= gap`. Timestamps leave as
-    * formatted strings (FIXTURES §C). Scale shape: one shuffle on
-    * user_id, then per-key ordered merge — identical to what the
-    * hand-built window variant costs; no extra stage for the native
-    * operator. */
+    * operator (30-minute gap) — the engine-native counterpart of q56's
+    * hand-built lag/flag/cumsum sessions, and the batch form of the
+    * streaming sessionizer (StreamOps.sessionWindowAgg uses the same
+    * operator). NOT bit-identical to q56: session_window splits at
+    * `diff >= gap` on full microsecond timestamps (window end
+    * exclusive), while q56 tests `diff > gap` on SECOND-truncated
+    * unix_timestamps — two session definitions that disagree on
+    * sub-second gaps around the boundary; each query carries its own
+    * oracle of its own definition. The oracle here mirrors
+    * `diff >= gap` at full precision. Timestamps leave as formatted
+    * strings (FIXTURES §C). Scale shape: one shuffle on user_id, then
+    * per-key ordered merge — identical to what the hand-built window
+    * variant costs; no extra stage for the native operator. */
   private val q118 = QuerySpec(
     "q118_session_native",
     (s, dir) =>
@@ -189,7 +191,7 @@ object SelectionOps {
                         AS BIGINT) + 0.5) / 281474976710656.0)
                       / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS es_key
         FROM documents
-        WHERE n_chars IS NOT NULL AND n_chars > 0),
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
       ranked AS (
         SELECT doc_id, source, n_chars, es_key,
                row_number() OVER (PARTITION BY source

@@ -194,4 +194,19 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     planted.filter(col("chunk_text").contains("caf\u00e9")).count() should be > 0L
     planted.filter(col("chunk_text").contains("cafe\u0301")).count() shouldBe 0L
   }
+
+  test("opt-in NFC normalization also normalizes the holdout: a decomposed leak of a composed holdout doc is caught") {
+    // holdout doc in COMPOSED bytes; the pool carries its verbatim
+    // DECOMPOSED spelling \u2014 byte-different, canonically identical.
+    // Without holdout normalization the exact/near-dup detectors
+    // compare normalized train vs raw holdout and ship the leak.
+    val filler = ("contamination canary text unique to this probe " * 4).trim
+    val composed = s"$filler caf\u00e9 benchmark answer"
+    val decomposed = s"$filler cafe\u0301 benchmark answer"
+    val holdout2 = holdout.union(Seq((9100001L, composed)).toDF("doc_id", "text"))
+    val pool2 = pool.union(Seq((9100002L, decomposed)).toDF("doc_id", "text"))
+    val on = TrainingCorpusPipeline.run(pool2, holdout2, "doc_id", "text",
+      cfg.copy(normalizeForm = Some("NFC")))
+    on.filter(col("doc_id") === 9100002L).count() shouldBe 0L
+  }
 }
