@@ -229,6 +229,13 @@ object WeakScale {
           Sampling.weightedSample(
             docs.withColumn("n_chars", length(col("text"))),
             "doc_id", "n_chars", k = 1000 * k).count()
+        }),
+        // nCells ∝ k (cells stay task-sized, the q86 sizing rule):
+        // per-cell candidate-pair mass stays ~flat, so mining cost
+        // should track corpus size; production ceiling/probes
+        ("hard_negatives_q122", V, () => {
+          Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+            k = 5, nCells = 32 * k, nProbe = 2).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
       // subset (local iteration; the committed SCALE.md rows use the

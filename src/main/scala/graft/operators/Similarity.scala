@@ -414,4 +414,52 @@ object Similarity {
         VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
     rankTopK(scored, k)
   }
+
+  /** Hard-negative mining for contrastive training: for every anchor,
+    * the `k` highest-cosine candidates that carry a DIFFERENT label,
+    * with a `ceiling` that excises near-duplicate "false negatives" (a
+    * cross-label pair at cosine ≥ ceiling is far more often a
+    * mislabeled positive or an unresolved near-dup than a genuinely
+    * hard negative — training on it actively damages the encoder, so
+    * the mining convention is to cap, not to take the raw top).
+    *
+    * Candidate generation is [[ivfCells]] shared-cell pairing — one
+    * centroid broadcast + one cell shuffle, never all-pairs — so the
+    * operator scales exactly like [[ivfTopK]]; recall of the true
+    * hardest negatives is the same nProbe/nCells trade-off, and
+    * the q119 recall harness measures it against brute-force truth. The
+    * label predicate sits BELOW the scoring projection (Catalyst pushes
+    * it into the candidate join), so same-label pairs — the bulk of
+    * every cell on a clustered corpus — never reach the cosine kernel.
+    * Anchors or candidates with a NULL label are excluded (`=!=` is
+    * null-rejecting): an unknown class cannot be asserted a negative.
+    * Output: (q_id, c_id, sim, rank), rank 1 = hardest usable negative.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int,
+                    nCells: Int = 64, nProbe: Int = 2,
+                    ceiling: Double = 0.95,
+                    centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("lbl"))
+    // persisted: self-joined below (same rationale as ivfTopK)
+    val cells = ivfCells(df, idCol, vecCol, nCells, nProbe, centroidRank)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("q_id"), col("b.id").as("c_id"))
+      .distinct()
+    val scored = cands
+      .join(vecs.select(col("id").as("q_id"), col("vec").as("q_vec"),
+        col("lbl").as("q_lbl")), "q_id")
+      .join(vecs.select(col("id").as("c_id"), col("vec").as("c_vec"),
+        col("lbl").as("c_lbl")), "c_id")
+      .filter(col("q_lbl") =!= col("c_lbl"))
+      .select(col("q_id"), col("c_id"),
+        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
+      .filter(col("sim") < lit(ceiling))
+    rankTopK(scored, k)
+  }
 }

@@ -238,5 +238,67 @@ object SelectionOps {
       FROM norm
       ORDER BY doc_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q117, q118, q119, q120, q121)
+  /** q122: contrastive hard-negative mining under the oracle —
+    * [[Similarity.hardNegatives]] with the md5 centroid draw
+    * (portableCentroidRank, the q73 machinery), so DuckDB replays the
+    * ENTIRE mining run: centroid selection, nearest-2-of-8 cell
+    * assignment, shared-cell candidate generation, the cross-label
+    * predicate, the 0.95 false-negative ceiling, and the exact cosine
+    * top-5. This is the query that builds contrastive training batches:
+    * rank-1 is the hardest usable negative for each anchor. The cosine
+    * doubles agree between engines (the q31/q73 sequential-kernel
+    * precedent); rank ties break on candidate id in both.
+    *
+    * The ceiling is 0.35 HERE, not the production-default 0.95: this
+    * synthetic corpus's hottest cross-label pair sits at cosine ≈0.51,
+    * so 0.95 would be vacuous and the oracle would never witness the
+    * excision semantics. At 0.35 the cap provably bites (the top of
+    * the unfiltered ranking is cut) while every anchor still fills
+    * k=5. SimilaritySpec pins the default-ceiling behavior on a
+    * planted near-identical cross-label pair. */
+  private val q122 = QuerySpec(
+    "q122_hard_negatives",
+    (s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 5, nCells = 8, nProbe = 2,
+          ceiling = 0.35,
+          centroidRank = Similarity.portableCentroidRank)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("rank")),
+    oracle = Some("""
+      WITH cent AS (
+        SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings
+        ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000000,
+                 vec_id
+        LIMIT 8),
+      assign AS (
+        SELECT id, cell FROM (
+          SELECT e.vec_id AS id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rnk <= 2),
+      cands AS (
+        SELECT DISTINCT a.id AS q_id, b.id AS c_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.id <> b.id),
+      scored AS (
+        SELECT q_id, c_id,
+               list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                                      CAST(ca.embedding AS DOUBLE[])) AS sim
+        FROM cands
+        JOIN embeddings qa ON qa.vec_id = q_id
+        JOIN embeddings ca ON ca.vec_id = c_id
+        WHERE qa.label <> ca.label)
+      SELECT q_id, rank, c_id, round(sim, 4) AS sim FROM (
+        SELECT q_id, c_id, sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+        FROM scored WHERE sim < 0.35)
+      WHERE rank <= 5
+      ORDER BY q_id, rank"""))
+
+  val specs: Seq[QuerySpec] = Seq(q117, q118, q119, q120, q121, q122)
 }

@@ -114,4 +114,40 @@ class SimilaritySpec extends SparkSpec {
     // every survivor is an input id with a valid trained cluster
     kept.select("cell").as[Int].collect().toSet.subsetOf((1 to 4).toSet) shouldBe true
   }
+
+  test("hardNegatives: ceiling excises near-dup false negatives; cross-label only") {
+    val base = Tables.embeddings(spark, sfDir).limit(60)
+    // vec 9001 = exact copy of vec 1's embedding under a DIFFERENT
+    // label — the classic false negative: cosine 1.0, cross-label
+    val dup = base.filter(col("vec_id") === 1)
+      .select(lit(9001L).as("vec_id"), col("embedding"), lit(999).as("label"))
+    // vec 9002 = copy of vec 2 with a NULL label: unknown class, must
+    // appear neither as anchor nor candidate
+    val nullLbl = base.filter(col("vec_id") === 2)
+      .select(lit(9002L).as("vec_id"), col("embedding"),
+        lit(null).cast("int").as("label"))
+    val df = base.union(dup).union(nullLbl)
+    // nProbe = nCells: every vector probes every cell, so the planted
+    // pairs are guaranteed candidates and the assertions are exact
+    // ceiling off (1.1): the identical cross-label copy is rank-1
+    val loose = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+      k = 3, nCells = 4, nProbe = 4, ceiling = 1.1)
+    val anchor1 = rows(loose.filter(col("q_id") === 1L).orderBy("rank"))
+    anchor1.head.getLong(anchor1.head.fieldIndex("c_id")) shouldBe 9001L
+    anchor1.head.getDouble(anchor1.head.fieldIndex("sim")) shouldBe 1.0 +- 1e-9
+    // production default (0.95): the same pair is excised, anchor 1
+    // still mines k negatives from the rest of the corpus
+    val capped = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+      k = 3, nCells = 4, nProbe = 4)
+    rows(capped.filter(col("q_id") === 1L && col("c_id") === 9001L)) shouldBe empty
+    rows(capped.filter(col("q_id") === 1L)).size shouldBe 3
+    // cross-label invariant and NULL-label exclusion over the output
+    val lbl = df.select(col("vec_id"), col("label"))
+    val joined = capped
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+      .join(lbl.select(col("vec_id").as("c_id"), col("label").as("cl")), "c_id")
+    rows(joined.filter(col("ql") === col("cl")
+      || col("ql").isNull || col("cl").isNull)) shouldBe empty
+    rows(capped.filter(col("q_id") === 9002L || col("c_id") === 9002L)) shouldBe empty
+  }
 }

@@ -222,6 +222,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("q122: hard-negative mining — one centroid broadcast, cell-shuffle candidates, heap top-k") {
+    val plan = planOf("q122_hard_negatives")
+    // the ONLY nested-loop is vecs × broadcast(8 centroids) inside
+    // ivfCells; candidate pairs must come from the cell equi-join —
+    // a CartesianProduct would mean mining regressed to all-pairs.
+    // (The persisted cells relation prints once per self-join side, so
+    // the one physical broadcast appears ≤ 2× in the plan text.)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl >= 1 && bnl <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-anchor ranking via the bounded-heap aggregate (map-side
+    // partial top-k), not a window over every scored pair
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("top_k_pairs"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
