@@ -236,6 +236,16 @@ object WeakScale {
         ("hard_negatives_q122", V, () => {
           Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
             k = 5, nCells = 32 * k, nProbe = 2).count()
+        }),
+        // both snapshots grow k×; the q123 construction (10% adds, 10%
+        // removals, 1-in-7 edits) keeps every status populated
+        ("snapshot_diff_q123", D, () => {
+          val prev = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          val cur = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+            .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          graft.operators.SnapshotDiff.diff(prev, cur, "doc_id", "text")
+            .count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
       // subset (local iteration; the committed SCALE.md rows use the

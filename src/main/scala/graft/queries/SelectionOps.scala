@@ -4,12 +4,14 @@ import graft.Tables
 import graft.operators.{Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
-/** Selection-and-evaluation family: weighted corpus sampling (q117),
-  * the declarative session-window operator in oracle-checkable batch
-  * form (q118), and ANN recall measurement (q119) — the pieces that
-  * decide WHAT a training run sees (a weighted subsample), segment
-  * user activity without hand-built gaps-and-islands plumbing, and
-  * quantify how much an approximate index loses versus ground truth.
+/** Selection-and-evaluation family: weighted corpus sampling (q117,
+  * q120), the declarative session-window operator in oracle-checkable
+  * batch form (q118), ANN recall measurement (q119), NFC normalization
+  * audit (q121), contrastive hard-negative mining (q122), and the
+  * incremental-ingest snapshot diff (q123) — the pieces that decide
+  * WHAT a training run sees, segment user activity, quantify what an
+  * approximate index loses versus ground truth, and bound what a daily
+  * re-ingest must reprocess.
   */
 object SelectionOps {
 
@@ -300,5 +302,49 @@ object SelectionOps {
       WHERE rank <= 5
       ORDER BY q_id, rank"""))
 
-  val specs: Seq[QuerySpec] = Seq(q117, q118, q119, q120, q121, q122)
+  /** q123: snapshot diff under the oracle — two corpus versions are
+    * constructed in-query from the documents table (every 10th doc
+    * missing from prev = `added`; every doc_id%10==3 missing from cur
+    * = `removed`; every 7th surviving doc gets a " v2" suffix in cur =
+    * `changed`; the rest `unchanged`), then
+    * [[graft.operators.SnapshotDiff.diff]] classifies them. The md5
+    * fingerprint is passed at this call site (production default is
+    * the cheaper xxhash64) so DuckDB replays the exact comparison,
+    * fingerprints included — not just the membership algebra. All four
+    * statuses occur on this corpus (343/57/50/50 at sf0.01). */
+  private val q123 = QuerySpec(
+    "q123_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val prev = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val cur = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(prev, cur, "doc_id", "text",
+          fingerprint = md5(_))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = Some("""
+      WITH prev AS (
+        SELECT doc_id, md5(coalesce(text, '')) AS fa
+        FROM documents WHERE doc_id % 10 <> 0),
+      cur AS (
+        SELECT doc_id,
+               md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                 ELSE text END, '')) AS fb
+        FROM documents WHERE doc_id % 10 <> 3),
+      j AS (
+        SELECT coalesce(p.doc_id, c.doc_id) AS doc_id, fa, fb
+        FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+      SELECT doc_id,
+             CASE WHEN fa IS NULL THEN 'added'
+                  WHEN fb IS NULL THEN 'removed'
+                  WHEN fa = fb THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM j ORDER BY doc_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q117, q118, q119, q120, q121, q122, q123)
 }
