@@ -462,4 +462,48 @@ object Similarity {
       .filter(col("sim") < lit(ceiling))
     rankTopK(scored, k)
   }
+
+  /** Ratio-margin rescoring of a self-kNN relation (Artetxe & Schwenk,
+    * the criterion behind web-scale bitext/pair mining): for each
+    * candidate pair, margin = cos(x,y) / ((μ_x + μ_y) / 2) where μ_v
+    * is the mean similarity of v's own top-k neighborhood. Hub vectors
+    * — close to everything, the curse of high-dim retrieval — have a
+    * large μ, so their pairs score ≈1 while a genuinely mutual pair
+    * scores well above it; thresholding on margin instead of raw
+    * cosine is what makes mined pairs precise at scale.
+    *
+    * Arithmetic is INTEGER-EXACT for engine portability: sims quantize
+    * to 1e-6 units (the doubles themselves agree between engines — the
+    * q31/q73 kernel precedent — so the quantization does too),
+    * neighborhood sums add exactly, and the margin is emitted in 1e-4
+    * units via truncating integer division (`div`, matching DuckDB
+    * `//`). A zero combined neighborhood (possible only on degenerate
+    * all-orthogonal inputs) yields a NULL margin rather than a
+    * division error.
+    *
+    * `knn` must be a SELF-kNN over one corpus — (q_id, c_id, sim,
+    * rank ≤ k) with every id present as an anchor (the [[bruteForceTopK]]
+    * / [[ivfTopK]] output shape); candidates whose own neighborhood is
+    * absent are dropped by the inner join. `k` must be the k the
+    * relation was built with (it scales the mean). One persisted pass,
+    * one groupBy on q_id, two narrow hash joins — the kNN build
+    * dominates; rescoring adds no text/vector shuffle at all.
+    * Output: (q_id, c_id, sim, margin_u) — margin_u = 10000 ≙ ratio 1.
+    */
+  def marginRescore(knn: DataFrame, k: Int): DataFrame = {
+    // persisted: feeds the neighborhood aggregate AND the pair-side of
+    // both joins
+    val q = knn
+      .withColumn("sim_u", round(col("sim") * 1e6).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = q.groupBy(col("q_id")).agg(sum(col("sim_u")).as("nbsum"))
+    q.join(nb, "q_id")
+      .join(nb.select(col("q_id").as("c_id"), col("nbsum").as("nbsum_c")),
+        "c_id")
+      .withColumn("__den", col("nbsum") + col("nbsum_c"))
+      .withColumn("margin_u",
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"(2L * $k * sim_u * 10000L) div __den")))
+      .select(col("q_id"), col("c_id"), col("sim"), col("margin_u"))
+  }
 }

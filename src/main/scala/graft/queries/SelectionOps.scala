@@ -346,5 +346,52 @@ object SelectionOps {
                   ELSE 'changed' END AS status
       FROM j ORDER BY doc_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q117, q118, q119, q120, q121, q122, q123)
+  /** q124: ratio-margin pair mining under the oracle —
+    * [[Similarity.marginRescore]] over the exact self-kNN (k=3), the
+    * Artetxe–Schwenk criterion that rescales each candidate cosine by
+    * the two endpoints' neighborhood means so hub vectors stop winning
+    * on raw similarity. Integer-exact end to end: sims quantize to
+    * 1e-6 units, neighborhood sums add exactly (DuckDB's HUGEINT sum
+    * cast back), and the 1e-4-unit margin uses truncating division in
+    * both engines (`div` ≡ `//`). The result visibly REORDERS pairs
+    * relative to raw cosine on this corpus — the hub correction doing
+    * its job under the oracle's eyes. */
+  private val q124 = QuerySpec(
+    "q124_margin_pairs",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val knn = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+      Similarity.marginRescore(knn, 3)
+        .select(col("q_id"), col("c_id"), round(col("sim"), 4).as("sim"),
+          col("margin_u"))
+        .orderBy(col("q_id"), col("margin_u").desc, col("c_id"))
+    },
+    oracle = Some("""
+      WITH scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT q_id, c_id, sim,
+               CAST(round(sim * 1000000) AS BIGINT) AS sim_u FROM (
+          SELECT q_id, c_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, c_id ASC) AS rnk
+          FROM scored)
+        WHERE rnk <= 3),
+      nb AS (
+        SELECT q_id, CAST(sum(sim_u) AS BIGINT) AS nbsum
+        FROM knn GROUP BY q_id)
+      SELECT k.q_id, k.c_id, round(k.sim, 4) AS sim,
+             CASE WHEN nq.nbsum + nc.nbsum = 0 THEN NULL
+                  ELSE (2 * 3 * k.sim_u * 10000) // (nq.nbsum + nc.nbsum)
+             END AS margin_u
+      FROM knn k
+      JOIN nb nq ON nq.q_id = k.q_id
+      JOIN nb nc ON nc.q_id = k.c_id
+      ORDER BY k.q_id, margin_u DESC, k.c_id"""))
+
+  val specs: Seq[QuerySpec] =
+    Seq(q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -150,4 +150,38 @@ class SimilaritySpec extends SparkSpec {
       || col("ql").isNull || col("cl").isNull)) shouldBe empty
     rows(capped.filter(col("q_id") === 9002L || col("c_id") === 9002L)) shouldBe empty
   }
+
+  test("marginRescore: integer margins match an independent reference on the same kNN") {
+    val e = Tables.embeddings(spark, sfDir).limit(40)
+    val knn = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
+    // reference computed driver-side with BigInt arithmetic from the
+    // SAME knn relation — pins the rescoring transform (quantization,
+    // exact sums, truncating div), independent of the Spark plan
+    val knnRows = rows(knn.select("q_id", "c_id", "sim"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simU = knnRows.map { case (q, c, s) =>
+      (q, c) -> BigInt(math.round(s * 1e6))
+    }.toMap
+    val nbsum = knnRows.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(r => simU((r._1, r._2))).sum
+    }
+    val expected = knnRows.map { case (q, c, _) =>
+      val den = nbsum(q) + nbsum(c)
+      (q, c) -> (BigInt(2) * 3 * simU((q, c)) * 10000 / den).toLong
+    }.toMap
+    val got = rows(Similarity.marginRescore(knn, 3)
+      .select("q_id", "c_id", "margin_u"))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe expected
+  }
+
+  test("marginRescore: all-orthogonal corpus yields NULL margins, not a division error") {
+    val ortho = (0 until 4).map { i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceTopK(ortho, ortho, "vec_id", "embedding", 2)
+    val out = rows(Similarity.marginRescore(knn, 2).select("margin_u"))
+    out should not be empty
+    out.foreach(r => assert(r.isNullAt(0), "expected NULL margin on zero neighborhoods"))
+  }
 }
