@@ -246,6 +246,19 @@ object WeakScale {
                 concat(col("text"), lit(" v2"))).otherwise(col("text")))
           graft.operators.SnapshotDiff.diff(prev, cur, "doc_id", "text")
             .count()
+        }),
+        // the q125 construction at k× — histogram relations stay
+        // (sources × buckets)-sized while the scanned corpus grows
+        ("dist_drift_q125", D, () => {
+          val prev = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          val cur = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+            .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+                concat(col("text"), lit(" "), col("text")))
+              .otherwise(col("text")))
+          graft.operators.CorpusStats.distributionDrift(
+            prev.withColumn("len", length(col("text")).cast("long")),
+            cur.withColumn("len", length(col("text")).cast("long")),
+            "source", "len", bucketWidth = 200L).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
       // subset (local iteration; the committed SCALE.md rows use the

@@ -147,4 +147,59 @@ object CorpusStats {
         coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
         col("p90_chars"))
   }
+
+  /** Per-group distribution drift between two corpus snapshots: total
+    * variation distance over `bucketWidth`-wide histograms of
+    * `valueCol` — the alarm an ingest pipeline checks after the
+    * [[SnapshotDiff]] delta (membership can be stable while the SHAPE
+    * of a source silently shifts: truncated extractions, encoding
+    * damage, a crawler suddenly favoring short pages).
+    *
+    * Integer-exact for engine portability: with per-bucket counts cA/cB
+    * and totals NA/NB,
+    * `tvd_u = (Σ_i |cA_i·NB − cB_i·NA| · 10000) div (2·NA·NB)` —
+    * 10000 ≙ TVD 1.0 (disjoint), 0 ≙ identical shape. Cross-products
+    * run in DECIMAL(38,0) (the temperatureMixture precedent): cA·NB ≤
+    * NA·NB needs int128-class headroom long before any real corpus
+    * overflows 38 digits (NA·NB < 10³⁸ holds to ~10¹⁹ docs/side). A
+    * group empty on either side has no distribution to compare → NULL
+    * tvd_u (existence changes are [[SnapshotDiff]]'s job); NULL group
+    * keys bucket under "(none)", NULL values are excluded.
+    *
+    * Scale shape: each side collapses to (group, bucket, count) with
+    * map-side combine — histogram-sized, not corpus-sized — before the
+    * full-outer join; totals and the TVD sum are two more aggregates
+    * over that same tiny relation. Nothing after the first groupBy
+    * scales with document count.
+    * Output: (grp, n_prev, n_cur, tvd_u).
+    */
+  def distributionDrift(prev: DataFrame, cur: DataFrame, groupCol: String,
+                        valueCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val D = "decimal(38,0)"
+    def hist(df: DataFrame, cName: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(coalesce(col(groupCol).cast("string"), lit("(none)")).as("grp"),
+        expr(s"CAST($valueCol AS BIGINT) div ${bucketWidth}L").as("bucket"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as(cName))
+    val j = hist(prev, "ca")
+      .join(hist(cur, "cb"), Seq("grp", "bucket"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      // feeds the per-group totals AND the TVD sum
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = j.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    j.join(tot, "grp")
+      .withColumn("term",
+        abs(col("ca").cast(D) * col("nb").cast(D)
+          - col("cb").cast(D) * col("na").cast(D)))
+      .groupBy(col("grp"), col("na"), col("nb"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("grp"),
+        col("na").as("n_prev"), col("nb").as("n_cur"),
+        when(col("na") === 0 || col("nb") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"(num * CAST(10000 AS $D)) div (CAST(2 AS $D) * CAST(na AS $D) * CAST(nb AS $D))"))
+          .as("tvd_u"))
+  }
 }

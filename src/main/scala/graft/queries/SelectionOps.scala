@@ -392,6 +392,68 @@ object SelectionOps {
       JOIN nb nc ON nc.q_id = k.c_id
       ORDER BY k.q_id, margin_u DESC, k.c_id"""))
 
+  /** q125: per-source distribution drift under the oracle —
+    * [[graft.operators.CorpusStats.distributionDrift]] between the two
+    * q123-style snapshot versions (cur additionally DOUBLES every 7th
+    * doc's text, a realistic extraction regression), total-variation
+    * distance over 200-char-wide length histograms in exact 1e-4
+    * units. On this corpus the drifted sources land at 800–1600
+    * (different mutation density per source), the stable shape reads
+    * 0, and sources present on only one side read NULL — existence is
+    * q123's job, shape is this query's. Every arithmetic step is
+    * integer (DECIMAL(38,0) cross-products vs DuckDB HUGEINT,
+    * truncating div), so the oracle matches bit-for-bit. */
+  private val q125 = QuerySpec(
+    "q125_dist_drift",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val prev = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val cur = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+      graft.operators.CorpusStats.distributionDrift(
+          prev.withColumn("len", length(col("text")).cast("long")),
+          cur.withColumn("len", length(col("text")).cast("long")),
+          "source", "len", bucketWidth = 200L)
+        .select(col("grp").as("source"), col("n_prev"), col("n_cur"),
+          col("tvd_u"))
+        .orderBy("source")
+    },
+    oracle = Some("""
+      WITH prev AS (
+        SELECT source, length(text) AS v
+        FROM documents WHERE doc_id % 10 <> 0),
+      cur AS (
+        SELECT source, length(CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+                                   ELSE text END) AS v
+        FROM documents WHERE doc_id % 10 <> 3),
+      ha AS (SELECT source, v // 200 AS bucket, count(*) AS ca
+             FROM prev GROUP BY 1, 2),
+      hb AS (SELECT source, v // 200 AS bucket, count(*) AS cb
+             FROM cur GROUP BY 1, 2),
+      j AS (
+        SELECT coalesce(a.source, b.source) AS source,
+               coalesce(a.bucket, b.bucket) AS bucket,
+               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        FROM ha a FULL OUTER JOIN hb b
+          ON a.source = b.source AND a.bucket = b.bucket),
+      tot AS (
+        SELECT source, CAST(sum(ca) AS HUGEINT) AS na,
+               CAST(sum(cb) AS HUGEINT) AS nb
+        FROM j GROUP BY 1),
+      agg AS (
+        SELECT j.source, na, nb,
+               sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS num
+        FROM j JOIN tot ON j.source = tot.source
+        GROUP BY 1, 2, 3)
+      SELECT source, CAST(na AS BIGINT) AS n_prev, CAST(nb AS BIGINT) AS n_cur,
+             CASE WHEN na = 0 OR nb = 0 THEN NULL
+                  ELSE CAST((num * 10000) // (2 * na * nb) AS BIGINT)
+             END AS tvd_u
+      FROM agg ORDER BY source"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q117, q118, q119, q120, q121, q122, q123, q124)
+    Seq(q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }

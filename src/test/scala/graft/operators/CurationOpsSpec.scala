@@ -206,4 +206,44 @@ class CurationOpsSpec extends SparkSpec {
     trimmed.count() shouldBe expected.count()
     trimmed.select("doc_id").exceptAll(expected.select("doc_id")).count() shouldBe 0L
   }
+
+  test("CorpusStats.distributionDrift: hand values — identical 0, half-moved 5000, disjoint 10000") {
+    // g0: identical shape; g1: 2 of 4 docs move one bucket → TVD ½;
+    // g2: every doc moves → TVD 1; widths of 10
+    def snap(rows: Seq[(String, Long)]) =
+      rows.toDF("source", "len").withColumn("doc_id", lit(0L))
+    val prev = snap(Seq(("g0", 5L), ("g0", 15L),
+      ("g1", 5L), ("g1", 5L), ("g1", 5L), ("g1", 5L),
+      ("g2", 5L), ("g2", 5L)))
+    val cur = snap(Seq(("g0", 7L), ("g0", 12L),
+      ("g1", 5L), ("g1", 5L), ("g1", 15L), ("g1", 15L),
+      ("g2", 25L), ("g2", 25L)))
+    val out = rows(CorpusStats.distributionDrift(prev, cur, "source", "len",
+        bucketWidth = 10L).orderBy("grp"))
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    out shouldBe Map("g0" -> 0L, "g1" -> 5000L, "g2" -> 10000L)
+  }
+
+  test("CorpusStats.distributionDrift: one-sided groups NULL; scale-free normalization; NULL keys/values") {
+    def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val prev = Seq[(String, java.lang.Long)](("only_prev", L(5)),
+      ("stable", L(5)), ("stable", L(5)), (null, L(5)))
+      .toDF("source", "len")
+    // stable has 3× the docs in cur, same single-bucket shape → 0 drift
+    val cur = Seq[(String, java.lang.Long)](("only_cur", L(5)),
+      ("stable", L(5)), ("stable", L(5)), ("stable", L(5)),
+      ("stable", L(5)), ("stable", L(5)), ("stable", L(5)),
+      (null, L(5)), (null, null))
+      .toDF("source", "len")
+    val out = rows(CorpusStats.distributionDrift(prev, cur, "source", "len",
+      bucketWidth = 10L).orderBy("grp"))
+    val byGrp = out.map(r => r.getString(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    byGrp("only_prev") shouldBe None
+    byGrp("only_cur") shouldBe None
+    byGrp("stable") shouldBe Some(0L)
+    // NULL keys compare under "(none)"; the NULL value row is excluded
+    byGrp("(none)") shouldBe Some(0L)
+    out.find(_.getString(0) == "(none)").get.getLong(2) shouldBe 1L
+  }
 }
