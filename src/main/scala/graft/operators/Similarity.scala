@@ -435,12 +435,16 @@ object Similarity {
     * null-rejecting): an unknown class cannot be asserted a negative.
     * Output: (q_id, c_id, sim, rank), rank 1 = hardest usable negative.
     */
-  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
-                    labelCol: String, k: Int,
-                    nCells: Int = 64, nProbe: Int = 2,
-                    ceiling: Double = 0.95,
-                    centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                      id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
+  /** Shared base of [[hardNegatives]] and [[contrastiveTriplets]]:
+    * IVF shared-cell candidate pairs scored with both endpoints'
+    * labels attached — (q_id, c_id, sim, q_lbl, c_lbl). One centroid
+    * broadcast + one cell shuffle; the caller filters by label algebra
+    * BEFORE any further aggregation (Catalyst pushes those predicates
+    * into the joins here, so rejected pairs never reach the cosine
+    * kernel). */
+  private def labeledCellPairs(df: DataFrame, idCol: String, vecCol: String,
+                               labelCol: String, nCells: Int, nProbe: Int,
+                               centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       col(labelCol).as("lbl"))
     // persisted: self-joined below (same rationale as ivfTopK)
@@ -451,16 +455,74 @@ object Similarity {
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("q_id"), col("b.id").as("c_id"))
       .distinct()
-    val scored = cands
+    cands
       .join(vecs.select(col("id").as("q_id"), col("vec").as("q_vec"),
         col("lbl").as("q_lbl")), "q_id")
       .join(vecs.select(col("id").as("c_id"), col("vec").as("c_vec"),
         col("lbl").as("c_lbl")), "c_id")
-      .filter(col("q_lbl") =!= col("c_lbl"))
       .select(col("q_id"), col("c_id"),
-        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
+        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"),
+        col("q_lbl"), col("c_lbl"))
+  }
+
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int,
+                    nCells: Int = 64, nProbe: Int = 2,
+                    ceiling: Double = 0.95,
+                    centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
+    val scored = labeledCellPairs(df, idCol, vecCol, labelCol,
+        nCells, nProbe, centroidRank)
+      .filter(col("q_lbl") =!= col("c_lbl"))
+      .select(col("q_id"), col("c_id"), col("sim"))
       .filter(col("sim") < lit(ceiling))
     rankTopK(scored, k)
+  }
+
+  /** Contrastive TRIPLET assembly — the training artifact itself: per
+    * anchor, the nearest SAME-label neighbor as the positive and the
+    * [[hardNegatives]] top-`kNeg` as the negative set, in one shared
+    * candidate pass (the cell pairs are scored once; the two branches
+    * are label-algebra filters over the same relation, each reduced by
+    * the bounded-heap aggregate — never a window over all pairs).
+    *
+    * Anchors appear when at least one branch produced something:
+    * pos_id is NULL when the anchor has no same-cell same-label
+    * neighbor (singleton class, or nProbe missed it — at batch-build
+    * time such anchors are usually dropped or re-queried at higher
+    * nProbe), and neg_ids is empty when every same-cell neighbor
+    * shares the anchor's label. NULL-label anchors never appear (both
+    * branches' predicates reject NULL). neg_ids is ordered hardest
+    * first (sim desc, id asc — the [[TopKPairs]] order).
+    * Output: (anchor_id, pos_id, pos_sim, neg_ids).
+    */
+  def contrastiveTriplets(df: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, kNeg: Int,
+                          nCells: Int = 64, nProbe: Int = 2,
+                          ceiling: Double = 0.95,
+                          centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                            id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
+    // persisted: the scored pairs feed both the positive and the
+    // negative branch
+    val pairs = labeledCellPairs(df, idCol, vecCol, labelCol,
+        nCells, nProbe, centroidRank)
+      .filter(col("sim").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = pairs.filter(col("q_lbl") === col("c_lbl"))
+      .groupBy(col("q_id"))
+      .agg(TopKPairs.topK(1)(col("sim"), col("c_id")).as("nn"))
+      .select(col("q_id"),
+        element_at(col("nn"), 1).getField("id").as("pos_id"),
+        element_at(col("nn"), 1).getField("sim").as("pos_sim"))
+    val neg = pairs
+      .filter(col("q_lbl") =!= col("c_lbl") && col("sim") < lit(ceiling))
+      .groupBy(col("q_id"))
+      .agg(TopKPairs.topK(kNeg)(col("sim"), col("c_id")).as("nn"))
+      .select(col("q_id"),
+        transform(col("nn"), p => p.getField("id")).as("neg_ids"))
+    pos.join(neg, Seq("q_id"), "full_outer")
+      .select(col("q_id").as("anchor_id"), col("pos_id"), col("pos_sim"),
+        coalesce(col("neg_ids"), array().cast("array<long>")).as("neg_ids"))
   }
 
   /** Ratio-margin rescoring of a self-kNN relation (Artetxe & Schwenk,

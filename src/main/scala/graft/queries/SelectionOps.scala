@@ -454,6 +454,72 @@ object SelectionOps {
              END AS tvd_u
       FROM agg ORDER BY source"""))
 
+  /** q126: contrastive triplet assembly under the oracle —
+    * [[Similarity.contrastiveTriplets]] with the q73/q122 portable
+    * centroid draw: per anchor the nearest same-label positive and the
+    * hard-negative top-5 (q122's ceiling-0.35 semantics) assembled
+    * into the (anchor, positive, negatives[]) training rows, all from
+    * ONE shared scored-candidate pass. DuckDB replays both branches
+    * and the ordered negative array (hardest first, id tie-break);
+    * pos_sim rounds to 4 places, and on this corpus every anchor
+    * fills both branches — the NULL-positive / empty-negatives
+    * degenerate shapes are pinned by SimilaritySpec fixtures
+    * instead. */
+  private val q126 = QuerySpec(
+    "q126_triplets",
+    (s, dir) =>
+      Similarity.contrastiveTriplets(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", kNeg = 5, nCells = 8, nProbe = 2,
+          ceiling = 0.35,
+          centroidRank = Similarity.portableCentroidRank)
+        .select(col("anchor_id"), col("pos_id"),
+          round(col("pos_sim"), 4).as("pos_sim"), col("neg_ids"))
+        .orderBy(col("anchor_id")),
+    oracle = Some("""
+      WITH cent AS (
+        SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings
+        ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000000,
+                 vec_id
+        LIMIT 8),
+      assign AS (
+        SELECT id, cell FROM (
+          SELECT e.vec_id AS id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rnk <= 2),
+      cands AS (
+        SELECT DISTINCT a.id AS q_id, b.id AS c_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.id <> b.id),
+      scored AS (
+        SELECT q_id, c_id, qa.label AS ql, ca.label AS cl,
+               list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                                      CAST(ca.embedding AS DOUBLE[])) AS sim
+        FROM cands
+        JOIN embeddings qa ON qa.vec_id = q_id
+        JOIN embeddings ca ON ca.vec_id = c_id),
+      pos AS (
+        SELECT q_id, c_id AS pos_id, round(sim, 4) AS pos_sim FROM (
+          SELECT q_id, c_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, c_id ASC) AS rnk
+          FROM scored WHERE ql = cl)
+        WHERE rnk = 1),
+      neg AS (
+        SELECT q_id, list(c_id ORDER BY sim DESC, c_id ASC) AS neg_ids FROM (
+          SELECT q_id, c_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, c_id ASC) AS rnk
+          FROM scored WHERE ql <> cl AND sim < 0.35)
+        WHERE rnk <= 5
+        GROUP BY q_id)
+      SELECT coalesce(p.q_id, n.q_id) AS anchor_id, pos_id, pos_sim,
+             coalesce(neg_ids, CAST([] AS BIGINT[])) AS neg_ids
+      FROM pos p FULL OUTER JOIN neg n ON p.q_id = n.q_id
+      ORDER BY anchor_id"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q117, q118, q119, q120, q121, q122, q123, q124, q125)
+    Seq(q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
 }

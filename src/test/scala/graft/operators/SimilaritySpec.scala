@@ -151,6 +151,51 @@ class SimilaritySpec extends SparkSpec {
     rows(capped.filter(col("q_id") === 9002L || col("c_id") === 9002L)) shouldBe empty
   }
 
+  test("contrastiveTriplets: singleton-class NULL positive, negatives ≡ hardNegatives, NULL labels absent") {
+    val base = Tables.embeddings(spark, sfDir).limit(60)
+    val dup = base.filter(col("vec_id") === 1)
+      .select(lit(9001L).as("vec_id"), col("embedding"), lit(999).as("label"))
+    val nullLbl = base.filter(col("vec_id") === 2)
+      .select(lit(9002L).as("vec_id"), col("embedding"),
+        lit(null).cast("int").as("label"))
+    val df = base.union(dup).union(nullLbl)
+    val t = rows(Similarity.contrastiveTriplets(df, "vec_id", "embedding",
+      "label", kNeg = 3, nCells = 4, nProbe = 4))
+    val byId = t.map(r => r.getLong(0) -> r).toMap
+    // 9001 is the only label-999 vector: no positive exists, but its
+    // hard negatives do (vec 1 itself sits at cosine 1.0 ≥ ceiling)
+    byId(9001L).isNullAt(1) shouldBe true
+    byId(9001L).getSeq[Long](3) should not be empty
+    byId(9001L).getSeq[Long](3) should not contain 1L
+    // NULL-label vector: neither an anchor nor inside any negative set
+    byId.contains(9002L) shouldBe false
+    t.flatMap(_.getSeq[Long](3)) should not contain 9002L
+    // the negative branch IS hardNegatives: same ids, same order
+    val hn = rows(Similarity.hardNegatives(df, "vec_id", "embedding",
+        "label", k = 3, nCells = 4, nProbe = 4)
+      .filter(col("q_id") === 1L).orderBy("rank")).map(_.getLong(1))
+    byId(1L).getSeq[Long](3) shouldBe hn
+    // every positive carries the anchor's own label
+    val lbl = rows(df.select("vec_id", "label")).filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    t.filter(!_.isNullAt(1)).foreach { r =>
+      lbl(r.getLong(1)) shouldBe lbl(r.getLong(0))
+    }
+  }
+
+  test("contrastiveTriplets: one-class corpus yields positives with empty negative arrays") {
+    val one = (1 to 6).map { i =>
+      (i.toLong, (0 until 8).map(j => math.sin(i * 1.3 + j).toFloat).toArray, 7)
+    }.toDF("vec_id", "embedding", "label")
+    val t = rows(Similarity.contrastiveTriplets(one, "vec_id", "embedding",
+      "label", kNeg = 2, nCells = 2, nProbe = 2))
+    t should not be empty
+    t.foreach { r =>
+      r.isNullAt(1) shouldBe false
+      r.getSeq[Long](3) shouldBe empty
+    }
+  }
+
   test("marginRescore: integer margins match an independent reference on the same kNN") {
     val e = Tables.embeddings(spark, sfDir).limit(40)
     val knn = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3)
