@@ -166,6 +166,32 @@ object StreamOps {
         batch, idCol, textCol, lm, oovLpMicro), id)
     }
 
+  /** Per-micro-batch distribution-drift monitoring: applies the batch
+    * operator ([[graft.operators.CorpusStats.distributionDrift]])
+    * against an offline REFERENCE snapshot to every micro-batch via
+    * `foreachBatch` — the live form of the q125 shape alarm. The
+    * reference histogram is the stable yardstick (yesterday's corpus,
+    * a golden sample); each arriving batch is compared to it and the
+    * per-group TVD lands in `sink` for alerting.
+    *
+    * Stateless by the same argument as [[lmScoreEachBatch]]: the
+    * comparison is batch-local (a streaming groupBy would accumulate
+    * histogram state forever), so no watermark and no state store.
+    * PERSIST `reference` at the call site — it is re-histogrammed per
+    * batch, which is histogram-sized work when cached and a full
+    * re-scan when not. A batch missing a reference group (or vice
+    * versa) reports NULL for that group, exactly like the batch
+    * operator. `sink` receives (drift DataFrame, batchId). */
+  def driftMonitorEachBatch(docs: DataFrame, reference: DataFrame,
+                            groupCol: String, valueCol: String,
+                            bucketWidth: Long)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.operators.CorpusStats.distributionDrift(
+        reference, batch, groupCol, valueCol, bucketWidth), id)
+    }
+
   /** Declarative gap-based session aggregation (session_window): sessions
     * close after `gap` of per-user inactivity; emits one row per closed
     * session in append mode. */
