@@ -175,19 +175,44 @@ object CorpusStats {
     */
   def distributionDrift(prev: DataFrame, cur: DataFrame, groupCol: String,
                         valueCol: String, bucketWidth: Long): DataFrame = {
+    // the histogram relations are each read twice downstream (totals
+    // + the TVD term join); persisted — histogram-sized, released by
+    // the session's next clearCache (Bench/Verify do this per query).
+    // Long-lived repeated comparisons (the streaming monitor) manage
+    // their own histogram lifecycle via the two pieces directly.
+    val ha = valueHistogram(prev, groupCol, valueCol, bucketWidth)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hb = valueHistogram(cur, groupCol, valueCol, bucketWidth)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    driftFromHistograms(ha, hb)
+  }
+
+  /** The (grp, bucket, c) histogram side of [[distributionDrift]]:
+    * NULL group keys under "(none)", NULL values excluded, buckets by
+    * truncating division. Exposed so a long-lived comparison (the
+    * streaming drift monitor) builds its REFERENCE histogram once
+    * instead of re-aggregating the reference corpus per comparison. */
+  def valueHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                     bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val D = "decimal(38,0)"
-    def hist(df: DataFrame, cName: String) = df
-      .filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(coalesce(col(groupCol).cast("string"), lit("(none)")).as("grp"),
         expr(s"CAST($valueCol AS BIGINT) div ${bucketWidth}L").as("bucket"))
       .groupBy(col("grp"), col("bucket"))
-      .agg(count(lit(1)).as(cName))
-    val j = hist(prev, "ca")
-      .join(hist(cur, "cb"), Seq("grp", "bucket"), "full_outer")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** [[distributionDrift]]'s comparison tail over two prebuilt
+    * [[valueHistogram]] relations (same bucketWidth on both sides is
+    * the caller's contract). Persists NOTHING itself: each input is
+    * read twice (per-group totals + the TVD term join), so pass
+    * persisted histograms when either side is expensive or the
+    * comparison repeats. */
+  def driftFromHistograms(ha: DataFrame, hb: DataFrame): DataFrame = {
+    val D = "decimal(38,0)"
+    val j = ha.withColumnRenamed("c", "ca")
+      .join(hb.withColumnRenamed("c", "cb"), Seq("grp", "bucket"), "full_outer")
       .na.fill(0L, Seq("ca", "cb"))
-      // feeds the per-group totals AND the TVD sum
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val tot = j.groupBy(col("grp"))
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     j.join(tot, "grp")

@@ -270,18 +270,7 @@ object Similarity {
     // two-consumer rule as Dedup.minhashCandidates' buckets)
     val buckets = srpBuckets(df, idCol, vecCol, tables, planes, component)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
-          && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("q_id"), col("b.id").as("c_id"))
-      .distinct()
-    val scored = cands
-      .join(vecs.withColumnRenamed("id", "q_id").withColumnRenamed("vec", "q_vec"), "q_id")
-      .join(vecs.withColumnRenamed("id", "c_id").withColumnRenamed("vec", "c_vec"), "c_id")
-      .select(col("q_id"), col("c_id"),
-        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    rankTopK(scored, k)
+    rankTopK(scoreSharedBucketPairs(buckets, Seq("table", "bucket"), vecs), k)
   }
 
   /** md5 twin of the default xxhash64 centroid draw — any engine can
@@ -402,17 +391,59 @@ object Similarity {
     // persisted: self-joined below (same rationale as lshTopK's buckets)
     val cells = ivfCells(df, idCol, vecCol, nCells, nProbe, centroidRank)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = cells.as("a")
-      .join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+    rankTopK(scoreSharedBucketPairs(cells, Seq("cell"), vecs), k)
+  }
+
+  /** Candidate generation + scoring shared by [[lshTopK]], [[ivfTopK]],
+    * and [[labeledCellPairs]]: self-join the bucket relation on `keys`
+    * plus id inequality, collapse to DISTINCT (q_id, c_id), join each
+    * endpoint's row from `vecs`, and score the pair with the fused
+    * cosine kernel. `vecs` is (id, vec) or (id, vec, lbl); a `lbl`
+    * column is carried through as (q_lbl, c_lbl). One place on purpose:
+    * the pair semantics (distinct, self-exclusion, NULL cosine for
+    * corrupt vectors) must never diverge between the ANN paths. */
+  private def scoreSharedBucketPairs(buckets: DataFrame, keys: Seq[String],
+                                     vecs: DataFrame): DataFrame = {
+    val joinCond = keys.map(n => col(s"a.$n") === col(s"b.$n"))
+      .reduce(_ && _) && col("a.id") =!= col("b.id")
+    val cands = buckets.as("a").join(buckets.as("b"), joinCond)
       .select(col("a.id").as("q_id"), col("b.id").as("c_id"))
       .distinct()
-    val scored = cands
-      .join(vecs.withColumnRenamed("id", "q_id").withColumnRenamed("vec", "q_vec"), "q_id")
-      .join(vecs.withColumnRenamed("id", "c_id").withColumnRenamed("vec", "c_vec"), "c_id")
-      .select(col("q_id"), col("c_id"),
-        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    rankTopK(scored, k)
+    val hasLbl = vecs.columns.contains("lbl")
+    def side(p: String) = vecs.select(
+      Seq(col("id").as(s"${p}_id"), col("vec").as(s"${p}_vec")) ++
+        (if (hasLbl) Seq(col("lbl").as(s"${p}_lbl")) else Nil): _*)
+    cands.join(side("q"), "q_id").join(side("c"), "c_id")
+      .select(
+        Seq(col("q_id"), col("c_id"),
+          VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim")) ++
+          (if (hasLbl) Seq(col("q_lbl"), col("c_lbl")) else Nil): _*)
+  }
+
+  /** Shared base of [[hardNegatives]] and [[contrastiveTriplets]]:
+    * IVF shared-cell candidate pairs scored with both endpoints'
+    * labels attached — (q_id, c_id, sim, q_lbl, c_lbl). One centroid
+    * broadcast + one cell shuffle; the caller filters by label algebra
+    * BEFORE any further aggregation (Catalyst pushes those predicates
+    * into the joins here, so rejected pairs never reach the cosine
+    * kernel). Ids are required integral and emitted as BIGINT (the
+    * [[TopKPairs]] heap both consumers rank with reads long ids) —
+    * same fail-fast contract as [[graft.operators.Dedup.simhashPairs]]. */
+  private def labeledCellPairs(df: DataFrame, idCol: String, vecCol: String,
+                               labelCol: String, nCells: Int, nProbe: Int,
+                               centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType
+        || idType == org.apache.spark.sql.types.IntegerType,
+      s"label-aware mining needs an integral id, got " +
+        s"${idType.catalogString}; map string keys to a surrogate id first")
+    val withLongId = df.withColumn(idCol, col(idCol).cast("long"))
+    val vecs = withLongId.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("lbl"))
+    // persisted: self-joined below (same rationale as ivfTopK)
+    val cells = ivfCells(withLongId, idCol, vecCol, nCells, nProbe, centroidRank)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoreSharedBucketPairs(cells, Seq("cell"), vecs)
   }
 
   /** Hard-negative mining for contrastive training: for every anchor,
@@ -435,36 +466,6 @@ object Similarity {
     * null-rejecting): an unknown class cannot be asserted a negative.
     * Output: (q_id, c_id, sim, rank), rank 1 = hardest usable negative.
     */
-  /** Shared base of [[hardNegatives]] and [[contrastiveTriplets]]:
-    * IVF shared-cell candidate pairs scored with both endpoints'
-    * labels attached — (q_id, c_id, sim, q_lbl, c_lbl). One centroid
-    * broadcast + one cell shuffle; the caller filters by label algebra
-    * BEFORE any further aggregation (Catalyst pushes those predicates
-    * into the joins here, so rejected pairs never reach the cosine
-    * kernel). */
-  private def labeledCellPairs(df: DataFrame, idCol: String, vecCol: String,
-                               labelCol: String, nCells: Int, nProbe: Int,
-                               centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      col(labelCol).as("lbl"))
-    // persisted: self-joined below (same rationale as ivfTopK)
-    val cells = ivfCells(df, idCol, vecCol, nCells, nProbe, centroidRank)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = cells.as("a")
-      .join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("q_id"), col("b.id").as("c_id"))
-      .distinct()
-    cands
-      .join(vecs.select(col("id").as("q_id"), col("vec").as("q_vec"),
-        col("lbl").as("q_lbl")), "q_id")
-      .join(vecs.select(col("id").as("c_id"), col("vec").as("c_vec"),
-        col("lbl").as("c_lbl")), "c_id")
-      .select(col("q_id"), col("c_id"),
-        VectorFns.cosine(col("q_vec"), col("c_vec")).as("sim"),
-        col("q_lbl"), col("c_lbl"))
-  }
-
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int,
                     nCells: Int = 64, nProbe: Int = 2,
@@ -494,7 +495,8 @@ object Similarity {
     * shares the anchor's label. NULL-label anchors never appear (both
     * branches' predicates reject NULL). neg_ids is ordered hardest
     * first (sim desc, id asc — the [[TopKPairs]] order).
-    * Output: (anchor_id, pos_id, pos_sim, neg_ids).
+    * Output: (anchor_id, pos_id, pos_sim, neg_ids) — all ids BIGINT
+    * (integral input ids required; [[labeledCellPairs]] fail-fast).
     */
   def contrastiveTriplets(df: DataFrame, idCol: String, vecCol: String,
                           labelCol: String, kNeg: Int,

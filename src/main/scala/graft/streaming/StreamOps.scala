@@ -177,20 +177,32 @@ object StreamOps {
     * Stateless by the same argument as [[lmScoreEachBatch]]: the
     * comparison is batch-local (a streaming groupBy would accumulate
     * histogram state forever), so no watermark and no state store.
-    * PERSIST `reference` at the call site — it is re-histogrammed per
-    * batch, which is histogram-sized work when cached and a full
-    * re-scan when not. A batch missing a reference group (or vice
-    * versa) reports NULL for that group, exactly like the batch
-    * operator. `sink` receives (drift DataFrame, batchId). */
+    * The REFERENCE histogram is built and persisted ONCE here
+    * ([[graft.operators.CorpusStats.valueHistogram]]) — the reference
+    * corpus is aggregated a single time for the whole query lifetime,
+    * not per batch; each micro-batch's own histogram is persisted for
+    * its two reads and unpersisted before the next batch, so a
+    * long-running monitor holds exactly one cached relation in steady
+    * state. A batch missing a reference group (or vice versa) reports
+    * NULL for that group, exactly like the batch operator. `sink`
+    * receives (drift DataFrame, batchId) and must consume it within
+    * the call (the batch histogram is released when it returns). */
   def driftMonitorEachBatch(docs: DataFrame, reference: DataFrame,
                             groupCol: String, valueCol: String,
                             bucketWidth: Long)(
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val refHist = graft.operators.CorpusStats.valueHistogram(
+        reference, groupCol, valueCol, bucketWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      sink(graft.operators.CorpusStats.distributionDrift(
-        reference, batch, groupCol, valueCol, bucketWidth), id)
+      val bh = graft.operators.CorpusStats.valueHistogram(
+          batch, groupCol, valueCol, bucketWidth)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try sink(graft.operators.CorpusStats.driftFromHistograms(refHist, bh), id)
+      finally bh.unpersist()
     }
+  }
 
   /** Declarative gap-based session aggregation (session_window): sessions
     * close after `gap` of per-user inactivity; emits one row per closed

@@ -111,18 +111,22 @@ class PropertySpec extends SparkSpec {
         .withColumn("text", when(col("doc_id") % 4 === 1,
           concat(col("text"), lit(" mut"))).otherwise(col("text")))
 
-      // statuses partition the id universe, and agree with membership
+      // statuses partition the id universe, and agree with the full
+      // membership + content reference recomputed driver-side
       val d = rows(SnapshotDiff.diff(prev, cur, "doc_id", "text"))
         .map(r => r.getLong(0) -> r.getString(1))
       d.map(_._1).distinct.size shouldBe d.size
-      val pIds = rows(prev.select("doc_id")).map(_.getLong(0)).toSet
-      val cIds = rows(cur.select("doc_id")).map(_.getLong(0)).toSet
-      d.map(_._1).toSet shouldBe (pIds ++ cIds)
+      val pTxt = rows(prev.select("doc_id", "text"))
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val cTxt = rows(cur.select("doc_id", "text"))
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      d.map(_._1).toSet shouldBe (pTxt.keySet ++ cTxt.keySet)
       d.foreach { case (id, st) =>
         val expected =
-          if (!pIds(id)) "added"
-          else if (!cIds(id)) "removed"
-          else st // changed vs unchanged needs the text — checked below
+          if (!pTxt.contains(id)) "added"
+          else if (!cTxt.contains(id)) "removed"
+          else if (pTxt(id) == cTxt(id)) "unchanged"
+          else "changed"
         st shouldBe expected
       }
       // identity diff: every status unchanged; identity drift: all 0
