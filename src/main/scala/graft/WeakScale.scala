@@ -247,6 +247,12 @@ object WeakScale {
           graft.operators.SnapshotDiff.diff(prev, cur, "doc_id", "text")
             .count()
         }),
+        // phrase occurrences replicate with the corpus (the tag token
+        // sits at text end, away from intra-doc runs) — expect ~linear
+        ("phrase_search_q127", D, () => {
+          graft.operators.Retrieval.phraseSearch(docs, "doc_id", "text",
+            Seq("table", "table")).count()
+        }),
         // the q125 construction at k× — histogram relations stay
         // (sources × buckets)-sized while the scanned corpus grows
         ("dist_drift_q125", D, () => {

@@ -126,4 +126,43 @@ object Retrieval {
       .select(col("rank"), col(idCol), col("n_lists"), col("rrf_micro"),
         col("rrf_score"))
   }
+
+  /** Exact consecutive-phrase search via positional-posting alignment:
+    * a document matches at anchor position s iff its token at s+i
+    * equals phrase(i) for EVERY i — the classic inverted-index phrase
+    * query, here as one relational pass. Every token occurrence that
+    * matches any phrase word votes for its implied anchor (pos − i);
+    * an anchor with all |phrase| votes is an occurrence. Repeated
+    * phrase words are handled exactly — each (pos, i) pair votes once,
+    * and (doc, anchor, i) is unique by construction (anchor is a
+    * function of pos and i), so a run of the same word scores its
+    * OVERLAPPING matches separately ("x x x" contains "x x" twice) —
+    * standard positional-index semantics.
+    *
+    * Scale shape: the token stream is filtered to the phrase's
+    * (distinct) words BEFORE anything wide — for a selective phrase
+    * that is a tiny fraction of the corpus — then one (doc, anchor)
+    * shuffle counts votes; the per-doc rollup aggregates the strictly
+    * smaller anchor relation. The phrase table broadcasts. NULL texts
+    * have no tokens and simply never match.
+    * Output: (idCol, n_occ) for matching documents only.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrase.zipWithIndex.map { case (w, i) => (w, i) }.toDF("w", "i")
+    val toks = docs.select(col(idCol).as("__doc"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+    toks.join(broadcast(ph), col("tok") === col("w"))
+      .select(col("__doc"), (col("pos") - col("i")).as("anchor"))
+      .groupBy(col("__doc"), col("anchor"))
+      .agg(count(lit(1)).as("__nmatch"))
+      .filter(col("__nmatch") === phrase.length)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("__doc").as(idCol), col("n_occ"))
+  }
 }

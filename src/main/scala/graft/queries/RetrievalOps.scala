@@ -423,6 +423,39 @@ object RetrievalOps {
       SELECT node, r AS rank_micro FROM r2
       ORDER BY r DESC, node LIMIT 25"""))
 
+  /** q127: exact phrase search under the oracle —
+    * [[graft.operators.Retrieval.phraseSearch]] for the phrase
+    * "table table": a REPEATED-word phrase on purpose, the case naive
+    * position joins get wrong, with overlapping runs in the corpus
+    * ("table table table" counts twice). DuckDB replays the whole
+    * anchor-vote algebra: same whitespace tokenizer (the q20
+    * convention), per-(pos, i) votes on pos − i, complete-vote anchors
+    * counted per doc. Positions are 0-based in Spark and 1-based in
+    * DuckDB — anchors differ by a constant, counts are identical,
+    * and only counts are emitted. */
+  private val q127 = QuerySpec(
+    "q127_phrase_search",
+    (s, dir) =>
+      graft.operators.Retrieval.phraseSearch(Tables.documents(s, dir),
+          "doc_id", "text", Seq("table", "table"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents)),
+      ph(i, w) AS (VALUES (0, 'table'), (1, 'table')),
+      aligned AS (
+        SELECT doc_id, pos - i AS anchor
+        FROM toks JOIN ph ON tok = w),
+      occ AS (
+        SELECT doc_id, anchor FROM aligned
+        GROUP BY doc_id, anchor HAVING count(*) = 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      FROM occ GROUP BY doc_id ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q103, q104, q105, q106, q107, q108, q109)
+    Seq(q103, q104, q105, q106, q107, q108, q109, q127)
 }

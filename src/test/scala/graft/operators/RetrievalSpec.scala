@@ -200,4 +200,28 @@ class RetrievalSpec extends SparkSpec {
       Map("g" -> 2), defaultEpochs = 2).orderBy("pos").collect()
     a shouldBe b
   }
+
+  test("phraseSearch: overlaps, repeated words, and degenerate inputs") {
+    import spark.implicits._
+    def search(docs: Seq[(Long, String)], phrase: Seq[String]) =
+      rows(Retrieval.phraseSearch(
+          docs.toDF("doc_id", "text"), "doc_id", "text", phrase)
+        .orderBy("doc_id"))
+        .map(r => r.getLong(0) -> r.getLong(1))
+    // overlapping runs of a repeated-word phrase count separately
+    search(Seq((1L, "x x x"), (2L, "x x"), (3L, "x y x")),
+      Seq("x", "x")) shouldBe Seq(1L -> 2L, 2L -> 1L)
+    // multi-token phrase with interleaved overlap: "a b a b a" holds
+    // "a b a" at anchors 0 and 2
+    search(Seq((1L, "a b a b a"), (2L, "a b b a")),
+      Seq("a", "b", "a")) shouldBe Seq(1L -> 2L)
+    // single-token phrase degrades to occurrence counting
+    search(Seq((1L, "t q t t"), (2L, "q q")), Seq("t")) shouldBe
+      Seq(1L -> 3L)
+    // absent phrase and NULL text produce no rows at all
+    search(Seq((1L, "a b c")), Seq("z", "z")) shouldBe empty
+    rows(Retrieval.phraseSearch(
+      Seq((1L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("a"))) shouldBe empty
+  }
 }
