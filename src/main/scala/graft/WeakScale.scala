@@ -247,6 +247,13 @@ object WeakScale {
           graft.operators.SnapshotDiff.diff(prev, cur, "doc_id", "text")
             .count()
         }),
+        // pair VOLUME grows linearly (window·tokens per doc); the
+        // aggregated pair vocabulary stays ~flat on this fixed word
+        // pool — expect scan-bound ~linear
+        ("collocations_q128", D, () => {
+          graft.operators.CorpusStats.collocations(docs, "text",
+            window = 3, minCount = 50L * k, topN = 40).count()
+        }),
         // phrase occurrences replicate with the corpus (the tag token
         // sits at text end, away from intra-doc runs) — expect ~linear
         ("phrase_search_q127", D, () => {

@@ -202,6 +202,63 @@ object CorpusStats {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Windowed collocation mining: unordered token pairs co-occurring
+    * within `window` positions, counted corpus-wide, with an
+    * integer-exact association lift — the collocation/PMI-class signal
+    * that drives tokenizer-vocabulary merges and phrase-list building.
+    * `lift_micro = (4·T·n_ab·10⁶) div (m_a·m_b)` where T = total
+    * windowed pairs and m = slot-marginals — the exact argument of
+    * PMI's log as a rational in 1e-6 units (monotone in PMI, so
+    * thresholding/ranking on it is thresholding on PMI), with no
+    * floating log for an engine to disagree over. 10⁶ ≙ independence;
+    * above ⇒ attraction. Self-pairs ("table table") are legitimate
+    * collocations and count their marginal twice.
+    *
+    * Scale shape: pair GENERATION is scan-local — a per-document
+    * indexed HOF pairs each token with its next `window` neighbors
+    * inside the projection (no corpus self-join, no shuffle) — and the
+    * single shuffle is the (w1, w2) count with map-side combine, a
+    * vocabulary²-bounded relation in practice dominated by the
+    * `minCount` filter. Marginals and T derive from the AGGREGATED
+    * pair relation (persisted; three consumers), never a second corpus
+    * pass; products run in DECIMAL(38,0) (headroom to ~10¹⁴ windowed
+    * pairs per the drift operator's argument).
+    * Output: top-`topN` by (n_pairs desc, w1, w2) —
+    * (w1, w2, n_pairs, lift_micro), w1 ≤ w2.
+    */
+  def collocations(docs: DataFrame, textCol: String, window: Int,
+                   minCount: Long, topN: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val D = "decimal(38,0)"
+    val pairs = docs
+      .select(TextFns.tokens(col(textCol)).as("ts"))
+      .select(explode(flatten(transform(col("ts"), (t, i) =>
+        transform(slice(col("ts"), i + lit(2), lit(window)), u =>
+          struct(least(t, u).as("w1"), greatest(t, u).as("w2"))))))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    // persisted: totals, marginals, and the lift join all read it
+    val agg = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val marg = agg.select(col("w1").as("w"),
+        (col("n_pairs") * when(col("w1") === col("w2"), 2L).otherwise(1L))
+          .as("m"))
+      .unionAll(agg.filter(col("w1") =!= col("w2"))
+        .select(col("w2").as("w"), col("n_pairs").as("m")))
+      .groupBy(col("w")).agg(sum(col("m")).as("m"))
+    val tot = agg.agg(sum(col("n_pairs")).as("t"))
+    agg.filter(col("n_pairs") >= minCount)
+      .crossJoin(broadcast(tot))
+      .join(marg.select(col("w").as("w1"), col("m").as("m1")), "w1")
+      .join(marg.select(col("w").as("w2"), col("m").as("m2")), "w2")
+      .select(col("w1"), col("w2"), col("n_pairs"),
+        expr(s"(CAST(4 AS $D) * CAST(t AS $D) * CAST(n_pairs AS $D) * CAST(1000000 AS $D))" +
+          s" div (CAST(m1 AS $D) * CAST(m2 AS $D))").as("lift_micro"))
+      .orderBy(col("n_pairs").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** [[distributionDrift]]'s comparison tail over two prebuilt
     * [[valueHistogram]] relations (same bucketWidth on both sides is
     * the caller's contract). Persists NOTHING itself: each input is

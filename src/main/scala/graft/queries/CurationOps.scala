@@ -506,6 +506,53 @@ object CurationOps {
       GROUP BY p.source, l.n, k.n, c.n
       ORDER BY p.source"""))
 
+  /** q128: collocation mining under the oracle —
+    * [[graft.operators.CorpusStats.collocations]] (window 3,
+    * minCount 50, top 40): windowed co-occurrence counts plus the
+    * integer-exact association lift (the argument of PMI's log as a
+    * 1e-6-unit rational — no floating log for the engines to disagree
+    * over). The oracle generates pairs with the equivalent relational
+    * self-join (b.pos ∈ (a.pos, a.pos+3]) — CurationOpsSpec proves the
+    * operator's scan-local HOF generation equals exactly that — and
+    * replays marginals, totals, and the HUGEINT lift division. */
+  private val q128 = QuerySpec(
+    "q128_collocations",
+    (s, dir) =>
+      graft.operators.CorpusStats.collocations(Tables.documents(s, dir),
+        "text", window = 3, minCount = 50L, topN = 40),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents)),
+      pairs AS (
+        SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3),
+      agg AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1, 2),
+      marg AS (
+        SELECT w, CAST(sum(m) AS BIGINT) AS m FROM (
+          SELECT w1 AS w,
+                 n_pairs * (CASE WHEN w1 = w2 THEN 2 ELSE 1 END) AS m
+          FROM agg
+          UNION ALL
+          SELECT w2 AS w, n_pairs AS m FROM agg WHERE w1 <> w2)
+        GROUP BY w),
+      tot AS (SELECT CAST(sum(n_pairs) AS HUGEINT) AS t FROM agg)
+      SELECT w1, w2, n_pairs,
+             CAST((4 * t * CAST(n_pairs AS HUGEINT) * 1000000)
+                  // (CAST(m1.m AS HUGEINT) * m2.m) AS BIGINT) AS lift_micro
+      FROM agg, tot
+      JOIN marg m1 ON m1.w = w1
+      JOIN marg m2 ON m2.w = w2
+      WHERE n_pairs >= 50
+      ORDER BY n_pairs DESC, w1, w2
+      LIMIT 40"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
+    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128)
 }

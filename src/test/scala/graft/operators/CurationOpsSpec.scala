@@ -207,6 +207,40 @@ class CurationOpsSpec extends SparkSpec {
     trimmed.select("doc_id").exceptAll(expected.select("doc_id")).count() shouldBe 0L
   }
 
+  test("CorpusStats.collocations: hand lifts; HOF pair generation ≡ relational self-join") {
+    // "a b a" window 1: two (a,b) pairs; p(ab)=1, p(a)=p(b)=1/2 → lift 4
+    val ab = rows(CorpusStats.collocations(
+      Seq((1L, "a b a")).toDF("doc_id", "text"), "text",
+      window = 1, minCount = 1L, topN = 10))
+    ab.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))) shouldBe
+      Seq(("a", "b", 2L, 4000000L))
+    // "x x x" window 2: three self-pairs, single-token corpus → lift
+    // exactly at independence (1e6); self-pair counts its marginal twice
+    val xx = rows(CorpusStats.collocations(
+      Seq((1L, "x x x"), (2L, null: String)).toDF("doc_id", "text"), "text",
+      window = 2, minCount = 1L, topN = 10))
+    xx.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))) shouldBe
+      Seq(("x", "x", 3L, 1000000L))
+    // the scan-local HOF pair generation equals the relational
+    // self-join (b.pos ∈ (a.pos, a.pos+w]) the oracle uses
+    val docs = graft.Tables.documents(spark, sfDir).limit(50)
+    val got = CorpusStats.collocations(docs, "text",
+        window = 3, minCount = 1L, topN = 1000000)
+      .select("w1", "w2", "n_pairs")
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFns.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val ref = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id")
+          && col("b.pos") > col("a.pos")
+          && col("b.pos") <= col("a.pos") + 3)
+      .select(least(col("a.tok"), col("b.tok")).as("w1"),
+        greatest(col("a.tok"), col("b.tok")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+    rows(got.exceptAll(ref)) shouldBe empty
+    rows(ref.exceptAll(got)) shouldBe empty
+  }
+
   test("CorpusStats.distributionDrift: hand values — identical 0, half-moved 5000, disjoint 10000") {
     // g0: identical shape; g1: 2 of 4 docs move one bucket → TVD ½;
     // g2: every doc moves → TVD 1; widths of 10
