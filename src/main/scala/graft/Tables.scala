@@ -23,17 +23,30 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's TimestampType
-    * (microseconds) cannot represent — the vectorized reader rejects the
-    * file outright. Read nanos as Long (legacy conf, set session-level so
-    * any caller-provided session works) and floor-divide to microseconds,
-    * matching DuckDB's NS→US truncation. Integer `div`, not `/`: ns since
-    * epoch ≈ 1.7e18 exceeds double's 53-bit mantissa. */
+  /** events.ts normalizes to session-zoned TimestampType regardless of
+    * how the driver generated the file — the generator's physical type
+    * has changed across rounds, and every downstream query assumes one
+    * logical type:
+    *  - TIMESTAMP(NANOS): Spark's TimestampType (µs) can't represent it
+    *    and the vectorized reader rejects the file. Read nanos as Long
+    *    (legacy conf, set session-level so any caller-provided session
+    *    works) and floor-divide to µs, matching DuckDB's NS→US
+    *    truncation. Integer `div`, not `/`: ns since epoch ≈ 1.7e18
+    *    exceeds double's 53-bit mantissa.
+    *  - timestamp[us] without timezone (TIMESTAMP_NTZ): cast to
+    *    TimestampType — a pure relabel under the session's fixed UTC
+    *    timezone (GraftSession), no instant shift.
+    *  - already TimestampType: pass through. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
