@@ -47,8 +47,8 @@ object Bench {
         s"[bench] WARNING: $warmFailures/${selected.size} warm-up queries failed on $warmDir — timed runs include codegen compile cost")
     System.gc()
 
-    // INTERLEAVED rounds, min per query: three full passes over the
-    // query list (A,B,C,A,B,C,A,B,C), each query reporting its minimum
+    // INTERLEAVED rounds, min per query: full passes over the
+    // query list (A,B,C,A,B,C,…), each query reporting its minimum
     // across rounds. Ambient host load swings single measurements ±30%
     // at these run lengths, and back-to-back runs of the SAME query
     // share the spike — interleaving spreads each query's samples
@@ -56,8 +56,11 @@ object Bench {
     // per query and the min recovers the steady-state cost. (Warm-up
     // above already removed compile effects, so rounds are identically
     // conditioned.)
+    // Default 5 rounds: r4/r5 driver logs both carried 2× single-query
+    // noise spikes that min-of-3 did not absorb; two extra interleaved
+    // rounds are cheap insurance against a false 2×-fail.
     val timedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3).max(1)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(5).max(1)
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       selected.map(_ -> Double.MaxValue): _*)
     // A failed query must NOT silently deflate the total: it records

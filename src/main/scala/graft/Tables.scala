@@ -41,6 +41,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType cast below is instant-preserving only under
+    // UTC. GraftSession pins it, but this accepts any caller session —
+    // pin it here too rather than silently shifting every event ts.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -160,7 +160,8 @@ object Similarity {
         lit(2000000L)).cast("double") / 1000000.0) - 1.0
 
   /** Random-hyperplane (SRP) LSH bucketing: `planes` sign bits per
-    * table. Returns (id, table, bucket).
+    * table (0 → auto-size via [[suggestPlanes]]). Returns
+    * (id, table, bucket).
     *
     * The hyperplane matrix is MATERIALIZED ONCE on the driver — by
     * evaluating the component Column expressions over dims 0..d−1, so
@@ -181,6 +182,7 @@ object Similarity {
                  component: (Int, Int) => org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                    planeComponent): DataFrame = {
     val spark = df.sparkSession
+    val nPlanes = resolveSize(df, idCol, planes, suggestPlanes)
     // MAX dim, not first-row dim: limit(1) over an unordered relation is
     // scheduling-dependent (nondeterministic buckets run to run) and a
     // shorter probe would silently truncate longer vectors' dots. With
@@ -192,13 +194,13 @@ object Similarity {
         lit(0L).as("bucket")).limit(0)
     val dim = probe(0).getInt(0)
     import spark.implicits._
-    val compCols = for (t <- 0 until tables; p <- 0 until planes)
+    val compCols = for (t <- 0 until tables; p <- 0 until nPlanes)
       yield component(t, p)(col("d")).as(s"c_${t}_$p")
     val matRows = (0 until dim).toDF("d")
       .select(col("d") +: compCols: _*).orderBy(col("d")).collect()
     val mat: Array[Array[Array[Double]]] =
-      Array.tabulate(tables, planes, dim)((t, p, d) =>
-        matRows(d).getDouble(1 + t * planes + p))
+      Array.tabulate(tables, nPlanes, dim)((t, p, d) =>
+        matRows(d).getDouble(1 + t * nPlanes + p))
     val bucketUdf = udf { vec: Array[Float] =>
       if (vec == null) null
       else {
@@ -208,7 +210,7 @@ object Similarity {
         while (t < tables) {
           var bits = 0L
           var p = 0
-          while (p < planes) {
+          while (p < nPlanes) {
             val pl = mat(t)(p)
             var dot = 0.0
             var i = 0
@@ -278,19 +280,54 @@ object Similarity {
   def portableCentroidRank(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(graft.operators.Dedup.portableTokenHash(id.cast("string")), lit(1000000L))
 
+  // ---- Index auto-sizing (the measured SCALE.md rules as code) ---------
+  // Callers pass nCells=0 / planes=0 to opt in; the explicit-arg paths
+  // are untouched. The opt-in costs one count() job over the (pruned)
+  // id column — cheap next to guessing wrong (the planes=4 cliff below).
+
+  /** IVF cell count for an n-vector corpus: coarse assignment costs
+    * n·nCells dot products, within-cell pair scans ≈ n²/nCells — the
+    * sum is minimized at nCells = √n (the SCALE.md sizing trade,
+    * measured on the weak-scaling harness). Floor 1; a corpus smaller
+    * than ~4 vectors degenerates to one cell, which is exactly right. */
+  def suggestCells(n: Long): Int =
+    math.max(1L, math.round(math.sqrt(math.max(0L, n).toDouble))).toInt
+
+  /** SRP plane count for an n-vector corpus: hold expected bucket
+    * occupancy n / 2^planes near a fixed task-sized target (64), so
+    * per-bucket candidate-pair mass stays bounded as n grows — planes
+    * ∝ log₂(n). Floor 6 clears the measured planes=4 coarse-bucket
+    * cliff (500-vector buckets, 35.8 s — worse than brute force,
+    * SCALE.md weak-scaling table); cap 24 keeps the per-table sign
+    * bits far inside a Long and recall sane. */
+  def suggestPlanes(n: Long): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / 64.0)) / math.log(2.0)).toInt
+    math.min(24, math.max(6, needed))
+  }
+
+  /** Resolve an auto-size sentinel: 0 → rule(count), else passthrough.
+    * The count job prunes to the id column (cheapest possible scan). */
+  private def resolveSize(df: DataFrame, idCol: String, requested: Int,
+                          rule: Long => Int): Int =
+    if (requested > 0) requested
+    else rule(df.select(col(idCol)).count())
+
   /** IVF-lite coarse quantization: centroid ids are drawn
     * deterministically from the corpus (by `centroidRank` scramble),
     * each vector is assigned to its nearest `nProbe` centroids, and
     * querying only pairs vectors sharing a centroid cell. One
-    * broadcast of the centroid table, one shuffle on cell id. */
+    * broadcast of the centroid table, one shuffle on cell id.
+    * nCells=0 → auto-size via [[suggestCells]]. */
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
                nCells: Int, nProbe: Int,
                centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                  id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
+    val cells = resolveSize(df, idCol, nCells, suggestCells)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = vecs
       .withColumn("__r", centroidRank(col("id")))
-      .orderBy(col("__r"), col("id")).limit(nCells)
+      .orderBy(col("__r"), col("id")).limit(cells)
       .select(col("id").as("cell"), col("vec").as("cvec"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("cell").asc)
@@ -355,7 +392,8 @@ object Similarity {
                             threshold: Double): DataFrame = {
     val clean = df.filter(col(vecCol).isNotNull
       && !exists(col(vecCol), x => x.isNull))
-    val model = KMeans.fit(clean, idCol, vecCol, nCells, iters)
+    val cells = resolveSize(clean, idCol, nCells, suggestCells)
+    val model = KMeans.fit(clean, idCol, vecCol, cells, iters)
     dedupeWithinCells(
       KMeans.assign(clean, idCol, vecCol, model)
         .select(col(idCol).as("id"), col("cluster").as("cell"))

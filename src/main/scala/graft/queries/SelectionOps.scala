@@ -464,7 +464,9 @@ object SelectionOps {
     * pos_sim rounds to 4 places, and on this corpus every anchor
     * fills both branches — the NULL-positive / empty-negatives
     * degenerate shapes are pinned by SimilaritySpec fixtures
-    * instead. */
+    * instead. The negative list is projected to a comma-joined string
+    * at the oracle boundary (`neg_ids_csv`) because the driver's
+    * hash comparison cannot factorize array cells. */
   private val q126 = QuerySpec(
     "q126_triplets",
     (s, dir) =>
@@ -473,7 +475,9 @@ object SelectionOps {
           ceiling = 0.35,
           centroidRank = Similarity.portableCentroidRank)
         .select(col("anchor_id"), col("pos_id"),
-          round(col("pos_sim"), 4).as("pos_sim"), col("neg_ids"))
+          round(col("pos_sim"), 4).as("pos_sim"),
+          array_join(col("neg_ids").cast("array<string>"), ",")
+            .as("neg_ids_csv"))
         .orderBy(col("anchor_id")),
     oracle = Some("""
       WITH cent AS (
@@ -516,7 +520,8 @@ object SelectionOps {
         WHERE rnk <= 5
         GROUP BY q_id)
       SELECT coalesce(p.q_id, n.q_id) AS anchor_id, pos_id, pos_sim,
-             coalesce(neg_ids, CAST([] AS BIGINT[])) AS neg_ids
+             array_to_string(coalesce(neg_ids, CAST([] AS BIGINT[])), ',')
+               AS neg_ids_csv
       FROM pos p FULL OUTER JOIN neg n ON p.q_id = n.q_id
       ORDER BY anchor_id"""))
 

@@ -52,14 +52,35 @@ class ApproxSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     approx.keySet shouldBe exact.keySet
+    // ±2%: a PINNED measurement, not a statistical claim — HLL++/GK are
+    // deterministic on fixed input, so the sketch path carries a
+    // quantified error bound vs the exact twin (q112 is rows-only in
+    // the oracle harness; this is its correctness gate).
+    // per-source sorted length vectors, for the p90 rank bracket below
+    val lens: Map[String, Seq[Int]] = docs
+      .groupBy(coalesce(col("source").cast("string"), lit("(none)")).as("source"))
+      .agg(sort_array(collect_list(
+        org.apache.spark.sql.functions.length(
+          coalesce(col("text"), lit(""))))).as("ls"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
     exact.foreach { case (src, (nDocs, nDistinct, p90)) =>
       val (aDocs, aDistinct, aP90) = approx(src)
       aDocs shouldBe nDocs // doc count is exact in both forms
-      assert(math.abs(aDistinct - nDistinct).toDouble /
-        math.max(nDistinct, 1L) <= 0.15,
+      // granularity floor: at tiny cardinalities (sf0.001 has ~30
+      // distinct/source) one count is already >2% — allow ±1 absolute
+      assert(math.abs(aDistinct - nDistinct).toDouble <=
+        math.max(0.02 * nDistinct, 1.0),
         s"$src: approx distinct $aDistinct vs exact $nDistinct")
-      assert(math.abs(aP90 - p90) / math.max(p90, 1e-9) <= 0.05,
-        s"$src: approx p90 $aP90 vs exact $p90")
+      // p90: the sketch returns a REAL order statistic while the exact
+      // twin interpolates between ranks — so the deterministic bound is
+      // a one-rank bracket: approx must lie within the two order
+      // statistics the interpolated exact value sits between (stronger
+      // than a % bound at small n, and implies ≤1-rank sketch error)
+      val ls = lens(src)
+      val pos = 0.9 * (ls.size - 1)
+      val (lo, hi) = (ls(pos.floor.toInt).toDouble, ls(pos.ceil.toInt).toDouble)
+      assert(aP90 >= lo && aP90 <= hi,
+        s"$src: approx p90 $aP90 outside rank bracket [$lo,$hi] (exact $p90)")
     }
   }
 

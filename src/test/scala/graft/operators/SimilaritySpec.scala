@@ -87,6 +87,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall too low")
   }
 
+  test("auto-sizing: suggestCells/suggestPlanes implement the SCALE.md rules") {
+    // nCells = √n (assignment n·c vs within-cell n²/c balance point)
+    Similarity.suggestCells(0L) shouldBe 1
+    Similarity.suggestCells(100L) shouldBe 10
+    Similarity.suggestCells(1000000L) shouldBe 1000
+    // planes = log2(n/64) clamped to [6, 24] — the floor clears the
+    // measured planes=4 coarse-bucket cliff (SCALE.md, 35.8s)
+    Similarity.suggestPlanes(0L) shouldBe 6
+    Similarity.suggestPlanes(8000L) shouldBe 7
+    Similarity.suggestPlanes(1000000L) shouldBe 14
+    (Similarity.suggestPlanes(Long.MaxValue) <= 24) shouldBe true
+  }
+
+  test("auto-sizing: nCells=0 / planes=0 reproduce the explicit-arg results") {
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    // 100 vectors → suggestCells = 10: the sentinel path must be
+    // byte-identical to the caller writing 10 explicitly
+    val auto = rows(Similarity.ivfTopK(e, "vec_id", "embedding", 2,
+        nCells = 0, nProbe = 2,
+        centroidRank = Similarity.portableCentroidRank)
+      .orderBy("q_id", "rank"))
+    val explicit = rows(Similarity.ivfTopK(e, "vec_id", "embedding", 2,
+        nCells = 10, nProbe = 2,
+        centroidRank = Similarity.portableCentroidRank)
+      .orderBy("q_id", "rank"))
+    auto shouldBe explicit
+    // 100 vectors → suggestPlanes = 6
+    val autoB = rows(Similarity.srpBuckets(e, "vec_id", "embedding",
+        tables = 2, planes = 0).orderBy("id", "table"))
+    val explicitB = rows(Similarity.srpBuckets(e, "vec_id", "embedding",
+        tables = 2, planes = 6).orderBy("id", "table"))
+    autoB shouldBe explicitB
+  }
+
   test("IVF top-k returns ranked neighbors with sane similarity ordering") {
     val e = Tables.embeddings(spark, sfDir).limit(100)
     val out = rows(Similarity.ivfTopK(e, "vec_id", "embedding", 2, nCells = 8, nProbe = 2)
