@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-language identification via character-n-gram profile scoring
+  * (Cavnar & Trenkle "N-Gram-Based Text Categorization", 1994-style):
+  * each language carries a fixed profile of its most characteristic
+  * character n-grams with rank weights; a document scores
+  * `Σ occurrences(g) · weight(lang, g)` per language and is labeled
+  * with the argmax (ties → lexicographically first language, no hit at
+  * all → "und").
+  *
+  * INTEGER-EXACT BY CONSTRUCTION: occurrences are n-gram-explode
+  * counts and weights are small ints, so scores are exact longs any
+  * engine reproduces — which is what makes per-doc language ID
+  * oracle-checkable in DuckDB ([[docSql]] renders the identical
+  * computation, VALUES-literal profile included, from the same
+  * constants — the two sides cannot drift).
+  *
+  * Scale shape: one narrow n-gram explode (≈ 3·|text| rows per doc,
+  * the same cost class as tokenization), one broadcast hash join
+  * against the 20×64-row profile, one partial-aggregated (doc, lang)
+  * sum, one tiny (≤ |langs| rows per doc) argmax agg. No self-joins,
+  * nothing corpus-sized ever shuffles twice — linear at 100 TB.
+  *
+  * Profile construction (all embedded constants, public linguistic
+  * knowledge):
+  *  - Space-delimited scripts: the language's highest-frequency
+  *    function words in descending frequency order, Zipf-expanded
+  *    (top-4 words ×3, next 8 ×2 — running text is dominated by its
+  *    few most frequent words, and the expansion puts boundary
+  *    trigrams like "_th"/"he_"/"_de" at realistic relative ranks),
+  *    then top-64 TRIGRAMS by (count desc, gram asc), weight =
+  *    64 − rank. Function words dominate every register of real text,
+  *    so their trigrams are dense in documents of the language and
+  *    near-absent otherwise.
+  *  - Unspaced ideographic scripts (zh, ja): running-text samples and
+  *    UNIGRAM/BIGRAM profiles (boundary-free) — the standard CJK
+  *    treatment (character identity IS the signal; word-boundary
+  *    trigrams never occur in unsegmented text). Document extraction
+  *    is uniform (all 1-, 2-, 3-grams); since alphabetic profiles
+  *    contain only trigrams and CJK profiles only uni/bigrams, neither
+  *    family's extraction leaks noise into the other.
+  * Closely related pairs (da/sv/nl, ru/uk, es/pt) stay separable
+  * because rank weights differ on the shared n-grams while each profile
+  * keeps ~half its mass in language-unique ones (LangIdSpec pins one
+  * real sentence per language, all 20 correct).
+  */
+object LangId {
+
+  /** N-grams kept per language; weight of rank r is ProfileSize − r. */
+  val ProfileSize = 64
+
+  /** Function-word samples for space-delimited scripts, one per
+    * language, words in descending corpus-frequency order — all
+    * lowercase (sidesteps engine case-mapping edge cases; the scorer
+    * lowercases documents with the engines' shared simple mapping). */
+  private[operators] val spacedSamples: Seq[(String, String)] = Seq(
+    "ar" -> ("في من على أن إلى عن هذا التي الذي كان مع لا ما هو هي لكن كل "
+      + "عند قد أو ثم حتى إذا بعد قبل غير بين كما لم أي منذ حيث تم وقد كانت ليس عليه"),
+    "cs" -> ("a v se na je že o s z do i to jako by ale po co tak za "
+      + "který podle jeho však bude nebo aby jen už být při ze které pro má od pak tím"),
+    "da" -> ("og i at det er en den til på de med han af for ikke der var "
+      + "mig sig men et har om vi min havde ham hun nu over da fra du ud sin dem os op man"),
+    "de" -> ("der die das und ist von zu mit den nicht ein eine auf für im "
+      + "sich des dem er es auch als an werden aus bei nach wird über einen so um haben "
+      + "nur oder wenn aber noch wie einem einer"),
+    "el" -> ("και το να της είναι που δεν την με τον των στο για από ένα "
+      + "μια τους ότι αυτό οι τα σε θα ήταν στη μας πολύ αλλά όπως κατά μετά πριν χωρίς"),
+    "en" -> ("the of and to in is was that it for on as with be by at this "
+      + "had not are but from or have an they which one you were all her she there been"),
+    "es" -> ("de la que el en y los se del las un por con una su para es al "
+      + "lo como más pero sus le ya o fue este ha sí porque esta son entre cuando muy "
+      + "sin sobre también"),
+    "fi" -> ("ja on ei se että oli hän mutta kun ovat niin kuin myös jos "
+      + "vain joka mitä nyt sitten tai sen kanssa ole mukaan jo hyvin siitä tässä tämä "
+      + "olla ollut"),
+    "fr" -> ("le de la et les des est un une dans que qui pour sur pas plus "
+      + "par avec au il ne se ce du elle aux comme mais ou nous vous dont être cette "
+      + "ses leur sans sont"),
+    "it" -> ("di e il la che è per una in un sono mi si lo ma le con se ci "
+      + "non come più questo qui del alla della nel sulla gli dei delle anche quando "
+      + "essere fatto"),
+    "nl" -> ("de het een van en in is dat op te zijn met voor niet aan er "
+      + "om door maar als dan zij ook bij dit toch wel worden geen nog hebben werd "
+      + "wordt over naar"),
+    "pl" -> ("w i z na do że się nie jest to jak po co tak za od ale czy "
+      + "przez jego ich tym być ma przy dla które który tylko już można bardzo przed "
+      + "jednak także"),
+    "pt" -> ("de a o que e do da em um para com não uma os no se na por "
+      + "mais as dos como mas ao ele das seu sua ou quando muito nos já eu também só "
+      + "pelo pela até isso"),
+    "ro" -> ("de a în și la cu o pe este un pentru care nu se mai din sau "
+      + "dar dacă fost fie sunt după când avea ani lui între prin despre unde acest "
+      + "ce ar fi"),
+    "ru" -> ("и в не на я что он с как это был его но по к она этот они мы "
+      + "за из у же от то все а о так для мне было бы вот кто да когда только"),
+    "sv" -> ("och i att det som en på är av för med den till inte har de "
+      + "ett om han men var sig från vi så här kan när över ut efter vid mot där sedan "
+      + "under något"),
+    "tr" -> ("bir ve bu da ne için ile de çok daha o ben gibi ama var mı en "
+      + "sen kadar sonra onu her şey beni bana olarak yok ki diye mi benim onun olan değil"),
+    "uk" -> ("і в не на що я з до він як але це був за його вона по у від "
+      + "ми так або коли для мене було вже тут цей про також може бути його яких"))
+
+  /** Running-text samples for the unspaced ideographic scripts —
+    * everyday sentences built from the script's highest-frequency
+    * characters and constructions (kana particles / copula morphology
+    * for ja; 的/是/了/我-class function characters for zh). */
+  private[operators] val cjkSamples: Seq[(String, String)] = Seq(
+    "ja" -> ("これはペンです 私は学生です 日本語の勉強をしています それはとてもいいですね "
+      + "彼は東京に住んでいます 今日は天気がいいです 何をしていますか ありがとうございます "
+      + "この本はとても面白いです 明日また来てください 私たちは友達です "
+      + "それを見たことがあります もう少し待ってください"),
+    "zh" -> ("我们的朋友是一个好人 他们在这里工作 我想去中国学习中文 这是一个很大的问题 "
+      + "你们有没有时间 他说的话很有意思 我们一起去吃饭吧 现在是什么时候 这个地方非常漂亮 "
+      + "我不知道他在哪里 这样做是不对的 他已经来了很久了 大家都很高兴 那是什么东西 "
+      + "请问现在几点了"))
+
+  /** The supported language codes, sorted. */
+  val languages: Seq[String] = (spacedSamples.map(_._1) ++ cjkSamples.map(_._1)).sorted
+
+  private def normalize(s: String): String =
+    "_" + s.trim.replaceAll("\\s+", "_") + "_"
+
+  /** Zipf expansion: the word lists are in descending frequency order;
+    * real running text repeats its head words, so weight them (×3 for
+    * the top 4, ×2 for the next 8) before counting trigrams. */
+  private def zipfExpand(sample: String): String =
+    sample.split("\\s+").zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(if (i < 4) 3 else if (i < 12) 2 else 1)(w)
+    }.mkString(" ")
+
+  private def topGrams(grams: Seq[String]): Seq[(String, Int)] = {
+    val counts = grams.groupBy(identity).map { case (g, occ) => (g, occ.size) }.toSeq
+    counts.sortBy { case (g, c) => (-c, g) }.take(ProfileSize)
+      .zipWithIndex.map { case ((g, _), r) => (g, ProfileSize - r) }
+  }
+
+  /** (lang, gram, weight) rows — the single source of truth both the
+    * Spark plan and the generated oracle SQL consume. */
+  val profiles: Seq[(String, String, Int)] = {
+    val spaced = spacedSamples.flatMap { case (lang, text) =>
+      val t = normalize(zipfExpand(text))
+      topGrams((0 to t.length - 3).map(i => t.substring(i, i + 3)))
+        .map { case (g, w) => (lang, g, w) }
+    }
+    val cjk = cjkSamples.flatMap { case (lang, text) =>
+      val t = normalize(text)
+      val grams = for {
+        n <- Seq(1, 2); i <- 0 to t.length - n
+        g = t.substring(i, i + n) if !g.contains("_")
+      } yield g
+      topGrams(grams).map { case (g, w) => (lang, g, w) }
+    }
+    spaced ++ cjk
+  }
+
+  /** All 1-, 2-, and 3-grams of the normalized text column (uniform
+    * extraction: alphabetic profiles hold only trigrams, CJK profiles
+    * only uni/bigrams, so neither leaks noise into the other). */
+  private def gramsCol(t: Column): Column = {
+    def ofLen(n: Int) =
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    concat(ofLen(1), ofLen(2), ofLen(3))
+  }
+
+  /** Per-document language prediction: (idCol, lang_pred, score) with
+    * score the exact integer profile hit mass (0 and "und" when no
+    * profile n-gram occurs). */
+  def predict(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prof = broadcast(profiles.toDF("lang", "g", "w"))
+    val norm = concat(lit("_"),
+      regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", "_"),
+      lit("_"))
+    val grams = df.select(col(idCol).as("id"), norm.as("t"))
+      .select(col("id"), explode(gramsCol(col("t"))).as("g"))
+    val scored = grams.join(prof, "g")
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(col("w")).cast("long").as("score"))
+    // argmax per doc: min over (−score, lang) = max score, lexicographic
+    // lang tie-break — the same total order the oracle's row_number uses
+    val best = scored
+      .groupBy(col("id"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang").as("l"))).as("b"))
+      .select(col("id"),
+        col("b.l").as("lang_pred"), (-col("b.ns")).cast("long").as("score"))
+    df.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** The profile as a DuckDB VALUES literal (samples contain no quote
+    * characters by construction — asserted, so a future sample edit
+    * cannot silently corrupt the SQL). */
+  def profileValuesSql: String = {
+    require(profiles.forall { case (l, g, _) => !l.contains("'") && !g.contains("'") },
+      "profile entries must not contain single quotes")
+    profiles.map { case (l, g, w) => s"('$l','$g',$w)" }.mkString(",")
+  }
+
+  /** DuckDB replay of [[predict]] over `table`: identical n-gram
+    * extraction, profile join, scoring, and tie-break. */
+  def docSql(table: String, idCol: String, textCol: String): String = s"""
+      WITH prof(lang, g, w) AS (VALUES ${profileValuesSql}),
+      norm AS (
+        SELECT $idCol AS id,
+               '_' || regexp_replace(lower(coalesce($textCol, '')), '\\s+', '_', 'g') || '_' AS t
+        FROM $table),
+      tri AS (
+        SELECT id, unnest(
+          list_transform(range(1, length(t) + 1),
+            i -> substring(t, CAST(i AS INT), 1))
+          || list_transform(range(1, length(t)),
+               i -> substring(t, CAST(i AS INT), 2))
+          || CASE WHEN length(t) >= 3 THEN
+               list_transform(range(1, length(t) - 1),
+                 i -> substring(t, CAST(i AS INT), 3))
+             ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM norm),
+      sc AS (
+        SELECT id, lang, CAST(sum(w) AS BIGINT) AS score
+        FROM tri JOIN prof ON tri.g = prof.g
+        GROUP BY 1, 2),
+      best AS (
+        SELECT id, lang, score FROM (
+          SELECT id, lang, score,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY score DESC, lang ASC) AS rnk
+          FROM sc)
+        WHERE rnk = 1)
+      SELECT n.id AS $idCol,
+             coalesce(b.lang, 'und') AS lang_pred,
+             coalesce(b.score, 0) AS score
+      FROM norm n LEFT JOIN best b ON n.id = b.id"""
+}

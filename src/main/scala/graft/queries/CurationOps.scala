@@ -553,6 +553,23 @@ object CurationOps {
       ORDER BY n_pairs DESC, w1, w2
       LIMIT 40"""))
 
+  /** q129: per-document multi-language identification
+    * ([[graft.operators.LangId.predict]]) — character-trigram profile
+    * scoring over 20 languages, integer-exact rank weights, argmax with
+    * lexicographic tie-break, "und" when no profile trigram occurs. The
+    * oracle replays the identical trigram extraction, profile VALUES
+    * table, and scoring ([[graft.operators.LangId.docSql]] — generated
+    * from the SAME profile constants as the Spark plan, so the two
+    * sides cannot drift). */
+  private val q129 = QuerySpec(
+    "q129_lang_profile",
+    (s, dir) =>
+      graft.operators.LangId.predict(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    oracle = Some(
+      graft.operators.LangId.docSql("documents", "doc_id", "text") +
+        "\n      ORDER BY doc_id"))
+
   val specs: Seq[QuerySpec] =
-    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128)
+    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129)
 }

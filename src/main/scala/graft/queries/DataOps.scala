@@ -187,40 +187,23 @@ object DataOps {
       FROM m
       ORDER BY doc_id"""))
 
-  /** q34: language-ID by stopword-marker voting; the cascading CASE in
-    * the oracle reproduces the lexicographic tie-break exactly. */
+  /** q34: corpus language census — per-doc prediction from the
+    * 20-language character-trigram profile scorer
+    * ([[graft.operators.LangId.predict]], upgraded in r6 from the old
+    * 2-effective-language stopword vote) rolled up to (lang, n_docs).
+    * The oracle wraps the generated per-doc replay
+    * ([[graft.operators.LangId.docSql]]) in the same rollup. */
   private val q34 = QuerySpec(
     "q34_lang_id",
     (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextFns.languageId(col("text")).as("lang_pred"))
+      graft.operators.LangId.predict(Tables.documents(s, dir), "doc_id", "text")
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred")),
-    oracle = Some("""
-      WITH t AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
-        FROM documents),
-      h AS (
-        SELECT doc_id,
-          len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS de,
-          len(list_filter(w, x -> x IN ('the','and','is','of','to','in','that','it'))) AS en,
-          len(list_filter(w, x -> x IN ('el','la','los','las','es','y','en','que'))) AS es,
-          len(list_filter(w, x -> x IN ('le','la','les','et','est','que','des','une'))) AS fr,
-          len(list_filter(w, x -> x IN ('и','в','не','на','что','это'))) AS ru
-        FROM t),
-      p AS (
-        SELECT doc_id,
-          CASE WHEN greatest(de, en, es, fr, ru) = 0 THEN 'und'
-               WHEN de >= en AND de >= es AND de >= fr AND de >= ru THEN 'de'
-               WHEN en >= es AND en >= fr AND en >= ru THEN 'en'
-               WHEN es >= fr AND es >= ru THEN 'es'
-               WHEN fr >= ru THEN 'fr'
-               ELSE 'ru' END AS lang_pred
-        FROM h)
-      SELECT lang_pred, count(*) AS n_docs
-      FROM p
+    oracle = Some(s"""
+      SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+      FROM (${graft.operators.LangId.docSql("documents", "doc_id", "text")}
+      )
       GROUP BY lang_pred
       ORDER BY lang_pred"""))
 
