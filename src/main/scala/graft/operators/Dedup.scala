@@ -724,4 +724,73 @@ object Dedup {
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .filter(col("hamming") <= radius)
   }
+
+  /** Cross-doc repeated-span EXCISION (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2021 — the
+    * ExactSubstr pass): any word `n`-gram occurring ≥ `minOccurrences`
+    * times in the corpus keeps its globally-first occurrence
+    * (min (doc, pos)) and is cut everywhere else; overlapping cut
+    * windows merge naturally through position-set union. Completes the
+    * dedup family: line-level (q103/q111) and whole-shingle-set
+    * similarity (q27/q28) REMOVE or PAIR whole docs — this rewrites
+    * doc BODIES, the production corpus-build step that strips boiler
+    * plate spans while keeping the surrounding prose.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean) for EVERY input doc
+    * (unchanged docs report n_removed = 0), ordered by the caller.
+    *
+    * Plan shape, deliberately explode-then-aggregate (never a
+    * self-join): positional shingle hashes (narrow, ≈1 row per token),
+    * ONE hash-partition window pass marking global occurrence order +
+    * census, ONE doc-keyed aggregation of cut positions, then the
+    * excision itself runs inside the final projection as an
+    * indexed-filter HOF (the q111 trade: per-row cycles over any
+    * shuffle of reconstructed text). Shuffle keys are 8-byte hashes;
+    * nothing corpus-sized moves twice. The per-doc `array_contains`
+    * test is O(|doc|·|cuts|) — microseconds on real docs, and the
+    * degenerate all-repeated doc is bounded by |doc|² exactly like the
+    * q111 intra-doc rule.
+    *
+    * The shingle hash is [[portableTokenHash]] (md5-derived) so any
+    * engine replays the grouping exactly — the q130 oracle does, and
+    * a 64-bit-collision false cut at corpus scale is the same accepted
+    * fidelity trade as MinHash banding. Docs shorter than `n` tokens
+    * produce no shingles and pass through whole. */
+  def exciseRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Int = 2): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(minOccurrences >= 2,
+      s"minOccurrences < 2 would excise every span; got $minOccurrences")
+    val toks = filter(
+      split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
+    val base = docs.select(col(idCol).as("id"), toks.as("w"))
+    // positional shingles, 1-based pos to match SQL list indexing
+    val occ = base
+      .filter(size(col("w")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => portableTokenHash(concat_ws(" ", slice(col("w"), i, lit(n))))))
+        .as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    // one shuffle on the shingle hash serves both the occurrence census
+    // and the first-occurrence rank
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val marked = occ
+      .withColumn("rn",
+        row_number().over(byHash.orderBy(col("id"), col("pos"))))
+      .withColumn("c", count(lit(1)).over(byHash))
+    val covered = marked
+      .filter(col("c") >= minOccurrences && col("rn") > 1)
+      .groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("rps"))
+      .select(col("id"), array_distinct(flatten(transform(col("rps"),
+        p => sequence(p, p + (n - 1))))).as("cps"))
+    base.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cps")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("w"), (t, i) =>
+          coalesce(!array_contains(col("cps"), (i + 1).cast("long")),
+            lit(true)))).as("clean"))
+  }
 }

@@ -537,7 +537,55 @@ object DataOps {
       GROUP BY cluster
       ORDER BY keep_id"""))
 
+  /** q130: cross-doc repeated-span excision under the oracle
+    * ([[Dedup.exciseRepeatedSpans]], the Lee-et-al ExactSubstr pass):
+    * every 5-gram occurring twice anywhere in the corpus keeps its
+    * globally-first occurrence and is cut from every other position;
+    * the oracle replays the identical positional-shingle census
+    * (portable md5 hash), first-occurrence window rank, position-set
+    * union, and indexed-filter excision (DuckDB lambda indexes are
+    * 1-based where Spark's are 0-based — both sides shift to the same
+    * 1-based position space). */
+  private val q130 = QuerySpec(
+    "q130_repeated_spans",
+    (s, dir) =>
+      Dedup.exciseRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+          n = 5, minOccurrences = 2)
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+      occ AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ('0x' || substring(md5(
+                  array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+                ), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+              FROM toks WHERE len(w) >= 5)),
+      marked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY h) AS c
+        FROM occ),
+      cov AS (
+        SELECT doc_id, list(DISTINCT p) AS cps FROM (
+          SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+          FROM marked WHERE c >= 2 AND rn > 1)
+        GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(coalesce(len(cps), 0) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(
+               list_filter(w, (x, i) ->
+                 cps IS NULL OR NOT list_contains(cps, CAST(i AS BIGINT))),
+               ' '), '') AS clean
+      FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
+      ORDER BY t.doc_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49, q50, q51, q92)
+    q48, q49, q50, q51, q92, q130)
 }

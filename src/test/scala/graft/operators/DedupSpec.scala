@@ -185,4 +185,53 @@ class DedupSpec extends SparkSpec {
     out.schema("id_b").dataType shouldBe org.apache.spark.sql.types.IntegerType
     rows(out).map(r => (r.getInt(0), r.getInt(1))) should contain((1, 2))
   }
+
+  private def excised(docs: Seq[(Long, String)], n: Int): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    Dedup.exciseRepeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+  }
+
+  test("exciseRepeatedSpans: planted cross-doc span kept in first doc, cut from the second") {
+    val span = "alpha bravo charlie delta echo" // exactly n=5 tokens
+    val out = excised(Seq(
+      1L -> s"intro words here $span closing words",
+      2L -> s"different opening $span and a tail",
+      3L -> "wholly unrelated text with no repeats at all"), n = 5)
+    out(1L) shouldBe ((10L, 0L, s"intro words here $span closing words"))
+    out(2L) shouldBe ((10L, 5L, "different opening and a tail"))
+    out(3L)._2 shouldBe 0L
+  }
+
+  test("exciseRepeatedSpans: overlapping repeats merge into one maximal cut") {
+    // 6-token repeat = two overlapping 5-gram occurrences in doc 2;
+    // their cut windows [p,p+4] and [p+1,p+5] union to the full span
+    val span = "one two three four five six"
+    val out = excised(Seq(
+      1L -> s"$span left anchor",
+      2L -> s"right anchor $span"), n = 5)
+    out(1L)._2 shouldBe 0L
+    out(2L) shouldBe ((8L, 6L, "right anchor"))
+  }
+
+  test("exciseRepeatedSpans: intra-doc repetition keeps the first occurrence") {
+    val out = excised(Seq(
+      1L -> "a b c d e filler filler2 filler3 a b c d e"), n = 5)
+    out(1L)._2 shouldBe 5L
+    out(1L)._3 shouldBe "a b c d e filler filler2 filler3"
+  }
+
+  test("exciseRepeatedSpans: short, empty, and null docs pass through whole") {
+    import spark.implicits._
+    val df = Seq((1L, Option("only four tokens here")), (2L, Option("")),
+      (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    out(1L) shouldBe ((4L, 0L, "only four tokens here"))
+    out(2L) shouldBe ((0L, 0L, ""))
+    out(3L) shouldBe ((0L, 0L, ""))
+  }
 }
