@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,4 +53,184 @@ object Vocabulary {
         Seq("tok"), "left")
       .select(col("id"), col("pos").cast("int").as("pos"), col("tok"),
         coalesce(col("tok_id"), lit(0)).as("tok_id"))
+
+  // ---- Distributed BPE merge learning ---------------------------------
+  // Sennrich et al., "Neural Machine Translation of Rare Words with
+  // Subword Units" (2016): learn merge rules over the WORD-FREQUENCY
+  // table (distinct words ≪ corpus tokens — the standard trick that
+  // makes BPE learning cheap at any corpus size: one corpus-sized token
+  // count shuffle up front, then every merge round touches only the
+  // vocabulary relation). Deterministic by construction: the best pair
+  // is (count desc, lhs asc, rhs asc) and merge application is greedy
+  // left-to-right, so the same corpus yields the same merge table in
+  // any engine — DuckDB replays N unrolled rounds exactly
+  // ([[bpeMergesOracle]]/[[bpeSegmentsOracle]], generated from the same
+  // parameters).
+
+  /** Greedy left-to-right application of one merge (a,b)→ab as a pure
+    * fold: a pending `a` at the tail of the accumulator merges with an
+    * incoming `b`; the merged symbol differs from `a` (it is strictly
+    * longer), so it can never cascade within the same rule — exactly
+    * the non-overlapping greedy pass BPE specifies. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Character split (explicit substrings, 1-based — the same
+    * extraction the oracle's list_transform(range) performs). */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** The learned merges (driver-side, ≤ numMerges — stops early when no
+    * adjacent pair remains) plus the persisted word table; callers
+    * unpersist. */
+  private def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val words = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var r = 1
+    while (r <= numMerges && !done) {
+      // symbols under merges 1..r−1, rebuilt from the persisted word
+      // table by stacking the fold expressions (vocab-sized relation —
+      // recomputing r folds per round costs less than juggling r
+      // persisted lineages)
+      val syms = merges.foldLeft(charSyms(col("word"))) {
+        case (c, (_, a, b, _)) => applyMerge(c, a, b)
+      }
+      val top = words
+        .select(col("cnt"), syms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("lhs"),
+            element_at(col("syms"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        merges += ((r, top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+        r += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Learn `numMerges` BPE merges over the corpus: (rank, lhs, rhs,
+    * pair_count) in learning order, rank 1-based. */
+  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, words) = bpeLearn(docs, textCol, numMerges)
+    try merges.toDF("rank", "lhs", "rhs", "pair_count")
+    finally words.unpersist()
+  }
+
+  /** Word segmentations under the learned merges: (word, cnt,
+    * encoding), encoding = final symbols space-joined — the subword
+    * tokenization every word in the corpus receives. */
+  def bpeSegments(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (merges, words) = bpeLearn(docs, textCol, numMerges)
+    val syms = merges.foldLeft(charSyms(col("word"))) {
+      case (c, (_, a, b, _)) => applyMerge(c, a, b)
+    }
+    // one extra action on the persisted words before unpersist: safe —
+    // the result plan re-reads the (still cheap) aggregate if evicted
+    val out = words.select(col("word"), col("cnt"),
+      concat_ws(" ", syms).as("encoding"))
+    words.unpersist()
+    out
+  }
+
+  /** Shared CTE chain for the DuckDB replay of `numMerges` unrolled
+    * rounds over `table`.`textCol`: seq0 = per-word character symbols ×
+    * corpus count; round r = pair census p{r} (adjacent symbols
+    * weighted by word count), best pair b{r} (count desc, pair asc),
+    * match positions with the ISLAND-PARITY greedy rule (within a run
+    * of consecutive match positions — only possible when lhs = rhs —
+    * merge every other one, which is exactly the left-to-right
+    * non-overlapping pass [[applyMerge]] folds), rewrite seq{r}.
+    * list_extract throughout (DuckDB 1.0's `l[i]` binder rejects
+    * unnest-sourced subscripts). */
+  private def bpeCtes(table: String, textCol: String, numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH seq0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+               list_transform(range(1, length(word) + 1),
+                 i -> substring(word, CAST(i AS INT), 1)) AS syms
+        FROM (SELECT unnest(list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '')) AS word
+              FROM $table)
+        GROUP BY word)""")
+    (1 to numMerges).foreach { r =>
+      val prev = s"seq${r - 1}"
+      sb.append(s""",
+      p$r AS (
+        SELECT list_extract(syms, CAST(i AS INT)) AS l,
+               list_extract(syms, CAST(i + 1 AS INT)) AS rgt,
+               sum(cnt) AS c
+        FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+              FROM $prev WHERE len(syms) >= 2)
+        GROUP BY 1, 2),
+      b$r AS MATERIALIZED (SELECT l, rgt, c FROM p$r
+              ORDER BY c DESC, l ASC, rgt ASC LIMIT 1),
+      m${r}raw AS (
+        SELECT word, i FROM (
+          SELECT word, i,
+                 list_extract(syms, CAST(i AS INT)) AS s1,
+                 list_extract(syms, CAST(i + 1 AS INT)) AS s2
+          FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i
+                FROM $prev))
+        WHERE s1 = (SELECT l FROM b$r) AND s2 = (SELECT rgt FROM b$r)),
+      m${r}grp AS (
+        SELECT word, i,
+               i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+        FROM m${r}raw),
+      m$r AS MATERIALIZED (
+        SELECT word, i FROM (
+          SELECT word, i,
+                 (i - min(i) OVER (PARTITION BY word, grp)) % 2 AS par
+          FROM m${r}grp)
+        WHERE par = 0),
+      seq$r AS MATERIALIZED (
+        SELECT e.word, any_value(e.cnt) AS cnt,
+               list(CASE WHEN ma.i IS NOT NULL
+                         THEN (SELECT l || rgt FROM b$r)
+                         ELSE e.sym END ORDER BY e.p) AS syms
+        FROM (SELECT word, cnt,
+                     CAST(generate_subscripts(syms, 1) AS BIGINT) AS p,
+                     unnest(syms) AS sym
+              FROM $prev) e
+        LEFT JOIN m$r ma ON ma.word = e.word AND ma.i = e.p
+        LEFT JOIN m$r mb ON mb.word = e.word AND mb.i = e.p - 1
+        WHERE mb.i IS NULL
+        GROUP BY e.word)""")
+    }
+    sb.toString
+  }
+
+  /** DuckDB replay of [[bpeMerges]]. */
+  def bpeMergesOracle(table: String, textCol: String, numMerges: Int): String =
+    bpeCtes(table, textCol, numMerges) + "\n      " +
+      (1 to numMerges).map { r =>
+        s"SELECT CAST($r AS INT) AS rank, l AS lhs, rgt AS rhs, CAST(c AS BIGINT) AS pair_count FROM b$r"
+      }.mkString("\n      UNION ALL ") +
+      "\n      ORDER BY rank"
+
+  /** DuckDB replay of [[bpeSegments]]. */
+  def bpeSegmentsOracle(table: String, textCol: String, numMerges: Int): String =
+    bpeCtes(table, textCol, numMerges) + s"""
+      SELECT word, cnt, array_to_string(syms, ' ') AS encoding
+      FROM seq$numMerges
+      ORDER BY word"""
 }

@@ -358,5 +358,34 @@ object ScaleOps {
         GROUP BY ROLLUP(source))
       ORDER BY source"""))
 
-  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91)
+  /** q131: distributed BPE merge learning
+    * ([[graft.operators.Vocabulary.bpeMerges]], Sennrich 2016) — 10
+    * merge rounds over the word-frequency table, each round one
+    * vocab-sized pair census with (count desc, pair asc) tie-break.
+    * The oracle replays all 10 rounds UNROLLED (generated CTE chain —
+    * pair census, best pair, island-parity greedy rewrite per round),
+    * so the full learning trajectory is hash-checked, not just the
+    * final state. */
+  private val q131 = QuerySpec(
+    "q131_bpe_merges",
+    (s, dir) =>
+      graft.operators.Vocabulary.bpeMerges(Tables.documents(s, dir), "text", 10)
+        .orderBy(col("rank")),
+    oracle = Some(
+      graft.operators.Vocabulary.bpeMergesOracle("documents", "text", 10)))
+
+  /** q132: the word segmentations under those 10 learned merges
+    * ([[graft.operators.Vocabulary.bpeSegments]]) — every corpus word's
+    * subword encoding, the artifact a tokenizer ships. Same generated
+    * oracle chain as q131, projected at seq10. */
+  private val q132 = QuerySpec(
+    "q132_bpe_segments",
+    (s, dir) =>
+      graft.operators.Vocabulary.bpeSegments(Tables.documents(s, dir), "text", 10)
+        .orderBy(col("word")),
+    oracle = Some(
+      graft.operators.Vocabulary.bpeSegmentsOracle("documents", "text", 10)))
+
+  val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
+    q131, q132)
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Vocabulary.bpeMerges]]/[[Vocabulary.bpeSegments]] — distributed
+  * BPE merge learning. The q131/q132 oracles prove 10-round engine
+  * parity on the corpus; this spec pins the ALGORITHM on hand-computed
+  * fixtures (the classic Sennrich walk-through shape, greedy-overlap
+  * edge, early stop). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mergesOf(text: String, n: Int): Seq[(Int, String, String, Long)] =
+    Vocabulary.bpeMerges(Seq((1L, text)).toDF("doc_id", "text"), "text", n)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  private def segmentsOf(text: String, n: Int): Map[String, (Long, String)] =
+    Vocabulary.bpeSegments(Seq((1L, text)).toDF("doc_id", "text"), "text", n)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("hand-computed merge trajectory on the classic low/lower/lowest corpus") {
+    // word counts: low×3, lower×2, lowest×1 → all six words start l-o-w
+    val text = "low low low lower lower lowest"
+    val m = mergesOf(text, 3)
+    // round 1: (l,o) and (o,w) both occur 6 times — tie broken (l,o) < (o,w)
+    m(0) shouldBe ((1, "l", "o", 6L))
+    // round 2: (lo,w) now 6, everything else ≤ 3
+    m(1) shouldBe ((2, "lo", "w", 6L))
+    // round 3: (low,e) in lower+lowest = 3 beats (e,r)=2, (e,s)=1
+    m(2) shouldBe ((3, "low", "e", 3L))
+    val seg = segmentsOf(text, 3)
+    seg("low") shouldBe ((3L, "low"))
+    seg("lower") shouldBe ((2L, "lowe r"))
+    seg("lowest") shouldBe ((1L, "lowe s t"))
+  }
+
+  test("greedy left-to-right on self-pairs: aaaa merges to aa aa, aaa to aa a") {
+    val m = mergesOf("aaaa aaa", 1)
+    m(0) shouldBe ((1, "a", "a", 5L)) // 3 adjacent pairs in aaaa + 2 in aaa
+    val seg = segmentsOf("aaaa aaa", 1)
+    seg("aaaa")._2 shouldBe "aa aa"
+    seg("aaa")._2 shouldBe "aa a"
+  }
+
+  test("stops early when no adjacent pair remains") {
+    // single-char words only: zero pairs from the start
+    mergesOf("a b c a", 5) shouldBe Seq.empty
+    // 'ab' exhausts after one merge
+    val m = mergesOf("ab ab", 5)
+    m.map(t => (t._1, t._2, t._3)) shouldBe Seq((1, "a", "b"))
+    segmentsOf("ab ab", 5)("ab")._2 shouldBe "ab"
+  }
+
+  test("merge table rank/count types and ordering are stable") {
+    val df = Vocabulary.bpeMerges(
+      Seq((1L, "abc abc abd")).toDF("doc_id", "text"), "text", 4)
+    df.schema("rank").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    df.schema("pair_count").dataType shouldBe org.apache.spark.sql.types.LongType
+    val ranks = df.collect().map(_.getInt(0)).toSeq
+    ranks shouldBe ranks.sorted
+  }
+}
