@@ -272,12 +272,32 @@ object WeakScale {
             prev.withColumn("len", length(col("text")).cast("long")),
             cur.withColumn("len", length(col("text")).cast("long")),
             "source", "len", bucketWidth = 200L).count()
+        }),
+        // narrow 1-3-gram explode + broadcast profile join + two
+        // partial aggs — expect scan-bound ~linear
+        ("lang_id_q129", D, () => {
+          graft.operators.LangId.predict(docs, "doc_id", "text").count()
+        }),
+        // the replica tag sits at text END, so every base 5-gram not
+        // touching the tag duplicates across replicas — occurrence mass
+        // grows k× and nearly everything outside the first replica gets
+        // cut: the conservative (max-removal) measurement
+        ("repeated_spans_q130", D, () => {
+          Dedup.exciseRepeatedSpans(docs, "doc_id", "text", n = 5).count()
+        }),
+        // one corpus-sized token count, then 5 vocab-sized merge
+        // rounds; the fixed word pool keeps the vocab ~flat (+k replica
+        // tags), so rounds should cost ~constant while the initial
+        // count tracks the corpus
+        ("bpe_merges_q131", D, () => {
+          graft.operators.Vocabulary.bpeMerges(docs, "text", 5).count()
         }))
-      // SPARK_GRAFT_WEAKSCALE_ONLY="semantic" measures a name-substring
-      // subset (local iteration; the committed SCALE.md rows use the
-      // full run)
+      // SPARK_GRAFT_WEAKSCALE_ONLY="semantic,bpe" measures a
+      // comma-separated name-substring subset (local iteration; the
+      // committed SCALE.md rows use the full run)
       val only = sys.env.get("SPARK_GRAFT_WEAKSCALE_ONLY")
-      val out = ops.filter(o => only.forall(o._1.contains)).map {
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val out = ops.filter(o => only.forall(_.exists(o._1.contains))).map {
         case (name, input, body) =>
         // isolate each operator from its predecessors: drop the
         // operator-internal persisted relations (shingle sets, tf,
