@@ -150,6 +150,37 @@ object Vocabulary {
     out
   }
 
+  /** Document encoding under the learned merges — the full
+    * corpus→tensor tokenizer path: (id, word_pos, sub_pos, subword,
+    * sub_id), sub ids 1-based by (subword asc) over the segmentation
+    * alphabet. The corpus is tokenized once (narrow posexplode) and
+    * joined against the BROADCAST word→segmentation table (vocab-sized
+    * — the same reason BPE learning is cheap), then each word explodes
+    * to its subwords; the corpus itself never shuffles. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                numMerges: Int): DataFrame = {
+    val (merges, words) = bpeLearn(docs, textCol, numMerges)
+    val syms = merges.foldLeft(charSyms(col("word"))) {
+      case (c, (_, a, b, _)) => applyMerge(c, a, b)
+    }
+    val segs = words.select(col("word"), syms.as("syms"))
+    val vocab = segs.select(explode(col("syms")).as("subword")).distinct()
+      .withColumn("sub_id",
+        row_number().over(Window.orderBy(col("subword"))).cast("int"))
+    val out = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .join(broadcast(segs), "word")
+      .select(col("id"), col("word_pos").cast("int").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sub_pos", "subword")))
+      .join(broadcast(vocab), "subword")
+      .select(col("id").as(idCol), col("word_pos"),
+        col("sub_pos").cast("int").as("sub_pos"),
+        col("subword"), col("sub_id"))
+    words.unpersist()
+    out
+  }
+
   /** Shared CTE chain for the DuckDB replay of `numMerges` unrolled
     * rounds over `table`.`textCol`: seq0 = per-word character symbols ×
     * corpus count; round r = pair census p{r} (adjacent symbols
@@ -233,4 +264,31 @@ object Vocabulary {
       SELECT word, cnt, array_to_string(syms, ' ') AS encoding
       FROM seq$numMerges
       ORDER BY word"""
+
+  /** DuckDB replay of [[bpeEncode]] with a caller-supplied row
+    * restriction (`where`, e.g. "doc_id < 40 AND word_pos < 8" — the
+    * q90 precedent keeping the oracle output compact). */
+  def bpeEncodeOracle(table: String, idCol: String, textCol: String,
+                      numMerges: Int, where: String): String =
+    bpeCtes(table, textCol, numMerges) + s""",
+      segs AS (SELECT word, syms FROM seq$numMerges),
+      vocab AS (
+        SELECT subword, CAST(row_number() OVER (ORDER BY subword) AS INTEGER) AS sub_id
+        FROM (SELECT DISTINCT unnest(syms) AS subword FROM segs)),
+      tok AS (
+        SELECT $idCol, CAST(i - 1 AS INTEGER) AS word_pos, w[i] AS word
+        FROM (SELECT $idCol, list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '') AS w
+              FROM $table) t,
+             unnest(range(1, len(w) + 1)) AS r(i)),
+      sub AS (
+        SELECT t.$idCol, t.word_pos,
+               CAST(generate_subscripts(s.syms, 1) - 1 AS INTEGER) AS sub_pos,
+               unnest(s.syms) AS subword
+        FROM tok t JOIN segs s ON s.word = t.word)
+      SELECT b.$idCol, b.word_pos, b.sub_pos, b.subword, v.sub_id
+      FROM sub b JOIN vocab v USING (subword)
+      WHERE $where
+      ORDER BY b.$idCol, b.word_pos, b.sub_pos"""
 }

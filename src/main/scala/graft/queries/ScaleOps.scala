@@ -386,6 +386,22 @@ object ScaleOps {
     oracle = Some(
       graft.operators.Vocabulary.bpeSegmentsOracle("documents", "text", 10)))
 
+  /** q133: per-document subword encoding under the learned merges
+    * ([[graft.operators.Vocabulary.bpeEncode]]) — the full
+    * corpus→tensor tokenizer path (tokenize → broadcast segmentation
+    * join → subword explode → alphabet ids); restricted to the q90
+    * window (first 8 words of the first 40 docs) so the oracle output
+    * stays compact while covering multi-subword words and id
+    * determinism. */
+  private val q133 = QuerySpec(
+    "q133_bpe_encode",
+    (s, dir) =>
+      graft.operators.Vocabulary.bpeEncode(Tables.documents(s, dir), "doc_id", "text", 10)
+        .filter(col("doc_id") < 40 && col("word_pos") < 8)
+        .orderBy(col("doc_id"), col("word_pos"), col("sub_pos")),
+    oracle = Some(graft.operators.Vocabulary.bpeEncodeOracle(
+      "documents", "doc_id", "text", 10, "doc_id < 40 AND word_pos < 8")))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132)
+    q131, q132, q133)
 }

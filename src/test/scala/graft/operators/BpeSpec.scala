@@ -51,6 +51,27 @@ class BpeSpec extends SparkSpec {
     segmentsOf("ab ab", 5)("ab")._2 shouldBe "ab"
   }
 
+  test("bpeEncode: positions, subwords, and alphabet ids reconstruct the text") {
+    val df = Vocabulary.bpeEncode(
+      Seq((1L, "low lower"), (2L, "lowest low")).toDF("doc_id", "text"),
+      "doc_id", "text", 2) // merges: (l,o) then (lo,w) → every word starts "low"
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))
+    // doc 1 word 0 = "low" → single subword "low"
+    rows.filter(t => t._1 == 1L && t._2 == 0).map(_._4).toSeq shouldBe Seq("low")
+    // doc 1 word 1 = "lower" → low e r in order
+    rows.filter(t => t._1 == 1L && t._2 == 1).sortBy(_._3).map(_._4).toSeq shouldBe
+      Seq("low", "e", "r")
+    // doc 2 word 0 = "lowest" → low e s t
+    rows.filter(t => t._1 == 2L && t._2 == 0).sortBy(_._3).map(_._4).toSeq shouldBe
+      Seq("low", "e", "s", "t")
+    // alphabet ids: 1-based, ordered by subword asc, consistent everywhere
+    val alphabet = rows.map(t => (t._4, t._5)).distinct.sortBy(_._2)
+    alphabet.map(_._1) shouldBe alphabet.map(_._1).sorted
+    alphabet.map(_._2) shouldBe (1 to alphabet.size)
+    rows.groupBy(_._4).values.foreach(g => g.map(_._5).distinct.size shouldBe 1)
+  }
+
   test("merge table rank/count types and ordering are stable") {
     val df = Vocabulary.bpeMerges(
       Seq((1L, "abc abc abd")).toDF("doc_id", "text"), "text", 4)
