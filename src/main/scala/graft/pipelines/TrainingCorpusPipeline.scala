@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *                           the CCNet-style improbable-token gate)
   *   3. near-dup dedup      (Dedup.nearDupGroups — MinHash-LSH +
   *                           connected components, min-id survivor)
+  *   3b. span excision      (opt-in: Dedup.exciseRepeatedSpans — cut
+  *                           cross-doc repeated n-gram runs from the
+  *                           survivors, keeping each span's first
+  *                           occurrence; the Lee et al. ExactSubstr
+  *                           pass in the production order)
   *   4. decontamination     (exact + LSH near-dup leaks vs the eval
   *                           holdout, opt-in verbatim-n-gram detector —
   *                           leaked docs DROPPED)
@@ -102,7 +107,12 @@ object TrainingCorpusPipeline {
       // historical-index gate, whose index must then also hold
       // normalized text — so byte-different spellings of identical
       // text dedup together instead of hashing apart
-      normalizeForm: Option[String] = None)
+      normalizeForm: Option[String] = None,
+      // excise cross-doc repeated word n-grams of this width from the
+      // near-dup survivors (Dedup.exciseRepeatedSpans, the Lee et al.
+      // ExactSubstr pass): each repeated span keeps its globally-first
+      // occurrence; docs rebuilt to empty are dropped
+      spanExciseN: Option[Int] = None)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -223,8 +233,26 @@ object TrainingCorpusPipeline {
     val nearKeep = Dedup.nearDupGroups(lmGated, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("keep_id").as(idCol))
-    val deduped = lmGated.join(nearKeep, Seq(idCol), "left_semi")
+    val deduped0 = lmGated.join(nearKeep, Seq(idCol), "left_semi")
       .localCheckpoint(false)
+
+    // 3b. (opt-in) repeated-span excision: cut cross-doc repeated
+    // n-gram runs from the SURVIVORS (the Lee et al. ExactSubstr pass,
+    // the production order — doc-level dedup first so span frequency
+    // counts distinct contents, then substring-level surgery on what
+    // remains). Every repeated span keeps its globally-first
+    // occurrence; docs rebuilt to empty (pure boilerplate) drop.
+    // Runs BEFORE decontamination: detectors must see the text that
+    // will actually ship. Derived from the checkpointed relation, so
+    // the plan-growth bound of stage 3 is preserved.
+    val deduped = cfg.spanExciseN match {
+      case Some(n) =>
+        deduped0.drop(textCol)
+          .join(Dedup.exciseRepeatedSpans(deduped0, idCol, textCol, n)
+            .filter(length(col("clean")) > 0)
+            .select(col(idCol), col("clean").as(textCol)), Seq(idCol))
+      case None => deduped0
+    }
 
     // 4. decontamination: drop OUR docs that leak into the eval
     // holdout — exact fingerprint matches plus banded near-dup

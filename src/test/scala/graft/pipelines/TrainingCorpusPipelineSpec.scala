@@ -209,4 +209,33 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
       cfg.copy(normalizeForm = Some("NFC")))
     on.filter(col("doc_id") === 9100002L).count() shouldBe 0L
   }
+
+  test("opt-in span excision: a planted repeated span survives only in its first carrier") {
+    // plant a 6-token span on two DISSIMILAR pool docs (below the 0.8
+    // near-dup threshold, so doc-level dedup keeps both) — the span
+    // word pool is disjoint from the corpus vocabulary, so no corpus
+    // doc can carry it
+    val span = "spanqq spanrr spanss spantt spanuu spanvv"
+    val fillerA = ("alpha filler words keep quality up " * 6).trim
+    val fillerB = ("omega other content entirely different " * 6).trim
+    val pool2 = pool.union(Seq(
+      (9200001L, s"$fillerA $span"),
+      (9200002L, s"$fillerB $span")).toDF("doc_id", "text"))
+    val on = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text",
+        cfg.copy(spanExciseN = Some(5)))
+      .persist()
+    // both docs survive doc-level dedup (dissimilar), but the span's
+    // text reaches the chunk stream from ONLY the first carrier
+    on.filter(col("doc_id") === 9200001L).count() should be > 0L
+    on.filter(col("doc_id") === 9200002L).count() should be > 0L
+    on.filter(col("chunk_text").contains("spanss") &&
+      col("doc_id") =!= 9200001L).count() shouldBe 0L
+    on.filter(col("chunk_text").contains("spanss") &&
+      col("doc_id") === 9200001L).count() should be > 0L
+    // stage off: both carriers ship the span (the dual proving the
+    // stage, not the fixture, removes it)
+    val off = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text", cfg)
+    off.filter(col("chunk_text").contains("spanss"))
+      .select("doc_id").distinct().count() shouldBe 2L
+  }
 }
