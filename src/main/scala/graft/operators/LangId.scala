@@ -169,9 +169,12 @@ object LangId {
     concat(ofLen(1), ofLen(2), ofLen(3))
   }
 
-  /** Per-document language prediction: (idCol, lang_pred, score) with
-    * score the exact integer profile hit mass (0 and "und" when no
-    * profile n-gram occurs). */
+  /** Per-document language prediction: (idCol, lang_pred, score,
+    * margin) — score is the exact integer profile hit mass of the
+    * winner, margin the winner's lead over the runner-up language (=
+    * score when only one language scored at all; the standard
+    * close-call signal: small margin ⇒ mixed/ambiguous text). No
+    * profile n-gram at all → ("und", 0, 0). */
   def predict(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -184,18 +187,25 @@ object LangId {
     val scored = grams.join(prof, "g")
       .groupBy(col("id"), col("lang"))
       .agg(sum(col("w")).cast("long").as("score"))
-    // argmax per doc: min over (−score, lang) = max score, lexicographic
-    // lang tie-break — the same total order the oracle's row_number uses
+    // rank per doc by sorting the ≤|langs| (−score, lang) structs:
+    // index 0 = max score with lexicographic lang tie-break (the same
+    // total order the oracle's row_number uses), index 1 = runner-up
     val best = scored
       .groupBy(col("id"))
-      .agg(min(struct((-col("score")).as("ns"), col("lang").as("l"))).as("b"))
+      .agg(sort_array(collect_list(
+        struct((-col("score")).as("ns"), col("lang").as("l")))).as("bs"))
       .select(col("id"),
-        col("b.l").as("lang_pred"), (-col("b.ns")).cast("long").as("score"))
+        col("bs")(0).getField("l").as("lang_pred"),
+        (-col("bs")(0).getField("ns")).cast("long").as("score"),
+        ((-col("bs")(0).getField("ns")) -
+          coalesce(-try_element_at(col("bs"), lit(2)).getField("ns"), lit(0L)))
+          .cast("long").as("margin"))
     df.select(col(idCol).as("id"))
       .join(best, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
-        coalesce(col("score"), lit(0L)).as("score"))
+        coalesce(col("score"), lit(0L)).as("score"),
+        coalesce(col("margin"), lit(0L)).as("margin"))
   }
 
   /** The profile as a DuckDB VALUES literal (samples contain no quote
@@ -230,15 +240,19 @@ object LangId {
         SELECT id, lang, CAST(sum(w) AS BIGINT) AS score
         FROM tri JOIN prof ON tri.g = prof.g
         GROUP BY 1, 2),
+      ranked AS (
+        SELECT id, lang, score,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY score DESC, lang ASC) AS rnk
+        FROM sc),
       best AS (
-        SELECT id, lang, score FROM (
-          SELECT id, lang, score,
-                 row_number() OVER (PARTITION BY id
-                   ORDER BY score DESC, lang ASC) AS rnk
-          FROM sc)
-        WHERE rnk = 1)
+        SELECT r1.id, r1.lang, r1.score,
+               r1.score - coalesce(r2.score, 0) AS margin
+        FROM (SELECT * FROM ranked WHERE rnk = 1) r1
+        LEFT JOIN (SELECT * FROM ranked WHERE rnk = 2) r2 ON r1.id = r2.id)
       SELECT n.id AS $idCol,
              coalesce(b.lang, 'und') AS lang_pred,
-             coalesce(b.score, 0) AS score
+             coalesce(b.score, 0) AS score,
+             coalesce(b.margin, 0) AS margin
       FROM norm n LEFT JOIN best b ON n.id = b.id"""
 }

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   *                           corpus-wide boilerplate LINES before any
   *                           scoring sees them; the CCNet order)
   *   1. quality filter      (TextFns.qualityScore ≥ minQuality)
+  *   1b. language filter    (opt-in: LangId.predict ∈ keepLangs — the
+  *                           CCNet seating, before any dedup spend)
   *   2. exact dedup         (Dedup.exact — cheap, removes the bulk;
   *                           opt-in boilerplate ceiling AFTER it, so
   *                           shingle doc-frequency counts distinct
@@ -112,7 +114,12 @@ object TrainingCorpusPipeline {
       // near-dup survivors (Dedup.exciseRepeatedSpans, the Lee et al.
       // ExactSubstr pass): each repeated span keeps its globally-first
       // occurrence; docs rebuilt to empty are dropped
-      spanExciseN: Option[Int] = None)
+      spanExciseN: Option[Int] = None,
+      // keep only documents whose profile-scored language
+      // (LangId.predict) lands in this set — the CCNet order: language
+      // ID right after the quality floor, before any dedup spend.
+      // "und" (no profile hit) is kept only if listed.
+      keepLangs: Option[Set[String]] = None)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -182,10 +189,24 @@ object TrainingCorpusPipeline {
     val quality = lineClean.filter(
       TextFns.qualityScore(col(textCol)) >= cfg.minQuality)
 
+    // 1b. (opt-in) language filter: the CCNet seating — right after
+    // the quality floor, so no dedup/LM/decontamination work is spent
+    // on out-of-scope languages. Profile scoring is linear and
+    // broadcast-joined (LangId scale notes); survivors are semi-joined
+    // back so the text column flows through untouched.
+    val langGated = cfg.keepLangs match {
+      case Some(langs) =>
+        val keep = graft.operators.LangId.predict(quality, idCol, textCol)
+          .filter(col("lang_pred").isin(langs.toSeq.sorted: _*))
+          .select(col(idCol))
+        quality.join(keep, Seq(idCol), "left_semi")
+      case None => quality
+    }
+
     // 2. exact dedup: keep the min-id survivor per distinct content
-    val exactKeep = Dedup.exact(quality, idCol, textCol)
+    val exactKeep = Dedup.exact(langGated, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val exactDeduped0 = quality.join(exactKeep, Seq(idCol), "left_semi")
+    val exactDeduped0 = langGated.join(exactKeep, Seq(idCol), "left_semi")
 
     // 2b. (opt-in) boilerplate ceiling: drop templated content whose
     // shingles are mostly corpus-common. Runs AFTER exact dedup —

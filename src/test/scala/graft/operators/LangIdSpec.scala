@@ -51,6 +51,23 @@ class LangIdSpec extends SparkSpec {
     got(3L) shouldBe ("und", 0L)
   }
 
+  test("margin is the winner's lead over the runner-up; close pairs score low margins") {
+    import spark.implicits._
+    val rows = LangId.predict(Seq(
+        (1L, "the quick brown fox jumped over the lazy dog and all of the others"),
+        (2L, ""), // und → margin 0
+        (3L, "の")) // single ja-only unigram: one language scores → margin = score
+      .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val (l1, s1, m1) = rows(1L)
+    l1 shouldBe "en"
+    assert(m1 > 0 && m1 <= s1)
+    rows(2L) shouldBe ("und", 0L, 0L)
+    val (l3, s3, m3) = rows(3L)
+    l3 shouldBe "ja"
+    m3 shouldBe s3
+  }
+
   test("profile table is well-formed: 20 languages, positive rank weights, trigram grams") {
     LangId.languages.size shouldBe 20
     val byLang = LangId.profiles.groupBy(_._1)

@@ -238,4 +238,21 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     off.filter(col("chunk_text").contains("spanss"))
       .select("doc_id").distinct().count() shouldBe 2L
   }
+
+  test("opt-in language filter: an out-of-scope-language doc drops, stage off keeps it") {
+    // a clearly-Russian doc (function-word dense, passes the quality
+    // floor); keepLangs = everything EXCEPT ru, so the synthetic
+    // English-token pool flows through regardless of which Latin
+    // language each doc profiles to
+    val ru = "это был он и она но мы не так как это было для них и " +
+      "когда только он был с ней все они были не так как мы"
+    val pool2 = pool.union(Seq((9300001L, ru)).toDF("doc_id", "text"))
+    val langs = graft.operators.LangId.languages.toSet - "ru"
+    val on = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text",
+      cfg.copy(keepLangs = Some(langs + "und")))
+    on.filter(col("doc_id") === 9300001L).count() shouldBe 0L
+    on.count() should be > 0L
+    val off = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text", cfg)
+    off.filter(col("doc_id") === 9300001L).count() should be > 0L
+  }
 }
