@@ -166,6 +166,27 @@ object StreamOps {
         batch, idCol, textCol, lm, oovLpMicro), id)
     }
 
+  /** Per-micro-batch language identification: applies the batch
+    * operator ([[graft.operators.LangId.predict]]) to every
+    * micro-batch via `foreachBatch` and hands `sink` the batch rows
+    * with (lang_pred, score, margin) attached — the live form of the
+    * q129 curation gate (route/drop by language at ingest).
+    *
+    * Stateless by the same argument as [[lmScoreEachBatch]]: the
+    * prediction is batch-local (its per-doc aggregations run INSIDE
+    * the batch DataFrame, where they are plain batch aggs — no
+    * streaming state, no watermark) and the profile table is a
+    * compile-time constant broadcast, so live and backfill runs score
+    * identically. */
+  def langIdEachBatch(docs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(batch.join(
+        graft.operators.LangId.predict(batch, idCol, textCol), Seq(idCol)), id)
+    }
+
   /** Per-micro-batch distribution-drift monitoring: applies the batch
     * operator ([[graft.operators.CorpusStats.distributionDrift]])
     * against an offline REFERENCE snapshot to every micro-batch via
