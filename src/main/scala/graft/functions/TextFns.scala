@@ -198,7 +198,10 @@ object TextFns {
     * marker tokens occur most (ties → lexicographically first), "und" when
     * nothing matches. Pure expression: one pass over the token array per
     * language; for a handful of languages this beats shipping a model.
-    */
+    * The production path is [[graft.operators.LangId.predict]] (20
+    * languages, character-n-gram profiles, per-doc score + margin) —
+    * this stays as the zero-join expression-only form for quick gating
+    * on a known small language set. */
   def languageId(text: Column): Column = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
