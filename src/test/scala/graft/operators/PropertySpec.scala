@@ -97,6 +97,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("round-6 operator invariants hold over arbitrary corpora") {
+    docSamples(3).foreach { docsList =>
+      val docs = docsList.toDF("doc_id", "text")
+
+      // LangId: one row per doc; score ≥ margin ≥ 0; und ⟺ score 0;
+      // predictions repartition-stable
+      val p1 = LangId.predict(docs, "doc_id", "text")
+      p1.count() shouldBe docs.count()
+      p1.collect().foreach { r =>
+        val (lang, score, margin) = (r.getString(1), r.getLong(2), r.getLong(3))
+        assert(score >= margin && margin >= 0L)
+        assert((lang == "und") == (score == 0L), s"$lang score=$score")
+      }
+      val p2 = LangId.predict(docs.repartition(7), "doc_id", "text")
+      rows(p1.exceptAll(p2)) shouldBe empty
+
+      // exciseRepeatedSpans: one row per doc; token conservation —
+      // clean's token count = n_tokens − n_removed; n_removed bounded;
+      // output repartition-stable
+      val e1 = Dedup.exciseRepeatedSpans(docs, "doc_id", "text", n = 3)
+      e1.count() shouldBe docs.count()
+      e1.collect().foreach { r =>
+        val (nTok, nRem, clean) = (r.getLong(1), r.getLong(2), r.getString(3))
+        assert(nRem >= 0L && nRem <= nTok)
+        val cleanToks = clean.split("\\s+").count(_.nonEmpty).toLong
+        cleanToks shouldBe (nTok - nRem)
+      }
+      val e2 = Dedup.exciseRepeatedSpans(docs.repartition(5), "doc_id", "text", n = 3)
+      rows(e1.exceptAll(e2)) shouldBe empty
+
+      // BPE: merge ranks are 1..N without gaps; pair counts
+      // non-increasing is NOT an invariant (later merges can create
+      // more frequent pairs) — but every count is ≥ 1 and the
+      // segmentation re-joins to the original word
+      val m = Vocabulary.bpeMerges(docs, "text", 4).collect()
+      m.map(_.getInt(0)).toSeq shouldBe (1 to m.length)
+      m.foreach(_.getLong(3) should be >= 1L)
+      Vocabulary.bpeSegments(docs, "text", 4).collect().foreach { r =>
+        r.getString(2).replace(" ", "") shouldBe r.getString(0)
+      }
+    }
+  }
+
   test("constant-value groups survive Tukey trim whole") {
     val df = (1L to 40L).map(i => ("g", 7L)).toDF("grp", "v")
     OutlierTrim.tukey(df, "grp", "v").count() shouldBe 40L

@@ -238,6 +238,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("top_k_pairs"), plan)
   }
 
+  private def executedPlanOf(name: String): String = {
+    // AQE finalizes joins (e.g. the per-doc best relation's broadcast)
+    // only on execution — run first, then read the final plan. The
+    // executed string appends the "== Initial Plan ==" section too;
+    // slice it off so node counts reflect what actually ran.
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    full.split("== Initial Plan ==")(0)
+  }
+
+  test("q129: profile joins broadcast, scoring is partial+final agg, no cartesian") {
+    val plan = executedPlanOf("q129_lang_profile")
+    // two broadcasts: the 1280-row profile into the gram stream, and
+    // the per-doc best relation back onto the doc ids
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q130: census + rank share ONE shingle-hash shuffle; cut sets broadcast back") {
+    val plan = executedPlanOf("q130_repeated_spans")
+    // the two window functions (row_number rank, count census) must
+    // ride a single hashpartitioning exchange on the shingle hash
+    assert("hashpartitioning\\(h#".r.findAllIn(plan).size == 1, plan)
+    assert("Window".r.findAllIn(plan).size == 2, plan)
+    // covered-position sets join back to docs as a broadcast, and
+    // nothing plans a cartesian or a text-keyed sort-merge join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
