@@ -570,6 +570,68 @@ object CurationOps {
       graft.operators.LangId.docSql("documents", "doc_id", "text") +
         "\n      ORDER BY doc_id"))
 
+  /** q134: bigram-LM self-scoring ([[graft.operators.BigramLm]]) —
+    * the conditional-probability quality gate one order above q93:
+    * mean ln p(wᵢ|wᵢ₋₁) per doc, unseen bigrams backing off to the
+    * continuation's unigram log-prob − 5 (stupid backoff), unigram-OOV
+    * impossible under self-scoring but the oracle mirrors the floor
+    * anyway. Same determinism contract as q93: one ln per distinct
+    * (bi/uni)gram quantized to integer micro-units, order-independent
+    * integer sums, display division last. Docs with < 2 tokens keep a
+    * row with NULL avg. */
+  private val q134 = QuerySpec(
+    "q134_bigram_lm",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.BigramLm.selfScore(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+      pairs AS (
+        SELECT doc_id,
+               list_extract(w, CAST(i AS INT)) AS w1,
+               list_extract(w, CAST(i + 1 AS INT)) AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE len(w) >= 2)),
+      bc AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(cnt) AS ctx_cnt FROM bc GROUP BY 1),
+      lm AS (
+        SELECT w1, w2,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / ctx_cnt) * 1000000, 0) AS BIGINT)
+                 AS lp_micro
+        FROM bc JOIN ctx USING (w1)),
+      ut AS (SELECT unnest(w) AS token FROM toks),
+      uc AS (SELECT token, count(*) AS cnt FROM ut GROUP BY 1),
+      un AS (SELECT count(*) AS n_total FROM ut),
+      ulm AS (
+        SELECT token,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / n_total) * 1000000, 0) AS BIGINT)
+                 AS uni_lp
+        FROM uc CROSS JOIN un),
+      tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf) AS INTEGER) AS n_bigrams,
+               sum(tf * coalesce(lm.lp_micro,
+                     coalesce(ulm.uni_lp, -20000000) + -5000000)) AS lp_sum
+        FROM tf
+        LEFT JOIN lm ON lm.w1 = tf.w1 AND lm.w2 = tf.w2
+        LEFT JOIN ulm ON ulm.token = tf.w2
+        GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(sc.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+             CAST(coalesce(sc.lp_sum, 0) AS BIGINT) AS lp_sum_micro,
+             CASE WHEN sc.n_bigrams > 0 THEN
+               round(CAST(sc.lp_sum AS DOUBLE) / sc.n_bigrams / 1000000.0, 4)
+             END AS avg_logprob
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129)
+    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129, q134)
 }
