@@ -150,4 +150,57 @@ object Decontaminate {
       .distinct()
     Dedup.verifyJaccard(cands, "eval_id", "train_id", eSets, tSets, threshold)
   }
+
+  /** SEMANTIC decontamination: eval docs whose EMBEDDING lands within
+    * cosine `threshold` of any train embedding — the detector for
+    * paraphrased/translated/reworded benchmark leakage that every
+    * lexical detector above (fingerprints, shingles, n-grams) is blind
+    * to by construction. Output: (eval_id, train_id, sim) per leaking
+    * cross-corpus pair at sim ≥ threshold, eval-side identity first
+    * (the family convention — the action is "drop/flag the eval doc").
+    *
+    * Candidate generation is IVF shared-cell pairing over the UNION of
+    * both corpora (one centroid broadcast + one cell shuffle — never
+    * an all-pairs cross join; the same sub-quadratic shape and
+    * nProbe/nCells recall trade as [[Similarity.ivfTopK]], with
+    * nCells = 0 auto-sizing via the measured √n rule). Sides are
+    * disambiguated by packing ids into `2·id + isEval` — integral ids
+    * required (same guard and reason as [[nearDupLeaksLsh]]) and ids
+    * must fit 62 bits — so the boundary predicate (train parity ×
+    * eval parity) sits below the cell join and same-side pairs never
+    * reach the cosine kernel. NULL/corrupt embeddings are excluded up
+    * front ([[Similarity]]'s "excluded from the index" contract). */
+  def semanticLeaks(train: DataFrame, eval: DataFrame, idCol: String,
+                    vecCol: String, threshold: Double,
+                    nCells: Int = 0, nProbe: Int = 2,
+                    centroidRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      id => pmod(xxhash64(id), lit(1000000L))): DataFrame = {
+    def side(df: DataFrame, tag: Int) = {
+      val idType = df.schema(idCol).dataType
+      require(idType == org.apache.spark.sql.types.LongType
+          || idType == org.apache.spark.sql.types.IntegerType,
+        s"semantic decontamination needs an integral id, got ${idType.catalogString}")
+      df.filter(col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull))
+        .select((col(idCol).cast("long") * 2 + tag).as("uid"),
+          col(vecCol).as("vec"))
+    }
+    val all = side(train, 0).union(side(eval, 1))
+    // persisted: the cell relation feeds both join sides (ivfTopK's rule)
+    val cells = Similarity.ivfCells(all, "uid", "vec", nCells, nProbe, centroidRank)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cells.as("t").join(cells.as("e"),
+        col("t.cell") === col("e.cell")
+          && pmod(col("t.id"), lit(2)) === 0 && pmod(col("e.id"), lit(2)) === 1)
+      .select(col("t.id").as("t_uid"), col("e.id").as("e_uid"))
+      .distinct()
+    pairs
+      .join(all.select(col("uid").as("t_uid"), col("vec").as("__tv")), "t_uid")
+      .join(all.select(col("uid").as("e_uid"), col("vec").as("__ev")), "e_uid")
+      // integer `div`, not `/`: float division loses exactness past
+      // 2^53 and these are ids (the Tables.events ns→µs precedent)
+      .select(expr("(e_uid - 1) div 2").as("eval_id"),
+        expr("t_uid div 2").as("train_id"),
+        graft.functions.VectorFns.cosine(col("__tv"), col("__ev")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

@@ -263,5 +263,59 @@ object TrainingOps {
       WHERE CAST(isect AS DOUBLE) / (se.sz + st.sz - isect) >= 0.8
       ORDER BY eval_id, train_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81, q82)
+  /** q135: SEMANTIC decontamination
+    * ([[graft.operators.Decontaminate.semanticLeaks]]) — embedding-
+    * cosine leakage across the q82 train/eval split, the detector for
+    * paraphrased benchmark leakage every lexical detector is blind to.
+    * IVF shared-cell candidates over the unioned corpora (portable
+    * centroid draw on the packed 2·id+isEval key), cross-boundary
+    * pairs only, threshold 0.35 (the q30/q86 tail convention on these
+    * unclustered embeddings). The oracle replays the packing, the
+    * centroid draw, nProbe assignment, boundary parity, and the
+    * cosine filter. */
+  private val q135 = QuerySpec(
+    "q135_semantic_decontaminate",
+    (s, dir) => {
+      import graft.operators.Decontaminate
+      val e = Tables.embeddings(s, dir)
+      val isEval = substring(md5(col("vec_id").cast("string")), 1, 1) < "2"
+      Decontaminate.semanticLeaks(e.filter(!isEval), e.filter(isEval),
+          "vec_id", "embedding", threshold = 0.35, nCells = 8, nProbe = 2,
+          centroidRank = Similarity.portableCentroidRank)
+        .select(col("eval_id"), col("train_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("eval_id"), col("train_id"))
+    },
+    oracle = Some("""
+      WITH vecs AS (
+        SELECT CAST(vec_id * 2 +
+                 CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'
+                      THEN 1 ELSE 0 END AS BIGINT) AS uid,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT uid AS cell, v AS cvec FROM vecs
+        ORDER BY ('0x' || substring(md5(CAST(uid AS VARCHAR)), 1, 15))::BIGINT % 1000000,
+                 uid
+        LIMIT 8),
+      assign AS (
+        SELECT uid, cell FROM (
+          SELECT vecs.uid, c.cell,
+                 row_number() OVER (PARTITION BY vecs.uid
+                   ORDER BY list_cosine_similarity(v, cvec) DESC, c.cell ASC) AS rnk
+          FROM vecs CROSS JOIN cent c)
+        WHERE rnk <= 2),
+      pairs AS (
+        SELECT DISTINCT t.uid AS t_uid, e.uid AS e_uid
+        FROM assign t JOIN assign e
+          ON t.cell = e.cell AND t.uid % 2 = 0 AND e.uid % 2 = 1)
+      SELECT (e_uid - 1) // 2 AS eval_id, t_uid // 2 AS train_id,
+             round(list_cosine_similarity(tv.v, ev.v), 4) AS sim
+      FROM pairs
+      JOIN vecs tv ON tv.uid = t_uid
+      JOIN vecs ev ON ev.uid = e_uid
+      WHERE list_cosine_similarity(tv.v, ev.v) >= 0.35
+      ORDER BY eval_id, train_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81, q82, q135)
 }

@@ -69,4 +69,26 @@ class DecontaminateSpec extends SparkSpec {
       .orderBy("eval_id", "train_id")).map(_.toSeq)
     lshT shouldBe exactT
   }
+
+  test("semanticLeaks: a planted paraphrase (same embedding, new words) is caught; boundary and NULL invariants hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // base: near-orthogonal one-hot-ish vectors; eval doc 100 is a
+    // PARAPHRASE of train doc 1 — identical embedding, so no lexical
+    // detector could relate them — plus an unrelated eval doc and a
+    // corrupt train row that must be excluded, not crash the kernel
+    def v(i: Int): Array[Float] = Array.tabulate(8)(j => if (j == i % 8) 1f else 0f)
+    val train = (Seq((1L, v(0)), (2L, v(1)), (3L, v(2)), (4L, v(3))) :+
+      ((5L, null.asInstanceOf[Array[Float]])))
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, v(0)), (101L, v(5))).toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticLeaks(train, eval, "vec_id", "embedding",
+        threshold = 0.9, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(t => (t._1, t._2)).toSeq shouldBe Seq((100L, 1L))
+    out.head._3 shouldBe 1.0 +- 1e-9
+    // every reported pair crosses the boundary by construction: eval
+    // ids come only from the eval side (101 absent = no false leak)
+    out.map(_._1).toSet shouldBe Set(100L)
+  }
 }
