@@ -181,6 +181,51 @@ object Vocabulary {
     out
   }
 
+  /** Tokenizer fertility per group: how many subwords the learned
+    * merge table spends per word of each `groupCol` slice — THE
+    * standard grade for a tokenizer (fertility near 1 = words mostly
+    * kept whole; high fertility = the vocabulary serves that slice
+    * badly, its text will cost more sequence length). Output:
+    * (groupCol, n_words, n_subwords, fertility_bp) with fertility in
+    * integer basis points (subwords·10⁴ div words — exact, engine-
+    * portable). Token occurrences join the BROADCAST segmentation
+    * table; one group-key aggregate; the corpus never shuffles. */
+  def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
+                   numMerges: Int): DataFrame = {
+    val (merges, words) = bpeLearn(docs, textCol, numMerges)
+    val syms = merges.foldLeft(charSyms(col("word"))) {
+      case (c, (_, a, b, _)) => applyMerge(c, a, b)
+    }
+    val segs = words.select(col("word"), size(syms).cast("long").as("n_sub"))
+    val out = docs
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("word"))
+      .join(broadcast(segs), "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .withColumn("fertility_bp",
+        expr("n_subwords * 10000 div n_words"))
+    words.unpersist()
+    out
+  }
+
+  /** DuckDB replay of [[bpeFertility]]. */
+  def bpeFertilityOracle(table: String, textCol: String, groupCol: String,
+                         numMerges: Int): String =
+    bpeCtes(table, textCol, numMerges) + s""",
+      segs AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM seq$numMerges),
+      occ AS (
+        SELECT $groupCol, unnest(list_filter(
+          string_split_regex(coalesce($textCol, ''), '\\s+'),
+          x -> x <> '')) AS word
+        FROM $table)
+      SELECT $groupCol,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(n_sub) * 10000 // count(*) AS BIGINT) AS fertility_bp
+      FROM occ JOIN segs USING (word)
+      GROUP BY $groupCol
+      ORDER BY $groupCol"""
+
   /** Shared CTE chain for the DuckDB replay of `numMerges` unrolled
     * rounds over `table`.`textCol`: seq0 = per-word character symbols ×
     * corpus count; round r = pair census p{r} (adjacent symbols

@@ -402,6 +402,21 @@ object ScaleOps {
     oracle = Some(graft.operators.Vocabulary.bpeEncodeOracle(
       "documents", "doc_id", "text", 10, "doc_id < 40 AND word_pos < 8")))
 
+  /** q136: tokenizer fertility per source
+    * ([[graft.operators.Vocabulary.bpeFertility]]) — subwords spent
+    * per word of each source slice under the 10-merge table, in exact
+    * integer basis points; the metric that grades whether a learned
+    * vocabulary serves every corpus slice or only its head. Ordered by
+    * source; same generated oracle chain as q131-q133. */
+  private val q136 = QuerySpec(
+    "q136_bpe_fertility",
+    (s, dir) =>
+      graft.operators.Vocabulary.bpeFertility(Tables.documents(s, dir),
+          "text", "source", 10)
+        .orderBy(col("source")),
+    oracle = Some(graft.operators.Vocabulary.bpeFertilityOracle(
+      "documents", "text", "source", 10)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133)
+    q131, q132, q133, q136)
 }

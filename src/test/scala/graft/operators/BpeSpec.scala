@@ -72,6 +72,20 @@ class BpeSpec extends SparkSpec {
     rows.groupBy(_._4).values.foreach(g => g.map(_._5).distinct.size shouldBe 1)
   }
 
+  test("bpeFertility: hand-computed subword-per-word rates per group") {
+    // after 2 merges on this corpus ((l,o) then (lo,w)): "low" → 1
+    // subword, "lower" → 3 ("low e r"), "held" → 4 chars (no merge hits)
+    val docs = Seq(
+      (1L, "low low lower", "a"),
+      (2L, "held low", "b")).toDF("doc_id", "text", "source")
+    val out = Vocabulary.bpeFertility(docs, "text", "source", 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // group a: 3 words → 1+1+3 = 5 subwords → 16666 bp
+    out("a") shouldBe ((3L, 5L, 16666L))
+    // group b: 2 words → 4+1 = 5 subwords → 25000 bp
+    out("b") shouldBe ((2L, 5L, 25000L))
+  }
+
   test("merge table rank/count types and ordering are stable") {
     val df = Vocabulary.bpeMerges(
       Seq((1L, "abc abc abd")).toDF("doc_id", "text"), "text", 4)
