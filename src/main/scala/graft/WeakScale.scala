@@ -291,6 +291,21 @@ object WeakScale {
         // count tracks the corpus
         ("bpe_merges_q131", D, () => {
           graft.operators.Vocabulary.bpeMerges(docs, "text", 5).count()
+        }),
+        // pair tf aggregates before the vocab-sized LM joins — expect
+        // the q93 unigram shape: ~linear, join cost flat
+        ("bigram_lm_q134", D, () => {
+          graft.operators.BigramLm.selfScore(docs, "doc_id", "text").count()
+        }),
+        // both corpora grow k×; nCells ∝ k keeps cells task-sized (the
+        // q86/q122 sizing rule), so cross-boundary candidate mass grows
+        // ~linearly
+        ("semantic_decon_q135", V, () => {
+          val isEval = pmod(col("vec_id"), lit(5)) === 0
+          graft.operators.Decontaminate.semanticLeaks(
+            vecs.filter(!isEval), vecs.filter(isEval),
+            "vec_id", "embedding", threshold = 0.35,
+            nCells = 16 * k, nProbe = 2).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic,bpe" measures a
       // comma-separated name-substring subset (local iteration; the

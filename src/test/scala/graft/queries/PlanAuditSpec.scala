@@ -271,6 +271,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q134: bigram LM joins are one-row-per-key hash joins, partial aggs, no cartesian") {
+    val plan = executedPlanOf("q134_bigram_lm")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ONLY nested-loop is the unigram LM's 1-row n_total scalar
+    // broadcast (UnigramLm.lmFromCounts) — a corpus-sized one would
+    // mean an LM join regressed from its equi-key form
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("q135: semantic decontamination pairs via cell equi-join, never all-pairs") {
+    val plan = executedPlanOf("q135_semantic_decontaminate")
+    // the ONLY nested-loop is vecs × broadcast(8 centroids) inside
+    // ivfCells (the persisted cell relation prints once per self-join
+    // side → ≤ 2 occurrences); candidates must come from the cell
+    // equi-join, and a CartesianProduct would mean the detector
+    // regressed to all-pairs across the corpora
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl >= 1 && bnl <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
