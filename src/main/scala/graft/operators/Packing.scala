@@ -56,4 +56,28 @@ object Packing {
       }
       .toDF()
   }
+
+  /** The tensor layout of a packed corpus: for every chunk of every
+    * (pack_group, bin), its sequence index and token offset span
+    * inside the concatenated pack — exactly what a dataloader needs to
+    * emit `position_ids` (reset at each tok_start) and the
+    * block-diagonal attention mask (attend only within [tok_start,
+    * tok_end)). Chunks are ordered by doc_id inside the bin (the same
+    * deterministic order [[greedyPack]] walked), effective lengths are
+    * budget-clamped exactly as the packer accumulated them, so
+    * `max(tok_end) ≤ budget` holds for EVERY bin including oversized
+    * single-doc bins. One (group, bin)-key window pass over the
+    * bin-sized partitions; nothing corpus-sized re-shuffles.
+    * Output: greedyPack's columns + (seq_idx, tok_start, tok_end). */
+  def packLayout(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_group"), col("bin")).orderBy(col("doc_id"))
+    val eff = least(greatest(col("n_tokens"), lit(0L)), lit(budget))
+    packed
+      .withColumn("seq_idx", (row_number().over(w) - 1).cast("int"))
+      .withColumn("tok_start",
+        coalesce(sum(eff).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("tok_end", col("tok_start") + eff)
+  }
 }

@@ -465,23 +465,9 @@ object Advanced {
       ORDER BY id_a, id_b"""
     })
 
-  /** q70: ORACLE-CHECKED sequence packing — q50's greedy next-fit with
-    * a reproducible group assignment (doc_id mod groups instead of
-    * xxhash64), so DuckDB can replay the per-group sequential walk with
-    * a recursive CTE: one recursion level per item rank within its
-    * group. Proves bins never exceed the budget and bin boundaries
-    * fall exactly where the operator's scaladoc says. */
-  private val q70 = QuerySpec(
-    "q70_pack_oracle",
-    (s, dir) => {
-      import graft.operators.Packing
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
-      Packing.greedyPack(docs, "doc_id", "n_tokens", budget = 256L,
-          groups = 32, groupExpr = Some(pmod(col("doc_id"), lit(32L))))
-        .orderBy(col("doc_id"))
-    },
-    oracle = Some("""
+  /** The q70 recursive-CTE pack replay (greedy next-fit walk, budget
+    * 256, 32 mod-groups), shared with q137's layout oracle. */
+  private val packWalkSql = """
       WITH RECURSIVE items AS (
         SELECT doc_id,
                CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
@@ -501,9 +487,60 @@ object Advanced {
                     THEN least(greatest(i.n_tokens, 0), 256)
                     ELSE w.used + least(greatest(i.n_tokens, 0), 256) END
         FROM walk w JOIN items i
-          ON i.pack_group = w.pack_group AND i.rn = w.rn + 1)
+          ON i.pack_group = w.pack_group AND i.rn = w.rn + 1)"""
+
+  /** q70: ORACLE-CHECKED sequence packing — q50's greedy next-fit with
+    * a reproducible group assignment (doc_id mod groups instead of
+    * xxhash64), so DuckDB can replay the per-group sequential walk with
+    * a recursive CTE: one recursion level per item rank within its
+    * group. Proves bins never exceed the budget and bin boundaries
+    * fall exactly where the operator's scaladoc says. */
+  private val q70 = QuerySpec(
+    "q70_pack_oracle",
+    (s, dir) => {
+      import graft.operators.Packing
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      Packing.greedyPack(docs, "doc_id", "n_tokens", budget = 256L,
+          groups = 32, groupExpr = Some(pmod(col("doc_id"), lit(32L))))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""$packWalkSql
       SELECT doc_id, n_tokens, pack_group, bin, n_tokens > 256 AS truncated
       FROM walk ORDER BY doc_id"""))
+
+  /** q137: pack tensor layout ([[graft.operators.Packing.packLayout]])
+    * over the q70 reproducible pack — per chunk its 0-based sequence
+    * index and budget-clamped [tok_start, tok_end) span inside the
+    * concatenated bin: the position_ids / block-diagonal-mask recipe a
+    * dataloader consumes. The oracle extends the shared recursive walk
+    * with the same bin-partitioned prefix-sum windows. */
+  private val q137 = QuerySpec(
+    "q137_pack_layout",
+    (s, dir) => {
+      import graft.operators.Packing
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      Packing.packLayout(
+          Packing.greedyPack(docs, "doc_id", "n_tokens", budget = 256L,
+            groups = 32, groupExpr = Some(pmod(col("doc_id"), lit(32L)))),
+          budget = 256L)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""$packWalkSql,
+      layout AS (
+        SELECT doc_id, n_tokens, pack_group, bin,
+               n_tokens > 256 AS truncated,
+               CAST(row_number() OVER (PARTITION BY pack_group, bin
+                 ORDER BY doc_id) - 1 AS INTEGER) AS seq_idx,
+               CAST(coalesce(sum(least(greatest(n_tokens, 0), 256))
+                 OVER (PARTITION BY pack_group, bin ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS tok_start
+        FROM walk)
+      SELECT doc_id, n_tokens, pack_group, bin, truncated, seq_idx, tok_start,
+             CAST(tok_start + least(greatest(n_tokens, 0), 256) AS BIGINT) AS tok_end
+      FROM layout ORDER BY doc_id"""))
 
   /** q71: VariantType — Spark 4's semi-structured type. parse_json
     * keeps the whole document as a typed variant (no up-front schema,
@@ -715,5 +752,5 @@ object Advanced {
 
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q74, q75, q76)
+      q69, q70, q71, q72, q73, q74, q75, q76, q137)
 }

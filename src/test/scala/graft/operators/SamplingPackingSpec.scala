@@ -101,6 +101,30 @@ class SamplingPackingSpec extends SparkSpec {
     rows(oversizedBins) shouldBe empty
   }
 
+  test("packLayout: contiguous non-overlapping spans, bin totals within budget") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+    val budget = 120L
+    val layout = Packing.packLayout(
+      Packing.greedyPack(docs, "doc_id", "n_tokens", budget, groups = 8), budget)
+    layout.count() shouldBe docs.count()
+    // every bin: seq_idx is 0..n-1, spans chain exactly (tok_start of
+    // seq k = tok_end of seq k-1, first starts at 0), and the final
+    // tok_end never exceeds the budget — EVEN for oversized single-doc
+    // bins (budget-clamped effective lengths)
+    layout.collect()
+      .groupBy(r => (r.getAs[Long]("pack_group"), r.getAs[Long]("bin")))
+      .foreach { case (_, rs) =>
+        val bySeq = rs.sortBy(_.getAs[Int]("seq_idx"))
+        bySeq.map(_.getAs[Int]("seq_idx")).toSeq shouldBe bySeq.indices
+        bySeq.head.getAs[Long]("tok_start") shouldBe 0L
+        bySeq.sliding(2).filter(_.length == 2).foreach { pair =>
+          pair(1).getAs[Long]("tok_start") shouldBe pair(0).getAs[Long]("tok_end")
+        }
+        assert(bySeq.last.getAs[Long]("tok_end") <= budget)
+      }
+  }
+
   test("greedyPack deterministic across runs and partitionings") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
