@@ -285,6 +285,20 @@ object WeakScale {
         ("repeated_spans_q130", D, () => {
           Dedup.exciseRepeatedSpans(docs, "doc_id", "text", n = 5).count()
         }),
+        // planted hot-shingle skew — the exact boilerplate case the r6
+        // verdict flagged: one 5-word notice repeated 40x per doc (after
+        // the replica tag, so it is corpus-GLOBAL) puts ~40·|docs|
+        // occurrences on each of 5 shingle rotations — 3.2M at k=16.
+        // Under the old window census that mass serialized through one
+        // task; the partial-agg census collapses it map-side, so this
+        // row must stay ~linear in k like the uniform row above
+        ("repeated_spans_q130_skew", D, () => {
+          val notice = Seq.fill(40)(
+            "all rights reserved worldwide notice").mkString(" ")
+          val hot = docs.withColumn("text",
+            concat(col("text"), lit(" " + notice)))
+          Dedup.exciseRepeatedSpans(hot, "doc_id", "text", n = 5).count()
+        }),
         // one corpus-sized token count, then 5 vocab-sized merge
         // rounds; the fixed word pool keeps the vocab ~flat (+k replica
         // tags), so rounds should cost ~constant while the initial

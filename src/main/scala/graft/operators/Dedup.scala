@@ -741,15 +741,24 @@ object Dedup {
     *
     * Plan shape, deliberately explode-then-aggregate (never a
     * self-join): positional shingle hashes (narrow, ≈1 row per token),
-    * ONE hash-partition window pass marking global occurrence order +
-    * census, ONE doc-keyed aggregation of cut positions, then the
-    * excision itself runs inside the final projection as an
-    * indexed-filter HOF (the q111 trade: per-row cycles over any
-    * shuffle of reconstructed text). Shuffle keys are 8-byte hashes;
-    * nothing corpus-sized moves twice. The per-doc `array_contains`
-    * test is O(|doc|·|cuts|) — microseconds on real docs, and the
-    * degenerate all-repeated doc is bounded by |doc|² exactly like the
-    * q111 intra-doc rule.
+    * a PARTIAL-aggregatable census `groupBy(h).agg(min(struct(id,pos)),
+    * count)` — NOT a window: window partitions cannot map-side combine,
+    * so a corpus-hot boilerplate shingle (10⁹ occurrences at 100 TB)
+    * would serialize its whole position list through one task. The
+    * two-level hash aggregate collapses hot keys map-side to a single
+    * (first, count) row per partition, and the join back from the
+    * tiny census relation (one row per distinct ≥minOccurrences
+    * shingle) to the occurrence relation is AQE-skew-splittable. An
+    * occurrence is cut iff it is not the census `first` — identical to
+    * the old `row_number > 1` test since the rank was only ever
+    * compared against 1. Then ONE doc-keyed aggregation of cut
+    * positions, and the excision itself runs inside the final
+    * projection as an indexed-filter HOF (the q111 trade: per-row
+    * cycles over any shuffle of reconstructed text). Shuffle keys are
+    * 8-byte hashes; nothing corpus-sized moves twice. The per-doc
+    * `array_contains` test is O(|doc|·|cuts|) — microseconds on real
+    * docs, and the degenerate all-repeated doc is bounded by |doc|²
+    * exactly like the q111 intra-doc rule.
     *
     * The shingle hash is [[portableTokenHash]] (md5-derived) so any
     * engine replays the grouping exactly — the q130 oracle does, and
@@ -772,15 +781,21 @@ object Dedup {
         i => portableTokenHash(concat_ws(" ", slice(col("w"), i, lit(n))))))
         .as(Seq("p0", "h")))
       .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
-    // one shuffle on the shingle hash serves both the occurrence census
-    // and the first-occurrence rank
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val marked = occ
-      .withColumn("rn",
-        row_number().over(byHash.orderBy(col("id"), col("pos"))))
-      .withColumn("c", count(lit(1)).over(byHash))
-    val covered = marked
-      .filter(col("c") >= minOccurrences && col("rn") > 1)
+    // census as a two-level hash aggregate (map-side partial combines
+    // hot shingles down to one (first, count) row per partition — a
+    // window over partitionBy(h) could not), kept only for shingles
+    // that actually repeat enough to cut, then joined back on h. The
+    // hot-key side of that join is the occurrence relation, which AQE
+    // can skew-split; the census side is one row per repeated shingle.
+    val census = occ
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+        count(lit(1)).as("c"))
+      .filter(col("c") >= minOccurrences)
+      .select(col("h"), col("first"))
+    val covered = occ
+      .join(census, Seq("h"))
+      .filter(struct(col("id"), col("pos")) =!= col("first"))
       .groupBy(col("id"))
       .agg(collect_list(col("pos")).as("rps"))
       .select(col("id"), array_distinct(flatten(transform(col("rps"),

@@ -259,14 +259,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("q130: census + rank share ONE shingle-hash shuffle; cut sets broadcast back") {
+  test("q130: census is a partial-aggregatable groupBy, NO window over the shingle hash") {
     val plan = executedPlanOf("q130_repeated_spans")
-    // the two window functions (row_number rank, count census) must
-    // ride a single hashpartitioning exchange on the shingle hash
-    assert("hashpartitioning\\(h#".r.findAllIn(plan).size == 1, plan)
-    assert("Window".r.findAllIn(plan).size == 2, plan)
+    // a Window.partitionBy(h) cannot map-side combine, so one corpus-hot
+    // boilerplate shingle would serialize through a single task — the
+    // census must be a two-level hash aggregate instead
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      plan)
     // covered-position sets join back to docs as a broadcast, and
-    // nothing plans a cartesian or a text-keyed sort-merge join
+    // nothing plans a cartesian
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
