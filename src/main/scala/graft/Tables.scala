@@ -43,14 +43,22 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The NTZ→TimestampType cast below is instant-preserving only under
     // UTC. GraftSession pins it, but this accepts any caller session —
-    // pin it here too rather than silently shifting every event ts.
+    // pin it for the cast, then RESTORE the caller's zone: Dataset
+    // analysis is eager and ResolveTimeZone bakes the session zone into
+    // the Cast at that point, so the restore cannot shift this read,
+    // and a non-UTC caller's later timestamp work stays in their zone.
+    // (nanosAsLong deliberately stays set: the parquet reader consults
+    // it per file at EXECUTION, so restoring it would break the scan.)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = read(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    try {
+      val raw = read(spark, dir, "events")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

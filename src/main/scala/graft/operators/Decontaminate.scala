@@ -180,9 +180,18 @@ object Decontaminate {
       require(idType == org.apache.spark.sql.types.LongType
           || idType == org.apache.spark.sql.types.IntegerType,
         s"semantic decontamination needs an integral id, got ${idType.catalogString}")
+      // ids outside ±2^62 would silently overflow the 2·id+tag packing
+      // and mislabel pairs — fail loudly instead (explicit bounds, not
+      // abs(): abs(Long.MinValue) overflows back to negative and would
+      // slip the guard)
+      val idL = col(idCol).cast("long")
+      val bound = 1L << 62
+      val uid = when(idL > -bound && idL < bound, idL * 2 + tag)
+        .otherwise(raise_error(concat(
+          lit(s"semanticLeaks: $idCol must fit 62 bits, got "),
+          idL.cast("string"))))
       df.filter(col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull))
-        .select((col(idCol).cast("long") * 2 + tag).as("uid"),
-          col(vecCol).as("vec"))
+        .select(uid.as("uid"), col(vecCol).as("vec"))
     }
     val all = side(train, 0).union(side(eval, 1))
     // persisted: the cell relation feeds both join sides (ivfTopK's rule)

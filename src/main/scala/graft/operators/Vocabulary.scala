@@ -83,29 +83,42 @@ object Vocabulary {
   private def charSyms(word: Column): Column =
     transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
 
+  /** How many merge rounds may stack their fold expressions on the
+    * segmentation relation's lineage before it is truncated with an
+    * eager localCheckpoint. Bounds BOTH the Catalyst expression depth
+    * (≤ k nested folds — a 32k-merge vocab would otherwise hit
+    * analysis/codegen walls around a few hundred) and the per-round
+    * recompute (round r re-runs at most k folds over the vocab-sized
+    * relation, so N merges cost O(N·k) folds total, not O(N²)). */
+  private val CheckpointEvery = 16
+
   /** The learned merges (driver-side, ≤ numMerges — stops early when no
-    * adjacent pair remains) plus the persisted word table; callers
-    * unpersist. */
+    * adjacent pair remains), the persisted word table, and the FINAL
+    * word segmentation (word, cnt, syms) under all learned merges —
+    * returned so appliers reuse it instead of re-folding N merges from
+    * scratch (which would reintroduce the O(N) expression depth the
+    * checkpoint cadence exists to avoid). Callers unpersist `words`;
+    * the segmentation's checkpoint blocks are released by the context
+    * cleaner once unreferenced. */
   private def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val words = docs
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // segmentation state, updated in place each round; lineage (and
+    // with it the stack of pending fold expressions) truncated every
+    // CheckpointEvery rounds — the vocab-sized relation is cheap to
+    // materialize (Heaps' law keeps it ≪ corpus at any scale)
+    var seq = words.select(col("word"), col("cnt"),
+      charSyms(col("word")).as("syms"))
+    var pendingFolds = 0
     var done = false
     var r = 1
     while (r <= numMerges && !done) {
-      // symbols under merges 1..r−1, rebuilt from the persisted word
-      // table by stacking the fold expressions (vocab-sized relation —
-      // recomputing r folds per round costs less than juggling r
-      // persisted lineages)
-      val syms = merges.foldLeft(charSyms(col("word"))) {
-        case (c, (_, a, b, _)) => applyMerge(c, a, b)
-      }
-      val top = words
-        .select(col("cnt"), syms.as("syms"))
+      val top = seq
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(transform(
           sequence(lit(1), size(col("syms")) - 1),
@@ -117,11 +130,18 @@ object Vocabulary {
         .limit(1).collect()
       if (top.isEmpty) done = true
       else {
-        merges += ((r, top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((r, a, b, top(0).getLong(2)))
+        seq = seq.withColumn("syms", applyMerge(col("syms"), a, b))
+        pendingFolds += 1
+        if (pendingFolds >= CheckpointEvery && r < numMerges) {
+          seq = seq.localCheckpoint(true)
+          pendingFolds = 0
+        }
         r += 1
       }
     }
-    (merges.toSeq, words)
+    (merges.toSeq, words, seq)
   }
 
   /** Learn `numMerges` BPE merges over the corpus: (rank, lhs, rhs,
@@ -129,7 +149,7 @@ object Vocabulary {
   def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, words) = bpeLearn(docs, textCol, numMerges)
+    val (merges, words, _) = bpeLearn(docs, textCol, numMerges)
     try merges.toDF("rank", "lhs", "rhs", "pair_count")
     finally words.unpersist()
   }
@@ -138,14 +158,11 @@ object Vocabulary {
     * encoding), encoding = final symbols space-joined — the subword
     * tokenization every word in the corpus receives. */
   def bpeSegments(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    val (merges, words) = bpeLearn(docs, textCol, numMerges)
-    val syms = merges.foldLeft(charSyms(col("word"))) {
-      case (c, (_, a, b, _)) => applyMerge(c, a, b)
-    }
-    // one extra action on the persisted words before unpersist: safe —
-    // the result plan re-reads the (still cheap) aggregate if evicted
-    val out = words.select(col("word"), col("cnt"),
-      concat_ws(" ", syms).as("encoding"))
+    val (_, words, seq) = bpeLearn(docs, textCol, numMerges)
+    // the learner's final segmentation is reused directly (at most
+    // CheckpointEvery folds of lineage on top of its last checkpoint)
+    val out = seq.select(col("word"), col("cnt"),
+      concat_ws(" ", col("syms")).as("encoding"))
     words.unpersist()
     out
   }
@@ -159,11 +176,8 @@ object Vocabulary {
     * to its subwords; the corpus itself never shuffles. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 numMerges: Int): DataFrame = {
-    val (merges, words) = bpeLearn(docs, textCol, numMerges)
-    val syms = merges.foldLeft(charSyms(col("word"))) {
-      case (c, (_, a, b, _)) => applyMerge(c, a, b)
-    }
-    val segs = words.select(col("word"), syms.as("syms"))
+    val (_, words, seq) = bpeLearn(docs, textCol, numMerges)
+    val segs = seq.select(col("word"), col("syms"))
     val vocab = segs.select(explode(col("syms")).as("subword")).distinct()
       .withColumn("sub_id",
         row_number().over(Window.orderBy(col("subword"))).cast("int"))
@@ -192,11 +206,9 @@ object Vocabulary {
     * table; one group-key aggregate; the corpus never shuffles. */
   def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
                    numMerges: Int): DataFrame = {
-    val (merges, words) = bpeLearn(docs, textCol, numMerges)
-    val syms = merges.foldLeft(charSyms(col("word"))) {
-      case (c, (_, a, b, _)) => applyMerge(c, a, b)
-    }
-    val segs = words.select(col("word"), size(syms).cast("long").as("n_sub"))
+    val (_, words, seq) = bpeLearn(docs, textCol, numMerges)
+    val segs = seq.select(col("word"),
+      size(col("syms")).cast("long").as("n_sub"))
     val out = docs
       .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("word"))
       .join(broadcast(segs), "word")

@@ -267,11 +267,7 @@ object TrainingCorpusPipeline {
     // will actually ship. Derived from the checkpointed relation, so
     // the plan-growth bound of stage 3 is preserved.
     val deduped = cfg.spanExciseN match {
-      case Some(n) =>
-        deduped0.drop(textCol)
-          .join(Dedup.exciseRepeatedSpans(deduped0, idCol, textCol, n)
-            .filter(length(col("clean")) > 0)
-            .select(col(idCol), col("clean").as(textCol)), Seq(idCol))
+      case Some(n) => exciseSurvivors(deduped0, idCol, textCol, n)
       case None => deduped0
     }
 
@@ -363,4 +359,22 @@ object TrainingCorpusPipeline {
       case None => split
     }
   }
+
+  /** Stage 3b: repeated-span excision over the dedup survivors. Docs
+    * with zero cuts keep their ORIGINAL text: the excision's `clean`
+    * is rebuilt via tokenize+join, which collapses newlines/tabs to
+    * single spaces — destructive for code or line-structured docs, so
+    * that normalization is only paid where a span was actually cut.
+    * The empty-after-rebuild drop still tests `clean`, so a doc with
+    * no real tokens drops either way (pure boilerplate after cuts, or
+    * whitespace-only before them). */
+  private[pipelines] def exciseSurvivors(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs
+      .join(Dedup.exciseRepeatedSpans(docs, idCol, textCol, n)
+        .filter(length(col("clean")) > 0)
+        .select(col(idCol), col("n_removed"), col("clean")), Seq(idCol))
+      .withColumn(textCol,
+        when(col("n_removed") === 0, col(textCol)).otherwise(col("clean")))
+      .drop("n_removed", "clean")
 }

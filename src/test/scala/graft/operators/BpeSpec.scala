@@ -86,6 +86,35 @@ class BpeSpec extends SparkSpec {
     out("b") shouldBe ((2L, 5L, 25000L))
   }
 
+  test("checkpoint cadence: 40 merges cross two lineage truncations and match a driver replay") {
+    // three 20-symbol words sustain ~57 merges, so numMerges = 40 runs
+    // past the 16-round localCheckpoint cadence twice — this is the
+    // regression net for the bounded-lineage learner: the segmentation
+    // must be IDENTICAL to greedily replaying the returned merge table
+    // driver-side from character symbols
+    def replay(word: String, merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(word.map(_.toString).toVector) { case (syms, (a, b)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    val w1 = ('a' to 't').mkString
+    val w2 = ('A' to 'T').mkString
+    val w3 = ('g' to 'z').mkString
+    val text = (Seq.fill(3)(w1) ++ Seq.fill(2)(w2) ++ Seq(w3)).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Vocabulary.bpeMerges(df, "text", 40).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    merges.size shouldBe 40
+    val segs = Vocabulary.bpeSegments(df, "text", 40).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    segs.keySet shouldBe Set(w1, w2, w3)
+    Seq(w1, w2, w3).foreach { w =>
+      segs(w) shouldBe replay(w, merges).mkString(" ")
+    }
+  }
+
   test("merge table rank/count types and ordering are stable") {
     val df = Vocabulary.bpeMerges(
       Seq((1L, "abc abc abd")).toDF("doc_id", "text"), "text", 4)

@@ -91,4 +91,23 @@ class DecontaminateSpec extends SparkSpec {
     // ids come only from the eval side (101 absent = no false leak)
     out.map(_._1).toSet shouldBe Set(100L)
   }
+
+  test("semanticLeaks: an id outside 62 bits fails loudly instead of overflowing the uid packing") {
+    import spark.implicits._
+    def v(i: Int): Array[Float] = Array.tabulate(8)(j => if (j == i % 8) 1f else 0f)
+    val big = (1L << 62) // 2·id+tag would overflow Long from here up
+    val train = Seq((1L, v(0)), (big, v(1))).toDF("vec_id", "embedding")
+    val eval = Seq((100L, v(0))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Decontaminate.semanticLeaks(train, eval, "vec_id", "embedding",
+        threshold = 0.9, nCells = 2, nProbe = 2).collect()
+    }
+    ex.getMessage should include("62 bits")
+    // in-range ids (including negative ones) still work
+    val ok = Seq((-5L, v(0))).toDF("vec_id", "embedding")
+    Decontaminate.semanticLeaks(ok, eval, "vec_id", "embedding",
+      threshold = 0.9, nCells = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((100L, -5L))
+  }
 }

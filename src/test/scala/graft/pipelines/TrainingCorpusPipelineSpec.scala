@@ -239,6 +239,27 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
       .select("doc_id").distinct().count() shouldBe 2L
   }
 
+  test("span excision keeps ORIGINAL text (newlines intact) for docs with zero cuts") {
+    import spark.implicits._
+    // one line-structured doc with no repeated spans, one pair sharing
+    // a 5-gram: only the cut docs pay the tokenize+join whitespace
+    // normalization; the untouched doc must ship byte-identical
+    val code = "def main():\n\tprint('hi')\n\treturn zero one two three four five six"
+    val span = "sharedaa sharedbb sharedcc shareddd sharedee"
+    val docs = Seq(
+      (1L, code),
+      (2L, s"alpha beta gamma delta epsilon $span"),
+      (3L, s"zeta eta theta iota kappa $span")).toDF("doc_id", "text")
+    val out = TrainingCorpusPipeline
+      .exciseSurvivors(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe code // newlines/tabs preserved, not space-collapsed
+    // first carrier keeps the span verbatim (n_removed = 0 ⇒ original)
+    out(2L) shouldBe s"alpha beta gamma delta epsilon $span"
+    // second carrier was cut, so it pays the rebuild and loses the span
+    out(3L) shouldBe "zeta eta theta iota kappa"
+  }
+
   test("opt-in language filter: an out-of-scope-language doc drops, stage off keeps it") {
     // a clearly-Russian doc (function-word dense, passes the quality
     // floor); keepLangs = everything EXCEPT ru, so the synthetic
