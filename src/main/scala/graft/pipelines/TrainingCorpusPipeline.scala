@@ -69,11 +69,10 @@ object TrainingCorpusPipeline {
       chunkWindow: Int = 64,
       chunkStride: Int = 32,
       packBudget: Long = 256L,
-      // matches greedyPack's own default: each pack group materializes
-      // in one task, so groups must scale with the corpus — a small
-      // value is a single-task bottleneck at exactly the scale this
-      // pipeline serves
-      packGroups: Int = 1024,
+      // matches greedyPack's own default: 0 = auto-size one group per
+      // ~8k chunks (Packing.suggestGroups), so group count scales with
+      // the corpus instead of a fixed constant
+      packGroups: Int = 0,
       splits: Seq[(String, Double)] = Seq("train" -> 0.9, "eval" -> 0.1),
       // ---- opt-in curation stages (None/default = stage off, prior
       // pipeline behavior unchanged) ----

@@ -134,6 +134,76 @@ class SamplingPackingSpec extends SparkSpec {
     rows(b.exceptAll(a)) shouldBe empty
   }
 
+  test("greedyPack: groups=0 auto-sizes; one huge group streams without materializing") {
+    // sentinel path: group ids land inside the suggestGroups(n) range
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+    val n = docs.count()
+    val auto = Packing.greedyPack(docs, "doc_id", "n_tokens", budget = 120L)
+    auto.count() shouldBe n
+    val maxG = auto.agg(max(col("pack_group"))).collect()(0).getLong(0)
+    assert(maxG < Packing.suggestGroups(n),
+      s"group id $maxG outside the ${Packing.suggestGroups(n)}-group rule")
+    // the sizing rule itself
+    Packing.suggestGroups(0L) shouldBe 64
+    Packing.suggestGroups(8192L * 100) shouldBe 100
+    Packing.suggestGroups(Long.MaxValue) shouldBe (1 << 20)
+    // ONE deliberately huge group (200k docs via groupExpr): the walk
+    // is a streamed sorted iterator with two Longs of state, so this
+    // must complete comfortably on a 4-thread test session — under the
+    // r6 it.toSeq.sortBy shape this was the whole group in one task's
+    // heap — and still honor the budget and bin order exactly
+    val big = spark.range(200000).select(
+      col("id").as("doc_id"), (pmod(col("id"), lit(37L)) + 1L).as("n_tokens"))
+    val one = Packing.greedyPack(big, "doc_id", "n_tokens", budget = 100L,
+      groupExpr = Some(lit(0L)))
+    one.select(countDistinct(col("pack_group"))).collect()(0).getLong(0) shouldBe 1L
+    val totals = one.groupBy("bin").agg(sum(col("n_tokens")).as("t"))
+    rows(totals.filter(col("t") > 100L)) shouldBe empty
+    one.count() shouldBe 200000L
+  }
+
+  test("greedyPackSplit: oversized docs split into budget-sized pieces; NO bin over budget, ever") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      .union(Seq((900001L, 1000L), (900002L, 0L)).toDF("doc_id", "n_tokens"))
+    val budget = 48L
+    val out = Packing.greedyPackSplit(docs, "doc_id", "n_tokens", budget,
+      groups = 8).persist()
+    // pieces reassemble: per-doc piece sum = doc tokens, pieces are
+    // 0..k-1, every piece ≤ budget (so truncation cannot exist)
+    val perDoc = out.groupBy("doc_id").agg(
+      sum(col("n_tokens")).as("t"), count(lit(1)).as("k"),
+      min(col("piece")).as("p0"), max(col("piece")).as("p1"))
+    val joined = perDoc.join(docs.withColumnRenamed("n_tokens", "orig"), "doc_id")
+    rows(joined.filter(col("t") =!= col("orig"))) shouldBe empty
+    rows(joined.filter(col("p0") =!= 0 || col("p1") =!= col("k") - 1)) shouldBe empty
+    rows(out.filter(col("n_tokens") > budget)) shouldBe empty
+    // the 1000-token doc split into ceil(1000/48)=21 pieces; the
+    // empty doc kept its single zero piece
+    out.filter(col("doc_id") === 900001L).count() shouldBe 21L
+    out.filter(col("doc_id") === 900002L).count() shouldBe 1L
+    // bins NEVER exceed the budget — no truncated escape hatch
+    rows(out.groupBy("pack_group", "bin")
+      .agg(sum(greatest(col("n_tokens"), lit(0L))).as("t"))
+      .filter(col("t") > budget)) shouldBe empty
+    // layout composes: piece-aware ordering, spans chain, ends ≤ budget
+    val layout = Packing.packLayout(out, budget)
+    layout.collect()
+      .groupBy(r => (r.getAs[Long]("pack_group"), r.getAs[Long]("bin")))
+      .foreach { case (_, rs) =>
+        val bySeq = rs.sortBy(_.getAs[Int]("seq_idx"))
+        bySeq.map(_.getAs[Int]("seq_idx")).toSeq shouldBe bySeq.indices
+        bySeq.head.getAs[Long]("tok_start") shouldBe 0L
+        bySeq.sliding(2).filter(_.length == 2).foreach { pair =>
+          pair(1).getAs[Long]("tok_start") shouldBe pair(0).getAs[Long]("tok_end")
+        }
+        assert(bySeq.last.getAs[Long]("tok_end") <= budget)
+      }
+    out.unpersist()
+  }
+
   test("weightedSample: md5 path equals the exact local A-ES reference") {
     val df = spark.range(0, 500).toDF("id")
       .withColumn("w", (col("id") % 7 + 1).cast("double"))
