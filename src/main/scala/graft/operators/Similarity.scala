@@ -432,6 +432,72 @@ object Similarity {
     rankTopK(scoreSharedBucketPairs(cells, Seq("cell"), vecs), k)
   }
 
+  /** [[ivfCells]] with TRAINED coarse centroids: a few Lloyd rounds
+    * ([[KMeans.fit]]) over a deterministic md5-rank sample instead of
+    * hashed-rank corpus draws. Data-dependent cells follow the actual
+    * density, which raises recall at equal nCells/nProbe (measured in
+    * KMeansSpec; the hashed draw remains [[ivfCells]]' default so the
+    * q73/q135 oracles stay engine-exact). The sample bounds training
+    * cost regardless of corpus size: `sampleN = 0` auto-sizes to
+    * clamp(64·nCells, 4096, 65536) — enough points per centroid for
+    * stable means, constant-bounded at 100 TB, drawn by the portable
+    * rank (a TakeOrdered, no global sort materialization).
+    *
+    * Assignment is a pure narrow map against the LITERAL centroid
+    * array (the KMeans.assign shape — no join, no shuffle): nProbe
+    * nearest cells are peeled iteratively (array_min + first-match
+    * array_position = smallest-cid tie-break, matching KMeans), so
+    * unlike the hashed path's crossJoin the corpus never widens to
+    * n·nCells rows. Output (id, cell) with cell = 1-based cluster id. */
+  def ivfCellsTrained(df: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int = 0, nProbe: Int = 2, iters: Int = 4,
+                      sampleN: Int = 0): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val clean = df.filter(col(vecCol).isNotNull
+      && !exists(col(vecCol), x => x.isNull))
+    val cells = resolveSize(clean, idCol, nCells, suggestCells)
+    val n = math.min(65536, math.max(4096, 64 * cells))
+    val sample = clean
+      .withColumn("__r", portableCentroidRank(col(idCol)))
+      .orderBy(col("__r"), col(idCol))
+      .limit(if (sampleN > 0) sampleN else n)
+      .drop("__r")
+    val model = KMeans.fit(sample, idCol, vecCol, cells, iters)
+    val ordered = model.sortBy(_._1)
+    val probes = math.min(nProbe, cells)
+    var cur = clean
+      .select(col(idCol).as("id"), KMeans.microVec(col(vecCol)).as("__v"))
+      .withColumn("__d", transform(typedlit(ordered.map(_._2)),
+        c => KMeans.sqDistMicro(col("__v"), c)))
+    val probeCols = (1 to probes).map { p =>
+      cur = cur
+        .withColumn(s"__c$p",
+          array_position(col("__d"), array_min(col("__d"))))
+        .withColumn("__d",
+          zip_with(col("__d"),
+            sequence(lit(1L), lit(ordered.size.toLong)),
+            (d, i) => when(i === col(s"__c$p"), lit(Long.MaxValue))
+              .otherwise(d)))
+      col(s"__c$p")
+    }
+    cur
+      .select(col("id"), explode(array(probeCols: _*)).as("cell"))
+      .select(col("id"), col("cell").cast("int").as("cell"))
+  }
+
+  /** [[ivfTopK]] over TRAINED cells ([[ivfCellsTrained]]) — the
+    * production-recall variant; same output shape and within-cell
+    * re-rank, only the coarse quantizer differs. */
+  def ivfTopKTrained(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     nCells: Int = 0, nProbe: Int = 2, iters: Int = 4,
+                     sampleN: Int = 0): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cells = ivfCellsTrained(df, idCol, vecCol, nCells, nProbe, iters,
+        sampleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rankTopK(scoreSharedBucketPairs(cells, Seq("cell"), vecs), k)
+  }
+
   /** Candidate generation + scoring shared by [[lshTopK]], [[ivfTopK]],
     * and [[labeledCellPairs]]: self-join the bucket relation on `keys`
     * plus id inequality, collapse to DISTINCT (q_id, c_id), join each
