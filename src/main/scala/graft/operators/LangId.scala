@@ -121,8 +121,29 @@ object LangId {
   /** The supported language codes, sorted. */
   val languages: Seq[String] = (spacedSamples.map(_._1) ++ cjkSamples.map(_._1)).sorted
 
+  /** Engine-portable case handling: Spark (JVM) and DuckDB (utf8proc)
+    * disagree on two Unicode lowercase special cases — Turkish dotted
+    * İ (JVM full-maps to "i"+U+0307, utf8proc simple-maps to "i") and
+    * Greek capital Σ (the JVM applies the contextual final-sigma rule,
+    * utf8proc maps Σ→σ unconditionally). Both engines' profile sets
+    * include tr and el, so documents carrying those uppercase forms
+    * could diverge from the oracle. Pre-translating İ→i and Σ/ς→σ
+    * BEFORE lowercasing removes every divergent input; the remaining
+    * lower() is the shared simple mapping on both engines. Applied
+    * identically in profile construction (here), [[predict]], and
+    * [[docSql]] — the three sides cannot drift. */
+  private[operators] val CaseFrom = "İΣς"
+  private[operators] val CaseTo = "iσσ"
+  private def portableLower(s: String): String = {
+    val pre = s.map { c =>
+      val i = CaseFrom.indexOf(c.toInt)
+      if (i >= 0) CaseTo.charAt(i) else c
+    }
+    pre.toLowerCase(java.util.Locale.ROOT)
+  }
+
   private def normalize(s: String): String =
-    "_" + s.trim.replaceAll("\\s+", "_") + "_"
+    "_" + portableLower(s).trim.replaceAll("\\s+", "_") + "_"
 
   /** Zipf expansion: the word lists are in descending frequency order;
     * real running text repeats its head words, so weight them (×3 for
@@ -138,24 +159,36 @@ object LangId {
       .zipWithIndex.map { case ((g, _), r) => (g, ProfileSize - r) }
   }
 
-  /** (lang, gram, weight) rows — the single source of truth both the
-    * Spark plan and the generated oracle SQL consume. */
-  val profiles: Seq[(String, String, Int)] = {
-    val spaced = spacedSamples.flatMap { case (lang, text) =>
-      val t = normalize(zipfExpand(text))
-      topGrams((0 to t.length - 3).map(i => t.substring(i, i + 3)))
-        .map { case (g, w) => (lang, g, w) }
-    }
-    val cjk = cjkSamples.flatMap { case (lang, text) =>
-      val t = normalize(text)
+  /** Build one language's profile rows from a sample text — the same
+    * machinery the embedded 20-language set uses, PUBLIC so callers
+    * can add languages without editing this operator: pass the result
+    * (concatenated with [[profiles]] or a custom set) to
+    * [[predict]]/[[docSql]]'s `profileRows`. `sample` should list the
+    * language's highest-frequency words in descending order (spaced
+    * scripts; Zipf expansion is applied here) or be running text
+    * (`cjk = true`: boundary-free uni/bigram profile). */
+  def buildProfile(lang: String, sample: String,
+                   cjk: Boolean = false): Seq[(String, String, Int)] =
+    if (cjk) {
+      val t = normalize(sample)
       val grams = for {
         n <- Seq(1, 2); i <- 0 to t.length - n
         g = t.substring(i, i + n) if !g.contains("_")
       } yield g
       topGrams(grams).map { case (g, w) => (lang, g, w) }
+    } else {
+      val t = normalize(zipfExpand(sample))
+      topGrams((0 to t.length - 3).map(i => t.substring(i, i + 3)))
+        .map { case (g, w) => (lang, g, w) }
     }
-    spaced ++ cjk
-  }
+
+  /** (lang, gram, weight) rows — the single source of truth both the
+    * Spark plan and the generated oracle SQL consume. */
+  val profiles: Seq[(String, String, Int)] =
+    spacedSamples.flatMap { case (lang, text) => buildProfile(lang, text) } ++
+      cjkSamples.flatMap { case (lang, text) =>
+        buildProfile(lang, text, cjk = true)
+      }
 
   /** All 1-, 2-, and 3-grams of the normalized text column (uniform
     * extraction: alphabetic profiles hold only trigrams, CJK profiles
@@ -174,13 +207,19 @@ object LangId {
     * winner, margin the winner's lead over the runner-up language (=
     * score when only one language scored at all; the standard
     * close-call signal: small margin ⇒ mixed/ambiguous text). No
-    * profile n-gram at all → ("und", 0, 0). */
-  def predict(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * profile n-gram at all → ("und", 0, 0). `profileRows` defaults to
+    * the embedded 20-language set; callers extend or replace it with
+    * [[buildProfile]] output. */
+  def predict(df: DataFrame, idCol: String, textCol: String,
+              profileRows: Seq[(String, String, Int)] = profiles): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val prof = broadcast(profiles.toDF("lang", "g", "w"))
+    val prof = broadcast(profileRows.toDF("lang", "g", "w"))
     val norm = concat(lit("_"),
-      regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", "_"),
+      regexp_replace(
+        lower(translate(coalesce(col(textCol), lit("")),
+          CaseFrom, CaseTo)),
+        "\\s+", "_"),
       lit("_"))
     val grams = df.select(col(idCol).as("id"), norm.as("t"))
       .select(col("id"), explode(gramsCol(col("t"))).as("g"))
@@ -211,19 +250,21 @@ object LangId {
   /** The profile as a DuckDB VALUES literal (samples contain no quote
     * characters by construction — asserted, so a future sample edit
     * cannot silently corrupt the SQL). */
-  def profileValuesSql: String = {
-    require(profiles.forall { case (l, g, _) => !l.contains("'") && !g.contains("'") },
+  def profileValuesSql(profileRows: Seq[(String, String, Int)] = profiles): String = {
+    require(profileRows.forall { case (l, g, _) => !l.contains("'") && !g.contains("'") },
       "profile entries must not contain single quotes")
-    profiles.map { case (l, g, w) => s"('$l','$g',$w)" }.mkString(",")
+    profileRows.map { case (l, g, w) => s"('$l','$g',$w)" }.mkString(",")
   }
 
   /** DuckDB replay of [[predict]] over `table`: identical n-gram
-    * extraction, profile join, scoring, and tie-break. */
-  def docSql(table: String, idCol: String, textCol: String): String = s"""
-      WITH prof(lang, g, w) AS (VALUES ${profileValuesSql}),
+    * extraction, profile join, scoring, and tie-break (including the
+    * portable pre-lower translate — see [[CaseFrom]]). */
+  def docSql(table: String, idCol: String, textCol: String,
+             profileRows: Seq[(String, String, Int)] = profiles): String = s"""
+      WITH prof(lang, g, w) AS (VALUES ${profileValuesSql(profileRows)}),
       norm AS (
         SELECT $idCol AS id,
-               '_' || regexp_replace(lower(coalesce($textCol, '')), '\\s+', '_', 'g') || '_' AS t
+               '_' || regexp_replace(lower(translate(coalesce($textCol, ''), '$CaseFrom', '$CaseTo')), '\\s+', '_', 'g') || '_' AS t
         FROM $table),
       tri AS (
         SELECT id, unnest(

@@ -87,6 +87,40 @@ class LangIdSpec extends SparkSpec {
     }
   }
 
+  test("caller-supplied profiles: a toy language added via buildProfile is detected, stock set untouched") {
+    import spark.implicits._
+    // an invented language whose function words share no trigram with
+    // any real profile (qq/xx/zz letter pairs never occur in them)
+    val toySample = "qxq zqz xqx qzq zxz xzx qqz zzx xxq qzz zxx xqq"
+    val toy = LangId.buildProfile("xx", toySample)
+    toy.foreach { case (l, g, _) => l shouldBe "xx"; g.length shouldBe 3 }
+    val extended = LangId.profiles ++ toy
+    val docs = Seq(
+      (1L, "qxq zqz xqx qzq qxq zqz"), // toy-language text
+      (2L, "the cat and the dog were friends")).toDF("doc_id", "text")
+    val out = LangId.predict(docs, "doc_id", "text", extended)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "xx"
+    out(2L) shouldBe "en"
+    // the stock set alone cannot know the toy language
+    val stock = LangId.predict(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    stock(1L) should not be "xx"
+  }
+
+  test("portable case mapping: uppercase Greek (final Σ) and Turkish İ text still identify") {
+    // JVM contextual final-sigma lowering and the İ full case mapping
+    // are exactly where Spark and DuckDB lower() diverge; the
+    // pre-lower translate pins both engines to the same simple form —
+    // and means ALL-CAPS text of those languages still hits its
+    // (lowercase-built) profile grams
+    val out = predictOne(Seq(
+      1L -> "ΚΑΙ ΤΟ ΝΑ ΤΗΣ ΕΙΝΑΙ ΠΟΥ ΔΕΝ ΤΗΝ ΜΕ ΤΟΝ ΤΩΝ ΣΤΟ ΓΙΑ ΑΥΤΟΣ",
+      2L -> "BİR VE BU DA NE İÇİN İLE DE ÇOK DAHA GİBİ İSTANBUL"))
+    out(1L)._1 shouldBe "el"
+    out(2L)._1 shouldBe "tr"
+  }
+
   test("score is the exact integer trigram hit mass (hand-computed fixture)") {
     // one word that IS an English profile source word, repeated: every
     // occurrence of each profile trigram must be counted (overlap-free
