@@ -299,6 +299,21 @@ object WeakScale {
             concat(col("text"), lit(" " + notice)))
           Dedup.exciseRepeatedSpans(hot, "doc_id", "text", n = 5).count()
         }),
+        // Zipf-distributed shingle frequencies (not just the uniform
+        // corpus or the single planted head): doc i carries the 5-gram
+        // of phrase p = 10000 div (rank+1) under a hashed rank, so
+        // phrase 1 lands in ~half the corpus (the hot head), mid
+        // phrases in a power-law tail, large p near-singletons — the
+        // realistic boilerplate spectrum between the two rows above
+        ("repeated_spans_q130_zipf", D, () => {
+          val r = pmod(xxhash64(col("doc_id")), lit(10000L))
+          val p = floor(lit(10000L) / (r + lit(1L))).cast("long")
+          val tag = concat_ws(" ",
+            (0 until 5).map(i => concat(lit("zpf"), p, lit(s"x$i"))): _*)
+          val hot = docs.withColumn("text",
+            concat(col("text"), lit(" "), tag))
+          Dedup.exciseRepeatedSpans(hot, "doc_id", "text", n = 5).count()
+        }),
         // one corpus-sized token count, then 5 vocab-sized merge
         // rounds; the fixed word pool keeps the vocab ~flat (+k replica
         // tags), so rounds should cost ~constant while the initial

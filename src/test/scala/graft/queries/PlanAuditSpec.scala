@@ -273,6 +273,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q138: split pack walks a streamed sorted iterator — no window, no group materialization") {
+    val plan = executedPlanOf("q138_pack_split_pieces")
+    // the walk must be mapPartitions over a sortWithinPartitions
+    // iterator (constant state), not a window or a grouped
+    // materialization; piece derivation is a narrow explode
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Sort"), plan)
+  }
+
+  test("trained IVF assignment is a pure narrow map: zero exchanges, no joins") {
+    // not a catalog query (kmeans centroids aren't oracle-replayed at
+    // nProbe>1) — audit the operator directly: after fit, assigning
+    // the corpus to literal centroids must add NO shuffle and NO join
+    // of any kind (the hashed path's crossJoin row widening is exactly
+    // what this variant removes)
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val cells = graft.operators.Similarity
+      .ivfCellsTrained(e, "vec_id", "embedding", nCells = 8, nProbe = 2,
+        iters = 1)
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q134: bigram LM joins are one-row-per-key hash joins, partial aggs, no cartesian") {
     val plan = executedPlanOf("q134_bigram_lm")
     assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
