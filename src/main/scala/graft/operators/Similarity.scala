@@ -463,26 +463,160 @@ object Similarity {
       .limit(if (sampleN > 0) sampleN else n)
       .drop("__r")
     val model = KMeans.fit(sample, idCol, vecCol, cells, iters)
+    peelNearestLiteral(
+        clean.select(col(idCol).as("id"),
+          KMeans.microVec(col(vecCol)).as("__v")),
+        model, nProbe, "cell")
+      .select(col("id"), col("cell"))
+  }
+
+  /** The `probes` nearest centroids of a LITERAL model for every row —
+    * a pure narrow map (no join, no shuffle): the full distance array
+    * is computed once, then minima are peeled iteratively (array_min +
+    * first-match array_position = smallest-cid tie-break, the KMeans
+    * convention). Input must carry the micro vector as `__v`; appends
+    * `outCol` (int, exploded — `probes` rows per input row) and drops
+    * the scratch columns. Assumes model cids are 1..k (KMeans.fit's
+    * contract), so array position IS the cid. */
+  private def peelNearestLiteral(df: DataFrame, model: KMeans.Model,
+                                 probes: Int, outCol: String): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
     val ordered = model.sortBy(_._1)
-    val probes = math.min(nProbe, cells)
-    var cur = clean
-      .select(col(idCol).as("id"), KMeans.microVec(col(vecCol)).as("__v"))
-      .withColumn("__d", transform(typedlit(ordered.map(_._2)),
-        c => KMeans.sqDistMicro(col("__v"), c)))
-    val probeCols = (1 to probes).map { p =>
+    require(ordered.map(_._1) == (1 to ordered.size),
+      "model cids must be contiguous 1..k")
+    val p = math.min(probes, ordered.size)
+    var cur = df.withColumn("__d", transform(typedlit(ordered.map(_._2)),
+      c => KMeans.sqDistMicro(col("__v"), c)))
+    val probeCols = (1 to p).map { i =>
       cur = cur
-        .withColumn(s"__c$p",
+        .withColumn(s"__c$i",
           array_position(col("__d"), array_min(col("__d"))))
         .withColumn("__d",
           zip_with(col("__d"),
             sequence(lit(1L), lit(ordered.size.toLong)),
-            (d, i) => when(i === col(s"__c$p"), lit(Long.MaxValue))
+            (d, j) => when(j === col(s"__c$i"), lit(Long.MaxValue))
               .otherwise(d)))
-      col(s"__c$p")
+      col(s"__c$i")
     }
     cur
-      .select(col("id"), explode(array(probeCols: _*)).as("cell"))
-      .select(col("id"), col("cell").cast("int").as("cell"))
+      .withColumn("__probe", explode(array(probeCols: _*)))
+      .withColumn(outCol, col("__probe").cast("int"))
+      .drop("__probe" +: "__d" +: (1 to p).map(i => s"__c$i"): _*)
+  }
+
+  /** TWO-LEVEL trained quantizer — the production shape past the
+    * literal-centroid-array cap (~10³-10⁴ cells, plan size ∝ k·dim):
+    * nSuper = ⌈√K⌉ super-centroids train as a LITERAL model
+    * ([[KMeans.fit]] on the shared deterministic sample), then
+    * nSub = ⌈K/nSuper⌉ sub-centroids PER super-cell train as a
+    * RELATION (never a literal — grouped Lloyd rounds run as one
+    * broadcast equi-join on the super key + two aggregates per round,
+    * all K sub-centroids updating in one distributed pass, lineage
+    * truncated per round). Assignment cost per vector is
+    * superProbe·(√K literal dots + √K-ish joined sub dots) instead of
+    * the flat path's K — the n·√K total the IVF literature prescribes.
+    *
+    * Corpus assignment: `superProbe` nearest supers via the narrow
+    * literal peel (boundary vectors see both neighborhoods), then the
+    * BROADCAST sub-centroid relation joins on the super key — each
+    * vector widens to superProbe·nSub candidate rows (bounded ≈ √K,
+    * by design), and the nProbe best cells reduce map-side (partial
+    * collect_list collapses a vector's candidates before the
+    * one-row-per-vector shuffle). Deterministic throughout: integer
+    * micro-space distances, (d, sub) struct minima, sorted rebuilds.
+    * Output (id, cell), cell = (super−1)·nSub + sub ∈ 1..nSuper·nSub. */
+  def ivfCellsTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int = 0, nProbe: Int = 2,
+                       superProbe: Int = 2, iters: Int = 2,
+                       sampleN: Int = 0): DataFrame = {
+    require(nProbe >= 1 && superProbe >= 1 && iters >= 0)
+    val clean = df.filter(col(vecCol).isNotNull
+      && !exists(col(vecCol), x => x.isNull))
+    val k = resolveSize(clean, idCol, nCells, suggestCells)
+    val nSuper = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val nSub = math.max(1, math.ceil(k.toDouble / nSuper).toInt)
+    val n = math.min(262144, math.max(4096, 64 * k))
+    val sample = clean
+      .withColumn("__r", portableCentroidRank(col(idCol)))
+      .orderBy(col("__r"), col(idCol))
+      .limit(if (sampleN > 0) sampleN else n)
+      .drop("__r")
+    val superModel = KMeans.fit(sample, idCol, vecCol, nSuper, iters)
+    // sample points with their super assignment (nearest super only —
+    // training partitions the space hard; probing is a query-time knob)
+    val sampleA = peelNearestLiteral(
+        sample.select(col(idCol).as("sid"),
+          KMeans.microVec(col(vecCol)).as("__v")),
+        superModel, probes = 1, "super")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: nSub portable-rank draws WITHIN each super-cell (the
+    // KMeans seed rule applied per group; sample-sized window)
+    var subC = sampleA
+      .withColumn("__r", portableCentroidRank(col("sid")))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("super"))
+        .orderBy(col("__r"), col("sid"))))
+      .filter(col("__rn") <= nSub)
+      .select(col("super"), col("__rn").cast("int").as("sub"),
+        col("__v").as("cvec"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      // grouped Lloyd round: every sample point sees only ITS super's
+      // sub-centroids (broadcast equi-join — the two-level trick), the
+      // (d, sub) struct min is the deterministic argmin, and the
+      // truncating integer mean matches KMeans.fit exactly
+      val best = sampleA.join(broadcast(subC), "super")
+        .withColumn("__d", KMeans.sqDistMicro(col("__v"), col("cvec")))
+        .groupBy(col("sid"))
+        .agg(first(col("super")).as("super"), first(col("__v")).as("__v"),
+          min(struct(col("__d"), col("sub"))).as("m"))
+      val updated = best
+        .select(col("super"), col("m.sub").as("sub"),
+          posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy(col("super"), col("sub"), col("__i"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("super"), col("sub"), col("__i"),
+          expr("__s div __n").as("__c"))
+        .groupBy(col("super"), col("sub"))
+        .agg(transform(sort_array(collect_list(struct(col("__i"), col("__c")))),
+          s => s.getField("__c")).as("cvec"))
+      // empty-cell carry (the KMeans rule, relational form)
+      subC = subC.as("o")
+        .join(updated.as("u"), Seq("super", "sub"), "left")
+        .select(col("super"), col("sub"),
+          coalesce(col("u.cvec"), col("o.cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    sampleA.unpersist()
+    // corpus assignment: superProbe nearest supers narrow-mapped, then
+    // candidates from the broadcast sub relation, nProbe best cells
+    val cand = peelNearestLiteral(
+        clean.select(col(idCol).as("id"),
+          KMeans.microVec(col(vecCol)).as("__v")),
+        superModel, superProbe, "super")
+      .join(broadcast(subC), "super")
+      .select(col("id"),
+        struct(KMeans.sqDistMicro(col("__v"), col("cvec")).as("d"),
+          ((col("super") - 1) * nSub + col("sub")).cast("int").as("cell"))
+          .as("dc"))
+    cand
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(col("dc"))), 1,
+        math.min(nProbe, nSuper * nSub)).as("top"))
+      .select(col("id"), explode(col("top")).as("t"))
+      .select(col("id"), col("t.cell").as("cell"))
+  }
+
+  /** [[ivfTopK]] over TWO-LEVEL cells ([[ivfCellsTwoLevel]]) — same
+    * output shape and within-cell re-rank as the flat variants. */
+  def ivfTopKTwoLevel(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      nCells: Int = 0, nProbe: Int = 2,
+                      superProbe: Int = 2, iters: Int = 2,
+                      sampleN: Int = 0): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cells = ivfCellsTwoLevel(df, idCol, vecCol, nCells, nProbe,
+        superProbe, iters, sampleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rankTopK(scoreSharedBucketPairs(cells, Seq("cell"), vecs), k)
   }
 
   /** [[ivfTopK]] over TRAINED cells ([[ivfCellsTrained]]) — the
