@@ -115,7 +115,11 @@ object Packing {
       if (groups > 0) groups
       else if (groupExpr.isDefined) 1 // unused: the caller's expr assigns
       else suggestGroups(docs.select(col(idCol)).count())
-    val nDoc = col(tokenCountCol).cast("long")
+    // NULL counts coalesce to 0 BEFORE the piece arithmetic: least/
+    // greatest skip NULL operands, so a raw NULL would slip through
+    // the ceil-div as one piece of n_tokens = budget — a phantom
+    // full-budget document
+    val nDoc = coalesce(col(tokenCountCol).cast("long"), lit(0L))
     // ceil-div piece count, floor 1 so empty/NULL-count docs still
     // emit their single (possibly zero-token) piece
     val nPieces = greatest(

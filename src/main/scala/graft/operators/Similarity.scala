@@ -482,6 +482,9 @@ object Similarity {
                                  probes: Int, outCol: String): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val ordered = model.sortBy(_._1)
+    require(ordered.nonEmpty,
+      "empty centroid model — the corpus has no valid vectors (the " +
+        "KMeans.assign fail-loudly rule)")
     require(ordered.map(_._1) == (1 to ordered.size),
       "model cids must be contiguous 1..k")
     val p = math.min(probes, ordered.size)

@@ -150,6 +150,31 @@ class KMeansSpec extends SparkSpec {
     rows(again.exceptAll(cells)) shouldBe empty
   }
 
+  test("two-level degenerates: nCells=1, nProbe past the cell count, all-NULL corpus fails loudly") {
+    import graft.operators.Similarity
+    val df = (0L until 40L)
+      .map(i => (i, Array.tabulate(4)(j => ((i + j) % 5).toFloat)))
+      .toDF("id", "vec")
+    // one super, one sub: every vector lands in cell 1
+    val one = Similarity.ivfCellsTwoLevel(df, "id", "vec", nCells = 1,
+      nProbe = 1, superProbe = 1, iters = 1)
+    one.select(countDistinct(col("cell"))).collect()(0).getLong(0) shouldBe 1L
+    one.count() shouldBe 40L
+    // nProbe beyond the total cell count clamps instead of erroring
+    val clamped = Similarity.ivfCellsTwoLevel(df, "id", "vec", nCells = 4,
+      nProbe = 99, superProbe = 99, iters = 1)
+    clamped.groupBy("id").count()
+      .agg(max("count")).collect()(0).getLong(0) should be <= 4L
+    // a corpus with no valid vectors must fail loudly, not emit cells
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "vec")
+    val ex = intercept[Exception] {
+      Similarity.ivfCellsTwoLevel(allNull, "id", "vec", nCells = 2,
+        nProbe = 1, iters = 0).collect()
+    }
+    ex.getMessage.toLowerCase should include("empty")
+  }
+
   test("fit is independent of input partitioning") {
     val df = (0L until 40L).map(i => (i, Seq((i % 7).toFloat, (i % 3).toFloat)))
       .toDF("id", "vec")

@@ -204,6 +204,24 @@ class SamplingPackingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("greedyPackSplit: NULL and non-positive counts yield one zero-ish piece, never a phantom budget piece") {
+    import spark.implicits._
+    // least/greatest skip NULLs, so an uncoalesced NULL count would
+    // surface as one piece of n_tokens = budget — the exact bug class
+    // this fixture pins
+    val docs = Seq(
+      (1L, Some(100L)), (2L, None), (3L, Some(0L)), (4L, Some(-7L)))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.greedyPackSplit(docs, "doc_id", "n_tokens",
+        budget = 48L, groups = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    out(1L).map(_._2) shouldBe Seq(48L, 48L, 4L)
+    out(2L) shouldBe Seq((0, 0L))
+    out(3L) shouldBe Seq((0, 0L))
+    out(4L) shouldBe Seq((0, -7L))
+  }
+
   test("weightedSample: md5 path equals the exact local A-ES reference") {
     val df = spark.range(0, 500).toDF("id")
       .withColumn("w", (col("id") % 7 + 1).cast("double"))
