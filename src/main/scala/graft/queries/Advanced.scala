@@ -714,6 +714,106 @@ object Advanced {
       WHERE rank <= 3
       ORDER BY q_id, rank"""))
 
+  /** q139: ORACLE-CHECKED trained-IVF ANN — [[graft.operators.Similarity.ivfTopKTrained]]
+    * at (nCells=8, iters=2) on this corpus IS q107's integer k-means
+    * (the 4096-point sample floor swallows the 500-vector corpus and
+    * KMeans.fit re-derives the same portable seed draw), so the oracle
+    * chains q107's two unrolled Lloyd rounds into an nProbe=2
+    * (dist, cid)-ranked cell assignment, shared-cell candidates, and
+    * the exact cosine re-rank — a TRAINED-quantizer ANN oracle, not
+    * just a scoring one. Completes the portable-twin set for the
+    * trained path (hashed IVF q73, SRP-LSH q74). */
+  private val q139 = QuerySpec(
+    "q139_ann_ivf_trained",
+    (s, dir) =>
+      graft.operators.Similarity.ivfTopKTrained(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2, iters = 2)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("rank")),
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      init AS (
+        SELECT CAST(row_number() OVER (ORDER BY r, vec_id) AS INTEGER) AS cid, v
+        FROM seeded ORDER BY r, vec_id LIMIT 8),
+      d1 AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN init c),
+      a1 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM d1) WHERE rk = 1),
+      m1 AS (
+        SELECT a1.cid, t.i, CAST(sum(q.v[t.i]) AS BIGINT) // count(*) AS ci
+        FROM a1 JOIN q USING (vec_id)
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) t
+        GROUP BY 1, 2),
+      c1 AS (
+        SELECT init.cid, coalesce(m.nv, init.v) AS v
+        FROM init LEFT JOIN (
+          SELECT cid, list(ci ORDER BY i) AS nv FROM m1 GROUP BY 1) m
+          USING (cid)),
+      d2 AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c1 c),
+      a2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM d2) WHERE rk = 1),
+      m2 AS (
+        SELECT a2.cid, t.i, CAST(sum(q.v[t.i]) AS BIGINT) // count(*) AS ci
+        FROM a2 JOIN q USING (vec_id)
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) t
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT c1.cid, coalesce(m.nv, c1.v) AS v
+        FROM c1 LEFT JOIN (
+          SELECT cid, list(ci ORDER BY i) AS nv FROM m2 GROUP BY 1) m
+          USING (cid)),
+      dF AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c2 c),
+      assign AS (
+        SELECT vec_id AS id, cid AS cell FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rnk
+          FROM dF) WHERE rnk <= 2),
+      cands AS (
+        SELECT DISTINCT a.id AS q_id, b.id AS c_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.id <> b.id),
+      scored AS (
+        SELECT q_id, c_id,
+               list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                                      CAST(ca.embedding AS DOUBLE[])) AS sim
+        FROM cands
+        JOIN embeddings qa ON qa.vec_id = q_id
+        JOIN embeddings ca ON ca.vec_id = c_id)
+      SELECT q_id, rank, c_id, round(sim, 4) AS sim FROM (
+        SELECT q_id, c_id, sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, c_id ASC) AS INTEGER) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
   /** q74: ORACLE-CHECKED SRP-LSH ANN — q32's twin with md5-derived
     * hyperplanes (Similarity.portablePlaneComponent), completing the
     * portable-twin set: DuckDB regenerates the 16×4 planes from the
@@ -805,5 +905,5 @@ object Advanced {
 
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q74, q75, q76, q137, q138)
+      q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139)
 }
