@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Sampling, Similarity}
+import graft.operators.{KMeans, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Selection-and-evaluation family: weighted corpus sampling (q117,
@@ -525,6 +525,110 @@ object SelectionOps {
       FROM pos p FULL OUTER JOIN neg n ON p.q_id = n.q_id
       ORDER BY anchor_id"""))
 
+  /** q140: cluster-balanced selection — the diversity-flattening
+    * curation recipe (cluster the embedding space, then draw EQUAL
+    * per-cluster samples so over-represented modes can't dominate the
+    * training mix; the cluster-and-sample step in SemDeDup-class
+    * pipelines): [[KMeans.fitAssign]]'s integer k-means (q107, oracle-
+    * proven) composed with the portable per-group A-ES draw
+    * ([[Sampling.weightedSamplePerGroup]] at weight 1 — uniform within
+    * the cluster, q117's md5 key). Both stages already carry oracles;
+    * this row proves the COMPOSITION bit-for-bit: DuckDB re-trains the
+    * clustering and replays each cluster's sample walk. Scale shape:
+    * the k-means pass (bounded model round-trips) + ONE cluster-key
+    * window over ≤ n rows — no new shuffles beyond the components'. */
+  private val q140 = QuerySpec(
+    "q140_cluster_balanced",
+    (s, dir) => {
+      val assigned = KMeans.fitAssign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster"))
+      Sampling.weightedSamplePerGroup(
+          assigned.withColumn("w", lit(1.0)), "vec_id", "w", "cluster",
+          kPerGroup = 20, seed = 42L, uniform = Sampling.md5Uniform)
+        .select(col("cluster"), col("vec_id"), col("es_key"))
+        .orderBy(col("cluster"), col("vec_id"))
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      init AS (
+        SELECT CAST(row_number() OVER (ORDER BY r, vec_id) AS INTEGER) AS cid, v
+        FROM seeded ORDER BY r, vec_id LIMIT 8),
+      d1 AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN init c),
+      a1 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM d1) WHERE rk = 1),
+      m1 AS (
+        SELECT a1.cid, t.i, CAST(sum(q.v[t.i]) AS BIGINT) // count(*) AS ci
+        FROM a1 JOIN q USING (vec_id)
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) t
+        GROUP BY 1, 2),
+      c1 AS (
+        SELECT init.cid, coalesce(m.nv, init.v) AS v
+        FROM init LEFT JOIN (
+          SELECT cid, list(ci ORDER BY i) AS nv FROM m1 GROUP BY 1) m
+          USING (cid)),
+      d2 AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c1 c),
+      a2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM d2) WHERE rk = 1),
+      m2 AS (
+        SELECT a2.cid, t.i, CAST(sum(q.v[t.i]) AS BIGINT) // count(*) AS ci
+        FROM a2 JOIN q USING (vec_id)
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) t
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT c1.cid, coalesce(m.nv, c1.v) AS v
+        FROM c1 LEFT JOIN (
+          SELECT cid, list(ci ORDER BY i) AS nv FROM m2 GROUP BY 1) m
+          USING (cid)),
+      dF AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN c2 c),
+      aF AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM dF) WHERE rk = 1),
+      keyed AS (
+        SELECT vec_id, cluster,
+               CAST(floor(ln((CAST(concat('0x',
+                        substring(md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 12))
+                        AS BIGINT) + 0.5) / 281474976710656.0)
+                      / 1.0 * 1e9) AS BIGINT) AS es_key
+        FROM aF),
+      pick AS (
+        SELECT cluster, vec_id, es_key FROM (
+          SELECT cluster, vec_id, es_key,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY es_key DESC, vec_id) AS rk
+          FROM keyed) WHERE rk <= 20)
+      SELECT cluster, vec_id, es_key FROM pick
+      ORDER BY cluster, vec_id"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
+    Seq(q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q140)
 }
