@@ -131,24 +131,84 @@ object Decontaminate {
     }
     val tSets = Dedup.shingleSets(train, idCol, textCol, n, "train_id")
     val eSets = Dedup.shingleSets(eval, idCol, textCol, n, "eval_id")
-    // Per-side degenerate-bucket cap BEFORE the cross join — the same
-    // guard as minhashCandidates, same bounded_collect mechanics: all
-    // boilerplate/empty docs share one signature, so an uncapped
-    // (band, sig) join key would materialize |eval bucket|·|train
-    // bucket| rows. A bucket larger than maxBucket on EITHER side is
-    // dropped whole (its members are not near-dup evidence, they are
-    // degenerate content).
-    def buckets(sets: DataFrame, id: String) = Dedup.bandBuckets(
+    val cands = cappedBuckets(eSets, "eval_id", numHashes, bands, maxBucket)
+      .join(cappedBuckets(tSets, "train_id", numHashes, bands, maxBucket),
+        Seq("band", "sig"))
+      .select(col("eval_id"), col("train_id"))
+      .distinct()
+    Dedup.verifyJaccard(cands, "eval_id", "train_id", eSets, tSets, threshold)
+  }
+
+  /** Per-side degenerate-bucket cap BEFORE the cross join — the same
+    * guard as minhashCandidates, same bounded_collect mechanics: all
+    * boilerplate/empty docs share one signature, so an uncapped
+    * (band, sig) join key would materialize |eval bucket|·|train
+    * bucket| rows. A bucket larger than maxBucket on EITHER side is
+    * dropped whole (its members are not near-dup evidence, they are
+    * degenerate content). */
+  private def cappedBuckets(sets: DataFrame, id: String, numHashes: Int,
+                            bands: Int, maxBucket: Int): DataFrame =
+    Dedup.bandBuckets(
         Dedup.minhashSignaturesFromSets(sets, numHashes), bands)
       .groupBy(col("band"), col("sig"))
       .agg(BoundedCollectLong.boundedCollect(maxBucket)(col("doc")).as("bc"))
       .filter(col("bc.n") <= maxBucket)
       .select(col("band"), col("sig"), explode(col("bc.items")).as(id))
-    val cands = buckets(eSets, "eval_id")
-      .join(buckets(tSets, "train_id"), Seq("band", "sig"))
+
+  /** A historical corpus's near-dup detection side, precomputed ONCE
+    * and reused across calls — the repeated-gating shape (continuous
+    * ingest checks every micro-batch against the same index;
+    * recomputing the index's tokenize→shingle→signature→bucket chain
+    * per batch would dominate the gate's cost). Both relations are
+    * persisted; call [[NearDupIndex.unpersist]] when retiring it. */
+  final case class NearDupIndex private[operators] (
+      sets: DataFrame, buckets: DataFrame,
+      n: Int, numHashes: Int, bands: Int, maxBucket: Int) {
+    def unpersist(): Unit = { sets.unpersist(); buckets.unpersist() }
+  }
+
+  /** Build a [[NearDupIndex]] over the historical corpus (same id/
+    * hash/band parameters the gate will use — they are carried on the
+    * index so a mismatched gate call cannot happen silently). */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                        maxBucket: Int = 1000): NearDupIndex = {
+    val idType = corpus.schema(corpus.schema.fieldIndex(idCol)).dataType
+    require(idType == org.apache.spark.sql.types.LongType
+        || idType == org.apache.spark.sql.types.IntegerType,
+      s"buildNearDupIndex needs an integral doc id, got " +
+        s"${idType.catalogString}; map string keys to a surrogate id first")
+    val sets = Dedup.shingleSets(corpus, idCol, textCol, n, "train_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = cappedBuckets(sets, "train_id", numHashes, bands, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    NearDupIndex(sets, buckets, n, numHashes, bands, maxBucket)
+  }
+
+  /** [[nearDupLeaksLsh]] against a PRECOMPUTED index side: identical
+    * semantics and output shape ((eval_id, train_id, jaccard), the
+    * fresh side flagged), but the historical corpus's relations come
+    * from the persisted [[NearDupIndex]] — only the fresh batch pays
+    * tokenize→signature work. The candidate join and verification are
+    * byte-for-byte the nearDupLeaksLsh tail, so live gating and a
+    * batch backfill flag the same pairs (asserted in
+    * StreamingIngestPipelineSpec). */
+  def nearDupLeaksAgainstIndex(index: NearDupIndex, fresh: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double = 0.8): DataFrame = {
+    val idType = fresh.schema(fresh.schema.fieldIndex(idCol)).dataType
+    require(idType == org.apache.spark.sql.types.LongType
+        || idType == org.apache.spark.sql.types.IntegerType,
+      s"nearDupLeaksAgainstIndex needs an integral doc id, got " +
+        s"${idType.catalogString}; map string keys to a surrogate id first")
+    val eSets = Dedup.shingleSets(fresh, idCol, textCol, index.n, "eval_id")
+    val cands = cappedBuckets(eSets, "eval_id", index.numHashes, index.bands,
+        index.maxBucket)
+      .join(index.buckets, Seq("band", "sig"))
       .select(col("eval_id"), col("train_id"))
       .distinct()
-    Dedup.verifyJaccard(cands, "eval_id", "train_id", eSets, tSets, threshold)
+    Dedup.verifyJaccard(cands, "eval_id", "train_id", eSets, index.sets,
+      threshold)
   }
 
   /** SEMANTIC decontamination: eval docs whose EMBEDDING lands within

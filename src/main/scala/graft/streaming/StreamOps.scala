@@ -225,6 +225,41 @@ object StreamOps {
     }
   }
 
+  /** Per-micro-batch NEAR-DUP gate against the historical corpus —
+    * the missing middle between the streaming pipeline's exact
+    * fingerprint anti-join (re-crawls of IDENTICAL text) and the
+    * periodic batch near-dup pass: each arriving batch is checked with
+    * the batch LSH decontaminator against a PRECOMPUTED
+    * [[graft.operators.Decontaminate.NearDupIndex]] (the corpus's
+    * shingle sets + capped band buckets, persisted once — per batch
+    * only the fresh docs pay tokenize→signature work), and `sink`
+    * receives the batch MINUS docs with a verified ≥ threshold
+    * Jaccard neighbor in the index.
+    *
+    * Stateless by the lmScoreEachBatch argument: the gate is
+    * batch-local (its joins run inside the batch DataFrame against a
+    * static relation — no streaming state, no watermark), so live
+    * gating and a batch backfill through
+    * [[graft.operators.Decontaminate.nearDupLeaksLsh]] admit the same
+    * documents (asserted live≡backfill in the spec). In-stream
+    * near-dups (two fresh docs duplicating EACH OTHER in one batch)
+    * are out of scope here, exactly as cross-horizon exact dups are
+    * for dropDuplicatesWithinWatermark — the periodic batch dedup owns
+    * both tails. */
+  def nearDupGateEachBatch(docs: DataFrame,
+                           index: graft.operators.Decontaminate.NearDupIndex,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val flagged = graft.operators.Decontaminate
+        .nearDupLeaksAgainstIndex(index, batch, idCol, textCol, threshold)
+        .select(col("eval_id").as(idCol))
+      sink(batch.join(flagged, Seq(idCol), "left_anti"), id)
+    }
+
   /** Declarative gap-based session aggregation (session_window): sessions
     * close after `gap` of per-user inactivity; emits one row per closed
     * session in append mode. */

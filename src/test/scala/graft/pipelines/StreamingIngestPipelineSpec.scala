@@ -45,6 +45,55 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup gate: reworded re-crawls of index docs drop per batch; live ≡ backfill") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Decontaminate
+    import graft.streaming.StreamOps
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank " +
+      "while morning light spreads across the silent valley floor"
+    // the historical corpus: one real doc (plus an unrelated one);
+    // exact fingerprints cannot catch a REWORDED re-crawl of it
+    val corpus = Seq(
+      (100L, base),
+      (101L, "completely different archival material about ancient trade " +
+        "routes crossing the mountain passes in early winter snow"))
+      .toDF("doc_id", "text")
+    val index = Decontaminate.buildNearDupIndex(corpus, "doc_id", "text")
+    try {
+      // the fresh batch: a near-dup of index doc 100 (one word changed
+      // → Jaccard ≫ 0.8), and a genuinely novel doc
+      val nearDup = base.replace("distant", "nearby")
+      val novel = "a brand new report on deep sea exploration vessels " +
+        "mapping volcanic ridges under the southern ocean currents today"
+      val in = MemoryStream[(Long, String)]
+      val docs = in.toDF().toDF("doc_id", "text")
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamOps.nearDupGateEachBatch(docs, index) { (b, _) =>
+        got ++= b.select("doc_id").as[Long].collect()
+      }.start()
+      try {
+        in.addData((1L, nearDup), (2L, novel))
+        q.processAllAvailable()
+      } finally q.stop()
+      got.sorted.toSeq shouldBe Seq(2L)
+      // live ≡ backfill: the batch decontaminator flags the same doc
+      val backfill = Decontaminate.nearDupLeaksLsh(corpus,
+          Seq((1L, nearDup), (2L, novel)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .select("eval_id").as[Long].collect().toSeq
+      backfill shouldBe Seq(1L)
+      // and the precomputed-index form is pairwise identical to the
+      // from-scratch form on the same inputs
+      val viaIndex = Decontaminate.nearDupLeaksAgainstIndex(index,
+          Seq((1L, nearDup), (2L, novel)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .select("eval_id", "train_id").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq.sorted
+      viaIndex shouldBe Seq((1L, 100L))
+    } finally index.unpersist()
+  }
+
   test("soak: dedup state plateaus under the watermark across 100 micro-batches") {
     // The 100 TB streaming risk is unbounded state growth. Drive the
     // pipeline through 100 micro-batches of all-unique documents, event
