@@ -326,6 +326,16 @@ object WeakScale {
         ("bigram_lm_q134", D, () => {
           graft.operators.BigramLm.selfScore(docs, "doc_id", "text").count()
         }),
+        // two-level quantizer at auto-sized total cells (√n rule):
+        // super training is sample-bounded (constant), sub training is
+        // one broadcast join + two aggs per round over the sample, and
+        // corpus assignment is superProbe·(√K literal + ~√K joined)
+        // dots per vector — expect ~linear wall clock with the
+        // sample-bounded training as a flat floor
+        ("ivf_two_level", V, () => {
+          graft.operators.Similarity.ivfCellsTwoLevel(
+            vecs, "vec_id", "embedding", nCells = 0, nProbe = 2).count()
+        }),
         // both corpora grow k×; nCells ∝ k keeps cells task-sized (the
         // q86/q122 sizing rule), so cross-boundary candidate mass grows
         // ~linearly

@@ -53,4 +53,23 @@ object StreamingIngestPipeline {
       .join(corpusIndex.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** [[run]] with an opt-in stage 3b: the per-batch NEAR-dup gate
+    * against a precomputed historical index
+    * ([[graft.operators.Decontaminate.NearDupIndex]]) — drops the
+    * reworded re-crawls the exact-fingerprint anti-join is blind to.
+    * Because the near-dup gate runs per micro-batch (foreachBatch is a
+    * sink, not a transform), this variant RETURNS a DataStreamWriter:
+    * the caller's `sink` receives each fully-gated batch. `idCol` must
+    * be integral (the LSH bucket aggregate's contract). */
+  def runWithNearDupGate(docs: DataFrame, corpusIndex: DataFrame,
+      nearDupIndex: graft.operators.Decontaminate.NearDupIndex,
+      tsCol: String, idCol: String, textCol: String,
+      minQuality: Double = 0.3, lateness: String = "1 hour",
+      fpCol: String = "fp", nearDupThreshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    StreamOps.nearDupGateEachBatch(
+      run(docs, corpusIndex, tsCol, textCol, minQuality, lateness, fpCol),
+      nearDupIndex, idCol, textCol, nearDupThreshold)(sink)
 }

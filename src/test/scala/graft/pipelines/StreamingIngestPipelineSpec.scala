@@ -94,6 +94,40 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("runWithNearDupGate: all four hygiene stages compose end-to-end") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Decontaminate
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank " +
+      "while morning light spreads across the silent valley floor"
+    val corpus = Seq((100L, s"$base already ingested")).toDF("doc_id", "text")
+    val corpusIndex = corpus
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    val index = Decontaminate.buildNearDupIndex(corpus, "doc_id", "text")
+    try {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val docs = in.toDF().toDF("ts", "doc_id", "text")
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamingIngestPipeline.runWithNearDupGate(
+        docs, corpusIndex, index, "ts", "doc_id", "text") { (b, _) =>
+        got ++= b.select("doc_id").as[Long].collect()
+      }.start()
+      try {
+        in.addData(
+          (ts(0), 1L, "a genuinely new survey of coastal weather stations " +
+            "recording tide and wind measurements across the northern " +
+            "islands during the long polar night"),         // survives
+          (ts(1), 2L, s"$base already ingested"),           // exact index hit
+          (ts(2), 3L, s"$base already  INGESTED"),          // fp-normalized dup of 2's content
+          (ts(3), 4L, base.replace("distant", "nearby") +
+            " already ingested"),                           // NEAR-dup of index doc → 3b drops
+          (ts(4), 5L, "a" * 30 + " " + "b" * 30))           // quality floor
+        q.processAllAvailable()
+      } finally q.stop()
+      got.sorted.toSeq shouldBe Seq(1L)
+    } finally index.unpersist()
+  }
+
   test("soak: dedup state plateaus under the watermark across 100 micro-batches") {
     // The 100 TB streaming risk is unbounded state growth. Drive the
     // pipeline through 100 micro-batches of all-unique documents, event
