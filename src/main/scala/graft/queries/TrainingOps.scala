@@ -162,9 +162,12 @@ object TrainingOps {
   /** q80: deterministic per-source quota sampling — mixture control for
     * training corpora: at most N docs per source, chosen by md5 rank so
     * any engine reproduces the sample and reruns are stable. The window
-    * shuffles once on source; for exact quotas the per-source rank is
-    * unavoidable, for PROPORTIONAL sampling use Sampling.hashSplit
-    * (no window, no skew risk on a mega-source). */
+    * shuffles once on source. A mega-source cannot flood the window
+    * partition: rk <= 5 triggers WindowGroupLimit, which caps each map
+    * partition's contribution to 5 rows per source BEFORE the shuffle
+    * (plan-audited) — so the window sees ≤ 5·numPartitions rows per
+    * source, not the source's full doc list. For PROPORTIONAL sampling
+    * use Sampling.hashSplit (no window at all). */
   private val q80 = QuerySpec(
     "q80_source_quota",
     (s, dir) => {

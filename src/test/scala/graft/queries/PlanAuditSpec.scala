@@ -300,6 +300,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q80: source-quota rank pushes a map-side WindowGroupLimit heap (mega-source skew bound)") {
+    // round-7 window audit: q80 is the one remaining window over a
+    // potentially corpus-hot key (a mega-source). It stays safe ONLY
+    // because rk <= 5 triggers WindowGroupLimit, which caps each map
+    // partition's contribution to 5 rows per source BEFORE the
+    // shuffle — pin the optimization so a refactor that breaks the
+    // pushdown (e.g. ranking without the literal filter) fails here
+    // instead of at 100 TB
+    val plan = executedPlanOf("q80_source_quota")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q134: bigram LM joins are one-row-per-key hash joins, partial aggs, no cartesian") {
     val plan = executedPlanOf("q134_bigram_lm")
     assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
