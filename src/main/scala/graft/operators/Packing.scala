@@ -159,6 +159,26 @@ object Packing {
       .toDF()
   }
 
+  /** Pack-efficiency report: one row per (pack_group, bin) with its
+    * item count, budget-clamped token usage, and integer-basis-point
+    * fill rate (`used·10⁴ div budget` — exact, engine-portable; the
+    * bpeFertility convention). THE pre-training sanity metric for a
+    * packed corpus: mean fill is the fraction of every training step
+    * doing useful work, and a low-fill tail tells you the budget or
+    * the splitter is mis-sized. Works over [[greedyPack]] or
+    * [[greedyPackSplit]] output alike (anything with pack_group/bin/
+    * n_tokens); one partial-aggregated (group, bin) shuffle, output is
+    * bin-count-sized. */
+  def packEfficiency(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0)
+    packed
+      .groupBy(col("pack_group"), col("bin"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(least(greatest(col("n_tokens"), lit(0L)), lit(budget)))
+          .as("used"))
+      .withColumn("fill_bp", expr(s"used * 10000 div ${budget}L"))
+  }
+
   /** The tensor layout of a packed corpus: for every chunk of every
     * (pack_group, bin), its sequence index and token offset span
     * inside the concatenated pack — exactly what a dataloader needs to

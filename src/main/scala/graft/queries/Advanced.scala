@@ -595,6 +595,63 @@ object Advanced {
       SELECT doc_id, piece, n_tokens, pack_group, bin
       FROM walk ORDER BY doc_id, piece"""))
 
+  /** q141: pack-efficiency report ([[graft.operators.Packing.packEfficiency]])
+    * over the q138 split pack — per-bin item counts, clamped usage,
+    * and exact basis-point fill rates: the pre-training sanity metric
+    * (mean fill = fraction of each step doing useful work). The oracle
+    * extends q138's recursive walk with the one aggregation. */
+  private val q141 = QuerySpec(
+    "q141_pack_efficiency",
+    (s, dir) => {
+      import graft.operators.Packing
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      Packing.packEfficiency(
+          Packing.greedyPackSplit(docs, "doc_id", "n_tokens", budget = 48L,
+            groups = 16, groupExpr = Some(pmod(col("doc_id"), lit(16L)))),
+          budget = 48L)
+        .orderBy(col("pack_group"), col("bin"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE docs0 AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_doc,
+               doc_id % 16 AS pack_group
+        FROM documents),
+      pieces AS (
+        SELECT doc_id, pack_group,
+               CAST(i AS INTEGER) AS piece,
+               CAST(CASE WHEN n_doc <= 0 THEN n_doc
+                    ELSE least(48, n_doc - i * 48) END AS BIGINT) AS n_tokens
+        FROM docs0,
+             unnest(range(0, greatest((greatest(n_doc, 1) + 47) // 48, 1))) AS r(i)),
+      items AS (
+        SELECT doc_id, piece, n_tokens, pack_group,
+               row_number() OVER (PARTITION BY pack_group
+                 ORDER BY doc_id, piece) AS rn
+        FROM pieces),
+      walk AS (
+        SELECT pack_group, rn, doc_id, piece, n_tokens,
+               0::BIGINT AS bin,
+               least(greatest(n_tokens, 0), 48)::BIGINT AS used
+        FROM items WHERE rn = 1
+        UNION ALL
+        SELECT i.pack_group, i.rn, i.doc_id, i.piece, i.n_tokens,
+               CASE WHEN w.used > 0 AND w.used + greatest(i.n_tokens, 0) > 48
+                    THEN w.bin + 1 ELSE w.bin END,
+               CASE WHEN w.used > 0 AND w.used + greatest(i.n_tokens, 0) > 48
+                    THEN least(greatest(i.n_tokens, 0), 48)
+                    ELSE w.used + least(greatest(i.n_tokens, 0), 48) END
+        FROM walk w JOIN items i
+          ON i.pack_group = w.pack_group AND i.rn = w.rn + 1)
+      SELECT pack_group, bin,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(least(greatest(n_tokens, 0), 48)) AS BIGINT) AS used,
+             CAST(sum(least(greatest(n_tokens, 0), 48)) * 10000 // 48 AS BIGINT) AS fill_bp
+      FROM walk
+      GROUP BY pack_group, bin
+      ORDER BY pack_group, bin"""))
+
   /** q71: VariantType — Spark 4's semi-structured type. parse_json
     * keeps the whole document as a typed variant (no up-front schema,
     * unlike q18's from_json) and variant_get extracts paths lazily;
@@ -905,5 +962,5 @@ object Advanced {
 
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139)
+      q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141)
 }

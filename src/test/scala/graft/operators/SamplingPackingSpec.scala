@@ -222,6 +222,25 @@ class SamplingPackingSpec extends SparkSpec {
     out(4L) shouldBe Seq((0, -7L))
   }
 
+  test("packEfficiency: fill caps at 10000 bp on split packs; used ≡ the layout's last tok_end") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+    val budget = 48L
+    val packed = Packing.greedyPackSplit(docs, "doc_id", "n_tokens", budget,
+      groups = 8).persist()
+    val eff = Packing.packEfficiency(packed, budget)
+    // split packs clamp every piece, so fill can never exceed 100%
+    rows(eff.filter(col("fill_bp") > 10000L)) shouldBe empty
+    rows(eff.filter(col("used") > budget)) shouldBe empty
+    // cross-check against the layout: a bin's used tokens IS where its
+    // concatenated span ends
+    val layoutEnd = Packing.packLayout(packed, budget)
+      .groupBy("pack_group", "bin").agg(max(col("tok_end")).as("end"))
+    rows(eff.join(layoutEnd, Seq("pack_group", "bin"))
+      .filter(col("used") =!= col("end"))) shouldBe empty
+    packed.unpersist()
+  }
+
   test("weightedSample: md5 path equals the exact local A-ES reference") {
     val df = spark.range(0, 500).toDF("id")
       .withColumn("w", (col("id") % 7 + 1).cast("double"))
