@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-compression
+  * leg of the ANN family: split each embedding into `m` contiguous
+  * subspaces, learn a small k-means codebook PER subspace, and
+  * represent every vector by its `m` nearest-code ids. A 64-dim
+  * float32 vector (256 bytes) becomes `m` small ints; at m=8/k=256
+  * that is 8 bytes — a 32× compression that is what lets a
+  * 10¹⁰-vector corpus keep its index in cluster memory at all. The
+  * IVF family (q73/q139) cuts the CANDIDATE COUNT; PQ cuts the BYTES
+  * PER CANDIDATE — production systems (IVF-PQ/FAISS) compose both.
+  *
+  * Scoring is asymmetric distance computation (ADC): a query builds
+  * one lookup table of exact squared distances from each of its `m`
+  * sub-vectors to that subspace's `k` codes (m·k integer entries,
+  * computed once per query), after which scoring a corpus vector is
+  * `m` array lookups and an integer sum — no per-pair float kernel,
+  * and the corpus side touches only the code relation, never the
+  * full vectors.
+  *
+  * Engine-exact by the [[KMeans]] recipe: micro-quantized integer
+  * sub-vectors, exact integer squared distances, first-match argmin =
+  * smallest-code-id tie-break, truncating-integer centroid means —
+  * so a SQL engine replaying the same rounds reproduces codebooks,
+  * codes, and ADC rankings bit for bit (the q142 oracle does).
+  *
+  * 100 TB design: training cost is bounded by the deterministic
+  * md5-rank sample regardless of corpus size (the
+  * [[Similarity.ivfCellsTrained]] rule; one TakeOrdered, m bounded
+  * fits). Encoding is a pure narrow map against LITERAL codebooks
+  * (no join, no shuffle — k·dim longs per subspace in the plan).
+  * ADC top-k follows [[Similarity.bruteForceTopK]]'s shape — queries
+  * broadcast, corpus streamed — but the streamed side is the code
+  * relation (m ints/row), and the bounded-heap aggregate
+  * ([[TopKPairs]]) keeps the shuffle at queries × k rows with
+  * map-side partial heaps. Distances stay under 2⁵³ (micro elements
+  * ≤ ~10⁶ ⇒ per-dim term ≤ 10¹², dim ≤ 10³ ⇒ sums ≤ 10¹⁵ only for
+  * pathological norms; at unit-norm embeddings ≈ 10¹³), so the
+  * negated-double heap key loses nothing.
+  */
+object ProductQuant {
+
+  /** A trained PQ model: per subspace its 1-based slice (start, len)
+    * into the vector and a [[KMeans.Model]] codebook of micro-space
+    * sub-centroids (code ids 1..k, the KMeans cid contract). */
+  case class Model(slices: Seq[(Int, Int)], books: Seq[KMeans.Model]) {
+    require(slices.nonEmpty && slices.size == books.size,
+      s"model needs one codebook per subspace; got ${slices.size} slices, " +
+        s"${books.size} books")
+    require(books.forall(_.nonEmpty),
+      "empty codebook — the corpus had no valid vectors (the " +
+        "KMeans.assign fail-loudly rule)")
+    def m: Int = slices.size
+  }
+
+  /** Rows with a complete `dim`-element vector (the ANN family's
+    * contract: NULL vectors, NULL elements, and wrong-length vectors
+    * are excluded, never scored against a fake value). */
+  private def cleanVecs(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull)
+      && size(col(vecCol)) === dim)
+
+  /** Train `m` subspace codebooks of `k` codes each with `iters`
+    * integer-Lloyd rounds per subspace, over a bounded deterministic
+    * md5-rank sample (`sampleN = 0` auto-sizes to
+    * clamp(64·k, 4096, 65536) — constant training cost at any corpus
+    * size; a sample larger than the corpus degrades to the full
+    * corpus, which is what makes small-corpus oracles exact). All m
+    * fits draw their seed codes from the same sample rows
+    * ([[KMeans.fit]]'s portable-rank draw), sliced per subspace. */
+  def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+            m: Int, k: Int, iters: Int, sampleN: Int = 0): Model = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(dim >= m && dim % m == 0,
+      s"dim must be a positive multiple of m; got dim=$dim, m=$m")
+    val len = dim / m
+    val n = if (sampleN > 0) sampleN
+      else math.min(65536, math.max(4096, 64 * k))
+    val sample = cleanVecs(df, vecCol, dim)
+      .withColumn("__r", Similarity.portableCentroidRank(col(idCol)))
+      .orderBy(col("__r"), col(idCol)).limit(n)
+      .select(col(idCol), col(vecCol))
+      .cache()
+    try {
+      val slices = (0 until m).map(s => (s * len + 1, len))
+      val books = slices.map { case (start, sliceLen) =>
+        KMeans.fit(
+          sample.select(col(idCol),
+            slice(col(vecCol), start, sliceLen).as("__sub")),
+          idCol, "__sub", k, iters)
+      }
+      Model(slices, books)
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Per-subspace distance array of a micro vector against a LITERAL
+    * codebook: k exact integer squared distances in code-id order. */
+  private def bookDists(micro: Column, start: Int, len: Int,
+                        book: KMeans.Model): Column =
+    transform(typedlit(book.sortBy(_._1).map(_._2)),
+      c => KMeans.sqDistMicro(slice(micro, start, len), c))
+
+  /** Encode every vector to its `m` nearest-code ids — a pure narrow
+    * map against literal codebooks (no join, no shuffle; this is the
+    * pass that shrinks the corpus index 4·dim/m-fold). First-match
+    * `array_position` = smallest-code-id tie-break, the KMeans
+    * convention. Output: (idCol, codes array<int>, 1-based ids). */
+  def encode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+             model: Model): DataFrame = {
+    val micro = KMeans.microVec(col(vecCol))
+    val codeCols = model.slices.zip(model.books).map {
+      case ((start, len), book) =>
+        val d = bookDists(micro, start, len, book)
+        array_position(d, array_min(d)).cast("int")
+    }
+    cleanVecs(df, vecCol, dim)
+      .select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: every `queries` vector against the PQ-encoded
+    * `corpus` (self-matches on id excluded). The corpus is scored
+    * from CODES ONLY — each query carries its m per-subspace lookup
+    * tables (m·k exact integer distances, built once in the broadcast
+    * projection) and a candidate costs m `element_at`s and an integer
+    * sum. Ranking: adc_dist asc, ties by c_id asc (the negated-double
+    * heap key is exact — class doc). Output:
+    * (q_id, rank, c_id, adc_dist). */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, model: Model, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // the bruteForceTopK fan-out rule: a small corpus arriving as one
+    // split would serialize the scoring loop onto a single task
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val codes = encode(corpus, idCol, vecCol, dim, model)
+      .select(col(idCol).as("c_id"), col("codes"))
+      .repartition(par)
+    val micro = KMeans.microVec(col(vecCol))
+    val lutCols = model.slices.zip(model.books).zipWithIndex.map {
+      case (((start, len), book), i) =>
+        bookDists(micro, start, len, book).as(s"__lut$i")
+    }
+    val q = cleanVecs(queries, vecCol, dim)
+      .select(col(idCol).as("q_id") +: lutCols: _*)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("__adc", (0 until model.m).map(i =>
+        element_at(col(s"__lut$i"), element_at(col("codes"), i + 1)))
+        .reduce(_ + _))
+    scored
+      .groupBy(col("q_id"))
+      .agg(TopKPairs.topK(k)(-col("__adc"), col("c_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("c_id"), (-col("p.sim")).cast("long").as("adc_dist"))
+  }
+
+  /** Two-stage PQ search: ADC candidate generation (`candK` per
+    * query, from codes only) re-ranked by EXACT cosine over the
+    * candidates' full vectors — the [[Similarity.quantizedRerank]]
+    * shape with PQ in the cheap stage; only queries × candK full
+    * vectors are ever touched by the float kernel. Self-kNN form
+    * (queries = corpus). Output: (q_id, rank, c_id, sim). */
+  def adcRerank(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                model: Model, k: Int, candK: Int): DataFrame = {
+    require(candK >= k, s"candK ($candK) must be >= k ($k)")
+    val cands = adcTopK(df, df, idCol, vecCol, dim, model, candK)
+      .select(col("q_id"), col("c_id"))
+    val vecs = cleanVecs(df, vecCol, dim)
+      .select(col(idCol), col(vecCol))
+    val scored = cands
+      .join(vecs.select(col(idCol).as("q_id"), col(vecCol).as("__qv")), "q_id")
+      .join(vecs.select(col(idCol).cast("long").as("c_id"),
+        col(vecCol).as("__cv")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorFns.cosine(col("__qv"), col("__cv")).as("sim"))
+      .filter(col("sim").isNotNull)
+    scored
+      .groupBy(col("q_id"))
+      .agg(TopKPairs.topK(k)(col("sim"), col("c_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("c_id"), col("p.sim").as("sim"))
+  }
+}

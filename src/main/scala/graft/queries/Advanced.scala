@@ -960,7 +960,110 @@ object Advanced {
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       ORDER BY o_orderkey"""))
 
+  /** One unrolled integer-Lloyd chain (the q107 CTE shape) over the
+    * sub-vector slice [lo..hi] of subspace `t`, k codes, 2 rounds —
+    * emitted per PQ subspace by [[q142]]'s generated oracle. Relies on
+    * the CTEs `q` (micro vectors) and `seeded` (portable md5 rank)
+    * being defined by the caller. Produces `qs_T` (sub-vectors),
+    * `cT_2` (trained codebook), `eT` (per-vector code). */
+  private def pqChainSql(t: Int, lo: Int, hi: Int, k: Int): String = {
+    val len = hi - lo + 1
+    val rng = s"range(1, ${len + 1})"
+    def distCte(out: String, crel: String, qrel: String = s"qs_$t") = s"""
+      $out AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform($rng,
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM $qrel q CROSS JOIN $crel c)"""
+    def roundCtes(r: Int, prev: String): String = s"""${distCte(s"d${t}_$r", prev)},
+      a${t}_$r AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM d${t}_$r) WHERE rk = 1),
+      m${t}_$r AS (
+        SELECT a.cid, s.i, CAST(sum(q.v[s.i]) AS BIGINT) // count(*) AS ci
+        FROM a${t}_$r a JOIN qs_$t q USING (vec_id)
+        CROSS JOIN (SELECT CAST(unnest($rng) AS INTEGER) AS i) s
+        GROUP BY 1, 2),
+      c${t}_$r AS (
+        SELECT p.cid, coalesce(m.nv, p.v) AS v
+        FROM $prev p LEFT JOIN (
+          SELECT cid, list(ci ORDER BY i) AS nv FROM m${t}_$r GROUP BY 1) m
+          USING (cid))"""
+    s"""qs_$t AS (SELECT vec_id, v[$lo:$hi] AS v FROM q),
+      init_$t AS (
+        SELECT CAST(row_number() OVER (ORDER BY r, vec_id) AS INTEGER) AS cid,
+               v[$lo:$hi] AS v
+        FROM seeded ORDER BY r, vec_id LIMIT $k),
+      ${roundCtes(1, s"init_$t")},
+      ${roundCtes(2, s"c${t}_1")},${distCte(s"dE_$t", s"c${t}_2")},
+      e_$t AS (
+        SELECT vec_id, cid AS code FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+          FROM dE_$t) WHERE rk = 1)"""
+  }
+
+  /** q142: ORACLE-CHECKED product-quantization ANN
+    * ([[graft.operators.ProductQuant]], Jégou et al. 2011) — m=2
+    * subspace codebooks (k=4, 2 integer-Lloyd rounds each; the
+    * 4096-point sample floor swallows this corpus so training sees
+    * every vector), every corpus vector PQ-encoded, and the 20-query
+    * set ranked by exact-integer asymmetric distance from CODES ONLY.
+    * The oracle replays the whole thing — both codebook trainings
+    * (generated q107 chains over the vector halves), both code
+    * assignments, and the ADC join — bit for bit: a trained
+    * COMPRESSION oracle completing the ANN set (hashed IVF q73,
+    * SRP-LSH q74, trained IVF q139). */
+  private val q142 = QuerySpec(
+    "q142_ann_pq_adc",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.ProductQuant.train(emb, "vec_id",
+        "embedding", dim = 64, m = 2, k = 4, iters = 2)
+      graft.operators.ProductQuant.adcTopK(emb,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      ${pqChainSql(0, 1, 32, 4)},
+      ${pqChainSql(1, 33, 64, 4)},
+      lu_0 AS (
+        SELECT qq.vec_id AS q_id, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM (SELECT * FROM qs_0 WHERE vec_id <= 20) qq CROSS JOIN c0_2 c),
+      lu_1 AS (
+        SELECT qq.vec_id AS q_id, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM (SELECT * FROM qs_1 WHERE vec_id <= 20) qq CROSS JOIN c1_2 c),
+      adc AS (
+        SELECT l0.q_id, e0.vec_id AS c_id, l0.d + l1.d AS adc_dist
+        FROM e_0 e0 JOIN e_1 e1 USING (vec_id)
+        JOIN lu_0 l0 ON l0.code = e0.code
+        JOIN lu_1 l1 ON l1.code = e1.code AND l1.q_id = l0.q_id
+        WHERE l0.q_id <> e0.vec_id)
+      SELECT q_id, rank, c_id, adc_dist FROM (
+        SELECT q_id, c_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist, c_id) AS INTEGER) AS rank
+        FROM adc) WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141)
+      q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142)
 }

@@ -334,6 +334,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("PQ encode is a pure narrow map: zero exchanges, no joins") {
+    // the pass that shrinks a 10^10-vector index 32-fold must never
+    // shuffle the corpus — codebooks are literals in the projection
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val model = graft.operators.ProductQuant.train(e, "vec_id",
+      "embedding", dim = 64, m = 2, k = 4, iters = 1)
+    val plan = graft.operators.ProductQuant
+      .encode(e, "vec_id", "embedding", dim = 64, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q142: ADC streams codes against broadcast query LUTs into a heap top-k") {
+    val plan = executedPlanOf("q142_ann_pq_adc")
+    // exactly the bruteForceTopK shape, but the streamed side is the
+    // code relation (m ints/row, not dim floats): one nested loop
+    // against the broadcast 20-query LUT set, bounded-heap top-k, no
+    // window rank, no cartesian
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("top_k_pairs"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
