@@ -121,6 +121,39 @@ object ProductQuant {
       .select(col(idCol), array(codeCols: _*).as("codes"))
   }
 
+  /** Query-side ADC lookup tables: (q_id, __lut0..__lut{m-1}), each
+    * lut the k exact integer squared distances from the query's
+    * sub-vector to that subspace's codes, in code-id order. Built once
+    * per query in the (broadcast) projection. */
+  private def queryLuts(queries: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, model: Model): DataFrame = {
+    val micro = KMeans.microVec(col(vecCol))
+    val lutCols = model.slices.zip(model.books).zipWithIndex.map {
+      case (((start, len), book), i) =>
+        bookDists(micro, start, len, book).as(s"__lut$i")
+    }
+    cleanVecs(queries, vecCol, dim)
+      .select(col(idCol).as("q_id") +: lutCols: _*)
+  }
+
+  /** The ADC score of a `codes` row against the joined query's lookup
+    * tables: m `element_at`s and an integer sum. */
+  private def adcScore(model: Model): Column =
+    (0 until model.m).map(i =>
+      element_at(col(s"__lut$i"), element_at(col("codes"), i + 1)))
+      .reduce(_ + _)
+
+  /** Heap top-k over ADC-scored pairs → (q_id, rank, c_id, adc_dist),
+    * ranked adc asc / c_id asc ([[TopKPairs]]' negated-double key is
+    * exact over these integer magnitudes — class doc). */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(TopKPairs.topK(k)(-col("__adc"), col("c_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("c_id"), (-col("p.sim")).cast("long").as("adc_dist"))
+
   /** ADC top-k: every `queries` vector against the PQ-encoded
     * `corpus` (self-matches on id excluded). The corpus is scored
     * from CODES ONLY — each query carries its m per-subspace lookup
@@ -138,24 +171,70 @@ object ProductQuant {
     val codes = encode(corpus, idCol, vecCol, dim, model)
       .select(col(idCol).as("c_id"), col("codes"))
       .repartition(par)
-    val micro = KMeans.microVec(col(vecCol))
-    val lutCols = model.slices.zip(model.books).zipWithIndex.map {
-      case (((start, len), book), i) =>
-        bookDists(micro, start, len, book).as(s"__lut$i")
-    }
-    val q = cleanVecs(queries, vecCol, dim)
-      .select(col(idCol).as("q_id") +: lutCols: _*)
+    val q = queryLuts(queries, idCol, vecCol, dim, model)
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("__adc", (0 until model.m).map(i =>
-        element_at(col(s"__lut$i"), element_at(col("codes"), i + 1)))
-        .reduce(_ + _))
-    scored
-      .groupBy(col("q_id"))
-      .agg(TopKPairs.topK(k)(-col("__adc"), col("c_id")).as("nn"))
-      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "p")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("p.id").as("c_id"), (-col("p.sim")).cast("long").as("adc_dist"))
+      .withColumn("__adc", adcScore(model))
+    adcRank(scored, k)
+  }
+
+  /** IVF-PQ search (Jégou et al. 2011 §V — the FAISS `IndexIVFPQ`
+    * shape, here with `by_residual=false`: codes are learned on the
+    * raw vectors, not per-cell residuals, which keeps every stage
+    * engine-replayable): a TRAINED coarse quantizer
+    * ([[Similarity.ivfCellsTrained]]) prunes CANDIDATES to vectors
+    * sharing one of the query's `nProbe` cells, then PQ codes score
+    * only those survivors by exact-integer ADC. This composes the two
+    * legs of the ANN family — IVF cuts the candidate COUNT
+    * (n → ≈ n·nProbe/nCells per query), PQ cuts the BYTES per
+    * candidate (4·dim → m small ints) — which is what a production
+    * vector index does: at 10¹⁰ vectors the per-query work is the
+    * inverted-list fraction, and the corpus-side state the scoring
+    * pass touches is the (id, cell) relation plus the m-int code
+    * relation; the full float vectors are never read after encoding.
+    *
+    * Plan shape: cell model + assignment are [[Similarity.ivfCellsTrained]]'s
+    * narrow literal peel (no join, no shuffle, constant-bounded
+    * training); the query side's probed cells (|Q|·nProbe rows) and
+    * LUTs broadcast; candidate generation is one broadcast equi-join
+    * on `cell` against the corpus assignment + DISTINCT — never a
+    * corpus×queries cross join (PlanAuditSpec pins this); scoring
+    * joins the candidate relation to the code relation on id
+    * (AQE-splittable shuffle) and reduces through the bounded-heap
+    * aggregate (shuffle = queries × k rows).
+    *
+    * Self-kNN form: `queries` must be drawn from `corpus` (share its
+    * id space) — the cell model trains once on the corpus and both
+    * sides read their probed cells from the same assignment
+    * (the q139 candidate semantics); self-matches excluded. With
+    * `nProbe >= nCells` every pair shares a cell and the result
+    * equals [[adcTopK]] exactly (spec-proven identity). Output:
+    * (q_id, rank, c_id, adc_dist), ranked adc asc / c_id asc. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, dim: Int, model: Model, k: Int,
+                 nCells: Int, nProbe: Int = 2,
+                 ivfIters: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cells = Similarity.ivfCellsTrained(corpus, idCol, vecCol,
+      nCells, nProbe, ivfIters)
+    val codes = encode(corpus, idCol, vecCol, dim, model)
+      .select(col(idCol).as("c_id"), col("codes"))
+      .repartition(par)
+    val q = queryLuts(queries, idCol, vecCol, dim, model)
+    val qCells = cells
+      .join(broadcast(q.select(col("q_id").as("id"))), "id")
+      .select(col("id").as("q_id"), col("cell"))
+    val cands = broadcast(qCells)
+      .join(cells.select(col("id").as("c_id"), col("cell")), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .distinct()
+    val scored = cands
+      .join(codes, "c_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("__adc", adcScore(model))
+    adcRank(scored, k)
   }
 
   /** Two-stage PQ search: ADC candidate generation (`candK` per

@@ -1063,7 +1063,77 @@ object Advanced {
         FROM adc) WHERE rank <= 3
       ORDER BY q_id, rank"""))
 
+  /** q143: ORACLE-CHECKED IVF-PQ ANN
+    * ([[graft.operators.ProductQuant.ivfAdcTopK]]) — the composition
+    * of the ANN family's two trained legs on one index: q139's coarse
+    * quantizer (nCells=8, 2 Lloyd rounds, nProbe=2) prunes candidates
+    * to shared-cell pairs, q142's PQ codebooks (m=2, k=4) score the
+    * survivors by exact-integer ADC from codes only. The oracle
+    * replays ALL THREE k-means trainings from the same generator
+    * ([[pqChainSql]] — the coarse chain is just the full-width slice
+    * at k=8), the nProbe=2 cell assignment, the shared-cell candidate
+    * join, and the ADC ranking bit for bit. */
+  private val q143 = QuerySpec(
+    "q143_ann_ivf_pq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.ProductQuant.train(emb, "vec_id",
+        "embedding", dim = 64, m = 2, k = 4, iters = 2)
+      graft.operators.ProductQuant.ivfAdcTopK(emb,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3, nCells = 8, nProbe = 2, ivfIters = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      ${pqChainSql(0, 1, 32, 4)},
+      ${pqChainSql(1, 33, 64, 4)},
+      ${pqChainSql(2, 1, 64, 8)},
+      assign AS (
+        SELECT vec_id AS id, cid AS cell FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rnk
+          FROM dE_2) WHERE rnk <= 2),
+      cands AS (
+        SELECT DISTINCT a.id AS q_id, b.id AS c_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.id <> b.id
+        WHERE a.id <= 20),
+      lu_0 AS (
+        SELECT qq.vec_id AS q_id, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM (SELECT * FROM qs_0 WHERE vec_id <= 20) qq CROSS JOIN c0_2 c),
+      lu_1 AS (
+        SELECT qq.vec_id AS q_id, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM (SELECT * FROM qs_1 WHERE vec_id <= 20) qq CROSS JOIN c1_2 c),
+      adc AS (
+        SELECT c.q_id, c.c_id, l0.d + l1.d AS adc_dist
+        FROM cands c
+        JOIN e_0 e0 ON e0.vec_id = c.c_id
+        JOIN e_1 e1 ON e1.vec_id = c.c_id
+        JOIN lu_0 l0 ON l0.code = e0.code AND l0.q_id = c.q_id
+        JOIN lu_1 l1 ON l1.code = e1.code AND l1.q_id = c.q_id)
+      SELECT q_id, rank, c_id, adc_dist FROM (
+        SELECT q_id, c_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist, c_id) AS INTEGER) AS rank
+        FROM adc) WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142)
+      q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142,
+      q143)
 }

@@ -143,6 +143,41 @@ class ProductQuantSpec extends SparkSpec {
     nn.filter(col("q_id") > 6 || col("c_id") > 6).count() shouldBe 0L
   }
 
+  test("ivfAdcTopK with exhaustive probing IS adcTopK (identity)") {
+    // nProbe >= nCells: every pair shares a probed cell, so the IVF
+    // candidate pruning admits everything and the composition must
+    // reproduce plain ADC exactly
+    val full = ProductQuant.adcTopK(df, df, "id", "vec", dim = 4, model, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val ivf = ProductQuant.ivfAdcTopK(df, df, "id", "vec", dim = 4, model,
+        k = 3, nCells = 2, nProbe = 2, ivfIters = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    ivf shouldBe full
+  }
+
+  test("ivfAdcTopK prunes across clusters at nProbe=1 but keeps own-cluster hits") {
+    val nn = ProductQuant.ivfAdcTopK(df, df, "id", "vec", dim = 4, model,
+        k = 2, nCells = 2, nProbe = 1, ivfIters = 2)
+      .as[(Long, Int, Long, Long)].collect()
+    // the two fixture clusters are far apart: a trained 2-cell coarse
+    // quantizer separates them, so every candidate is own-cluster
+    nn.filter(_._1 <= 3).map(_._3).toSet should contain only (1L, 2L, 3L)
+    nn.filter(_._1 >= 4).map(_._3).toSet should contain only (4L, 5L, 6L)
+    // and within a cluster the ADC ranking matches the unpruned one
+    val full = ProductQuant.adcTopK(df, df, "id", "vec", dim = 4, model, 2)
+      .as[(Long, Int, Long, Long)].collect()
+      .filter(r => (r._1 <= 3) == (r._3 <= 3)).toSeq
+    nn.toSeq shouldBe full
+  }
+
+  test("ivfAdcTopK restricts to the query subset") {
+    val nn = ProductQuant.ivfAdcTopK(df, df.filter(col("id") <= 2),
+        "id", "vec", dim = 4, model, k = 3, nCells = 2, nProbe = 2)
+      .as[(Long, Int, Long, Long)].collect()
+    nn.map(_._1).toSet shouldBe Set(1L, 2L)
+    nn.foreach(r => r._1 should not be r._3)
+  }
+
   test("recall on the embeddings fixture: PQ candidates + exact rerank") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val m = ProductQuant.train(emb, "vec_id", "embedding", dim = 64,
