@@ -632,6 +632,118 @@ object CurationOps {
       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** q144: Gopher rule-based quality filter
+    * ([[graft.operators.QualityRules.report]], Rae et al. 2021
+    * Appendix A1.1) — seven structural rules as per-doc flags, every
+    * threshold cross-multiplied to integer arithmetic so both engines
+    * agree bit for bit. The corpus text is clean prose, so the query
+    * PLANTS deterministic violations AND satisfactions (the q100
+    * pattern): docs ≡0 mod 7 gain three bullet lines, ≡0 mod 11 two
+    * ellipsis-terminated lines, ≡0 mod 13 a run of `#` symbols,
+    * ≡0 mod 2 a stopword-rich sentence (the synthetic corpus has no
+    * natural English stopwords), ≡0 mod 17 two hundred 25-char words
+    * (drives mean word length past 10) — every rule provably fires
+    * both ways. */
+  private val q144 = QuerySpec(
+    "q144_gopher_rules",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir)
+        .withColumn("raw", concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\n- bullet one\n- bullet two\n- bullet three"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit("\ntrailing thought...\nanother…"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            lit(" ## ## ## ## ## ## ## ##"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit(" the cat and that dog have been with us to be of note"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            repeat(lit(" pneumonoultramicroscopics"), 200))
+            .otherwise(lit(""))))
+      graft.operators.QualityRules.report(planted, "doc_id", "raw")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               text
+                 || CASE WHEN doc_id % 7 = 0
+                      THEN chr(10) || '- bullet one' || chr(10)
+                        || '- bullet two' || chr(10) || '- bullet three'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                      THEN chr(10) || 'trailing thought...' || chr(10)
+                        || 'another' || chr(8230)
+                      ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                      THEN ' ## ## ## ## ## ## ## ##' ELSE '' END
+                 || CASE WHEN doc_id % 2 = 0
+                      THEN ' the cat and that dog have been with us to be of note'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 17 = 0
+                      THEN repeat(' pneumonoultramicroscopics', 200)
+                      ELSE '' END
+                 AS raw
+        FROM documents),
+      base AS (
+        SELECT doc_id, raw,
+               list_filter(string_split_regex(raw, '\s+'), x -> x <> '') AS w,
+               string_split(raw, chr(10)) AS lines
+        FROM raw),
+      m AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                 AS BIGINT) AS sum_len,
+               CAST((length(raw) - length(replace(raw, '#', '')))
+                 + (length(raw) - length(replace(raw, chr(8230), '')))
+                 + ((length(raw) - length(replace(raw, '...', ''))) // 3)
+                 AS BIGINT) AS n_sym,
+               CAST(len(list_filter(lines, l ->
+                 starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+                   OR starts_with(ltrim(l), chr(8226) || ' ')))
+                 AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(lines, l ->
+                 ends_with(rtrim(l), '...') OR ends_with(rtrim(l), chr(8230))))
+                 AS BIGINT) AS n_ellipsis,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS BIGINT) AS n_alpha,
+               (CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+                 AS n_stops
+        FROM base)
+      SELECT doc_id, n_lines, n_words,
+             n_words >= 50 AND n_words <= 100000 AS r_word_count,
+             n_words > 0 AND 3 * n_words <= sum_len
+               AND sum_len <= 10 * n_words AS r_mean_word_len,
+             n_sym * 10 <= n_words AS r_symbol_ratio,
+             n_bullet * 10 <= n_lines AS r_bullet_lines,
+             n_ellipsis * 10 < n_lines * 3 AS r_ellipsis_lines,
+             n_words > 0 AND n_alpha * 5 >= n_words * 4 AS r_alpha_words,
+             n_stops >= 2 AS r_stopwords,
+             (n_words >= 50 AND n_words <= 100000)
+               AND (n_words > 0 AND 3 * n_words <= sum_len
+                 AND sum_len <= 10 * n_words)
+               AND (n_sym * 10 <= n_words)
+               AND (n_bullet * 10 <= n_lines)
+               AND (n_ellipsis * 10 < n_lines * 3)
+               AND (n_words > 0 AND n_alpha * 5 >= n_words * 4)
+               AND (n_stops >= 2) AS pass
+      FROM m
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129, q134)
+    Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
+      q134, q144)
 }
