@@ -104,6 +104,52 @@ object Decontaminate {
       .agg(count(lit(1)).cast("int").as("n_shared"))
   }
 
+  /** Per-TRAIN-doc contamination fraction: what share of each train
+    * document's DISTINCT word n-grams appears ANYWHERE in the eval
+    * suite (union over eval docs). [[ngramLeaks]] answers "which eval
+    * docs leaked, and from where" (pair evidence); this answers the
+    * operational question on the other side — "which TRAIN docs do I
+    * drop, and at what threshold" (the PaLM-style rule marks a train
+    * doc contaminated when ≥70% of its 8-grams hit the eval set; the
+    * caller applies their cut on `frac_bp`).
+    *
+    * Output: one row per train doc — (train_id, n_grams,
+    * n_contaminated, frac_bp) with frac_bp the exact-integer basis
+    * points `n_contaminated·10⁴ div n_grams` (NULL only when the doc
+    * produced no grams, i.e. NULL text), so any engine reproduces the
+    * score bit for bit.
+    *
+    * Scale shape (the [[ngramLeaks]] argument): the eval side's
+    * distinct-gram set is tiny next to a 100 TB train corpus and is
+    * BROADCAST; the train side streams through one narrow
+    * explode→broadcast-semi-join→per-doc count — the only shuffle is
+    * the per-train-doc aggregation, partial-combined map-side. */
+  def contaminationFraction(train: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 13): DataFrame = {
+    val tg = Dedup.shingleSets(train, idCol, textCol, n, "train_id",
+        cache = false)
+      .select(col("train_id"), explode(col("shs")).as("g"))
+    val eg = Dedup.shingleSets(eval, idCol, textCol, n, "eval_id",
+        cache = false)
+      .select(explode(col("shs")).as("g"))
+      .distinct()
+    val tot = tg.groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = tg.join(broadcast(eg), Seq("g"), "left_semi")
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    train.select(col(idCol).as("train_id"))
+      .join(tot, Seq("train_id"), "left")
+      .join(hits, Seq("train_id"), "left")
+      .select(col("train_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("frac_bp",
+        when(col("n_grams") > 0L,
+          expr("n_contaminated * 10000 div n_grams")))
+  }
+
   /** [[nearDupLeaks]]'s LSH-banded scale form: MinHash-band both
     * corpora, candidates = cross-corpus bucket collisions only, exact
     * Jaccard verification per candidate pair — so precision is exactly

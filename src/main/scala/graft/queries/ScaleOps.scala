@@ -417,6 +417,55 @@ object ScaleOps {
     oracle = Some(graft.operators.Vocabulary.bpeFertilityOracle(
       "documents", "text", "source", 10)))
 
+  /** q145: per-train-doc contamination fraction
+    * ([[graft.operators.Decontaminate.contaminationFraction]]) — q85's
+    * detector turned into the drop-side score: the share of each train
+    * doc's distinct 13-grams found anywhere in the eval suite, in
+    * exact-integer basis points. Same md5 eval/train split as
+    * q82/q85; n=5 instead of 13 so the synthetic corpus produces
+    * non-trivial fractions. */
+  private val q145 = QuerySpec(
+    "q145_contamination_frac",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+      Decontaminate.contaminationFraction(docs.filter(!isEval),
+          docs.filter(isEval), "doc_id", "text", n = 5)
+        .orderBy(col("train_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_eval,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, is_eval, s FROM (
+          SELECT doc_id, is_eval, unnest(
+            CASE WHEN len(w) >= 5 THEN
+              list_transform(range(1, len(w) - 3),
+                i -> array_to_string(w[i:i+4], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks)),
+      eg AS (SELECT DISTINCT s FROM g WHERE is_eval),
+      tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM g WHERE NOT is_eval GROUP BY 1),
+      hit AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        FROM g t JOIN eg USING (s)
+        WHERE NOT t.is_eval GROUP BY 1)
+      SELECT t.doc_id AS train_id,
+             coalesce(tot.n_grams, 0) AS n_grams,
+             coalesce(hit.n_contaminated, 0) AS n_contaminated,
+             CASE WHEN tot.n_grams > 0 THEN
+               coalesce(hit.n_contaminated, 0) * 10000 // tot.n_grams
+             END AS frac_bp
+      FROM (SELECT doc_id FROM toks WHERE NOT is_eval) t
+      LEFT JOIN tot USING (doc_id)
+      LEFT JOIN hit USING (doc_id)
+      ORDER BY train_id"""))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133, q136)
+    q131, q132, q133, q136, q145)
 }

@@ -23,6 +23,37 @@ class DecontaminateSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq((101L, 1L))
   }
 
+  test("contaminationFraction: exact per-train-doc distinct-gram shares") {
+    // n=3 grams. train 1: 7 distinct trigrams, all present in eval 101
+    // (identical text) -> 10000 bp. train 2: 0 shared -> 0 bp.
+    // train 3 normalizes differently at the TOKEN level (The/QUICK
+    // casing) so only the grams matching doc 1's casing differ — count
+    // it by hand: its tokens are "The QUICK brown fox jumps over the
+    // lazy dog" -> 7 trigrams, of which those not touching The/QUICK
+    // ("brown fox jumps", "fox jumps over", "jumps over the",
+    // "over the lazy", "the lazy dog") = 5 appear in eval 101.
+    val out = Decontaminate.contaminationFraction(train, eval,
+        "doc_id", "text", n = 3)
+      .orderBy("train_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    out shouldBe Seq(
+      (1L, 7L, 7L, Some(10000L)),
+      (2L, 4L, 0L, Some(0L)),
+      (3L, 7L, 5L, Some(7142L)))
+  }
+
+  test("contaminationFraction: NULL text yields a row with NULL frac") {
+    val t = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val e = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val out = Decontaminate.contaminationFraction(t, e, "doc_id", "text", n = 3)
+      .orderBy("train_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    out.head shouldBe (1L, 2L, 2L, Some(10000L))
+    out(1)._1 shouldBe 2L
+    out(1)._4 shouldBe None
+  }
+
   test("nearDupLeaks finds cross-corpus near-duplicates only") {
     val out = rows(Decontaminate.nearDupLeaks(train, eval, "doc_id", "text",
         n = 3, threshold = 0.5)
