@@ -1,0 +1,282 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SentencePiece-style unigram-LM tokenization (Kudo, "Subword
+  * Regularization: Improving Neural Network Translation Models with
+  * Multiple Subword Candidates", 2018) — the OTHER major subword
+  * algorithm next to BPE ([[Vocabulary]] q131-q133): score every
+  * subword piece by a unigram language model and segment each word
+  * with the Viterbi best path (minimum total negative log-prob).
+  *
+  * This implementation learns the SEED vocabulary (Kudo §3's starting
+  * point: all frequent substrings, scored by occurrence frequency) and
+  * runs exact Viterbi under it. The EM prune loop that shrinks the
+  * seed toward a target size refines piece PROBABILITIES but not the
+  * mechanics exercised here; the seed + Viterbi pair is the
+  * engine-portable core, and every stage below is replayed bit for
+  * bit by the generated DuckDB oracle (q146/q147).
+  *
+  * Determinism contract (the [[UnigramLm]] rule): piece
+  * log-probabilities are quantized ONCE to integer micro-units
+  * (`round(ln(w/W)·10⁶)` — one `ln` per vocabulary entry), so path
+  * costs are exact integer sums; the Viterbi argmin packs
+  * `(cost, piece_len)` into one integer key (`k = cost·32 + (32−len)`,
+  * len ≤ 16 < 32) so ties break toward the LONGER piece identically
+  * in any engine.
+  *
+  * Scale shape (the BPE trick, [[Vocabulary]] scaladoc): the corpus
+  * is touched ONCE by the word-count shuffle; candidate extraction,
+  * vocabulary scoring, and Viterbi all run over the WORD-FREQUENCY
+  * relation (distinct words ≪ corpus tokens by Heaps' law), with the
+  * piece table broadcast into the candidate join. The Viterbi DP is a
+  * single higher-order-function pass per word — no per-position
+  * shuffle, no driver loop; document encoding would broadcast-join
+  * the finished word→pieces table exactly like [[Vocabulary.bpeEncode]].
+  */
+object UnigramTokenizer {
+
+  /** (word, cnt) corpus word frequencies. */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** All (start, len) substrings of `word` up to `maxPieceLen`,
+    * exploded as (i, l, piece) — every occurrence position counts
+    * once, so a piece's weight is Σ cnt(word)·occurrences. */
+  private def candidates(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("word"), col("cnt"),
+      explode(flatten(transform(sequence(lit(1), length(col("word"))), i =>
+        transform(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - i + 1)), l =>
+          struct(i.cast("int").as("i"), l.cast("int").as("l"),
+            col("word").substr(i, l).as("piece")))))).as("c"))
+      .select(col("word"), col("cnt"),
+        col("c.i").as("i"), col("c.l").as("l"), col("c.piece").as("piece"))
+
+  /** Seed vocabulary from word-frequency `words`: ALL single
+    * characters (coverage guarantee — every corpus word stays
+    * segmentable) plus the top multi-char substrings by
+    * (weight desc, piece asc) until `vocabSize` pieces.
+    * Output: (piece, weight, lp_micro). */
+  private def seedFromWords(words: DataFrame, vocabSize: Int,
+                            maxPieceLen: Int): DataFrame = {
+    val weights = candidates(words, maxPieceLen)
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+    val chars = weights.filter(length(col("piece")) === 1)
+    val nChars = chars.count()
+    require(vocabSize > nChars,
+      s"vocabSize ($vocabSize) must exceed the corpus alphabet " +
+        s"($nChars single-char pieces are always kept)")
+    val multi = TopK.global(weights.filter(length(col("piece")) > 1),
+      (vocabSize - nChars).toInt, col("weight").desc, col("piece").asc)
+    val sel = chars.union(multi)
+    // scalar total via broadcast cross join (the W1 pattern) — the
+    // plan stays fully distributed, no driver round trip
+    sel.crossJoin(broadcast(sel.agg(sum(col("weight")).as("__w"))))
+      .select(col("piece"), col("weight"),
+        round(log(col("weight").cast("double") / col("__w")) * lit(1e6), 0)
+          .cast("long").as("lp_micro"))
+  }
+
+  /** Seed unigram vocabulary of the corpus: (piece, weight,
+    * lp_micro) — see [[seedFromWords]]. */
+  def seedVocab(docs: DataFrame, textCol: String, vocabSize: Int,
+                maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1, 16] (len packs into 5 bits of the " +
+        s"Viterbi key), got $maxPieceLen")
+    seedFromWords(wordCounts(docs, textCol), vocabSize, maxPieceLen)
+  }
+
+  /** Viterbi-segment every distinct corpus word under the seed
+    * vocabulary: (word, cnt, encoding, n_pieces, cost_micro) with
+    * `encoding` the space-joined best-path pieces, `cost_micro` the
+    * exact integer path cost (Σ −lp_micro), ties broken toward longer
+    * pieces then handled identically in both engines by the packed
+    * key. One HOF pass per word; the piece table is broadcast. */
+  def segmentWords(docs: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1, 16], got $maxPieceLen")
+    val words = wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pieces = seedFromWords(words, vocabSize, maxPieceLen)
+        .select(col("piece"), (-col("lp_micro")).as("cost"))
+      // in-vocab candidates keyed by END position j and length l;
+      // key = j·32 + l is unique per (j, l) so the map build is
+      // collect-order-independent
+      val cand = candidates(words, maxPieceLen)
+        .join(broadcast(pieces), "piece")
+        .select(col("word"),
+          ((col("i") + col("l") - 1) * 32 + col("l")).cast("long").as("k"),
+          col("cost"))
+      val cmap = cand.groupBy(col("word"))
+        .agg(map_from_entries(collect_list(struct(col("k"), col("cost"))))
+          .as("cmap"))
+      val dp = words.join(cmap, "word")
+        .withColumn("dp", aggregate(
+          sequence(lit(1), length(col("word"))),
+          struct(array(lit(0L)).as("best"),
+            array().cast("array<long>").as("bp")),
+          (acc, j) => {
+            // k = (best[j−l] + cost(piece ending at j, len l))·32 +
+            // (32 − l): min picks lowest cost, then LONGEST piece
+            val keys = filter(
+              transform(sequence(lit(1), least(lit(maxPieceLen), j)), l =>
+                (element_at(acc("best"), (j - l + 1).cast("int")) +
+                  element_at(col("cmap"), (j * 32 + l).cast("long"))) * 32 +
+                  (lit(32) - l)),
+              x => x.isNotNull)
+            val mk = array_min(keys)
+            struct(
+              concat(acc("best"),
+                array(((mk - pmod(mk, lit(32L))) / 32).cast("long")))
+                .as("best"),
+              concat(acc("bp"), array(lit(32L) - pmod(mk, lit(32L))))
+                .as("bp"))
+          }))
+        .select(col("word"), col("cnt"),
+          col("dp.best").as("best"), col("dp.bp").as("bp"))
+      // backward walk: at most len(word) steps; once pos hits 0 the
+      // remaining iterations are no-ops
+      dp.withColumn("pieces", aggregate(
+          sequence(lit(1), length(col("word"))),
+          struct(length(col("word")).cast("long").as("pos"),
+            array().cast("array<string>").as("ps")),
+          (acc, _) => {
+            val l = element_at(col("bp"), acc("pos").cast("int"))
+            when(acc("pos") > 0,
+              struct((acc("pos") - l).as("pos"),
+                concat(
+                  array(col("word").substr(
+                    (acc("pos") - l + 1).cast("int"), l.cast("int"))),
+                  acc("ps")).as("ps")))
+              .otherwise(struct(acc("pos").as("pos"), acc("ps").as("ps")))
+          },
+          acc => acc("ps")))
+        .select(col("word"), col("cnt"),
+          concat_ws(" ", col("pieces")).as("encoding"),
+          size(col("pieces")).as("n_pieces"),
+          element_at(col("best"), length(col("word")) + 1)
+            .as("cost_micro"))
+    } finally { words.unpersist(); () }
+  }
+
+  // ---- DuckDB oracle generators --------------------------------------
+
+  /** Shared CTE prefix: word counts, candidate substrings, seed
+    * selection, and integer piece costs — the exact relations the
+    * Spark operators build. */
+  private def seedCtes(table: String, textCol: String, vocabSize: Int,
+                       maxPieceLen: Int): String = s"""
+      WITH wrds AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt, length(word) AS len
+        FROM (SELECT unnest(list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '')) AS word
+              FROM $table)
+        GROUP BY word),
+      cand0 AS (
+        SELECT word, cnt, CAST(i AS INT) AS i, CAST(l AS INT) AS l,
+               substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+        FROM wrds,
+             unnest(range(1, len + 1)) r(i),
+             unnest(range(1, ${maxPieceLen + 1})) q(l)
+        WHERE i + l - 1 <= len),
+      pw AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS weight
+        FROM cand0 GROUP BY 1),
+      chars AS (SELECT piece, weight FROM pw WHERE length(piece) = 1),
+      multi AS (
+        SELECT piece, weight FROM (
+          SELECT piece, weight,
+                 row_number() OVER (ORDER BY weight DESC, piece ASC) AS rn
+          FROM pw WHERE length(piece) > 1)
+        WHERE rn <= $vocabSize - (SELECT count(*) FROM chars)),
+      sel AS MATERIALIZED (
+        SELECT piece, weight FROM chars
+        UNION ALL SELECT piece, weight FROM multi),
+      pcost AS MATERIALIZED (
+        SELECT piece, weight,
+               CAST(round(ln(CAST(weight AS DOUBLE)
+                 / (SELECT sum(weight) FROM sel)) * 1000000, 0) AS BIGINT)
+                 AS lp_micro
+        FROM sel)"""
+
+  /** DuckDB replay of [[seedVocab]]. */
+  def seedVocabOracle(table: String, textCol: String, vocabSize: Int,
+                      maxPieceLen: Int): String =
+    seedCtes(table, textCol, vocabSize, maxPieceLen) + """
+      SELECT piece, weight, lp_micro FROM pcost
+      ORDER BY piece"""
+
+  /** DuckDB replay of [[segmentWords]]: the Viterbi DP unrolled to
+    * `maxWordLen` chained steps (one per word position — the
+    * [[Vocabulary.bpeCtes]] unroll pattern) followed by `maxWordLen`
+    * backward-walk steps. Fails loudly (NULL propagation → hash
+    * mismatch) if the corpus ever contains a word longer than
+    * `maxWordLen`. */
+  def segmentsOracle(table: String, textCol: String, vocabSize: Int,
+                     maxPieceLen: Int, maxWordLen: Int): String = {
+    val sb = new StringBuilder(
+      seedCtes(table, textCol, vocabSize, maxPieceLen))
+    sb.append(s""",
+      cand AS MATERIALIZED (
+        SELECT c.word, CAST(c.i + c.l - 1 AS BIGINT) AS j,
+               CAST(c.l AS BIGINT) AS l, -p.lp_micro AS cost
+        FROM cand0 c JOIN pcost p USING (piece)),
+      dp0 AS (
+        SELECT word, len, cnt, [CAST(0 AS BIGINT)] AS best,
+               CAST([] AS BIGINT[]) AS bp
+        FROM wrds)""")
+    (1 to maxWordLen).foreach { j =>
+      sb.append(s""",
+      s$j AS (
+        SELECT c.word,
+               min((list_extract(d.best, CAST($j - c.l + 1 AS INT)) + c.cost)
+                 * 32 + (32 - c.l)) AS k
+        FROM cand c JOIN dp${j - 1} d USING (word)
+        WHERE c.j = $j
+        GROUP BY c.word),
+      dp$j AS (
+        SELECT d.word, d.len, d.cnt,
+               CASE WHEN s.word IS NULL THEN d.best
+                    ELSE d.best || [s.k // 32] END AS best,
+               CASE WHEN s.word IS NULL THEN d.bp
+                    ELSE d.bp || [32 - (s.k % 32)] END AS bp
+        FROM dp${j - 1} d LEFT JOIN s$j s USING (word))""")
+    }
+    sb.append(s""",
+      w0 AS (
+        SELECT word, cnt, len, best, bp, CAST(len AS BIGINT) AS pos,
+               CAST([] AS VARCHAR[]) AS pieces
+        FROM dp$maxWordLen)""")
+    (1 to maxWordLen).foreach { t =>
+      sb.append(s""",
+      w$t AS (
+        SELECT word, cnt, len, best, bp,
+               CASE WHEN pos > 0
+                 THEN pos - list_extract(bp, CAST(pos AS INT))
+                 ELSE pos END AS pos,
+               CASE WHEN pos > 0
+                 THEN [substring(word,
+                        CAST(pos - list_extract(bp, CAST(pos AS INT)) + 1
+                          AS INT),
+                        CAST(list_extract(bp, CAST(pos AS INT)) AS INT))]
+                      || pieces
+                 ELSE pieces END AS pieces
+        FROM w${t - 1})""")
+    }
+    sb.append(s"""
+      SELECT word, cnt, array_to_string(pieces, ' ') AS encoding,
+             CAST(len(pieces) AS INT) AS n_pieces,
+             list_extract(best, len + 1) AS cost_micro
+      FROM w$maxWordLen
+      ORDER BY word""")
+    sb.toString
+  }
+}

@@ -466,6 +466,37 @@ object ScaleOps {
       LEFT JOIN hit USING (doc_id)
       ORDER BY train_id"""))
 
+  /** q146: unigram-tokenizer seed vocabulary
+    * ([[graft.operators.UnigramTokenizer.seedVocab]], Kudo 2018) — all
+    * 24 corpus characters plus the top substrings to 80 pieces, each
+    * scored by its micro-quantized unigram log-prob. DuckDB replays
+    * the candidate walk, the (weight desc, piece asc) selection, and
+    * the one-ln-per-piece quantization exactly. */
+  private val q146 = QuerySpec(
+    "q146_unigram_vocab",
+    (s, dir) =>
+      graft.operators.UnigramTokenizer.seedVocab(
+          Tables.documents(s, dir), "text", vocabSize = 80, maxPieceLen = 4)
+        .orderBy(col("piece")),
+    oracle = Some(graft.operators.UnigramTokenizer.seedVocabOracle(
+      "documents", "text", vocabSize = 80, maxPieceLen = 4)))
+
+  /** q147: Viterbi segmentation under the seed unigram LM
+    * ([[graft.operators.UnigramTokenizer.segmentWords]]) — every
+    * distinct corpus word gets its exact minimum-cost piece path,
+    * ties toward longer pieces via the packed integer argmin key. The
+    * oracle unrolls the DP to the corpus's 8-char max word length
+    * (the bpeCtes chain pattern) and replays best path, piece walk,
+    * and integer path cost bit for bit. */
+  private val q147 = QuerySpec(
+    "q147_unigram_segments",
+    (s, dir) =>
+      graft.operators.UnigramTokenizer.segmentWords(
+          Tables.documents(s, dir), "text", vocabSize = 80, maxPieceLen = 4)
+        .orderBy(col("word")),
+    oracle = Some(graft.operators.UnigramTokenizer.segmentsOracle(
+      "documents", "text", vocabSize = 80, maxPieceLen = 4, maxWordLen = 8)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133, q136, q145)
+    q131, q132, q133, q136, q145, q146, q147)
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[UnigramTokenizer]] — SentencePiece-style unigram-LM seed
+  * vocabulary + Viterbi segmentation. The q146/q147 oracles prove
+  * engine parity on the corpus; this spec pins the ALGORITHM on
+  * hand-computed fixtures: exact weights and micro-quantized
+  * log-probs, the minimum-cost path, the longer-piece tie rule, and
+  * the single-char coverage guarantee.
+  */
+class UnigramTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private def vocabOf(df: org.apache.spark.sql.DataFrame, size: Int,
+                      maxLen: Int = 2): Map[String, (Long, Long)] =
+    UnigramTokenizer.seedVocab(df, "text", size, maxLen)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def segOf(df: org.apache.spark.sql.DataFrame, size: Int,
+                    maxLen: Int = 2): Map[String, (String, Int, Long)] =
+    UnigramTokenizer.segmentWords(df, "text", size, maxLen)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), r.getInt(3), r.getLong(4))).toMap
+
+  test("seedVocab: hand-computed weights and micro log-probs on 'abab ab'") {
+    // candidates of abab: a,ab,b,ba,a,ab,b ; of ab: a,ab,b
+    // → weights a=3 b=3 ab=3 ba=1, W=10
+    val v = vocabOf(docs("abab ab"), size = 4)
+    v.keySet shouldBe Set("a", "b", "ab", "ba")
+    v("a")._1 shouldBe 3L
+    v("b")._1 shouldBe 3L
+    v("ab")._1 shouldBe 3L
+    v("ba")._1 shouldBe 1L
+    // round(ln(3/10)·1e6) = −1203973 ; round(ln(1/10)·1e6) = −2302585
+    v("a")._2 shouldBe -1203973L
+    v("ab")._2 shouldBe -1203973L
+    v("ba")._2 shouldBe -2302585L
+  }
+
+  test("seedVocab: multi-char slots filled by (weight desc, piece asc)") {
+    // corpus 'xy xz': chars x=2 y=1 z=1; multi xy=1 xz=1 — one slot
+    // left at size 4, weight tie broken by piece asc → xy kept
+    val v = vocabOf(docs("xy xz"), size = 4)
+    v.keySet shouldBe Set("x", "y", "z", "xy")
+  }
+
+  test("seedVocab: vocabSize must exceed the corpus alphabet") {
+    val e = intercept[IllegalArgumentException] {
+      vocabOf(docs("abc"), size = 3)
+    }
+    e.getMessage should include("alphabet")
+    intercept[IllegalArgumentException] {
+      UnigramTokenizer.seedVocab(docs("a"), "text", 5, maxPieceLen = 17)
+    }
+  }
+
+  test("segmentWords: Viterbi picks the minimum-cost path") {
+    // vocab from 'abab ab' (above): cost(a)=cost(b)=cost(ab)=1203973,
+    // cost(ba)=2302585 → 'abab' best = ab|ab (2407946), beating
+    // a|b|a|b (4815892) and a|ba|b (4711431)
+    val s = segOf(docs("abab ab"), size = 4)
+    s("abab") shouldBe (("ab ab", 2, 2407946L))
+    s("ab") shouldBe (("ab", 1, 1203973L))
+  }
+
+  test("segmentWords: equal-cost paths break toward the longer final piece") {
+    // corpus 'aaa': w(a)=3 w(aa)=2 W=5 → cost(a)=510826 cost(aa)=916291
+    // best[3] via a|aa = via aa|a = 1427117 — packed key must pick the
+    // len-2 piece at the END, i.e. 'a aa', not 'aa a'
+    val s = segOf(docs("aaa"), size = 2)
+    s("aaa") shouldBe (("a aa", 2, 1427117L))
+  }
+
+  test("segmentWords: single-char coverage segments words with no multi piece") {
+    // size 4 on 'xy xz' keeps only multi piece 'xy' → 'xz' must fall
+    // back to its characters and still segment
+    val s = segOf(docs("xy xz"), size = 4)
+    s("xy")._1 shouldBe "xy"
+    s("xz")._1 shouldBe "x z"
+    s("xz")._2 shouldBe 2
+  }
+
+  test("segmentWords: path cost equals the sum of piece costs") {
+    val v = vocabOf(docs("abab ab ba"), size = 5)
+    val s = segOf(docs("abab ab ba"), size = 5)
+    s.foreach { case (_, (enc, n, cost)) =>
+      val pieces = enc.split(" ")
+      pieces.length shouldBe n
+      cost shouldBe pieces.map(p => -v(p)._2).sum
+    }
+  }
+}
