@@ -345,6 +345,39 @@ object WeakScale {
             vecs.filter(!isEval), vecs.filter(isEval),
             "vec_id", "embedding", threshold = 0.35,
             nCells = 16 * k, nProbe = 2).count()
+        }),
+        // narrow projection, no shuffle — the flat-linear floor case
+        ("gopher_rules_q144", D, () => {
+          graft.operators.QualityRules.report(docs, "doc_id", "text").count()
+        }),
+        // train side grows k×, eval stays FIXED (the q85 protocol: the
+        // weak-scaling axis is the corpus, not the benchmark suite);
+        // expect linear — one streamed explode under a broadcast
+        // semi-join with map-side-combined per-doc counts
+        ("contamination_frac_q145", D, () => {
+          val eval = docs.filter(pmod(col("doc_id"), lit(997)) === 0)
+            .limit(200).select(col("doc_id"), col("text"))
+          graft.operators.Decontaminate.contaminationFraction(
+            docs, eval, "doc_id", "text", n = 8).count()
+        }),
+        // corpus pays ONE word-count shuffle; candidates/DP run over
+        // the distinct-word relation (Heaps-bounded — replicas add one
+        // tag word each) — expect sub-linear: the vocab-relation cost
+        // saturates while only the word count grows
+        ("unigram_segments_q147", D, () => {
+          graft.operators.UnigramTokenizer.segmentWords(
+            docs, "text", vocabSize = 80, maxPieceLen = 4).count()
+        }),
+        // IVF candidates ∝ n·nProbe/nCells with nCells ∝ k (the q135
+        // sizing rule) ⇒ per-query candidate mass constant; PQ train
+        // sample-bounded; encode narrow ⇒ expect ~linear in n
+        ("ivf_pq_q143", V, () => {
+          val model = graft.operators.ProductQuant.train(vecs, "vec_id",
+            "embedding", dim = 64, m = 2, k = 4, iters = 2)
+          graft.operators.ProductQuant.ivfAdcTopK(vecs,
+            vecs.filter(col("vec_id") <= 20), "vec_id", "embedding",
+            dim = 64, model, k = 3, nCells = 8 * k, nProbe = 2,
+            ivfIters = 2).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic,bpe" measures a
       // comma-separated name-substring subset (local iteration; the

@@ -63,8 +63,16 @@ object UnigramTokenizer {
     * Output: (piece, weight, lp_micro). */
   private def seedFromWords(words: DataFrame, vocabSize: Int,
                             maxPieceLen: Int): DataFrame = {
+    // the piece-weight relation is referenced FOUR times in the final
+    // plan (chars, the top-k slice, and both sides of the broadcast
+    // total) — eager localCheckpoint materializes it once
+    // (vocab-sized blocks, freed by the ContextCleaner when the plan
+    // is GC'd) so the candidate explode beneath it runs exactly once
+    // per call instead of once per reference (measured: the lazy form
+    // re-scanned the corpus ~5× at WeakScale 16×)
     val weights = candidates(words, maxPieceLen)
       .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+      .localCheckpoint()
     val chars = weights.filter(length(col("piece")) === 1)
     val nChars = chars.count()
     require(vocabSize > nChars,
@@ -101,9 +109,14 @@ object UnigramTokenizer {
                    maxPieceLen: Int = 4): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"maxPieceLen must be in [1, 16], got $maxPieceLen")
-    val words = wordCounts(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // the word relation feeds the vocabulary AND the DP join of the
+    // RETURNED lazy plan — a persist + finally-unpersist here would
+    // evict before the caller ever executes (the original form did,
+    // turning one corpus pass into ~7 at WeakScale 16×); eager
+    // localCheckpoint pins the Heaps-bounded relation until the plan
+    // is GC'd and truncates the corpus scan out of every reference
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    locally {
       val pieces = seedFromWords(words, vocabSize, maxPieceLen)
         .select(col("piece"), (-col("lp_micro")).as("cost"))
       // in-vocab candidates keyed by END position j and length l;
@@ -163,7 +176,7 @@ object UnigramTokenizer {
           size(col("pieces")).as("n_pieces"),
           element_at(col("best"), length(col("word")) + 1)
             .as("cost_micro"))
-    } finally { words.unpersist(); () }
+    }
   }
 
   // ---- DuckDB oracle generators --------------------------------------
