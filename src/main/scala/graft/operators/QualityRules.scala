@@ -81,4 +81,53 @@ object QualityRules {
         flags.map { case (n, c) => c.as(n) } :+
         flags.map(_._2).reduce(_ && _).as("pass"): _*)
   }
+
+  /** The C4 cleaning rules (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", 2020,
+    * §2.2) — LINE-level surgery plus document kills, the other
+    * canonical rule set next to Gopher's document-level [[report]]:
+    *
+    * A line is RETAINED iff it ends in a terminal punctuation mark
+    * (`.` `!` `?` `"` after right-trim), has at least
+    * `minWordsPerLine` whitespace words, and does not contain the
+    * word "javascript" (case-insensitive). A document PASSES iff it
+    * retains at least `minKeptLines` lines (`r_min_lines`), does not
+    * contain "lorem ipsum" (case-insensitive, `r_lorem`), and does
+    * not contain a curly brace (`r_brace` — the code-page tell).
+    * (The paper's three-sentence dedup is [[graft.operators.Dedup.exciseRepeatedSpans]];
+    * its badwords list is an input-data concern, not re-encoded here.)
+    *
+    * Output: (idCol, n_lines, n_kept, r_min_lines, r_lorem, r_brace,
+    * pass, clean_text) with `clean_text` the retained lines re-joined
+    * by newline — reported for every doc so a pipeline can gate on
+    * `pass` and still inspect near-misses. Pure string predicates,
+    * replayed exactly by any engine (the q148 oracle). Scale: one
+    * narrow projection, no shuffle, no join — fused into the feeding
+    * scan at 100 TB. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1")
+    require(minKeptLines >= 1, s"minKeptLines must be >= 1")
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n", -1)
+    val keptLines = filter(lines, l =>
+      Seq(".", "!", "?", "\"")
+        .map(p => endswith(rtrim(l), lit(p)))
+        .reduce(_ || _) &&
+        size(filter(split(l, "\\s+"), x => x =!= "")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val nKept = size(keptLines).cast("long")
+    val rMinLines = nKept >= minKeptLines.toLong
+    val rLorem = !lower(t).contains("lorem ipsum")
+    val rBrace = !(t.contains("{") || t.contains("}"))
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      nKept.as("n_kept"),
+      rMinLines.as("r_min_lines"),
+      rLorem.as("r_lorem"),
+      rBrace.as("r_brace"),
+      (rMinLines && rLorem && rBrace).as("pass"),
+      array_join(keptLines, "\n").as("clean_text"))
+  }
 }

@@ -743,7 +743,90 @@ object CurationOps {
       FROM m
       ORDER BY doc_id"""))
 
+  /** q148: C4 line-level cleaning ([[graft.operators.QualityRules.c4Clean]],
+    * Raffel et al. 2020 §2.2). The corpus text is single-line
+    * punctuation-free prose, so the query PLANTS every rule both ways
+    * (the q144 pattern): docs ≡0 mod 2 gain a proper kept sentence,
+    * mod 7 a kept question, mod 17 a kept end-quote line, mod 3 a
+    * too-short punctuated line, mod 5 a javascript line, mod 11 an
+    * inline "lorem ipsum", mod 13 a curly-brace code line; the base
+    * line itself always dies (no terminal punctuation). minKeptLines=2
+    * so the doc gate needs two planted keepers (mod 14/34/119…),
+    * firing both ways across the corpus. */
+  private val q148 = QuerySpec(
+    "q148_c4_clean",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir)
+        .withColumn("raw", concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("\nthis planted sentence talks about data pipelines and ends well."))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\nshort one.")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\nenable the javascript runtime to keep reading this page."))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\nwhy not ask a question instead?")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" lorem ipsum dolor sit amet")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            lit("\nfunction() { return 1; }")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            lit("\nhe said \"the corpus is clean.\"")).otherwise(lit(""))))
+      graft.operators.QualityRules.c4Clean(planted, "doc_id", "raw",
+          minWordsPerLine = 3, minKeptLines = 2)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               text
+                 || CASE WHEN doc_id % 2 = 0
+                      THEN chr(10) || 'this planted sentence talks about data pipelines and ends well.'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || 'short one.' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                      THEN chr(10) || 'enable the javascript runtime to keep reading this page.'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                      THEN chr(10) || 'why not ask a question instead?'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                      THEN ' lorem ipsum dolor sit amet' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                      THEN chr(10) || 'function() { return 1; }' ELSE '' END
+                 || CASE WHEN doc_id % 17 = 0
+                      THEN chr(10) || 'he said ' || chr(34)
+                        || 'the corpus is clean.' || chr(34)
+                      ELSE '' END
+                 AS raw
+        FROM documents),
+      m AS (
+        SELECT doc_id, raw,
+               string_split(raw, chr(10)) AS lines,
+               list_filter(string_split(raw, chr(10)), l ->
+                 (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                   OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), chr(34)))
+                 AND len(list_filter(string_split_regex(l, '\s+'),
+                       x -> x <> '')) >= 3
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM raw)
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             len(kept) >= 2 AS r_min_lines,
+             NOT contains(lower(raw), 'lorem ipsum') AS r_lorem,
+             NOT (contains(raw, '{') OR contains(raw, '}')) AS r_brace,
+             (len(kept) >= 2
+               AND NOT contains(lower(raw), 'lorem ipsum')
+               AND NOT (contains(raw, '{') OR contains(raw, '}'))) AS pass,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM m
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
-      q134, q144)
+      q134, q144, q148)
 }

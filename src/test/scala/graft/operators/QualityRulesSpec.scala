@@ -92,4 +92,65 @@ class QualityRulesSpec extends SparkSpec {
     row.getAs[Long]("n_words") shouldBe 0L
     (0 until row.length).foreach(i => row.isNullAt(i) shouldBe false)
   }
+
+  // ---- c4Clean (q148 carries the full planted-corpus oracle) ---------
+
+  private def c4Of(text: String, minWords: Int = 3, minLines: Int = 1) =
+    QualityRules.c4Clean(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      minWordsPerLine = minWords, minKeptLines = minLines)
+      .collect().head
+
+  test("c4Clean: line retention needs terminal punctuation, enough words, no javascript") {
+    val row = c4Of(Seq(
+      "a proper sentence right here.",   // kept
+      "no terminal punctuation here",    // killed: punctuation
+      "two words.",                      // killed: < 3 words
+      "enable javascript to read on.",   // killed: javascript
+      "Enable JAVASCRIPT to read on.",   // killed: case-insensitive
+      "is this a question?",             // kept: '?'
+      "watch out!",                      // killed: 2 words
+      "he said \"fine by me.\"",         // kept: end quote
+      "trailing spaces count too.   "    // kept: rtrim before the check
+    ).mkString("\n"))
+    row.getAs[Long]("n_lines") shouldBe 9L
+    row.getAs[Long]("n_kept") shouldBe 4L
+    row.getAs[String]("clean_text") shouldBe Seq(
+      "a proper sentence right here.",
+      "is this a question?",
+      "he said \"fine by me.\"",
+      "trailing spaces count too.   ").mkString("\n")
+  }
+
+  test("c4Clean: document kills — lorem ipsum and curly braces, case-insensitive") {
+    val good = "a proper sentence right here."
+    c4Of(good).getAs[Boolean]("pass") shouldBe true
+    val lorem = c4Of(good + "\nLorem Ipsum dolor sit amet.")
+    lorem.getAs[Boolean]("r_lorem") shouldBe false
+    lorem.getAs[Boolean]("pass") shouldBe false
+    val brace = c4Of(good + "\nif (x) { y(); }")
+    brace.getAs[Boolean]("r_brace") shouldBe false
+    brace.getAs[Boolean]("pass") shouldBe false
+    // the kill is doc-level, but clean_text still reports kept lines
+    lorem.getAs[Long]("n_kept") shouldBe 2L
+  }
+
+  test("c4Clean: minKeptLines gates the doc; thresholds are parameters") {
+    val two = "first proper sentence here.\nsecond proper sentence here."
+    c4Of(two, minLines = 2).getAs[Boolean]("pass") shouldBe true
+    c4Of(two, minLines = 3).getAs[Boolean]("pass") shouldBe false
+    // minWordsPerLine raises the bar: 4-word lines die at 5
+    c4Of(two, minWords = 5, minLines = 1).getAs[Long]("n_kept") shouldBe 0L
+  }
+
+  test("c4Clean: null text is one empty line, zero kept, no NULL columns") {
+    val row = QualityRules.c4Clean(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    row.getAs[Long]("n_lines") shouldBe 1L
+    row.getAs[Long]("n_kept") shouldBe 0L
+    row.getAs[Boolean]("pass") shouldBe false
+    row.getAs[String]("clean_text") shouldBe ""
+    (0 until row.length).foreach(i => row.isNullAt(i) shouldBe false)
+  }
 }

@@ -359,6 +359,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q143: IVF-PQ candidates come from a cell equi-join, never corpus×queries") {
+    val plan = executedPlanOf("q143_ann_ivf_pq")
+    // IVF pruning means NO nested-loop/cartesian anywhere: probed
+    // cells meet the corpus assignment in a broadcast HASH join, ADC
+    // scoring joins code rows by id, and the top-k is the bounded heap
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("top_k_pairs"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q146: seed vocab aggregates map-side and takes the top slice without a global sort") {
+    val plan = executedPlanOf("q146_unigram_vocab")
+    // candidate weights partial-aggregate before the piece shuffle;
+    // the multi-char slice is TakeOrderedAndProject, never a full
+    // sort + limit; the corpus total joins back as a broadcast scalar
+    assert(plan.contains("partial_"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q147: Viterbi DP is one HOF pass per word — no per-position shuffle, no window") {
+    val plan = executedPlanOf("q147_unigram_segments")
+    // the piece vocabulary and word relation meet in broadcast hash
+    // joins; the DP itself is a lambda fold inside a projection — if a
+    // Window or cartesian ever appears here the operator regressed to
+    // a per-position plan
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("aggregate(sequence(1, length("), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
