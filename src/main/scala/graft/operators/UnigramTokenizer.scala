@@ -116,8 +116,18 @@ object UnigramTokenizer {
     // localCheckpoint pins the Heaps-bounded relation until the plan
     // is GC'd and truncates the corpus scan out of every reference
     val words = wordCounts(docs, textCol).localCheckpoint()
+    viterbi(words, seedFromWords(words, vocabSize, maxPieceLen), maxPieceLen)
+  }
+
+  /** The Viterbi DP over a (word, cnt) relation under a (piece, …,
+    * lp_micro) vocabulary — the shared tail of [[segmentWords]] and
+    * [[emReweight]]. `words` must already be checkpointed (it feeds
+    * both the candidate join and the DP join of the returned lazy
+    * plan). */
+  private def viterbi(words: DataFrame, seed: DataFrame,
+                      maxPieceLen: Int): DataFrame = {
     locally {
-      val pieces = seedFromWords(words, vocabSize, maxPieceLen)
+      val pieces = seed
         .select(col("piece"), (-col("lp_micro")).as("cost"))
       // in-vocab candidates keyed by END position j and length l;
       // key = j·32 + l is unique per (j, l) so the map build is
@@ -179,6 +189,50 @@ object UnigramTokenizer {
     }
   }
 
+  /** One hard-EM (Viterbi-EM) re-estimation round over the seed
+    * vocabulary — the refine step of Kudo §3.2's iterate-and-prune
+    * loop in its deterministic hard variant: piece counts are taken
+    * from the Viterbi BEST path only (not the full lattice
+    * expectation), so both engines replay the round exactly.
+    *
+    * New weight per piece = Σ over corpus words of cnt(word) ×
+    * occurrences in the word's best path; multi-char pieces the
+    * Viterbi never uses are PRUNED (they carried probability mass the
+    * segmentation cannot spend — Kudo's prune, by used-mass instead
+    * of likelihood loss); single characters are always kept with a
+    * Laplace floor of 1 (the coverage guarantee — an unseen-in-paths
+    * char must stay segmentable, and ln(0) is not a log-prob).
+    * Log-probs are re-quantized from the new weights by the same
+    * one-ln-per-piece micro rule.
+    *
+    * Output: (piece, weight, lp_micro) — same shape as [[seedVocab]],
+    * so rounds compose; the q149 oracle replays seed → Viterbi →
+    * recount → re-quantize end to end. Scale: corpus touched once
+    * (the [[segmentWords]] word-count shuffle); everything after runs
+    * over the word- and vocab-sized relations. */
+  def emReweight(docs: DataFrame, textCol: String, vocabSize: Int,
+                 maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1, 16], got $maxPieceLen")
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    val seed = seedFromWords(words, vocabSize, maxPieceLen)
+    val counts = viterbi(words, seed, maxPieceLen)
+      .select(col("cnt"),
+        explode(split(col("encoding"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("vcount"))
+    val refined = seed.select(col("piece"))
+      .join(counts, Seq("piece"), "left")
+      .select(col("piece"),
+        when(length(col("piece")) === 1,
+          greatest(coalesce(col("vcount"), lit(0L)), lit(1L)))
+          .otherwise(col("vcount")).as("weight"))
+      .filter(col("weight").isNotNull)
+    refined.crossJoin(broadcast(refined.agg(sum(col("weight")).as("__w"))))
+      .select(col("piece"), col("weight"),
+        round(log(col("weight").cast("double") / col("__w")) * lit(1e6), 0)
+          .cast("long").as("lp_micro"))
+  }
+
   // ---- DuckDB oracle generators --------------------------------------
 
   /** Shared CTE prefix: word counts, candidate substrings, seed
@@ -234,6 +288,44 @@ object UnigramTokenizer {
     * mismatch) if the corpus ever contains a word longer than
     * `maxWordLen`. */
   def segmentsOracle(table: String, textCol: String, vocabSize: Int,
+                     maxPieceLen: Int, maxWordLen: Int): String =
+    dpCtes(table, textCol, vocabSize, maxPieceLen, maxWordLen) + s"""
+      SELECT word, cnt, array_to_string(pieces, ' ') AS encoding,
+             CAST(len(pieces) AS INT) AS n_pieces,
+             list_extract(best, len + 1) AS cost_micro
+      FROM w$maxWordLen
+      ORDER BY word"""
+
+  /** DuckDB replay of [[emReweight]]: the full [[segmentsOracle]] DP
+    * chain, then the best-path piece recount, the char floor, the
+    * unused-multi prune, and the micro re-quantization. */
+  def emOracle(table: String, textCol: String, vocabSize: Int,
+               maxPieceLen: Int, maxWordLen: Int): String =
+    dpCtes(table, textCol, vocabSize, maxPieceLen, maxWordLen) + s""",
+      vcounts AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS vcount
+        FROM (SELECT cnt, unnest(pieces) AS piece FROM w$maxWordLen)
+        GROUP BY piece),
+      refined AS MATERIALIZED (
+        SELECT piece, weight FROM (
+          SELECT p.piece,
+                 CASE WHEN length(p.piece) = 1
+                      THEN greatest(coalesce(c.vcount, 0), 1)
+                      ELSE c.vcount END AS weight
+          FROM pcost p LEFT JOIN vcounts c USING (piece))
+        WHERE weight IS NOT NULL)
+      SELECT piece, weight,
+             CAST(round(ln(CAST(weight AS DOUBLE)
+               / (SELECT sum(weight) FROM refined)) * 1000000, 0) AS BIGINT)
+               AS lp_micro
+      FROM refined
+      ORDER BY piece"""
+
+  /** Shared [[segmentsOracle]]/[[emOracle]] chain: seed CTEs + the
+    * Viterbi DP unrolled to `maxWordLen` steps + the backward walk —
+    * ends at CTE `wN` for N = maxWordLen (word, cnt, len, best, bp,
+    * pieces). */
+  private def dpCtes(table: String, textCol: String, vocabSize: Int,
                      maxPieceLen: Int, maxWordLen: Int): String = {
     val sb = new StringBuilder(
       seedCtes(table, textCol, vocabSize, maxPieceLen))
@@ -284,12 +376,6 @@ object UnigramTokenizer {
                  ELSE pieces END AS pieces
         FROM w${t - 1})""")
     }
-    sb.append(s"""
-      SELECT word, cnt, array_to_string(pieces, ' ') AS encoding,
-             CAST(len(pieces) AS INT) AS n_pieces,
-             list_extract(best, len + 1) AS cost_micro
-      FROM w$maxWordLen
-      ORDER BY word""")
     sb.toString
   }
 }

@@ -497,6 +497,22 @@ object ScaleOps {
     oracle = Some(graft.operators.UnigramTokenizer.segmentsOracle(
       "documents", "text", vocabSize = 80, maxPieceLen = 4, maxWordLen = 8)))
 
+  /** q149: unigram-LM hard-EM re-estimation
+    * ([[graft.operators.UnigramTokenizer.emReweight]], Kudo 2018
+    * §3.2's refine step, Viterbi-count variant) — piece weights
+    * recounted from every word's best path, unused multi-char pieces
+    * pruned, single chars floored at 1 (coverage), log-probs
+    * re-quantized. The oracle replays seed → Viterbi → recount →
+    * prune → re-quantize end to end on top of q147's DP chain. */
+  private val q149 = QuerySpec(
+    "q149_unigram_em",
+    (s, dir) =>
+      graft.operators.UnigramTokenizer.emReweight(
+          Tables.documents(s, dir), "text", vocabSize = 80, maxPieceLen = 4)
+        .orderBy(col("piece")),
+    oracle = Some(graft.operators.UnigramTokenizer.emOracle(
+      "documents", "text", vocabSize = 80, maxPieceLen = 4, maxWordLen = 8)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133, q136, q145, q146, q147)
+    q131, q132, q133, q136, q145, q146, q147, q149)
 }

@@ -84,6 +84,29 @@ class UnigramTokenizerSpec extends SparkSpec {
     s("xz")._2 shouldBe 2
   }
 
+  test("emReweight: best-path recount, char floor, and unused-piece prune") {
+    // corpus 'abab ab', vocab {a,b,ab,ba}: Viterbi uses only 'ab'
+    // (abab → ab|ab, ab → ab) ⇒ vcounts ab=3, everything else 0.
+    // Refined: chars a,b floored at 1; ba PRUNED; W' = 1+1+3 = 5
+    val v = UnigramTokenizer.emReweight(docs("abab ab"), "text",
+        vocabSize = 4, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    v.keySet shouldBe Set("a", "b", "ab")
+    v("a") shouldBe ((1L, -1609438L))  // round(ln(1/5)·1e6)
+    v("b") shouldBe ((1L, -1609438L))
+    v("ab") shouldBe ((3L, -510826L))  // round(ln(3/5)·1e6)
+  }
+
+  test("emReweight: weights come from path occurrences times word count") {
+    // 'aaa' ×2 in the corpus: best path a|aa (tie rule) per occurrence
+    // ⇒ a and aa each get weight 2, W' = 4
+    val v = UnigramTokenizer.emReweight(docs("aaa aaa"), "text",
+        vocabSize = 2, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    v("a") shouldBe ((2L, -693147L))   // round(ln(2/4)·1e6)
+    v("aa") shouldBe ((2L, -693147L))
+  }
+
   test("segmentWords: path cost equals the sum of piece costs") {
     val v = vocabOf(docs("abab ab ba"), size = 5)
     val s = segOf(docs("abab ab ba"), size = 5)
