@@ -101,4 +101,86 @@ object BigramLm {
   def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     score(docs, idCol, textCol,
       build(docs, textCol), UnigramLm.build(docs, textCol))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2020 §3 — the head/middle/tail split): score every
+    * document under the corpus's own LM ([[selfScore]]), then cut
+    * each group (source, language) into `nBuckets` equal-frequency
+    * buckets by ascending per-bigram cost. Bucket 1 = head (most
+    * fluent), `nBuckets` = tail; CCNet trains on head+middle and
+    * drops or down-weights tail. Per-group (not global) cuts are the
+    * point: perplexity scales differ by language/source, and a global
+    * cut would empty the hard groups.
+    *
+    * Determinism: the score is exact-integer milli-micro cost per
+    * bigram (`(−lp_sum_micro)·1000 div n_bigrams` — non-negative, so
+    * truncating division agrees across engines), total order
+    * (cost asc, id asc), and the bucket is the ANSI NTILE arithmetic
+    * applied to that rank — first `count mod n` buckets get the extra
+    * row, exactly what both engines' `ntile` computes.
+    *
+    * Scale shape: NO per-group window — a corpus-hot group (one
+    * source = half the corpus) would serialize through one task (the
+    * q130 window class). Ranks come from the [[Sampling.deterministicShuffle]]
+    * two-phase pattern instead: rows rank inside (group, score-band)
+    * sub-windows in parallel — the band `cost div 2²⁴` is a monotone
+    * PREFIX of the sort key, so band-local order ≡ group order — and
+    * a broadcast (group, band)-count relation supplies each band's
+    * starting offset; the ntile arithmetic then needs only the rank
+    * and the group total. Degenerate corpora whose docs all share ONE
+    * score land in one band and re-serialize — a real spread (any
+    * natural corpus; scores span ~10³ distinct values per group even
+    * at sf0.001) parallelizes. Docs with no bigrams (< 2 tokens) keep
+    * their row with NULL score and NULL bucket — they carry no LM
+    * evidence either way; gate them with the structural rule sets
+    * instead ([[QualityRules]]).
+    *
+    * Output: (idCol, groupCol, n_bigrams, cost_milli, bucket). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val s = selfScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    val scored = s.filter(col("n_bigrams") > 0)
+      .withColumn("cost_milli",
+        expr("(-lp_sum_micro) * 1000 div n_bigrams"))
+      .withColumn("__band", expr("cost_milli div 16777216"))
+    val wBand = Window.partitionBy(col(groupCol), col("__band"))
+      .orderBy(col("cost_milli"), col(idCol))
+    val ranked = scored.withColumn("__rk", row_number().over(wBand))
+    val bandCounts = scored.groupBy(col(groupCol), col("__band"))
+      .agg(count(lit(1)).as("__c"))
+    // offsets + totals live on the (groups × bands)-sized relation —
+    // its own cumulative window is the tiny-relation class
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__tot", sum(col("__c"))
+        .over(Window.partitionBy(col(groupCol))))
+      .select(col(groupCol).as("__og"), col("__band").as("__ob"),
+        col("__off"), col("__tot"))
+    val bucketed = ranked
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("__og") && col("__band") === col("__ob"))
+      .withColumn("__grk", col("__off") + col("__rk"))
+      // ANSI NTILE from (rank, total): q = tot div n, r = tot mod n;
+      // the first r buckets hold q+1 rows, the rest q
+      .withColumn("bucket",
+        when(col("__grk") <= expr(s"(__tot % $nBuckets) * (__tot div $nBuckets + 1)"),
+          expr(s"(__grk - 1) div (__tot div $nBuckets + 1) + 1"))
+          .otherwise(expr(
+            s"(__tot % $nBuckets) + (__grk - (__tot % $nBuckets) * " +
+              s"(__tot div $nBuckets + 1) - 1) div (__tot div $nBuckets) + 1"))
+          .cast("int"))
+      .select(col(idCol), col(groupCol), col("n_bigrams"),
+        col("cost_milli"), col("bucket"))
+    bucketed.unionByName(
+      s.filter(col("n_bigrams") <= 0)
+        .select(col(idCol), col(groupCol), col("n_bigrams"),
+          lit(null).cast("long").as("cost_milli"),
+          lit(null).cast("int").as("bucket")))
+  }
 }

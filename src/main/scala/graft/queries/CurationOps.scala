@@ -826,7 +826,74 @@ object CurationOps {
       FROM m
       ORDER BY doc_id"""))
 
+  /** q150: CCNet perplexity buckets
+    * ([[graft.operators.BigramLm.perplexityBuckets]], Wenzek et al.
+    * 2020) — per-source head/middle/tail cut on the exact-integer
+    * per-bigram cost. The oracle extends q134's LM chain with the
+    * integer cost and a plain `ntile` window (tiny data on the oracle
+    * side; the Spark side earns the same numbers from the two-phase
+    * banded ranking + ANSI-NTILE arithmetic — the q84 no-hot-window
+    * shape). */
+  private val q150 = QuerySpec(
+    "q150_perplexity_buckets",
+    (s, dir) =>
+      graft.operators.BigramLm.perplexityBuckets(
+          Tables.documents(s, dir), "doc_id", "text", "source", nBuckets = 3)
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents),
+      pairs AS (
+        SELECT doc_id,
+               list_extract(w, CAST(i AS INT)) AS w1,
+               list_extract(w, CAST(i + 1 AS INT)) AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM toks WHERE len(w) >= 2)),
+      bc AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(cnt) AS ctx_cnt FROM bc GROUP BY 1),
+      lm AS (
+        SELECT w1, w2,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / ctx_cnt) * 1000000, 0) AS BIGINT)
+                 AS lp_micro
+        FROM bc JOIN ctx USING (w1)),
+      ut AS (SELECT unnest(w) AS token FROM toks),
+      uc AS (SELECT token, count(*) AS cnt FROM ut GROUP BY 1),
+      un AS (SELECT count(*) AS n_total FROM ut),
+      ulm AS (
+        SELECT token,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / n_total) * 1000000, 0) AS BIGINT)
+                 AS uni_lp
+        FROM uc CROSS JOIN un),
+      tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf) AS INTEGER) AS n_bigrams,
+               sum(tf * coalesce(lm.lp_micro,
+                     coalesce(ulm.uni_lp, -20000000) + -5000000)) AS lp_sum
+        FROM tf
+        LEFT JOIN lm ON lm.w1 = tf.w1 AND lm.w2 = tf.w2
+        LEFT JOIN ulm ON ulm.token = tf.w2
+        GROUP BY 1),
+      scg AS (
+        SELECT d.doc_id, d.source,
+               CAST(coalesce(sc.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+               CASE WHEN sc.n_bigrams > 0
+                 THEN CAST((-sc.lp_sum) * 1000 // sc.n_bigrams AS BIGINT)
+                 END AS cost_milli
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+      SELECT doc_id, source, n_bigrams, cost_milli,
+             CAST(ntile(3) OVER (PARTITION BY source
+               ORDER BY cost_milli, doc_id) AS INT) AS bucket
+      FROM scg WHERE cost_milli IS NOT NULL
+      UNION ALL
+      SELECT doc_id, source, n_bigrams, NULL, NULL
+      FROM scg WHERE cost_milli IS NULL
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
-      q134, q144, q148)
+      q134, q144, q148, q150)
 }

@@ -62,4 +62,57 @@ class BigramLmSpec extends SparkSpec {
     sc.getInt(1) shouldBe 1
     sc.getLong(2) shouldBe (BigramLm.OovMicro + BigramLm.BackoffMicro)
   }
+
+  // ---- perplexityBuckets (q150 carries the full oracle) --------------
+
+  test("perplexityBuckets: two-phase banded rank ≡ a plain ntile window (differential)") {
+    // the real testdata corpus: multiple sources, realistic score
+    // spread — the banded-rank + ANSI-NTILE arithmetic must equal
+    // ntile().over(partitionBy(source)) row for row
+    val docs = graft.Tables.documents(spark, sfDir)
+    val got = BigramLm.perplexityBuckets(docs, "doc_id", "text", "source")
+      .filter(col("bucket").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cost_milli"), col("doc_id"))
+    val expected = got.select(col("doc_id"), col("source"), col("cost_milli"))
+      .withColumn("exp_bucket", ntile(3).over(w))
+    val joined = got.join(expected, Seq("doc_id", "source", "cost_milli"))
+    joined.filter(col("bucket") =!= col("exp_bucket")).count() shouldBe 0L
+    joined.count() should be > 100L
+  }
+
+  test("perplexityBuckets: head holds the fluent docs, groups cut independently") {
+    // source A: 5 natural docs + 2 scrambled; source B: 3 docs of its
+    // own dialect — B's docs must fill B's buckets 1..3 regardless of
+    // how their absolute scores compare to A's
+    val a = (1L to 5L).map(i => (i, "the cat sat on the mat", "A")) ++
+      Seq((6L, "mat on the sat the cat", "A"), (7L, "cat mat sat the on the", "A"))
+    val b = Seq((8L, "alpha beta gamma", "B"), (9L, "alpha beta gamma", "B"),
+      (10L, "gamma beta alpha", "B"))
+    val docs = (a ++ b).toDF("doc_id", "text", "source")
+    val out = BigramLm.perplexityBuckets(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(4))).toMap
+    // A: 7 docs → buckets of 3,2,2 by ascending cost; the five
+    // identical natural docs are the cheapest and fill bucket 1 (+2)
+    (1L to 3L).foreach(i => out(i)._2 shouldBe 1)
+    (4L to 5L).foreach(i => out(i)._2 shouldBe 2)
+    // the scrambled pair lands in the tail
+    out(6L)._2 should be >= 2
+    out(7L)._2 shouldBe 3
+    // B: 3 docs → one per bucket, the scrambled one last
+    Seq(8L, 9L, 10L).map(i => out(i)._2).sorted shouldBe Seq(1, 2, 3)
+    out(10L)._2 shouldBe 3
+  }
+
+  test("perplexityBuckets: docs with fewer than two tokens keep a NULL-bucket row") {
+    val docs = Seq((1L, "a b a b", "S"), (2L, "solo", "S"), (3L, "", "S"))
+      .toDF("doc_id", "text", "source")
+    val rows = BigramLm.perplexityBuckets(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.keySet shouldBe Set(1L, 2L, 3L)
+    rows(2L).isNullAt(3) shouldBe true
+    rows(2L).isNullAt(4) shouldBe true
+    rows(3L).isNullAt(4) shouldBe true
+    rows(1L).getInt(4) shouldBe 1
+  }
 }
