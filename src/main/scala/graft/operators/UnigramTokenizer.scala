@@ -233,6 +233,40 @@ object UnigramTokenizer {
           .cast("long").as("lp_micro"))
   }
 
+  /** Document encoding under the seed unigram LM — the full
+    * corpus→tensor path, [[Vocabulary.bpeEncode]]'s twin for this
+    * tokenizer family: (idCol, word_pos, piece_pos, piece, piece_id),
+    * positions 0-based, piece ids 1-based by (piece asc) over the
+    * FULL seed vocabulary (not just used pieces — the id space is the
+    * one [[seedVocab]] publishes, stable across encode calls). The
+    * corpus is tokenized once (narrow posexplode) and joined against
+    * the BROADCAST word→pieces table (word-relation-sized); the
+    * corpus itself never shuffles. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocabSize: Int, maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1, 16], got $maxPieceLen")
+    import org.apache.spark.sql.expressions.Window
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    val seed = seedFromWords(words, vocabSize, maxPieceLen)
+    val segs = viterbi(words, seed, maxPieceLen)
+      .select(col("word"), split(col("encoding"), " ").as("ps"))
+    // vocab-sized ranking window — the bpeEncode alphabet precedent
+    val pieceIds = seed.select(col("piece"))
+      .withColumn("piece_id",
+        row_number().over(Window.orderBy(col("piece"))).cast("int"))
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .join(broadcast(segs), "word")
+      .select(col("id"), col("word_pos").cast("int").as("word_pos"),
+        posexplode(col("ps")).as(Seq("piece_pos", "piece")))
+      .join(broadcast(pieceIds), "piece")
+      .select(col("id").as(idCol), col("word_pos"),
+        col("piece_pos").cast("int").as("piece_pos"),
+        col("piece"), col("piece_id"))
+  }
+
   // ---- DuckDB oracle generators --------------------------------------
 
   /** Shared CTE prefix: word counts, candidate substrings, seed
@@ -320,6 +354,37 @@ object UnigramTokenizer {
                AS lp_micro
       FROM refined
       ORDER BY piece"""
+
+  /** DuckDB replay of [[encode]]: the [[segmentsOracle]] DP chain,
+    * piece ids ranked over the seed vocabulary, corpus tokenization,
+    * and the per-word piece explode. `where` restricts the OUTPUT
+    * only (the vocabulary still learns from the whole table, matching
+    * the Spark side). */
+  def encodeOracle(table: String, idCol: String, textCol: String,
+                   vocabSize: Int, maxPieceLen: Int, maxWordLen: Int,
+                   where: String): String =
+    dpCtes(table, textCol, vocabSize, maxPieceLen, maxWordLen) + s""",
+      segs AS (SELECT word, pieces FROM w$maxWordLen),
+      pid AS (
+        SELECT piece,
+               CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS piece_id
+        FROM pcost),
+      tok AS (
+        SELECT $idCol, CAST(i - 1 AS INTEGER) AS word_pos, w[i] AS word
+        FROM (SELECT $idCol, list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '') AS w
+              FROM $table) t,
+             unnest(range(1, len(w) + 1)) AS r(i)),
+      sub AS (
+        SELECT t.$idCol, t.word_pos,
+               CAST(generate_subscripts(s.pieces, 1) - 1 AS INTEGER) AS piece_pos,
+               unnest(s.pieces) AS piece
+        FROM tok t JOIN segs s ON s.word = t.word)
+      SELECT b.$idCol, b.word_pos, b.piece_pos, b.piece, v.piece_id
+      FROM sub b JOIN pid v USING (piece)
+      WHERE $where
+      ORDER BY b.$idCol, b.word_pos, b.piece_pos"""
 
   /** Shared [[segmentsOracle]]/[[emOracle]] chain: seed CTEs + the
     * Viterbi DP unrolled to `maxWordLen` steps + the backward walk —

@@ -513,6 +513,23 @@ object ScaleOps {
     oracle = Some(graft.operators.UnigramTokenizer.emOracle(
       "documents", "text", vocabSize = 80, maxPieceLen = 4, maxWordLen = 8)))
 
+  /** q151: per-document unigram-LM encoding
+    * ([[graft.operators.UnigramTokenizer.encode]]) — the full
+    * corpus→tensor path under the seed unigram vocabulary, q133's
+    * twin for the second tokenizer family; restricted to the q133
+    * window (first 8 words of the first 40 docs) so the oracle stays
+    * compact while covering multi-piece words and id determinism. */
+  private val q151 = QuerySpec(
+    "q151_unigram_encode",
+    (s, dir) =>
+      graft.operators.UnigramTokenizer.encode(Tables.documents(s, dir),
+          "doc_id", "text", vocabSize = 80, maxPieceLen = 4)
+        .filter(col("doc_id") < 40 && col("word_pos") < 8)
+        .orderBy(col("doc_id"), col("word_pos"), col("piece_pos")),
+    oracle = Some(graft.operators.UnigramTokenizer.encodeOracle(
+      "documents", "doc_id", "text", vocabSize = 80, maxPieceLen = 4,
+      maxWordLen = 8, where = "doc_id < 40 AND word_pos < 8")))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133, q136, q145, q146, q147, q149)
+    q131, q132, q133, q136, q145, q146, q147, q149, q151)
 }

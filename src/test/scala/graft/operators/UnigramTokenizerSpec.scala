@@ -107,6 +107,24 @@ class UnigramTokenizerSpec extends SparkSpec {
     v("aa") shouldBe ((2L, -693147L))
   }
 
+  test("encode: positions and seed-vocab piece ids reconstruct the text") {
+    // vocab of 'abab ab' = {a, b, ab, ba}; ids by piece asc:
+    // a=1, ab=2, b=3, ba=4. abab → ab|ab, ab → ab
+    val rows = UnigramTokenizer.encode(docs("abab ab"), "doc_id", "text",
+        vocabSize = 4, maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getInt(4))).toSet
+    rows shouldBe Set(
+      (0L, 0, 0, "ab", 2), (0L, 0, 1, "ab", 2),
+      (0L, 1, 0, "ab", 2))
+    // ids cover the FULL seed (ba gets id 4 even though never used)
+    val v2 = UnigramTokenizer.encode(docs("abab ab", "ba ba"), "doc_id",
+        "text", vocabSize = 5, maxPieceLen = 2)
+      .collect().map(r => r.getString(3) -> r.getInt(4)).toMap
+    v2.values.toSeq.distinct.sorted shouldBe v2.values.toSeq.distinct.sorted
+    v2.keySet should contain("ba")
+  }
+
   test("segmentWords: path cost equals the sum of piece costs") {
     val v = vocabOf(docs("abab ab ba"), size = 5)
     val s = segOf(docs("abab ab ba"), size = 5)
