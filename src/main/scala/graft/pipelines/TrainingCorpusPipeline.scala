@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *   2c. LM floor           (opt-in: UnigramLm.selfScore over the
   *                           exact-deduped pool ≥ lmLogProbFloor —
   *                           the CCNet-style improbable-token gate)
+  *   2d. perplexity tail    (opt-in: BigramLm.perplexityBuckets per
+  *                           pplTailGroupCol — the RELATIVE CCNet
+  *                           head/middle/tail cut; tail bucket drops)
   *   3. near-dup dedup      (Dedup.nearDupGroups — MinHash-LSH +
   *                           connected components, min-id survivor)
   *   3b. span excision      (opt-in: Dedup.exciseRepeatedSpans — cut
@@ -118,7 +121,18 @@ object TrainingCorpusPipeline {
       // (LangId.predict) lands in this set — the CCNet order: language
       // ID right after the quality floor, before any dedup spend.
       // "und" (no profile hit) is kept only if listed.
-      keepLangs: Option[Set[String]] = None)
+      keepLangs: Option[Set[String]] = None,
+      // per-group CCNet perplexity cut (BigramLm.perplexityBuckets):
+      // bucket docs by bigram-LM cost WITHIN each value of this
+      // column (source/language — per-group cuts are the point:
+      // absolute perplexity scales differ across groups) and drop the
+      // tail bucket. Docs with no bigrams carry no LM evidence and
+      // pass (the structural gates judge them). Runs on the
+      // exact-deduped pool, same seating rationale as the LM floor.
+      pplTailGroupCol: Option[String] = None,
+      // bucket count for the perplexity cut: 3 = CCNet's
+      // head/middle/tail, only the last bucket drops
+      pplBuckets: Int = 3)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -238,6 +252,24 @@ object TrainingCorpusPipeline {
       case None => exactDeduped
     }
 
+    // 2d. (opt-in) CCNet perplexity tail cut: per-group equal-
+    // frequency buckets on the bigram-LM cost, tail bucket dropped.
+    // Complements the ABSOLUTE unigram floor (2c) with the RELATIVE
+    // cut CCNet actually ships — a uniformly hard group (rare
+    // language, OCR source) keeps its best docs where a global floor
+    // would empty it. Same exact-deduped seating: the LM trains on
+    // distinct contents. No-bigram docs pass (NULL bucket, no LM
+    // evidence either way).
+    val pplGated = cfg.pplTailGroupCol match {
+      case Some(grp) =>
+        val keep = graft.operators.BigramLm
+          .perplexityBuckets(lmGated, idCol, textCol, grp, cfg.pplBuckets)
+          .filter(col("bucket").isNull || col("bucket") < cfg.pplBuckets)
+          .select(col(idCol))
+        lmGated.join(keep, Seq(idCol), "left_semi")
+      case None => lmGated
+    }
+
     // 3. near-dup dedup: MinHash-LSH clusters, min-id survivor.
     // LAZY localCheckpoint: `deduped` is re-referenced by every
     // decontamination detector AND the final anti join — four copies
@@ -250,10 +282,10 @@ object TrainingCorpusPipeline {
     // result. Trade-offs vs persist, documented in run()'s scaladoc:
     // checkpointed partitions are released by RDD GC (not
     // clearCache()), and are not recomputable after an executor loss.
-    val nearKeep = Dedup.nearDupGroups(lmGated, idCol, textCol,
+    val nearKeep = Dedup.nearDupGroups(pplGated, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("keep_id").as(idCol))
-    val deduped0 = lmGated.join(nearKeep, Seq(idCol), "left_semi")
+    val deduped0 = pplGated.join(nearKeep, Seq(idCol), "left_semi")
       .localCheckpoint(false)
 
     // 3b. (opt-in) repeated-span excision: cut cross-doc repeated

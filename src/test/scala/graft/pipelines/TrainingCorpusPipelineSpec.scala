@@ -276,4 +276,27 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     val off = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text", cfg)
     off.filter(col("doc_id") === 9300001L).count() should be > 0L
   }
+
+  test("opt-in perplexity tail cut: the group's worst-cost doc drops; no-bigram docs pass") {
+    // The LM is SELF-trained, so a repeated junk pattern would score
+    // perfectly (its pairs are their own only context, p=1 — the
+    // pathology CCNet avoids with an external LM). The reliable plant
+    // alternates the corpus's most common context token with DISTINCT
+    // one-shot tokens: half its bigrams cost −ln(c(the·)) ≈ −7.8
+    // nats, mean ≈ 3.87 vs the natural corpus max 3.64 — measured
+    // dead-last (percent_rank 1.0) on this pool, firmly in the tail
+    // bucket. It passes the quality floor (mean token length in band
+    // → 0.6) so only the perplexity stage can drop it.
+    val junk = (9400001L, (1 to 8).map(i => s"the zq$i").mkString(" "), "web")
+    val solo = (9400002L, "solo", "web") // 1 token: no bigram evidence
+    val pool2 = pool.withColumn("source", lit("web"))
+      .union(Seq(junk, solo).toDF("doc_id", "text", "source"))
+    val on = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text",
+      cfg.copy(pplTailGroupCol = Some("source")))
+    on.filter(col("doc_id") === 9400001L).count() shouldBe 0L
+    on.filter(col("doc_id") === 9400002L).count() should be > 0L
+    on.count() should be > 0L
+    val off = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text", cfg)
+    off.filter(col("doc_id") === 9400001L).count() should be > 0L
+  }
 }
