@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
 object UnigramTokenizer {
 
   /** (word, cnt) corpus word frequencies. */
-  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+  private[graft] def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
@@ -124,7 +124,7 @@ object UnigramTokenizer {
     * [[emReweight]]. `words` must already be checkpointed (it feeds
     * both the candidate join and the DP join of the returned lazy
     * plan). */
-  private def viterbi(words: DataFrame, seed: DataFrame,
+  private[graft] def viterbi(words: DataFrame, seed: DataFrame,
                       maxPieceLen: Int): DataFrame = {
     locally {
       val pieces = seed
@@ -140,10 +140,23 @@ object UnigramTokenizer {
       val cmap = cand.groupBy(col("word"))
         .agg(map_from_entries(collect_list(struct(col("k"), col("cost"))))
           .as("cmap"))
-      val dp = words.join(cmap, "word")
+      // LEFT join + empty-map fallback: at learn time every word has
+      // candidates (its own characters are in the vocabulary), but
+      // under a FIXED vocabulary (encodeWith) a word whose characters
+      // the training corpus never saw has none — it must stay in the
+      // relation and fall through the DP with a NULL path cost (the
+      // unsegmentable marker), not silently vanish in an inner join
+      val dp = words.join(cmap, Seq("word"), "left")
+        .withColumn("cmap",
+          coalesce(col("cmap"), expr("cast(map() as map<bigint,bigint>)")))
         .withColumn("dp", aggregate(
           sequence(lit(1), length(col("word"))),
-          struct(array(lit(0L)).as("best"),
+          // the zero MUST declare nullable elements: array(lit(0L))
+          // infers containsNull=false, and appending the DP's NULL
+          // (unreachable position under a fixed vocabulary) into a
+          // non-nullable array silently materializes 0 — a phantom
+          // zero-cost path (caught by the q152 oracle)
+          struct(array(lit(0L)).cast("array<long>").as("best"),
             array().cast("array<long>").as("bp")),
           (acc, j) => {
             // k = (best[j−l] + cost(piece ending at j, len l))·32 +
@@ -262,6 +275,50 @@ object UnigramTokenizer {
       .select(col("id"), col("word_pos").cast("int").as("word_pos"),
         posexplode(col("ps")).as(Seq("piece_pos", "piece")))
       .join(broadcast(pieceIds), "piece")
+      .select(col("id").as(idCol), col("word_pos"),
+        col("piece_pos").cast("int").as("piece_pos"),
+        col("piece"), col("piece_id"))
+  }
+
+  /** Viterbi-encode `docs` under a FIXED vocabulary — the apply side
+    * of the tokenizer lifecycle: learn once ([[seedVocab]] /
+    * [[emReweight]]), persist the (piece, lp_micro) table, apply it
+    * to every later crawl without relearning (the production shape —
+    * a tokenizer is learned on a reference corpus and FROZEN; [[encode]]
+    * relearns per call and is the corpus-self form). Same output
+    * shape and id space as [[encode]]: piece ids are 1-based (piece
+    * asc) over the GIVEN vocabulary.
+    *
+    * Words the vocabulary cannot spell (a character the training
+    * corpus never saw ⇒ no candidate path; the Viterbi cost comes
+    * back NULL) are emitted as ONE row per token occurrence —
+    * (word_pos, piece_pos 0, piece = the word itself, piece_id NULL)
+    * — the `<unk>` convention; callers map or drop NULL-id rows.
+    * Scale: identical to [[encode]] — one narrow posexplode over the
+    * corpus, word→pieces and piece-id tables broadcast, the new
+    * corpus pays one word-count shuffle. */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1, 16], got $maxPieceLen")
+    import org.apache.spark.sql.expressions.Window
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    val segs = viterbi(words,
+        vocab.select(col("piece"), col("lp_micro")), maxPieceLen)
+      .select(col("word"),
+        when(col("cost_micro").isNotNull, split(col("encoding"), " "))
+          .otherwise(array(col("word"))).as("ps"))
+    val pieceIds = vocab.select(col("piece"))
+      .withColumn("piece_id",
+        row_number().over(Window.orderBy(col("piece"))).cast("int"))
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .join(broadcast(segs), "word")
+      .select(col("id"), col("word_pos").cast("int").as("word_pos"),
+        posexplode(col("ps")).as(Seq("piece_pos", "piece")))
+      // LEFT: an unsegmentable word's stand-in piece has no vocab id
+      .join(broadcast(pieceIds), Seq("piece"), "left")
       .select(col("id").as(idCol), col("word_pos"),
         col("piece_pos").cast("int").as("piece_pos"),
         col("piece"), col("piece_id"))
@@ -386,23 +443,83 @@ object UnigramTokenizer {
       WHERE $where
       ORDER BY b.$idCol, b.word_pos, b.piece_pos"""
 
-  /** Shared [[segmentsOracle]]/[[emOracle]] chain: seed CTEs + the
-    * Viterbi DP unrolled to `maxWordLen` steps + the backward walk —
-    * ends at CTE `wN` for N = maxWordLen (word, cnt, len, best, bp,
-    * pieces). */
+  /** DuckDB replay of [[encodeWith]]: the vocabulary learns from
+    * `seedTable`, the DP runs over `applyTable`'s words, words the
+    * vocabulary cannot spell collapse to their `[word]` stand-in with
+    * a NULL id via the LEFT id join. `where` restricts the OUTPUT
+    * only. */
+  def encodeWithOracle(seedTable: String, applyTable: String,
+                       idCol: String, textCol: String, vocabSize: Int,
+                       maxPieceLen: Int, maxWordLen: Int,
+                       where: String): String =
+    dpCtes(seedTable, textCol, vocabSize, maxPieceLen, maxWordLen,
+      Some(applyTable)) + s""",
+      segs AS (
+        SELECT word,
+               CASE WHEN list_extract(best, len + 1) IS NULL
+                 THEN [word] ELSE pieces END AS pieces
+        FROM w$maxWordLen),
+      pid AS (
+        SELECT piece,
+               CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS piece_id
+        FROM pcost),
+      tok AS (
+        SELECT $idCol, CAST(i - 1 AS INTEGER) AS word_pos, w[i] AS word
+        FROM (SELECT $idCol, list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '') AS w
+              FROM $applyTable) t,
+             unnest(range(1, len(w) + 1)) AS r(i)),
+      sub AS (
+        SELECT t.$idCol, t.word_pos,
+               CAST(generate_subscripts(s.pieces, 1) - 1 AS INTEGER) AS piece_pos,
+               unnest(s.pieces) AS piece
+        FROM tok t JOIN segs s ON s.word = t.word)
+      SELECT b.$idCol, b.word_pos, b.piece_pos, b.piece, v.piece_id
+      FROM sub b LEFT JOIN pid v USING (piece)
+      WHERE $where
+      ORDER BY b.$idCol, b.word_pos, b.piece_pos"""
+
+  /** Shared [[segmentsOracle]]/[[emOracle]]/[[encodeWithOracle]]
+    * chain: seed CTEs from `table` + the Viterbi DP over the words of
+    * `applyTable` (defaults to the seed table — the learn-time form)
+    * unrolled to `maxWordLen` steps + the backward walk — ends at CTE
+    * `wN` for N = maxWordLen (word, cnt, len, best, bp, pieces).
+    *
+    * Unreachable positions (a word the vocabulary cannot spell —
+    * only possible when applyTable ≠ table) append NULL to best/bp,
+    * exactly like the Spark DP's filtered-empty argmin, so
+    * `best[len+1] IS NULL` marks the unsegmentable words and index
+    * alignment is preserved for every later position. */
   private def dpCtes(table: String, textCol: String, vocabSize: Int,
-                     maxPieceLen: Int, maxWordLen: Int): String = {
+                     maxPieceLen: Int, maxWordLen: Int,
+                     applyTable: Option[String] = None): String = {
     val sb = new StringBuilder(
       seedCtes(table, textCol, vocabSize, maxPieceLen))
+    val at = applyTable.getOrElse(table)
     sb.append(s""",
+      awrds AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt, length(word) AS len
+        FROM (SELECT unnest(list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '')) AS word
+              FROM $at)
+        GROUP BY word),
+      acand AS (
+        SELECT word, CAST(i AS INT) AS i, CAST(l AS INT) AS l,
+               substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+        FROM awrds,
+             unnest(range(1, len + 1)) r(i),
+             unnest(range(1, ${maxPieceLen + 1})) q(l)
+        WHERE i + l - 1 <= len),
       cand AS MATERIALIZED (
         SELECT c.word, CAST(c.i + c.l - 1 AS BIGINT) AS j,
                CAST(c.l AS BIGINT) AS l, -p.lp_micro AS cost
-        FROM cand0 c JOIN pcost p USING (piece)),
+        FROM acand c JOIN pcost p USING (piece)),
       dp0 AS (
         SELECT word, len, cnt, [CAST(0 AS BIGINT)] AS best,
                CAST([] AS BIGINT[]) AS bp
-        FROM wrds)""")
+        FROM awrds)""")
     (1 to maxWordLen).foreach { j =>
       sb.append(s""",
       s$j AS (
@@ -414,10 +531,12 @@ object UnigramTokenizer {
         GROUP BY c.word),
       dp$j AS (
         SELECT d.word, d.len, d.cnt,
-               CASE WHEN s.word IS NULL THEN d.best
-                    ELSE d.best || [s.k // 32] END AS best,
-               CASE WHEN s.word IS NULL THEN d.bp
-                    ELSE d.bp || [32 - (s.k % 32)] END AS bp
+               CASE WHEN s.k IS NOT NULL THEN d.best || [s.k // 32]
+                    WHEN d.len >= $j THEN d.best || [CAST(NULL AS BIGINT)]
+                    ELSE d.best END AS best,
+               CASE WHEN s.k IS NOT NULL THEN d.bp || [32 - (s.k % 32)]
+                    WHEN d.len >= $j THEN d.bp || [CAST(NULL AS BIGINT)]
+                    ELSE d.bp END AS bp
         FROM dp${j - 1} d LEFT JOIN s$j s USING (word))""")
     }
     sb.append(s""",

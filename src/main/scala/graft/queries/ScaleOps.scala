@@ -530,6 +530,37 @@ object ScaleOps {
       "documents", "doc_id", "text", vocabSize = 80, maxPieceLen = 4,
       maxWordLen = 8, where = "doc_id < 40 AND word_pos < 8")))
 
+  /** q152: frozen-vocabulary encoding
+    * ([[graft.operators.UnigramTokenizer.encodeWith]]) — the apply
+    * side of the tokenizer lifecycle: the vocabulary learns from the
+    * corpus, then encodes the corpus PLUS a planted later-crawl doc
+    * containing a word ("zx") whose characters the training alphabet
+    * (a–y minus x, z — measured) never saw. The unspellable word must
+    * come through as its own single piece with a NULL id (the <unk>
+    * convention); the planted doc's in-alphabet words encode
+    * normally. Output restricted to the q133 window + the plant. */
+  private val q152 = QuerySpec(
+    "q152_unigram_frozen_vocab",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.UnigramTokenizer.seedVocab(
+        docs, "text", vocabSize = 80, maxPieceLen = 4)
+      import s.implicits._
+      val crawl = docs.select(col("doc_id"), col("text"))
+        .union(Seq((9999991L, "the zx data")).toDF("doc_id", "text"))
+      graft.operators.UnigramTokenizer.encodeWith(crawl, "doc_id", "text",
+          vocab, maxPieceLen = 4)
+        .filter((col("doc_id") < 40 || col("doc_id") === 9999991L)
+          && col("word_pos") < 8)
+        .orderBy(col("doc_id"), col("word_pos"), col("piece_pos"))
+    },
+    oracle = Some(graft.operators.UnigramTokenizer.encodeWithOracle(
+      "documents",
+      "(SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT 9999991, 'the zx data')",
+      "doc_id", "text", vocabSize = 80, maxPieceLen = 4, maxWordLen = 8,
+      where = "(doc_id < 40 OR doc_id = 9999991) AND word_pos < 8")))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133, q136, q145, q146, q147, q149, q151)
+    q131, q132, q133, q136, q145, q146, q147, q149, q151, q152)
 }

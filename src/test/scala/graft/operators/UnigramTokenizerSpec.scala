@@ -125,6 +125,30 @@ class UnigramTokenizerSpec extends SparkSpec {
     v2.keySet should contain("ba")
   }
 
+  test("encodeWith: frozen vocab ≡ self-learned encode; unspellable words get NULL-id rows") {
+    val train = docs("abab ab")
+    val vocab = UnigramTokenizer.seedVocab(train, "text", vocabSize = 4,
+      maxPieceLen = 2)
+    // identity: applying the corpus's own seed reproduces encode
+    val self = UnigramTokenizer.encode(train, "doc_id", "text",
+      vocabSize = 4, maxPieceLen = 2).collect().map(_.toSeq).toSet
+    val frozen = UnigramTokenizer.encodeWith(train, "doc_id", "text",
+      vocab, maxPieceLen = 2).collect().map(_.toSeq).toSet
+    frozen shouldBe self
+    // a later crawl with characters the vocab never saw: 'zq' cannot
+    // be spelled → one <unk> row (piece = word, NULL id); in-alphabet
+    // words encode normally
+    val crawl = docs("ab zq abab")
+    val rows = UnigramTokenizer.encodeWith(crawl, "doc_id", "text",
+        vocab, maxPieceLen = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toSet
+    rows shouldBe Set(
+      (0, 0, "ab", 2),
+      (1, 0, "zq", -1),
+      (2, 0, "ab", 2), (2, 1, "ab", 2))
+  }
+
   test("segmentWords: path cost equals the sum of piece costs") {
     val v = vocabOf(docs("abab ab ba"), size = 5)
     val s = segOf(docs("abab ab ba"), size = 5)
