@@ -393,6 +393,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("aggregate(sequence(1, length("), plan)
   }
 
+  test("q148: C4 cleaning is map-only — no exchange before the oracle sort") {
+    val plan = executedPlanOf("q148_c4_clean")
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q150: no per-group ntile window — ranks come from (group, band) sub-windows") {
+    val plan = executedPlanOf("q150_perplexity_buckets")
+    // the bucket must be arithmetic on the banded rank, never an
+    // ntile whose group partition would serialize a hot source
+    assert(!plan.contains("ntile"), plan)
+    // every corpus-sized window partitions by (group, band), not
+    // group alone; the only group-partitioned window runs on the
+    // (groups × bands)-sized offset relation
+    assert(plan.contains("__band"), plan)
+    assert(plan.contains("row_number"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
