@@ -141,6 +141,14 @@ object Vocabulary {
         r += 1
       }
     }
+    // FINAL eager checkpoint, even when the cadence never fired
+    // (numMerges < CheckpointEvery): appliers (bpeSegments/bpeEncode/
+    // bpeVocab) return LAZY plans and unpersist `words` immediately —
+    // without this, their plans still reference the by-then-evicted
+    // word relation and re-run the corpus word count once per
+    // reference (the q147 lazy-return eviction class, fixed there
+    // with the same rule: checkpoint what a returned plan re-reads)
+    if (pendingFolds > 0 || merges.isEmpty) seq = seq.localCheckpoint(true)
     (merges.toSeq, words, seq)
   }
 
@@ -193,6 +201,86 @@ object Vocabulary {
         col("subword"), col("sub_id"))
     words.unpersist()
     out
+  }
+
+  /** The learned subword alphabet as a saveable table: (subword,
+    * sub_id), ids 1-based by (subword asc) over the distinct symbols
+    * of the final segmentation — the id space [[bpeEncode]] stamps,
+    * exported so a FROZEN tokenizer ([[bpeEncodeWith]]) can reuse it
+    * across corpora and runs. */
+  def bpeVocab(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (_, words, seq) = bpeLearn(docs, textCol, numMerges)
+    val out = seq.select(explode(col("syms")).as("subword")).distinct()
+      .withColumn("sub_id",
+        row_number().over(Window.orderBy(col("subword"))).cast("int"))
+    words.unpersist()
+    out
+  }
+
+  /** Apply a FIXED ordered merge list to a corpus's word relation —
+    * the frozen-tokenizer core shared by [[bpeSegmentsWith]] and
+    * [[bpeEncodeWith]]: char-split every distinct word, fold the
+    * merges in order under the same checkpoint cadence as learning
+    * (round r costs ≤ CheckpointEvery folds; expression depth
+    * bounded), return (word, cnt, syms) eagerly checkpointed so the
+    * callers' lazy plans never re-run the corpus word count. */
+  private def applyMerges(docs: DataFrame, textCol: String,
+                          merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var seq = words.select(col("word"), col("cnt"),
+      charSyms(col("word")).as("syms"))
+    var pendingFolds = 0
+    merges.foreach { case (a, b) =>
+      seq = seq.withColumn("syms", applyMerge(col("syms"), a, b))
+      pendingFolds += 1
+      if (pendingFolds >= CheckpointEvery) {
+        seq = seq.localCheckpoint(true)
+        pendingFolds = 0
+      }
+    }
+    seq.localCheckpoint(true)
+  }
+
+  /** Word segmentations under a GIVEN merge list — [[bpeSegments]]'
+    * frozen twin: learn once ([[bpeMerges]]), persist the (lhs, rhs)
+    * rows in rank order, apply them to every later crawl without
+    * relearning. Words with characters the merges never touch simply
+    * stay character-split (BPE's built-in open-vocabulary behavior —
+    * unlike the unigram tokenizer there is no unspellable word, only
+    * unknown SYMBOLS, surfaced by [[bpeEncodeWith]]'s NULL ids). */
+  def bpeSegmentsWith(docs: DataFrame, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame =
+    applyMerges(docs, textCol, merges)
+      .select(col("word"), col("cnt"),
+        concat_ws(" ", col("syms")).as("encoding"))
+
+  /** Document encoding under a GIVEN merge list + alphabet —
+    * [[bpeEncode]]'s frozen twin and the production tokenizer path:
+    * (idCol, word_pos, sub_pos, subword, sub_id) with ids LEFT-joined
+    * from the supplied `vocab` (subword, sub_id — [[bpeVocab]]'s
+    * output, read back from storage). A subword absent from the
+    * trained alphabet (a character the training corpus never saw)
+    * keeps its row with a NULL id — the <unk> symbol convention.
+    * Same scale shape as [[bpeEncode]]: corpus tokenized once,
+    * segmentation + alphabet broadcast, the corpus never shuffles. */
+  def bpeEncodeWith(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)],
+                    vocab: DataFrame): DataFrame = {
+    val segs = applyMerges(docs, textCol, merges)
+      .select(col("word"), col("syms"))
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .join(broadcast(segs), "word")
+      .select(col("id"), col("word_pos").cast("int").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sub_pos", "subword")))
+      .join(broadcast(vocab.select(col("subword"), col("sub_id"))),
+        Seq("subword"), "left")
+      .select(col("id").as(idCol), col("word_pos"),
+        col("sub_pos").cast("int").as("sub_pos"),
+        col("subword"), col("sub_id"))
   }
 
   /** Tokenizer fertility per group: how many subwords the learned
@@ -321,6 +409,86 @@ object Vocabulary {
       SELECT word, cnt, array_to_string(syms, ' ') AS encoding
       FROM seq$numMerges
       ORDER BY word"""
+
+  /** DuckDB replay of [[bpeEncodeWith]] ∘ [[bpeMerges]]/[[bpeVocab]]:
+    * the merges and alphabet learn from `seedTable` (the full
+    * [[bpeCtes]] chain), then a SECOND segmentation chain applies
+    * each learned `b$r` to `applyTable`'s word relation with the
+    * same island-parity greedy rewrite; subwords outside the learned
+    * alphabet keep NULL ids via the LEFT join. `where` restricts the
+    * OUTPUT only. */
+  def bpeEncodeWithOracle(seedTable: String, applyTable: String,
+                          idCol: String, textCol: String, numMerges: Int,
+                          where: String): String = {
+    val sb = new StringBuilder(bpeCtes(seedTable, textCol, numMerges))
+    sb.append(s""",
+      aseq0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+               list_transform(range(1, length(word) + 1),
+                 i -> substring(word, CAST(i AS INT), 1)) AS syms
+        FROM (SELECT unnest(list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '')) AS word
+              FROM $applyTable)
+        GROUP BY word)""")
+    (1 to numMerges).foreach { r =>
+      val prev = s"aseq${r - 1}"
+      sb.append(s""",
+      am${r}raw AS (
+        SELECT word, i FROM (
+          SELECT word, i,
+                 list_extract(syms, CAST(i AS INT)) AS s1,
+                 list_extract(syms, CAST(i + 1 AS INT)) AS s2
+          FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i
+                FROM $prev))
+        WHERE s1 = (SELECT l FROM b$r) AND s2 = (SELECT rgt FROM b$r)),
+      am${r}grp AS (
+        SELECT word, i,
+               i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+        FROM am${r}raw),
+      am$r AS MATERIALIZED (
+        SELECT word, i FROM (
+          SELECT word, i,
+                 (i - min(i) OVER (PARTITION BY word, grp)) % 2 AS par
+          FROM am${r}grp)
+        WHERE par = 0),
+      aseq$r AS MATERIALIZED (
+        SELECT e.word, any_value(e.cnt) AS cnt,
+               list(CASE WHEN ma.i IS NOT NULL
+                         THEN (SELECT l || rgt FROM b$r)
+                         ELSE e.sym END ORDER BY e.p) AS syms
+        FROM (SELECT word, cnt,
+                     CAST(generate_subscripts(syms, 1) AS BIGINT) AS p,
+                     unnest(syms) AS sym
+              FROM $prev) e
+        LEFT JOIN am$r ma ON ma.word = e.word AND ma.i = e.p
+        LEFT JOIN am$r mb ON mb.word = e.word AND mb.i = e.p - 1
+        WHERE mb.i IS NULL
+        GROUP BY e.word)""")
+    }
+    sb.append(s""",
+      vocab AS (
+        SELECT subword,
+               CAST(row_number() OVER (ORDER BY subword) AS INTEGER) AS sub_id
+        FROM (SELECT DISTINCT unnest(syms) AS subword FROM seq$numMerges)),
+      tok AS (
+        SELECT $idCol, CAST(i - 1 AS INTEGER) AS word_pos, w[i] AS word
+        FROM (SELECT $idCol, list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '') AS w
+              FROM $applyTable) t,
+             unnest(range(1, len(w) + 1)) AS r(i)),
+      sub AS (
+        SELECT t.$idCol, t.word_pos,
+               CAST(generate_subscripts(s.syms, 1) - 1 AS INTEGER) AS sub_pos,
+               unnest(s.syms) AS subword
+        FROM tok t JOIN aseq$numMerges s ON s.word = t.word)
+      SELECT b.$idCol, b.word_pos, b.sub_pos, b.subword, v.sub_id
+      FROM sub b LEFT JOIN vocab v USING (subword)
+      WHERE $where
+      ORDER BY b.$idCol, b.word_pos, b.sub_pos""")
+    sb.toString
+  }
 
   /** DuckDB replay of [[bpeEncode]] with a caller-supplied row
     * restriction (`where`, e.g. "doc_id < 40 AND word_pos < 8" — the

@@ -561,6 +561,40 @@ object ScaleOps {
       "doc_id", "text", vocabSize = 80, maxPieceLen = 4, maxWordLen = 8,
       where = "(doc_id < 40 OR doc_id = 9999991) AND word_pos < 8")))
 
+  /** q153: frozen-BPE encoding
+    * ([[graft.operators.Vocabulary.bpeEncodeWith]]) — q152's twin for
+    * the BPE family: the 10-round merge list and alphabet learn from
+    * the corpus, then encode the corpus PLUS a planted later-crawl
+    * doc. BPE is open-vocabulary, so the out-of-alphabet word "zx"
+    * still SEGMENTS (to its characters) but its symbols carry NULL
+    * ids — unknown at the symbol level, not the word level (the
+    * designed contrast with the unigram tokenizer's unspellable
+    * words). Output restricted to the q133 window + the plant. */
+  private val q153 = QuerySpec(
+    "q153_bpe_frozen_vocab",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocabulary
+        .bpeMerges(docs, "text", 10)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Vocabulary.bpeVocab(docs, "text", 10)
+      import s.implicits._
+      val crawl = docs.select(col("doc_id"), col("text"))
+        .union(Seq((9999992L, "the zx data")).toDF("doc_id", "text"))
+      graft.operators.Vocabulary.bpeEncodeWith(crawl, "doc_id", "text",
+          merges, vocab)
+        .filter((col("doc_id") < 40 || col("doc_id") === 9999992L)
+          && col("word_pos") < 8)
+        .orderBy(col("doc_id"), col("word_pos"), col("sub_pos"))
+    },
+    oracle = Some(graft.operators.Vocabulary.bpeEncodeWithOracle(
+      "documents",
+      "(SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT 9999992, 'the zx data')",
+      "doc_id", "text", numMerges = 10,
+      where = "(doc_id < 40 OR doc_id = 9999992) AND word_pos < 8")))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133, q136, q145, q146, q147, q149, q151, q152)
+    q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153)
 }

@@ -115,6 +115,42 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("frozen apply ≡ self-learned on the training corpus (segments and encode)") {
+    val docs = Seq((1L, "low low lower"), (2L, "lowest low")).toDF("doc_id", "text")
+    val merges = Vocabulary.bpeMerges(docs, "text", 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val selfSegs = Vocabulary.bpeSegments(docs, "text", 3)
+      .collect().map(_.toSeq).toSet
+    Vocabulary.bpeSegmentsWith(docs, "text", merges)
+      .collect().map(_.toSeq).toSet shouldBe selfSegs
+    val vocab = Vocabulary.bpeVocab(docs, "text", 3)
+    val selfEnc = Vocabulary.bpeEncode(docs, "doc_id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    Vocabulary.bpeEncodeWith(docs, "doc_id", "text", merges, vocab)
+      .collect().map(_.toSeq).toSet shouldBe selfEnc
+  }
+
+  test("frozen apply on a LATER crawl: merges fire on new words; unknown symbols get NULL ids") {
+    // learned on low×3 lower×2: merges (l,o), (lo,w), then the round-3
+    // tie (low,e)=2 vs (e,r)=2 breaks lhs-asc to (e,r) — final
+    // segmentation low=[low], lower=[low, er], alphabet {low, er}
+    val train = Seq((1L, "low low low lower lower")).toDF("doc_id", "text")
+    val merges = Vocabulary.bpeMerges(train, "text", 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Vocabulary.bpeVocab(train, "text", 3)
+    vocab.collect().map(_.getString(0)).toSet shouldBe Set("low", "er")
+    // "slow": s-l-o-w → s-lo-w → s-low: the merges apply inside an
+    // UNSEEN word; "zz" stays char-split (open vocabulary)
+    val crawl = Seq((9L, "slow zz")).toDF("doc_id", "text")
+    val rows = Vocabulary.bpeEncodeWith(crawl, "doc_id", "text", merges, vocab)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toSet
+    val lowId = vocab.collect().find(_.getString(0) == "low").get.getInt(1)
+    rows shouldBe Set(
+      (0, 0, "s", -1), (0, 1, "low", lowId),
+      (1, 0, "z", -1), (1, 1, "z", -1))
+  }
+
   test("merge table rank/count types and ordering are stable") {
     val df = Vocabulary.bpeMerges(
       Seq((1L, "abc abc abd")).toDF("doc_id", "text"), "text", 4)
