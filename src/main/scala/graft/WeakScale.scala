@@ -350,6 +350,18 @@ object WeakScale {
         ("gopher_rules_q144", D, () => {
           graft.operators.QualityRules.report(docs, "doc_id", "text").count()
         }),
+        // line-level C4 surgery: same narrow class as q144
+        ("c4_clean_q148", D, () => {
+          graft.operators.QualityRules.c4Clean(docs, "doc_id", "text").count()
+        }),
+        // per-source bucket cut: LM build + scoring dominate (the q134
+        // shape); the ranking itself is band-parallel + broadcast
+        // offsets — expect ~linear, NO hot-group straggler even though
+        // one source holds a constant share of the whole corpus
+        ("ppl_buckets_q150", D, () => {
+          graft.operators.BigramLm.perplexityBuckets(
+            docs, "doc_id", "text", "source").count()
+        }),
         // train side grows k×, eval stays FIXED (the q85 protocol: the
         // weak-scaling axis is the corpus, not the benchmark suite);
         // expect linear — one streamed explode under a broadcast

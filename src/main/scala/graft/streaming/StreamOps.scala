@@ -166,6 +166,30 @@ object StreamOps {
         batch, idCol, textCol, lm, oovLpMicro), id)
     }
 
+  /** Per-micro-batch FROZEN-tokenizer encoding: applies the batch
+    * applier ([[graft.operators.UnigramTokenizer.encodeWith]]) to
+    * every micro-batch — the live form of the q152 apply path. The
+    * vocabulary is learned OFFLINE and never updated by the stream
+    * (the production contract: a tokenizer is versioned with the
+    * model, and ingest-time token streams must be bit-identical to a
+    * backfill encode with the same artifact — a stream that relearned
+    * per batch would drift with arrival order). Words the frozen
+    * vocabulary cannot spell surface as NULL-id rows exactly as in
+    * batch; route them to a review sink or map to `<unk>`.
+    *
+    * Stateless by the same argument as [[lmScoreEachBatch]]: the
+    * word-count + Viterbi run INSIDE each batch (batch-sized
+    * relations), the piece table broadcasts, no streaming state. */
+  def tokenizeEachBatch(docs: DataFrame, vocab: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxPieceLen: Int = 4)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.operators.UnigramTokenizer.encodeWith(
+        batch, idCol, textCol, vocab, maxPieceLen), id)
+    }
+
   /** Per-micro-batch language identification: applies the batch
     * operator ([[graft.operators.LangId.predict]]) to every
     * micro-batch via `foreachBatch` and hands `sink` the batch rows
