@@ -323,8 +323,14 @@ object WeakScale {
         }),
         // pair tf aggregates before the vocab-sized LM joins — expect
         // the q93 unigram shape: ~linear, join cost flat
+        // .agg(sum) not .count(): count() lets Catalyst PRUNE the
+        // scoring projection and the LM joins behind unique-looking
+        // keys, timing a near-empty plan (measured 0.2 s "flat" at
+        // 16x where the real scoring chain costs ~17 s) — every row
+        // here must force the operator's actual output columns
         ("bigram_lm_q134", D, () => {
-          graft.operators.BigramLm.selfScore(docs, "doc_id", "text").count()
+          graft.operators.BigramLm.selfScore(docs, "doc_id", "text")
+            .agg(sum(col("lp_sum_micro"))).collect(); docs.count()
         }),
         // two-level quantizer at auto-sized total cells (√n rule):
         // super training is sample-bounded (constant), sub training is
@@ -348,11 +354,16 @@ object WeakScale {
         }),
         // narrow projection, no shuffle — the flat-linear floor case
         ("gopher_rules_q144", D, () => {
-          graft.operators.QualityRules.report(docs, "doc_id", "text").count()
+          graft.operators.QualityRules.report(docs, "doc_id", "text")
+            .agg(sum(when(col("pass"), 1L).otherwise(0L))).collect()
+          docs.count()
         }),
         // line-level C4 surgery: same narrow class as q144
         ("c4_clean_q148", D, () => {
-          graft.operators.QualityRules.c4Clean(docs, "doc_id", "text").count()
+          graft.operators.QualityRules.c4Clean(docs, "doc_id", "text")
+            .agg(sum(col("n_kept")), sum(length(col("clean_text"))))
+            .collect()
+          docs.count()
         }),
         // per-source bucket cut: LM build + scoring dominate (the q134
         // shape); the ranking itself is band-parallel + broadcast
@@ -378,7 +389,10 @@ object WeakScale {
         // saturates while only the word count grows
         ("unigram_segments_q147", D, () => {
           graft.operators.UnigramTokenizer.segmentWords(
-            docs, "text", vocabSize = 80, maxPieceLen = 4).count()
+              docs, "text", vocabSize = 80, maxPieceLen = 4)
+            .agg(sum(col("cost_micro")), sum(length(col("encoding"))))
+            .collect()
+          docs.count()
         }),
         // IVF candidates ∝ n·nProbe/nCells with nCells ∝ k (the q135
         // sizing rule) ⇒ per-query candidate mass constant; PQ train

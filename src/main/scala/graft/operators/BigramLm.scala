@@ -141,8 +141,16 @@ object BigramLm {
                         groupCol: String, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
+    // eager localCheckpoint: the scored relation feeds THREE consumers
+    // of the returned lazy plan (banded ranking, band counts, the
+    // unscored union branch) — uncheckpointed, each re-ran the whole
+    // bigram-LM build+score chain (measured ×22 superlinear at
+    // WeakScale 16×; 47.7 s → 4.5 s). The checkpoint is doc-sized
+    // (id + three numbers + group), far smaller than the corpus text
+    // it replaces re-reading.
     val s = selfScore(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .localCheckpoint()
     val scored = s.filter(col("n_bigrams") > 0)
       .withColumn("cost_milli",
         expr("(-lp_sum_micro) * 1000 div n_bigrams"))
