@@ -54,10 +54,21 @@ object BigramLm {
 
   /** Build the bigram LM: (w1, w2, cnt, lp_micro) with lp_micro the
     * micro-quantized conditional log-probability ln(c(w1,w2)/c(w1·)). */
-  def build(docs: DataFrame, textCol: String): DataFrame = {
-    val bc = pairsOf(docs.select(lit(0L).as("__id"), col(textCol)), "__id", textCol)
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
+  def build(docs: DataFrame, textCol: String): DataFrame =
+    lmFromPairCounts(
+      pairsOf(docs.select(lit(0L).as("__id"), col(textCol)), "__id", textCol)
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** (w1, w2, cnt) → the LM projection — the single place conditional
+    * log-probs are quantized. Eager localCheckpoint: the count
+    * relation feeds BOTH the context aggregation and the probability
+    * join, and ReuseExchange does NOT rescue the shape (plan census:
+    * zero ReusedExchange/ReusedQueryStage nodes; the corpus pair
+    * explode appeared 6× in one uncached selfScore plan — the round-7
+    * multi-consumer audit). Checkpoint is bigram-vocabulary-sized. */
+  private def lmFromPairCounts(bc0: DataFrame): DataFrame = {
+    val bc = bc0.localCheckpoint()
     val ctx = bc.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
     bc.join(ctx, "w1")
       .select(col("w1"), col("w2"), col("cnt"),
@@ -71,10 +82,19 @@ object BigramLm {
   def score(docs: DataFrame, idCol: String, textCol: String,
             lm: DataFrame, uniLm: DataFrame,
             backoffMicro: Long = BackoffMicro,
-            oovMicro: Long = OovMicro): DataFrame = {
-    val tf = pairsOf(docs, idCol, textCol)
-      .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
+            oovMicro: Long = OovMicro): DataFrame =
+    scoreTf(docs, idCol,
+      pairsOf(docs, idCol, textCol)
+        .groupBy(col(idCol), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf")),
+      lm, uniLm, backoffMicro, oovMicro)
+
+  /** [[score]] over a PRECOMPUTED per-(doc, pair) tf relation — lets
+    * [[selfScore]] feed one shared tf to both the LM build and the
+    * scoring join. */
+  private def scoreTf(docs: DataFrame, idCol: String, tf: DataFrame,
+                      lm: DataFrame, uniLm: DataFrame,
+                      backoffMicro: Long, oovMicro: Long): DataFrame = {
     val lp: Column = coalesce(col("lp_micro"),
       coalesce(col("__uni_lp"), lit(oovMicro)) + lit(backoffMicro))
     val sc = tf
@@ -97,10 +117,22 @@ object BigramLm {
   }
 
   /** Score the corpus under its OWN bigram LM (+ its own unigram LM
-    * for backoff) — the q134 self-scoring quality signal. */
-  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    score(docs, idCol, textCol,
-      build(docs, textCol), UnigramLm.build(docs, textCol))
+    * for backoff) — the q134 self-scoring quality signal. The corpus
+    * pays the pair explode ONCE: the per-(doc, pair) tf relation is
+    * persisted and the LM derives from it (corpus pair counts = Σ of
+    * per-doc tf — identical numbers, one less corpus pass), the
+    * [[UnigramLm.selfScore]] trick; the backoff unigram LM is the one
+    * remaining separate tokenize. */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = pairsOf(docs, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoreTf(docs, idCol, tf,
+      lmFromPairCounts(
+        tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cnt"))),
+      UnigramLm.build(docs, textCol), BackoffMicro, OovMicro)
+  }
 
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl

@@ -127,16 +127,24 @@ object Decontaminate {
   def contaminationFraction(train: DataFrame, eval: DataFrame,
                             idCol: String, textCol: String,
                             n: Int = 13): DataFrame = {
-    val tg = Dedup.shingleSets(train, idCol, textCol, n, "train_id",
-        cache = false)
-      .select(col("train_id"), explode(col("shs")).as("g"))
+    // cache=true: the train sets feed TWO consumers of the returned
+    // lazy plan (totals + hits) — uncached, the tokenize+shingle pass
+    // over the 100 TB side would run twice (the round-7 multi-consumer
+    // audit). Totals come from a NARROW size(shs) — the sets are
+    // distinct at birth, so no explode and no counting shuffle at all.
+    val tSets = Dedup.shingleSets(train, idCol, textCol, n, "train_id")
     val eg = Dedup.shingleSets(eval, idCol, textCol, n, "eval_id",
         cache = false)
       .select(explode(col("shs")).as("g"))
       .distinct()
-    val tot = tg.groupBy(col("train_id"))
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = tg.join(broadcast(eg), Seq("g"), "left_semi")
+    // NULL sets filtered BEFORE size(): under non-ANSI sessions
+    // size(NULL) is legacy -1, which would leak into n_grams where
+    // the old exploded form (and the oracle) yield 0 via the
+    // left-join coalesce
+    val tot = tSets.filter(col("shs").isNotNull)
+      .select(col("train_id"), size(col("shs")).cast("long").as("n_grams"))
+    val hits = tSets.select(col("train_id"), explode(col("shs")).as("g"))
+      .join(broadcast(eg), Seq("g"), "left_semi")
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_contaminated"))
     train.select(col(idCol).as("train_id"))

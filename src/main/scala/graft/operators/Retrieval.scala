@@ -45,14 +45,22 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     // one narrow pass: per-doc length, then the token stream filtered
-    // to the query's terms BEFORE the grouping shuffle
+    // to the query's terms BEFORE the grouping shuffle. Both relations
+    // feed TWO consumers of the returned lazy plan (lengths → corpus
+    // stats + the contribution join; hits → df counts + contributions)
+    // — eager localCheckpoints keep each corpus pass at ONE (the
+    // round-7 multi-consumer audit): `hits` is query-filtered
+    // (≤ docs·|terms| rows) and `lengths` is id+long, both far
+    // smaller than re-tokenizing the corpus
     val lengths = docs.select(col(idCol),
       TextFns.tokenCount(col(textCol)).cast("long").as("__dl"))
+      .localCheckpoint()
     val hits = docs
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
       .filter(col("token").isin(queryTerms: _*))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // corpus stats: N and avgdl (one row, broadcast); df per query term
     // (≤ |query| rows, broadcast). avgdl is the same exact-integer
     // division in the oracle: CAST(Σdl AS DOUBLE) / N.

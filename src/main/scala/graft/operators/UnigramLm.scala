@@ -47,7 +47,12 @@ object UnigramLm {
 
   /** (token, cnt) → (token, cnt, lp_micro): the single place the
     * micro-quantized log-probability is defined. */
-  private def lmFromCounts(counts: DataFrame): DataFrame = {
+  private def lmFromCounts(counts0: DataFrame): DataFrame = {
+    // eager localCheckpoint: counts feeds BOTH the scalar total and
+    // the probability projection — uncheckpointed, the token-count
+    // pass beneath it runs twice per build (round-7 multi-consumer
+    // audit); the checkpoint is vocabulary-sized
+    val counts = counts0.localCheckpoint()
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     counts.crossJoin(broadcast(total))
       .select(

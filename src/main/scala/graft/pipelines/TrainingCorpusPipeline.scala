@@ -278,8 +278,12 @@ object TrainingCorpusPipeline {
     // bounded however many detectors are enabled (the same
     // plan-growth fix as Dedup.connectedComponents; without it the
     // fully-enabled pipeline's plan STRING alone is heap-threatening).
-    // eager=false keeps run() job-free until the caller consumes the
-    // result. Trade-offs vs persist, documented in run()'s scaladoc:
+    // eager=false keeps THIS stage job-free until the caller consumes
+    // the result. (run() as a whole is job-free only with the LM
+    // stages off: the 2c/2d operators eager-checkpoint their
+    // vocabulary-sized count relations at construction — small jobs,
+    // launched during run().) Trade-offs vs persist, documented in
+    // run()'s scaladoc:
     // checkpointed partitions are released by RDD GC (not
     // clearCache()), and are not recomputable after an executor loss.
     val nearKeep = Dedup.nearDupGroups(pplGated, idCol, textCol,
