@@ -320,5 +320,90 @@ object TrainingOps {
       WHERE list_cosine_similarity(tv.v, ev.v) >= 0.35
       ORDER BY eval_id, train_id"""))
 
-  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81, q82, q135)
+  /** Synthetic conversation derivation shared by q154/q155: documents
+    * become turns (conv = doc_id div 4, turn = doc_id mod 4), roles
+    * system/user/assistant by turn parity — deterministic, both
+    * engines derive the identical relation. */
+  private def turnsOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(
+      expr("doc_id div 4").as("conv_id"),
+      pmod(col("doc_id"), lit(4)).cast("int").as("turn_idx"),
+      when(pmod(col("doc_id"), lit(4)) === 0, "system")
+        .when(pmod(col("doc_id"), lit(4)) % 2 === 1, "assistant")
+        .otherwise("user").as("role"),
+      col("text"))
+
+  private val turnsSql = """
+        SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id,
+               CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+               CASE WHEN doc_id % 4 = 0 THEN 'system'
+                    WHEN (doc_id % 4) % 2 = 1 THEN 'assistant'
+                    ELSE 'user' END AS role,
+               text
+        FROM documents"""
+
+  /** q154: SFT loss-mask spans ([[graft.operators.Dialogue.maskSpans]])
+    * — per turn, the exact half-open whitespace-token span it occupies
+    * in the assembled sequence and whether the trainer computes loss
+    * on it (assistant only). The oracle replays template rendering
+    * (`<|role|> text`, tag = one token), per-turn counts, and the
+    * cumulative offset walk as a window over turn order. */
+  private val q154 = QuerySpec(
+    "q154_sft_mask_spans",
+    (s, dir) =>
+      graft.operators.Dialogue.maskSpans(turnsOf(s, dir), "conv_id",
+          "turn_idx", "role", "text")
+        .orderBy(col("conv_id"), col("turn_idx")),
+    oracle = Some(s"""
+      WITH turns AS ($turnsSql),
+      seg AS (
+        SELECT conv_id, turn_idx, role,
+               CAST(len(list_filter(string_split_regex(
+                 '<|' || role || '|> ' || coalesce(text, ''), '\\s+'),
+                 x -> x <> '')) AS BIGINT) AS ntok
+        FROM turns),
+      off AS (
+        SELECT conv_id, turn_idx, role, ntok,
+               CAST(coalesce(sum(ntok) OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS tok_start
+        FROM seg)
+      SELECT conv_id, turn_idx, role, tok_start,
+             CAST(tok_start + ntok AS BIGINT) AS tok_end,
+             role = 'assistant' AS loss_mask
+      FROM off
+      ORDER BY conv_id, turn_idx"""))
+
+  /** q155: assembled SFT sequences ([[graft.operators.Dialogue.assemble]])
+    * — one training row per conversation: turn count, exact token
+    * total, and the template-joined text (q154 carries the span
+    * layout; this carries the sequence the spans index into). */
+  private val q155 = QuerySpec(
+    "q155_sft_assemble",
+    (s, dir) =>
+      graft.operators.Dialogue.assemble(turnsOf(s, dir), "conv_id",
+          "turn_idx", "role", "text")
+        .select(col("conv_id"), col("n_turns"), col("n_tokens"), col("text"))
+        .orderBy(col("conv_id")),
+    oracle = Some(s"""
+      WITH turns AS ($turnsSql),
+      seg AS (
+        SELECT conv_id, turn_idx,
+               '<|' || role || '|> ' || coalesce(text, '') AS seg
+        FROM turns),
+      n AS (
+        SELECT conv_id, turn_idx, seg,
+               CAST(len(list_filter(string_split_regex(seg, '\\s+'),
+                 x -> x <> '')) AS BIGINT) AS ntok
+        FROM seg)
+      SELECT conv_id, CAST(count(*) AS INTEGER) AS n_turns,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             string_agg(seg, ' ' ORDER BY turn_idx) AS text
+      FROM n
+      GROUP BY conv_id
+      ORDER BY conv_id"""))
+
+  val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81, q82, q135,
+    q154, q155)
 }

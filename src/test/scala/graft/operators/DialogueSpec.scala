@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Dialogue]] — SFT assembly + loss-mask spans. q154/q155 prove
+  * engine parity on the derived-conversation corpus; this spec pins
+  * the template, the offset arithmetic, and the mask rule on a
+  * hand-computed conversation. */
+class DialogueSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val turns = Seq(
+    (1L, 0, "system", "be terse"),
+    (1L, 1, "user", "what is spark"),
+    (1L, 2, "assistant", "a distributed engine"),
+    (2L, 0, "user", null.asInstanceOf[String]),
+    (2L, 1, "assistant", "ok")
+  ).toDF("conv_id", "turn_idx", "role", "text")
+
+  test("assemble: template text, exact token totals, turn order") {
+    val rows = Dialogue.assemble(turns, "conv_id", "turn_idx", "role", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    // conv 1: "<|system|> be terse <|user|> what is spark
+    //          <|assistant|> a distributed engine" — 3+4+4 tokens
+    rows(1L) shouldBe ((3, 11L,
+      "<|system|> be terse <|user|> what is spark " +
+        "<|assistant|> a distributed engine"))
+    // conv 2: NULL text renders as the bare tag (1 token)
+    rows(2L) shouldBe ((2, 3L, "<|user|>  <|assistant|> ok"))
+  }
+
+  test("maskSpans: half-open spans tile the sequence; loss on assistant only") {
+    val s = Dialogue.maskSpans(turns, "conv_id", "turn_idx", "role", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    s((1L, 0)) shouldBe (("system", 0L, 3L, false))
+    s((1L, 1)) shouldBe (("user", 3L, 7L, false))
+    s((1L, 2)) shouldBe (("assistant", 7L, 11L, true))
+    s((2L, 0)) shouldBe (("user", 0L, 1L, false))
+    s((2L, 1)) shouldBe (("assistant", 1L, 3L, true))
+  }
+
+  test("spans and assembled token counts agree over the real corpus derivation") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val t = docs.select(
+      org.apache.spark.sql.functions.expr("doc_id div 4").as("conv_id"),
+      org.apache.spark.sql.functions.expr("cast(doc_id % 4 as int)").as("turn_idx"),
+      org.apache.spark.sql.functions.expr(
+        "case when doc_id % 4 = 0 then 'system' " +
+          "when (doc_id % 4) % 2 = 1 then 'assistant' else 'user' end")
+        .as("role"),
+      org.apache.spark.sql.functions.col("text"))
+    val asm = Dialogue.assemble(t, "conv_id", "turn_idx", "role", "text")
+    val fromSpans = Dialogue.maskSpans(t, "conv_id", "turn_idx", "role", "text")
+      .groupBy("conv_id")
+      .agg(org.apache.spark.sql.functions.max("tok_end").as("max_end"))
+    val joined = asm.join(fromSpans, "conv_id")
+    joined.filter(org.apache.spark.sql.functions
+      .col("n_tokens") =!= org.apache.spark.sql.functions.col("max_end"))
+      .count() shouldBe 0L
+    joined.count() should be > 100L
+  }
+}
