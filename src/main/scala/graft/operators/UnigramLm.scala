@@ -152,6 +152,59 @@ object UnigramLm {
         col(idCol))
       .limit(k)
 
+  /** Token-distribution drift between two corpora as per-token KL
+    * contributions — the corpus-version alarm ([[graft.operators.SnapshotDiff]]
+    * tells you WHICH docs changed; this tells you whether the LANGUAGE
+    * changed): D(P‖Q) = Σ p(t)·(ln p(t) − ln q(t)) decomposed into the
+    * k tokens driving it, so an ingest regression (a new boilerplate
+    * flood, a language shift, a lost source) is attributable to
+    * vocabulary, not just a scalar.
+    *
+    * Determinism: contributions are exact integers
+    * `cnt_p·(lp_p − lp_q)` in micro-nats over the micro-quantized LMs
+    * (P-tokens absent from Q take `oovLpMicro` — the standard floor;
+    * true KL is undefined there); only the final per-token
+    * normalization (`kl_nats` = Σ contrib / Σ cnt / 10⁶) divides, as
+    * a double both engines compute identically. Ranking is
+    * (contrib desc, token asc).
+    *
+    * Scale: two LM builds (one token-count shuffle each,
+    * vocabulary-sized outputs via [[lmFromCounts]]'s checkpoint), a
+    * vocab-sized left join, TakeOrdered top-k, and a broadcast scalar
+    * total — the corpora are each touched once.
+    *
+    * Output: (rank, token, cnt_p, lp_p_micro, lp_q_micro — NULL when
+    * absent from Q, contrib_micro, kl_nats — the corpus-level total,
+    * constant across rows). */
+  def klDrift(p: DataFrame, q: DataFrame, textCol: String, k: Int,
+              oovLpMicro: Long = -20000000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val contrib = build(p, textCol)
+      .select(col("token"), col("cnt").as("cnt_p"),
+        col("lp_micro").as("lp_p_micro"))
+      .join(build(q, textCol)
+        .select(col("token"), col("lp_micro").as("lp_q_micro")),
+        Seq("token"), "left")
+      .withColumn("contrib_micro",
+        col("cnt_p") * (col("lp_p_micro")
+          - coalesce(col("lp_q_micro"), lit(oovLpMicro))))
+      // checkpointed: feeds the top-k slice AND the corpus total — and
+      // each side's LM build beneath it must not re-run per consumer
+      // (the round-7 multi-consumer audit)
+      .localCheckpoint()
+    val totals = contrib.agg(sum(col("contrib_micro")).as("__s"),
+      sum(col("cnt_p")).as("__n"))
+    TopK.global(contrib, k, col("contrib_micro").desc, col("token").asc)
+      .crossJoin(broadcast(totals))
+      .withColumn("kl_nats",
+        round(col("__s").cast("double") / col("__n") / lit(1e6), 6))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("contrib_micro").desc, col("token").asc)).cast("int"))
+      .select(col("rank"), col("token"), col("cnt_p"), col("lp_p_micro"),
+        col("lp_q_micro"), col("contrib_micro"), col("kl_nats"))
+  }
+
   /** Self-scoring convenience: build the LM over the corpus and score
     * the same corpus, tokenizing once — the persisted tf relation feeds
     * both the LM aggregation and the scoring dot product, through the

@@ -893,7 +893,61 @@ object CurationOps {
       FROM scg WHERE cost_milli IS NULL
       ORDER BY doc_id"""))
 
+  /** q156: token-distribution KL drift
+    * ([[graft.operators.UnigramLm.klDrift]]) — the corpus-version
+    * language alarm: per-token KL contributions of the md5-tail slice
+    * (P, the q82 "eval" convention) against its complement (Q), top
+    * 20 drivers plus the corpus-level total. Integer-exact
+    * contributions over the micro-quantized LMs; only the final
+    * normalization divides, as a double. */
+  private val q156 = QuerySpec(
+    "q156_kl_drift",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isP = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+      graft.operators.UnigramLm.klDrift(
+          docs.filter(isP), docs.filter(!isP), "text", k = 20)
+        .orderBy(col("rank"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_p,
+               unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                 x -> x <> '')) AS token
+        FROM documents),
+      cp AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks WHERE is_p GROUP BY 1),
+      cq AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks WHERE NOT is_p GROUP BY 1),
+      lp AS (
+        SELECT token, cnt,
+               CAST(round(ln(CAST(cnt AS DOUBLE)
+                 / (SELECT sum(cnt) FROM cp)) * 1000000, 0) AS BIGINT)
+                 AS lp_micro
+        FROM cp),
+      lq AS (
+        SELECT token,
+               CAST(round(ln(CAST(cnt AS DOUBLE)
+                 / (SELECT sum(cnt) FROM cq)) * 1000000, 0) AS BIGINT)
+                 AS lp_micro
+        FROM cq),
+      contrib AS MATERIALIZED (
+        SELECT lp.token, lp.cnt AS cnt_p, lp.lp_micro AS lp_p_micro,
+               lq.lp_micro AS lp_q_micro,
+               CAST(lp.cnt * (lp.lp_micro - coalesce(lq.lp_micro, -20000000))
+                 AS BIGINT) AS contrib_micro
+        FROM lp LEFT JOIN lq USING (token)),
+      tot AS (SELECT sum(contrib_micro) AS s, sum(cnt_p) AS n FROM contrib)
+      SELECT CAST(row_number() OVER (ORDER BY contrib_micro DESC, token ASC)
+               AS INTEGER) AS rank,
+             token, cnt_p, lp_p_micro, lp_q_micro, contrib_micro,
+             round(CAST((SELECT s FROM tot) AS DOUBLE)
+               / (SELECT n FROM tot) / 1000000.0, 6) AS kl_nats
+      FROM contrib
+      ORDER BY contrib_micro DESC, token ASC
+      LIMIT 20"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
-      q134, q144, q148, q150)
+      q134, q144, q148, q150, q156)
 }

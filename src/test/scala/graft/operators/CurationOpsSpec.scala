@@ -30,6 +30,30 @@ class CurationOpsSpec extends SparkSpec {
     out(1).getAs[Double]("avg_logprob") shouldBe -1.2629
   }
 
+  test("UnigramLm.klDrift: hand-computed contributions, OOV floor, corpus total") {
+    // P: a×2 b×1 (N=3) → lp_p(a)=−405465, lp_p(b)=−1098612
+    // Q: a×1 b×3 (N=4) → lp_q(a)=−1386294, lp_q(b)=−287682
+    // contrib(a)=2·980829=1961658 ; contrib(b)=1·(−810930)
+    // kl = (1961658−810930)/3/1e6 = 0.383576
+    val p = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val q = Seq((2L, "a b b b")).toDF("doc_id", "text")
+    val out = UnigramLm.klDrift(p, q, "text", k = 10).orderBy("rank").collect()
+    out.map(_.getString(1)).toSeq shouldBe Seq("a", "b")
+    out(0).getAs[Long]("contrib_micro") shouldBe 1961658L
+    out(1).getAs[Long]("contrib_micro") shouldBe -810930L
+    out.foreach(_.getAs[Double]("kl_nats") shouldBe 0.383576)
+    // a P-only token takes the OOV floor and carries a NULL lp_q
+    val out2 = UnigramLm.klDrift(
+      Seq((1L, "z a")).toDF("doc_id", "text"),
+      Seq((2L, "a")).toDF("doc_id", "text"), "text", k = 10)
+      .orderBy("rank").collect()
+    out2(0).getString(1) shouldBe "z"
+    out2(0).isNullAt(4) shouldBe true
+    out2(0).getAs[Long]("contrib_micro") shouldBe 19306853L
+    out2(1).getAs[Long]("contrib_micro") shouldBe -693147L
+    out2.foreach(_.getAs[Double]("kl_nats") shouldBe 9.306853)
+  }
+
   test("UnigramLm.score drops token-less docs; caller left-joins them back") {
     val docs = Seq((1L, "a b"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

@@ -411,6 +411,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("row_number"), plan)
   }
 
+  test("q154: SFT spans are one conversation-key aggregate — no window, no join") {
+    val plan = executedPlanOf("q154_sft_mask_spans")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    // conv-key aggregation partials map-side before the one shuffle
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
