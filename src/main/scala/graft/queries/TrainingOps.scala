@@ -404,6 +404,59 @@ object TrainingOps {
       GROUP BY conv_id
       ORDER BY conv_id"""))
 
+  /** q157: T5 span corruption ([[graft.operators.Denoise.spanCorrupt]])
+    * — denoising input/target pairs at the published 15%/mean-3 rates
+    * via the deterministic block-hash variant; the oracle replays
+    * tokenization, the md5 block draw, sentinel numbering, and both
+    * assembled strings bit for bit. */
+  private val q157 = QuerySpec(
+    "q157_span_corrupt",
+    (s, dir) =>
+      graft.operators.Denoise.spanCorrupt(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               coalesce(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> ''), []) AS w
+        FROM documents),
+      base AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+               CAST(len(w) // 5 AS INTEGER) AS nf
+        FROM t),
+      bl AS (
+        SELECT doc_id, w, n, nf,
+               list_transform(range(0, nf), b -> struct_pack(
+                 b := CAST(b AS INTEGER),
+                 c := CAST(('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || ':0:'
+                          || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 4 = 0)) AS bs
+        FROM base)
+      SELECT doc_id, n AS n_tokens,
+             CAST(len(list_filter(bs, x -> x.c)) AS INTEGER) AS n_spans,
+             CAST(len(list_filter(bs, x -> x.c)) * 3 AS BIGINT) AS n_dropped,
+             coalesce(array_to_string(flatten(list_concat(
+               list_transform(bs, x -> CASE WHEN x.c
+                 THEN list_concat(
+                   ['<extra_id_' || CAST(len(list_filter(bs,
+                      y -> y.c AND y.b < x.b)) AS VARCHAR) || '>'],
+                   w[x.b*5+4 : x.b*5+5])
+                 ELSE w[x.b*5+1 : x.b*5+5] END),
+               [w[nf*5+1 : CAST(n AS INTEGER)]])), ' '), '') AS input_text,
+             coalesce(array_to_string(flatten(list_concat(
+               list_transform(list_filter(bs, x -> x.c), x ->
+                 list_concat(
+                   ['<extra_id_' || CAST(len(list_filter(bs,
+                      y -> y.c AND y.b < x.b)) AS VARCHAR) || '>'],
+                   w[x.b*5+1 : x.b*5+3])),
+               [['<extra_id_'
+                 || CAST(len(list_filter(bs, x -> x.c)) AS VARCHAR)
+                 || '>']])), ' '), '') AS target_text
+      FROM bl
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81, q82, q135,
-    q154, q155)
+    q154, q155, q157)
 }
