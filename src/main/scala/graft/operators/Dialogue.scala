@@ -78,6 +78,43 @@ object Dialogue {
           acc => acc("spans")).as("spans"))
   }
 
+  /** DPO/RLHF preference-pair assembly: per prompt, pair the BEST and
+    * WORST responses by (scoreCol desc, idCol asc) — the standard
+    * reduction of a scored response pool to (chosen, rejected)
+    * training pairs. Prompts whose best and worst scores tie (single
+    * response, or an all-equal pool) carry no preference signal and
+    * are DROPPED — a zero-margin pair teaches nothing and a
+    * same-response pair is degenerate.
+    *
+    * Deterministic: ties at either end resolve to the SMALLEST
+    * response id on both sides (min-struct aggregation — packed as
+    * `min(struct(−score, id))` / `min(struct(score, id))`, so the
+    * whole selection is two partial-aggregatable min-structs in ONE
+    * groupBy; no per-prompt window, a corpus-hot prompt cannot
+    * straggle). `scoreCol` must be integral and above
+    * `−Long.MaxValue` (it is negated).
+    *
+    * Output: (promptCol, n_responses, chosen_id, chosen_score,
+    * rejected_id, rejected_score, margin). */
+  def preferencePairs(responses: DataFrame, promptCol: String,
+                      idCol: String, scoreCol: String): DataFrame =
+    responses
+      .filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_responses"),
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+          .as("__c"),
+        min(struct(col(scoreCol).as("s"), col(idCol).as("id")))
+          .as("__r"))
+      .select(col(promptCol), col("n_responses"),
+        col("__c.id").as("chosen_id"),
+        (-col("__c.ns")).as("chosen_score"),
+        col("__r.id").as("rejected_id"),
+        col("__r.s").as("rejected_score"),
+        (-col("__c.ns") - col("__r.s")).as("margin"))
+      .filter(col("margin") > 0)
+
   /** [[assemble]]'s spans exploded to one row per turn — the layout a
     * dataloader joins against the tokenized sequence:
     * (convCol, turn_idx, role, tok_start, tok_end, loss_mask). */

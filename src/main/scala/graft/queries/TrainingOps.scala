@@ -457,6 +457,46 @@ object TrainingOps {
       FROM bl
       ORDER BY doc_id"""))
 
+  /** q158: DPO preference pairs
+    * ([[graft.operators.Dialogue.preferencePairs]]) — per synthetic
+    * prompt (doc_id div 4), the best-vs-worst response pair by token
+    * count (a deterministic stand-in score; real pipelines feed a
+    * reward/quality model's output), zero-margin prompts dropped.
+    * The oracle replays the two arg-extremes as rank-1 windows. */
+  private val q158 = QuerySpec(
+    "q158_preference_pairs",
+    (s, dir) =>
+      graft.operators.Dialogue.preferencePairs(
+          Tables.documents(s, dir).select(
+            expr("doc_id div 4").as("prompt_id"),
+            col("doc_id").as("response_id"),
+            TextFns.tokenCount(col("text")).cast("long").as("score")),
+          "prompt_id", "response_id", "score")
+        .orderBy(col("prompt_id")),
+    oracle = Some("""
+      WITH r AS (
+        SELECT CAST(doc_id // 4 AS BIGINT) AS prompt_id,
+               doc_id AS response_id,
+               CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+                 '\s+'), x -> x <> '')) AS BIGINT) AS score
+        FROM documents),
+      ranked AS (
+        SELECT prompt_id, response_id, score,
+               row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY score DESC, response_id ASC) AS rc,
+               row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY score ASC, response_id ASC) AS rr,
+               count(*) OVER (PARTITION BY prompt_id) AS n
+        FROM r)
+      SELECT c.prompt_id, CAST(c.n AS BIGINT) AS n_responses,
+             c.response_id AS chosen_id, c.score AS chosen_score,
+             j.response_id AS rejected_id, j.score AS rejected_score,
+             c.score - j.score AS margin
+      FROM ranked c JOIN ranked j
+        ON c.prompt_id = j.prompt_id AND c.rc = 1 AND j.rr = 1
+      WHERE c.score - j.score > 0
+      ORDER BY c.prompt_id"""))
+
   val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81, q82, q135,
-    q154, q155, q157)
+    q154, q155, q157, q158)
 }

@@ -41,6 +41,24 @@ class DialogueSpec extends SparkSpec {
     s((2L, 1)) shouldBe (("assistant", 1L, 3L, true))
   }
 
+  test("preferencePairs: arg-extremes, smallest-id ties, zero-margin prompts dropped") {
+    val resp = Seq[(Long, Long, Option[Long])](
+      (1L, 10L, Some(5L)), (1L, 11L, Some(9L)), (1L, 12L, Some(9L)),
+      (2L, 20L, Some(7L)), (2L, 21L, Some(7L)), // all equal → dropped
+      (3L, 30L, Some(4L)),                      // single → dropped
+      (4L, 40L, Some(3L)), (4L, 41L, Some(8L)),
+      (5L, 50L, Some(2L)), (5L, 51L, None)      // NULL score excluded
+    ).toDF("prompt_id", "response_id", "score")
+    val out = Dialogue.preferencePairs(resp, "prompt_id", "response_id",
+        "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    out.keySet shouldBe Set(1L, 4L)
+    out(1L) shouldBe ((3L, 11L, 9L, 10L, 5L, 4L))
+    out(4L) shouldBe ((2L, 41L, 8L, 40L, 3L, 5L))
+  }
+
   test("spans and assembled token counts agree over the real corpus derivation") {
     val docs = graft.Tables.documents(spark, sfDir)
     val t = docs.select(
