@@ -394,6 +394,39 @@ object WeakScale {
             .collect()
           docs.count()
         }),
+        // frozen-vocab apply: the vocabulary learns ONCE on the base
+        // corpus (constant — the production artifact), each scale
+        // encodes its k× corpus under it; expect linear in the
+        // tokenize + broadcast-join passes
+        ("frozen_encode_q152", D, () => {
+          val vocab = graft.operators.UnigramTokenizer.seedVocab(
+            Tables.documents(spark, sfDir), "text", vocabSize = 80,
+            maxPieceLen = 4)
+          graft.operators.UnigramTokenizer.encodeWith(
+              docs, "doc_id", "text", vocab, maxPieceLen = 4)
+            .agg(sum(col("piece_id")), count(lit(1))).collect()
+          docs.count()
+        }),
+        // SFT assembly: one conversation-key aggregate over synthetic
+        // 4-turn conversations — per-entity collect class, linear
+        ("sft_assemble_q154", D, () => {
+          val turns = docs.select(expr("doc_id div 4").as("conv_id"),
+            expr("cast(doc_id % 4 as int)").as("turn_idx"),
+            expr("case when doc_id % 4 = 0 then 'system' " +
+              "when (doc_id % 4) % 2 = 1 then 'assistant' " +
+              "else 'user' end").as("role"), col("text"))
+          graft.operators.Dialogue.assemble(turns, "conv_id", "turn_idx",
+              "role", "text")
+            .agg(sum(col("n_tokens")), sum(length(col("text")))).collect()
+          docs.count()
+        }),
+        // span corruption: pure narrow projection — the q144 class
+        ("span_corrupt_q157", D, () => {
+          graft.operators.Denoise.spanCorrupt(docs, "doc_id", "text")
+            .agg(sum(col("n_dropped")), sum(length(col("input_text"))))
+            .collect()
+          docs.count()
+        }),
         // IVF candidates ∝ n·nProbe/nCells with nCells ∝ k (the q135
         // sizing rule) ⇒ per-query candidate mass constant; PQ train
         // sample-bounded; encode narrow ⇒ expect ~linear in n
