@@ -33,6 +33,48 @@ import org.apache.spark.sql.functions._
   */
 object Denoise {
 
+  /** Prefix-LM split (UL2's S-denoiser / PrefixLM): each document
+    * becomes one (prefix → continuation) pair — the model sees the
+    * prefix bidirectionally and generates the suffix. The split point
+    * is drawn deterministically from md5(id, seed) over the middle
+    * band [minFrac, maxFrac] of the token count (UL2 samples U(0.25,
+    * 0.75); the hash replaces the RNG so every engine and every rerun
+    * agrees, and epochs re-roll via `seed`). Basis-point arithmetic:
+    * split = n·frac_bp div 10⁴ with frac_bp = min_bp + hash mod
+    * (max_bp − min_bp) — all integers until nothing is left to round.
+    *
+    * Docs with < 2 tokens cannot split and are DROPPED (no
+    * continuation to learn). Output: (idCol, n_tokens, split_at —
+    * prefix length ≥ 1, input_text, target_text). One narrow
+    * projection; no shuffle. */
+  def prefixSplit(docs: DataFrame, idCol: String, textCol: String,
+                  minFrac: Double = 0.25, maxFrac: Double = 0.75,
+                  seed: Long = 0L): DataFrame = {
+    require(minFrac > 0 && maxFrac < 1 && minFrac < maxFrac,
+      s"need 0 < minFrac < maxFrac < 1, got [$minFrac, $maxFrac]")
+    val minBp = math.round(minFrac * 10000).toInt
+    val maxBp = math.round(maxFrac * 10000).toInt
+    val toks = coalesce(TextFns.tokens(col(textCol)),
+      array().cast("array<string>"))
+    val n = size(toks).cast("long")
+    val fracBp = lit(minBp.toLong) + pmod(
+      Dedup.portableTokenHash(
+        concat(col(idCol).cast("string"), lit(":ps:" + seed))),
+      lit((maxBp - minBp).toLong))
+    // clamp into [1, n−1]: a valid prefix keeps ≥1 token on each side
+    val splitAt = greatest(lit(1L),
+      least(col("__n") - 1, expr("(__n * __f) div 10000")))
+    docs.select(col(idCol), toks.as("__t"), n.as("__n"),
+        fracBp.as("__f"))
+      .filter(col("__n") >= 2)
+      .select(col(idCol), col("__n").as("n_tokens"),
+        splitAt.as("split_at"),
+        concat_ws(" ", slice(col("__t"), lit(1),
+          splitAt.cast("int"))).as("input_text"),
+        concat_ws(" ", slice(col("__t"), (splitAt + 1).cast("int"),
+          (col("__n") - splitAt).cast("int"))).as("target_text"))
+  }
+
   /** Per-document span-corruption pair:
     * (idCol, n_tokens, n_spans, n_dropped, input_text, target_text).
     * Docs shorter than one full block pass through uncorrupted

@@ -497,6 +497,43 @@ object TrainingOps {
       WHERE c.score - j.score > 0
       ORDER BY c.prompt_id"""))
 
+  /** q159: UL2 prefix-LM split ([[graft.operators.Denoise.prefixSplit]])
+    * — each doc becomes a (prefix, continuation) pair, split point
+    * drawn deterministically over the U(0.25, 0.75) band in basis
+    * points; the oracle replays the hash draw, the clamp, and both
+    * halves. */
+  private val q159 = QuerySpec(
+    "q159_prefix_split",
+    (s, dir) =>
+      graft.operators.Denoise.prefixSplit(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               coalesce(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> ''), []) AS w
+        FROM documents),
+      base AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+               2500 + CAST(('0x' || substring(md5(
+                 CAST(doc_id AS VARCHAR) || ':ps:0'), 1, 15)) AS BIGINT)
+                 % 5000 AS f
+        FROM t
+        WHERE len(w) >= 2),
+      sp AS (
+        SELECT doc_id, w, n,
+               greatest(1, least(n - 1, (n * f) // 10000)) AS s
+        FROM base)
+      SELECT doc_id, n AS n_tokens, CAST(s AS BIGINT) AS split_at,
+             coalesce(array_to_string(w[1 : CAST(s AS INT)], ' '), '')
+               AS input_text,
+             coalesce(array_to_string(
+               w[CAST(s + 1 AS INT) : CAST(n AS INT)], ' '), '')
+               AS target_text
+      FROM sp
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] = Seq(q77, q78, q79, q80, q81, q82, q135,
-    q154, q155, q157, q158)
+    q154, q155, q157, q158, q159)
 }

@@ -51,6 +51,27 @@ class DenoiseSpec extends SparkSpec {
     rows(2L) shouldBe ((0L, 0, "", "<extra_id_0>"))
   }
 
+  test("prefixSplit: halves rejoin to the original; split stays in the band; shorts drop") {
+    val rows = Denoise.prefixSplit(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, n, s, in, tgt) =>
+      assert(s >= 1 && s < n, s"split $s outside [1, ${n - 1}] for doc $id")
+      // the band check (n·0.25 ≤ s ≤ n·0.75, up to the ±1 clamp)
+      assert(s >= n / 4 - 1 && s <= n * 3 / 4 + 1, s"split $s off-band for n=$n")
+      (in + " " + tgt).split("\\s+").filter(_.nonEmpty).mkString(" ") shouldBe
+        texts(id).split("\\s+").filter(_.nonEmpty).mkString(" ")
+      in.split("\\s+").count(_.nonEmpty) shouldBe s
+    }
+    rows.length shouldBe texts.size // every corpus doc splits (all ≥ 2 tokens)
+    // sub-2-token docs drop
+    val tiny = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    Denoise.prefixSplit(tiny, "doc_id", "text").collect()
+      .map(_.getLong(0)).toSet shouldBe Set(3L)
+  }
+
   test("corruption is a pure function of (id, seed): stable per seed, varies across seeds") {
     val a = Denoise.spanCorrupt(docs, "doc_id", "text", seed = 0L)
       .collect().map(_.toSeq).toSet
