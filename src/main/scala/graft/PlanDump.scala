@@ -43,7 +43,9 @@ object PlanDump {
       "q145_contamination_frac" -> "per-train-doc contamination: eval grams broadcast-semi-joined under a map-side-combined per-doc count, train corpus streams once",
       "q147_unigram_segments" -> "unigram Viterbi: corpus touched once by the word-count shuffle, piece vocabulary broadcast into the candidate join, DP a single HOF pass per word — no per-position shuffle, no window",
       "q150_perplexity_buckets" -> "CCNet buckets: no per-group ntile window — band-parallel row_number + broadcast (group, band) offsets + ANSI-NTILE arithmetic",
-      "q152_unigram_frozen_vocab" -> "frozen-vocab encode: new corpus pays one word-count shuffle; segmentation + id tables broadcast; unk rows via left joins")
+      "q152_unigram_frozen_vocab" -> "frozen-vocab encode: new corpus pays one word-count shuffle; segmentation + id tables broadcast; unk rows via left joins",
+      "q154_sft_mask_spans" -> "SFT masks: one conversation-key aggregate (per-entity collect + HOF offset fold), no window, no join",
+      "q157_span_corrupt" -> "span corruption: pure narrow projection — tokenize, block transform, two string folds; zero shuffles before the oracle sort")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"

@@ -419,6 +419,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("q157/q159: objective prep is map-only — no exchange before the oracle sort") {
+    Seq("q157_span_corrupt", "q159_prefix_split").foreach { q =>
+      val plan = executedPlanOf(q)
+      assert("Exchange".r.findAllIn(plan).size <= 1, s"$q:\n$plan")
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+    }
+  }
+
+  test("q158: preference pairs are one partial-aggregated groupBy — no window") {
+    val plan = executedPlanOf("q158_preference_pairs")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
