@@ -324,6 +324,50 @@ object UnigramTokenizer {
         col("piece"), col("piece_id"))
   }
 
+  /** Tokenizer fertility per group under the seed unigram LM —
+    * [[Vocabulary.bpeFertility]]'s twin for this family: pieces spent
+    * per word of each `groupCol` slice, exact integer basis points.
+    * The same grade with the same semantics, so the two tokenizer
+    * families are comparable on equal footing per corpus slice.
+    * Token occurrences join the BROADCAST word→n_pieces table; one
+    * group-key aggregate; the corpus never shuffles. */
+  def fertility(docs: DataFrame, textCol: String, groupCol: String,
+                vocabSize: Int, maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1, 16], got $maxPieceLen")
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    val segs = viterbi(words,
+        seedFromWords(words, vocabSize, maxPieceLen), maxPieceLen)
+      .select(col("word"), col("n_pieces").cast("long").as("n_sub"))
+    docs
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("word"))
+      .join(broadcast(segs), "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .withColumn("fertility_bp", expr("n_subwords * 10000 div n_words"))
+  }
+
+  /** DuckDB replay of [[fertility]] — the [[Vocabulary.bpeFertilityOracle]]
+    * tail over the unigram DP chain. */
+  def fertilityOracle(table: String, textCol: String, groupCol: String,
+                      vocabSize: Int, maxPieceLen: Int,
+                      maxWordLen: Int): String =
+    dpCtes(table, textCol, vocabSize, maxPieceLen, maxWordLen) + s""",
+      segs AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_sub
+               FROM w$maxWordLen),
+      occ AS (
+        SELECT $groupCol, unnest(list_filter(
+          string_split_regex(coalesce($textCol, ''), '\\s+'),
+          x -> x <> '')) AS word
+        FROM $table)
+      SELECT $groupCol,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+             CAST(sum(n_sub) * 10000 // count(*) AS BIGINT) AS fertility_bp
+      FROM occ JOIN segs USING (word)
+      GROUP BY $groupCol
+      ORDER BY $groupCol"""
+
   // ---- DuckDB oracle generators --------------------------------------
 
   /** Shared CTE prefix: word counts, candidate substrings, seed

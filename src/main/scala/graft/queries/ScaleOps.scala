@@ -595,6 +595,21 @@ object ScaleOps {
       "doc_id", "text", numMerges = 10,
       where = "(doc_id < 40 OR doc_id = 9999992) AND word_pos < 8")))
 
+  /** q160: unigram-tokenizer fertility per source
+    * ([[graft.operators.UnigramTokenizer.fertility]]) — q136's twin
+    * for the second family: pieces spent per word of each source
+    * slice under the 80-piece seed, exact basis points, directly
+    * comparable with the BPE numbers per slice. */
+  private val q160 = QuerySpec(
+    "q160_unigram_fertility",
+    (s, dir) =>
+      graft.operators.UnigramTokenizer.fertility(Tables.documents(s, dir),
+          "text", "source", vocabSize = 80, maxPieceLen = 4)
+        .orderBy(col("source")),
+    oracle = Some(graft.operators.UnigramTokenizer.fertilityOracle(
+      "documents", "text", "source", vocabSize = 80, maxPieceLen = 4,
+      maxWordLen = 8)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153)
+    q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160)
 }

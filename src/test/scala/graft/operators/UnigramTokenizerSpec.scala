@@ -149,6 +149,19 @@ class UnigramTokenizerSpec extends SparkSpec {
       (2, 0, "ab", 2), (2, 1, "ab", 2))
   }
 
+  test("fertility: hand-computed pieces-per-word rates per group") {
+    // vocab of the union corpus (size 4, maxLen 2) = {a, b, ab, ba}:
+    // abab → ab|ab (2), ab → ab (1), ba → ba (1), b → b (1)
+    val docs = Seq((1L, "abab ab", "X"), (2L, "ba b", "Y"))
+      .toDF("doc_id", "text", "source")
+    val f = UnigramTokenizer.fertility(docs, "text", "source",
+        vocabSize = 4, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    f("X") shouldBe ((2L, 3L, 15000L))
+    f("Y") shouldBe ((2L, 2L, 10000L))
+  }
+
   test("segmentWords: path cost equals the sum of piece costs") {
     val v = vocabOf(docs("abab ab ba"), size = 5)
     val s = segOf(docs("abab ab ba"), size = 5)
