@@ -195,4 +195,59 @@ class RobustnessSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Seq(
       (1L, 2L), (10L, 1L), (11L, 1L))
   }
+
+  // ---- round-7 operators over the dirty corpus -----------------------
+
+  test("c4Clean is idempotent: cleaning the clean text keeps every line") {
+    val multi = dirty.union(Seq(
+      (6L, "a fine sentence here.\nno punct line\nuses javascript daily.")
+    ).toDF("doc_id", "text"))
+    val once = QualityRules.c4Clean(multi, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text"))
+    val twice = QualityRules.c4Clean(once, "doc_id", "clean_text")
+    // every kept line survives a second pass untouched
+    twice.filter((col("n_kept") =!= col("n_lines"))
+        && (col("n_lines") > lit(0))
+        && (org.apache.spark.sql.functions.length(col("clean_text")) > lit(0)))
+      .count() shouldBe 0L
+    val r6 = twice.filter(col("doc_id") === 6L).collect().head
+    r6.getAs[String]("clean_text") shouldBe "a fine sentence here."
+  }
+
+  test("perplexityBuckets: a corpus with no bigrams anywhere yields all-NULL buckets") {
+    val solo = Seq(("1", 1L, "one"), ("1", 2L, ""), ("1", 3L, null.asInstanceOf[String]))
+      .toDF("source", "doc_id", "text")
+    val out = rows(BigramLm.perplexityBuckets(solo, "doc_id", "text", "source"))
+    out should have size 3
+    out.foreach(_.isNullAt(4) shouldBe true)
+  }
+
+  test("unigram tokenizer survives the dirty corpus end-to-end") {
+    val v = UnigramTokenizer.seedVocab(dirty, "text", vocabSize = 40,
+      maxPieceLen = 4)
+    v.count() should be > 0L
+    val seg = UnigramTokenizer.segmentWords(dirty, "text", 40, 4)
+    // null/empty/whitespace docs contribute no words; real words segment
+    seg.filter(col("encoding").isNull).count() shouldBe 0L
+    UnigramTokenizer.encodeWith(dirty, "doc_id", "text", v, 4)
+      .filter(col("piece_id").isNull).count() shouldBe 0L
+  }
+
+  test("objective prep on degenerate docs: no throw, empty-safe outputs") {
+    val sc = rows(Denoise.spanCorrupt(dirty, "doc_id", "text"))
+    sc should have size 5
+    sc.filter(r => Seq(2L, 3L, 4L).contains(r.getLong(0)))
+      .foreach { r =>
+        r.getString(4) shouldBe ""
+        r.getString(5) shouldBe "<extra_id_0>"
+      }
+    // prefix split drops everything without 2+ tokens
+    Denoise.prefixSplit(dirty, "doc_id", "text").collect()
+      .map(_.getLong(0)).toSet shouldBe Set(1L, 5L)
+    // preference pairs: a pool of null scores vanishes, no throw
+    Dialogue.preferencePairs(
+      dirty.select(lit(1L).as("p"), col("doc_id"),
+        lit(null).cast("long").as("s")), "p", "doc_id", "s")
+      .count() shouldBe 0L
+  }
 }
