@@ -190,6 +190,22 @@ object StreamOps {
         batch, idCol, textCol, vocab, maxPieceLen), id)
     }
 
+  /** [[tokenizeEachBatch]]'s BPE twin: encode every micro-batch under
+    * a FROZEN merge list + alphabet ([[graft.operators.Vocabulary.bpeEncodeWith]]).
+    * Same contract — the artifact is learned offline and versioned
+    * with the model; unknown SYMBOLS surface as NULL ids (BPE is
+    * open-vocabulary, so there are no unspellable words). Stateless:
+    * the merge fold runs over each batch's own word relation. */
+  def bpeTokenizeEachBatch(docs: DataFrame,
+                           merges: Seq[(String, String)], vocab: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.operators.Vocabulary.bpeEncodeWith(
+        batch, idCol, textCol, merges, vocab), id)
+    }
+
   /** Per-micro-batch language identification: applies the batch
     * operator ([[graft.operators.LangId.predict]]) to every
     * micro-batch via `foreachBatch` and hands `sink` the batch rows
