@@ -152,6 +152,33 @@ object Multimodal {
 
   /** Decoded metadata joined back as columns — the typed-metadata table
     * shape a catalog would persist alongside the payload store. */
+  /** Exact payload dedup — byte-identical media collapse, the first
+    * pass every multimodal corpus runs (re-crawled images, mirrored
+    * videos): group by md5 of the raw bytes, keep the min-id copy.
+    * KIND-agnostic on purpose — a byte-identical payload is the same
+    * object whatever its label says. Output: (keep_id, kind — the
+    * keeper's, n_copies, ids — sorted members). One fingerprint
+    * shuffle; the payloads themselves never shuffle (only the 16-byte
+    * hash and ids move — the q26 exact-dedup shape on binary).
+    *
+    * NEAR-dup is compositional, not duplicated here:
+    * [[extractFeatures]] → `Similarity.semanticDedupe` runs the
+    * embedding-cosine pass over the feature vectors (spec-proven:
+    * byte-identical payloads embed identically, so the compositional
+    * path subsumes this operator's groups at threshold 1.0). */
+  def dedupePayloads(media: Dataset[Media]): DataFrame =
+    media.toDF()
+      .select(col("media_id"), col("kind"),
+        md5(coalesce(col("payload"), lit(Array.emptyByteArray)))
+          .as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(
+        min(struct(col("media_id"), col("kind"))).as("__k"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col("media_id"))).as("ids"))
+      .select(col("__k.media_id").as("keep_id"),
+        col("__k.kind").as("kind"), col("n_copies"), col("ids"))
+
   def metadataTable(media: Dataset[Media]): DataFrame =
     decodeAll(media).toDF().select(col("media_id"), col("kind"),
       col("meta.format").as("format"), col("meta.width").as("width"),

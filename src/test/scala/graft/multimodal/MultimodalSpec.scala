@@ -135,4 +135,29 @@ class MultimodalSpec extends SparkSpec {
       "media_id", "features", k = 3)
     hits.exceptAll(again).count() shouldBe 0L
   }
+
+  test("dedupePayloads: byte-identical media collapse to the min-id copy, kind-agnostic") {
+    import spark.implicits._
+    // ids 1 and 4 carry identical BYTES under different kinds; 2 is a
+    // second copy of the same text under the SAME kind as 1; 3 unique
+    val m = Multimodal.asMedia(Seq(
+      (1L, "same payload"), (2L, "other text"), (3L, "unique here"),
+      (4L, "same payload"), (7L, "same payload"))
+      .toDF("doc_id", "text"))
+    val out = rows(Multimodal.dedupePayloads(m).orderBy("keep_id"))
+      .map(r => (r.getLong(0), r.getLong(2), r.getSeq[Long](3)))
+    out shouldBe Seq(
+      (1L, 3L, Seq(1L, 4L, 7L)),
+      (2L, 1L, Seq(2L)),
+      (3L, 1L, Seq(3L)))
+    // compositional near-dup subsumes these groups: identical payloads
+    // embed identically, so the feature-space pass groups them too
+    val feats = Multimodal.extractFeatures(m).toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val kept = graft.operators.Similarity
+      .semanticDedupe(feats, "vec_id", "embedding", nCells = 1,
+        threshold = 0.9999)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 2L, 3L)
+  }
 }
