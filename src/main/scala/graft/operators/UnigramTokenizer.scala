@@ -347,6 +347,58 @@ object UnigramTokenizer {
       .withColumn("fertility_bp", expr("n_subwords * 10000 div n_words"))
   }
 
+  /** Frozen-vocabulary coverage per group — the vocab-drift alarm for
+    * the apply side ([[encodeWith]]): of each slice's token
+    * occurrences, how many words can yesterday's vocabulary NOT spell
+    * (no Viterbi path — a character the training corpus never saw)?
+    * A rising unspellable rate on a new crawl means the frozen
+    * tokenizer no longer fits the data (new language, new script,
+    * encoding damage upstream) — re-learn before the `<unk>` flood
+    * reaches training. Output: (groupCol, n_words, n_unspellable,
+    * unspellable_bp — exact basis points). Word relation from the
+    * apply corpus, vocabulary broadcast; one group-key aggregate. */
+  def coverage(docs: DataFrame, textCol: String, groupCol: String,
+               vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1, 16], got $maxPieceLen")
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    val segs = viterbi(words,
+        vocab.select(col("piece"), col("lp_micro")), maxPieceLen)
+      .select(col("word"), col("cost_micro").isNull.as("__oov"))
+    docs
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("word"))
+      .join(broadcast(segs), "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__oov"), 1L).otherwise(0L)).as("n_unspellable"))
+      .withColumn("unspellable_bp",
+        expr("n_unspellable * 10000 div n_words"))
+  }
+
+  /** DuckDB replay of [[coverage]]: the two-table DP chain with the
+    * NULL-cost unspellable marker, aggregated per group. */
+  def coverageOracle(seedTable: String, applyTable: String,
+                     textCol: String, groupCol: String, vocabSize: Int,
+                     maxPieceLen: Int, maxWordLen: Int): String =
+    dpCtes(seedTable, textCol, vocabSize, maxPieceLen, maxWordLen,
+      Some(applyTable)) + s""",
+      segs AS (SELECT word, list_extract(best, len + 1) IS NULL AS oov
+               FROM w$maxWordLen),
+      occ AS (
+        SELECT $groupCol, unnest(list_filter(
+          string_split_regex(coalesce($textCol, ''), '\\s+'),
+          x -> x <> '')) AS word
+        FROM $applyTable)
+      SELECT $groupCol,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unspellable,
+             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS unspellable_bp
+      FROM occ JOIN segs USING (word)
+      GROUP BY $groupCol
+      ORDER BY $groupCol"""
+
   /** DuckDB replay of [[fertility]] — the [[Vocabulary.bpeFertilityOracle]]
     * tail over the unigram DP chain. */
   def fertilityOracle(table: String, textCol: String, groupCol: String,

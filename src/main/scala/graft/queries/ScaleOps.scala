@@ -610,6 +610,34 @@ object ScaleOps {
       "documents", "text", "source", vocabSize = 80, maxPieceLen = 4,
       maxWordLen = 8)))
 
+  /** q161: frozen-vocabulary coverage
+    * ([[graft.operators.UnigramTokenizer.coverage]]) — the q152
+    * lifecycle's drift alarm: per source, the share of token
+    * occurrences yesterday's vocabulary cannot spell, on the corpus
+    * plus a planted out-of-alphabet source ("newsrc" full of x/z
+    * words) — which must report a high unspellable rate while every
+    * original source reports 0. */
+  private val q161 = QuerySpec(
+    "q161_vocab_coverage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.UnigramTokenizer.seedVocab(
+        docs, "text", vocabSize = 80, maxPieceLen = 4)
+      import s.implicits._
+      val crawl = docs.select(col("source"), col("text"))
+        .union(Seq(("newsrc", "zx xz zz the xx data zq"))
+          .toDF("source", "text"))
+      graft.operators.UnigramTokenizer.coverage(crawl, "text", "source",
+          vocab, maxPieceLen = 4)
+        .orderBy(col("source"))
+    },
+    oracle = Some(graft.operators.UnigramTokenizer.coverageOracle(
+      "documents",
+      "(SELECT source, text FROM documents " +
+        "UNION ALL SELECT 'newsrc', 'zx xz zz the xx data zq')",
+      "text", "source", vocabSize = 80, maxPieceLen = 4, maxWordLen = 8)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160)
+    q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
+    q161)
 }

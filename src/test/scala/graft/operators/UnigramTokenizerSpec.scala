@@ -162,6 +162,19 @@ class UnigramTokenizerSpec extends SparkSpec {
     f("Y") shouldBe ((2L, 2L, 10000L))
   }
 
+  test("coverage: unspellable share per group under a frozen vocabulary") {
+    val vocab = UnigramTokenizer.seedVocab(docs("abab ab"), "text",
+      vocabSize = 4, maxPieceLen = 2)
+    val crawl = Seq(("S", "ab zq ba"), ("T", "aa bb"))
+      .toDF("source", "text")
+    val out = UnigramTokenizer.coverage(crawl, "text", "source", vocab,
+        maxPieceLen = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out("S") shouldBe ((3L, 1L, 3333L)) // zq unspellable; ab, ba spell
+    out("T") shouldBe ((2L, 0L, 0L))    // chars a,b cover everything
+  }
+
   test("segmentWords: path cost equals the sum of piece costs") {
     val v = vocabOf(docs("abab ab ba"), size = 5)
     val s = segOf(docs("abab ab ba"), size = 5)
