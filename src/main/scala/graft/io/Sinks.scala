@@ -42,6 +42,20 @@ final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
   }
 }
 
+/** [[ParquetSink]]'s ORC twin — same coalesce/partition controls, so
+  * a pipeline retargets between the two columnar formats by swapping
+  * the sink value only. */
+final case class OrcSink(path: String, mode: SaveMode = SaveMode.Overwrite,
+                         coalesceTo: Option[Int] = None,
+                         partitionCols: Seq[String] = Nil) extends Sink {
+  def write(df: DataFrame): Unit = {
+    val d = coalesceTo.fold(df)(df.coalesce)
+    val w = d.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+}
+
 /** K3: JDBC table overwrite (data_mart.scala:138-146). */
 final case class JdbcSink(url: String, table: String, user: String,
                           password: String, driver: String,

@@ -43,6 +43,35 @@ final case class CsvSource(path: String, header: Boolean = true,
   }
 }
 
+/** ORC scan — the other columnar format warehouses standardize on;
+  * same pushdown/pruning behavior as parquet (PushedFilters +
+  * ReadSchema reach the scan, spec-asserted), so pipelines are
+  * format-portable between the two without plan changes. */
+final case class OrcSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
+/** Raw-file scan for multimodal ingestion: each matching file becomes
+  * one row (path, modificationTime, length, content: binary) — the
+  * entry point that feeds payload bytes to `graft.multimodal`
+  * (exact payload dedup → stub decode → features). `pathGlobFilter`
+  * narrows by extension ("*.jpg"); `maxBytes` guards the executor
+  * against a stray multi-GB object (files LARGER are dropped by the
+  * built-in filter, not truncated — a clipped payload would
+  * fingerprint as a distinct object and poison dedup). */
+final case class BinaryFileSource(path: String,
+                                  pathGlobFilter: Option[String] = None,
+                                  maxBytes: Option[Long] = None)
+    extends Source {
+  def options: Map[String, String] =
+    pathGlobFilter.map("pathGlobFilter" -> _).toMap ++
+      maxBytes.map(v => "maxFileSize" -> v.toString)
+  def read(spark: SparkSession): DataFrame =
+    options.foldLeft(spark.read.format("binaryFile")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(path)
+}
+
 /** S5: JDBC scan (data_mart.scala:78-85). `partitionColumn`/bounds turn
   * the single-connection read into numPartitions parallel range scans —
   * mandatory at scale; the reference read unpartitioned. */

@@ -36,6 +36,51 @@ class IoSpec extends SparkSpec {
       .orderBy("id")) shouldBe rows(df.orderBy("id"))
   }
 
+  test("dedicated ORC source/sink: parquet-equal pushdown and pruning reach the scan") {
+    val dir = Files.createTempDirectory("graft_io_orc2").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "x")
+    OrcSink(s"$dir/o", coalesceTo = Some(1)).write(df)
+    val q = OrcSource(s"$dir/o").read(spark)
+      .filter(org.apache.spark.sql.functions.col("id") > 1)
+      .select("name")
+    rows(q.orderBy("name")).map(_.getString(0)) shouldBe Seq("b", "c")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(id,1)"), plan)
+    assert(!plan.contains("ReadSchema: struct<id:bigint,name:string,x"),
+      "x column not pruned:\n" + plan)
+  }
+
+  test("binaryFile source: one row per file, exact bytes, glob filter — feeds multimodal dedup") {
+    val dir = Files.createTempDirectory("graft_io_bin")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      Files.write(dir.resolve(name), bytes)
+    put("a.img", Array[Byte](1, 2, 3))
+    put("b.img", Array[Byte](9, 9))
+    put("dup.img", Array[Byte](1, 2, 3)) // byte-identical to a.img
+    put("skip.txt", Array[Byte](7))      // filtered out by the glob
+    val df = BinaryFileSource(dir.toString, pathGlobFilter = Some("*.img"))
+      .read(spark)
+    df.count() shouldBe 3
+    val byName = df.collect().map(r =>
+      r.getString(r.fieldIndex("path")).split('/').last ->
+        r.getAs[Array[Byte]]("content")).toMap
+    byName("a.img").toSeq shouldBe Seq[Byte](1, 2, 3)
+    byName("b.img").toSeq shouldBe Seq[Byte](9, 9)
+    // composes with the multimodal payload dedup: the byte-identical
+    // pair collapses
+    import spark.implicits._
+    val media = df.select(
+      org.apache.spark.sql.functions
+        .row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("path")).cast("long").as("media_id"),
+      org.apache.spark.sql.functions.lit("image").as("kind"),
+      org.apache.spark.sql.functions.col("content").as("payload"))
+      .as[graft.multimodal.Multimodal.Media]
+    val groups = rows(graft.multimodal.Multimodal.dedupePayloads(media))
+    groups.map(_.getLong(2)).sorted shouldBe Seq(1L, 2L)
+  }
+
   test("partitioned JSON sink lays out Hive-style partition dirs") {
     val dir = Files.createTempDirectory("graft_io_part").toString
     val df = Seq(("20240101", 1L), ("20240101", 2L), ("20240102", 3L))
