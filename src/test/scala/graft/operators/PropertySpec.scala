@@ -205,4 +205,48 @@ class PropertySpec extends SparkSpec {
       rows(whole.exceptAll(merged)) shouldBe empty
     }
   }
+
+  private val wordGen: Gen[List[String]] =
+    Gen.listOfN(30, for {
+      len <- Gen.choose(1, 7)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+
+  test("Viterbi optimality: every word's path cost ≤ its all-characters path cost") {
+    // the DP must never do worse than the trivial char-by-char
+    // segmentation available to it by the coverage guarantee
+    (1 to 3).foreach { i =>
+      val words = wordGen(Gen.Parameters.default, Seed(100L + i)).get
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val vocab = UnigramTokenizer.seedVocab(docs, "text", vocabSize = 12,
+        maxPieceLen = 3)
+      val charCost = vocab
+        .filter(org.apache.spark.sql.functions.length(col("piece")) === 1)
+        .collect().map(r => r.getString(0)(0) -> -r.getLong(2)).toMap
+      UnigramTokenizer.segmentWords(docs, "text", 12, 3).collect()
+        .foreach { r =>
+          val word = r.getString(0)
+          val cost = r.getLong(4)
+          val allChars = word.map(charCost).sum
+          assert(cost <= allChars,
+            s"'$word': Viterbi $cost beats chars $allChars the wrong way")
+        }
+    }
+  }
+
+  test("perplexityBuckets: equal-frequency — per-group bucket sizes differ by ≤ 1") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sizes = BigramLm.perplexityBuckets(docs, "doc_id", "text", "source")
+      .filter(col("bucket").isNotNull)
+      .groupBy("source", "bucket").count()
+      .groupBy("source")
+      .agg((max("count") - min("count")).as("spread"),
+        countDistinct("bucket").as("nb"))
+      .collect()
+    sizes.length should be > 5
+    sizes.foreach { r =>
+      assert(r.getLong(1) <= 1, s"bucket spread ${r.getLong(1)} in ${r.get(0)}")
+      r.getLong(2) shouldBe 3L
+    }
+  }
 }
