@@ -64,12 +64,19 @@ final case class BinaryFileSource(path: String,
                                   maxBytes: Option[Long] = None)
     extends Source {
   def options: Map[String, String] =
-    pathGlobFilter.map("pathGlobFilter" -> _).toMap ++
-      maxBytes.map(v => "maxFileSize" -> v.toString)
-  def read(spark: SparkSession): DataFrame =
-    options.foldLeft(spark.read.format("binaryFile")) {
+    pathGlobFilter.map("pathGlobFilter" -> _).toMap
+  def read(spark: SparkSession): DataFrame = {
+    val df = options.foldLeft(spark.read.format("binaryFile")) {
       case (r, (k, v)) => r.option(k, v)
     }.load(path)
+    // the size guard is a pushable filter on the file-status `length`
+    // column (evaluated before content IO for skipped files), NOT the
+    // binaryFile maxLength session conf — that conf FAILS the whole
+    // scan on the first oversized file, where ingestion wants the bad
+    // object dropped and the crawl continued
+    maxBytes.fold(df)(m =>
+      df.filter(org.apache.spark.sql.functions.col("length") <= m))
+  }
 }
 
 /** S5: JDBC scan (data_mart.scala:78-85). `partitionColumn`/bounds turn

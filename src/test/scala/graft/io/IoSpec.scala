@@ -62,6 +62,10 @@ class IoSpec extends SparkSpec {
     val df = BinaryFileSource(dir.toString, pathGlobFilter = Some("*.img"))
       .read(spark)
     df.count() shouldBe 3
+    // the oversize guard DROPS big objects (never truncates, never
+    // fails the scan): only b.img is within 2 bytes
+    BinaryFileSource(dir.toString, pathGlobFilter = Some("*.img"),
+      maxBytes = Some(2L)).read(spark).count() shouldBe 1
     val byName = df.collect().map(r =>
       r.getString(r.fieldIndex("path")).split('/').last ->
         r.getAs[Array[Byte]]("content")).toMap
