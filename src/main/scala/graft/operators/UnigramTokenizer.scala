@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * subword piece by a unigram language model and segment each word
   * with the Viterbi best path (minimum total negative log-prob).
   *
-  * This implementation learns the SEED vocabulary (Kudo §3's starting
-  * point: all frequent substrings, scored by occurrence frequency) and
-  * runs exact Viterbi under it. The EM prune loop that shrinks the
-  * seed toward a target size refines piece PROBABILITIES but not the
-  * mechanics exercised here; the seed + Viterbi pair is the
-  * engine-portable core, and every stage below is replayed bit for
-  * bit by the generated DuckDB oracle (q146/q147).
+  * The family covers the tokenizer lifecycle end to end: SEED
+  * vocabulary (Kudo §3's starting point — all frequent substrings
+  * scored by occurrence, q146), exact Viterbi segmentation (q147),
+  * one hard-EM refine-and-prune round ([[emReweight]], q149),
+  * corpus→tensor encoding ([[encode]], q151), FROZEN-vocabulary apply
+  * with `<unk>` rows ([[encodeWith]], q152), per-slice fertility
+  * (q160) and frozen-vocab coverage/drift (q161) — every stage
+  * replayed bit for bit by generated DuckDB oracles.
   *
   * Determinism contract (the [[UnigramLm]] rule): piece
   * log-probabilities are quantized ONCE to integer micro-units
@@ -125,7 +126,7 @@ object UnigramTokenizer {
     * both the candidate join and the DP join of the returned lazy
     * plan). */
   private[graft] def viterbi(words: DataFrame, seed: DataFrame,
-                      maxPieceLen: Int): DataFrame = {
+                             maxPieceLen: Int): DataFrame = {
     locally {
       val pieces = seed
         .select(col("piece"), (-col("lp_micro")).as("cost"))
