@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectFunction(GraftExtensions.topKPairs)
+    ext.injectFunction(GraftExtensions.unicodeNormalize)
+    ext.injectFunction(GraftExtensions.boundedCollect)
   }
 }
 
@@ -70,10 +72,52 @@ object GraftExtensions {
           org.apache.spark.sql.types.LongType), k)
     })
 
+  /** `unicode_normalize(text, 'NFC')` — the codegen'd normalization
+    * Expression (q121's kernel); form must be a literal string (it
+    * resolves the Normalizer.Form at plan time). */
+  val unicodeNormalize: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("unicode_normalize"),
+    new ExpressionInfo(
+      classOf[graft.functions.UnicodeNormalize].getName, "unicode_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"unicode_normalize takes (text, form), got ${children.length} args")
+      val form = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize form must be a literal string, got $other")
+      }
+      graft.functions.UnicodeNormalize(children.head, form)
+    })
+
+  /** `bounded_collect(id, cap)` — the hard-capped collect aggregate
+    * (exact count + at most cap members inside the buffer; the LSH
+    * degenerate-bucket guard); cap must be a literal int. */
+  val boundedCollect: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bounded_collect"),
+    new ExpressionInfo(
+      classOf[graft.operators.BoundedCollectLong].getName, "bounded_collect"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"bounded_collect takes (id, cap), got ${children.length} args")
+      val cap = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"bounded_collect cap must be a literal int, got $other")
+      }
+      graft.operators.BoundedCollectLong(
+        org.apache.spark.sql.catalyst.expressions.Cast(children.head,
+          org.apache.spark.sql.types.LongType), cap)
+    })
+
   /** Register on an already-built session (tests / notebooks that can't
     * set spark.sql.extensions before session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimilarity, dotProduct, topKPairs).foreach {
+    Seq(cosineSimilarity, dotProduct, topKPairs, unicodeNormalize,
+      boundedCollect).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)

@@ -34,6 +34,31 @@ class GraftExtensionsSpec extends SparkSpec {
     ex.getMessage should include("literal int")
   }
 
+  test("unicode_normalize callable from SQL; form must be a literal") {
+    GraftExtensions.register(spark)
+    // decomposed e + combining acute → composed é under NFC
+    val r = spark.sql(
+      "SELECT unicode_normalize('é', 'NFC') AS n").collect()(0)
+    r.getString(0) shouldBe "é"
+    val ex = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize(t, t) FROM VALUES ('x') AS v(t)")
+        .collect()
+    }
+    ex.getMessage should include("literal")
+  }
+
+  test("bounded_collect callable from SQL: exact count, capped members") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT g, bounded_collect(id, 2) AS bc FROM VALUES" +
+        " ('a', 3), ('a', 1), ('a', 2), ('b', 9)" +
+        " AS t(g, id) GROUP BY g ORDER BY g")
+      .selectExpr("g", "bc.n", "size(bc.items)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // group a: exact count 3, members hard-capped at 2
+    r shouldBe Seq(("a", 3L, 2), ("b", 1L, 1))
+  }
+
   test("extension class injects without error (config wiring is creation-time only)") {
     // Config-based wiring (spark.sql.extensions=graft.GraftExtensions)
     // only runs at SparkSession CREATION, which a shared-JVM suite can't
