@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature hashing (Weinberger et al., "Feature Hashing for Large
+  * Scale Multitask Learning", 2009 — the HashingTF shape with the
+  * signed trick): project token counts into a fixed `dim`-bucket
+  * vector with `v[h(t) mod dim] += ξ(t)`, ξ(t) ∈ {−1, +1} from an
+  * independent hash bit. The sign makes collision noise zero-mean, so
+  * hashed inner products are unbiased estimates of the true
+  * count-vector products — which is what lets the TEXT side of the
+  * corpus ride the ENTIRE ANN family (brute force, LSH, IVF, PQ,
+  * semantic dedup) without training a vectorizer or fixing a
+  * vocabulary: the bridge from tokens to `array<float>` is one
+  * stateless narrow pass.
+  *
+  * Engine-portable: both hashes are the md5 low-60-bit rule
+  * ([[Dedup.portableTokenHash]], sign from a salted second draw), all
+  * weights exact integers — the q162 oracle replays buckets, signs,
+  * and sums. Scale: explode + one (id, bucket) groupBy with map-side
+  * combine; output ≤ dim rows per doc regardless of document length.
+  */
+object FeatureHash {
+
+  private def bucketOf(tok: org.apache.spark.sql.Column, dim: Int) =
+    pmod(Dedup.portableTokenHash(tok), lit(dim.toLong)).cast("int")
+
+  private def signOf(tok: org.apache.spark.sql.Column) =
+    when(pmod(Dedup.portableTokenHash(concat(lit("sgn#"), tok)),
+      lit(2L)) === 0, 1L).otherwise(-1L)
+
+  /** Sparse hashed term vector: one row per NON-ZERO bucket —
+    * (idCol, bucket ∈ [0, dim), weight: long = Σ signs). Buckets whose
+    * signed contributions cancel to zero are dropped (canonical sparse
+    * form; the dense assembly treats them as 0 either way). */
+  def hashedTf(docs: DataFrame, idCol: String, textCol: String,
+               dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), bucketOf(col("tok"), dim).as("bucket"),
+        signOf(col("tok")).as("s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("s")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  /** Dense `array<float>` form of [[hashedTf]] — the drop-in input for
+    * the ANN operators (`Similarity.*`, `ProductQuant`,
+    * `semanticDedupe`): (idCol, vector array<float> of length dim).
+    * Docs with no tokens yield the zero vector (they embed nowhere,
+    * but keep their row — the caller decides). Assembly is a per-doc
+    * bounded collect (≤ dim entries) + one indexed transform. */
+  def hashedTfVectors(docs: DataFrame, idCol: String, textCol: String,
+                      dim: Int): DataFrame = {
+    val sparse = hashedTf(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("weight"))))
+        .as("__m"))
+    docs.select(col(idCol))
+      .join(sparse, Seq(idCol), "left")
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(element_at(col("__m"), i.cast("int")), lit(0L))
+            .cast("float")).as("vector"))
+  }
+
+  /** DuckDB replay of [[hashedTf]]. */
+  def hashedTfOracle(table: String, idCol: String, textCol: String,
+                     dim: Int): String = s"""
+      WITH toks AS (
+        SELECT $idCol, unnest(list_filter(
+          string_split_regex(coalesce($textCol, ''), '\\s+'),
+          x -> x <> '')) AS tok
+        FROM $table),
+      hashed AS (
+        SELECT $idCol,
+               CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+                 % $dim AS bucket,
+               CASE WHEN CAST(('0x' || substring(md5('sgn#' || tok), 1, 15))
+                 AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM toks)
+      SELECT $idCol, CAST(bucket AS INTEGER) AS bucket,
+             CAST(sum(s) AS BIGINT) AS weight
+      FROM hashed
+      GROUP BY $idCol, bucket
+      HAVING sum(s) <> 0
+      ORDER BY $idCol, bucket"""
+}

@@ -637,7 +637,23 @@ object ScaleOps {
         "UNION ALL SELECT 'newsrc', 'zx xz zz the xx data zq')",
       "text", "source", vocabSize = 80, maxPieceLen = 4, maxWordLen = 8)))
 
+  /** q162: signed feature hashing
+    * ([[graft.operators.FeatureHash.hashedTf]], Weinberger et al.
+    * 2009) — the trainless text→vector bridge into the ANN family:
+    * sparse (doc, bucket, weight) rows under the portable md5 bucket
+    * + sign draws, exact integer sums, zero-cancelled buckets
+    * dropped. dim 64 matches the embeddings table so the dense form
+    * drops into every vector operator unchanged. */
+  private val q162 = QuerySpec(
+    "q162_feature_hash",
+    (s, dir) =>
+      graft.operators.FeatureHash.hashedTf(Tables.documents(s, dir),
+          "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"), col("bucket")),
+    oracle = Some(graft.operators.FeatureHash.hashedTfOracle(
+      "documents", "doc_id", "text", dim = 64)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161)
+    q161, q162)
 }

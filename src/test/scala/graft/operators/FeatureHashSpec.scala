@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[FeatureHash]] — signed feature hashing. q162 proves engine
+  * parity; this spec pins the algebra (signed counts, cancellation,
+  * dense assembly) and the whole point: the trainless bridge into the
+  * ANN operators. */
+class FeatureHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashedTf: weights are signed token counts; repeated tokens accumulate") {
+    val docs = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val rowsOut = FeatureHash.hashedTf(docs, "doc_id", "text", dim = 64)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // x contributes 3·ξ(x) to its bucket, y 1·ξ(y) (buckets may
+    // coincide; magnitudes prove accumulation either way)
+    rowsOut.map(t => math.abs(t._2)).sum should (be (4L) or be (2L))
+    rowsOut.foreach(t => assert(t._1 >= 0 && t._1 < 64))
+  }
+
+  test("dense vectors: identical texts embed identically; token-less docs are zero") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here"), (4L, ""))
+      .toDF("doc_id", "text")
+    val v = FeatureHash.hashedTfVectors(docs, "doc_id", "text", dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    v(1L) shouldBe v(2L)
+    v(1L) should not be v(3L)
+    v(4L).forall(_ == 0f) shouldBe true
+    v.values.foreach(_.length shouldBe 32)
+  }
+
+  test("the bridge works: hashed vectors drive brute-force ANN to the lexical twin") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(60)
+      .select("doc_id", "text")
+      .union(Seq(
+        (990001L, "spark window merge sort batch stream value key"),
+        (990002L, "spark window merge sort batch stream value key"))
+        .toDF("doc_id", "text"))
+    val vecs = FeatureHash.hashedTfVectors(docs, "doc_id", "text", dim = 64)
+      .withColumnRenamed("vector", "embedding")
+      .withColumnRenamed("doc_id", "vec_id")
+    val nn = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") === 990001L), "vec_id", "embedding", k = 1)
+      .collect()
+    nn.length shouldBe 1
+    nn.head.getAs[Long]("c_id") shouldBe 990002L // the exact copy wins
+  }
+}
