@@ -427,6 +427,14 @@ object WeakScale {
             .collect()
           docs.count()
         }),
+        // feature hashing: explode + one (id, bucket) groupBy with
+        // map-side combine; ≤ dim rows per doc — expect linear
+        ("feature_hash_q162", D, () => {
+          graft.operators.FeatureHash.hashedTf(docs, "doc_id", "text",
+              dim = 64)
+            .agg(sum(col("weight")), count(lit(1))).collect()
+          docs.count()
+        }),
         // IVF candidates ∝ n·nProbe/nCells with nCells ∝ k (the q135
         // sizing rule) ⇒ per-query candidate mass constant; PQ train
         // sample-bounded; encode narrow ⇒ expect ~linear in n
