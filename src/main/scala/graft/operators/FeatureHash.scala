@@ -67,6 +67,60 @@ object FeatureHash {
             .cast("float")).as("vector"))
   }
 
+  /** [[hashedTf]] with inverse-document-frequency weighting — the
+    * HashingTF→IDF pair Spark ML ships, in the engine-portable form:
+    * idf(b) = round(ln((N+1)/(df_b+1))·10⁶) per BUCKET (bucket-level
+    * df is the hashed-space analog of term df; collisions shade idf
+    * toward the commoner colliding term — the standard hashing trade),
+    * weighted = weight · idf_micro, exact integers end to end. The
+    * df/N relations are bucket-sized and broadcast; the corpus pays
+    * the same single explode as [[hashedTf]].
+    * Output: (idCol, bucket, weight, idf_micro, w_idf). */
+  def hashedTfIdf(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    val tf = hashedTf(docs, idCol, textCol, dim)
+      // feeds the df aggregation AND the weighting join of the
+      // returned lazy plan (the round-7 multi-consumer rule); the
+      // checkpoint is ≤ docs·dim rows of three integers
+      .localCheckpoint()
+    val n = docs.select(col(idCol)).distinct().count()
+    val idf = tf.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__df"))
+      .select(col("bucket"),
+        round(log((lit(n.toDouble) + 1.0) / (col("__df") + lit(1.0)))
+          * lit(1e6), 0).cast("long").as("idf_micro"))
+    tf.join(broadcast(idf), "bucket")
+      .select(col(idCol), col("bucket"), col("weight"), col("idf_micro"),
+        (col("weight") * col("idf_micro")).as("w_idf"))
+  }
+
+  /** DuckDB replay of [[hashedTfIdf]]. */
+  def hashedTfIdfOracle(table: String, idCol: String, textCol: String,
+                        dim: Int): String =
+    hashedTfOracle(table, idCol, textCol, dim).replace(
+      s"""      SELECT $idCol, CAST(bucket AS INTEGER) AS bucket,
+             CAST(sum(s) AS BIGINT) AS weight
+      FROM hashed
+      GROUP BY $idCol, bucket
+      HAVING sum(s) <> 0
+      ORDER BY $idCol, bucket""",
+      s"""      , tf AS (
+        SELECT $idCol, CAST(bucket AS INTEGER) AS bucket,
+               CAST(sum(s) AS BIGINT) AS weight
+        FROM hashed
+        GROUP BY $idCol, bucket
+        HAVING sum(s) <> 0),
+      idf AS (
+        SELECT bucket,
+               CAST(round(ln((CAST((SELECT count(DISTINCT $idCol)
+                   FROM $table) AS DOUBLE) + 1.0)
+                 / (count(*) + 1.0)) * 1000000, 0) AS BIGINT) AS idf_micro
+        FROM tf GROUP BY bucket)
+      SELECT t.$idCol, t.bucket, t.weight, i.idf_micro,
+             CAST(t.weight * i.idf_micro AS BIGINT) AS w_idf
+      FROM tf t JOIN idf i USING (bucket)
+      ORDER BY t.$idCol, t.bucket""")
+
   /** DuckDB replay of [[hashedTf]]. */
   def hashedTfOracle(table: String, idCol: String, textCol: String,
                      dim: Int): String = s"""

@@ -653,7 +653,19 @@ object ScaleOps {
     oracle = Some(graft.operators.FeatureHash.hashedTfOracle(
       "documents", "doc_id", "text", dim = 64)))
 
+  /** q163: hashed TF-IDF ([[graft.operators.FeatureHash.hashedTfIdf]])
+    * — the HashingTF→IDF pair with bucket-level document frequency;
+    * exact-integer weighting, bucket-sized idf relation broadcast. */
+  private val q163 = QuerySpec(
+    "q163_hashed_tfidf",
+    (s, dir) =>
+      graft.operators.FeatureHash.hashedTfIdf(Tables.documents(s, dir),
+          "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"), col("bucket")),
+    oracle = Some(graft.operators.FeatureHash.hashedTfIdfOracle(
+      "documents", "doc_id", "text", dim = 64)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161, q162)
+    q161, q162, q163)
 }

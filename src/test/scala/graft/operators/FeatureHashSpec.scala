@@ -32,6 +32,27 @@ class FeatureHashSpec extends SparkSpec {
     v.values.foreach(_.length shouldBe 32)
   }
 
+  test("hashedTfIdf: rarer buckets weigh more; w_idf is the exact product") {
+    // 'common' in all 4 docs, 'rare' in one → df 4 vs 1 (no collision
+    // at dim 1024 for two tokens, checked below)
+    val docs = Seq((1L, "common rare"), (2L, "common"), (3L, "common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val out = FeatureHash.hashedTfIdf(docs, "doc_id", "text", dim = 1024)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val buckets = out.map(_._2).distinct
+    buckets.length shouldBe 2 // no collision in this fixture
+    val byBucket = out.groupBy(_._2)
+    val (rareB, commonB) = {
+      val sorted = byBucket.toSeq.sortBy(_._2.length)
+      (sorted.head._1, sorted.last._1)
+    }
+    // idf_micro: rare df=1 → ln(5/2)·1e6 = 916291; common df=4 → ln(1)=0
+    byBucket(rareB).head._4 shouldBe 916291L
+    byBucket(commonB).head._4 shouldBe 0L
+    out.foreach { case (_, _, w, idf, widf) => widf shouldBe w * idf }
+  }
+
   test("the bridge works: hashed vectors drive brute-force ANN to the lexical twin") {
     val docs = graft.Tables.documents(spark, sfDir).limit(60)
       .select("doc_id", "text")
