@@ -103,6 +103,120 @@ object Retrieval {
         col("score"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, "A Study of Smoothing Methods for Language Models
+    * Applied to Ad Hoc Information Retrieval", 2001) — the language-
+    * model ranking next to [[bm25TopK]]'s probabilistic one:
+    * score(q, d) = Σ_t ln((tf(t,d) + µ·p(t|C)) / (|d| + µ)), summed
+    * over the query's corpus-present terms INCLUDING those absent
+    * from d (absence is evidence — BM25 skips absent terms, QL
+    * penalizes them through the collection prior). Query terms absent
+    * from the whole corpus carry no signal for ranking (their
+    * contribution is a per-doc function of |d| only and p(t|C)=0
+    * breaks the log) and are dropped.
+    *
+    * Determinism: each per-(doc, term) contribution is computed as
+    * one fixed-order double expression and micro-quantized
+    * (`round(ln(·)·10⁶)`) — the [[UnigramLm]] convention — so per-doc
+    * sums are exact integer additions and the q164 oracle replays the
+    * ranking bit for bit.
+    *
+    * Scale: lengths (id + long) and per-doc query-term tf (≤
+    * docs·|q| rows) both checkpoint for their two consumers; the
+    * |q|-row term-stats relation broadcasts into a corpus × |q|
+    * narrow cross join; top-k is TakeOrdered. Output:
+    * (rank, idCol, n_hits, score_micro, score). */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+                          queryTerms: Seq[String], k: Int,
+                          mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val lengths = docs.select(col(idCol),
+      TextFns.tokenCount(col(textCol)).cast("long").as("__dl"))
+      .localCheckpoint()
+    val hits = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val ctot = lengths.agg(sum(col("__dl")).as("__ct"))
+    val stats = hits.groupBy(col("token"))
+      .agg(sum(col("tf")).as("__cf"))
+      .crossJoin(broadcast(ctot))
+    val contrib = lengths
+      .crossJoin(broadcast(stats))
+      .join(hits, Seq(idCol, "token"), "left")
+      .withColumn("__tf", coalesce(col("tf"), lit(0L)))
+      .withColumn("__c_micro",
+        round(log(
+          (col("__tf").cast("double")
+            + (lit(mu) * col("__cf")) / col("__ct"))
+            / (col("__dl").cast("double") + lit(mu))) * lit(1e6), 0)
+          .cast("long"))
+    val scored = contrib.groupBy(col(idCol))
+      .agg(sum(when(col("__tf") > 0, 1).otherwise(0)).cast("int")
+          .as("n_hits"),
+        sum(col("__c_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_micro").desc, col(idCol)))
+          .cast("int"))
+      .withColumn("score",
+        round(col("score_micro").cast("double") / lit(1e6), 4))
+      .select(col("rank"), col(idCol), col("n_hits"), col("score_micro"),
+        col("score"))
+  }
+
+  /** DuckDB replay of [[queryLikelihoodTopK]]. */
+  def queryLikelihoodOracle(table: String, idCol: String, textCol: String,
+                            queryTerms: Seq[String], k: Int,
+                            mu: Double = 2000.0): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""
+      WITH lengths AS (
+        SELECT $idCol, CAST(len(list_filter(string_split_regex(
+          coalesce($textCol, ''), '\\s+'), x -> x <> '')) AS BIGINT) AS dl
+        FROM $table),
+      toks AS (
+        SELECT $idCol, unnest(list_filter(string_split_regex(
+          coalesce($textCol, ''), '\\s+'), x -> x <> '')) AS token
+        FROM $table),
+      hits AS (
+        SELECT $idCol, token, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE token IN ($termList)
+        GROUP BY $idCol, token),
+      ct AS (SELECT CAST(sum(dl) AS BIGINT) AS ct FROM lengths),
+      stats AS (
+        SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM hits GROUP BY token),
+      contrib AS (
+        SELECT l.$idCol,
+               coalesce(h.tf, 0) AS tf,
+               CAST(round(ln(
+                 (CAST(coalesce(h.tf, 0) AS DOUBLE)
+                   + ($mu * s.cf) / (SELECT ct FROM ct))
+                 / (CAST(l.dl AS DOUBLE) + $mu)) * 1000000, 0) AS BIGINT)
+                 AS c_micro
+        FROM lengths l
+        CROSS JOIN stats s
+        LEFT JOIN hits h ON h.$idCol = l.$idCol AND h.token = s.token),
+      scored AS (
+        SELECT $idCol,
+               CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS INTEGER)
+                 AS n_hits,
+               CAST(sum(c_micro) AS BIGINT) AS score_micro
+        FROM contrib GROUP BY $idCol)
+      SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, $idCol)
+               AS INTEGER) AS rank,
+             $idCol, n_hits, score_micro,
+             round(CAST(score_micro AS DOUBLE) / 1000000.0, 4) AS score
+      FROM scored
+      ORDER BY score_micro DESC, $idCol
+      LIMIT $k"""
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of
     * (id, rank) relations: fused score = Σ_lists 10⁶ div (c + rank) —
     * pure integer arithmetic, reproducible by construction. An id

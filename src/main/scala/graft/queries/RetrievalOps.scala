@@ -456,6 +456,22 @@ object RetrievalOps {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
       FROM occ GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q164: query-likelihood retrieval
+    * ([[graft.operators.Retrieval.queryLikelihoodTopK]], Zhai &
+    * Lafferty 2001) — the Dirichlet-smoothed LM ranking over q104's
+    * query terms: absent terms penalize through the collection prior
+    * (where BM25 skips them), each contribution one micro-quantized
+    * fixed-order expression, top-50 replayed bit for bit. */
+  private val q164 = QuerySpec(
+    "q164_query_likelihood",
+    (s, dir) =>
+      graft.operators.Retrieval.queryLikelihoodTopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 50),
+    oracle = Some(graft.operators.Retrieval.queryLikelihoodOracle(
+      "documents", "doc_id", "text", Seq("spark", "window", "merge"),
+      k = 50)))
+
   val specs: Seq[QuerySpec] =
-    Seq(q103, q104, q105, q106, q107, q108, q109, q127)
+    Seq(q103, q104, q105, q106, q107, q108, q109, q127, q164)
 }

@@ -224,4 +224,34 @@ class RetrievalSpec extends SparkSpec {
       Seq((1L, null: String)).toDF("doc_id", "text"),
       "doc_id", "text", Seq("a"))) shouldBe empty
   }
+
+  test("queryLikelihood: tf orders hits; zero-hit docs still rank via the prior") {
+    val docs = Seq(
+      (1L, "spark spark other"),
+      (2L, "spark other other"),
+      (3L, "other other other")).toDF("doc_id", "text")
+    val out = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+        Seq("spark"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    // unlike BM25 (hits only), EVERY doc scores — absence costs
+    // through the collection prior, so d3 ranks last, not missing
+    out.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L)
+    out.map(_._3).toSeq shouldBe Seq(1, 1, 0)
+    // a corpus-absent query term is dropped, not a crash or a -inf
+    val withOov = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+        Seq("spark", "zzznope"), k = 10)
+      .collect().map(_.getLong(1)).toSeq
+    withOov shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("queryLikelihood and BM25 agree on the head for a distinctive term") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val ql = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("spark"), k = 5).collect().map(_.getLong(1)).toSet
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark"), k = 5).collect().map(_.getLong(1)).toSet
+    // same single-term signal → heavy overlap (identical tf ordering
+    // modulo each model's length normalization)
+    (ql intersect bm).size should be >= 3
+  }
 }
