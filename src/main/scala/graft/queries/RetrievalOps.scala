@@ -472,6 +472,110 @@ object RetrievalOps {
       "documents", "doc_id", "text", Seq("spark", "window", "merge"),
       k = 50)))
 
+  /** q165: tri-modal retrieval fusion — BM25 (probabilistic), query
+    * likelihood (language-model), and embedding kNN (semantic) rank
+    * the same need, fused by integer RRF: the production multi-ranker
+    * shape (each model misses differently; fusion is robust to any
+    * one's blind spot). Pure composition of q104/q164/q31 machinery
+    * through [[graft.operators.Retrieval.rrfFuse]]; the oracle chains
+    * all three replays and the integer fusion. */
+  private val q165 = QuerySpec(
+    "q165_trimodal_fusion",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", QueryTerms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val ql = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+          QueryTerms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val knn = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 50)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, ql, knn), "doc_id", k = 20)
+        .orderBy(col("rank"))
+    },
+    oracle = Some("""
+      WITH dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS dl
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum FROM dl),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS token
+        FROM documents),
+      hits AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      dfr AS (
+        SELECT token,
+               CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - cdf + 0.5)
+                 / (cdf + 0.5)) * 1000000, 0) AS BIGINT) AS idf_micro
+        FROM (SELECT token, count(*) AS cdf FROM hits GROUP BY 1)
+        CROSS JOIN stats),
+      con AS (
+        SELECT h.doc_id,
+               CAST(round(CAST(idf_micro AS DOUBLE) *
+                 (tf * (1.2 + 1) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                 0) AS BIGINT) AS c
+        FROM hits h
+        JOIN dl USING (doc_id) JOIN dfr USING (token)
+        CROSS JOIN (SELECT CAST(dl_sum AS DOUBLE) / n_docs AS avgdl FROM stats)),
+      bm AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sm DESC, doc_id)
+                 AS INTEGER) AS rank
+        FROM (SELECT doc_id, sum(c) AS sm FROM con GROUP BY 1
+              ORDER BY sm DESC, doc_id LIMIT 50) x),
+      qct AS (SELECT CAST(sum(dl) AS BIGINT) AS ct FROM dl),
+      qstats AS (
+        SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM hits GROUP BY token),
+      qcon AS (
+        SELECT l.doc_id,
+               CAST(round(ln(
+                 (CAST(coalesce(h.tf, 0) AS DOUBLE)
+                   + (2000.0 * s.cf) / (SELECT ct FROM qct))
+                 / (CAST(l.dl AS DOUBLE) + 2000.0)) * 1000000, 0) AS BIGINT)
+                 AS c_micro
+        FROM dl l
+        CROSS JOIN qstats s
+        LEFT JOIN hits h ON h.doc_id = l.doc_id AND h.token = s.token),
+      ql AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sm DESC, doc_id)
+                 AS INTEGER) AS rank
+        FROM (SELECT doc_id, sum(c_micro) AS sm FROM qcon GROUP BY 1
+              ORDER BY sm DESC, doc_id LIMIT 50) x),
+      knn AS (
+        SELECT c_id AS doc_id, rank FROM (
+          SELECT b.vec_id AS c_id,
+                 CAST(row_number() OVER (ORDER BY
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) DESC,
+                   b.vec_id) AS INTEGER) AS rank
+          FROM embeddings b,
+               (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+          WHERE b.vec_id <> 7)
+        WHERE rank <= 50),
+      uni AS (
+        SELECT doc_id, 1000000 // (60 + rank) AS r FROM bm
+        UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM ql
+        UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM knn),
+      f AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lists,
+               CAST(sum(r) AS BIGINT) AS rrf_micro
+        FROM uni GROUP BY 1
+        ORDER BY rrf_micro DESC, doc_id LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+               AS INTEGER) AS rank,
+             doc_id, n_lists, rrf_micro,
+             round(CAST(rrf_micro AS DOUBLE) / 1000000.0, 6) AS rrf_score
+      FROM f ORDER BY rank"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q103, q104, q105, q106, q107, q108, q109, q127, q164)
+    Seq(q103, q104, q105, q106, q107, q108, q109, q127, q164, q165)
 }
