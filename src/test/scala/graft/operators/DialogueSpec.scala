@@ -59,6 +59,46 @@ class DialogueSpec extends SparkSpec {
     out(4L) shouldBe ((2L, 41L, 8L, 40L, 3L, 5L))
   }
 
+  test("SFT masks survive packing: global spans tile each packed sequence slot") {
+    // the full dataloader layout: assemble conversations → greedy-pack
+    // by token count → per-bin tensor layout → remap each turn's span
+    // to its GLOBAL position = slot tok_start + turn-local offset
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val turns = docs.select(expr("doc_id div 4").as("conv_id"),
+      expr("cast(doc_id % 4 as int)").as("turn_idx"),
+      expr("case when doc_id % 4 = 0 then 'system' " +
+        "when (doc_id % 4) % 2 = 1 then 'assistant' else 'user' end")
+        .as("role"), col("text"))
+    val asm = Dialogue.assemble(turns, "conv_id", "turn_idx", "role", "text")
+      .withColumnRenamed("conv_id", "doc_id")
+    val budget = 4096L // comfortably above the longest conversation
+    val layout = Packing.packLayout(
+      Packing.greedyPack(asm.select("doc_id", "n_tokens"), "doc_id",
+        "n_tokens", budget, groups = 4), budget)
+    val global = Dialogue.maskSpans(turns, "conv_id", "turn_idx", "role",
+        "text")
+      .withColumnRenamed("conv_id", "doc_id")
+      .join(layout.select(col("doc_id"), col("pack_group"), col("bin"),
+        col("tok_start").as("slot_start"), col("tok_end").as("slot_end")),
+        "doc_id")
+      .select(col("doc_id"), col("pack_group"), col("bin"),
+        (col("slot_start") + col("tok_start")).as("g_start"),
+        (col("slot_start") + col("tok_end")).as("g_end"),
+        col("slot_start"), col("slot_end"), col("loss_mask"))
+    // every turn's global span sits inside its conversation's slot,
+    // and the turns of a conversation tile the slot exactly
+    global.filter(col("g_start") < col("slot_start")
+      || col("g_end") > col("slot_end")).count() shouldBe 0L
+    val tiled = global.groupBy("doc_id")
+      .agg(max("g_end").as("m"), first("slot_end").as("e"))
+      .filter(col("m") =!= col("e"))
+    tiled.count() shouldBe 0L
+    // loss tokens exist and never overflow a bin's budget
+    global.filter(col("loss_mask") && col("g_end") > budget).count() shouldBe 0L
+    global.filter(col("loss_mask")).count() should be > 0L
+  }
+
   test("spans and assembled token counts agree over the real corpus derivation") {
     val docs = graft.Tables.documents(spark, sfDir)
     val t = docs.select(
