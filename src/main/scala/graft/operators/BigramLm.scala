@@ -127,7 +127,12 @@ object BigramLm {
     val tf = pairsOf(docs, idCol, textCol)
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint (the round-7 multi-consumer rule): the
+      // blocks are owned by the checkpointed RDD and released by the
+      // ContextCleaner when the returned plan is unreferenced — same
+      // lifetime contract as every sibling operator, no persist that
+      // the caller would have to unpersist
+      .localCheckpoint()
     scoreTf(docs, idCol, tf,
       lmFromPairCounts(
         tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cnt"))),

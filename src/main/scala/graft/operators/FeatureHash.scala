@@ -83,7 +83,10 @@ object FeatureHash {
       // returned lazy plan (the round-7 multi-consumer rule); the
       // checkpoint is ≤ docs·dim rows of three integers
       .localCheckpoint()
-    val n = docs.select(col(idCol)).distinct().count()
+    // NULL ids excluded: count(DISTINCT id) semantics, so N agrees
+    // with the DuckDB oracle on corpora with NULL ids
+    val n = docs.select(col(idCol)).filter(col(idCol).isNotNull)
+      .distinct().count()
     val idf = tf.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__df"))
       .select(col("bucket"),

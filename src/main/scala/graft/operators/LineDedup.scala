@@ -41,17 +41,20 @@ object LineDedup {
     */
   def firstOccurrence(df: DataFrame, idCol: String, textCol: String,
                       sep: String = "\n"): DataFrame = {
-    // persisted: the line relation feeds THREE consumers of the
+    // checkpointed: the line relation feeds THREE consumers of the
     // returned lazy plan (census winners, the keep join-back, per-doc
-    // counts) — uncached, the corpus-wide split+posexplode pass runs
-    // three times (the round-7 multi-consumer audit; the
-    // sourceNgramOverlap precedent). Blocks are spillable and released
-    // by the ContextCleaner once the plan is unreferenced.
+    // counts) — unmaterialized, the corpus-wide split+posexplode pass
+    // runs three times (the round-7 multi-consumer audit; the
+    // sourceNgramOverlap precedent).
     val lines = df
       .select(col(idCol),
         posexplode(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
           l => length(l) > 0)).as(Seq("pos", "line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint, not persist: uniform lifetime with the
+      // sibling operators (blocks released by the ContextCleaner when
+      // the returned plan is unreferenced; nothing for callers to
+      // unpersist)
+      .localCheckpoint()
     val winners = lines
       .groupBy(col("line"))
       .agg(min(struct(col(idCol), col("pos"))).as("__w"))

@@ -171,7 +171,10 @@ object UnigramTokenizer {
             val mk = array_min(keys)
             struct(
               concat(acc("best"),
-                array(((mk - pmod(mk, lit(32L))) / 32).cast("long")))
+                // exact integer floor-div by 32 (keys are nonnegative):
+                // matches the oracle's `// 32` unconditionally, with no
+                // 2^53 double-precision ceiling on cumulative cost ×32
+                array(shiftright(mk.cast("long"), 5)))
                 .as("best"),
               concat(acc("bp"), array(lit(32L) - pmod(mk, lit(32L))))
                 .as("bp"))

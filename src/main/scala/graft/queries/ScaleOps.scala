@@ -440,13 +440,16 @@ object ScaleOps {
                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
         FROM documents),
       g AS (
+        -- s IS NOT NULL: a NULL-text doc yields w = NULL -> s = NULL;
+        -- the operator's shingleSets reports n_grams = 0 for such docs,
+        -- so the oracle must not count the NULL gram as 1
         SELECT DISTINCT doc_id, is_eval, s FROM (
           SELECT doc_id, is_eval, unnest(
             CASE WHEN len(w) >= 5 THEN
               list_transform(range(1, len(w) - 3),
                 i -> array_to_string(w[i:i+4], ' '))
             ELSE [array_to_string(w, ' ')] END) AS s
-          FROM toks)),
+          FROM toks) WHERE s IS NOT NULL),
       eg AS (SELECT DISTINCT s FROM g WHERE is_eval),
       tot AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams

@@ -53,6 +53,22 @@ class FeatureHashSpec extends SparkSpec {
     out.foreach { case (_, _, w, idf, widf) => widf shouldBe w * idf }
   }
 
+  test("hashedTfIdf: NULL ids are excluded from N (count-DISTINCT semantics)") {
+    // 2 real docs + 1 NULL-id doc → N = 2, not 3; 'common' is in both
+    // real docs AND the null doc, so its df = 3 and idf would go
+    // negative if N counted the NULL id as a third distinct value
+    val docs = Seq((java.lang.Long.valueOf(1L), "common rare"),
+      (java.lang.Long.valueOf(2L), "common"),
+      (null.asInstanceOf[java.lang.Long], "common"))
+      .toDF("doc_id", "text")
+    val out = FeatureHash.hashedTfIdf(docs, "doc_id", "text", dim = 1024)
+      .filter(col("doc_id").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // rare: df=1 → ln((2+1)/(1+1))·1e6 = 405465; common: df=3 →
+    // ln(3/4)·1e6 = −287682 (oracle's count(DISTINCT id) N, exactly)
+    out.map(_._3).toSet shouldBe Set(405465L, -287682L)
+  }
+
   test("the bridge works: hashed vectors drive brute-force ANN to the lexical twin") {
     val docs = graft.Tables.documents(spark, sfDir).limit(60)
       .select("doc_id", "text")

@@ -184,4 +184,22 @@ class UnigramTokenizerSpec extends SparkSpec {
       cost shouldBe pieces.map(p => -v(p)._2).sum
     }
   }
+
+  test("Viterbi key unpack is exact past the 2^53 double ceiling") {
+    // the packed key is (cumulative_cost)·32 + (32 − piece_len); the
+    // unpack must recover cumulative_cost by EXACT integer floor-div
+    // (shiftright by 5), matching the oracle's `// 32`. A double
+    // division loses the low bit once cost·32 > 2^53: cost = 2^53+1
+    // packs to a key whose double image divides back to 2^53.
+    import org.apache.spark.sql.functions._
+    val cost = (1L << 53) + 1L
+    val key = cost * 32L + 7L
+    val row = Seq(key).toDF("mk")
+      .select(shiftright(col("mk").cast("long"), 5).as("cost_exact"),
+        ((col("mk") - pmod(col("mk"), lit(32L))) / 32).cast("long")
+          .as("cost_double"))
+      .head()
+    row.getLong(0) shouldBe cost             // the shipped unpack: exact
+    assert(row.getLong(1) != cost)           // the rejected double path drops the low bit
+  }
 }
