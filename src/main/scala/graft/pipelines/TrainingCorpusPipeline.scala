@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   *   2d. perplexity tail    (opt-in: BigramLm.perplexityBuckets per
   *                           pplTailGroupCol — the RELATIVE CCNet
   *                           head/middle/tail cut; tail bucket drops)
+  *   2e. model quality gate (opt-in: QualityFilter.filter — a TRAINED
+  *                           classifier's P(quality) ≥ threshold, the
+  *                           DCLM/FineWeb-Edu stage; scored on the
+  *                           deduped pool, before the near-dup spend)
   *   3. near-dup dedup      (Dedup.nearDupGroups — MinHash-LSH +
   *                           connected components, min-id survivor)
   *   3b. span excision      (opt-in: Dedup.exciseRepeatedSpans — cut
@@ -152,7 +156,8 @@ object TrainingCorpusPipeline {
     * deterministic). */
   def run(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
           textCol: String, cfg: Config = Config(),
-          historicalIndex: Option[DataFrame] = None): DataFrame = {
+          historicalIndex: Option[DataFrame] = None,
+          qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None): DataFrame = {
     // -1. (opt-in) Unicode normalization: the first text rewrite —
     // every later stage hashes text (Bloom gate, lines, shingles,
     // n-grams), and canonically-equivalent spellings must agree
@@ -270,6 +275,22 @@ object TrainingCorpusPipeline {
       case None => lmGated
     }
 
+    // 2e. (opt-in) model-based quality gate: a TRAINED classifier
+    // (graft.ml.QualityFilter — hashed-TF features + binary LR, the
+    // DCLM/FineWeb-Edu stage) scores every surviving doc and only
+    // P(quality) ≥ minP passes. Seated after the cheap structural and
+    // LM gates (score fewer docs) and BEFORE the near-dup stage (the
+    // most expensive one — don't band-hash docs the model will drop).
+    // The model is trained OUT of band on a labeled seed
+    // (QualityFilter.train) and passed in: quality is a property
+    // judged against an external standard, not derivable from this
+    // corpus alone — unlike the self-trained LM stages.
+    val modelGated = qualityModel match {
+      case Some((m, minP)) =>
+        graft.ml.QualityFilter.filter(m, pplGated, idCol, textCol, minP)
+      case None => pplGated
+    }
+
     // 3. near-dup dedup: MinHash-LSH clusters, min-id survivor.
     // LAZY localCheckpoint: `deduped` is re-referenced by every
     // decontamination detector AND the final anti join — four copies
@@ -286,10 +307,10 @@ object TrainingCorpusPipeline {
     // run()'s scaladoc:
     // checkpointed partitions are released by RDD GC (not
     // clearCache()), and are not recomputable after an executor loss.
-    val nearKeep = Dedup.nearDupGroups(pplGated, idCol, textCol,
+    val nearKeep = Dedup.nearDupGroups(modelGated, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("keep_id").as(idCol))
-    val deduped0 = pplGated.join(nearKeep, Seq(idCol), "left_semi")
+    val deduped0 = modelGated.join(nearKeep, Seq(idCol), "left_semi")
       .localCheckpoint(false)
 
     // 3b. (opt-in) repeated-span excision: cut cross-doc repeated

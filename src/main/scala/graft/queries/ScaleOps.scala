@@ -668,7 +668,64 @@ object ScaleOps {
     oracle = Some(graft.operators.FeatureHash.hashedTfIdfOracle(
       "documents", "doc_id", "text", dim = 64)))
 
+  /** The q166 fixed micro-weights: q68's deterministic ±0.009 comb in
+    * micro units, one weight per hash bucket, bias +0.0025. Small
+    * magnitudes keep most margins inside the sigmoid's live range so
+    * the score column actually discriminates on this corpus. */
+  private val q166W: Seq[Long] = (0 until 64).map(i => ((i * 37 % 19) - 9) * 1000L)
+
+  /** q166: model-based quality scoring with FIXED weights
+    * ([[graft.ml.QualityFilter.scoreWithMicro]]) — the DCLM/
+    * FineWeb-Edu classifier stage's scoring path, fully
+    * oracle-checked via the q68 fixed-weights precedent: hashed term
+    * frequencies (q162's portable md5 draws) × integer micro-weights
+    * → an exact long margin; only the final sigmoid touches doubles.
+    * Trained-model determinism is q167's job. */
+  private val q166 = QuerySpec(
+    "q166_quality_score_fixed",
+    (s, dir) =>
+      graft.ml.QualityFilter.scoreWithMicro(Tables.documents(s, dir),
+          "doc_id", "text", q166W, biasMicro = 2500L)
+        .orderBy(col("doc_id")),
+    oracle = Some(graft.ml.QualityFilter.scoreMicroOracle(
+      "documents", "doc_id", "text", q166W, biasMicro = 2500L)))
+
+  /** q167: quality-classifier training determinism, oracle-witnessed
+    * (the q92 pattern for the [[graft.ml.QualityFilter]] lifecycle):
+    * train the hashed-TF + binary-LR model TWICE on an identically-
+    * prepared labeled frame (label = English doc, a genuinely mixed
+    * binary on this corpus) and report corpus size, feature dim, and keep-decision
+    * disagreements at P ≥ 0.5 between the two fits. The conditioned
+    * layout makes the fits bit-identical → n_disagree is exactly 0,
+    * which DuckDB states independently. */
+  private val q167 = QuerySpec(
+    "q167_quality_model_determinism",
+    (s, dir) => {
+      import graft.ml.QualityFilter
+      val labeled = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1).otherwise(0).as("label"))
+      val m1 = QualityFilter.train(labeled, "doc_id", "text", "label",
+        dim = 256, maxIter = 5)
+      val m2 = QualityFilter.train(labeled, "doc_id", "text", "label",
+        dim = 256, maxIter = 5)
+      val s1 = QualityFilter.score(m1, labeled, "doc_id", "text")
+        .select(col("doc_id"), (col("p_quality") >= 0.5).as("k1"))
+      val s2 = QualityFilter.score(m2, labeled, "doc_id", "text")
+        .select(col("doc_id"), (col("p_quality") >= 0.5).as("k2"))
+      s1.join(s2, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("k1") =!= col("k2"), 1L).otherwise(0L)).as("n_disagree"))
+        .withColumn("n_features", lit(m1.numFeatures))
+        .select(col("n_docs"), col("n_features"), col("n_disagree"))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n_docs,
+             CAST(256 AS INT) AS n_features,
+             CAST(0 AS BIGINT) AS n_disagree
+      FROM documents"""))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161, q162, q163)
+    q161, q162, q163, q166, q167)
 }

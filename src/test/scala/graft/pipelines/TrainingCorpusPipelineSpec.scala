@@ -277,6 +277,39 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     off.filter(col("doc_id") === 9300001L).count() should be > 0L
   }
 
+  test("opt-in model quality gate: the classifier's junk drops; live ≡ backfill") {
+    import graft.ml.QualityFilter
+    // train a quality model on a labeled seed OUTSIDE the pipeline
+    // (the DCLM shape: quality is judged against an external standard)
+    val seed = ((1L to 20L).map(i =>
+        (i, s"the committee published its annual report on policy $i outcomes", 1)) ++
+      (21L to 40L).map(i =>
+        (i, s"zzz qqq $i xx kk zz qq xk zx kq free free free click click", 0)))
+      .toDF("doc_id", "text", "label")
+    val m = QualityFilter.train(seed, "doc_id", "text", "label",
+      dim = 256, maxIter = 20)
+    // plant an unmistakable junk doc; it passes the structural quality
+    // floor (mean token length in band) so only the model can drop it
+    val junk = (9500001L,
+      "zzz qqq xx kk zz qq xk zx kq free free free click click here")
+    val pool2 = pool.union(Seq(junk).toDF("doc_id", "text"))
+    val on = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text",
+      cfg, qualityModel = Some((m, 0.5)))
+    on.filter(col("doc_id") === junk._1).count() shouldBe 0L
+    on.count() should be > 0L
+    val off = TrainingCorpusPipeline.run(pool2, holdout, "doc_id", "text", cfg)
+    off.filter(col("doc_id") === junk._1).count() should be > 0L
+    // live ≡ backfill: gating inside the pipeline produces the same
+    // corpus as pre-filtering the pool with the same model+threshold
+    val backfill = TrainingCorpusPipeline.run(
+      QualityFilter.filter(m, pool2, "doc_id", "text", minP = 0.5),
+      holdout, "doc_id", "text", cfg)
+    val a = on.select("doc_id", "chunk_id", "chunk_text", "split")
+    val b = backfill.select("doc_id", "chunk_id", "chunk_text", "split")
+    a.except(b).count() shouldBe 0L
+    b.except(a).count() shouldBe 0L
+  }
+
   test("opt-in perplexity tail cut: the group's worst-cost doc drops; no-bigram docs pass") {
     // The LM is SELF-trained, so a repeated junk pattern would score
     // perfectly (its pairs are their own only context, p=1 — the
