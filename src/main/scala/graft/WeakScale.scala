@@ -394,6 +394,17 @@ object WeakScale {
             .collect()
           docs.count()
         }),
+        // EM to target (q169): 3 Viterbi+recount rounds over the
+        // DISTINCT-WORD relation (Heaps-bounded), corpus pays one
+        // word-count shuffle total, per-round state is vocab-sized —
+        // expect the q147 sub-linear shape times the fixed round count
+        ("unigram_em_train_q169", D, () => {
+          graft.operators.UnigramTokenizer.emTrain(docs, "text",
+              seedSize = 80, targetSize = 30, rounds = 3,
+              shrinkBp = 7500, maxPieceLen = 4)
+            .agg(sum(col("lp_micro")), count(lit(1))).collect()
+          docs.count()
+        }),
         // frozen-vocab apply: the vocabulary learns ONCE on the base
         // corpus (constant — the production artifact), each scale
         // encodes its k× corpus under it; expect linear in the
@@ -445,6 +456,23 @@ object WeakScale {
             vecs.filter(col("vec_id") <= 20), "vec_id", "embedding",
             dim = 64, model, k = 3, nCells = 8 * k, nProbe = 2,
             ivfIters = 2).count()
+        }),
+        // IVFADC behind the two-level quantizer (q168): nCells ∝ √n
+        // (the production sizing — at 10¹⁰ vectors √n ≈ 10⁵ cells,
+        // which is exactly the regime where the flat literal model is
+        // impossible). Super training sample-bounded, sub training
+        // relation-form over the sample, assignment superProbe·~√K
+        // dots/vector, per-query candidate mass ∝ n/nCells ∝ √n —
+        // expect ~n^1.5 in the fixed-query-count harness shape, with
+        // the sample-bounded training a flat floor
+        ("ivf_pq_two_level_q168", V, () => {
+          val model = graft.operators.ProductQuant.train(vecs, "vec_id",
+            "embedding", dim = 64, m = 2, k = 4, iters = 2)
+          graft.operators.ProductQuant.ivfAdcTopKTwoLevel(vecs,
+            vecs.filter(col("vec_id") <= 20), "vec_id", "embedding",
+            dim = 64, model, k = 3,
+            nCells = (8 * math.sqrt(k.toDouble)).toInt,
+            nProbe = 2, superProbe = 2, ivfIters = 2).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic,bpe" measures a
       // comma-separated name-substring subset (local iteration; the

@@ -215,9 +215,45 @@ object ProductQuant {
                  nCells: Int, nProbe: Int = 2,
                  ivfIters: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val cells = Similarity.ivfCellsTrained(corpus, idCol, vecCol,
       nCells, nProbe, ivfIters)
+    adcOverCells(cells, corpus, queries, idCol, vecCol, dim, model, k)
+  }
+
+  /** [[ivfAdcTopK]] behind the TWO-LEVEL coarse quantizer
+    * ([[Similarity.ivfCellsTwoLevel]]) — the IVFADC shape past the
+    * literal-centroid cap: at 10¹⁰ vectors the √n sizing rule wants
+    * ≈10⁵ cells, and a 10⁵·dim literal centroid array is a
+    * plan-killing expression tree. Here NO K-sized literal exists
+    * anywhere: the only literal model is the ⌈√K⌉ super-centroid
+    * array; the K sub-centroids live in a broadcast RELATION and the
+    * candidate/scoring tail is byte-identical to [[ivfAdcTopK]]
+    * (same cell equi-join, same code-only ADC, PlanAuditSpec pins
+    * both properties). Same self-kNN contract and output shape. */
+  def ivfAdcTopKTwoLevel(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, dim: Int,
+                         model: Model, k: Int, nCells: Int,
+                         nProbe: Int = 2, superProbe: Int = 2,
+                         ivfIters: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // eager localCheckpoint: the cell relation feeds BOTH the query
+    // side and the corpus side of the candidate join (the round-7
+    // multi-consumer rule), and its lineage holds the grouped-Lloyd
+    // training rounds — n rows of two ints
+    val cells = Similarity.ivfCellsTwoLevel(corpus, idCol, vecCol,
+        nCells, nProbe, superProbe, ivfIters)
+      .localCheckpoint()
+    adcOverCells(cells, corpus, queries, idCol, vecCol, dim, model, k)
+  }
+
+  /** The shared IVFADC tail: candidates from the cell equi-join
+    * (never corpus×queries), ADC scoring from codes only, bounded-heap
+    * ranking. `cells` is any (id, cell) coarse assignment. */
+  private def adcOverCells(cells: DataFrame, corpus: DataFrame,
+                           queries: DataFrame, idCol: String,
+                           vecCol: String, dim: Int, model: Model,
+                           k: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val codes = encode(corpus, idCol, vecCol, dim, model)
       .select(col(idCol).as("c_id"), col("codes"))
       .repartition(par)

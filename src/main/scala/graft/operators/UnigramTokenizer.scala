@@ -250,6 +250,69 @@ object UnigramTokenizer {
           .cast("long").as("lp_micro"))
   }
 
+  /** Hard-EM to a TARGET vocabulary — the SentencePiece training
+    * schedule (Kudo 2018 §3.2: EM rounds interleaved with pruning the
+    * least-useful pieces by a shrink factor until the target size):
+    * [[emReweight]]'s refine+prune round ITERATED `rounds` times, each
+    * round keeping every single-char piece (the coverage guarantee)
+    * plus the top multi-char pieces by best-path usage —
+    * max(targetSize − |alphabet|, ⌈|multi|·shrinkBp/10⁴⌉) of them, so
+    * the vocabulary shrinks geometrically and floors at the target.
+    *
+    * Determinism/portability: usage counts are exact integers, the
+    * prune rank is (weight desc, piece asc), and the shrink arithmetic
+    * is pure integer basis points — [[emTrainOracle]] replays every
+    * round bit-for-bit. Scale: the word relation checkpoints ONCE
+    * (corpus pays one tokenize+count shuffle total); each round is a
+    * vocab-broadcast Viterbi over the DISTINCT-WORD relation plus two
+    * vocab-sized aggregates, and the evolving vocabulary
+    * eager-checkpoints per round (vocab-sized blocks — the
+    * bpeMerges 16-round cadence concern doesn't arise because the
+    * checkpointed relation here is the MODEL, not the corpus). Driver
+    * round-trips are two vocab-sized counts per round. */
+  def emTrain(docs: DataFrame, textCol: String, seedSize: Int,
+              targetSize: Int, rounds: Int, shrinkBp: Int = 7500,
+              maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1, 16], got $maxPieceLen")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(shrinkBp >= 1 && shrinkBp <= 10000,
+      s"shrinkBp must be in [1, 10000], got $shrinkBp")
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    var vocab = seedFromWords(words, seedSize, maxPieceLen)
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val vcounts = viterbi(words, vocab, maxPieceLen)
+        .select(col("cnt"),
+          explode(split(col("encoding"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("vcount"))
+      val reweighted = vocab.select(col("piece"))
+        .join(vcounts, Seq("piece"), "left")
+        .select(col("piece"),
+          when(length(col("piece")) === 1,
+            greatest(coalesce(col("vcount"), lit(0L)), lit(1L)))
+            .otherwise(col("vcount")).as("weight"))
+        .filter(col("weight").isNotNull)
+        .localCheckpoint()
+      val chars = reweighted.filter(length(col("piece")) === 1)
+      val multi = reweighted.filter(length(col("piece")) > 1)
+      val nChars = chars.count()
+      val nMulti = multi.count()
+      val keepMulti = math.max(targetSize - nChars,
+        (nMulti * shrinkBp + 9999L) / 10000L)
+      val kept = chars.union(TopK.global(multi,
+        math.min(keepMulti, nMulti).toInt,
+        col("weight").desc, col("piece").asc))
+      vocab = kept
+        .crossJoin(broadcast(kept.agg(sum(col("weight")).as("__w"))))
+        .select(col("piece"), col("weight"),
+          round(log(col("weight").cast("double") / col("__w")) * lit(1e6), 0)
+            .cast("long").as("lp_micro"))
+        .localCheckpoint()
+    }
+    vocab
+  }
+
   /** Document encoding under the seed unigram LM — the full
     * corpus→tensor path, [[Vocabulary.bpeEncode]]'s twin for this
     * tokenizer family: (idCol, word_pos, piece_pos, piece, piece_id),
@@ -611,25 +674,38 @@ object UnigramTokenizer {
         FROM awrds,
              unnest(range(1, len + 1)) r(i),
              unnest(range(1, ${maxPieceLen + 1})) q(l)
-        WHERE i + l - 1 <= len),
-      cand AS MATERIALIZED (
+        WHERE i + l - 1 <= len)""")
+    sb.append(dpChain("", "pcost", maxWordLen))
+    sb.toString
+  }
+
+  /** One Viterbi DP + backward walk over the shared `awrds`/`acand`
+    * relations under vocabulary relation `vocabRel` (piece,
+    * lp_micro), every generated CTE name prefixed with `p` — so a
+    * multi-round oracle ([[emTrainOracle]]) can chain one DP per EM
+    * round against that round's vocabulary. Ends at CTE
+    * `${p}w$maxWordLen` (word, cnt, len, best, bp, pieces). */
+  private def dpChain(p: String, vocabRel: String, maxWordLen: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+      ${p}cand AS MATERIALIZED (
         SELECT c.word, CAST(c.i + c.l - 1 AS BIGINT) AS j,
-               CAST(c.l AS BIGINT) AS l, -p.lp_micro AS cost
-        FROM acand c JOIN pcost p USING (piece)),
-      dp0 AS (
+               CAST(c.l AS BIGINT) AS l, -v.lp_micro AS cost
+        FROM acand c JOIN $vocabRel v USING (piece)),
+      ${p}dp0 AS (
         SELECT word, len, cnt, [CAST(0 AS BIGINT)] AS best,
                CAST([] AS BIGINT[]) AS bp
         FROM awrds)""")
     (1 to maxWordLen).foreach { j =>
       sb.append(s""",
-      s$j AS (
+      ${p}s$j AS (
         SELECT c.word,
                min((list_extract(d.best, CAST($j - c.l + 1 AS INT)) + c.cost)
                  * 32 + (32 - c.l)) AS k
-        FROM cand c JOIN dp${j - 1} d USING (word)
+        FROM ${p}cand c JOIN ${p}dp${j - 1} d USING (word)
         WHERE c.j = $j
         GROUP BY c.word),
-      dp$j AS (
+      ${p}dp$j AS (
         SELECT d.word, d.len, d.cnt,
                CASE WHEN s.k IS NOT NULL THEN d.best || [s.k // 32]
                     WHEN d.len >= $j THEN d.best || [CAST(NULL AS BIGINT)]
@@ -637,16 +713,16 @@ object UnigramTokenizer {
                CASE WHEN s.k IS NOT NULL THEN d.bp || [32 - (s.k % 32)]
                     WHEN d.len >= $j THEN d.bp || [CAST(NULL AS BIGINT)]
                     ELSE d.bp END AS bp
-        FROM dp${j - 1} d LEFT JOIN s$j s USING (word))""")
+        FROM ${p}dp${j - 1} d LEFT JOIN ${p}s$j s USING (word))""")
     }
     sb.append(s""",
-      w0 AS (
+      ${p}w0 AS (
         SELECT word, cnt, len, best, bp, CAST(len AS BIGINT) AS pos,
                CAST([] AS VARCHAR[]) AS pieces
-        FROM dp$maxWordLen)""")
+        FROM ${p}dp$maxWordLen)""")
     (1 to maxWordLen).foreach { t =>
       sb.append(s""",
-      w$t AS (
+      ${p}w$t AS (
         SELECT word, cnt, len, best, bp,
                CASE WHEN pos > 0
                  THEN pos - list_extract(bp, CAST(pos AS INT))
@@ -658,8 +734,72 @@ object UnigramTokenizer {
                         CAST(list_extract(bp, CAST(pos AS INT)) AS INT))]
                       || pieces
                  ELSE pieces END AS pieces
-        FROM w${t - 1})""")
+        FROM ${p}w${t - 1})""")
     }
+    sb.toString
+  }
+
+  /** DuckDB replay of [[emTrain]]: the seed CTEs, then one full DP
+    * chain + recount + char floor + shrink-schedule prune +
+    * renormalization PER ROUND, each round's DP running against the
+    * previous round's vocabulary relation. */
+  def emTrainOracle(table: String, textCol: String, seedSize: Int,
+                    targetSize: Int, rounds: Int, shrinkBp: Int,
+                    maxPieceLen: Int, maxWordLen: Int): String = {
+    val sb = new StringBuilder(
+      seedCtes(table, textCol, seedSize, maxPieceLen))
+    sb.append(s""",
+      awrds AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt, length(word) AS len
+        FROM (SELECT unnest(list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '')) AS word
+              FROM $table)
+        GROUP BY word),
+      acand AS (
+        SELECT word, CAST(i AS INT) AS i, CAST(l AS INT) AS l,
+               substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+        FROM awrds,
+             unnest(range(1, len + 1)) r(i),
+             unnest(range(1, ${maxPieceLen + 1})) q(l)
+        WHERE i + l - 1 <= len),
+      v0 AS MATERIALIZED (SELECT piece, weight, lp_micro FROM pcost)""")
+    (1 to rounds).foreach { r =>
+      sb.append(dpChain(s"r$r", s"v${r - 1}", maxWordLen))
+      sb.append(s""",
+      vc$r AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS vcount
+        FROM (SELECT cnt, unnest(pieces) AS piece FROM r${r}w$maxWordLen)
+        GROUP BY piece),
+      rw$r AS MATERIALIZED (
+        SELECT piece, weight FROM (
+          SELECT p.piece,
+                 CASE WHEN length(p.piece) = 1
+                      THEN greatest(coalesce(c.vcount, 0), 1)
+                      ELSE c.vcount END AS weight
+          FROM v${r - 1} p LEFT JOIN vc$r c USING (piece))
+        WHERE weight IS NOT NULL),
+      keep$r AS MATERIALIZED (
+        SELECT piece, weight FROM rw$r WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, weight FROM (
+          SELECT piece, weight,
+                 row_number() OVER (ORDER BY weight DESC, piece ASC) AS rn
+          FROM rw$r WHERE length(piece) > 1)
+        WHERE rn <= greatest(
+          $targetSize - (SELECT count(*) FROM rw$r WHERE length(piece) = 1),
+          ((SELECT count(*) FROM rw$r WHERE length(piece) > 1)
+            * $shrinkBp + 9999) // 10000)),
+      v$r AS MATERIALIZED (
+        SELECT piece, weight,
+               CAST(round(ln(CAST(weight AS DOUBLE)
+                 / (SELECT sum(weight) FROM keep$r)) * 1000000, 0) AS BIGINT)
+                 AS lp_micro
+        FROM keep$r)""")
+    }
+    sb.append(s"""
+      SELECT piece, weight, lp_micro FROM v$rounds
+      ORDER BY piece""")
     sb.toString
   }
 }

@@ -1132,8 +1132,140 @@ object Advanced {
         FROM adc) WHERE rank <= 3
       ORDER BY q_id, rank"""))
 
+  /** q168: ORACLE-CHECKED two-level IVF-PQ
+    * ([[graft.operators.ProductQuant.ivfAdcTopKTwoLevel]]) — q143's
+    * IVFADC with the coarse quantizer that survives past the
+    * literal-centroid cap: nCells=4 splits into nSuper=2 LITERAL
+    * super-centroids (the only literal model in the plan) and nSub=2
+    * RELATION-trained sub-centroids per super (grouped Lloyd rounds,
+    * broadcast equi-join on the super key — no K-sized literal
+    * anywhere, PlanAuditSpec pins it). The oracle replays everything:
+    * the two PQ codebook trainings, the super k-means, the per-super
+    * sub-centroid init (portable-rank draw within each super cell),
+    * both grouped Lloyd rounds, the superProbe=2 corpus assignment
+    * through the sub relation, the nProbe=2 best-cell cut, and the
+    * ADC ranking — bit for bit. */
+  private val q168 = QuerySpec(
+    "q168_ann_ivf_pq_two_level",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.ProductQuant.train(emb, "vec_id",
+        "embedding", dim = 64, m = 2, k = 4, iters = 2)
+      graft.operators.ProductQuant.ivfAdcTopKTwoLevel(emb,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3, nCells = 4, nProbe = 2,
+          superProbe = 2, ivfIters = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some {
+      // one grouped-Lloyd sub-round: assign each sample point to its
+      // super's nearest sub-centroid (tie: smaller sub), recompute
+      // each (super, sub) centroid as the truncating integer mean,
+      // carry emptied cells
+      def subRound(r: Int): String = {
+        val prev = if (r == 1) "sub_0" else s"sub_${r - 1}"
+        s"""sd_$r AS (
+        SELECT p.vec_id, p.super, c.sub,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM pts p JOIN $prev c USING (super)),
+      sb_$r AS (
+        SELECT vec_id, super, sub FROM (
+          SELECT vec_id, super, sub,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, sub) AS rk
+          FROM sd_$r) WHERE rk = 1),
+      sm_$r AS (
+        SELECT b.super, b.sub, s.i,
+               CAST(sum(p.v[s.i]) AS BIGINT) // count(*) AS ci
+        FROM sb_$r b JOIN q p USING (vec_id)
+        CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i) s
+        GROUP BY 1, 2, 3),
+      sub_$r AS (
+        SELECT p.super, p.sub, coalesce(m.nv, p.v) AS v
+        FROM $prev p LEFT JOIN (
+          SELECT super, sub, list(ci ORDER BY i) AS nv
+          FROM sm_$r GROUP BY 1, 2) m USING (super, sub))"""
+      }
+      s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      ${pqChainSql(0, 1, 32, 4)},
+      ${pqChainSql(1, 33, 64, 4)},
+      ${pqChainSql(2, 1, 64, 2)},
+      sa0 AS (
+        SELECT vec_id, cid AS super FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rk
+          FROM dE_2) WHERE rk = 1),
+      pts AS (
+        SELECT a.vec_id, a.super, s.v, s.r
+        FROM sa0 a JOIN seeded s USING (vec_id)),
+      sub_0 AS (
+        SELECT super, CAST(rn AS INTEGER) AS sub, v FROM (
+          SELECT super, v,
+                 row_number() OVER (PARTITION BY super
+                   ORDER BY r, vec_id) AS rn
+          FROM pts) WHERE rn <= 2),
+      ${subRound(1)},
+      ${subRound(2)},
+      sp AS (
+        SELECT vec_id, cid AS super FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rk
+          FROM dE_2) WHERE rk <= 2),
+      cc AS (
+        SELECT p.vec_id, (p.super - 1) * 2 + c.sub AS cell,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM sp p JOIN q qq USING (vec_id) JOIN sub_2 c USING (super)),
+      assign AS (
+        SELECT vec_id AS id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cell) AS rk
+          FROM cc) WHERE rk <= 2),
+      cands AS (
+        SELECT DISTINCT a.id AS q_id, b.id AS c_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.id <> b.id
+        WHERE a.id <= 20),
+      lu_0 AS (
+        SELECT qq.vec_id AS q_id, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM (SELECT * FROM qs_0 WHERE vec_id <= 20) qq CROSS JOIN c0_2 c),
+      lu_1 AS (
+        SELECT qq.vec_id AS q_id, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM (SELECT * FROM qs_1 WHERE vec_id <= 20) qq CROSS JOIN c1_2 c),
+      adc AS (
+        SELECT c.q_id, c.c_id, l0.d + l1.d AS adc_dist
+        FROM cands c
+        JOIN e_0 e0 ON e0.vec_id = c.c_id
+        JOIN e_1 e1 ON e1.vec_id = c.c_id
+        JOIN lu_0 l0 ON l0.code = e0.code AND l0.q_id = c.q_id
+        JOIN lu_1 l1 ON l1.code = e1.code AND l1.q_id = c.q_id)
+      SELECT q_id, rank, c_id, adc_dist FROM (
+        SELECT q_id, c_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist, c_id) AS INTEGER) AS rank
+        FROM adc) WHERE rank <= 3
+      ORDER BY q_id, rank"""
+    })
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142,
-      q143)
+      q143, q168)
 }

@@ -725,7 +725,28 @@ object ScaleOps {
              CAST(0 AS BIGINT) AS n_disagree
       FROM documents"""))
 
+  /** q169: unigram-LM EM to a target vocabulary
+    * ([[graft.operators.UnigramTokenizer.emTrain]], Kudo 2018 §3.2)
+    * — q149's single refine+prune round iterated under the
+    * SentencePiece shrink schedule: 3 rounds from the 80-piece seed
+    * toward a 30-piece target at shrink 0.75 (integer basis points —
+    * with the corpus alphabet at 24 chars the schedule BITES every
+    * round: the multi-piece pool cuts 15 -> 12 -> 9 geometrically,
+    * so the prune arithmetic is engine-exact). The oracle replays
+    * every round — DP, recount, char floor, shrink prune,
+    * renormalization — against the previous round's vocabulary. */
+  private val q169 = QuerySpec(
+    "q169_unigram_em_train",
+    (s, dir) =>
+      graft.operators.UnigramTokenizer.emTrain(Tables.documents(s, dir),
+          "text", seedSize = 80, targetSize = 30, rounds = 3,
+          shrinkBp = 7500, maxPieceLen = 4)
+        .orderBy(col("piece")),
+    oracle = Some(graft.operators.UnigramTokenizer.emTrainOracle(
+      "documents", "text", seedSize = 80, targetSize = 30, rounds = 3,
+      shrinkBp = 7500, maxPieceLen = 4, maxWordLen = 8)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161, q162, q163, q166, q167)
+    q161, q162, q163, q166, q167, q169)
 }

@@ -1,0 +1,63 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.operators.{UnigramTokenizer, Vocabulary}
+import org.apache.spark.sql.functions._
+
+/** [[TokenizerArtifacts]] — saved artifacts must drive the frozen
+  * appliers to BYTE-IDENTICAL encodings vs the in-memory originals,
+  * including the <unk> rows for never-seen symbols/words: the whole
+  * point of persisting is that a later job encodes exactly what the
+  * training job would have. */
+class TokenizerArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.documents(spark, sfDir)
+    .select(col("doc_id"), col("text")).limit(60)
+  // a later crawl: known text plus an out-of-alphabet word
+  private lazy val crawl = docs
+    .union(Seq((9999993L, "the zx data")).toDF("doc_id", "text"))
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("BPE: saved merges+vocab encode byte-identically to in-memory; rank order survives") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/tok"
+    val mergesDf = Vocabulary.bpeMerges(docs, "text", 10)
+    val vocabDf = Vocabulary.bpeVocab(docs, "text", 10)
+    TokenizerArtifacts.saveBpe(dir, mergesDf, vocabDf)
+
+    val memMerges = mergesDf.orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val loadedMerges = TokenizerArtifacts.loadBpeMerges(spark, dir)
+    loadedMerges shouldBe memMerges
+
+    val mem = Vocabulary.bpeEncodeWith(crawl, "doc_id", "text",
+      memMerges, vocabDf)
+    val loaded = Vocabulary.bpeEncodeWith(crawl, "doc_id", "text",
+      loadedMerges, TokenizerArtifacts.loadBpeVocab(spark, dir))
+    rowsOf(loaded) shouldBe rowsOf(mem)
+    // the out-of-alphabet word still segments, with NULL symbol ids
+    loaded.filter(col("doc_id") === 9999993L && col("sub_id").isNull)
+      .count() should be > 0L
+  }
+
+  test("unigram: saved piece table encodes byte-identically; unspellable words keep the <unk> row") {
+    val dir = java.nio.file.Files.createTempDirectory("uni").toString + "/tok"
+    val vocabDf = UnigramTokenizer.seedVocab(docs, "text",
+      vocabSize = 80, maxPieceLen = 4)
+    TokenizerArtifacts.saveUnigram(dir, vocabDf)
+    val loadedVocab = TokenizerArtifacts.loadUnigram(spark, dir)
+
+    // the artifact round-trips exactly (piece weights and micro
+    // log-probs are integers — no representation drift possible)
+    rowsOf(loadedVocab) shouldBe rowsOf(vocabDf)
+
+    val mem = UnigramTokenizer.encodeWith(crawl, "doc_id", "text",
+      vocabDf, maxPieceLen = 4)
+    val loaded = UnigramTokenizer.encodeWith(crawl, "doc_id", "text",
+      loadedVocab, maxPieceLen = 4)
+    rowsOf(loaded) shouldBe rowsOf(mem)
+    loaded.filter(col("piece_id").isNull).count() should be > 0L
+  }
+}

@@ -185,6 +185,33 @@ class UnigramTokenizerSpec extends SparkSpec {
     }
   }
 
+  test("emTrain: shrink schedule cuts multi pieces geometrically, floors at target, keeps every char") {
+    val corpus = docs(Seq.fill(6)("abab abc bca cab abcd dcba").mkString(" "))
+    val sizes = (1 to 3).map { r =>
+      val v = UnigramTokenizer.emTrain(corpus, "text", seedSize = 20,
+        targetSize = 5, rounds = r, shrinkBp = 5000, maxPieceLen = 4)
+      val rows = v.collect()
+      // every alphabet char survives every round (coverage guarantee)
+      rows.map(_.getString(0)).filter(_.length == 1).toSet shouldBe
+        Set("a", "b", "c", "d")
+      rows.length
+    }
+    // strictly shrinking until the floor; never below alphabet+1
+    sizes.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+    sizes.last should be >= 5
+  }
+
+  test("emTrain: one round at shrink 1.0 is exactly emReweight") {
+    val corpus = docs("abab ab ba abc")
+    val a = UnigramTokenizer.emTrain(corpus, "text", seedSize = 8,
+        targetSize = 1, rounds = 1, shrinkBp = 10000, maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val b = UnigramTokenizer.emReweight(corpus, "text", vocabSize = 8,
+        maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    a shouldBe b.toSeq
+  }
+
   test("Viterbi key unpack is exact past the 2^53 double ceiling") {
     // the packed key is (cumulative_cost)·32 + (32 − piece_len); the
     // unpack must recover cumulative_cost by EXACT integer floor-div

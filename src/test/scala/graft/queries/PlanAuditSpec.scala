@@ -371,6 +371,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q168: two-level IVF-PQ carries NO K-sized literal — only the √K super model") {
+    // the property that lets IVFADC scale past ~10^3-10^4 cells: at
+    // nCells=64 the flat trained quantizer would plant a 64-entry
+    // centroid array in the plan; the two-level path's largest array
+    // literal must be the ceil(√64)=8-entry super model (plus the
+    // 64-float vectors themselves). Checked on the ANALYZED plan's
+    // actual Literal nodes, not the (truncating) plan string.
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    def maxOuterArrayLit(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          // outer = array-of-array literals (centroid MODELS); plain
+          // numeric arrays (single vectors, weight combs) don't count
+          case l: CatLit if l.dataType.isInstanceOf[ArrayType] &&
+            l.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[ArrayType] =>
+            l.value.asInstanceOf[ArrayData].numElements()
+        })
+      }.flatten.foldLeft(0)(math.max)
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val model = graft.operators.ProductQuant.train(e, "vec_id",
+      "embedding", dim = 64, m = 2, k = 4, iters = 1)
+    val twoLevel = graft.operators.ProductQuant.ivfAdcTopKTwoLevel(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") <= 5),
+      "vec_id", "embedding", dim = 64, model, k = 3, nCells = 64,
+      nProbe = 2, superProbe = 2, ivfIters = 1)
+    // largest model literal: max(super model 8, PQ codebook k=4) = 8
+    maxOuterArrayLit(twoLevel) should be <= 8
+    // contrast: the flat trained quantizer DOES plant a 64-entry model
+    val flat = graft.operators.Similarity.ivfCellsTrained(
+      e, "vec_id", "embedding", nCells = 64, nProbe = 2, iters = 1)
+    maxOuterArrayLit(flat) should be >= 64
+    // and the candidate/scoring tail keeps the q143 shape
+    val plan = twoLevel.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("top_k_pairs"), plan)
+  }
+
   test("q146: seed vocab aggregates map-side and takes the top slice without a global sort") {
     val plan = executedPlanOf("q146_unigram_vocab")
     // candidate weights partial-aggregate before the piece shuffle;
