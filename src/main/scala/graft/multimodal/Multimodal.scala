@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * heavyweight decoder init per PARTITION, then a streamed iterator of
   * rows — never per-row init, never a driver collect).
   *
-  * The decode kernels themselves are STUBS (this container ships no
-  * image/audio codecs): deterministic functions of the payload bytes
-  * that stand in for libjpeg/ffmpeg calls. Everything around them —
-  * schemas, encoders, partition-wise batching, init-once-per-partition
+  * The IMAGE kernel is REAL where the JDK can be: PNG/JPEG/GIF/BMP
+  * headers decode via `javax.imageio` (ships in the JDK, offline-safe)
+  * to exact format/width/height/channels — header-only, O(1) per
+  * payload. Audio/video kernels remain STUBS (no ffmpeg/soundfile in
+  * this container): deterministic functions of the payload bytes that
+  * stand in for the codec calls. Everything around both — schemas,
+  * encoders, partition-wise batching, init-once-per-partition
   * lifecycle, frame-explosion shape — is the real distributed plumbing
   * and is what the tests assert.
   *
@@ -24,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaMeta(format: String, width: Int, height: Int,
-                       n_frames: Int, sample_rate: Int)
+                       n_frames: Int, sample_rate: Int, channels: Int)
   case class Media(media_id: Long, kind: String, payload: Array[Byte])
   case class DecodedMedia(media_id: Long, kind: String, payload: Array[Byte],
                           meta: MediaMeta)
@@ -62,12 +65,47 @@ object Multimodal {
     def pick(lo: Int, hi: Int, salt: Long): Int =
       (Math.floorMod(h ^ salt, (hi - lo).toLong) + lo).toInt
     kind match {
-      case "image" => MediaMeta("png", pick(64, 4096, 1), pick(64, 4096, 2), 1, 0)
-      case "audio" => MediaMeta("wav", 0, 0, 0, Seq(16000, 22050, 44100)(pick(0, 3, 3)))
+      case "image" => MediaMeta("png", pick(64, 4096, 1), pick(64, 4096, 2), 1, 0, 3)
+      case "audio" => MediaMeta("wav", 0, 0, 0,
+        Seq(16000, 22050, 44100)(pick(0, 3, 3)), pick(1, 3, 7))
       case "video" => MediaMeta("mp4", pick(320, 1920, 4), pick(240, 1080, 5),
-        pick(24, 2400, 6), 0)
-      case _ => MediaMeta("bin", 0, 0, 0, 0)
+        pick(24, 2400, 6), 0, 3)
+      case _ => MediaMeta("bin", 0, 0, 0, 0, 0)
     }
+  }
+
+  // ---- REAL image kernel (JDK-builtin, offline-safe) -------------------
+  /** Header-only image probe with `javax.imageio` — the ONE codec this
+    * container actually ships (PNG/JPEG/GIF/BMP readers are part of
+    * the JDK): format, width, height, channels read from the image
+    * header WITHOUT decoding pixel data (`ImageReader.getWidth/
+    * getHeight` parse the header; `getImageTypes` exposes the band
+    * count), so cost per payload is O(header), not O(pixels) — the
+    * right probe for a metadata pass over 10⁹ images. Returns None for
+    * anything ImageIO can't read (truncated files, non-image bytes) —
+    * callers fall back to [[stubDecode]], so text-payload fixtures and
+    * the q37 oracle are byte-for-byte unchanged. Audio/video kernels
+    * remain honest stubs (no ffmpeg/soundfile in this environment). */
+  private[multimodal] def realImageMeta(payload: Array[Byte]): Option[MediaMeta] = {
+    val pb = bytes(payload)
+    if (pb.length < 8) return None
+    val in = new java.io.ByteArrayInputStream(pb)
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(in)
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        val types = reader.getImageTypes(0)
+        val ch = if (types.hasNext) types.next().getNumBands else 0
+        Some(MediaMeta(reader.getFormatName.toLowerCase, w, h, 1, 0, ch))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
   }
 
   /** Decode metadata for every payload: one decoder "session" per
@@ -184,6 +222,7 @@ object Multimodal {
       col("meta.format").as("format"), col("meta.width").as("width"),
       col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
       col("meta.sample_rate").as("sample_rate"),
+      col("meta.channels").as("channels"),
       octet_length(col("payload")).as("n_bytes"))
 }
 
@@ -191,8 +230,16 @@ object Multimodal {
   * binding). Tracks open() calls so tests can assert the
   * once-per-partition lifecycle. */
 private[multimodal] class DecoderSession private () extends Serializable {
+  /** Images decode for REAL when the bytes are a format the JDK reads
+    * (PNG/JPEG/GIF/BMP — [[Multimodal.realImageMeta]]); everything
+    * else (non-image payloads, audio, video) falls back to the
+    * deterministic stub, so existing fixtures and oracles see
+    * identical metadata. */
   def decode(kind: String, payload: Array[Byte]): Multimodal.MediaMeta =
-    Multimodal.stubDecode(kind, payload)
+    if (kind == "image")
+      Multimodal.realImageMeta(payload)
+        .getOrElse(Multimodal.stubDecode(kind, payload))
+    else Multimodal.stubDecode(kind, payload)
 
   /** Deterministic hash-derived pseudo-embedding in [-1, 1). */
   def embed(payload: Array[Byte], dim: Int): Array[Float] = {

@@ -80,7 +80,7 @@ class MultimodalSpec extends SparkSpec {
   test("metadataTable: flat catalog columns with byte lengths") {
     val t = Multimodal.metadataTable(media)
     t.columns.toSeq shouldBe Seq("media_id", "kind", "format", "width",
-      "height", "n_frames", "sample_rate", "n_bytes")
+      "height", "n_frames", "sample_rate", "channels", "n_bytes")
     rows(t.filter(col("n_bytes") <= 0)) shouldBe empty
   }
 
@@ -159,5 +159,64 @@ class MultimodalSpec extends SparkSpec {
         threshold = 0.9999)
       .collect().map(_.getLong(0)).toSet
     kept shouldBe Set(1L, 2L, 3L)
+  }
+
+  // ---- the REAL image kernel -----------------------------------------
+
+  /** Encode a tiny image in-memory with the JDK's own writers, so the
+    * test is a true round-trip: ImageIO wrote it, our kernel reads it. */
+  private def imageBytes(w: Int, h: Int, imgType: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("image kernel decodes REAL PNG/JPEG headers: exact dims, format, channels") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, "image", imageBytes(7, 5,
+        java.awt.image.BufferedImage.TYPE_INT_RGB, "png")),
+      (2L, "image", imageBytes(3, 4,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY, "png")),
+      (3L, "image", imageBytes(16, 9,
+        java.awt.image.BufferedImage.TYPE_INT_RGB, "jpg")),
+      // not an image: must fall back to the deterministic stub
+      (4L, "image", "just some text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload").as[Multimodal.Media]
+    val metas = Multimodal.decodeAll(payloads).collect()
+      .map(d => d.media_id -> d.meta).toMap
+    metas(1L) shouldBe Multimodal.MediaMeta("png", 7, 5, 1, 0, 3)
+    metas(2L) shouldBe Multimodal.MediaMeta("png", 3, 4, 1, 0, 1)
+    metas(3L).format shouldBe "jpeg"
+    metas(3L).width shouldBe 16
+    metas(3L).height shouldBe 9
+    metas(3L).channels shouldBe 3
+    metas(4L) shouldBe Multimodal.stubDecode("image",
+      "just some text bytes".getBytes("UTF-8"))
+  }
+
+  test("real image decode survives the full metadataTable path") {
+    import spark.implicits._
+    val m = Seq((10L, "image", imageBytes(32, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB, "png")))
+      .toDF("media_id", "kind", "payload").as[Multimodal.Media]
+    val row = Multimodal.metadataTable(m).collect().head
+    row.getString(2) shouldBe "png"    // format
+    row.getInt(3) shouldBe 32          // width
+    row.getInt(4) shouldBe 8           // height
+    row.getInt(7) shouldBe 3           // channels
+  }
+
+  test("truncated image bytes fall back to the stub instead of failing the task") {
+    import spark.implicits._
+    val full = imageBytes(20, 20, java.awt.image.BufferedImage.TYPE_INT_RGB, "png")
+    val truncated = java.util.Arrays.copyOf(full, 12) // magic intact, header cut
+    val m = Seq((11L, "image", truncated))
+      .toDF("media_id", "kind", "payload").as[Multimodal.Media]
+    val meta = Multimodal.decodeAll(m).collect().head.meta
+    meta shouldBe Multimodal.stubDecode("image", truncated)
   }
 }
