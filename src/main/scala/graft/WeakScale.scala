@@ -321,6 +321,18 @@ object WeakScale {
         ("bpe_merges_q131", D, () => {
           graft.operators.Vocabulary.bpeMerges(docs, "text", 5).count()
         }),
+        // batched-disjoint merges: same 32-merge vocabulary, one census
+        // job per ACCEPTED BATCH instead of per merge — expect the
+        // sequential row's per-merge cost divided by the realized batch
+        // factor (corpus-dependent; natural text offers many disjoint
+        // high-count pairs early)
+        ("bpe_merges_seq64", D, () => {
+          graft.operators.Vocabulary.bpeMerges(docs, "text", 64).count()
+        }),
+        ("bpe_merges_batch64", D, () => {
+          graft.operators.Vocabulary.bpeMerges(docs, "text", 64,
+            batch = 16).count()
+        }),
         // pair tf aggregates before the vocab-sized LM joins — expect
         // the q93 unigram shape: ~linear, join cost flat
         // .agg(sum) not .count(): count() lets Catalyst PRUNE the

@@ -227,12 +227,28 @@ object Retrieval {
     * rrf_score: double rounded to 6).
     */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
-              c: Int = 60): DataFrame = {
+              c: Int = 60): DataFrame =
+    rrfFuseWeighted(rankings.map(r => (r, 10000L)), idCol, k, c)
+
+  /** [[rrfFuse]] with CALLER-SUPPLIED per-ranker weights — fusion
+    * weights as data, so users tune the ranker mix (lexical-heavy,
+    * semantic-heavy, drop a modality) without editing the operator.
+    * Weights are integer BASIS POINTS (10000 = 1.0): each list's
+    * contribution is (wBp · ⌊10⁶/(c+rank)⌋) div 10⁴ — exact integer
+    * arithmetic end to end, and at wBp = 10000 the division is the
+    * identity, so [[rrfFuse]] delegates here bit-for-bit (q105/q165
+    * unchanged). Ties and output shape identical to [[rrfFuse]]. */
+  def rrfFuseWeighted(rankings: Seq[(DataFrame, Long)], idCol: String,
+                      k: Int, c: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(c >= 0, "rank constant must be non-negative")
-    val contribs = rankings.map(r =>
+    require(rankings.forall(_._2 > 0),
+      "ranker weights must be positive basis points")
+    val contribs = rankings.map { case (r, wBp) =>
       r.select(col(idCol),
-        expr(s"1000000L div (${c}L + cast(rank as long))").as("__rrf")))
+        expr(s"($wBp * (1000000L div (${c}L + cast(rank as long)))) div 10000")
+          .as("__rrf"))
+    }
     val fused = contribs.reduce(_ unionByName _)
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_lists"),

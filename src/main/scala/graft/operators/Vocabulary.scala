@@ -99,10 +99,43 @@ object Vocabulary {
     * scratch (which would reintroduce the O(N) expression depth the
     * checkpoint cadence exists to avoid). Callers unpersist `words`;
     * the segmentation's checkpoint blocks are released by the context
-    * cleaner once unreferenced. */
-  private def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int)
+    * cleaner once unreferenced.
+    *
+    * `batch` > 1 turns the one-merge-per-job driver loop into a
+    * batched-disjoint loop: each census job collects a top-window of
+    * pairs and accepts a PREFIX of up to `batch` of them, provably
+    * equal to running that many sequential single-merge rounds. The
+    * acceptance rule (all checks driver-side over the window):
+    *
+    *  1. prefix only — stop at the first non-acceptable pair, never
+    *     skip past it (skipping would change which pair is argmax in
+    *     the sequential replay);
+    *  2. symbol-disjoint — the candidate's lhs/rhs/concat must not
+    *     touch any accepted pair's lhs/rhs/concat: disjoint merges
+    *     commute and leave each other's census counts unchanged;
+    *  3. no higher-or-equal neighbor — no census pair sharing a
+    *     symbol with the accepted set may have count ≥ the
+    *     candidate's: every pair CREATED by an accepted merge (x·ab
+    *     or ab·y) is bounded by an existing sharing pair's count
+    *     ((x·ab) ≤ (x·a), (ab·y) ≤ (b·y)), so this guarantees the
+    *     candidate is still the STRICT argmax at its sequential step
+    *     (ties with created pairs would tie-break lexicographically
+    *     on strings the census can't see — strictness sidesteps it);
+    *  4. full coverage — if the window is truncated inside the
+    *     candidate's count level, stop (an unseen sharing pair could
+    *     tie it).
+    *
+    * Conflict ⇒ the batch simply ends early (worst case = sequential
+    * behavior, one merge per job); exactness is unconditional — the
+    * spec asserts batch ≡ sequential on natural and adversarial
+    * corpora. A 32k-merge vocab at batch=B cuts the sequential
+    * driver-coordinated jobs ~B-fold wherever the corpus offers
+    * disjoint high-count pairs (SCALE.md measures the drop). */
+  private def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int,
+                       batch: Int = 1)
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val words = docs
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -118,6 +151,8 @@ object Vocabulary {
     var done = false
     var r = 1
     while (r <= numMerges && !done) {
+      val b = math.min(batch, numMerges - r + 1)
+      val window = math.max(32, b * 8)
       val top = seq
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(transform(
@@ -127,18 +162,42 @@ object Vocabulary {
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
+        .limit(window).collect()
       if (top.isEmpty) done = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((r, a, b, top(0).getLong(2)))
-        seq = seq.withColumn("syms", applyMerge(col("syms"), a, b))
-        pendingFolds += 1
-        if (pendingFolds >= CheckpointEvery && r < numMerges) {
+        val rows = top.map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+        val truncated = rows.length == window
+        val lastCount = rows.last._3
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val touched = scala.collection.mutable.Set.empty[String]
+        var stop = false
+        var i = 0
+        while (!stop && i < rows.length && accepted.size < b) {
+          val (a, bb, c) = rows(i)
+          val acceptable =
+            if (accepted.isEmpty) true                       // rule 1: argmax always merges
+            else if (truncated && c <= lastCount) false      // rule 4
+            else if (touched(a) || touched(bb) || touched(a + bb)) false // rule 2
+            else !rows.exists { case (ql, qr, qc) =>         // rule 3
+              qc >= c && (touched(ql) || touched(qr)) &&
+                !accepted.exists(p => p._1 == ql && p._2 == qr)
+            }
+          if (acceptable) {
+            accepted += ((a, bb, c))
+            touched ++= Seq(a, bb, a + bb)
+            i += 1
+          } else stop = true
+        }
+        accepted.foreach { case (a, bb, c) =>
+          merges += ((r, a, bb, c))
+          seq = seq.withColumn("syms", applyMerge(col("syms"), a, bb))
+          pendingFolds += 1
+          r += 1
+        }
+        if (pendingFolds >= CheckpointEvery && r <= numMerges) {
           seq = seq.localCheckpoint(true)
           pendingFolds = 0
         }
-        r += 1
       }
     }
     // FINAL eager checkpoint, even when the cadence never fired
@@ -154,10 +213,11 @@ object Vocabulary {
 
   /** Learn `numMerges` BPE merges over the corpus: (rank, lhs, rhs,
     * pair_count) in learning order, rank 1-based. */
-  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                batch: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, words, _) = bpeLearn(docs, textCol, numMerges)
+    val (merges, words, _) = bpeLearn(docs, textCol, numMerges, batch)
     try merges.toDF("rank", "lhs", "rhs", "pair_count")
     finally words.unpersist()
   }
@@ -165,8 +225,9 @@ object Vocabulary {
   /** Word segmentations under the learned merges: (word, cnt,
     * encoding), encoding = final symbols space-joined — the subword
     * tokenization every word in the corpus receives. */
-  def bpeSegments(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    val (_, words, seq) = bpeLearn(docs, textCol, numMerges)
+  def bpeSegments(docs: DataFrame, textCol: String, numMerges: Int,
+                  batch: Int = 1): DataFrame = {
+    val (_, words, seq) = bpeLearn(docs, textCol, numMerges, batch)
     // the learner's final segmentation is reused directly (at most
     // CheckpointEvery folds of lineage on top of its last checkpoint)
     val out = seq.select(col("word"), col("cnt"),
@@ -183,8 +244,8 @@ object Vocabulary {
     * — the same reason BPE learning is cheap), then each word explodes
     * to its subwords; the corpus itself never shuffles. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                numMerges: Int): DataFrame = {
-    val (_, words, seq) = bpeLearn(docs, textCol, numMerges)
+                numMerges: Int, batch: Int = 1): DataFrame = {
+    val (_, words, seq) = bpeLearn(docs, textCol, numMerges, batch)
     val segs = seq.select(col("word"), col("syms"))
     val vocab = segs.select(explode(col("syms")).as("subword")).distinct()
       .withColumn("sub_id",
@@ -208,8 +269,9 @@ object Vocabulary {
     * of the final segmentation — the id space [[bpeEncode]] stamps,
     * exported so a FROZEN tokenizer ([[bpeEncodeWith]]) can reuse it
     * across corpora and runs. */
-  def bpeVocab(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    val (_, words, seq) = bpeLearn(docs, textCol, numMerges)
+  def bpeVocab(docs: DataFrame, textCol: String, numMerges: Int,
+               batch: Int = 1): DataFrame = {
+    val (_, words, seq) = bpeLearn(docs, textCol, numMerges, batch)
     val out = seq.select(explode(col("syms")).as("subword")).distinct()
       .withColumn("sub_id",
         row_number().over(Window.orderBy(col("subword"))).cast("int"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** [[Vocabulary.bpeMerges]]/[[Vocabulary.bpeSegments]] — distributed
   * BPE merge learning. The q131/q132 oracles prove 10-round engine
@@ -158,5 +159,37 @@ class BpeSpec extends SparkSpec {
     df.schema("pair_count").dataType shouldBe org.apache.spark.sql.types.LongType
     val ranks = df.collect().map(_.getInt(0)).toSeq
     ranks shouldBe ranks.sorted
+  }
+
+  private def mergesOf(df: org.apache.spark.sql.DataFrame, n: Int, batch: Int) =
+    Vocabulary.bpeMerges(df, "text", n, batch)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("batched merges ≡ sequential on a conflict-free corpus (and batching actually fires)") {
+    // three symbol-disjoint pair families at strictly separated counts:
+    // the acceptance rules admit all of them in ONE census job
+    val df = Seq.fill(5)("ab ab ab ab cd cd cd ef ef").map(t => Tuple1(t))
+      .toDF("text")
+    val seq1 = mergesOf(df, 3, batch = 1)
+    val seq4 = mergesOf(df, 3, batch = 4)
+    seq4 shouldBe seq1
+    seq1.map(m => (m._2, m._3)) shouldBe
+      Seq(("a", "b"), ("c", "d"), ("e", "f"))
+  }
+
+  test("batched merges ≡ sequential on an adversarial overlapping corpus (fallback path)") {
+    // every top pair shares symbols with the next (aa/ab chains) — the
+    // batch must degrade to sequential behavior, not diverge
+    val df = Seq.fill(4)("aaaa aab abb bba ab ba").map(t => Tuple1(t))
+      .toDF("text")
+    mergesOf(df, 5, batch = 4) shouldBe mergesOf(df, 5, batch = 1)
+  }
+
+  test("batched merges ≡ sequential on the natural corpus across the checkpoint cadence") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(80)
+    mergesOf(docs, 24, batch = 8) shouldBe mergesOf(docs, 24, batch = 1)
   }
 }

@@ -158,6 +158,35 @@ class RetrievalSpec extends SparkSpec {
       (3, 3L, 1, 16129L, 0.016129))
   }
 
+  test("rrfFuseWeighted: weights as data flip the fused winner; exact integers") {
+    // two rankers in perfect disagreement: equal weights tie on
+    // rrf_micro (id breaks it); up-weighting ranker B must crown ITS
+    // favorite — the user tunes the mix, the operator doesn't change
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank") // A prefers doc 1
+    val b = Seq((2L, 1), (1L, 2)).toDF("id", "rank") // B prefers doc 2
+    val equal = Retrieval.rrfFuseWeighted(Seq((a, 10000L), (b, 10000L)),
+        "id", k = 10)
+      .orderBy("rank").as[(Int, Long, Int, Long, Double)].collect()
+    equal.map(_._2) shouldBe Array(1L, 2L)        // tie → id asc
+    equal.map(_._4).distinct shouldBe Array(32522L) // 16393 + 16129 both
+    val bHeavy = Retrieval.rrfFuseWeighted(Seq((a, 10000L), (b, 20000L)),
+        "id", k = 10)
+      .orderBy("rank").as[(Int, Long, Int, Long, Double)].collect()
+    bHeavy.map(_._2) shouldBe Array(2L, 1L)
+    // doc 2: A rank2 16129 + 2×(B rank1 16393) = 48915, exact
+    bHeavy.head._4 shouldBe 16129L + 2 * 16393L
+  }
+
+  test("rrfFuse ≡ rrfFuseWeighted at weight 1.0 (the q105/q165 paths are untouched)") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val plain = Retrieval.rrfFuse(Seq(a, b), "id", k = 10)
+      .collect().map(_.toSeq)
+    val weighted = Retrieval.rrfFuseWeighted(Seq((a, 10000L), (b, 10000L)),
+      "id", k = 10).collect().map(_.toSeq)
+    weighted shouldBe plain
+  }
+
   test("rrfFuse: k truncates after fusion, ties break by id") {
     val a = Seq((5L, 1), (4L, 2), (3L, 3)).toDF("id", "rank")
     val out = Retrieval.rrfFuse(Seq(a, a), "id", k = 2)
