@@ -1,0 +1,74 @@
+package graft.io
+
+import graft.operators.{KMeans, ProductQuant}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-index artifact persistence — [[TokenizerArtifacts]]' twin
+  * for the ANN stack: a production vector index is built ONCE
+  * (codebooks + coarse quantizer trained offline) and then SERVES
+  * every later query batch frozen; these writers snapshot the trained
+  * models to parquet and the loaders hand back exactly the applier
+  * inputs (`ProductQuant.encode/adcTopK/ivfAdcTopK` take a `Model`;
+  * `KMeans`-model consumers take the centroid `Seq`), so index build
+  * and index serve are separate jobs with a durable artifact between
+  * them — the FAISS write_index/read_index lifecycle.
+  *
+  * Layout:
+  *   k-means  — `<path>/centroids` (cid, cvec array<long> micro)
+  *   PQ       — `<path>/slices`    (subspace, start, len)
+  *              `<path>/books`     (subspace, cid, cvec)
+  *
+  * All artifacts are MODEL-sized (k·dim longs), coalesced to one
+  * file; loads are bounded driver collects of what the appliers
+  * broadcast as literals anyway. Byte-identical search results from
+  * saved vs in-memory models are spec-proven. */
+object VectorIndexArtifacts {
+
+  /** Snapshot a [[KMeans.Model]] (1-based contiguous cids, micro-space
+    * centroid vectors). */
+  def saveKMeans(spark: SparkSession, path: String, model: KMeans.Model): Unit = {
+    import spark.implicits._
+    ParquetSink(s"$path/centroids", coalesceTo = Some(1))
+      .write(model.map { case (cid, v) => (cid, v) }.toDF("cid", "cvec"))
+  }
+
+  def loadKMeans(spark: SparkSession, path: String): KMeans.Model = {
+    val model = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    require(model.map(_._1) == (1 to model.size),
+      s"loaded centroid cids must be contiguous 1..k, got ${model.map(_._1)}")
+    model
+  }
+
+  /** Snapshot a trained [[ProductQuant.Model]]: the per-subspace
+    * slices and codebooks. */
+  def savePq(spark: SparkSession, path: String, model: ProductQuant.Model): Unit = {
+    import spark.implicits._
+    ParquetSink(s"$path/slices", coalesceTo = Some(1)).write(
+      model.slices.zipWithIndex
+        .map { case ((start, len), i) => (i, start, len) }
+        .toDF("subspace", "start", "len"))
+    ParquetSink(s"$path/books", coalesceTo = Some(1)).write(
+      model.books.zipWithIndex.flatMap { case (book, i) =>
+        book.map { case (cid, v) => (i, cid, v) }
+      }.toDF("subspace", "cid", "cvec"))
+  }
+
+  def loadPq(spark: SparkSession, path: String): ProductQuant.Model = {
+    val slices = spark.read.parquet(s"$path/slices")
+      .orderBy(col("subspace"))
+      .collect().map(r => (r.getInt(0), (r.getInt(1), r.getInt(2)))).toSeq
+    require(slices.map(_._1) == slices.indices,
+      "loaded PQ slices must cover subspaces 0..m-1 exactly")
+    val books = spark.read.parquet(s"$path/books")
+      .orderBy(col("subspace"), col("cid"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Long](2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    require(books.keySet == slices.indices.toSet,
+      "every PQ subspace needs a codebook")
+    ProductQuant.Model(slices.map(_._2), slices.indices.map(books))
+  }
+}

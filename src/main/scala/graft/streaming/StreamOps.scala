@@ -206,6 +206,29 @@ object StreamOps {
         batch, idCol, textCol, merges, vocab), id)
     }
 
+  /** Per-micro-batch MODEL-BASED quality gate: the live form of the
+    * TrainingCorpusPipeline stage 2e (q166/q167's
+    * [[graft.ml.QualityFilter]]) — every micro-batch is scored under a
+    * FROZEN trained classifier and only P(quality) ≥ minP rows reach
+    * the sink. The model is trained OFFLINE on a labeled seed and
+    * versioned like a tokenizer artifact: a stream that retrained on
+    * arriving data would drift with arrival order, and quality is
+    * judged against an external standard anyway (the DCLM contract).
+    *
+    * Stateless by the [[lmScoreEachBatch]] argument: the hashed-TF
+    * features aggregate INSIDE each batch, the dim-sized weight
+    * vector rides the broadcast model, no streaming state — so live
+    * ≡ backfill row-for-row (spec-proven). */
+  def qualityGateEachBatch(docs: DataFrame,
+                           model: org.apache.spark.ml.classification.LogisticRegressionModel,
+                           minP: Double, idCol: String = "doc_id",
+                           textCol: String = "text")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ml.QualityFilter.filter(model, batch, idCol, textCol, minP), id)
+    }
+
   /** Per-micro-batch language identification: applies the batch
     * operator ([[graft.operators.LangId.predict]]) to every
     * micro-batch via `foreachBatch` and hands `sink` the batch rows

@@ -1,0 +1,60 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.operators.{KMeans, ProductQuant}
+import org.apache.spark.sql.functions._
+
+/** [[VectorIndexArtifacts]] — a saved index must serve byte-identical
+  * search results: the whole point of persisting is that the serve
+  * job ranks exactly what the build job would have. */
+class VectorIndexArtifactsSpec extends SparkSpec {
+
+  private lazy val emb = graft.Tables.embeddings(spark, sfDir)
+  private lazy val queries = emb.filter(col("vec_id") <= 10)
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("PQ model round-trips exactly; ADC and IVF-PQ search are byte-identical") {
+    val model = ProductQuant.train(emb, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString + "/idx"
+    VectorIndexArtifacts.savePq(spark, dir, model)
+    val loaded = VectorIndexArtifacts.loadPq(spark, dir)
+    loaded.slices shouldBe model.slices
+    loaded.books shouldBe model.books
+    rowsOf(ProductQuant.adcTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, loaded, k = 3)) shouldBe
+      rowsOf(ProductQuant.adcTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, model, k = 3))
+    rowsOf(ProductQuant.ivfAdcTopKTwoLevel(emb, queries, "vec_id",
+      "embedding", dim = 64, loaded, k = 3, nCells = 4)) shouldBe
+      rowsOf(ProductQuant.ivfAdcTopKTwoLevel(emb, queries, "vec_id",
+        "embedding", dim = 64, model, k = 3, nCells = 4))
+  }
+
+  test("k-means model round-trips exactly, cid order preserved") {
+    val model = KMeans.fit(emb, "vec_id", "embedding", k = 5, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("km").toString + "/idx"
+    VectorIndexArtifacts.saveKMeans(spark, dir, model)
+    VectorIndexArtifacts.loadKMeans(spark, dir) shouldBe model
+  }
+
+  test("corrupted artifacts fail loudly instead of serving a wrong index") {
+    val model = KMeans.fit(emb, "vec_id", "embedding", k = 3, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("bad").toString + "/idx"
+    VectorIndexArtifacts.saveKMeans(spark, dir, model)
+    // drop a centroid row: contiguity check must reject the load
+    val pruned = spark.read.parquet(s"$dir/centroids")
+      .filter(col("cid") =!= 2)
+    ParquetSink(s"$dir/centroids2", coalesceTo = Some(1)).write(pruned)
+    val moved = dir + "2"
+    new java.io.File(s"$moved").mkdirs()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/centroids2"),
+      java.nio.file.Paths.get(s"$moved/centroids"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    an[IllegalArgumentException] should be thrownBy
+      VectorIndexArtifacts.loadKMeans(spark, moved)
+  }
+}
