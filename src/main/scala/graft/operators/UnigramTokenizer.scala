@@ -685,17 +685,19 @@ object UnigramTokenizer {
     * multi-round oracle ([[emTrainOracle]]) can chain one DP per EM
     * round against that round's vocabulary. Ends at CTE
     * `${p}w$maxWordLen` (word, cnt, len, best, bp, pieces). */
-  private def dpChain(p: String, vocabRel: String, maxWordLen: Int): String = {
+  private def dpChain(p: String, vocabRel: String, maxWordLen: Int,
+                      wordsRel: String = "awrds",
+                      candRel: String = "acand"): String = {
     val sb = new StringBuilder
     sb.append(s""",
       ${p}cand AS MATERIALIZED (
         SELECT c.word, CAST(c.i + c.l - 1 AS BIGINT) AS j,
                CAST(c.l AS BIGINT) AS l, -v.lp_micro AS cost
-        FROM acand c JOIN $vocabRel v USING (piece)),
+        FROM $candRel c JOIN $vocabRel v USING (piece)),
       ${p}dp0 AS (
         SELECT word, len, cnt, [CAST(0 AS BIGINT)] AS best,
                CAST([] AS BIGINT[]) AS bp
-        FROM awrds)""")
+        FROM $wordsRel)""")
     (1 to maxWordLen).foreach { j =>
       sb.append(s""",
       ${p}s$j AS (
@@ -745,7 +747,17 @@ object UnigramTokenizer {
     * previous round's vocabulary relation. */
   def emTrainOracle(table: String, textCol: String, seedSize: Int,
                     targetSize: Int, rounds: Int, shrinkBp: Int,
-                    maxPieceLen: Int, maxWordLen: Int): String = {
+                    maxPieceLen: Int, maxWordLen: Int): String =
+    emTrainCtes(table, textCol, seedSize, targetSize, rounds, shrinkBp,
+      maxPieceLen, maxWordLen) + s"""
+      SELECT piece, weight, lp_micro FROM v$rounds
+      ORDER BY piece"""
+
+  /** The [[emTrainOracle]] CTE chain up to the final vocabulary
+    * relation `v$rounds`, shared with [[emApplyOracle]]. */
+  private def emTrainCtes(table: String, textCol: String, seedSize: Int,
+                          targetSize: Int, rounds: Int, shrinkBp: Int,
+                          maxPieceLen: Int, maxWordLen: Int): String = {
     val sb = new StringBuilder(
       seedCtes(table, textCol, seedSize, maxPieceLen))
     sb.append(s""",
@@ -797,9 +809,61 @@ object UnigramTokenizer {
                  AS lp_micro
         FROM keep$r)""")
     }
-    sb.append(s"""
-      SELECT piece, weight, lp_micro FROM v$rounds
-      ORDER BY piece""")
     sb.toString
   }
+
+  /** DuckDB replay of the full production lifecycle
+    * [[emTrain]] → [[encodeWith]]: the EM-trained target vocabulary
+    * frozen-encodes `applyTable` (the later crawl) — the train chain
+    * ends at `v$rounds`, a second word/candidate relation is built
+    * from the apply corpus, one more DP runs under the trained
+    * vocabulary, and the encodeWith tail (unspellable `[word]`
+    * fallback, LEFT piece-id join) emits the token rows. `where`
+    * restricts the OUTPUT only. */
+  def emApplyOracle(table: String, applyTable: String, idCol: String,
+                    textCol: String, seedSize: Int, targetSize: Int,
+                    rounds: Int, shrinkBp: Int, maxPieceLen: Int,
+                    maxWordLen: Int, where: String): String =
+    emTrainCtes(table, textCol, seedSize, targetSize, rounds, shrinkBp,
+      maxPieceLen, maxWordLen) + s""",
+      bwrds AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt, length(word) AS len
+        FROM (SELECT unnest(list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '')) AS word
+              FROM $applyTable)
+        GROUP BY word),
+      bcand AS (
+        SELECT word, CAST(i AS INT) AS i, CAST(l AS INT) AS l,
+               substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+        FROM bwrds,
+             unnest(range(1, len + 1)) r(i),
+             unnest(range(1, ${maxPieceLen + 1})) q(l)
+        WHERE i + l - 1 <= len)""" +
+      dpChain("ap", s"v$rounds", maxWordLen, "bwrds", "bcand") + s""",
+      segs AS (
+        SELECT word,
+               CASE WHEN list_extract(best, len + 1) IS NULL
+                 THEN [word] ELSE pieces END AS pieces
+        FROM apw$maxWordLen),
+      pid AS (
+        SELECT piece,
+               CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS piece_id
+        FROM v$rounds),
+      tok AS (
+        SELECT $idCol, CAST(i - 1 AS INTEGER) AS word_pos, w[i] AS word
+        FROM (SELECT $idCol, list_filter(
+                string_split_regex(coalesce($textCol, ''), '\\s+'),
+                x -> x <> '') AS w
+              FROM $applyTable) t,
+             unnest(range(1, len(w) + 1)) AS r(i)),
+      sub AS (
+        SELECT t.$idCol, t.word_pos,
+               CAST(generate_subscripts(s.pieces, 1) - 1 AS INTEGER) AS piece_pos,
+               unnest(s.pieces) AS piece
+        FROM tok t JOIN segs s ON s.word = t.word)
+      SELECT b.$idCol, b.word_pos, b.piece_pos, b.piece, v.piece_id
+      FROM sub b LEFT JOIN pid v USING (piece)
+      WHERE $where
+      ORDER BY b.$idCol, b.word_pos, b.piece_pos"""
 }

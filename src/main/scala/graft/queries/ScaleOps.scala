@@ -746,7 +746,42 @@ object ScaleOps {
       "documents", "text", seedSize = 80, targetSize = 30, rounds = 3,
       shrinkBp = 7500, maxPieceLen = 4, maxWordLen = 8)))
 
+  /** q170: the full production tokenizer lifecycle in one query —
+    * [[graft.operators.UnigramTokenizer.emTrain]] (q169's EM-to-target
+    * schedule) trains the vocabulary, then
+    * [[graft.operators.UnigramTokenizer.encodeWith]] (q152's frozen
+    * applier) encodes the corpus PLUS a planted later-crawl doc under
+    * it: train → freeze → apply, the exact composition
+    * TokenizerArtifacts persists across jobs. The planted "zx" is
+    * UNSPELLABLE (x/z sit outside the 24-char corpus alphabet — the
+    * q161 fixture's measured fact) and must surface as the single
+    * NULL-id <unk> row. Output restricted to the q133 window + the
+    * plant. */
+  private val q170 = QuerySpec(
+    "q170_unigram_em_frozen_apply",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.UnigramTokenizer.emTrain(docs, "text",
+        seedSize = 80, targetSize = 30, rounds = 3, shrinkBp = 7500,
+        maxPieceLen = 4)
+      import s.implicits._
+      val crawl = docs.select(col("doc_id"), col("text"))
+        .union(Seq((9999994L, "the zx data")).toDF("doc_id", "text"))
+      graft.operators.UnigramTokenizer.encodeWith(crawl, "doc_id", "text",
+          vocab, maxPieceLen = 4)
+        .filter((col("doc_id") < 40 || col("doc_id") === 9999994L)
+          && col("word_pos") < 8)
+        .orderBy(col("doc_id"), col("word_pos"), col("piece_pos"))
+    },
+    oracle = Some(graft.operators.UnigramTokenizer.emApplyOracle(
+      "documents",
+      "(SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT 9999994, 'the zx data')",
+      "doc_id", "text", seedSize = 80, targetSize = 30, rounds = 3,
+      shrinkBp = 7500, maxPieceLen = 4, maxWordLen = 8,
+      where = "(doc_id < 40 OR doc_id = 9999994) AND word_pos < 8")))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161, q162, q163, q166, q167, q169)
+    q161, q162, q163, q166, q167, q169, q170)
 }
