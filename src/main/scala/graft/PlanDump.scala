@@ -45,7 +45,10 @@ object PlanDump {
       "q150_perplexity_buckets" -> "CCNet buckets: no per-group ntile window — band-parallel row_number + broadcast (group, band) offsets + ANSI-NTILE arithmetic",
       "q152_unigram_frozen_vocab" -> "frozen-vocab encode: new corpus pays one word-count shuffle; segmentation + id tables broadcast; unk rows via left joins",
       "q154_sft_mask_spans" -> "SFT masks: one conversation-key aggregate (per-entity collect + HOF offset fold), no window, no join",
-      "q157_span_corrupt" -> "span corruption: pure narrow projection — tokenize, block transform, two string folds; zero shuffles before the oracle sort")
+      "q157_span_corrupt" -> "span corruption: pure narrow projection — tokenize, block transform, two string folds; zero shuffles before the oracle sort",
+      "q166_quality_score_fixed" -> "model quality scoring: single narrow hashed-TF explode + map-side-combined (id, bucket) agg, dim-sized weight relation BROADCAST (never a literal), sigmoid last",
+      "q168_ann_ivf_pq_two_level" -> "two-level IVF-PQ: only the sqrt(K) super model is a literal; sub-centroids broadcast as a RELATION; same cell-equi-join + code-only ADC tail as q143",
+      "q169_unigram_em_train" -> "EM to target: corpus pays ONE word-count shuffle; each round a vocab-broadcast Viterbi over the distinct-word relation + two vocab-sized aggregates")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"
