@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   *    pair up. Recall is tunable (tables × hyperplanes / nProbe).
   *  - Top-k per query = row_number over a window partitioned by the
   *    query id — never a global sort.
+  *
+  * Cache lifecycle (the [[Decontaminate]]/[[Dedup]] contract): the
+  * bucketed paths persist their bucket/cell assignment MEMORY_AND_DISK
+  * inside the RETURNED lazy plan (it feeds both self-join sides; the
+  * persist is lazy, so constructing a plan costs nothing). Spark can
+  * only release those blocks after the plan is consumed — in a
+  * long-lived session, `spark.catalog.clearCache()` (or RDD GC of the
+  * unreferenced plan via the ContextCleaner) reclaims them; repeated
+  * invocations do not leak beyond what the cleaner reclaims.
   */
 object Similarity {
 

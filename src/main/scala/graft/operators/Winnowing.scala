@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * corpus-common fingerprints (boilerplate k-grams that survive
   * selection everywhere) are excised by a df census before the
   * pair join can fan out quadratically.
+  *
+  * Cache lifecycle (the [[Decontaminate]]/[[Dedup]] contract):
+  * [[matchPairs]] persists the fingerprint relation MEMORY_AND_DISK
+  * inside the returned lazy plan (df census + both join sides read
+  * it); blocks release via `spark.catalog.clearCache()` or the
+  * ContextCleaner once the plan is unreferenced.
   */
 object Winnowing {
 

@@ -433,4 +433,34 @@ object TrainingCorpusPipeline {
       .withColumn(textCol,
         when(col("n_removed") === 0, col(textCol)).otherwise(col("clean")))
       .drop("n_removed", "clean")
+
+  /** The final corpus→tensor step: token ids for [[run]]'s output
+    * under a FROZEN unigram vocabulary
+    * ([[graft.operators.UnigramTokenizer.encodeWith]] — learn once or
+    * load via [[graft.io.TokenizerArtifacts]], never relearn on the
+    * built corpus). One row per piece occurrence, keyed
+    * (doc_id, chunk_id, word_pos, piece_pos) with the piece and its
+    * vocabulary id (NULL id = unspellable `<unk>`); pack/split columns
+    * re-join on (doc_id, chunk_id). Same scale shape as the applier:
+    * chunk text pays one word-count shuffle, vocabulary broadcast. */
+  def tokenize(corpus: DataFrame, vocab: DataFrame,
+               maxPieceLen: Int = 4): DataFrame =
+    graft.operators.UnigramTokenizer.encodeWith(
+        corpus.withColumn("__ck", struct(col("doc_id"), col("chunk_id"))),
+        "__ck", "chunk_text", vocab, maxPieceLen)
+      .select(col("__ck.doc_id").as("doc_id"),
+        col("__ck.chunk_id").as("chunk_id"),
+        col("word_pos"), col("piece_pos"), col("piece"), col("piece_id"))
+
+  /** [[tokenize]]'s BPE twin: frozen merge list + alphabet
+    * ([[graft.operators.Vocabulary.bpeEncodeWith]]); unknown SYMBOLS
+    * carry NULL ids (BPE is open-vocabulary — no unspellable words). */
+  def tokenizeBpe(corpus: DataFrame, merges: Seq[(String, String)],
+                  bpeVocab: DataFrame): DataFrame =
+    graft.operators.Vocabulary.bpeEncodeWith(
+        corpus.withColumn("__ck", struct(col("doc_id"), col("chunk_id"))),
+        "__ck", "chunk_text", merges, bpeVocab)
+      .select(col("__ck.doc_id").as("doc_id"),
+        col("__ck.chunk_id").as("chunk_id"),
+        col("word_pos"), col("sub_pos"), col("subword"), col("sub_id"))
 }

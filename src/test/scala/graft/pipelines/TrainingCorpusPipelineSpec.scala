@@ -277,6 +277,35 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     off.filter(col("doc_id") === 9300001L).count() should be > 0L
   }
 
+  test("tokenize: the built corpus encodes under a frozen vocabulary; artifacts round-trip") {
+    import graft.operators.UnigramTokenizer
+    import graft.io.TokenizerArtifacts
+    // the production order: build the corpus, train the tokenizer on
+    // the SURVIVING docs (EM to target), persist, encode the chunks
+    val survivors = pool.join(out.select("doc_id").distinct(),
+      Seq("doc_id"), "left_semi")
+    val vocab = UnigramTokenizer.emTrain(survivors, "text",
+      seedSize = 80, targetSize = 40, rounds = 2, maxPieceLen = 4)
+    val dir = java.nio.file.Files.createTempDirectory("tok").toString + "/v"
+    TokenizerArtifacts.saveUnigram(dir, vocab)
+    val toks = TrainingCorpusPipeline.tokenize(out,
+      TokenizerArtifacts.loadUnigram(spark, dir)).persist()
+    // every chunk tokenizes; pieces reconstruct each chunk's words
+    toks.select("doc_id", "chunk_id").distinct().count() shouldBe out.count()
+    val rebuilt = toks
+      .groupBy("doc_id", "chunk_id", "word_pos")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("piece_pos"),
+        col("piece")))).getField("piece")).as("word"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("word_pos"),
+        col("word")))).getField("word")).as("text"))
+    rebuilt.join(out, Seq("doc_id", "chunk_id"))
+      .filter(col("text") =!= col("chunk_text")).count() shouldBe 0L
+    // the corpus alphabet spells its own chunks: no unk rows here
+    toks.filter(col("piece_id").isNull).count() shouldBe 0L
+    toks.unpersist()
+  }
+
   test("opt-in model quality gate: the classifier's junk drops; live ≡ backfill") {
     import graft.ml.QualityFilter
     // train a quality model on a labeled seed OUTSIDE the pipeline
