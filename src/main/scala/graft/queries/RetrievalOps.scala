@@ -456,46 +456,10 @@ object RetrievalOps {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
       FROM occ GROUP BY doc_id ORDER BY doc_id"""))
 
-  /** q164: query-likelihood retrieval
-    * ([[graft.operators.Retrieval.queryLikelihoodTopK]], Zhai &
-    * Lafferty 2001) — the Dirichlet-smoothed LM ranking over q104's
-    * query terms: absent terms penalize through the collection prior
-    * (where BM25 skips them), each contribution one micro-quantized
-    * fixed-order expression, top-50 replayed bit for bit. */
-  private val q164 = QuerySpec(
-    "q164_query_likelihood",
-    (s, dir) =>
-      graft.operators.Retrieval.queryLikelihoodTopK(
-        Tables.documents(s, dir), "doc_id", "text",
-        Seq("spark", "window", "merge"), k = 50),
-    oracle = Some(graft.operators.Retrieval.queryLikelihoodOracle(
-      "documents", "doc_id", "text", Seq("spark", "window", "merge"),
-      k = 50)))
-
-  /** q165: tri-modal retrieval fusion — BM25 (probabilistic), query
-    * likelihood (language-model), and embedding kNN (semantic) rank
-    * the same need, fused by integer RRF: the production multi-ranker
-    * shape (each model misses differently; fusion is robust to any
-    * one's blind spot). Pure composition of q104/q164/q31 machinery
-    * through [[graft.operators.Retrieval.rrfFuse]]; the oracle chains
-    * all three replays and the integer fusion. */
-  private val q165 = QuerySpec(
-    "q165_trimodal_fusion",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", QueryTerms, k = 50)
-        .select(col("doc_id"), col("rank"))
-      val ql = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
-          QueryTerms, k = 50)
-        .select(col("doc_id"), col("rank"))
-      val knn = Similarity.bruteForceTopK(
-          emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 50)
-        .select(col("c_id").as("doc_id"), col("rank"))
-      Retrieval.rrfFuse(Seq(bm, ql, knn), "doc_id", k = 20)
-        .orderBy(col("rank"))
-    },
-    oracle = Some("""
+  /** The three ranking replays (BM25 / query likelihood / embedding
+    * kNN, each top-50) shared by the q165 and q171 fusion oracles —
+    * byte-identical to q165's original inline prefix. */
+  private val triModalRankingsSql: String = """
       WITH dl AS (
         SELECT doc_id,
                CAST(len(list_filter(string_split_regex(text, '\s+'),
@@ -560,7 +524,48 @@ object RetrievalOps {
           FROM embeddings b,
                (SELECT embedding FROM embeddings WHERE vec_id = 7) q
           WHERE b.vec_id <> 7)
-        WHERE rank <= 50),
+        WHERE rank <= 50)"""
+
+  /** q164: query-likelihood retrieval
+    * ([[graft.operators.Retrieval.queryLikelihoodTopK]], Zhai &
+    * Lafferty 2001) — the Dirichlet-smoothed LM ranking over q104's
+    * query terms: absent terms penalize through the collection prior
+    * (where BM25 skips them), each contribution one micro-quantized
+    * fixed-order expression, top-50 replayed bit for bit. */
+  private val q164 = QuerySpec(
+    "q164_query_likelihood",
+    (s, dir) =>
+      graft.operators.Retrieval.queryLikelihoodTopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 50),
+    oracle = Some(graft.operators.Retrieval.queryLikelihoodOracle(
+      "documents", "doc_id", "text", Seq("spark", "window", "merge"),
+      k = 50)))
+
+  /** q165: tri-modal retrieval fusion — BM25 (probabilistic), query
+    * likelihood (language-model), and embedding kNN (semantic) rank
+    * the same need, fused by integer RRF: the production multi-ranker
+    * shape (each model misses differently; fusion is robust to any
+    * one's blind spot). Pure composition of q104/q164/q31 machinery
+    * through [[graft.operators.Retrieval.rrfFuse]]; the oracle chains
+    * all three replays and the integer fusion. */
+  private val q165 = QuerySpec(
+    "q165_trimodal_fusion",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", QueryTerms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val ql = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+          QueryTerms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val knn = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 50)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, ql, knn), "doc_id", k = 20)
+        .orderBy(col("rank"))
+    },
+    oracle = Some(triModalRankingsSql + """,
       uni AS (
         SELECT doc_id, 1000000 // (60 + rank) AS r FROM bm
         UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM ql
@@ -576,6 +581,46 @@ object RetrievalOps {
              round(CAST(rrf_micro AS DOUBLE) / 1000000.0, 6) AS rrf_score
       FROM f ORDER BY rank"""))
 
+  /** q171: WEIGHTED tri-modal fusion
+    * ([[graft.operators.Retrieval.rrfFuseWeighted]]) — q165 with the
+    * ranker mix as DATA: lexical-heavy 1.5×/1.0×/0.5× basis-point
+    * weights (the tuning a lexical-benchmark deployment would ship),
+    * every contribution (wBp·⌊10⁶/(c+rank)⌋) div 10⁴ exact. The
+    * oracle reuses q165's three ranking replays and applies the same
+    * integer weighting. */
+  private val q171 = QuerySpec(
+    "q171_weighted_fusion",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", QueryTerms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val ql = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+          QueryTerms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val knn = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 50)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuseWeighted(
+          Seq((bm, 15000L), (ql, 10000L), (knn, 5000L)), "doc_id", k = 20)
+        .orderBy(col("rank"))
+    },
+    oracle = Some(triModalRankingsSql + """,
+      uni AS (
+        SELECT doc_id, (15000 * (1000000 // (60 + rank))) // 10000 AS r FROM bm
+        UNION ALL SELECT doc_id, (10000 * (1000000 // (60 + rank))) // 10000 FROM ql
+        UNION ALL SELECT doc_id, (5000 * (1000000 // (60 + rank))) // 10000 FROM knn),
+      f AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lists,
+               CAST(sum(r) AS BIGINT) AS rrf_micro
+        FROM uni GROUP BY 1
+        ORDER BY rrf_micro DESC, doc_id LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+               AS INTEGER) AS rank,
+             doc_id, n_lists, rrf_micro,
+             round(CAST(rrf_micro AS DOUBLE) / 1000000.0, 6) AS rrf_score
+      FROM f ORDER BY rank"""))
+
   val specs: Seq[QuerySpec] =
-    Seq(q103, q104, q105, q106, q107, q108, q109, q127, q164, q165)
+    Seq(q103, q104, q105, q106, q107, q108, q109, q127, q164, q165, q171)
 }

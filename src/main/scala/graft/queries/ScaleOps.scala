@@ -781,7 +781,24 @@ object ScaleOps {
       shrinkBp = 7500, maxPieceLen = 4, maxWordLen = 8,
       where = "(doc_id < 40 OR doc_id = 9999994) AND word_pos < 8")))
 
+  /** q172: BATCHED BPE learning against the SEQUENTIAL oracle — the
+    * driver-checked form of the batched-disjoint equivalence proof:
+    * the Spark side learns q131's 10 merges at `batch = 8` (multiple
+    * pairs accepted per census job wherever the four acceptance rules
+    * allow), while the DuckDB oracle replays the strictly SEQUENTIAL
+    * 10-round unroll. A hash match means the batched loop produced
+    * the exact sequential merge table on real data — every round, not
+    * just on the spec fixtures. */
+  private val q172 = QuerySpec(
+    "q172_bpe_merges_batched",
+    (s, dir) =>
+      graft.operators.Vocabulary.bpeMerges(Tables.documents(s, dir),
+          "text", numMerges = 10, batch = 8)
+        .orderBy(col("rank")),
+    oracle = Some(graft.operators.Vocabulary.bpeMergesOracle(
+      "documents", "text", numMerges = 10)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161, q162, q163, q166, q167, q169, q170)
+    q161, q162, q163, q166, q167, q169, q170, q172)
 }

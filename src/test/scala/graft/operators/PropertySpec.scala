@@ -249,4 +249,31 @@ class PropertySpec extends SparkSpec {
       r.getLong(2) shouldBe 3L
     }
   }
+
+  test("batched BPE ≡ sequential over arbitrary tiny-alphabet corpora (tie torture)") {
+    // a 3-letter alphabet forces shared symbols and count ties
+    // everywhere — exactly the regime where an unsound acceptance rule
+    // in bpeLearn(batch) would diverge from the sequential argmax.
+    // 12 random corpora × 3 batch sizes, all must match batch=1.
+    val wordGen: Gen[List[String]] =
+      Gen.listOfN(24, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    (1 to 12).foreach { i =>
+      val words = wordGen(Gen.Parameters.default, Seed(1000L + i)).get
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val seqMerges = Vocabulary.bpeMerges(df, "text", 8).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      Seq(2, 4, 8).foreach { b =>
+        val batched = Vocabulary.bpeMerges(df, "text", 8, batch = b)
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+        assert(batched == seqMerges,
+          s"seed ${1000 + i} batch $b diverged:\n  seq: $seqMerges\n  bat: $batched\n  corpus: ${words.mkString(" ")}")
+      }
+    }
+  }
 }
