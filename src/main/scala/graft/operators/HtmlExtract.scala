@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the crawl-to-text step every web-corpus
+  * pipeline runs BEFORE any curation sees the document (C4/CCNet both
+  * start from extracted text; this is the extractor those pipelines
+  * assume). Pure narrow regexp/HOF expressions (whole-stage codegen,
+  * no UDF, no shuffle — fused into the feeding scan at 100 TB):
+  *
+  *   1. drop `<!-- -->` comments, `<script>`/`<style>` elements
+  *      (content and all — executable/style text is never prose);
+  *   2. `<title>` captured separately (catalog metadata);
+  *   3. block-element ends (`</p> </div> </li> </h1..6> </tr>
+  *      </table> </ul> </ol> </blockquote>`, `<br>`) become line
+  *      breaks — structure the line-level curation stages
+  *      (LineDedup, C4 cleaning) need;
+  *   4. every remaining tag strips to a space;
+  *   5. entities decode: the named set (`&lt; &gt; &quot; &apos;
+  *      &nbsp;` first, `&amp;` LAST — the standard order, so
+  *      `&amp;lt;` yields the literal `&lt;` and never double-decodes)
+  *      plus numeric `&#NN;`/`&#xHH;` for PRINTABLE ASCII (32–126)
+  *      only — Spark's `chr` is byte-valued above 127 while other
+  *      engines emit the code point, so non-ASCII numeric entities
+  *      pass through UNDECODED identically in both engines rather
+  *      than diverging;
+  *   6. lines whitespace-collapse and trim; empty lines drop.
+  *
+  * Deterministic and engine-portable throughout — [[extractOracle]]
+  * replays the whole chain in DuckDB (both dialects are regex-
+  * compatible on these patterns: RE2 and java.util.regex agree on
+  * `(?is)`, non-greedy, and character classes).
+  */
+object HtmlExtract {
+
+  private val BlockEnds =
+    "(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br[^>]*>"
+  private val Sep = ""
+
+  /** Strip comments/script/style, break blocks to newlines, strip
+    * remaining tags. */
+  private def stripTags(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val blocked = regexp_replace(noStyle, BlockEnds, "\n")
+    regexp_replace(blocked, "<[^>]*>", " ")
+  }
+
+  private def decodeNamed(text: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(text) { case (c, (e, r)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(e), r)
+      }
+
+  /** Decode named entities + printable-ASCII numeric entities (see
+    * class doc for the &amp;-last order and the ASCII-only rule). */
+  private[operators] def decodeEntities(text: Column): Column = {
+    val named = decodeNamed(text)
+    // numeric entities: mark each candidate, split, decode piece heads
+    val marked = regexp_replace(named, "&#", Sep + "&#")
+    val decoded = aggregate(split(marked, Sep), lit(""), (acc, p) => {
+      val dec = regexp_extract(p, "^&#([0-9]{1,7});", 1)
+      val hex = regexp_extract(p, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
+      val decCode = when(dec =!= "", dec.cast("long")).otherwise(lit(-1L))
+      val hexCode = when(hex =!= "", conv(hex, 16, 10).cast("long"))
+        .otherwise(lit(-1L))
+      val piece =
+        when(decCode.between(32, 126),
+          concat(chr(decCode), regexp_replace(p, "^&#[0-9]{1,7};", "")))
+        .when(hexCode.between(32, 126),
+          concat(chr(hexCode),
+            regexp_replace(p, "^&#[xX][0-9a-fA-F]{1,6};", "")))
+        .otherwise(p)
+      concat(acc, piece)
+    })
+    // &amp; decodes LAST so already-escaped entities stay literal
+    regexp_replace(decoded, java.util.regex.Pattern.quote("&amp;"), "&")
+  }
+
+  /** Collapse intra-line whitespace, trim, drop empty lines. */
+  private def cleanLines(text: Column): Column =
+    array_join(
+      filter(
+        transform(split(text, "\n"),
+          l => trim(regexp_replace(l, "[ \\t\\r]+", " "))),
+        l => l =!= ""),
+      "\n")
+
+  /** (idCol, title, text): the extracted prose and the `<title>`
+    * content (empty string when absent) — both entity-decoded and
+    * whitespace-normalized. NULL html yields an empty title and
+    * empty text (a row per input, never a dropped crawl record). */
+  def extractText(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val html = coalesce(col(htmlCol), lit(""))
+    // title: NAMED entities only (numeric entities in titles pass
+    // through on both engines — the body decoder handles prose)
+    val title = trim(regexp_replace(regexp_replace(decodeNamed(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)),
+      java.util.regex.Pattern.quote("&amp;"), "&"),
+      "[ \\t\\r\\n]+", " "))
+    df.select(col(idCol), title.as("title"),
+      cleanLines(decodeEntities(stripTags(html))).as("text"))
+  }
+
+  /** (idCol, pos, href): every `<a href=...>` target in document
+    * order (0-based pos) — fragment-only links (`#...`) excluded, the
+    * raw edge list a crawl graph ([[GraphOps.pageRank]]) consumes. */
+  def links(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
+          lit("(?is)<a\\s[^>]*href=[\"']([^\"'#][^\"']*)[\"']"), lit(1)))
+          .as(Seq("pos", "href")))
+      .select(col(idCol), col("pos").cast("int").as("pos"), col("href"))
+
+  /** DuckDB replay of [[extractText]]. */
+  def extractOracle(table: String, idCol: String, htmlExpr: String): String = s"""
+      WITH raw AS (SELECT $idCol, coalesce($htmlExpr, '') AS h FROM $table),
+      stripped AS (
+        SELECT $idCol,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'),
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br[^>]*>',
+              chr(10), 'g'),
+            '<[^>]*>', ' ', 'g') AS t,
+          regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1) AS ttl
+        FROM raw),
+      named AS (
+        SELECT $idCol,
+          replace(replace(replace(replace(replace(t,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&apos;', ''''), '&nbsp;', ' ') AS t,
+          replace(replace(replace(replace(replace(ttl,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&apos;', ''''), '&nbsp;', ' ') AS ttl
+        FROM stripped),
+      dec AS (
+        SELECT $idCol,
+          replace(list_aggregate(list_transform(
+            string_split(replace(t, '&#', chr(1) || '&#'), chr(1)),
+            p -> CASE
+              WHEN regexp_extract(p, '^&#([0-9]{1,7});', 1) <> ''
+                   AND CAST(regexp_extract(p, '^&#([0-9]{1,7});', 1) AS BIGINT)
+                     BETWEEN 32 AND 126
+                THEN chr(CAST(regexp_extract(p, '^&#([0-9]{1,7});', 1) AS INT))
+                     || regexp_replace(p, '^&#[0-9]{1,7};', '')
+              WHEN regexp_extract(p, '^&#[xX]([0-9a-fA-F]{1,6});', 1) <> ''
+                   AND CAST(('0x' || regexp_extract(p,
+                     '^&#[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT)
+                     BETWEEN 32 AND 126
+                THEN chr(CAST(('0x' || regexp_extract(p,
+                       '^&#[xX]([0-9a-fA-F]{1,6});', 1)) AS INT))
+                     || regexp_replace(p, '^&#[xX][0-9a-fA-F]{1,6};', '')
+              ELSE p END), 'string_agg', ''), '&amp;', '&') AS t,
+          replace(ttl, '&amp;', '&') AS ttl
+        FROM named)
+      SELECT $idCol,
+        trim(regexp_replace(ttl, '[ \\t\\r\\n]+', ' ', 'g')) AS title,
+        array_to_string(list_filter(list_transform(
+          string_split(t, chr(10)),
+          l -> trim(regexp_replace(l, '[ \\t\\r]+', ' ', 'g'))),
+          l -> l <> ''), chr(10)) AS text
+      FROM dec
+      ORDER BY $idCol"""
+}

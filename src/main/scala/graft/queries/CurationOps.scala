@@ -947,7 +947,78 @@ object CurationOps {
       ORDER BY contrib_micro DESC, token ASC
       LIMIT 20"""))
 
+  /** The synthetic crawl page both q173/q174 sides construct from the
+    * documents table — exercises every extractor rule: title with a
+    * named entity, style + script elements (dropped with content),
+    * block breaks, the full entity spectrum (named, decimal ASCII,
+    * hex ASCII, non-ASCII numeric which must pass THROUGH), a real
+    * link, a fragment-only link (excluded), and a comment hiding
+    * markup. */
+  private val htmlPageSql =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      ' &amp; Co</title><style>p{color:red}</style></head><body>' ||
+      '<h1>Report</h1><p>' || text || '</p>' ||
+      '<script>var x = 1 &lt; 2;</script>' ||
+      '<p>A &lt;tag&gt; &quot;quoted&quot; &#65;&#x42; &#955; B</p>' ||
+      '<a href="/doc/' || CAST(doc_id * 7 % 500 AS VARCHAR) ||
+      '">next</a><a href=''#frag''>skip</a>' ||
+      '<!-- hidden <p>comment</p> --></body></html>'"""
+      .replaceAll("\n\\s+", " ")
+
+  private def htmlPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit(" &amp; Co</title><style>p{color:red}</style></head><body>"),
+    lit("<h1>Report</h1><p>"), col("text"), lit("</p>"),
+    lit("<script>var x = 1 &lt; 2;</script>"),
+    lit("<p>A &lt;tag&gt; &quot;quoted&quot; &#65;&#x42; &#955; B</p>"),
+    lit("<a href=\"/doc/"), (col("doc_id") * 7 % 500).cast("string"),
+    lit("\">next</a><a href='#frag'>skip</a>"),
+    lit("<!-- hidden <p>comment</p> --></body></html>"))
+
+  /** q173: HTML → text extraction
+    * ([[graft.operators.HtmlExtract.extractText]]) — the crawl-to-text
+    * stage before every other curation operator: comments/script/style
+    * dropped with their content, block ends become line breaks, tags
+    * strip, entities decode (named + printable-ASCII numeric; the
+    * non-ASCII `&#955;` passes through by the documented portable
+    * rule), lines whitespace-normalize. DuckDB replays the entire
+    * chain over the identically-constructed page. */
+  private val q173 = QuerySpec(
+    "q173_html_extract",
+    (s, dir) =>
+      graft.operators.HtmlExtract.extractText(
+          Tables.documents(s, dir).withColumn("html", htmlPage),
+          "doc_id", "html")
+        .orderBy(col("doc_id")),
+    oracle = Some(graft.operators.HtmlExtract.extractOracle(
+      "documents", "doc_id", htmlPageSql)))
+
+  /** q174: crawl-link extraction
+    * ([[graft.operators.HtmlExtract.links]]) — the edge list a crawl
+    * graph consumes (q109's PageRank input shape): every `<a href>`
+    * target in document order, fragment-only links excluded. */
+  private val q174 = QuerySpec(
+    "q174_html_links",
+    (s, dir) =>
+      graft.operators.HtmlExtract.links(
+          Tables.documents(s, dir).withColumn("html", htmlPage),
+          "doc_id", "html")
+        .orderBy(col("doc_id"), col("pos")),
+    oracle = Some(s"""
+      WITH raw AS (
+        SELECT doc_id, $htmlPageSql AS h FROM documents),
+      l AS (
+        SELECT doc_id,
+               regexp_extract_all(h,
+                 '(?is)<a\\s[^>]*href=["'']([^"''#][^"'']*)["'']', 1) AS ls
+        FROM raw)
+      SELECT doc_id,
+             CAST(generate_subscripts(ls, 1) - 1 AS INTEGER) AS pos,
+             unnest(ls) AS href
+      FROM l
+      ORDER BY doc_id, pos"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
-      q134, q144, q148, q150, q156)
+      q134, q144, q148, q150, q156, q173, q174)
 }
