@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level curation — the FIRST gate of every web-corpus pipeline
+  * (RefinedWeb §3.1, FineWeb: URL filtering runs before a single byte
+  * of text is scored): extract the host, reduce it to its registered
+  * domain, aggregate per-domain triage statistics, and drop documents
+  * whose domain sits on a blocklist — with SUFFIX semantics, so
+  * blocking `spam.example` also blocks `a.b.spam.example`.
+  *
+  * Engine-portable by construction: the host comes from one regexp
+  * (not `parse_url`, which DuckDB lacks), the registered domain is a
+  * label-arithmetic expression over a caller-supplied multi-part-TLD
+  * list (the public-suffix idea with the data as an argument — pass
+  * the real PSL for production; the default covers the common
+  * two-label suffixes), and the blocklist gate is an EXPLODED
+  * suffix/semi-join — the blocklist joins as data, never a per-row
+  * regex loop over a million patterns.
+  *
+  * Scale: host/domain are narrow codegen expressions; the report is
+  * one domain-key aggregate with map-side combine; the gate explodes
+  * each host to its ≤ label-count suffixes and broadcast-semi-joins
+  * the (small) blocklist. Nothing touches the text column until the
+  * survivors are decided — which is the point of URL-first ordering.
+  */
+object UrlCuration {
+
+  /** Common multi-part public suffixes (the PSL's most-used entries);
+    * pass the full list for production fidelity. */
+  val DefaultMultiPartTlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za")
+
+  /** Lower-cased host of a URL ('' when unparseable): scheme-optional,
+    * credentials and port stripped. */
+  def host(url: Column): Column =
+    lower(regexp_extract(url,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  /** Registered domain of a host: the last two labels, or the last
+    * THREE when the last two form a listed multi-part suffix
+    * (`a.b.co.uk` → `b.co.uk`; `a.b.example.com` → `example.com`).
+    * Hosts with ≤ the needed labels pass through whole. */
+  def registeredDomain(hostCol: Column,
+                       multiPartTlds: Seq[String] = DefaultMultiPartTlds): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val lastTwo = array_join(slice(labels, -2, 2), ".")
+    val keep = when(lastTwo.isin(multiPartTlds: _*), lit(3)).otherwise(lit(2))
+    // slice(-keep, 3): negative start counts from the end; length 3 caps
+    // the window (a 2-label keep still yields exactly the last 2)
+    when(n <= keep, hostCol)
+      .otherwise(array_join(slice(labels, -keep, lit(3)), "."))
+  }
+
+  /** Per-domain triage report — the FineWeb-style table a curator cuts
+    * on: (domain, n_docs, n_tokens, mean_quality_bp), quality in
+    * half-up integer basis points of [[TextFns.qualityScore]]. */
+  def domainReport(df: DataFrame, urlCol: String, textCol: String,
+                   multiPartTlds: Seq[String] = DefaultMultiPartTlds): DataFrame =
+    df.select(
+        registeredDomain(host(col(urlCol)), multiPartTlds).as("domain"),
+        coalesce(TextFns.tokenCount(col(textCol)), lit(0)).cast("long")
+          .as("__nt"),
+        coalesce(round(TextFns.qualityScore(col(textCol)) * 10000), lit(0.0))
+          .cast("long").as("__q"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        // half-up integer mean of the 1e-4-quantized scores (the
+        // CorpusReport rule): (2·Σq + n) div (2n)
+        expr("(2 * sum(__q) + count(1)) div (2 * count(1))")
+          .as("mean_quality_bp"))
+
+  /** Every suffix of a host that could match a blocklist entry:
+    * `a.b.co` → [a.b.co, b.co, co]. */
+  private def hostSuffixes(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** Drop documents whose host or ANY parent domain is blocked —
+    * `blocked` is a one-column (domain) relation (read it from a file
+    * at production scale); matching is exact on exploded suffixes and
+    * the blocklist broadcasts. Rows with no parseable host are KEPT
+    * (a missing URL is not evidence of spam; gate them elsewhere). */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+                      blocked: DataFrame): DataFrame = {
+    val keyed = df.withColumn("__sfx", hostSuffixes(host(col(urlCol))))
+    keyed
+      .join(broadcast(blocked.select(col(blocked.columns.head).as("__b"))),
+        array_contains(col("__sfx"), col("__b")), "left_anti")
+      .drop("__sfx")
+  }
+
+  /** DuckDB replay of [[domainReport]] — host regexp, label-arithmetic
+    * registered domain, and the q36 quality integer inline. */
+  def domainReportOracle(table: String, urlExpr: String, textCol: String,
+                         multiPartTlds: Seq[String] = DefaultMultiPartTlds): String = {
+    val tldList = multiPartTlds.map(t => s"'$t'").mkString(", ")
+    s"""
+      WITH h AS (
+        SELECT lower(regexp_extract($urlExpr,
+                 '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)',
+                 1)) AS host,
+               $textCol AS txt,
+               list_filter(string_split_regex(coalesce($textCol, ''), '\\s+'),
+                 x -> x <> '') AS toks
+        FROM $table),
+      d AS (
+        SELECT CASE WHEN len(string_split(host, '.')) <=
+                 (CASE WHEN array_to_string(string_split(host, '.')[-2:], '.')
+                         IN ($tldList) THEN 3 ELSE 2 END)
+               THEN host
+               ELSE array_to_string(string_split(host, '.')[
+                 -(CASE WHEN array_to_string(string_split(host, '.')[-2:], '.')
+                     IN ($tldList) THEN 3 ELSE 2 END):], '.') END AS domain,
+               txt, toks
+        FROM h),
+      m AS (
+        SELECT domain,
+          CAST(coalesce(len(toks), 0) AS BIGINT) AS n,
+          CAST(len(list_filter(string_split_regex(lower(txt), '\\s+'),
+            x -> x <> '' AND x IN ('the','a','an','and','or','of','to',
+            'in','is','it','that','for','on','with','as','was','at','by','this')))
+            AS BIGINT) AS m1,
+          CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+            AS BIGINT) AS s,
+          CAST(length(txt) AS BIGINT) AS c,
+          CAST(length(txt)
+            - length(regexp_replace(txt, '[!-/:-@\\[-`{-~0-9]', '', 'g'))
+            AS BIGINT) AS pd
+        FROM d),
+      k AS (
+        SELECT domain, n,
+          CASE WHEN n > 0 AND c > 0 THEN
+            (2 * (least(m1 * c * 16000, n * c * 4000)
+                  + (CASE WHEN s >= n * 2 AND s <= n * 12
+                     THEN n * c * 4000 ELSE 0 END)
+                  + (n * c * 2000 - least(pd * n * 4000, n * c * 2000)))
+             + n * c) // (n * c * 2)
+          ELSE 0 END AS q
+        FROM m)
+      SELECT domain,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_quality_bp
+      FROM k
+      GROUP BY domain
+      ORDER BY domain"""
+  }
+}

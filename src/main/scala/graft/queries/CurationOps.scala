@@ -1018,7 +1018,73 @@ object CurationOps {
       FROM l
       ORDER BY doc_id, pos"""))
 
+  /** The synthetic crawl URL both q175/q176 sides construct: an
+    * optional `news.` subdomain, a per-source registrable label, and
+    * a TLD split between `.com` and the multi-part `.co.uk` — so the
+    * registered-domain arithmetic (2 vs 3 labels) and the suffix
+    * matching both get exercised on every engine. */
+  private val urlSql =
+    """'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END) ||
+      'example-' || source ||
+      (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) ||
+      '/p/' || CAST(doc_id AS VARCHAR)""".replaceAll("\n\\s+", " ")
+
+  private def urlCol: org.apache.spark.sql.Column = concat(
+    lit("https://"),
+    when(col("doc_id") % 3 === 0, lit("news.")).otherwise(lit("")),
+    lit("example-"), col("source"),
+    when(col("doc_id") % 4 === 0, lit(".co.uk")).otherwise(lit(".com")),
+    lit("/p/"), col("doc_id").cast("string"))
+
+  /** q175: per-domain triage report
+    * ([[graft.operators.UrlCuration.domainReport]]) — the URL-first
+    * curation table (RefinedWeb/FineWeb order: judge domains before
+    * scoring a byte of text): host regexp → registered domain
+    * (label arithmetic over the multi-part-TLD list) → one domain-key
+    * aggregate of doc counts, token counts, and the q36 quality
+    * integer's half-up mean. */
+  private val q175 = QuerySpec(
+    "q175_domain_report",
+    (s, dir) =>
+      graft.operators.UrlCuration.domainReport(
+          Tables.documents(s, dir).withColumn("url", urlCol), "url", "text")
+        .orderBy(col("domain")),
+    oracle = Some(graft.operators.UrlCuration.domainReportOracle(
+      "documents", urlSql, "text")))
+
+  /** q176: blocklist gate with SUFFIX semantics
+    * ([[graft.operators.UrlCuration.blocklistFilter]]) — blocking a
+    * registered domain drops its subdomains too, and blocking a bare
+    * public suffix (`co.uk`) drops everything under it; the blocklist
+    * joins as broadcast DATA against each host's exploded suffix set,
+    * never a per-row regex loop. */
+  private val q176 = QuerySpec(
+    "q176_url_blocklist",
+    (s, dir) => {
+      import s.implicits._
+      val blocked = Seq("example-src3.com", "co.uk").toDF("domain")
+      graft.operators.UrlCuration.blocklistFilter(
+          Tables.documents(s, dir).withColumn("url", urlCol), "url", blocked)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               lower(regexp_extract($urlSql,
+                 '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)',
+                 1)) AS host
+        FROM documents),
+      sfx AS (
+        SELECT doc_id,
+               list_transform(range(1, len(string_split(host, '.')) + 1),
+                 i -> array_to_string(string_split(host, '.')[i:], '.')) AS ss
+        FROM h)
+      SELECT doc_id FROM sfx
+      WHERE NOT list_has_any(ss, ['example-src3.com', 'co.uk'])
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
-      q134, q144, q148, q150, q156, q173, q174)
+      q134, q144, q148, q150, q156, q173, q174, q175, q176)
 }
