@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * individual operators exist for, wired in the canonical order a
   * production data pipeline runs them:
   *
+  *   -3. URL blocklist      (opt-in: UrlCuration.blocklistFilter —
+  *                           suffix-semantics domain gate over the URL
+  *                           alone; the RefinedWeb/FineWeb URL-FIRST
+  *                           order — condemned domains never have a
+  *                           byte of text read)
+  *   -2. HTML extraction    (opt-in: HtmlExtract.extractText — raw
+  *                           crawl pages become prose with the block
+  *                           line breaks the line stages key on)
   *   0. incremental gate    (opt-in: Dedup.bloomDedupe vs a historical
   *                           corpus index — skip what's already kept)
   *   0b. line dedup         (opt-in: LineDedup.firstOccurrence — strip
@@ -136,7 +144,15 @@ object TrainingCorpusPipeline {
       pplTailGroupCol: Option[String] = None,
       // bucket count for the perplexity cut: 3 = CCNet's
       // head/middle/tail, only the last bucket drops
-      pplBuckets: Int = 3)
+      pplBuckets: Int = 3,
+      // treat this input column as RAW HTML: the pipeline front-ends
+      // with HtmlExtract.extractText and the extracted prose becomes
+      // textCol for every later stage — the crawl-to-tensor form
+      htmlCol: Option[String] = None,
+      // URL column for the blocklist gate (used with run()'s
+      // urlBlocklist) — the RefinedWeb/FineWeb URL-FIRST seating:
+      // blocked domains drop before a byte of text is touched
+      urlCol: Option[String] = None)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -157,7 +173,37 @@ object TrainingCorpusPipeline {
   def run(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
           textCol: String, cfg: Config = Config(),
           historicalIndex: Option[DataFrame] = None,
-          qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None): DataFrame = {
+          qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None,
+          urlBlocklist: Option[DataFrame] = None): DataFrame = {
+    // -3. (opt-in) URL blocklist gate: the FIRST stage — suffix-
+    // semantics domain blocking over the URL column alone (the
+    // RefinedWeb/FineWeb order: no text is read for docs whose
+    // domain is already condemned). Requires cfg.urlCol.
+    val urlGated = (urlBlocklist, cfg.urlCol) match {
+      case (Some(blocked), Some(u)) =>
+        graft.operators.UrlCuration.blocklistFilter(docs, u, blocked)
+      case (Some(_), None) =>
+        throw new IllegalArgumentException(
+          "urlBlocklist requires Config.urlCol")
+      case _ => docs
+    }
+
+    // -2. (opt-in) HTML extraction: raw crawl pages become prose —
+    // comments/script/style dropped, block structure preserved as
+    // the line breaks the line-level stages (0b, C4) key on,
+    // entities decoded. The extracted text REPLACES textCol.
+    val docsText = cfg.htmlCol match {
+      case Some(h) =>
+        urlGated
+          .drop(textCol)
+          .join(graft.operators.HtmlExtract
+              .extractText(urlGated, idCol, h)
+              .select(col(idCol), col("text").as(textCol)),
+            Seq(idCol))
+          .drop(h)
+      case None => urlGated
+    }
+
     // -1. (opt-in) Unicode normalization: the first text rewrite —
     // every later stage hashes text (Bloom gate, lines, shingles,
     // n-grams), and canonically-equivalent spellings must agree
@@ -171,11 +217,11 @@ object TrainingCorpusPipeline {
     // normalized text — it is a product of a previous normalized run.)
     val (canon, holdoutCanon) = cfg.normalizeForm match {
       case Some(form) =>
-        (docs.withColumn(textCol,
+        (docsText.withColumn(textCol,
           graft.functions.UnicodeNorm.normalize(col(textCol), form)),
          evalHoldout.withColumn(textCol,
            graft.functions.UnicodeNorm.normalize(col(textCol), form)))
-      case None => (docs, evalHoldout)
+      case None => (docsText, evalHoldout)
     }
 
     // 0. (opt-in) incremental dedup against a historical corpus index:

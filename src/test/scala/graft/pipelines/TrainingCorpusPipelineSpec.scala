@@ -277,6 +277,39 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     off.filter(col("doc_id") === 9300001L).count() should be > 0L
   }
 
+  test("crawl-to-tensor: URL blocklist + HTML extraction front the pipeline") {
+    // raw crawl shape: (id, url, html) — the pipeline must go all the
+    // way from this to packed chunks, dropping the blocked domain
+    // WITHOUT reading its text and extracting prose for the rest
+    val crawl = pool.limit(40)
+      .withColumn("url", concat(lit("https://"),
+        when(col("doc_id") % 5 === 0, lit("blocked.example"))
+          .otherwise(lit("ok.example")),
+        lit("/p/"), col("doc_id").cast("string")))
+      .withColumn("html", concat(lit("<html><body><p>"), col("text"),
+        lit("</p><script>junk()</script></body></html>")))
+      .drop("text")
+      .withColumn("text", lit(null).cast("string")) // raw crawl has no prose yet
+    val blocked = Seq("blocked.example").toDF("domain")
+    val out2 = TrainingCorpusPipeline.run(crawl, holdout, "doc_id", "text",
+      cfg.copy(htmlCol = Some("html"), urlCol = Some("url")),
+      urlBlocklist = Some(blocked))
+    out2.count() should be > 0L
+    // every blocked-domain doc is gone; survivors carry extracted prose
+    out2.filter(col("doc_id") % 5 === 0).count() shouldBe 0L
+    out2.filter(col("chunk_text").contains("junk()")).count() shouldBe 0L
+    out2.filter(col("chunk_text").contains("<p>")).count() shouldBe 0L
+    // extracted prose ≡ the original text for surviving docs: the
+    // chunks equal a plain-text run over the same survivors
+    val plain = TrainingCorpusPipeline.run(
+      pool.limit(40).filter(col("doc_id") % 5 =!= 0), holdout,
+      "doc_id", "text", cfg)
+    val a = out2.select("doc_id", "chunk_id", "chunk_text")
+    val b = plain.select("doc_id", "chunk_id", "chunk_text")
+    a.except(b).count() shouldBe 0L
+    b.except(a).count() shouldBe 0L
+  }
+
   test("tokenize: the built corpus encodes under a frozen vocabulary; artifacts round-trip") {
     import graft.operators.UnigramTokenizer
     import graft.io.TokenizerArtifacts
