@@ -474,6 +474,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("q173: HTML extraction is map-only — no exchange before the oracle sort") {
+    // the crawl-to-text stage must fuse into the feeding scan: pure
+    // regexp/HOF projection, zero shuffles at 100 TB
+    val plan = planOf("q173_html_extract")
+    val preSort = plan.split("Sort ").last
+    assert(!preSort.contains("Exchange") ||
+      plan.indexOf("Exchange") > plan.indexOf("Sort"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQL UDF"), plan)
+  }
+
+  test("q176: blocklist gate broadcasts the blocklist; the corpus never shuffles pre-join") {
+    val plan = planOf("q176_url_blocklist")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the corpus side reads straight from the scan into the join — the
+    // only exchange is the final oracle orderBy
+    assert("Exchange".r.findAllIn(plan.split("== Initial")(0)).size <= 2, plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
