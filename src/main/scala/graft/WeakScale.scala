@@ -450,6 +450,34 @@ object WeakScale {
             .collect()
           docs.count()
         }),
+        // crawl-to-text: pure narrow regexp/HOF projection (the
+        // hottest pass at crawl scale) — expect flat-linear, zero
+        // shuffle; html synthesized per doc like the q173 fixture
+        ("html_extract_q173", D, () => {
+          val crawl = docs.withColumn("html",
+            concat(lit("<html><head><title>T</title><style>p{}</style>"),
+              lit("</head><body><h1>H</h1><p>"), col("text"),
+              lit("</p><script>var x=1;</script>"),
+              lit("<p>A &lt;b&gt; &#65; tail</p></body></html>")))
+          graft.operators.HtmlExtract.extractText(crawl, "doc_id", "html")
+            .agg(sum(length(col("text"))), count(lit(1))).collect()
+          docs.count()
+        }),
+        // URL-first gate: host suffix explode (≤ label count rows/doc)
+        // + broadcast blocklist anti join; only the URL column is
+        // read — expect flat-linear
+        ("url_blocklist_q176", D, () => {
+          val withUrl = docs.withColumn("url",
+            concat(lit("https://sub"), (col("doc_id") % 50).cast("string"),
+              lit(".host"), (col("doc_id") % 20).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string")))
+          val blocked = {
+            import spark.implicits._
+            (0 until 5).map(i => s"host$i.example.com").toDF("domain")
+          }
+          graft.operators.UrlCuration.blocklistFilter(withUrl, "url", blocked)
+            .count()
+        }),
         // feature hashing: explode + one (id, bucket) groupBy with
         // map-side combine; ≤ dim rows per doc — expect linear
         ("feature_hash_q162", D, () => {
