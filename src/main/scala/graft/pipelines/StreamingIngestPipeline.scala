@@ -66,10 +66,20 @@ object StreamingIngestPipeline {
       nearDupIndex: graft.operators.Decontaminate.NearDupIndex,
       tsCol: String, idCol: String, textCol: String,
       minQuality: Double = 0.3, lateness: String = "1 hour",
-      fpCol: String = "fp", nearDupThreshold: Double = 0.8)(
+      fpCol: String = "fp", nearDupThreshold: Double = 0.8,
+      qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None)(
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // opt-in stage 3c: the FROZEN model-quality gate (the batch
+    // pipeline's stage 2e, live) — composed INSIDE the near-dup
+    // foreachBatch sink so both per-batch gates share one pass
+    val gatedSink: (DataFrame, Long) => Unit = qualityModel match {
+      case Some((m, minP)) => (batch, id) =>
+        sink(graft.ml.QualityFilter.filter(m, batch, idCol, textCol, minP), id)
+      case None => sink
+    }
     StreamOps.nearDupGateEachBatch(
       run(docs, corpusIndex, tsCol, textCol, minQuality, lateness, fpCol),
-      nearDupIndex, idCol, textCol, nearDupThreshold)(sink)
+      nearDupIndex, idCol, textCol, nearDupThreshold)(gatedSink)
+  }
 }

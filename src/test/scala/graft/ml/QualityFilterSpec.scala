@@ -71,6 +71,19 @@ class QualityFilterSpec extends SparkSpec {
     Set(-250000L, 750000L) should contain (out(2L)._1)
   }
 
+  test("training is layout-independent: fits over different partitionings are bit-identical") {
+    // the conditioning contract: repartition(id) + sortWithinPartitions
+    // means the INCOMING layout cannot matter — the q92/q167
+    // determinism claim, here proven against adversarial layouts
+    val m13 = QualityFilter.train(train.repartition(13), "doc_id", "text",
+      "label", dim = 256, maxIter = 10)
+    val m3 = QualityFilter.train(
+      train.repartition(3, col("label")).sortWithinPartitions(col("text")),
+      "doc_id", "text", "label", dim = 256, maxIter = 10)
+    m13.coefficients shouldBe m3.coefficients
+    m13.intercept shouldBe m3.intercept
+  }
+
   test("score dimension follows the model: no hash-space drift between fit and serve") {
     // a model trained at dim 256 must hash serving docs into 256
     // buckets even when the caller would have used another dim — the

@@ -128,6 +128,44 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("runWithNearDupGate + frozen quality model: all FIVE hygiene stages compose") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Decontaminate
+    // frozen model trained offline (the QualityFilterSpec seed)
+    val seed = ((1L to 20L).map(i =>
+        (i, s"the committee published its annual report on policy $i outcomes", 1)) ++
+      (21L to 40L).map(i =>
+        (i, s"zzz qqq $i xx kk zz qq xk zx kq free free free click click", 0)))
+      .toDF("doc_id", "text", "label")
+    val model = graft.ml.QualityFilter.train(seed, "doc_id", "text", "label",
+      dim = 256, maxIter = 20)
+    val corpus = Seq((100L, "an unrelated already ingested page about rivers " +
+      "and weather measured daily across many remote northern stations"))
+      .toDF("doc_id", "text")
+    val corpusIndex = corpus
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    val index = Decontaminate.buildNearDupIndex(corpus, "doc_id", "text")
+    try {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val docs = in.toDF().toDF("ts", "doc_id", "text")
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamingIngestPipeline.runWithNearDupGate(
+        docs, corpusIndex, index, "ts", "doc_id", "text",
+        qualityModel = Some((model, 0.5))) { (b, _) =>
+        got ++= b.select("doc_id").as[Long].collect()
+      }.start()
+      try {
+        in.addData(
+          (ts(0), 1L, "the committee published a careful report on local " +
+            "policy outcomes and methods this year"),        // survives all gates
+          (ts(1), 2L, "zz qq xx kk free free free click click zq xk here " +
+            "today again"))                                  // model gate drops
+        q.processAllAvailable()
+      } finally q.stop()
+      got.sorted.toSeq shouldBe Seq(1L)
+    } finally index.unpersist()
+  }
+
   test("soak: dedup state plateaus under the watermark across 100 micro-batches") {
     // The 100 TB streaming risk is unbounded state growth. Drive the
     // pipeline through 100 micro-batches of all-unique documents, event
