@@ -300,4 +300,112 @@ object ProductQuant {
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("p.id").as("c_id"), col("p.sim").as("sim"))
   }
+
+  // ---- Residual encoding (by_residual = true, the FAISS default) -------
+
+  /** A residual IVF-PQ index: the coarse cell model plus PQ codebooks
+    * trained on RESIDUALS (vector − its nearest cell centroid). The
+    * residual distribution is tighter than the raw one — the same
+    * code budget spends its precision on the within-cell geometry
+    * that actually ranks candidates, which is why FAISS defaults to
+    * it (Jégou et al. 2011 §IV.B). */
+  case class ResidualModel(cells: KMeans.Model, pq: Model)
+
+  /** Micro-exact residual of a micro vector against its cell's
+    * centroid, re-expressed in the FLOAT domain the PQ machinery
+    * consumes: (micro − centroid)/10⁶ as doubles. The round-trip is
+    * EXACT — `microVec(round(k/10⁶·10⁶)) = k` for |k| < 2⁵¹ (double
+    * mul/div are correctly rounded) — so every downstream distance is
+    * the same integer an all-integer replay computes. */
+  private def residualExpr(micro: Column, cellCol: Column,
+                           cells: KMeans.Model): Column = {
+    val cents = typedlit(cells.sortBy(_._1).map(_._2))
+    transform(zip_with(micro, element_at(cents, cellCol.cast("int")),
+      (a, b) => a - b), x => (x.cast("double") / lit(1e6)))
+  }
+
+  /** (idCol, cell, rvec): nearest-cell assignment (dist asc, cid asc
+    * — the KMeans argmin rule) + the residual vector. Narrow: one
+    * literal-model map, no join, no shuffle. */
+  private def residualVecs(df: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, cells: KMeans.Model): DataFrame = {
+    val ordered = cells.sortBy(_._1)
+    val micro = KMeans.microVec(col(vecCol))
+    cleanVecs(df, vecCol, dim)
+      .withColumn("__m", micro)
+      .withColumn("__d", transform(typedlit(ordered.map(_._2)),
+        c => KMeans.sqDistMicro(col("__m"), c)))
+      .withColumn("cell",
+        array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .select(col(idCol), col("cell"),
+        residualExpr(col("__m"), col("cell"), cells).as("rvec"))
+  }
+
+  /** Train a residual IVF-PQ index: coarse cells on the raw vectors,
+    * PQ codebooks on the residuals (both over the bounded
+    * deterministic sample — constant training cost at any corpus
+    * size). */
+  def trainResidual(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, m: Int, k: Int, iters: Int, nCells: Int,
+                    cellIters: Int = 2): ResidualModel = {
+    val cells = KMeans.fit(cleanVecs(df, vecCol, dim), idCol, vecCol,
+      nCells, cellIters)
+    val resid = residualVecs(df, idCol, vecCol, dim, cells)
+    ResidualModel(cells, train(resid, idCol, "rvec", dim, m, k, iters))
+  }
+
+  /** Residual IVF-PQ search: candidates share one of the query's
+    * `nProbe` nearest cells (as [[ivfAdcTopK]]); scoring is ADC over
+    * RESIDUAL codes — the query's lookup tables are built PER PROBED
+    * CELL from the query's residual against that cell (FAISS's
+    * per-list LUT recomputation), |Q|·nProbe LUT rows, broadcast.
+    * Exact integer distances end to end; self-kNN form; output
+    * (q_id, rank, c_id, adc_dist) ranked adc asc / c_id asc. */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, dim: Int,
+                         model: ResidualModel, k: Int,
+                         nProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // corpus side: nearest cell + residual codes — narrow, repartitioned
+    // for the scoring fan-out (the adcTopK rule)
+    val rv = residualVecs(corpus, idCol, vecCol, dim, model.cells)
+    val codes = encode(rv, idCol, "rvec", dim, model.pq)
+      .join(rv.select(col(idCol), col("cell")), idCol)
+      .select(col(idCol).as("c_id"), col("cell"), col("codes"))
+      .repartition(par)
+    // query side: nProbe nearest cells via a narrow sorted-struct
+    // slice over the literal model, then one LUT row per (q, cell)
+    // from the query's residual AGAINST THAT CELL
+    val ordered = model.cells.sortBy(_._1)
+    val probed = cleanVecs(queries, vecCol, dim)
+      .withColumn("__m", KMeans.microVec(col(vecCol)))
+      .withColumn("__dc", sort_array(zip_with(
+        transform(typedlit(ordered.map(_._2)),
+          c => KMeans.sqDistMicro(col("__m"), c)),
+        sequence(lit(1), lit(ordered.size)),
+        (d, i) => struct(d.as("d"), i.cast("int").as("cell")))))
+      .select(col(idCol).as("q_id"), col("__m"),
+        explode(slice(col("__dc"), 1, math.min(nProbe, ordered.size)))
+          .as("t"))
+      .select(col("q_id"), col("__m"), col("t.cell").as("cell"))
+    val lutCols = model.pq.slices.zip(model.pq.books).zipWithIndex.map {
+      case (((start, len), book), i) =>
+        transform(typedlit(book.sortBy(_._1).map(_._2)),
+          c => KMeans.sqDistMicro(
+            slice(KMeans.microVec(
+              residualExpr(col("__m"), col("cell"), model.cells)),
+              start, len), c)).as(s"__lut$i")
+    }
+    val luts = probed.select(
+      Seq(col("q_id"), col("cell")) ++ lutCols: _*)
+    // every corpus point lives in exactly ONE cell (nearest-only
+    // assignment), so each (q, c) pair meets at most once — no
+    // distinct/dedup stage needed (FAISS's scan-own-list property)
+    val scored = codes
+      .join(broadcast(luts), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("__adc", adcScore(model.pq))
+    adcRank(scored, k)
+  }
 }

@@ -966,7 +966,9 @@ object Advanced {
     * the CTEs `q` (micro vectors) and `seeded` (portable md5 rank)
     * being defined by the caller. Produces `qs_T` (sub-vectors),
     * `cT_2` (trained codebook), `eT` (per-vector code). */
-  private def pqChainSql(t: Int, lo: Int, hi: Int, k: Int): String = {
+  private def pqChainSql(t: Int, lo: Int, hi: Int, k: Int,
+                         base: String = "q",
+                         seedRel: String = "seeded"): String = {
     val len = hi - lo + 1
     val rng = s"range(1, ${len + 1})"
     def distCte(out: String, crel: String, qrel: String = s"qs_$t") = s"""
@@ -991,11 +993,11 @@ object Advanced {
         FROM $prev p LEFT JOIN (
           SELECT cid, list(ci ORDER BY i) AS nv FROM m${t}_$r GROUP BY 1) m
           USING (cid))"""
-    s"""qs_$t AS (SELECT vec_id, v[$lo:$hi] AS v FROM q),
+    s"""qs_$t AS (SELECT vec_id, v[$lo:$hi] AS v FROM $base),
       init_$t AS (
         SELECT CAST(row_number() OVER (ORDER BY r, vec_id) AS INTEGER) AS cid,
                v[$lo:$hi] AS v
-        FROM seeded ORDER BY r, vec_id LIMIT $k),
+        FROM $seedRel ORDER BY r, vec_id LIMIT $k),
       ${roundCtes(1, s"init_$t")},
       ${roundCtes(2, s"c${t}_1")},${distCte(s"dE_$t", s"c${t}_2")},
       e_$t AS (
@@ -1264,8 +1266,98 @@ object Advanced {
       ORDER BY q_id, rank"""
     })
 
+  /** q177: ORACLE-CHECKED residual IVF-PQ
+    * ([[graft.operators.ProductQuant.ivfAdcResidualTopK]], Jégou et
+    * al. 2011 §IV.B — `by_residual = true`, the FAISS `IndexIVFPQ`
+    * default): codebooks learn on (vector − nearest-cell centroid)
+    * RESIDUALS, and each query's ADC lookup tables are rebuilt per
+    * probed cell from the query's residual against THAT cell (the
+    * per-list LUT recomputation). Every distance stays an exact
+    * integer — the residual is a micro-space subtraction and the
+    * float round-trip is lossless below 2⁵¹ — so DuckDB replays the
+    * coarse k-means, the residual relation, both residual-trained
+    * codebooks, the one-cell-per-point candidate walk, and the
+    * per-(q, cell) LUT scoring bit for bit. */
+  private val q177 = QuerySpec(
+    "q177_ann_ivf_pq_residual",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.ProductQuant.trainResidual(emb, "vec_id",
+        "embedding", dim = 64, m = 2, k = 4, iters = 2, nCells = 8,
+        cellIters = 2)
+      graft.operators.ProductQuant.ivfAdcResidualTopK(emb,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3, nProbe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      ${pqChainSql(2, 1, 64, 8)},
+      ca AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rk
+          FROM dE_2) WHERE rk = 1),
+      rq AS MATERIALIZED (
+        SELECT v.vec_id,
+               list_transform(range(1, 65), i -> v.v[i] - c.v[i]) AS v
+        FROM q v JOIN ca ON ca.vec_id = v.vec_id
+        JOIN c2_2 c ON c.cid = ca.cell),
+      rseeded AS (
+        SELECT r.vec_id, r.v, s.r FROM rq r JOIN seeded s USING (vec_id)),
+      ${pqChainSql(0, 1, 32, 4, base = "rq", seedRel = "rseeded")},
+      ${pqChainSql(1, 33, 64, 4, base = "rq", seedRel = "rseeded")},
+      qp AS (
+        SELECT vec_id AS q_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rk
+          FROM dE_2 WHERE vec_id <= 20) WHERE rk <= 2),
+      qr AS (
+        SELECT p.q_id, p.cell,
+               list_transform(range(1, 65), i -> v.v[i] - c.v[i]) AS v
+        FROM qp p JOIN q v ON v.vec_id = p.q_id
+        JOIN c2_2 c ON c.cid = p.cell),
+      lu0 AS (
+        SELECT qr.q_id, qr.cell, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qr.v[i] - c.v[i]) * (qr.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM qr CROSS JOIN c0_2 c),
+      lu1 AS (
+        SELECT qr.q_id, qr.cell, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qr.v[32 + i] - c.v[i]) * (qr.v[32 + i] - c.v[i])))
+                 AS BIGINT) AS d
+        FROM qr CROSS JOIN c1_2 c),
+      adc AS (
+        SELECT p.q_id, ca.vec_id AS c_id, l0.d + l1.d AS adc_dist
+        FROM qp p
+        JOIN ca ON ca.cell = p.cell AND ca.vec_id <> p.q_id
+        JOIN e_0 e0 ON e0.vec_id = ca.vec_id
+        JOIN e_1 e1 ON e1.vec_id = ca.vec_id
+        JOIN lu0 l0 ON l0.q_id = p.q_id AND l0.cell = p.cell
+                   AND l0.code = e0.code
+        JOIN lu1 l1 ON l1.q_id = p.q_id AND l1.cell = p.cell
+                   AND l1.code = e1.code)
+      SELECT q_id, rank, c_id, adc_dist FROM (
+        SELECT q_id, c_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist, c_id) AS INTEGER) AS rank
+        FROM adc) WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142,
-      q143, q168)
+      q143, q168, q177)
 }
