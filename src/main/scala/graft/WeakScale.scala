@@ -513,6 +513,31 @@ object WeakScale {
             dim = 64, model, k = 3,
             nCells = (8 * math.sqrt(k.toDouble)).toInt,
             nProbe = 2, superProbe = 2, ivfIters = 2).count()
+        }),
+        // residual IVF-PQ (q177): same candidate shape as q143 with
+        // nCells ∝ k; sample-bounded double training (cells + residual
+        // codebooks), ONE fused corpus pass for cell+codes — expect
+        // the q143 curve
+        ("ivf_pq_residual_q177", V, () => {
+          val model = graft.operators.ProductQuant.trainResidual(vecs,
+            "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
+            nCells = 8 * k, cellIters = 2)
+          graft.operators.ProductQuant.ivfAdcResidualTopK(vecs,
+            vecs.filter(col("vec_id") <= 20), "vec_id", "embedding",
+            dim = 64, model, k = 3, nProbe = 2).count()
+        }),
+        // the balanced sizing for the flat residual form: nCells ∝ √k
+        // puts the literal assignment at n·√k (∝ k^1.5) instead of the
+        // row above's n·k — the same mitigation as
+        // semantic_dedup_sqrtcells; past the literal cap the scale
+        // path is residual ∘ two-level (class doc)
+        ("ivf_pq_residual_sqrtcells", V, () => {
+          val model = graft.operators.ProductQuant.trainResidual(vecs,
+            "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
+            nCells = (8 * math.sqrt(k.toDouble)).toInt, cellIters = 2)
+          graft.operators.ProductQuant.ivfAdcResidualTopK(vecs,
+            vecs.filter(col("vec_id") <= 20), "vec_id", "embedding",
+            dim = 64, model, k = 3, nProbe = 2).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic,bpe" measures a
       // comma-separated name-substring subset (local iteration; the

@@ -308,7 +308,14 @@ object ProductQuant {
     * residual distribution is tighter than the raw one — the same
     * code budget spends its precision on the within-cell geometry
     * that actually ranks candidates, which is why FAISS defaults to
-    * it (Jégou et al. 2011 §IV.B). */
+    * it (Jégou et al. 2011 §IV.B).
+    *
+    * The coarse model here is the FLAT literal form — the right tool
+    * to the documented ~10³-10⁴-cell literal cap (the q139/q143
+    * trade); past it, compose with the two-level quantizer by joining
+    * residuals from the broadcast sub-centroid RELATION instead of
+    * `element_at` on a literal (the q168 pattern — the residual
+    * arithmetic itself is join-shape-agnostic). */
   case class ResidualModel(cells: KMeans.Model, pq: Model)
 
   /** Micro-exact residual of a micro vector against its cell's
@@ -342,16 +349,27 @@ object ProductQuant {
   }
 
   /** Train a residual IVF-PQ index: coarse cells on the raw vectors,
-    * PQ codebooks on the residuals (both over the bounded
-    * deterministic sample — constant training cost at any corpus
-    * size). */
+    * PQ codebooks on the residuals — BOTH over the bounded
+    * deterministic md5-rank sample (clamp(64·nCells, 4096, 65536) for
+    * the cells; [[train]] applies its own identical rule to the
+    * residual relation), so training cost is constant in corpus size
+    * — the ivfCellsTrained/train convention. A sample larger than the
+    * corpus degrades to the full corpus, which keeps small-corpus
+    * oracles exact. */
   def trainResidual(df: DataFrame, idCol: String, vecCol: String,
                     dim: Int, m: Int, k: Int, iters: Int, nCells: Int,
                     cellIters: Int = 2): ResidualModel = {
-    val cells = KMeans.fit(cleanVecs(df, vecCol, dim), idCol, vecCol,
-      nCells, cellIters)
-    val resid = residualVecs(df, idCol, vecCol, dim, cells)
-    ResidualModel(cells, train(resid, idCol, "rvec", dim, m, k, iters))
+    val n = math.min(65536, math.max(4096, 64 * nCells))
+    val sample = cleanVecs(df, vecCol, dim)
+      .withColumn("__r", Similarity.portableCentroidRank(col(idCol)))
+      .orderBy(col("__r"), col(idCol)).limit(n)
+      .select(col(idCol), col(vecCol))
+      .cache()
+    try {
+      val cells = KMeans.fit(sample, idCol, vecCol, nCells, cellIters)
+      val resid = residualVecs(df, idCol, vecCol, dim, cells)
+      ResidualModel(cells, train(resid, idCol, "rvec", dim, m, k, iters))
+    } finally { sample.unpersist(); () }
   }
 
   /** Residual IVF-PQ search: candidates share one of the query's
@@ -367,12 +385,20 @@ object ProductQuant {
                          nProbe: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    // corpus side: nearest cell + residual codes — narrow, repartitioned
-    // for the scoring fan-out (the adcTopK rule)
+    // corpus side: nearest cell + residual codes fused into ONE narrow
+    // pass (cell assignment, residual, and code argmins are all
+    // expressions over the same row — the corpus is scanned once),
+    // repartitioned for the scoring fan-out (the adcTopK rule)
     val rv = residualVecs(corpus, idCol, vecCol, dim, model.cells)
-    val codes = encode(rv, idCol, "rvec", dim, model.pq)
-      .join(rv.select(col(idCol), col("cell")), idCol)
-      .select(col(idCol).as("c_id"), col("cell"), col("codes"))
+    val rMicro = KMeans.microVec(col("rvec"))
+    val codeCols = model.pq.slices.zip(model.pq.books).map {
+      case ((start, len), book) =>
+        val d = bookDists(rMicro, start, len, book)
+        array_position(d, array_min(d)).cast("int")
+    }
+    val codes = rv
+      .select(col(idCol).as("c_id"), col("cell"),
+        array(codeCols: _*).as("codes"))
       .repartition(par)
     // query side: nProbe nearest cells via a narrow sorted-struct
     // slice over the literal model, then one LUT row per (q, cell)

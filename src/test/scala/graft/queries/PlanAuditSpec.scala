@@ -494,6 +494,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan.split("== Initial")(0)).size <= 2, plan)
   }
 
+  test("q177: residual IVF-PQ — corpus scanned ONCE into codes, cell-key hash join, heap top-k") {
+    val plan = planOf("q177_ann_ivf_pq_residual")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("top_k_pairs"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the fused corpus pass: exactly one embeddings scan feeds the
+    // code relation (cell + residual + codes in one projection); the
+    // query side adds its own scans, so total scans stay bounded
+    val scans = "FileScan parquet".r.findAllIn(plan.split("== Initial")(0)).size
+    assert(scans <= 3, s"expected <= 3 corpus scans, got $scans\n" + plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
