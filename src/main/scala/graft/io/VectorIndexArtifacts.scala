@@ -56,6 +56,31 @@ object VectorIndexArtifacts {
       }.toDF("subspace", "cid", "cvec"))
   }
 
+  /** Snapshot a [[graft.operators.Similarity.TwoLevelModel]]: the
+    * literal super model plus the (super, sub, cvec) sub-centroid
+    * RELATION — the artifact that lets the no-K-literal index family
+    * serve frozen too. Layout: `<path>/super` (cid, cvec),
+    * `<path>/sub` (super, sub, cvec), `<path>/meta` (n_sub). */
+  def saveTwoLevel(spark: SparkSession, path: String,
+                   model: graft.operators.Similarity.TwoLevelModel): Unit = {
+    import spark.implicits._
+    saveKMeans(spark, s"$path/super_model", model.superModel)
+    ParquetSink(s"$path/sub", coalesceTo = Some(1)).write(model.sub)
+    ParquetSink(s"$path/meta", coalesceTo = Some(1))
+      .write(Seq(model.nSub).toDF("n_sub"))
+  }
+
+  def loadTwoLevel(spark: SparkSession, path: String)
+      : graft.operators.Similarity.TwoLevelModel = {
+    val superModel = loadKMeans(spark, s"$path/super_model")
+    val sub = spark.read.parquet(s"$path/sub")
+      .select(col("super"), col("sub"), col("cvec"))
+    val nSub = spark.read.parquet(s"$path/meta")
+      .collect().head.getInt(0)
+    require(nSub >= 1, s"loaded n_sub must be >= 1, got $nSub")
+    graft.operators.Similarity.TwoLevelModel(superModel, sub, nSub)
+  }
+
   def loadPq(spark: SparkSession, path: String): ProductQuant.Model = {
     val slices = spark.read.parquet(s"$path/slices")
       .orderBy(col("subspace"))

@@ -541,7 +541,29 @@ object Similarity {
                        nCells: Int = 0, nProbe: Int = 2,
                        superProbe: Int = 2, iters: Int = 2,
                        sampleN: Int = 0): DataFrame = {
-    require(nProbe >= 1 && superProbe >= 1 && iters >= 0)
+    require(nProbe >= 1)
+    assignTwoLevelCells(df, idCol, vecCol,
+      trainTwoLevelCells(df, idCol, vecCol, nCells, iters, sampleN),
+      nProbe, superProbe)
+  }
+
+  /** A trained two-level quantizer ARTIFACT: the ⌈√K⌉ literal super
+    * model, the (super, sub, cvec) sub-centroid RELATION, and the
+    * cell-id arithmetic's nSub — the persistable form
+    * ([[graft.io.VectorIndexArtifacts]]) that lets a two-level index
+    * be built once and serve frozen, like every other model in the
+    * family. */
+  case class TwoLevelModel(superModel: KMeans.Model, sub: DataFrame,
+                           nSub: Int)
+
+  /** The training half of [[ivfCellsTwoLevel]]: super k-means on the
+    * bounded sample (literal model), then grouped-Lloyd sub-centroids
+    * as a relation. Deterministic; the sub relation returns
+    * eager-checkpointed (model-sized). */
+  def trainTwoLevelCells(df: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int = 0, iters: Int = 2,
+                         sampleN: Int = 0): TwoLevelModel = {
+    require(iters >= 0)
     val clean = df.filter(col(vecCol).isNotNull
       && !exists(col(vecCol), x => x.isNull))
     val k = resolveSize(clean, idCol, nCells, suggestCells)
@@ -599,13 +621,26 @@ object Similarity {
         .localCheckpoint(true)
     }
     sampleA.unpersist()
-    // corpus assignment: superProbe nearest supers narrow-mapped, then
-    // candidates from the broadcast sub relation, nProbe best cells
+    TwoLevelModel(superModel, subC, nSub)
+  }
+
+  /** The assignment half of [[ivfCellsTwoLevel]]: superProbe nearest
+    * supers narrow-mapped against the literal super model, candidates
+    * from the broadcast sub relation, nProbe best cells per vector.
+    * Output (id, cell), cell = (super−1)·nSub + sub. */
+  def assignTwoLevelCells(df: DataFrame, idCol: String, vecCol: String,
+                          model: TwoLevelModel, nProbe: Int = 2,
+                          superProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && superProbe >= 1)
+    val clean = df.filter(col(vecCol).isNotNull
+      && !exists(col(vecCol), x => x.isNull))
+    val nSuper = model.superModel.size
+    val nSub = model.nSub
     val cand = peelNearestLiteral(
         clean.select(col(idCol).as("id"),
           KMeans.microVec(col(vecCol)).as("__v")),
-        superModel, superProbe, "super")
-      .join(broadcast(subC), "super")
+        model.superModel, superProbe, "super")
+      .join(broadcast(model.sub), "super")
       .select(col("id"),
         struct(KMeans.sqDistMicro(col("__v"), col("cvec")).as("d"),
           ((col("super") - 1) * nSub + col("sub")).cast("int").as("cell"))

@@ -40,6 +40,27 @@ class VectorIndexArtifactsSpec extends SparkSpec {
     VectorIndexArtifacts.loadKMeans(spark, dir) shouldBe model
   }
 
+  test("two-level model round-trips: saved index assigns byte-identically") {
+    import graft.operators.Similarity
+    val model = Similarity.trainTwoLevelCells(emb, "vec_id", "embedding",
+      nCells = 9, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("tl").toString + "/idx"
+    VectorIndexArtifacts.saveTwoLevel(spark, dir, model)
+    val loaded = VectorIndexArtifacts.loadTwoLevel(spark, dir)
+    loaded.superModel shouldBe model.superModel
+    loaded.nSub shouldBe model.nSub
+    rowsOf(loaded.sub) shouldBe rowsOf(model.sub)
+    rowsOf(Similarity.assignTwoLevelCells(emb, "vec_id", "embedding",
+      loaded, nProbe = 2, superProbe = 2)) shouldBe
+      rowsOf(Similarity.assignTwoLevelCells(emb, "vec_id", "embedding",
+        model, nProbe = 2, superProbe = 2))
+    // and the train∘assign split IS ivfCellsTwoLevel (the q168 path)
+    rowsOf(Similarity.assignTwoLevelCells(emb, "vec_id", "embedding",
+      model, nProbe = 2, superProbe = 2)) shouldBe
+      rowsOf(Similarity.ivfCellsTwoLevel(emb, "vec_id", "embedding",
+        nCells = 9, nProbe = 2, superProbe = 2, iters = 2))
+  }
+
   test("corrupted artifacts fail loudly instead of serving a wrong index") {
     val model = KMeans.fit(emb, "vec_id", "embedding", k = 3, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("bad").toString + "/idx"
