@@ -538,6 +538,19 @@ object WeakScale {
           graft.operators.ProductQuant.ivfAdcResidualTopK(vecs,
             vecs.filter(col("vec_id") <= 20), "vec_id", "embedding",
             dim = 64, model, k = 3, nProbe = 2).count()
+        }),
+        // residual ∘ two-level (q178): no K-sized literal — assignment
+        // is superProbe·(√K literal + ~√K joined) dots + a broadcast
+        // residual join; expect the near-flat q168 curve with the
+        // residual join's small constant on top
+        ("ivf_pq_residual_two_level_q178", V, () => {
+          val model = graft.operators.ProductQuant.trainResidualTwoLevel(
+            vecs, "vec_id", "embedding", dim = 64, m = 2, k = 4,
+            iters = 2, nCells = (8 * math.sqrt(k.toDouble)).toInt,
+            cellIters = 2)
+          graft.operators.ProductQuant.ivfAdcResidualTopKTwoLevel(vecs,
+            vecs.filter(col("vec_id") <= 20), "vec_id", "embedding",
+            dim = 64, model, k = 3, nProbe = 2).count()
         }))
       // SPARK_GRAFT_WEAKSCALE_ONLY="semantic,bpe" measures a
       // comma-separated name-substring subset (local iteration; the

@@ -434,4 +434,98 @@ object ProductQuant {
       .withColumn("__adc", adcScore(model.pq))
     adcRank(scored, k)
   }
+
+  // ---- Residual ∘ two-level: the no-K-literal residual index ----------
+
+  /** Residual IVF-PQ over the TWO-LEVEL coarse quantizer — the
+    * composition that removes the last literal-cap constraint from
+    * the highest-recall index form: cells come from
+    * [[Similarity.TwoLevelModel]] (⌈√K⌉ literal supers + a broadcast
+    * sub RELATION), and residuals subtract the cell centroid via a
+    * broadcast JOIN on the cell id instead of `element_at` on a
+    * K-sized literal. Everything else is the q177 shape. */
+  case class ResidualTwoLevelModel(cells: Similarity.TwoLevelModel,
+                                   pq: Model)
+
+  /** (cell, cvec): the sub relation keyed by the flat cell id. */
+  private def cellVecsOf(tl: Similarity.TwoLevelModel): DataFrame =
+    tl.sub.select(
+      ((col("super") - 1) * tl.nSub + col("sub")).cast("int").as("cell"),
+      col("cvec"))
+
+  /** (idCol, cell, rvec): nearest two-level cell (within the
+    * superProbe beam) + the join-shaped residual. */
+  private def residualVecsTwoLevel(df: DataFrame, idCol: String,
+                                   vecCol: String, dim: Int,
+                                   tl: Similarity.TwoLevelModel,
+                                   superProbe: Int): DataFrame = {
+    val assign1 = Similarity.assignTwoLevelCells(df, idCol, vecCol, tl,
+        nProbe = 1, superProbe = superProbe)
+      .select(col("id").as(idCol), col("cell"))
+    cleanVecs(df, vecCol, dim)
+      .select(col(idCol), KMeans.microVec(col(vecCol)).as("__m"))
+      .join(assign1, idCol)
+      .join(broadcast(cellVecsOf(tl)), "cell")
+      .select(col(idCol), col("cell"),
+        transform(zip_with(col("__m"), col("cvec"), (a, b) => a - b),
+          x => x.cast("double") / lit(1e6)).as("rvec"))
+  }
+
+  /** Train the composed index: two-level cells on the raw vectors,
+    * PQ codebooks on the join-shaped residuals (both sample-bounded;
+    * [[train]] applies its own rank-sample rule to the residual
+    * relation). */
+  def trainResidualTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, m: Int, k: Int, iters: Int,
+                            nCells: Int, cellIters: Int = 2,
+                            superProbe: Int = 2): ResidualTwoLevelModel = {
+    val tl = Similarity.trainTwoLevelCells(df, idCol, vecCol, nCells,
+      cellIters)
+    val resid = residualVecsTwoLevel(df, idCol, vecCol, dim, tl, superProbe)
+    ResidualTwoLevelModel(tl, train(resid, idCol, "rvec", dim, m, k, iters))
+  }
+
+  /** [[ivfAdcResidualTopK]] behind the two-level quantizer: same
+    * candidate semantics (one cell per corpus point, per-(q, cell)
+    * LUTs), NO K-sized literal anywhere — the super model is the only
+    * literal centroid array in the plan. Output
+    * (q_id, rank, c_id, adc_dist), adc asc / c_id asc. */
+  def ivfAdcResidualTopKTwoLevel(corpus: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String, dim: Int,
+                                 model: ResidualTwoLevelModel, k: Int,
+                                 nProbe: Int = 2,
+                                 superProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val rv = residualVecsTwoLevel(corpus, idCol, vecCol, dim, model.cells,
+      superProbe)
+    val rMicro = KMeans.microVec(col("rvec"))
+    val codeCols = model.pq.slices.zip(model.pq.books).map {
+      case ((start, len), book) =>
+        val d = bookDists(rMicro, start, len, book)
+        array_position(d, array_min(d)).cast("int")
+    }
+    val codes = rv
+      .select(col(idCol).as("c_id"), col("cell"),
+        array(codeCols: _*).as("codes"))
+      .repartition(par)
+    val probed = Similarity.assignTwoLevelCells(queries, idCol, vecCol,
+        model.cells, nProbe, superProbe)
+      .select(col("id").as("q_id"), col("cell"))
+    val qr = cleanVecs(queries, vecCol, dim)
+      .select(col(idCol).as("q_id"), KMeans.microVec(col(vecCol)).as("__m"))
+      .join(probed, "q_id")
+      .join(broadcast(cellVecsOf(model.cells)), "cell")
+      .withColumn("__rm", zip_with(col("__m"), col("cvec"), (a, b) => a - b))
+    val lutCols = model.pq.slices.zip(model.pq.books).zipWithIndex.map {
+      case (((start, len), book), i) =>
+        bookDists(col("__rm"), start, len, book).as(s"__lut$i")
+    }
+    val luts = qr.select(Seq(col("q_id"), col("cell")) ++ lutCols: _*)
+    val scored = codes
+      .join(broadcast(luts), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("__adc", adcScore(model.pq))
+    adcRank(scored, k)
+  }
 }

@@ -1147,26 +1147,13 @@ object Advanced {
     * both grouped Lloyd rounds, the superProbe=2 corpus assignment
     * through the sub relation, the nProbe=2 best-cell cut, and the
     * ADC ranking — bit for bit. */
-  private val q168 = QuerySpec(
-    "q168_ann_ivf_pq_two_level",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val model = graft.operators.ProductQuant.train(emb, "vec_id",
-        "embedding", dim = 64, m = 2, k = 4, iters = 2)
-      graft.operators.ProductQuant.ivfAdcTopKTwoLevel(emb,
-          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
-          dim = 64, model, k = 3, nCells = 4, nProbe = 2,
-          superProbe = 2, ivfIters = 2)
-        .orderBy(col("q_id"), col("rank"))
-    },
-    oracle = Some {
-      // one grouped-Lloyd sub-round: assign each sample point to its
-      // super's nearest sub-centroid (tie: smaller sub), recompute
-      // each (super, sub) centroid as the truncating integer mean,
-      // carry emptied cells
-      def subRound(r: Int): String = {
-        val prev = if (r == 1) "sub_0" else s"sub_${r - 1}"
-        s"""sd_$r AS (
+  /** One grouped-Lloyd sub-round of the two-level replay: assign each
+    * sample point to its super's nearest sub-centroid (tie: smaller
+    * sub), recompute each (super, sub) centroid as the truncating
+    * integer mean, carry emptied cells. */
+  private def tlSubRound(r: Int): String = {
+    val prev = if (r == 1) "sub_0" else s"sub_${r - 1}"
+    s"""sd_$r AS (
         SELECT p.vec_id, p.super, c.sub,
                CAST(list_sum(list_transform(range(1, 65),
                  i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS BIGINT) AS dist
@@ -1188,8 +1175,15 @@ object Advanced {
         FROM $prev p LEFT JOIN (
           SELECT super, sub, list(ci ORDER BY i) AS nv
           FROM sm_$r GROUP BY 1, 2) m USING (super, sub))"""
-      }
-      s"""
+  }
+
+  /** The shared two-level replay front (q168/q178): micro vectors +
+    * rank seed, the super k-means chain (t=2, k=2), the per-super
+    * sub-centroid init + 2 grouped Lloyd rounds, the superProbe=2
+    * beam, and `cc` = every (vec_id, cell, dist) candidate — from
+    * which q168 cuts nProbe cells and q178 cuts the one cell of
+    * record plus the query beam. */
+  private def twoLevelFrontSql: String = s"""
       WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -1200,8 +1194,6 @@ object Advanced {
                CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
                  AS BIGINT) % 1000000 AS r
         FROM q),
-      ${pqChainSql(0, 1, 32, 4)},
-      ${pqChainSql(1, 33, 64, 4)},
       ${pqChainSql(2, 1, 64, 2)},
       sa0 AS (
         SELECT vec_id, cid AS super FROM (
@@ -1218,8 +1210,8 @@ object Advanced {
                  row_number() OVER (PARTITION BY super
                    ORDER BY r, vec_id) AS rn
           FROM pts) WHERE rn <= 2),
-      ${subRound(1)},
-      ${subRound(2)},
+      ${tlSubRound(1)},
+      ${tlSubRound(2)},
       sp AS (
         SELECT vec_id, cid AS super FROM (
           SELECT vec_id, cid,
@@ -1230,7 +1222,24 @@ object Advanced {
         SELECT p.vec_id, (p.super - 1) * 2 + c.sub AS cell,
                CAST(list_sum(list_transform(range(1, 65),
                  i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS dist
-        FROM sp p JOIN q qq USING (vec_id) JOIN sub_2 c USING (super)),
+        FROM sp p JOIN q qq USING (vec_id) JOIN sub_2 c USING (super))"""
+
+  private val q168 = QuerySpec(
+    "q168_ann_ivf_pq_two_level",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.ProductQuant.train(emb, "vec_id",
+        "embedding", dim = 64, m = 2, k = 4, iters = 2)
+      graft.operators.ProductQuant.ivfAdcTopKTwoLevel(emb,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3, nCells = 4, nProbe = 2,
+          superProbe = 2, ivfIters = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some {
+      twoLevelFrontSql + s""",
+      ${pqChainSql(0, 1, 32, 4)},
+      ${pqChainSql(1, 33, 64, 4)},
       assign AS (
         SELECT vec_id AS id, cell FROM (
           SELECT vec_id, cell,
@@ -1356,8 +1365,89 @@ object Advanced {
         FROM adc) WHERE rank <= 3
       ORDER BY q_id, rank"""))
 
+  /** q178: ORACLE-CHECKED residual ∘ two-level IVF-PQ
+    * ([[graft.operators.ProductQuant.ivfAdcResidualTopKTwoLevel]]) —
+    * the two round-8 index advances COMPOSED: q177's residual
+    * encoding (the FAISS-default recall form) behind q168's two-level
+    * quantizer (no K-sized literal), residuals subtracted via a
+    * broadcast JOIN on the cell id against the sub-centroid RELATION.
+    * The oracle chains the shared two-level replay front with the
+    * one-cell-of-record assignment, the join-shaped residual
+    * relation, both residual-trained codebooks, the query beam, and
+    * the per-(q, cell) LUT ADC — bit for bit. */
+  private val q178 = QuerySpec(
+    "q178_ann_ivf_pq_residual_two_level",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.ProductQuant.trainResidualTwoLevel(emb,
+        "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
+        nCells = 4, cellIters = 2, superProbe = 2)
+      graft.operators.ProductQuant.ivfAdcResidualTopKTwoLevel(emb,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3, nProbe = 2, superProbe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some {
+      twoLevelFrontSql + s""",
+      a1 AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cell) AS rk
+          FROM cc) WHERE rk = 1),
+      cellvec AS (
+        SELECT (super - 1) * 2 + sub AS cell, v FROM sub_2),
+      rq AS MATERIALIZED (
+        SELECT v.vec_id,
+               list_transform(range(1, 65), i -> v.v[i] - cv.v[i]) AS v
+        FROM q v JOIN a1 ON a1.vec_id = v.vec_id
+        JOIN cellvec cv ON cv.cell = a1.cell),
+      rseeded AS (
+        SELECT r.vec_id, r.v, s.r FROM rq r JOIN seeded s USING (vec_id)),
+      ${pqChainSql(0, 1, 32, 4, base = "rq", seedRel = "rseeded")},
+      ${pqChainSql(1, 33, 64, 4, base = "rq", seedRel = "rseeded")},
+      qp AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cell) AS rk
+          FROM cc WHERE vec_id <= 20) WHERE rk <= 2),
+      qr AS (
+        SELECT p.q_id, p.cell,
+               list_transform(range(1, 65), i -> v.v[i] - cv.v[i]) AS v
+        FROM qp p JOIN q v ON v.vec_id = p.q_id
+        JOIN cellvec cv ON cv.cell = p.cell),
+      lu0 AS (
+        SELECT qr.q_id, qr.cell, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qr.v[i] - c.v[i]) * (qr.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM qr CROSS JOIN c0_2 c),
+      lu1 AS (
+        SELECT qr.q_id, qr.cell, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qr.v[32 + i] - c.v[i]) * (qr.v[32 + i] - c.v[i])))
+                 AS BIGINT) AS d
+        FROM qr CROSS JOIN c1_2 c),
+      adc AS (
+        SELECT p.q_id, a1.vec_id AS c_id, l0.d + l1.d AS adc_dist
+        FROM qp p
+        JOIN a1 ON a1.cell = p.cell AND a1.vec_id <> p.q_id
+        JOIN e_0 e0 ON e0.vec_id = a1.vec_id
+        JOIN e_1 e1 ON e1.vec_id = a1.vec_id
+        JOIN lu0 l0 ON l0.q_id = p.q_id AND l0.cell = p.cell
+                   AND l0.code = e0.code
+        JOIN lu1 l1 ON l1.q_id = p.q_id AND l1.cell = p.cell
+                   AND l1.code = e1.code)
+      SELECT q_id, rank, c_id, adc_dist FROM (
+        SELECT q_id, c_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist, c_id) AS INTEGER) AS rank
+        FROM adc) WHERE rank <= 3
+      ORDER BY q_id, rank"""
+    })
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142,
-      q143, q168, q177)
+      q143, q168, q177, q178)
 }

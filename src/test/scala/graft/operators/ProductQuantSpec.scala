@@ -277,5 +277,18 @@ class ProductQuantSpec extends SparkSpec {
     // floors leave headroom for k-means tie jitter
     rRes should be > rRaw + 0.4
     rRes should be >= 0.7
+    // the residual ∘ two-level composition must keep the win: same
+    // residual encoding, no-K-literal quantizer (exhaustive beam so
+    // cell-miss noise is excluded here too)
+    val rtl = ProductQuant.trainResidualTwoLevel(df, "vec_id", "embedding",
+      dim = dim, m = 8, k = 8, iters = 2, nCells = 32, cellIters = 2,
+      superProbe = 6)
+    val composed = ProductQuant.ivfAdcResidualTopKTwoLevel(df, queries,
+        "vec_id", "embedding", dim = dim, rtl, k = 3,
+        nProbe = 36, superProbe = 6)
+      .select(col("q_id"), col("c_id")).as[(Long, Long)].collect()
+    val rTl = recallOf(composed)
+    info(s"clustered recall@3: residual∘two-level $rTl")
+    rTl should be > rRaw + 0.3
   }
 }

@@ -409,6 +409,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("top_k_pairs"), plan)
+    // the residual ∘ two-level composition (q178) holds the same bound:
+    // residuals come from a broadcast JOIN on the cell id, never an
+    // element_at over a K-sized literal
+    val rtl = graft.operators.ProductQuant.trainResidualTwoLevel(
+      e, "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 1,
+      nCells = 64, cellIters = 1)
+    val rPlan = graft.operators.ProductQuant.ivfAdcResidualTopKTwoLevel(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") <= 5),
+      "vec_id", "embedding", dim = 64, rtl, k = 3)
+    maxOuterArrayLit(rPlan) should be <= 8
   }
 
   test("q146: seed vocab aggregates map-side and takes the top slice without a global sort") {
