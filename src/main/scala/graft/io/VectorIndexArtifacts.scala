@@ -81,6 +81,33 @@ object VectorIndexArtifacts {
     graft.operators.Similarity.TwoLevelModel(superModel, sub, nSub)
   }
 
+  /** Snapshot a residual IVF-PQ index (q177's
+    * [[ProductQuant.ResidualModel]]): flat cell model + residual
+    * codebooks. */
+  def saveResidual(spark: SparkSession, path: String,
+                   model: ProductQuant.ResidualModel): Unit = {
+    saveKMeans(spark, s"$path/cells", model.cells)
+    savePq(spark, s"$path/pq", model.pq)
+  }
+
+  def loadResidual(spark: SparkSession, path: String): ProductQuant.ResidualModel =
+    ProductQuant.ResidualModel(loadKMeans(spark, s"$path/cells"),
+      loadPq(spark, s"$path/pq"))
+
+  /** Snapshot a residual ∘ two-level index (q178's
+    * [[ProductQuant.ResidualTwoLevelModel]]): two-level cells +
+    * residual codebooks — the full no-K-literal serving artifact. */
+  def saveResidualTwoLevel(spark: SparkSession, path: String,
+                           model: ProductQuant.ResidualTwoLevelModel): Unit = {
+    saveTwoLevel(spark, s"$path/cells", model.cells)
+    savePq(spark, s"$path/pq", model.pq)
+  }
+
+  def loadResidualTwoLevel(spark: SparkSession, path: String)
+      : ProductQuant.ResidualTwoLevelModel =
+    ProductQuant.ResidualTwoLevelModel(loadTwoLevel(spark, s"$path/cells"),
+      loadPq(spark, s"$path/pq"))
+
   def loadPq(spark: SparkSession, path: String): ProductQuant.Model = {
     val slices = spark.read.parquet(s"$path/slices")
       .orderBy(col("subspace"))

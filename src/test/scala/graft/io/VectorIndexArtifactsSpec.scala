@@ -61,6 +61,30 @@ class VectorIndexArtifactsSpec extends SparkSpec {
         nCells = 9, nProbe = 2, superProbe = 2, iters = 2))
   }
 
+  test("residual and residual∘two-level indexes round-trip: frozen search is byte-identical") {
+    import graft.operators.ProductQuant
+    val rm = ProductQuant.trainResidual(emb, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2, nCells = 8)
+    val d1 = java.nio.file.Files.createTempDirectory("res").toString + "/idx"
+    VectorIndexArtifacts.saveResidual(spark, d1, rm)
+    val rmL = VectorIndexArtifacts.loadResidual(spark, d1)
+    rmL.cells shouldBe rm.cells
+    rmL.pq shouldBe rm.pq
+    rowsOf(ProductQuant.ivfAdcResidualTopK(emb, queries, "vec_id",
+      "embedding", dim = 64, rmL, k = 3)) shouldBe
+      rowsOf(ProductQuant.ivfAdcResidualTopK(emb, queries, "vec_id",
+        "embedding", dim = 64, rm, k = 3))
+    val tm = ProductQuant.trainResidualTwoLevel(emb, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2, nCells = 4)
+    val d2 = java.nio.file.Files.createTempDirectory("rtl").toString + "/idx"
+    VectorIndexArtifacts.saveResidualTwoLevel(spark, d2, tm)
+    val tmL = VectorIndexArtifacts.loadResidualTwoLevel(spark, d2)
+    rowsOf(ProductQuant.ivfAdcResidualTopKTwoLevel(emb, queries, "vec_id",
+      "embedding", dim = 64, tmL, k = 3)) shouldBe
+      rowsOf(ProductQuant.ivfAdcResidualTopKTwoLevel(emb, queries, "vec_id",
+        "embedding", dim = 64, tm, k = 3))
+  }
+
   test("corrupted artifacts fail loudly instead of serving a wrong index") {
     val model = KMeans.fit(emb, "vec_id", "embedding", k = 3, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("bad").toString + "/idx"
