@@ -58,9 +58,17 @@ object HtmlExtract {
       }
 
   /** Decode named entities + printable-ASCII numeric entities (see
-    * class doc for the &amp;-last order and the ASCII-only rule). */
+    * class doc for the &amp;-last order and the ASCII-only rule).
+    *
+    * Documented invariant: literal U+0001 bytes in the input are
+    * DELETED from the extracted text. The decoder uses U+0001 as its
+    * internal split marker, so the strip is explicit (not a side
+    * effect of the split): U+0001 is a C0 control character with no
+    * legitimate place in prose — crawl bytes carrying it are
+    * encoding damage, and both engines ([[extractOracle]] mirrors the
+    * strip) delete it identically. */
   private[operators] def decodeEntities(text: Column): Column = {
-    val named = decodeNamed(text)
+    val named = regexp_replace(decodeNamed(text), Sep, "")
     // numeric entities: mark each candidate, split, decode piece heads
     val marked = regexp_replace(named, "&#", Sep + "&#")
     val decoded = aggregate(split(marked, Sep), lit(""), (acc, p) => {
@@ -146,7 +154,8 @@ object HtmlExtract {
       dec AS (
         SELECT $idCol,
           replace(list_aggregate(list_transform(
-            string_split(replace(t, '&#', chr(1) || '&#'), chr(1)),
+            string_split(replace(replace(t, chr(1), ''),
+              '&#', chr(1) || '&#'), chr(1)),
             p -> CASE
               WHEN regexp_extract(p, '^&#([0-9]{1,7});', 1) <> ''
                    AND CAST(regexp_extract(p, '^&#([0-9]{1,7});', 1) AS BIGINT)

@@ -88,14 +88,28 @@ object UrlCuration {
     * `blocked` is a one-column (domain) relation (read it from a file
     * at production scale); matching is exact on exploded suffixes and
     * the blocklist broadcasts. Rows with no parseable host are KEPT
-    * (a missing URL is not evidence of spam; gate them elsewhere). */
+    * (a missing URL is not evidence of spam; gate them elsewhere).
+    *
+    * Plan shape: DISTINCT corpus hosts (one narrow string column,
+    * map-side partial aggregation) explode to their suffixes and
+    * broadcast-HASH-semi-join the blocklist — per-suffix cost is one
+    * hash probe, O(labels) per host, NOT an `array_contains` scan of
+    * the whole blocklist (that predicate is non-equi and plans as a
+    * nested-loop over every broadcast row — O(|docs|·|blocklist|) at
+    * the million-pattern scale this gate exists for). The corpus
+    * itself never shuffles: the hit-host set broadcasts back into a
+    * hash anti join (it is bounded by the blocked-host fanout; for a
+    * pathological list that condemns a large fraction of all distinct
+    * hosts, drop the broadcast hint and let the gate shuffle on
+    * host — still an equi join). */
   def blocklistFilter(df: DataFrame, urlCol: String,
                       blocked: DataFrame): DataFrame = {
-    val keyed = df.withColumn("__sfx", hostSuffixes(host(col(urlCol))))
-    keyed
-      .join(broadcast(blocked.select(col(blocked.columns.head).as("__b"))),
-        array_contains(col("__sfx"), col("__b")), "left_anti")
-      .drop("__sfx")
+    val b = broadcast(blocked.select(col(blocked.columns.head).as("__b")))
+    val hitHosts = df.select(host(col(urlCol)).as("__h")).distinct()
+      .select(col("__h"), explode(hostSuffixes(col("__h"))).as("__s"))
+      .join(b, col("__s") === col("__b"), "left_semi")
+      .select(col("__h"))
+    df.join(broadcast(hitHosts), host(col(urlCol)) === col("__h"), "left_anti")
   }
 
   /** DuckDB replay of [[domainReport]] — host regexp, label-arithmetic

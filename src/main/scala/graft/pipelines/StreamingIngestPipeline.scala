@@ -70,16 +70,18 @@ object StreamingIngestPipeline {
       qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // opt-in stage 3c: the FROZEN model-quality gate (the batch
-    // pipeline's stage 2e, live) — composed INSIDE the near-dup
-    // foreachBatch sink so both per-batch gates share one pass
-    val gatedSink: (DataFrame, Long) => Unit = qualityModel match {
-      case Some((m, minP)) => (batch, id) =>
-        sink(graft.ml.QualityFilter.filter(m, batch, idCol, textCol, minP), id)
-      case None => sink
+    // opt-in stage 2e (live): the FROZEN model-quality gate, seated
+    // BEFORE the near-dup gate exactly as in the batch pipeline —
+    // rows the model drops never pay band-hashing. (The frozen index
+    // makes the output order-independent; the seating is a cost
+    // choice, and this is the cheap order.)
+    val preGate: DataFrame => DataFrame = qualityModel match {
+      case Some((m, minP)) =>
+        batch => graft.ml.QualityFilter.filter(m, batch, idCol, textCol, minP)
+      case None => identity
     }
     StreamOps.nearDupGateEachBatch(
       run(docs, corpusIndex, tsCol, textCol, minQuality, lateness, fpCol),
-      nearDupIndex, idCol, textCol, nearDupThreshold)(gatedSink)
+      nearDupIndex, idCol, textCol, nearDupThreshold, preGate)(sink)
   }
 }

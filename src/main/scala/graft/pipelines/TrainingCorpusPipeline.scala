@@ -175,6 +175,16 @@ object TrainingCorpusPipeline {
           historicalIndex: Option[DataFrame] = None,
           qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None,
           urlBlocklist: Option[DataFrame] = None): DataFrame = {
+    // config sanity: the htmlCol path drops htmlCol after joining the
+    // extracted text in as textCol — htmlCol colliding with either
+    // role column would silently delete the column every later stage
+    // reads. Fail loudly at the front door instead.
+    require(cfg.htmlCol.forall(_ != textCol),
+      s"Config.htmlCol must differ from textCol ('$textCol'): the " +
+        "extracted text replaces textCol and the raw-HTML column is " +
+        "dropped — aliasing them would drop the extracted text too")
+    require(cfg.htmlCol.forall(_ != idCol),
+      s"Config.htmlCol must differ from idCol ('$idCol')")
     // -3. (opt-in) URL blocklist gate: the FIRST stage — suffix-
     // semantics domain blocking over the URL column alone (the
     // RefinedWeb/FineWeb order: no text is read for docs whose

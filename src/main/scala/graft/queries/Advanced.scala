@@ -1363,7 +1363,8 @@ object Advanced {
                CAST(row_number() OVER (PARTITION BY q_id
                  ORDER BY adc_dist, c_id) AS INTEGER) AS rank
         FROM adc) WHERE rank <= 3
-      ORDER BY q_id, rank"""))
+      ORDER BY q_id, rank"""),
+    bench = true)
 
   /** q178: ORACLE-CHECKED residual ∘ two-level IVF-PQ
     * ([[graft.operators.ProductQuant.ivfAdcResidualTopKTwoLevel]]) —

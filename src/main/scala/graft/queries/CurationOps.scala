@@ -991,7 +991,8 @@ object CurationOps {
           "doc_id", "html")
         .orderBy(col("doc_id")),
     oracle = Some(graft.operators.HtmlExtract.extractOracle(
-      "documents", "doc_id", htmlPageSql)))
+      "documents", "doc_id", htmlPageSql)),
+    bench = true)
 
   /** q174: crawl-link extraction
     * ([[graft.operators.HtmlExtract.links]]) — the edge list a crawl

@@ -596,7 +596,8 @@ object ScaleOps {
       "(SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT 9999992, 'the zx data')",
       "doc_id", "text", numMerges = 10,
-      where = "(doc_id < 40 OR doc_id = 9999992) AND word_pos < 8")))
+      where = "(doc_id < 40 OR doc_id = 9999992) AND word_pos < 8")),
+    bench = true)
 
   /** q160: unigram-tokenizer fertility per source
     * ([[graft.operators.UnigramTokenizer.fertility]]) — q136's twin

@@ -313,14 +313,19 @@ object StreamOps {
                            index: graft.operators.Decontaminate.NearDupIndex,
                            idCol: String = "doc_id",
                            textCol: String = "text",
-                           threshold: Double = 0.8)(
+                           threshold: Double = 0.8,
+                           preGate: DataFrame => DataFrame = identity)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      // preGate seats cheaper batch-local filters BEFORE the band-
+      // hashing spend (the batch pipeline's stage-2e-before-3 order):
+      // rows preGate drops never pay MinHash
+      val pre = preGate(batch)
       val flagged = graft.operators.Decontaminate
-        .nearDupLeaksAgainstIndex(index, batch, idCol, textCol, threshold)
+        .nearDupLeaksAgainstIndex(index, pre, idCol, textCol, threshold)
         .select(col("eval_id").as(idCol))
-      sink(batch.join(flagged, Seq(idCol), "left_anti"), id)
+      sink(pre.join(flagged, Seq(idCol), "left_anti"), id)
     }
 
   /** Declarative gap-based session aggregation (session_window): sessions

@@ -310,6 +310,19 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     b.except(a).count() shouldBe 0L
   }
 
+  test("htmlCol aliased to textCol or idCol fails loudly at the front door") {
+    // the htmlCol path drops htmlCol after the extraction join — an
+    // alias would silently delete a role column mid-pipeline; run()
+    // must reject the config before any stage executes
+    val crawl = pool.limit(5).withColumn("html", col("text"))
+    an[IllegalArgumentException] should be thrownBy
+      TrainingCorpusPipeline.run(crawl, holdout, "doc_id", "text",
+        cfg.copy(htmlCol = Some("text")))
+    an[IllegalArgumentException] should be thrownBy
+      TrainingCorpusPipeline.run(crawl, holdout, "doc_id", "text",
+        cfg.copy(htmlCol = Some("doc_id")))
+  }
+
   test("tokenize: the built corpus encodes under a frozen vocabulary; artifacts round-trip") {
     import graft.operators.UnigramTokenizer
     import graft.io.TokenizerArtifacts

@@ -494,14 +494,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQL UDF"), plan)
   }
 
-  test("q176: blocklist gate broadcasts the blocklist; the corpus never shuffles pre-join") {
+  test("q176: blocklist gate is all HASH joins; the corpus never shuffles pre-join") {
     val plan = planOf("q176_url_blocklist")
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan)
+    // equi joins only: exploded suffix = blocked domain probes a hash
+    // table (O(labels) per host), never a nested-loop scan of the
+    // whole broadcast blocklist per corpus row
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    // the corpus side reads straight from the scan into the join — the
-    // only exchange is the final oracle orderBy
-    assert("Exchange".r.findAllIn(plan.split("== Initial")(0)).size <= 2, plan)
+    // the corpus side reads straight from the scan into the anti join —
+    // the only SHUFFLE exchanges are the distinct-hosts aggregate (one
+    // narrow string column, partial-agg'd map-side) and the final
+    // oracle orderBy; broadcast exchanges are not shuffles
+    assert("Exchange (hash|range)partitioning".r
+      .findAllIn(plan.split("== Initial")(0)).size <= 2, plan)
   }
 
   test("q177: residual IVF-PQ — corpus scanned ONCE into codes, cell-key hash join, heap top-k") {
