@@ -112,6 +112,235 @@ object UrlCuration {
     df.join(broadcast(hitHosts), host(col(urlCol)) === col("__h"), "left_anti")
   }
 
+  // ---- Full public-suffix-list support -------------------------------
+
+  /** One parsed PSL rule. `kind`: 0 = normal (`co.uk`), 1 = wildcard
+    * (`*.ck` — every single label under the stem is itself a public
+    * suffix), 2 = exception (`!www.ck` — carved OUT of a wildcard;
+    * prevails over every other matching rule, per the PSL algorithm). */
+  final case class PslRule(suffix: String, kind: Int) {
+    def labels: Int = suffix.count(_ == '.') + 1
+  }
+
+  /** Parse publicsuffix.org-format lines: `//` comments and blanks
+    * skip; `*.stem` → wildcard on the stem; `!suffix` → exception;
+    * anything else a normal rule. Lower-cased (PSL hosts are);
+    * anything after whitespace on a rule line is ignored (the format
+    * allows trailing comments). Driver-side and model-sized by
+    * contract — the full published list is ~10⁴ rules, the same
+    * order as every other loaded artifact (TokenizerArtifacts rule). */
+  def parsePsl(lines: IterableOnce[String]): Seq[PslRule] =
+    lines.iterator
+      .map(_.takeWhile(!_.isWhitespace).trim.toLowerCase)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map {
+        case l if l.startsWith("*.") => PslRule(l.drop(2), 1)
+        case l if l.startsWith("!")  => PslRule(l.drop(1), 2)
+        case l                       => PslRule(l, 0)
+      }
+      .toSeq
+
+  /** The shipped curated ICANN-core list (resources/graft/psl.dat) —
+    * replace with the full published list for production fidelity
+    * (same parser, same relation shape). */
+  def defaultPsl(): Seq[PslRule] = {
+    val in = getClass.getResourceAsStream("/graft/psl.dat")
+    require(in != null, "graft/psl.dat missing from classpath")
+    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** Rules as the broadcast JOIN relation (jkey, ps_len, exc): the
+    * kind is encoded INTO the key (`n:`/`w:`/`e:` prefixes) so
+    * suffix matching is a pure equi join — a host probes with
+    * `n:`+suffix and `e:`+suffix (exact-rule hits) and `w:`+suffix
+    * (a wildcard whose stem is this suffix makes the CHILD public).
+    * `ps_len` is the public-suffix label count the match implies:
+    * rule labels for normal, stem labels + 1 for wildcard, rule
+    * labels − 1 for exception (the PSL "prevailing exception" rule
+    * strips the leftmost label). */
+  def pslRuleRelation(spark: org.apache.spark.sql.SparkSession,
+                      rules: Seq[PslRule]): DataFrame = {
+    import spark.implicits._
+    rules.map { r =>
+      r.kind match {
+        case 0 => ("n:" + r.suffix, r.labels, false)
+        case 1 => ("w:" + r.suffix, r.labels + 1, false)
+        case 2 => ("e:" + r.suffix, r.labels - 1, true)
+      }
+    }.toDF("jkey", "ps_len", "exc")
+  }
+
+  /** (host, domain): the registered domain of every DISTINCT host in
+    * `hosts` under the full PSL algorithm — longest matching rule
+    * wins, wildcards count their stem + 1, a matching exception
+    * prevails over everything, no match falls back to the implicit
+    * `*` rule (last label is public). Hosts with ≤ public-suffix
+    * labels pass through whole (the [[registeredDomain]] convention —
+    * a bare public suffix has no registrant, and passing it through
+    * keeps the report total-preserving).
+    *
+    * Scale shape: one distinct-host aggregate (narrow string column,
+    * map-side combined), ≤ 3·labels candidate keys per host
+    * broadcast-hash-LEFT-joined to the rule relation, one per-host
+    * re-aggregate. The corpus never enters — join the returned map
+    * back on host (see [[domainReportPsl]] for the
+    * aggregate-then-join order that keeps that join host-sized). */
+  def registeredDomainsPsl(hosts: DataFrame, hostCol: String,
+                           rules: DataFrame): DataFrame = {
+    val h = hosts.select(col(hostCol).as("__h")).distinct()
+      .withColumn("__n", size(split(col("__h"), "\\.")))
+    val cand = h
+      .select(col("__h"), col("__n"),
+        explode(hostSuffixes(col("__h"))).as("__s"))
+      .select(col("__h"), col("__n"),
+        explode(array(concat(lit("n:"), col("__s")),
+          concat(lit("w:"), col("__s")),
+          concat(lit("e:"), col("__s")))).as("__jk"))
+    val ps = cand
+      .join(broadcast(rules), col("__jk") === col("jkey"), "left")
+      .groupBy(col("__h"), col("__n"))
+      .agg(coalesce(
+        max(when(col("exc"), col("ps_len"))),
+        max(when(!col("exc"), col("ps_len"))),
+        lit(1)).as("__ps"))
+    ps.select(col("__h").as("host"),
+      when(col("__n") <= col("__ps"), col("__h"))
+        .otherwise(array_join(
+          slice(split(col("__h"), "\\."),
+            -(col("__ps") + 1), col("__ps") + 1), "."))
+        .as("domain"))
+  }
+
+  /** [[domainReport]] under the FULL PSL algorithm — the
+    * quota-gaming-proof form: subdomain-sharded hosts (`a.x.gov.au`,
+    * `b.x.gov.au`) collapse to one registered-domain row, so
+    * per-domain caps (q80-style) cannot be dodged by sharding.
+    *
+    * Plan: per-HOST partial aggregate first (host-keyed, map-side
+    * combined — the corpus's one shuffle), then the host→domain map
+    * joins host-sized rows, then the small per-domain re-aggregate.
+    * The exact-integer measure composes: mean_quality_bp re-derives
+    * from Σq/Σn, so the two-stage aggregation loses nothing. */
+  def domainReportPsl(df: DataFrame, urlCol: String, textCol: String,
+                      rules: DataFrame): DataFrame = {
+    val perHost = df.select(
+        host(col(urlCol)).as("host"),
+        coalesce(TextFns.tokenCount(col(textCol)), lit(0)).cast("long")
+          .as("__nt"),
+        coalesce(round(TextFns.qualityScore(col(textCol)) * 10000), lit(0.0))
+          .cast("long").as("__q"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("__c"), sum(col("__nt")).as("__t"),
+        sum(col("__q")).as("__s"))
+    perHost
+      .join(registeredDomainsPsl(perHost, "host", rules), Seq("host"))
+      .groupBy(col("domain"))
+      .agg(sum(col("__c")).cast("long").as("n_docs"),
+        sum(col("__t")).cast("long").as("n_tokens"),
+        expr("(2 * sum(__s) + sum(__c)) div (2 * sum(__c))")
+          .as("mean_quality_bp"))
+  }
+
+  /** DuckDB rendering of [[pslRuleRelation]] + the per-host PSL
+    * resolution — shared by [[domainReportPslOracle]]. Yields CTEs
+    * `rules`, `hp` (doc-grain: host, n, ps). `h` must provide
+    * (host, …) at document grain. */
+  private def pslResolveSql(rules: Seq[PslRule]): String = {
+    val vals = rules.map { r =>
+      r.kind match {
+        case 0 => s"('n:${r.suffix}', ${r.labels}, false)"
+        case 1 => s"('w:${r.suffix}', ${r.labels + 1}, false)"
+        case 2 => s"('e:${r.suffix}', ${r.labels - 1}, true)"
+      }
+    }.mkString(", ")
+    s"""
+      rules(jkey, ps_len, exc) AS (VALUES $vals),
+      cand AS (
+        SELECT rid, host,
+               unnest(flatten(list_transform(
+                 range(1, len(string_split(host, '.')) + 1),
+                 i -> ['n:' || array_to_string(string_split(host, '.')[i:], '.'),
+                       'w:' || array_to_string(string_split(host, '.')[i:], '.'),
+                       'e:' || array_to_string(string_split(host, '.')[i:], '.')])))
+                 AS jk
+        FROM h),
+      hp AS (
+        SELECT rid, host,
+               len(string_split(host, '.')) AS n,
+               coalesce(max(CASE WHEN r.exc THEN r.ps_len END),
+                        max(CASE WHEN NOT r.exc THEN r.ps_len END),
+                        1) AS ps
+        FROM cand LEFT JOIN rules r ON cand.jk = r.jkey
+        GROUP BY rid, host),
+      dom AS (
+        SELECT rid,
+               CASE WHEN n <= ps THEN host
+                    ELSE array_to_string(string_split(host, '.')[-(ps+1):], '.')
+               END AS domain
+        FROM hp)"""
+  }
+
+  /** DuckDB replay of [[domainReportPsl]]: the host regexp, the full
+    * PSL resolution (equi-keyed rule join, exception-prevails,
+    * longest-match, implicit `*`), then the q36 quality integer —
+    * document-grain end to end (the two-stage host aggregation is an
+    * exactness-preserving regrouping, so the one-stage replay
+    * matches bit for bit). */
+  def domainReportPslOracle(table: String, urlExpr: String,
+                            textCol: String, rules: Seq[PslRule],
+                            idCol: String): String = s"""
+      WITH h AS (
+        SELECT $idCol AS rid,
+               lower(regexp_extract($urlExpr,
+                 '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)',
+                 1)) AS host,
+               $textCol AS txt,
+               list_filter(string_split_regex(coalesce($textCol, ''), '\\s+'),
+                 x -> x <> '') AS toks
+        FROM $table),
+      ${pslResolveSql(rules)},
+      d AS (
+        SELECT dom.domain, h.txt, h.toks
+        FROM h JOIN dom ON h.rid = dom.rid),
+      m AS (${qualityMeasureSql()}
+      SELECT domain,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_quality_bp
+      FROM k
+      GROUP BY domain
+      ORDER BY domain"""
+
+  /** The q36 quality integer over CTE `d`(domain, txt, toks) —
+    * the m/k measure tail shared by both domain-report oracles.
+    * Emits the BODY of `m AS (` through `k AS (…)`. */
+  private def qualityMeasureSql(): String = s"""
+        SELECT domain,
+          CAST(coalesce(len(toks), 0) AS BIGINT) AS n,
+          CAST(len(list_filter(string_split_regex(lower(txt), '\\s+'),
+            x -> x <> '' AND x IN ('the','a','an','and','or','of','to',
+            'in','is','it','that','for','on','with','as','was','at','by','this')))
+            AS BIGINT) AS m1,
+          CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+            AS BIGINT) AS s,
+          CAST(length(txt) AS BIGINT) AS c,
+          CAST(length(txt)
+            - length(regexp_replace(txt, '[!-/:-@\\[-`{-~0-9]', '', 'g'))
+            AS BIGINT) AS pd
+        FROM d),
+      k AS (
+        SELECT domain, n,
+          CASE WHEN n > 0 AND c > 0 THEN
+            (2 * (least(m1 * c * 16000, n * c * 4000)
+                  + (CASE WHEN s >= n * 2 AND s <= n * 12
+                     THEN n * c * 4000 ELSE 0 END)
+                  + (n * c * 2000 - least(pd * n * 4000, n * c * 2000)))
+             + n * c) // (n * c * 2)
+          ELSE 0 END AS q
+        FROM m)"""
+
   /** DuckDB replay of [[domainReport]] — host regexp, label-arithmetic
     * registered domain, and the q36 quality integer inline. */
   def domainReportOracle(table: String, urlExpr: String, textCol: String,

@@ -1085,7 +1085,69 @@ object CurationOps {
       WHERE NOT list_has_any(ss, ['example-src3.com', 'co.uk'])
       ORDER BY doc_id"""))
 
+  /** The q179 rule snippet — every PSL rule class on a few lines:
+    * normal multi-part (`co.uk`, `gov.au`), wildcard (`*.ck`,
+    * `*.kobe.jp`), exception (`!www.ck`), single-label anchors, a
+    * private-section platform suffix (`blogspot.com`), and `.com`
+    * deliberately ABSENT so the implicit `*` fallback is exercised
+    * too. Parsed by the real parser (comment line included). */
+  private val psl179 = graft.operators.UrlCuration.parsePsl(Seq(
+    "// q179 test rules", "uk", "co.uk", "au", "gov.au",
+    "ck", "*.ck", "!www.ck", "jp", "*.kobe.jp", "blogspot.com"))
+
+  /** The q179 URL mix: subdomain-SHARDED hosts under a third-level
+    * registrable suffix (`a0.shard-src.gov.au` — must collapse),
+    * plain `co.uk`, platform subdomains (registrants under
+    * `blogspot.com`), the wildcard+exception pair (`sub.www.ck` →
+    * registered `www.ck`), a wildcard-made public suffix
+    * (`shop.other.kobe.jp` stays 4 labels), and unlisted `.com`
+    * falling back to the implicit `*` rule. */
+  private val url179Sql =
+    """'https://' || (CASE doc_id % 6
+        WHEN 0 THEN 'a' || CAST(doc_id % 3 AS VARCHAR) || '.shard-'
+                    || source || '.gov.au'
+        WHEN 1 THEN 'example-' || source || '.co.uk'
+        WHEN 2 THEN source || '.blogspot.com'
+        WHEN 3 THEN 'sub.www.ck'
+        WHEN 4 THEN 'shop.other.kobe.jp'
+        ELSE 'news.example-' || source || '.com' END) ||
+      '/p/' || CAST(doc_id AS VARCHAR)""".replaceAll("\n\\s+", " ")
+
+  private def url179: org.apache.spark.sql.Column = concat(
+    lit("https://"),
+    when(col("doc_id") % 6 === 0,
+        concat(lit("a"), (col("doc_id") % 3).cast("string"),
+          lit(".shard-"), col("source"), lit(".gov.au")))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("example-"), col("source"), lit(".co.uk")))
+      .when(col("doc_id") % 6 === 2,
+        concat(col("source"), lit(".blogspot.com")))
+      .when(col("doc_id") % 6 === 3, lit("sub.www.ck"))
+      .when(col("doc_id") % 6 === 4, lit("shop.other.kobe.jp"))
+      .otherwise(concat(lit("news.example-"), col("source"), lit(".com"))),
+    lit("/p/"), col("doc_id").cast("string"))
+
+  /** q179: per-domain report under the FULL PSL algorithm
+    * ([[graft.operators.UrlCuration.domainReportPsl]]) — rules join
+    * as a broadcast equi-keyed relation (never a literal, never a
+    * per-row loop), wildcard stems count +1, a matching exception
+    * prevails, unmatched TLDs fall to the implicit `*`. The
+    * subdomain-sharded `gov.au` hosts MUST collapse to one
+    * registered-domain row each — the property that makes per-domain
+    * quotas ungameable. DuckDB replays rule parsing (as VALUES),
+    * resolution, and the quality integer end to end. */
+  private val q179 = QuerySpec(
+    "q179_psl_domain_report",
+    (s, dir) =>
+      graft.operators.UrlCuration.domainReportPsl(
+          Tables.documents(s, dir).withColumn("url", url179),
+          "url", "text",
+          graft.operators.UrlCuration.pslRuleRelation(s, psl179))
+        .orderBy(col("domain")),
+    oracle = Some(graft.operators.UrlCuration.domainReportPslOracle(
+      "documents", url179Sql, "text", psl179, "doc_id")))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
-      q134, q144, q148, q150, q156, q173, q174, q175, q176)
+      q134, q144, q148, q150, q156, q173, q174, q175, q176, q179)
 }

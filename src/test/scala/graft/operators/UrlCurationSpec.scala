@@ -50,6 +50,73 @@ class UrlCurationSpec extends SparkSpec {
     kept shouldBe Array(3L, 4L, 5L)
   }
 
+  // ---- full PSL path ---------------------------------------------------
+
+  private def pslDomainOf(hosts: String*): Map[String, String] = {
+    val rules = UrlCuration.pslRuleRelation(spark, UrlCuration.defaultPsl())
+    UrlCuration.registeredDomainsPsl(
+        hosts.map(Tuple1(_)).toDF("h"), "h", rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("parsePsl: comments skip, wildcard and exception markers parse, case folds") {
+    val rules = UrlCuration.parsePsl(Seq(
+      "// a comment", "", "CO.UK", "*.ck", "!www.ck", "com.sg"))
+    rules shouldBe Seq(
+      UrlCuration.PslRule("co.uk", 0), UrlCuration.PslRule("ck", 1),
+      UrlCuration.PslRule("www.ck", 2), UrlCuration.PslRule("com.sg", 0))
+    rules.head.labels shouldBe 2
+  }
+
+  test("defaultPsl: long-tail suffixes the 18-entry literal list gets wrong") {
+    val d = pslDomainOf("sub.agency.act.gov.au", "shop.mall.com.sg",
+      "a.b.example.org", "blog.user.blogspot.com")
+    // third-level registration under a state suffix: act.gov.au is the
+    // public suffix, agency.act.gov.au the registrant
+    d("sub.agency.act.gov.au") shouldBe "agency.act.gov.au"
+    d("shop.mall.com.sg") shouldBe "mall.com.sg"
+    d("a.b.example.org") shouldBe "example.org"
+    // private-section platform: each blogspot subdomain is a registrant
+    d("blog.user.blogspot.com") shouldBe "user.blogspot.com"
+  }
+
+  test("defaultPsl: wildcard rules make every child a public suffix; exceptions carve back out") {
+    val d = pslDomainOf("a.b.ck", "www.ck", "sub.www.ck",
+      "shop.other.kobe.jp", "www.city.kobe.jp", "unlisted.example")
+    d("a.b.ck") shouldBe "a.b.ck"              // *.ck → b.ck public
+    d("www.ck") shouldBe "www.ck"              // !www.ck → ck public
+    d("sub.www.ck") shouldBe "www.ck"
+    d("shop.other.kobe.jp") shouldBe "shop.other.kobe.jp" // *.kobe.jp
+    d("www.city.kobe.jp") shouldBe "city.kobe.jp"         // !city.kobe.jp
+    d("unlisted.example") shouldBe "unlisted.example"     // implicit `*`
+  }
+
+  test("domainReportPsl: subdomain-sharded hosts collapse to ONE domain row") {
+    // the quota-gaming fixture: one registrant sharded across
+    // subdomains must aggregate as one domain, with the exact
+    // integer mean matching a single-host run of the same docs
+    val docs = Seq(
+      (1L, "https://a.x.gov.au/1", "the report was solid and it was read"),
+      (2L, "https://b.x.gov.au/2", "the data is in the annual table"),
+      (3L, "https://www.x.gov.au/3", "zz qq xk"),
+      (4L, "https://other.org/4", "plain fine text here"))
+      .toDF("doc_id", "url", "text")
+    val rules = UrlCuration.pslRuleRelation(spark, UrlCuration.defaultPsl())
+    val rows = UrlCuration.domainReportPsl(docs, "url", "text", rules)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.keySet shouldBe Set("x.gov.au", "other.org")
+    rows("x.gov.au")._1 shouldBe 3L
+    // two-stage (host → domain) aggregation is exactness-preserving:
+    // the same docs on one host yield the identical integer mean
+    val oneHost = UrlCuration.domainReportPsl(
+        docs.withColumn("url",
+          regexp_replace(col("url"), "(a|b|www)\\.x\\.gov", "x.gov")),
+        "url", "text", rules)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows("x.gov.au")._3 shouldBe oneHost("x.gov.au")
+  }
+
   test("domainReport aggregates by registered domain with exact integer means") {
     val docs = Seq(
       (1L, "https://a.site.com/1", "the report was solid and it was read"),
