@@ -1,0 +1,146 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WARC-shaped crawl-archive record ingestion — the step at the very
+  * MOUTH of the crawl-to-tensor story: real crawl data arrives as
+  * multi-record archive files (ISO 28500: each record is a
+  * `WARC/x.y` version line, `Name: value` header lines, a blank
+  * line, then exactly `Content-Length` octets of payload), and this
+  * operator splits those bytes into one row per record so
+  * [[graft.pipelines.TrainingCorpusPipeline]]'s URL/HTML front
+  * stages can start from raw archives instead of an assumed
+  * (url, html) relation.
+  *
+  * The scanner is CONTENT-LENGTH-DRIVEN, not delimiter-driven: the
+  * payload is cut at exactly the declared octet count, so a payload
+  * that itself contains a `WARC/1.0` line (quoted markup, nested
+  * archives — the adversarial case a split-on-marker parser
+  * mis-splits) stays one payload (spec-proven). Headers are parsed
+  * as ISO-8859-1 (WARC headers are ASCII by spec); payloads stay
+  * raw bytes — decode where consumed (`payload.cast("string")` is
+  * the UTF-8 read).
+  *
+  * Fail-soft boundary rule: records parse sequentially until the
+  * first structural violation (missing version marker, unparseable
+  * or missing Content-Length, declared length past end-of-file);
+  * everything before the damage is emitted, everything after is
+  * dropped — a truncated tail must not invent records, and a
+  * crawl ingest wants the good prefix, not a failed file.
+  *
+  * Scale shape: a pure narrow per-row pass (`mapPartitions` over the
+  * archive rows — genuinely imperative byte scanning, the documented
+  * last-resort case), no shuffle, no driver materialization; records
+  * stream out of a lazy iterator. Executor memory is bounded by the
+  * archive-file size, which [[BinaryFileSource]]'s `maxBytes` guard
+  * caps at read time. Works identically under `readStream` (the
+  * binaryFile streaming source + a stateless mapPartitions), so the
+  * same scanner serves batch backfill and live ingest.
+  */
+object WarcRecords {
+
+  private val Crlf = "\r\n".getBytes("ISO-8859-1")
+
+  /** Sequentially scan one archive's bytes into
+    * (record_idx, warc_type, target_uri, content_length, payload)
+    * tuples — lazy, fail-soft (class doc). */
+  private[io] def scan(bytes: Array[Byte])
+      : Iterator[(Int, String, String, Long, Array[Byte])] =
+    new Iterator[(Int, String, String, Long, Array[Byte])] {
+      private var pos = 0
+      private var idx = 0
+      private var nextRec: (Int, String, String, Long, Array[Byte]) = _
+      private var done = bytes == null
+
+      private def startsWith(p: Int, s: String): Boolean = {
+        val m = s.getBytes("ISO-8859-1")
+        p + m.length <= bytes.length &&
+          java.util.Arrays.equals(bytes, p, p + m.length, m, 0, m.length)
+      }
+
+      private def indexOfCrlfCrlf(from: Int): Int = {
+        var i = from
+        while (i + 3 < bytes.length) {
+          if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+              bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+          i += 1
+        }
+        -1
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        if (done) return
+        // tolerate any CR/LF run between records (the spec's two
+        // CRLFs, or a sloppy writer's extra blank lines)
+        while (pos < bytes.length &&
+            (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+        if (pos >= bytes.length) { done = true; return }
+        if (!startsWith(pos, "WARC/")) { done = true; return }
+        val hdrEnd = indexOfCrlfCrlf(pos)
+        if (hdrEnd < 0) { done = true; return }
+        val block = new String(bytes, pos, hdrEnd - pos, "ISO-8859-1")
+        val headers = block.split("\r\n").drop(1).iterator
+          .map(_.split(":", 2))
+          .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+          .toMap
+        val cl = headers.get("content-length").flatMap(_.toLongOption)
+        cl match {
+          case Some(n) if n >= 0 && hdrEnd + 4 + n <= bytes.length =>
+            val payload = java.util.Arrays.copyOfRange(
+              bytes, hdrEnd + 4, (hdrEnd + 4 + n).toInt)
+            nextRec = (idx, headers.getOrElse("warc-type", null),
+              headers.getOrElse("warc-target-uri", null), n, payload)
+            idx += 1
+            pos = hdrEnd + 4 + n.toInt
+          case _ => done = true // no/bad length, or declared past EOF
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): (Int, String, String, Long, Array[Byte]) = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  /** One row per archive record:
+    * (keyCol: string, record_idx, warc_type, target_uri,
+    * content_length, payload: binary). `keyCol` (the archive's
+    * identity — binaryFile's `path`) is carried through as a string;
+    * `contentCol` may be binary (binaryFile) or string (cast is the
+    * UTF-8 encode). Record order within an archive is its physical
+    * byte order (`record_idx` 0-based). */
+  def splitRecords(df: DataFrame, keyCol: String,
+                   contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(contentCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (k, bytes) =>
+        scan(bytes).map { case (i, t, u, n, p) => (k, i, t, u, n, p) }
+      })
+      .toDF(keyCol, "record_idx", "warc_type", "target_uri",
+        "content_length", "payload")
+  }
+
+  /** Archive rows → the (doc_id, url, html) relation
+    * [[graft.pipelines.TrainingCorpusPipeline]]'s crawl front
+    * consumes (`Config.urlCol`/`htmlCol`): response records with a
+    * target URI, payload UTF-8-decoded, `doc_id = xxhash64(uri)` —
+    * deterministic, well-spread, integral (the LSH stages' id
+    * contract); collision odds are the corpus-negligible 64-bit
+    * birthday bound. Non-response records (warcinfo, request,
+    * metadata) drop here — they are archive bookkeeping, not
+    * documents. A NULL warc_type is KEPT (minimal writers omit it;
+    * a payload with a URI is a document until proven otherwise). */
+  def toCrawlDocs(archives: DataFrame, keyCol: String = "path",
+                  contentCol: String = "content"): DataFrame =
+    splitRecords(archives, keyCol, contentCol)
+      .filter(col("target_uri").isNotNull &&
+        (col("warc_type").isNull || col("warc_type") === "response"))
+      .select(xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload").cast("string").as("html"))
+}

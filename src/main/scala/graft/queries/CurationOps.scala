@@ -1147,7 +1147,96 @@ object CurationOps {
     oracle = Some(graft.operators.UrlCuration.domainReportPslOracle(
       "documents", url179Sql, "text", psl179, "doc_id")))
 
+  /** q180: crawl-archive ingestion end to end
+    * ([[graft.io.WarcRecords.splitRecords]] ∘ extraction) — both
+    * sides synthesize multi-record WARC archives from the documents
+    * table (10 archives of ~50 records each: version line, Type/URI/
+    * Content-Length headers, CRLF-CRLF, payload), the Spark side
+    * scans them with the content-length-driven byte scanner, and the
+    * extracted prose replays through the full q173 entity chain.
+    * DuckDB rebuilds the identical archives (`string_agg` ordered by
+    * doc id ≡ the sorted-collect), splits on the record marker, and
+    * cuts each payload at its DECLARED length via substring — exact
+    * here because the fixture is ASCII (byte = char); the scanner's
+    * byte-true behavior on multibyte and marker-bearing payloads is
+    * spec-pinned where SQL replay cannot reach. */
+  private val q180 = QuerySpec(
+    "q180_warc_extract",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rec = docs.select(
+        (col("doc_id") % 10).as("aid"), col("doc_id"),
+        concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "WARC-Target-URI: https://example-"),
+          col("source"), lit(".com/p/"), col("doc_id").cast("string"),
+          lit("\r\nContent-Length: "),
+          octet_length(htmlPage).cast("string"),
+          lit("\r\n\r\n"), htmlPage, lit("\r\n\r\n")).as("rec"))
+      val archives = rec.groupBy(col("aid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "").as("content"))
+      val records = graft.io.WarcRecords
+        .splitRecords(archives, "aid", "content")
+        .withColumn("__k",
+          struct(col("aid").cast("long").as("archive_id"),
+            col("record_idx").as("record_idx"),
+            col("target_uri").as("url")))
+        .withColumn("html", col("payload").cast("string"))
+      graft.operators.HtmlExtract.extractText(records, "__k", "html")
+        .select(col("__k.archive_id").as("archive_id"),
+          col("__k.record_idx").as("record_idx"),
+          col("__k.url").as("url"), col("title"), col("text"))
+        .orderBy(col("archive_id"), col("record_idx"))
+    },
+    oracle = Some(graft.operators.HtmlExtract.extractOracle(
+      s"""(WITH braw AS (
+            SELECT doc_id, doc_id % 10 AS aid, source,
+                   $htmlPageSql AS hh
+            FROM documents),
+          brec AS (
+            SELECT aid, doc_id,
+              'WARC/1.0' || chr(13) || chr(10) ||
+              'WARC-Type: response' || chr(13) || chr(10) ||
+              'WARC-Target-URI: https://example-' || source || '.com/p/' ||
+                CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+              'Content-Length: ' || CAST(strlen(hh) AS VARCHAR) ||
+                chr(13) || chr(10) || chr(13) || chr(10) ||
+              hh || chr(13) || chr(10) || chr(13) || chr(10) AS r
+            FROM braw),
+          arch AS (
+            SELECT aid, string_agg(r, '' ORDER BY doc_id) AS content
+            FROM brec GROUP BY aid),
+          p0 AS (
+            SELECT aid, string_split(content,
+              'WARC/1.0' || chr(13) || chr(10)) AS ps
+            FROM arch),
+          pieces AS (
+            SELECT aid,
+                   CAST(generate_subscripts(ps, 1) - 2 AS INTEGER)
+                     AS record_idx,
+                   unnest(ps) AS piece
+            FROM p0),
+          good AS (SELECT * FROM pieces WHERE record_idx >= 0),
+          recs AS (
+            SELECT aid, record_idx,
+              substring(piece, 1, strpos(piece,
+                chr(13)||chr(10)||chr(13)||chr(10)) - 1) AS hdr,
+              substring(piece,
+                strpos(piece, chr(13)||chr(10)||chr(13)||chr(10)) + 4,
+                CAST(regexp_extract(substring(piece, 1, strpos(piece,
+                    chr(13)||chr(10)||chr(13)||chr(10)) - 1),
+                  'Content-Length: ([0-9]+)', 1) AS BIGINT)) AS payload
+            FROM good)
+          SELECT CAST(aid AS BIGINT) AS archive_id, record_idx,
+                 regexp_extract(hdr, 'WARC-Target-URI: ([^\\r\\n]+)', 1)
+                   AS url,
+                 payload
+          FROM recs) w""",
+      "archive_id, record_idx, url", "payload")))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
-      q134, q144, q148, q150, q156, q173, q174, q175, q176, q179)
+      q134, q144, q148, q150, q156, q173, q174, q175, q176, q179, q180)
 }

@@ -310,6 +310,46 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     b.except(a).count() shouldBe 0L
   }
 
+  test("archive-to-tensor: raw WARC bytes → records → blocklist + extraction → packed chunks") {
+    import graft.io.WarcRecords
+    // the full mouth-to-tensor path: multi-record archive BYTES in,
+    // packed training chunks out — no manual (url, html) step left
+    def rec(uri: String, html: String): Array[Byte] = {
+      val p = html.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val srcDocs = pool.limit(40).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val (blockedSrc, okSrc) = srcDocs.partition(_._1 % 5 == 0)
+    def archive(rows: Seq[(Long, String)], host: String): Array[Byte] =
+      rows.toArray.flatMap { case (id, text) =>
+        rec(s"https://$host/p/$id",
+          s"<html><body><p>$text</p><script>junk()</script></body></html>")
+      }
+    val archives = Seq(
+      ("arch0", archive(blockedSrc.toSeq, "blocked.example")),
+      ("arch1", archive(okSrc.take(okSrc.length / 2).toSeq, "ok.example")),
+      ("arch2", archive(okSrc.drop(okSrc.length / 2).toSeq, "ok.example")))
+      .toDF("path", "content")
+    val crawl = WarcRecords.toCrawlDocs(archives)
+    crawl.count() shouldBe 40L
+    val outW = TrainingCorpusPipeline.run(crawl, holdout, "doc_id", "text",
+      cfg.copy(htmlCol = Some("html"), urlCol = Some("url")),
+      urlBlocklist = Some(Seq("blocked.example").toDF("domain")))
+    outW.count() should be > 0L
+    // the blocked archive's documents never reach the corpus: their
+    // uri-hash ids (toCrawlDocs' id rule) are absent from the output
+    val blockedIds = blockedSrc.map(_._1).toSeq.toDF("oid")
+      .select(xxhash64(concat(lit("https://blocked.example/p/"),
+        col("oid").cast("string"))).as("doc_id"))
+    outW.join(blockedIds, Seq("doc_id"), "left_semi").count() shouldBe 0L
+    // extraction really ran: no markup, no script bodies in chunks
+    outW.filter(col("chunk_text").contains("junk()")).count() shouldBe 0L
+    outW.filter(col("chunk_text").contains("<p>")).count() shouldBe 0L
+  }
+
   test("htmlCol aliased to textCol or idCol fails loudly at the front door") {
     // the htmlCol path drops htmlCol after the extraction join — an
     // alias would silently delete a role column mid-pipeline; run()

@@ -510,6 +510,18 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(plan.split("== Initial")(0)).size <= 2, plan)
   }
 
+  test("q180: archive scan is one aggregate shuffle + a narrow record pass — no join at all") {
+    val plan = planOf("q180_warc_extract")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // archive assembly is the single partial-agg'd groupBy; the record
+    // scanner and extraction are narrow; the tail exchange is the
+    // oracle sort
+    assert("Exchange (hash|range)partitioning".r
+      .findAllIn(plan.split("== Initial")(0)).size <= 2, plan)
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
   test("q177: residual IVF-PQ — corpus scanned ONCE into codes, cell-key hash join, heap top-k") {
     val plan = planOf("q177_ann_ivf_pq_residual")
     assert(!plan.contains("CartesianProduct"), plan)
