@@ -485,6 +485,33 @@ object ProductQuant {
     ResidualTwoLevelModel(tl, train(resid, idCol, "rvec", dim, m, k, iters))
   }
 
+  /** The corpus-side INDEX relation of the residual two-level form:
+    * (c_id, cell, codes array<int>) — nearest two-level cell +
+    * residual PQ codes, one fused narrow pass (cell assignment,
+    * residual join, code argmins over the same row). This is the
+    * relation a frozen index STORES and serves from — and the
+    * assign-only APPEND path: encoding a fresh vector batch with a
+    * loaded frozen model (no retrain) and unioning it onto the stored
+    * relation is exactly what a batch rebuild over old ∪ new computes
+    * (encode is a pure per-row function of the frozen model —
+    * spec-proven append ≡ rebuild), so incremental ingest is a union,
+    * never a retrain. Pair with [[residualDriftReportTwoLevel]] to
+    * decide WHEN the frozen model has drifted enough to retrain. */
+  def encodeResidualTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, model: ResidualTwoLevelModel,
+                             superProbe: Int = 2): DataFrame = {
+    val rv = residualVecsTwoLevel(df, idCol, vecCol, dim, model.cells,
+      superProbe)
+    val rMicro = KMeans.microVec(col("rvec"))
+    val codeCols = model.pq.slices.zip(model.pq.books).map {
+      case ((start, len), book) =>
+        val d = bookDists(rMicro, start, len, book)
+        array_position(d, array_min(d)).cast("int")
+    }
+    rv.select(col(idCol).as("c_id"), col("cell"),
+      array(codeCols: _*).as("codes"))
+  }
+
   /** [[ivfAdcResidualTopK]] behind the two-level quantizer: same
     * candidate semantics (one cell per corpus point, per-(q, cell)
     * LUTs), NO K-sized literal anywhere — the super model is the only
@@ -495,20 +522,30 @@ object ProductQuant {
                                  model: ResidualTwoLevelModel, k: Int,
                                  nProbe: Int = 2,
                                  superProbe: Int = 2): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val rv = residualVecsTwoLevel(corpus, idCol, vecCol, dim, model.cells,
-      superProbe)
-    val rMicro = KMeans.microVec(col("rvec"))
-    val codeCols = model.pq.slices.zip(model.pq.books).map {
-      case ((start, len), book) =>
-        val d = bookDists(rMicro, start, len, book)
-        array_position(d, array_min(d)).cast("int")
-    }
-    val codes = rv
-      .select(col(idCol).as("c_id"), col("cell"),
-        array(codeCols: _*).as("codes"))
-      .repartition(par)
+    // the adcTopK fan-out rule: a small corpus arriving as one split
+    // would serialize the scoring loop onto a single task
+    val codes = encodeResidualTwoLevel(corpus, idCol, vecCol, dim, model,
+      superProbe).repartition(par)
+    ivfAdcResidualTopKTwoLevelOverCodes(codes, queries, idCol, vecCol,
+      dim, model, k, nProbe, superProbe)
+  }
+
+  /** Search over a PRECOMPUTED (c_id, cell, codes) relation — the
+    * serve-frozen / incremental-append form of
+    * [[ivfAdcResidualTopKTwoLevel]]: `codes` is a stored index
+    * relation (or stored ∪ [[encodeResidualTwoLevel]] of an appended
+    * batch), loaded as data; only the query side touches the model.
+    * The caller owns `codes`' partitioning (a loaded parquet relation
+    * is already split; repartition only if it arrives as one file). */
+  def ivfAdcResidualTopKTwoLevelOverCodes(codes: DataFrame,
+                                          queries: DataFrame,
+                                          idCol: String, vecCol: String,
+                                          dim: Int,
+                                          model: ResidualTwoLevelModel,
+                                          k: Int, nProbe: Int = 2,
+                                          superProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val probed = Similarity.assignTwoLevelCells(queries, idCol, vecCol,
         model.cells, nProbe, superProbe)
       .select(col("id").as("q_id"), col("cell"))
@@ -527,5 +564,84 @@ object ProductQuant {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("__adc", adcScore(model.pq))
     adcRank(scored, k)
+  }
+
+  // ---- Retrain alarm: residual-magnitude drift -------------------------
+
+  /** Assemble the one-row drift report from two per-vector
+    * squared-residual-norm relations (each a single `__n2` BIGINT
+    * column). All integer: msr = Σ‖r‖²_micro² div n (floor),
+    * drift_bp = new_msr·10⁴ div base_msr. `retrain` trips when the
+    * appended batch's mean squared residual exceeds `alarmBp` basis
+    * points of the baseline's — the FAISS-folk retrain heuristic
+    * (residuals growing ⇒ the frozen centroids no longer sit where
+    * the data is ⇒ candidate lists degrade before recall visibly
+    * does). NULL msr/drift (empty side or zero baseline) = no
+    * evidence, retrain false — an empty probe must not page anyone. */
+  private def driftReport(base: DataFrame, appended: DataFrame,
+                          alarmBp: Long): DataFrame = {
+    val b = base.agg(count(lit(1)).as("n_base"), sum(col("__n2")).as("__sb"))
+    val a = appended.agg(count(lit(1)).as("n_new"),
+      sum(col("__n2")).as("__sa"))
+    b.crossJoin(a)
+      .select(col("n_base"), col("n_new"),
+        expr("__sb div n_base").as("base_msr"),
+        expr("__sa div n_new").as("new_msr"),
+        expr("case when n_base > 0 and n_new > 0 and __sb div n_base > 0 " +
+          "then ((__sa div n_new) * 10000) div (__sb div n_base) end")
+          .as("drift_bp"))
+      .withColumn("retrain",
+        coalesce(col("drift_bp") > alarmBp, lit(false)))
+  }
+
+  /** Per-vector squared residual norm (micro² BIGINT) against the
+    * FLAT cell model: the min over centroids of the exact integer
+    * squared distance — assignment is argmin, so the min IS the
+    * assigned cell's residual. One narrow literal-model pass. */
+  private def residualNorms2(df: DataFrame, vecCol: String, dim: Int,
+                             cells: KMeans.Model): DataFrame =
+    cleanVecs(df, vecCol, dim)
+      .select(array_min(transform(typedlit(cells.sortBy(_._1).map(_._2)),
+        c => KMeans.sqDistMicro(KMeans.microVec(col(vecCol)), c)))
+        .as("__n2"))
+
+  /** Residual-magnitude drift of an appended vector batch vs a
+    * baseline (normally: the corpus the index was trained on) under a
+    * FROZEN flat residual index — the alarm that decides when
+    * assign-only appends ([[encodeResidualTwoLevel]]'s flat twin is
+    * [[ivfAdcResidualTopK]]'s internal encoding) have outlived the
+    * frozen centroids. One row: (n_base, n_new, base_msr, new_msr,
+    * drift_bp, retrain). Exact integers end to end (oracle-checked,
+    * q181); sums stay under 2⁶³ to ~10⁵ unit-norm vectors per side —
+    * probe a bounded sample at larger scales (an alarm needs a
+    * consistent estimate, not the full corpus). */
+  def residualDriftReport(model: ResidualModel, baseline: DataFrame,
+                          appended: DataFrame, idCol: String,
+                          vecCol: String, dim: Int,
+                          alarmBp: Long = 12500): DataFrame =
+    driftReport(
+      residualNorms2(baseline, vecCol, dim, model.cells),
+      residualNorms2(appended, vecCol, dim, model.cells), alarmBp)
+
+  /** [[residualDriftReport]] for the two-level (no-K-literal) form:
+    * norms come from the beam assignment + a broadcast join against
+    * the sub-centroid relation — the q178 plan shape, integers end to
+    * end. */
+  def residualDriftReportTwoLevel(model: ResidualTwoLevelModel,
+                                  baseline: DataFrame, appended: DataFrame,
+                                  idCol: String, vecCol: String, dim: Int,
+                                  superProbe: Int = 2,
+                                  alarmBp: Long = 12500): DataFrame = {
+    def norms(df: DataFrame): DataFrame = {
+      val assign1 = Similarity.assignTwoLevelCells(df, idCol, vecCol,
+          model.cells, nProbe = 1, superProbe = superProbe)
+        .select(col("id").as(idCol), col("cell"))
+      cleanVecs(df, vecCol, dim)
+        .select(col(idCol), KMeans.microVec(col(vecCol)).as("__m"))
+        .join(assign1, idCol)
+        .join(broadcast(cellVecsOf(model.cells)), "cell")
+        .select(KMeans.sqDistMicro(col("__m"), col("cvec")).as("__n2"))
+    }
+    driftReport(norms(baseline), norms(appended), alarmBp)
   }
 }

@@ -1447,8 +1447,89 @@ object Advanced {
       ORDER BY q_id, rank"""
     })
 
+  /** q181: ORACLE-CHECKED residual-drift retrain alarm
+    * ([[graft.operators.ProductQuant.residualDriftReport]]) — the
+    * maintenance half of the frozen-index lifecycle: assign-only
+    * appends ([[graft.operators.ProductQuant.encodeResidualTwoLevel]])
+    * keep a frozen index current, and THIS report decides when the
+    * frozen centroids have outlived the data. Two scenarios share one
+    * trained model (q177's cells): appending the training corpus
+    * itself (drift 10000 bp exactly — the calibration witness) and a
+    * +0.25-shifted copy (centroids no longer sit on the data → msr
+    * jumps → retrain trips). Exact integers end to end: residual
+    * norm² IS the argmin'd squared cell distance, msr the floor mean,
+    * drift the basis-point floor ratio; DuckDB replays the cell
+    * training (the q177 chain), both norm passes (shifted micro
+    * vectors re-quantized with identical IEEE double arithmetic),
+    * and the report arithmetic bit for bit. */
+  private val q181 = QuerySpec(
+    "q181_index_drift_alarm",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.ProductQuant.trainResidual(emb, "vec_id",
+        "embedding", dim = 64, m = 2, k = 4, iters = 2, nCells = 8,
+        cellIters = 2)
+      val shifted = emb.withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double") + lit(0.25)))
+      def rep(appended: org.apache.spark.sql.DataFrame, name: String) =
+        graft.operators.ProductQuant.residualDriftReport(model, emb,
+            appended, "vec_id", "embedding", dim = 64)
+          .withColumn("scenario", lit(name))
+      rep(emb, "same").unionByName(rep(shifted, "shifted"))
+        .select(col("scenario"), col("n_base"), col("n_new"),
+          col("base_msr"), col("new_msr"), col("drift_bp"), col("retrain"))
+        .orderBy(col("scenario"))
+    },
+    oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      ${pqChainSql(2, 1, 64, 8)},
+      bmin AS (
+        SELECT vec_id, min(dist) AS n2 FROM dE_2 GROUP BY vec_id),
+      shifted AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round((CAST(x AS DOUBLE) + 0.25) * 1000000, 0)
+                   AS BIGINT)) AS v
+        FROM embeddings),
+      dS AS (
+        SELECT s.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (s.v[i] - c.v[i]) * (s.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM shifted s CROSS JOIN c2_2 c),
+      smin AS (
+        SELECT vec_id, min(dist) AS n2 FROM dS GROUP BY vec_id),
+      b AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS s
+        FROM bmin),
+      sh AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS s
+        FROM smin),
+      rep AS (
+        SELECT 'same' AS scenario, b.n AS n_base, b.n AS n_new,
+               b.s // b.n AS base_msr, b.s // b.n AS new_msr
+        FROM b
+        UNION ALL
+        SELECT 'shifted', b.n, sh.n, b.s // b.n, sh.s // sh.n
+        FROM b, sh)
+      SELECT scenario, n_base, n_new, base_msr, new_msr,
+             CASE WHEN n_base > 0 AND n_new > 0 AND base_msr > 0
+                  THEN (new_msr * 10000) // base_msr END AS drift_bp,
+             coalesce((new_msr * 10000) // base_msr > 12500, false)
+               AS retrain
+      FROM rep
+      ORDER BY scenario"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142,
-      q143, q168, q177, q178)
+      q143, q168, q177, q178, q181)
 }

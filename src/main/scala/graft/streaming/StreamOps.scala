@@ -328,6 +328,31 @@ object StreamOps {
       sink(pre.join(flagged, Seq(idCol), "left_anti"), id)
     }
 
+  /** Per-micro-batch assign-only vector-index APPEND: each arriving
+    * embedding batch is encoded against a FROZEN residual two-level
+    * index ([[graft.operators.ProductQuant.encodeResidualTwoLevel]] —
+    * nearest frozen cell + residual PQ codes, NO retrain) and `sink`
+    * receives the (c_id, cell, codes) rows to append to the stored
+    * index relation. Because encode is a pure per-row function of the
+    * frozen model, append-then-search ≡ batch-rebuild-search
+    * (spec-proven) — the streaming index stays byte-consistent with a
+    * batch rebuild at every point. Stateless (batch-local narrow
+    * pass + a broadcast model join); pair with
+    * [[graft.operators.ProductQuant.residualDriftReportTwoLevel]] on
+    * the appended batches to decide when the frozen centroids have
+    * drifted enough to retrain (q181's alarm, live). */
+  def indexAppendEachBatch(vecs: DataFrame,
+                           model: graft.operators.ProductQuant.ResidualTwoLevelModel,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           dim: Int = 64, superProbe: Int = 2)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.operators.ProductQuant.encodeResidualTwoLevel(
+        batch, idCol, vecCol, dim, model, superProbe), id)
+    }
+
   /** Declarative gap-based session aggregation (session_window): sessions
     * close after `gap` of per-user inactivity; emits one row per closed
     * session in append mode. */

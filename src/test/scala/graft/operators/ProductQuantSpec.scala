@@ -291,4 +291,54 @@ class ProductQuantSpec extends SparkSpec {
     info(s"clustered recall@3: residual∘two-level $rTl")
     rTl should be > rRaw + 0.3
   }
+
+  test("assign-only append ≡ batch rebuild: frozen-model encode composes by union") {
+    // the incremental-maintenance contract: encoding an appended batch
+    // with the FROZEN model and unioning onto the stored code relation
+    // is byte-identical to re-encoding old ∪ new — and search over the
+    // appended index equals the one-shot search
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") > 100)
+    val fresh = emb.filter(col("vec_id") <= 100)
+    val m = ProductQuant.trainResidualTwoLevel(old, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2, nCells = 4)
+    val appended = ProductQuant
+      .encodeResidualTwoLevel(old, "vec_id", "embedding", 64, m)
+      .unionByName(ProductQuant
+        .encodeResidualTwoLevel(fresh, "vec_id", "embedding", 64, m))
+    val rebuilt = ProductQuant
+      .encodeResidualTwoLevel(emb, "vec_id", "embedding", 64, m)
+    appended.except(rebuilt).count() shouldBe 0L
+    rebuilt.except(appended).count() shouldBe 0L
+    val queries = emb.filter(col("vec_id") <= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "adc_dist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val viaAppend = rows(ProductQuant.ivfAdcResidualTopKTwoLevelOverCodes(
+      appended, queries, "vec_id", "embedding", 64, m, k = 3))
+    val oneShot = rows(ProductQuant.ivfAdcResidualTopKTwoLevel(
+      emb, queries, "vec_id", "embedding", 64, m, k = 3))
+    viaAppend shouldBe oneShot
+  }
+
+  test("drift alarm (two-level): identical batch is 10000bp quiet; shifted data trips retrain") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val m = ProductQuant.trainResidualTwoLevel(emb, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2, nCells = 4)
+    val same = ProductQuant.residualDriftReportTwoLevel(m, emb, emb,
+      "vec_id", "embedding", 64).collect().head
+    same.getAs[Long]("drift_bp") shouldBe 10000L
+    same.getAs[Boolean]("retrain") shouldBe false
+    val shifted = emb.withColumn("embedding",
+      transform(col("embedding"), x => x.cast("double") + lit(0.25)))
+    val drift = ProductQuant.residualDriftReportTwoLevel(m, emb, shifted,
+      "vec_id", "embedding", 64).collect().head
+    drift.getAs[Long]("drift_bp") should be > 12500L
+    drift.getAs[Boolean]("retrain") shouldBe true
+    // empty probe: no evidence, no page
+    val empty = ProductQuant.residualDriftReportTwoLevel(m, emb,
+      emb.filter(col("vec_id") < 0), "vec_id", "embedding", 64)
+      .collect().head
+    empty.getAs[Boolean]("retrain") shouldBe false
+  }
 }

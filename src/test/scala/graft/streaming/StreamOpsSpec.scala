@@ -284,4 +284,50 @@ class StreamOpsSpec extends SparkSpec {
       sessions(1).getAs[Int]("n_events") shouldBe 1
     } finally q.stop()
   }
+
+  test("mid-stream index append: frozen-model encode per batch, accumulated index ≡ batch rebuild") {
+    import graft.operators.ProductQuant
+    implicit val ctx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // the frozen index: trained on the "historical" corpus only
+    val old = emb.filter(col("vec_id") > 100)
+    val model = ProductQuant.trainResidualTwoLevel(old, "vec_id",
+      "embedding", dim = 64, m = 2, k = 4, iters = 2, nCells = 4)
+    val arriving = emb.filter(col("vec_id") <= 100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (batch1, batch2) = arriving.splitAt(arriving.length / 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val appendedBatches = scala.collection.mutable.ArrayBuffer
+      .empty[Array[(Long, Int, Seq[Int])]]
+    val q = StreamOps.indexAppendEachBatch(
+        in.toDF().toDF("vec_id", "embedding"), model) { (codes, _) =>
+        appendedBatches += codes.select("c_id", "cell", "codes")
+          .as[(Long, Int, Seq[Int])].collect()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_idx_append").toString)
+      .start()
+    try {
+      in.addData(batch1.toSeq); q.processAllAvailable()
+      in.addData(batch2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // two appends arrived, encoded against the FROZEN model
+    appendedBatches.map(_.length).sum shouldBe arriving.length
+    // stored ∪ streamed-appends ≡ a batch re-encode of old ∪ new, and
+    // search over the accumulated relation equals the one-shot search
+    val streamed = appendedBatches.flatten.toSeq
+      .toDF("c_id", "cell", "codes")
+    val accumulated = ProductQuant
+      .encodeResidualTwoLevel(old, "vec_id", "embedding", 64, model)
+      .unionByName(streamed)
+    val queries = emb.filter(col("vec_id") <= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "adc_dist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    rows(ProductQuant.ivfAdcResidualTopKTwoLevelOverCodes(accumulated,
+      queries, "vec_id", "embedding", 64, model, k = 3)) shouldBe
+      rows(ProductQuant.ivfAdcResidualTopKTwoLevel(emb, queries,
+        "vec_id", "embedding", 64, model, k = 3))
+  }
 }
