@@ -566,6 +566,162 @@ object ProductQuant {
     adcRank(scored, k)
   }
 
+  // ---- OPQ: learned orthogonal rotation before PQ ----------------------
+  // (Ge et al., "Optimized Product Quantization", CVPR 2013 — the
+  // non-parametric alternation, the next rung on the FAISS ladder
+  // after residual encoding: a pre-rotation decorrelates the fixed
+  // subspace slices so the same code budget quantizes better.)
+
+  /** An OPQ model: the micro-quantized dim×dim rotation (row-major,
+    * entries = round(R_ij·10⁶) — the quantization is what makes the
+    * rotated domain ENGINE-REPLAYABLE: both engines apply the same
+    * integer matrix, so near-orthogonality after rounding costs
+    * recall nothing and exactness nothing) plus PQ codebooks trained
+    * in the rotated domain. The rotation is dim² longs — model-sized,
+    * far under the documented literal cap (a 10²-10³ dim embedding is
+    * 10⁴-10⁶ entries; pass it as a broadcast relation past ~10⁴ the
+    * same way the two-level sub-centroids join). */
+  case class OpqModel(rotation: Seq[Seq[Long]], pq: Model) {
+    require(rotation.nonEmpty && rotation.forall(_.size == rotation.size),
+      "rotation must be square dim×dim")
+    def dim: Int = rotation.size
+  }
+
+  /** The micro identity — [[trainOpq]]'s starting point and the
+    * no-op rotation for composing un-rotated paths uniformly. */
+  def identityRotation(dim: Int): Seq[Seq[Long]] =
+    Seq.tabulate(dim, dim)((i, j) => if (i == j) 1000000L else 0L)
+
+  // floor((Rµ·vµ)/10⁶) with a positive-offset trick: Spark `div` and
+  // DuckDB `//` agree (truncation = floor) only for nonnegative
+  // numerators, and double division + floor can be off by an ulp at
+  // integer boundaries — so shift by 10¹⁵ (far above any |Σ Rµ·vµ|
+  // at micro magnitudes), integer-divide, shift back by 10⁹.
+  private val RotOffset = 1000000000000000L
+  private val RotOffsetOut = 1000000000L
+
+  /** Rotated micro vector of a micro vector against a literal
+    * micro rotation — exact integers end to end, narrow codegen. */
+  private def rotateMicroExpr(micro: Column,
+                              rotation: Seq[Seq[Long]]): Column = {
+    val r = typedlit(rotation)
+    transform(sequence(lit(1), lit(rotation.size)), i =>
+      call_function("div",
+        aggregate(zip_with(element_at(r, i.cast("int")), micro,
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+          + lit(RotOffset),
+        lit(1000000L)) - lit(RotOffsetOut))
+  }
+
+  /** (idCol, __rv): every vector rotated into the PQ domain, as the
+    * float relation the PQ machinery consumes (micro round-trip is
+    * exact — the residualExpr argument). This IS the opt-in OPQ
+    * pre-stage: feed `__rv` to [[train]]/[[trainResidual]]/their
+    * searches and the whole existing stack runs in the rotated
+    * domain unchanged. */
+  def rotate(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+             rotation: Seq[Seq[Long]]): DataFrame = {
+    require(rotation.size == dim,
+      s"rotation is ${rotation.size}×${rotation.size}, vectors dim $dim")
+    cleanVecs(df, vecCol, dim)
+      .select(col(idCol),
+        transform(rotateMicroExpr(KMeans.microVec(col(vecCol)), rotation),
+          x => x.cast("double") / lit(1e6)).as("__rv"))
+  }
+
+  /** Micro reconstruction of a `codes` row from literal codebooks:
+    * the per-subspace assigned centroids concatenated back to a full
+    * dim vector — the Y side of the Procrustes update. */
+  private def decodeExpr(model: Model): Column =
+    concat(model.slices.zip(model.books).zipWithIndex.map {
+      case (((_, _), book), s) =>
+        element_at(typedlit(book.sortBy(_._1).map(_._2)),
+          element_at(col("codes"), s + 1))
+    }: _*)
+
+  /** Orthogonal-Procrustes update: R = argmax_{RᵀR=I} tr(R·A) with
+    * A_ij = Σ_n x_i y_j = U S Vᵀ → R = V Uᵀ. Driver-side SVD of a
+    * dim×dim matrix (model-sized); the result is immediately
+    * micro-quantized, so cross-engine exactness never depends on the
+    * LAPACK path — the quantized matrix is DATA. */
+  private def procrustes(a: Array[Long], dim: Int): Seq[Seq[Long]] = {
+    val A = breeze.linalg.DenseMatrix.tabulate(dim, dim)(
+      (i, j) => a(i * dim + j).toDouble)
+    val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(A)
+    val r = vt.t * u.t
+    Seq.tabulate(dim, dim)((i, j) => math.round(r(i, j) * 1e6))
+  }
+
+  /** Train OPQ: `opqIters` alternations of (fit PQ codebooks in the
+    * current rotation) / (Procrustes-update the rotation toward the
+    * codebooks' reconstructions), then one final codebook fit in the
+    * final rotation. Everything is bounded by the deterministic
+    * md5-rank sample ([[train]]'s rule): per alternation one m-fit
+    * train, one encode, and ONE dim×dim cross-covariance aggregate —
+    * accumulated in EXACT longs per partition (order-independent ⇒
+    * partitioning-independent ⇒ bit-identical refits, the q183
+    * witness) and collected as O(partitions·dim²), never corpus rows.
+    * Training cost is constant in corpus size. */
+  def trainOpq(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               m: Int, k: Int, iters: Int, opqIters: Int = 3,
+               sampleN: Int = 0): OpqModel = {
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val n = if (sampleN > 0) sampleN
+      else math.min(65536, math.max(4096, 64 * k))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = cleanVecs(df, vecCol, dim)
+      .withColumn("__r", Similarity.portableCentroidRank(col(idCol)))
+      .orderBy(col("__r"), col(idCol)).limit(n)
+      .select(col(idCol), KMeans.microVec(col(vecCol)).as("__xm"))
+      .cache()
+    try {
+      var rot = identityRotation(dim)
+      def rotated = sample.select(col(idCol), col("__xm"),
+        transform(rotateMicroExpr(col("__xm"), rot),
+          x => x.cast("double") / lit(1e6)).as("__rv"))
+      for (_ <- 1 to opqIters) {
+        val pq = train(rotated, idCol, "__rv", dim, m, k, iters, sampleN = n)
+        val pairs = rotated
+          .join(encode(rotated, idCol, "__rv", dim, pq), idCol)
+          .select(col("__xm"), decodeExpr(pq).as("__ym"))
+          .as[(Seq[Long], Seq[Long])]
+        val partials = pairs.mapPartitions { it =>
+          val acc = new Array[Long](dim * dim)
+          it.foreach { case (x, y) =>
+            var i = 0
+            while (i < dim) {
+              val xi = x(i); var j = 0
+              while (j < dim) { acc(i * dim + j) += xi * y(j); j += 1 }
+              i += 1
+            }
+          }
+          Iterator(acc.toSeq)
+        }.collect()
+        val a = new Array[Long](dim * dim)
+        partials.foreach { p =>
+          var t = 0
+          while (t < dim * dim) { a(t) += p(t); t += 1 }
+        }
+        rot = procrustes(a, dim)
+      }
+      OpqModel(rot, train(rotated, idCol, "__rv", dim, m, k, iters,
+        sampleN = n))
+    } finally { sample.unpersist(); () }
+  }
+
+  /** ADC top-k in the learned rotated domain: both sides rotate
+    * narrowly (literal matrix, no join, no shuffle), then the
+    * standard [[adcTopK]] runs unchanged. Compose with the IVF paths
+    * the same way — `rotate` the corpus once and feed any search in
+    * this file. */
+  def opqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, dim: Int, model: OpqModel,
+                 k: Int): DataFrame =
+    adcTopK(rotate(corpus, idCol, vecCol, dim, model.rotation),
+      rotate(queries, idCol, vecCol, dim, model.rotation),
+      idCol, "__rv", dim, model.pq, k)
+
   // ---- Retrain alarm: residual-magnitude drift -------------------------
 
   /** Assemble the one-row drift report from two per-vector

@@ -1528,8 +1528,146 @@ object Advanced {
       FROM rep
       ORDER BY scenario"""))
 
+  /** The q182 rotation: 32 planar rotations pairing dim t with
+    * t+32 — every pair STRADDLES the m=2 subspace boundary, so the
+    * rotated domain genuinely mixes information across the slices
+    * the PQ codebooks quantize. Micro-quantized at build time; the
+    * quantized matrix is the single source both engines apply (the
+    * OPQ exactness argument: the rotation is DATA, orthogonality
+    * after rounding is approximate and irrelevant to parity). */
+  private lazy val rot182: Seq[Seq[Long]] = {
+    val dim = 64
+    val m = Array.tabulate(dim, dim)((i, j) => if (i == j) 1000000L else 0L)
+    for (t <- 0 until 32) {
+      val th = 0.1 * (t + 1)
+      val c = math.round(math.cos(th) * 1e6)
+      val s = math.round(math.sin(th) * 1e6)
+      m(t)(t) = c; m(t)(t + 32) = -s; m(t + 32)(t) = s; m(t + 32)(t + 32) = c
+    }
+    m.map(_.toSeq).toSeq
+  }
+
+  private def rot182Sql: String =
+    rot182.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** q182: ORACLE-CHECKED PQ in a ROTATED domain — the
+    * micro-exactness argument OPQ rests on, proven end to end with a
+    * FIXED rotation (the q166 fixed-weights precedent: a trained
+    * rotation cannot be embedded in static oracle SQL, so the
+    * replayable query pins the rotated-domain MACHINERY —
+    * [[graft.operators.ProductQuant.rotate]]'s offset-floor integer
+    * matmul, codebook training on rotated vectors, rotated ADC —
+    * and q183 witnesses the trained path). DuckDB applies the
+    * identical micro matrix with the identical
+    * (Σ+10¹⁵)//10⁶−10⁹ floor arithmetic, then replays the full q142
+    * chain over the rotated vectors bit for bit. */
+  private val q182 = QuerySpec(
+    "q182_ann_opq_rotated",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val rotated = graft.operators.ProductQuant.rotate(emb, "vec_id",
+        "embedding", 64, rot182)
+      val model = graft.operators.ProductQuant.train(rotated, "vec_id",
+        "__rv", dim = 64, m = 2, k = 4, iters = 2)
+      graft.operators.ProductQuant.adcTopK(rotated,
+          rotated.filter(col("vec_id") <= 20), "vec_id", "__rv",
+          dim = 64, model, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH vm AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      rotr AS (
+        SELECT CAST(generate_subscripts(r, 1) AS INTEGER) AS i,
+               unnest(r) AS rv
+        FROM (SELECT $rot182Sql AS r)),
+      q AS (
+        SELECT vec_id, list(val ORDER BY i) AS v FROM (
+          SELECT vm.vec_id, rotr.i,
+                 (list_sum(list_transform(range(1, 65),
+                    j -> rotr.rv[j] * vm.v[j]))
+                  + 1000000000000000) // 1000000 - 1000000000 AS val
+          FROM vm CROSS JOIN rotr)
+        GROUP BY vec_id),
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      ${pqChainSql(0, 1, 32, 4)},
+      ${pqChainSql(1, 33, 64, 4)},
+      lu_0 AS (
+        SELECT qq.vec_id AS q_id, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM (SELECT * FROM qs_0 WHERE vec_id <= 20) qq CROSS JOIN c0_2 c),
+      lu_1 AS (
+        SELECT qq.vec_id AS q_id, c.cid AS code,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS d
+        FROM (SELECT * FROM qs_1 WHERE vec_id <= 20) qq CROSS JOIN c1_2 c),
+      adc AS (
+        SELECT l0.q_id, e0.vec_id AS c_id, l0.d + l1.d AS adc_dist
+        FROM e_0 e0 JOIN e_1 e1 USING (vec_id)
+        JOIN lu_0 l0 ON l0.code = e0.code
+        JOIN lu_1 l1 ON l1.code = e1.code AND l1.q_id = l0.q_id
+        WHERE l0.q_id <> e0.vec_id)
+      SELECT q_id, rank, c_id, adc_dist FROM (
+        SELECT q_id, c_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc_dist, c_id) AS INTEGER) AS rank
+        FROM adc) WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
+  /** q183: OPQ training determinism, oracle-witnessed (the q92/q167
+    * pattern for the trained-rotation path q182 cannot replay): two
+    * full [[graft.operators.ProductQuant.trainOpq]] runs — each
+    * alternating sample-bounded codebook fits with exact-long
+    * cross-covariance Procrustes updates — must produce the
+    * bit-identical micro rotation AND bit-identical corpus codes;
+    * DuckDB states the zero-disagreement counts independently. */
+  private val q183 = QuerySpec(
+    "q183_opq_determinism",
+    (s, dir) => {
+      import graft.operators.ProductQuant
+      val emb = Tables.embeddings(s, dir)
+      val m1 = ProductQuant.trainOpq(emb, "vec_id", "embedding", dim = 64,
+        m = 2, k = 4, iters = 2, opqIters = 2)
+      val m2 = ProductQuant.trainOpq(emb.repartition(7), "vec_id",
+        "embedding", dim = 64, m = 2, k = 4, iters = 2, opqIters = 2)
+      val rotDiff = m1.rotation.zip(m2.rotation)
+        .map { case (a, b) => a.zip(b).count { case (x, y) => x != y } }
+        .sum
+      val c1 = ProductQuant.encode(
+          ProductQuant.rotate(emb, "vec_id", "embedding", 64, m1.rotation),
+          "vec_id", "__rv", 64, m1.pq)
+        .select(col("vec_id"), col("codes").as("c1"))
+      val c2 = ProductQuant.encode(
+          ProductQuant.rotate(emb, "vec_id", "embedding", 64, m2.rotation),
+          "vec_id", "__rv", 64, m2.pq)
+        .select(col("vec_id"), col("codes").as("c2"))
+      c1.join(c2, "vec_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L))
+            .as("n_code_disagree"))
+        .withColumn("n_rot_disagree", lit(rotDiff.toLong))
+        .select(col("n_vecs"), col("n_rot_disagree"), col("n_code_disagree"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(0 AS BIGINT) AS n_rot_disagree,
+             CAST(0 AS BIGINT) AS n_code_disagree
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(embedding) = 64
+        AND NOT list_has_any(list_transform(embedding, x -> x IS NULL),
+                             [true])"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142,
-      q143, q168, q177, q178, q181)
+      q143, q168, q177, q178, q181, q182, q183)
 }
