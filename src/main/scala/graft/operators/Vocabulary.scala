@@ -102,35 +102,66 @@ object Vocabulary {
     * cleaner once unreferenced.
     *
     * `batch` > 1 turns the one-merge-per-job driver loop into a
-    * batched-disjoint loop: each census job collects a top-window of
-    * pairs and accepts a PREFIX of up to `batch` of them, provably
-    * equal to running that many sequential single-merge rounds. The
-    * acceptance rule (all checks driver-side over the window):
+    * batched loop: each census job collects a top-window of pairs
+    * and accepts a PREFIX of up to `batch` of them, provably equal
+    * to running that many sequential single-merge rounds. The
+    * acceptance rules (all checks driver-side over the window) are
+    * the INTERACTION-EXACT refinement of the round-8 symbol-disjoint
+    * rule — merging (a,b) rewrites occurrences of "a b", so it can
+    * only DESTROY pairs whose rhs is `a` (…x a | b…) or whose lhs is
+    * `b` (…a | b y…), and only CREATE pairs containing the fresh
+    * symbol `ab`; pairs sharing merely lhs-with-lhs or rhs-with-rhs
+    * are untouched, which is what lets "t·h", "t·o", "a·n" batch
+    * together where the coarse rule stopped at the first shared
+    * letter:
     *
     *  1. prefix only — stop at the first non-acceptable pair, never
-    *     skip past it (skipping would change which pair is argmax in
-    *     the sequential replay);
-    *  2. symbol-disjoint — the candidate's lhs/rhs/concat must not
-    *     touch any accepted pair's lhs/rhs/concat: disjoint merges
-    *     commute and leave each other's census counts unchanged;
-    *  3. no higher-or-equal neighbor — no census pair sharing a
-    *     symbol with the accepted set may have count ≥ the
-    *     candidate's: every pair CREATED by an accepted merge (x·ab
-    *     or ab·y) is bounded by an existing sharing pair's count
-    *     ((x·ab) ≤ (x·a), (ab·y) ≤ (b·y)), so this guarantees the
-    *     candidate is still the STRICT argmax at its sequential step
-    *     (ties with created pairs would tie-break lexicographically
-    *     on strings the census can't see — strictness sidesteps it);
-    *  4. full coverage — if the window is truncated inside the
-    *     candidate's count level, stop (an unseen sharing pair could
-    *     tie it).
+    *     skip past it (a skipped pair's count at its sequential step
+    *     is unknowable from a pairs census — its decrement is a
+    *     TRIPLE statistic — so anything after it could be out of
+    *     order);
+    *  2. full coverage — if the window is truncated inside the
+    *     candidate's count level, stop (an unseen same-count pair
+    *     could interact);
+    *  3. destruction-exact — reject (u,v) iff u ∈ accepted rhs set
+    *     or v ∈ accepted lhs set (the candidate's census count would
+    *     change by the time of its sequential step) or either symbol
+    *     equals an accepted concat string;
+    *  4. no-collision — if the candidate's concat string equals an
+    *     EXISTING symbol (start alphabet ∪ every concat so far, all
+    *     driver-known), accept it but END the batch: a census keyed
+    *     by strings conflates the fresh symbol with the old one, so
+    *     later candidates' counts could silently absorb created
+    *     occurrences (created ≤ census(x,a) ≤ c plus a sub-window
+    *     existing count can exceed c);
+    *  5. self-pair boundary — a==b merges chain under greedy
+    *     left-to-right ("a a a a" → "aa aa" creates (aa,aa) bounded
+    *     by the ACCEPTED pair's own count, which exceeds later
+    *     candidates') — accept the self-pair, then end the batch;
+    *  6. creation-tie lex check — created pairs are bounded by the
+    *     unaccepted sharing pair that feeds them ((x·ab) ≤ census
+    *     (x,a), (ab·y) ≤ census(b,y), chain (ab·ab) ≤ census(b,a)),
+    *     and every unaccepted window pair has count ≤ c (prefix
+    *     invariant), so a created pair can only TIE the candidate —
+    *     and its strings are driver-known (the bounding pair's
+    *     context symbol + the concat), so the tie resolves by the
+    *     census tie-break (count desc, lhs, rhs): reject only when a
+    *     potential created pair at a count-c bound lex-beats the
+    *     candidate.
     *
     * Conflict ⇒ the batch simply ends early (worst case = sequential
     * behavior, one merge per job); exactness is unconditional — the
     * spec asserts batch ≡ sequential on natural and adversarial
-    * corpora. A 32k-merge vocab at batch=B cuts the sequential
-    * driver-coordinated jobs ~B-fold wherever the corpus offers
-    * disjoint high-count pairs (SCALE.md measures the drop). */
+    * corpora and the q172 oracle hash-matches the strictly
+    * sequential DuckDB unroll round by round. A 32k-merge vocab at
+    * batch=B cuts the sequential driver-coordinated jobs ~B-fold
+    * wherever the corpus offers non-interacting high-count pairs
+    * (SCALE.md measures the drop). */
+  /** Census jobs the LAST [[bpeLearn]] run coordinated — a test
+    * observability hook for the realized batch depth (merges ÷ jobs);
+    * driver-side, last-run-wins, not part of the API contract. */
+  @volatile private[operators] var learnCensusJobs: Int = 0
+
   private def bpeLearn(docs: DataFrame, textCol: String, numMerges: Int,
                        batch: Int = 1)
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
@@ -140,6 +171,16 @@ object Vocabulary {
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    learnCensusJobs = 0
+    // the full symbol vocabulary is driver-known throughout: the
+    // start alphabet (one tiny distinct-chars job, only when
+    // batching) plus every concat minted so far — rule 4's
+    // collision guard reads it
+    val symbols = scala.collection.mutable.Set.empty[String]
+    if (batch > 1)
+      symbols ++= words
+        .select(explode(charSyms(col("word"))).as("s")).distinct()
+        .collect().map(_.getString(0))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // segmentation state, updated in place each round; lineage (and
     // with it the stack of pending fold expressions) truncated every
@@ -169,25 +210,54 @@ object Vocabulary {
         val truncated = rows.length == window
         val lastCount = rows.last._3
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        val touched = scala.collection.mutable.Set.empty[String]
+        val accLhs = scala.collection.mutable.Set.empty[String]
+        val accRhs = scala.collection.mutable.Set.empty[String]
+        val accConcat = scala.collection.mutable.Set.empty[String]
+        // rule 6: a created pair can only TIE an unaccepted candidate
+        // (its bounding pair's census ≤ c by the prefix invariant),
+        // and its strings are known — hazard only when it lex-beats
+        // the candidate under the census tie-break (lhs asc, rhs asc)
+        def createdTieHazard(u: String, v: String, c: Long): Boolean =
+          rows.exists { case (ql, qr, qc) =>
+            qc == c && accepted.exists { case (a, bb, _) =>
+              val ab = a + bb
+              val created = List(
+                if (qr == a) List((ql, ab)) else Nil,
+                if (ql == bb) List((ab, qr)) else Nil,
+                if (qr == a && ql == bb) List((ab, ab)) else Nil).flatten
+              created.exists { case (cl, cr) =>
+                cl < u || (cl == u && cr <= v)
+              }
+            }
+          }
         var stop = false
+        var endAfter = false // rules 4/5: accept, then close the batch
         var i = 0
-        while (!stop && i < rows.length && accepted.size < b) {
+        while (!stop && !endAfter && i < rows.length && accepted.size < b) {
           val (a, bb, c) = rows(i)
           val acceptable =
-            if (accepted.isEmpty) true                       // rule 1: argmax always merges
-            else if (truncated && c <= lastCount) false      // rule 4
-            else if (touched(a) || touched(bb) || touched(a + bb)) false // rule 2
-            else !rows.exists { case (ql, qr, qc) =>         // rule 3
-              qc >= c && (touched(ql) || touched(qr)) &&
-                !accepted.exists(p => p._1 == ql && p._2 == qr)
-            }
+            if (accepted.isEmpty) true                  // rule 1: argmax always merges
+            else if (truncated && c <= lastCount) false // rule 2: level coverage
+            else if (a == bb && (accLhs(a) || accRhs(a))) false // chains into accepted
+            else if (accConcat(a) || accConcat(bb)) false       // rule 3 (concat leg)
+            else if (accRhs(a) || accLhs(bb)) false             // rule 3 (destruction)
+            else !createdTieHazard(a, bb, c)                    // rule 6
           if (acceptable) {
             accepted += ((a, bb, c))
-            touched ++= Seq(a, bb, a + bb)
+            accLhs += a; accRhs += bb; accConcat += a + bb
+            // rule 4: concat collides with an existing symbol string —
+            // later censuses conflate them; rule 5: self-pair chains
+            // are bounded by their OWN count. Both: accept, then stop.
+            if (symbols(a + bb) || a == bb) endAfter = true
+            symbols += a + bb
             i += 1
           } else stop = true
         }
+        learnCensusJobs += 1
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          println(s"[bpe] round=$r window=${rows.length} " +
+            s"accepted=${accepted.size} endAfter=$endAfter " +
+            s"head=${rows.take(3).map(t => s"${t._1}·${t._2}:${t._3}").mkString(",")}")
         accepted.foreach { case (a, bb, c) =>
           merges += ((r, a, bb, c))
           seq = seq.withColumn("syms", applyMerge(col("syms"), a, bb))

@@ -192,4 +192,43 @@ class BpeSpec extends SparkSpec {
       .select(col("doc_id"), col("text")).limit(80)
     mergesOf(docs, 24, batch = 8) shouldBe mergesOf(docs, 24, batch = 1)
   }
+
+  test("interaction-exact rule batches lhs-sharing pairs the coarse rule could not") {
+    // four pairs all sharing the LHS symbol 't' at strictly separated
+    // counts: merging (t,a) cannot touch (t,b)'s census — destruction
+    // needs rhs==t or lhs==(a concat) — so the refined rule accepts
+    // all four in ONE census job, where the round-8 symbol-disjoint
+    // rule stopped at the first shared letter (4 jobs). The words are
+    // 2-char, so nothing chains.
+    val df = (Seq.fill(9)("ta") ++ Seq.fill(7)("tb") ++ Seq.fill(5)("tc")
+      ++ Seq.fill(3)("td")).map(t => Tuple1(t)).toDF("text")
+    val seq1 = mergesOf(df, 4, batch = 1)
+    Vocabulary.learnCensusJobs shouldBe 4 // sequential: one job per merge
+    val seq4 = mergesOf(df, 4, batch = 4)
+    seq4 shouldBe seq1
+    Vocabulary.learnCensusJobs shouldBe 1 // refined rule: one job total
+    seq1.map(m => (m._2, m._3)) shouldBe
+      Seq(("t", "a"), ("t", "b"), ("t", "c"), ("t", "d"))
+  }
+
+  test("batch boundaries: self-pairs and rhs->lhs interaction still end the batch") {
+    // (o,w) merges first; the runner-up (l,o)'s rhs is the accepted
+    // LHS — pattern "l o w" destroys (l,o) occurrences when "o w"
+    // merges, so the batch MUST stop and re-census; equivalence with
+    // sequential is the proof
+    val df = (Seq.fill(9)("low") ++ Seq.fill(5)("ow")).map(t => Tuple1(t))
+      .toDF("text")
+    val seq1 = mergesOf(df, 2, batch = 1)
+    val seq4 = mergesOf(df, 2, batch = 4)
+    seq4 shouldBe seq1
+    Vocabulary.learnCensusJobs shouldBe 2 // interaction forces two jobs
+    // self-pair: (a,a) chains under greedy apply — accepted, then the
+    // batch closes (created (aa,aa) is bounded by (a,a)'s OWN count)
+    val dfa = (Seq.fill(9)("aaaa") ++ Seq.fill(3)("bc")).map(t => Tuple1(t))
+      .toDF("text")
+    val a4 = mergesOf(dfa, 2, batch = 4)
+    val jobs4 = Vocabulary.learnCensusJobs
+    a4 shouldBe mergesOf(dfa, 2, batch = 1)
+    jobs4 shouldBe 2
+  }
 }
