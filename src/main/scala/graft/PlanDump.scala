@@ -48,7 +48,12 @@ object PlanDump {
       "q157_span_corrupt" -> "span corruption: pure narrow projection — tokenize, block transform, two string folds; zero shuffles before the oracle sort",
       "q166_quality_score_fixed" -> "model quality scoring: single narrow hashed-TF explode + map-side-combined (id, bucket) agg, dim-sized weight relation BROADCAST (never a literal), sigmoid last",
       "q168_ann_ivf_pq_two_level" -> "two-level IVF-PQ: only the sqrt(K) super model is a literal; sub-centroids broadcast as a RELATION; same cell-equi-join + code-only ADC tail as q143",
-      "q169_unigram_em_train" -> "EM to target: corpus pays ONE word-count shuffle; each round a vocab-broadcast Viterbi over the distinct-word relation + two vocab-sized aggregates")
+      "q169_unigram_em_train" -> "EM to target: corpus pays ONE word-count shuffle; each round a vocab-broadcast Viterbi over the distinct-word relation + two vocab-sized aggregates",
+      "q176_url_blocklist" -> "blocklist gate: all HASH joins — distinct hosts (narrow string agg) explode to suffixes, broadcast semi-join the blocklist, hit hosts broadcast back into the anti join; the corpus never shuffles",
+      "q179_psl_domain_report" -> "full-PSL domains: per-HOST partial agg is the corpus's one shuffle; suffix/rule equi joins and the host->domain map join run on host-sized relations; rules broadcast as data",
+      "q180_warc_extract" -> "WARC round-trip: one aggregate shuffle assembles archives, the record scanner is a narrow mapPartitions pass, extraction fuses — no join anywhere",
+      "q181_index_drift_alarm" -> "drift alarm: two narrow literal-model norm passes reduced to single-row aggregates — per-append-batch cheap by construction",
+      "q182_ann_opq_rotated" -> "OPQ rotated PQ: the rotation is a narrow dim-squared literal matmul fused into the scan projection; the ADC tail is q142's unchanged")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"

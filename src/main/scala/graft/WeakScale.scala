@@ -67,6 +67,15 @@ object WeakScale {
     // is the TRAIN corpus; eval suites stay ~constant in real use
     val evalSuite = baseDocs.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+    // frozen models for the q181/q182 ladders: trained ONCE on the
+    // base corpus (training is sample-bounded and not what the ladder
+    // measures — the frozen APPLY cost is)
+    lazy val opqModel = graft.operators.ProductQuant.trainOpq(baseVecs,
+      "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
+      opqIters = 2)
+    lazy val driftModel = graft.operators.ProductQuant.trainResidual(
+      baseVecs, "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
+      nCells = 8)
 
     // one warm-up at 1x per operator family compiles the plan shapes
     def measurements(k: Int, runs: Int): Seq[(String, Double, Long)] = {
@@ -477,6 +486,65 @@ object WeakScale {
           }
           graft.operators.UrlCuration.blocklistFilter(withUrl, "url", blocked)
             .count()
+        }),
+        // full-PSL domain report (q179): per-host partial agg (the
+        // corpus's one shuffle, host-keyed narrow rows) + the
+        // distinct-host suffix/rule broadcast joins + per-domain
+        // re-agg — expect ~linear in the corpus, rule join flat
+        // (rules are a constant broadcast)
+        ("psl_domains_q179", D, () => {
+          val withUrl = docs.withColumn("url",
+            concat(lit("https://a"), (col("doc_id") % 7).cast("string"),
+              lit(".host"), (col("doc_id") % 100).cast("string"),
+              lit(".gov.au/p/"), col("doc_id").cast("string")))
+          val rules = graft.operators.UrlCuration.pslRuleRelation(spark,
+            graft.operators.UrlCuration.defaultPsl())
+          graft.operators.UrlCuration
+            .domainReportPsl(withUrl, "url", "text", rules)
+            .agg(sum(col("n_tokens")), count(lit(1))).collect()
+          docs.count()
+        }),
+        // WARC archive round-trip (q180): record assembly is the one
+        // aggregate shuffle (archive count ∝ k, ~10 records each,
+        // constant archive size), the byte scanner is a narrow
+        // mapPartitions pass — expect ~linear
+        ("warc_records_q180", D, () => {
+          val rec = docs.select(expr("doc_id div 10").as("aid"),
+            col("doc_id"),
+            concat(lit("WARC/1.0\r\nWARC-Target-URI: u/"),
+              col("doc_id").cast("string"),
+              lit("\r\nContent-Length: "),
+              octet_length(col("text")).cast("string"),
+              lit("\r\n\r\n"), col("text"), lit("\r\n\r\n")).as("rec"))
+          val archives = rec.groupBy(col("aid"))
+            .agg(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+              x => x.getField("rec")), "").as("content"))
+          graft.io.WarcRecords.splitRecords(archives, "aid", "content")
+            .agg(sum(col("content_length")), count(lit(1))).collect()
+          docs.count()
+        }),
+        // OPQ rotated-domain encode (q182 shape): the rotation is a
+        // dim² literal matmul per row (the heaviest narrow projection
+        // in the repo) + PQ argmin encode — expect linear, zero
+        // shuffle; model trained ONCE on the base corpus (frozen)
+        ("opq_rotate_encode_q182", V, () => {
+          graft.operators.ProductQuant.encode(
+              graft.operators.ProductQuant.rotate(vecs, "vec_id",
+                "embedding", 64, opqModel.rotation),
+              "vec_id", "__rv", 64, opqModel.pq)
+            .agg(count(lit(1)), sum(element_at(col("codes"), 1))).collect()
+          vecs.count()
+        }),
+        // residual-drift retrain alarm (q181): two narrow norm passes
+        // (literal cell model) + single-row aggs — expect ~linear with
+        // a tiny constant; the alarm must stay cheap enough to run on
+        // every append batch
+        ("index_drift_q181", V, () => {
+          graft.operators.ProductQuant.residualDriftReport(driftModel,
+              vecs, vecs, "vec_id", "embedding", 64)
+            .collect()
+          vecs.count()
         }),
         // feature hashing: explode + one (id, bucket) groupBy with
         // map-side combine; ≤ dim rows per doc — expect linear
