@@ -600,33 +600,70 @@ object ProductQuant {
   private val RotOffset = 1000000000000000L
   private val RotOffsetOut = 1000000000L
 
-  /** Rotated micro vector of a micro vector against a literal
-    * micro rotation — exact integers end to end, narrow codegen. */
-  private def rotateMicroExpr(micro: Column,
-                              rotation: Seq[Seq[Long]]): Column = {
-    val r = typedlit(rotation)
-    transform(sequence(lit(1), lit(rotation.size)), i =>
-      call_function("div",
-        aggregate(zip_with(element_at(r, i.cast("int")), micro,
-          (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-          + lit(RotOffset),
-        lit(1000000L)) - lit(RotOffsetOut))
+  /** The rotation as a ONE-ROW broadcast relation (__rot:
+    * array<array<long>>): the matrix is DATA joined in, never a dim²
+    * expression literal — the same move that freed the two-level
+    * sub-centroids from K-sized literals. A dim=10³ rotation would be
+    * a 10⁶-entry literal in every rotated plan (and its analysis/
+    * codegen constant); as a broadcast row it is one 1-row
+    * BroadcastNestedLoopJoin build side — the scalar-agg-broadcast
+    * pattern (q22) — and plan size stays O(1) in dim. */
+  private def rotationRelation(spark: org.apache.spark.sql.SparkSession,
+                               rotation: Seq[Seq[Long]]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(rotation.map(_.toSeq))).toDF("__rot")
   }
+
+  /** Rotated micro vector of a micro vector against a rotation held
+    * in COLUMN `rot` — exact integers end to end. Out-of-range inputs
+    * FAIL LOUDLY: the offset-floor trick is only floor while
+    * |Σ Rµ·vµ| < 10¹⁵ (vectors of norm ≲ 10³ at micro magnitudes, by
+    * Cauchy-Schwarz with unit-norm rotation rows); past it Spark div
+    * would truncate toward zero — a silent cross-engine off-by-one —
+    * so the guard raises instead of encoding wrong. */
+  private def rotateMicroCol(micro: Column, rot: Column, dim: Int): Column = {
+    val dots = transform(sequence(lit(1), lit(dim)), i =>
+      aggregate(zip_with(element_at(rot, i.cast("int")), micro,
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+    transform(dots, d =>
+      when(abs(d) < lit(RotOffset),
+        call_function("div", d + lit(RotOffset), lit(1000000L))
+          - lit(RotOffsetOut))
+        .otherwise(raise_error(concat(
+          lit("rotate: |R·v| exceeds the 10^15 offset-floor bound "),
+          lit("(input vector norm out of the documented ~10^3 range): "),
+          abs(d).cast("string"))).cast("long")))
+  }
+
+  /** Attach `__rv` (the rotated FLOAT vector the PQ machinery
+    * consumes) to any relation carrying a micro vector in `microCol`
+    * — one broadcast of the one-row rotation relation, narrow
+    * otherwise. Micro round-trip is exact (the residualExpr
+    * argument). */
+  private def withRotated(df: DataFrame, microCol: String, dim: Int,
+                          rotation: Seq[Seq[Long]]): DataFrame =
+    df.crossJoin(broadcast(rotationRelation(df.sparkSession, rotation)))
+      .withColumn("__rv",
+        transform(rotateMicroCol(col(microCol), col("__rot"), dim),
+          x => x.cast("double") / lit(1e6)))
+      .drop("__rot")
 
   /** (idCol, __rv): every vector rotated into the PQ domain, as the
     * float relation the PQ machinery consumes (micro round-trip is
     * exact — the residualExpr argument). This IS the opt-in OPQ
     * pre-stage: feed `__rv` to [[train]]/[[trainResidual]]/their
     * searches and the whole existing stack runs in the rotated
-    * domain unchanged. */
+    * domain unchanged. The matrix rides as a one-row broadcast
+    * relation, never a dim² plan literal ([[rotationRelation]]). */
   def rotate(df: DataFrame, idCol: String, vecCol: String, dim: Int,
              rotation: Seq[Seq[Long]]): DataFrame = {
     require(rotation.size == dim,
       s"rotation is ${rotation.size}×${rotation.size}, vectors dim $dim")
-    cleanVecs(df, vecCol, dim)
-      .select(col(idCol),
-        transform(rotateMicroExpr(KMeans.microVec(col(vecCol)), rotation),
-          x => x.cast("double") / lit(1e6)).as("__rv"))
+    withRotated(
+      cleanVecs(df, vecCol, dim)
+        .select(col(idCol), KMeans.microVec(col(vecCol)).as("__xm")),
+      "__xm", dim, rotation)
+      .select(col(idCol), col("__rv"))
   }
 
   /** Micro reconstruction of a `codes` row from literal codebooks:
@@ -677,9 +714,7 @@ object ProductQuant {
       .cache()
     try {
       var rot = identityRotation(dim)
-      def rotated = sample.select(col(idCol), col("__xm"),
-        transform(rotateMicroExpr(col("__xm"), rot),
-          x => x.cast("double") / lit(1e6)).as("__rv"))
+      def rotated = withRotated(sample, "__xm", dim, rot)
       for (_ <- 1 to opqIters) {
         val pq = train(rotated, idCol, "__rv", dim, m, k, iters, sampleN = n)
         val pairs = rotated

@@ -421,6 +421,35 @@ class PlanAuditSpec extends SparkSpec {
     maxOuterArrayLit(rPlan) should be <= 8
   }
 
+  test("q182: the OPQ rotation rides as a broadcast relation, never a dim² plan literal") {
+    // a dim=64 rotation as a typedlit is a 64-outer-entry (4096-long)
+    // literal in EVERY rotated plan — the K-sized-literal blowup class
+    // this spec polices elsewhere, and at dim 10³ a 10⁶-entry
+    // expression tree; the rotation must ride as a one-row broadcast
+    // relation, leaving the PQ codebooks (k=4) as the largest model
+    // literal in the whole rotated search plan
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    def maxOuterArrayLit(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case l: CatLit if l.dataType.isInstanceOf[ArrayType] &&
+            l.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[ArrayType] =>
+            l.value.asInstanceOf[ArrayData].numElements()
+        })
+      }.flatten.foldLeft(0)(math.max)
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val rotated = graft.operators.ProductQuant.rotate(e, "vec_id",
+      "embedding", 64, graft.operators.ProductQuant.identityRotation(64))
+    maxOuterArrayLit(rotated) shouldBe 0
+    // the full q182 search (rotate both sides + codebook ADC) holds
+    // the bound end to end
+    maxOuterArrayLit(
+      graft.SparkEntry.queries("q182_ann_opq_rotated")(spark, sfDir)
+    ) should be <= 8
+  }
+
   test("q146: seed vocab aggregates map-side and takes the top slice without a global sort") {
     val plan = executedPlanOf("q146_unigram_vocab")
     // candidate weights partial-aggregate before the piece shuffle;
