@@ -108,6 +108,59 @@ object VectorIndexArtifacts {
     ProductQuant.ResidualTwoLevelModel(loadTwoLevel(spark, s"$path/cells"),
       loadPq(spark, s"$path/pq"))
 
+  /** Snapshot a micro rotation as a dense row relation
+    * `<path>/rotation` (i, rvec array<long>), i = 1-based row index —
+    * the same (key, vector) layout every other model artifact uses.
+    * dim² longs, model-sized by the documented ~10³-dim contract. */
+  def saveRotation(spark: SparkSession, path: String,
+                   rotation: Seq[Seq[Long]]): Unit = {
+    import spark.implicits._
+    ParquetSink(s"$path/rotation", coalesceTo = Some(1)).write(
+      rotation.zipWithIndex
+        .map { case (row, i) => (i + 1, row) }.toDF("i", "rvec"))
+  }
+
+  def loadRotation(spark: SparkSession, path: String): Seq[Seq[Long]] = {
+    val rows = spark.read.parquet(s"$path/rotation")
+      .orderBy(col("i"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    require(rows.map(_._1) == (1 to rows.size),
+      s"loaded rotation rows must be contiguous 1..dim, got ${rows.map(_._1)}")
+    require(rows.forall(_._2.size == rows.size),
+      s"loaded rotation must be square ${rows.size}×${rows.size}")
+    rows.map(_._2)
+  }
+
+  /** Snapshot an OPQ index (q182's [[ProductQuant.OpqModel]]):
+    * rotation + rotated-domain PQ codebooks — the artifact that lets
+    * the rotated flat form serve frozen ([[ProductQuant.opqAdcTopK]]
+    * takes the loaded model unchanged). */
+  def saveOpq(spark: SparkSession, path: String,
+              model: ProductQuant.OpqModel): Unit = {
+    saveRotation(spark, path, model.rotation)
+    savePq(spark, s"$path/pq", model.pq)
+  }
+
+  def loadOpq(spark: SparkSession, path: String): ProductQuant.OpqModel =
+    ProductQuant.OpqModel(loadRotation(spark, path),
+      loadPq(spark, s"$path/pq"))
+
+  /** Snapshot the full composed production index
+    * ([[ProductQuant.OpqResidualTwoLevelModel]]): rotation + the
+    * residual ∘ two-level inner index — the best-recall form's
+    * complete frozen lifecycle (serve over stored codes, assign-only
+    * append, drift alarm — all in the rotated domain). */
+  def saveOpqResidualTwoLevel(spark: SparkSession, path: String,
+                              model: ProductQuant.OpqResidualTwoLevelModel): Unit = {
+    saveRotation(spark, path, model.rotation)
+    saveResidualTwoLevel(spark, s"$path/inner", model.inner)
+  }
+
+  def loadOpqResidualTwoLevel(spark: SparkSession, path: String)
+      : ProductQuant.OpqResidualTwoLevelModel =
+    ProductQuant.OpqResidualTwoLevelModel(loadRotation(spark, path),
+      loadResidualTwoLevel(spark, s"$path/inner"))
+
   def loadPq(spark: SparkSession, path: String): ProductQuant.Model = {
     val slices = spark.read.parquet(s"$path/slices")
       .orderBy(col("subspace"))

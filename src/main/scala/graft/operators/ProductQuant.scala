@@ -372,6 +372,28 @@ object ProductQuant {
     } finally { sample.unpersist(); () }
   }
 
+  /** The corpus-side INDEX relation of the FLAT residual form:
+    * (c_id, cell, codes array<int>) — nearest cell + residual PQ
+    * codes fused into ONE narrow pass (cell assignment, residual, and
+    * code argmins are all expressions over the same row — the corpus
+    * is scanned once). [[encodeResidualTwoLevel]]'s flat twin: this
+    * is the relation a frozen flat index STORES, serves from
+    * ([[ivfAdcResidualTopKOverCodes]]), and appends to (encode a
+    * fresh batch with the frozen model, union on — spec-proven
+    * ≡ batch rebuild). */
+  def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, model: ResidualModel): DataFrame = {
+    val rv = residualVecs(df, idCol, vecCol, dim, model.cells)
+    val rMicro = KMeans.microVec(col("rvec"))
+    val codeCols = model.pq.slices.zip(model.pq.books).map {
+      case ((start, len), book) =>
+        val d = bookDists(rMicro, start, len, book)
+        array_position(d, array_min(d)).cast("int")
+    }
+    rv.select(col(idCol).as("c_id"), col("cell"),
+      array(codeCols: _*).as("codes"))
+  }
+
   /** Residual IVF-PQ search: candidates share one of the query's
     * `nProbe` nearest cells (as [[ivfAdcTopK]]); scoring is ADC over
     * RESIDUAL codes — the query's lookup tables are built PER PROBED
@@ -383,23 +405,27 @@ object ProductQuant {
                          idCol: String, vecCol: String, dim: Int,
                          model: ResidualModel, k: Int,
                          nProbe: Int = 2): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    // repartition for the scoring fan-out (the adcTopK rule: a small
+    // corpus arriving as one split would serialize the scoring loop)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    // corpus side: nearest cell + residual codes fused into ONE narrow
-    // pass (cell assignment, residual, and code argmins are all
-    // expressions over the same row — the corpus is scanned once),
-    // repartitioned for the scoring fan-out (the adcTopK rule)
-    val rv = residualVecs(corpus, idCol, vecCol, dim, model.cells)
-    val rMicro = KMeans.microVec(col("rvec"))
-    val codeCols = model.pq.slices.zip(model.pq.books).map {
-      case ((start, len), book) =>
-        val d = bookDists(rMicro, start, len, book)
-        array_position(d, array_min(d)).cast("int")
-    }
-    val codes = rv
-      .select(col(idCol).as("c_id"), col("cell"),
-        array(codeCols: _*).as("codes"))
+    val codes = encodeResidual(corpus, idCol, vecCol, dim, model)
       .repartition(par)
+    ivfAdcResidualTopKOverCodes(codes, queries, idCol, vecCol, dim,
+      model, k, nProbe)
+  }
+
+  /** Search over a PRECOMPUTED flat (c_id, cell, codes) relation —
+    * [[ivfAdcResidualTopKTwoLevelOverCodes]]' flat twin, closing the
+    * API asymmetry where only the two-level form could serve a
+    * LOADED index without re-encoding the corpus: `codes` is a stored
+    * [[encodeResidual]] relation (or stored ∪ appended batches);
+    * only the query side touches the model. The caller owns `codes`'
+    * partitioning (a loaded parquet relation is already split). */
+  def ivfAdcResidualTopKOverCodes(codes: DataFrame, queries: DataFrame,
+                                  idCol: String, vecCol: String, dim: Int,
+                                  model: ResidualModel, k: Int,
+                                  nProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     // query side: nProbe nearest cells via a narrow sorted-struct
     // slice over the literal model, then one LUT row per (q, cell)
     // from the query's residual AGAINST THAT CELL
@@ -756,6 +782,101 @@ object ProductQuant {
     adcTopK(rotate(corpus, idCol, vecCol, dim, model.rotation),
       rotate(queries, idCol, vecCol, dim, model.rotation),
       idCol, "__rv", dim, model.pq, k)
+
+  // ---- OPQ ∘ residual ∘ two-level: the full production lifecycle -------
+  // The best-recall composition (measured opq∘residual 0.850 vs
+  // residual 0.767, ProductQuantSpec) promoted from a spec-only
+  // demonstration to a first-class index form: trainable, persistable
+  // (io/VectorIndexArtifacts.saveOpqResidualTwoLevel), servable over a
+  // stored code relation, appendable per micro-batch
+  // (StreamOps.opqIndexAppendEachBatch), and drift-alarmed — every
+  // stage operating in the learned rotated domain.
+
+  /** The composed index: a learned (or fixed) micro rotation in front
+    * of a residual ∘ two-level index trained in the rotated domain.
+    * No K-sized literal anywhere (the q178 property) and no dim²
+    * literal (the rotation rides as a one-row broadcast relation). */
+  case class OpqResidualTwoLevelModel(rotation: Seq[Seq[Long]],
+                                      inner: ResidualTwoLevelModel) {
+    require(rotation.nonEmpty && rotation.forall(_.size == rotation.size),
+      "rotation must be square dim×dim")
+    def dim: Int = rotation.size
+  }
+
+  /** Train the composed index: the rotation from [[trainOpq]]'s
+    * Procrustes alternation (the standard OPQ objective — flat-PQ
+    * reconstruction error), then the residual ∘ two-level index
+    * trained on the ROTATED vectors. Everything is sample-bounded;
+    * the alternation's flat codebooks are training scaffolding only
+    * (the served codebooks are the residual-domain ones). */
+  def trainOpqResidualTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, m: Int, k: Int, iters: Int,
+                               nCells: Int, cellIters: Int = 2,
+                               superProbe: Int = 2, opqIters: Int = 3,
+                               sampleN: Int = 0): OpqResidualTwoLevelModel = {
+    val rot = trainOpq(df, idCol, vecCol, dim, m, k, iters, opqIters,
+      sampleN).rotation
+    val rotated = rotate(df, idCol, vecCol, dim, rot)
+    OpqResidualTwoLevelModel(rot,
+      trainResidualTwoLevel(rotated, idCol, "__rv", dim, m, k, iters,
+        nCells, cellIters, superProbe))
+  }
+
+  /** The stored code relation of the composed index: rotate, then
+    * [[encodeResidualTwoLevel]] — (c_id, cell, codes) in the rotated
+    * domain. Appends are frozen-model encodes unioned on (the
+    * assign-only rule; spec-proven ≡ batch rebuild). */
+  def encodeOpqResidualTwoLevel(df: DataFrame, idCol: String,
+                                vecCol: String, dim: Int,
+                                model: OpqResidualTwoLevelModel,
+                                superProbe: Int = 2): DataFrame =
+    encodeResidualTwoLevel(rotate(df, idCol, vecCol, dim, model.rotation),
+      idCol, "__rv", dim, model.inner, superProbe)
+
+  /** Serve-frozen search of the composed index over a precomputed
+    * (c_id, cell, codes) relation: queries rotate (one broadcast
+    * row), then [[ivfAdcResidualTopKTwoLevelOverCodes]] runs in the
+    * rotated domain. Output (q_id, rank, c_id, adc_dist). */
+  def opqResidualTopKTwoLevelOverCodes(codes: DataFrame, queries: DataFrame,
+                                       idCol: String, vecCol: String,
+                                       dim: Int,
+                                       model: OpqResidualTwoLevelModel,
+                                       k: Int, nProbe: Int = 2,
+                                       superProbe: Int = 2): DataFrame =
+    ivfAdcResidualTopKTwoLevelOverCodes(codes,
+      rotate(queries, idCol, vecCol, dim, model.rotation),
+      idCol, "__rv", dim, model.inner, k, nProbe, superProbe)
+
+  /** Fused build-and-search of the composed index (the self-kNN
+    * convenience form; production serving goes through
+    * [[encodeOpqResidualTwoLevel]] + [[opqResidualTopKTwoLevelOverCodes]]). */
+  def opqResidualTopKTwoLevel(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, dim: Int,
+                              model: OpqResidualTwoLevelModel, k: Int,
+                              nProbe: Int = 2,
+                              superProbe: Int = 2): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    opqResidualTopKTwoLevelOverCodes(
+      encodeOpqResidualTwoLevel(corpus, idCol, vecCol, dim, model,
+        superProbe).repartition(par),
+      queries, idCol, vecCol, dim, model, k, nProbe, superProbe)
+  }
+
+  /** [[residualDriftReportTwoLevel]] in the rotated domain — the
+    * composed index's retrain alarm: both sides rotate (broadcast
+    * row, narrow otherwise), then the norm passes and the exact
+    * basis-point report run unchanged against the inner model's
+    * cells. */
+  def opqResidualDriftReportTwoLevel(model: OpqResidualTwoLevelModel,
+                                     baseline: DataFrame,
+                                     appended: DataFrame, idCol: String,
+                                     vecCol: String, dim: Int,
+                                     superProbe: Int = 2,
+                                     alarmBp: Long = 12500): DataFrame =
+    residualDriftReportTwoLevel(model.inner,
+      rotate(baseline, idCol, vecCol, dim, model.rotation),
+      rotate(appended, idCol, vecCol, dim, model.rotation),
+      idCol, "__rv", dim, superProbe, alarmBp)
 
   // ---- Retrain alarm: residual-magnitude drift -------------------------
 

@@ -1177,18 +1177,24 @@ object Advanced {
           FROM sm_$r GROUP BY 1, 2) m USING (super, sub))"""
   }
 
-  /** The shared two-level replay front (q168/q178): micro vectors +
-    * rank seed, the super k-means chain (t=2, k=2), the per-super
-    * sub-centroid init + 2 grouped Lloyd rounds, the superProbe=2
-    * beam, and `cc` = every (vec_id, cell, dist) candidate — from
-    * which q168 cuts nProbe cells and q178 cuts the one cell of
-    * record plus the query beam. */
-  private def twoLevelFrontSql: String = s"""
-      WITH q AS (
+  /** The raw micro-vector `q` CTE — the default front of
+    * [[twoLevelFrontSqlOver]]; q184 swaps in the ROTATED front. */
+  private def rawQFrontSql: String = s"""q AS (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
-        FROM embeddings),
+        FROM embeddings)"""
+
+  /** The shared two-level replay front (q168/q178/q184): `qFront`
+    * must define CTE `q` (vec_id, v micro list) — raw micro vectors
+    * by default, the rot182-rotated domain for q184 — then the super
+    * k-means chain (t=2, k=2), the per-super sub-centroid init + 2
+    * grouped Lloyd rounds, the superProbe=2 beam, and `cc` = every
+    * (vec_id, cell, dist) candidate — from which q168 cuts nProbe
+    * cells and q178/q184 cut the one cell of record plus the query
+    * beam. */
+  private def twoLevelFrontSqlOver(qFront: String): String = s"""
+      WITH $qFront,
       seeded AS (
         SELECT vec_id, v,
                CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
@@ -1223,6 +1229,8 @@ object Advanced {
                CAST(list_sum(list_transform(range(1, 65),
                  i -> (qq.v[i] - c.v[i]) * (qq.v[i] - c.v[i]))) AS BIGINT) AS dist
         FROM sp p JOIN q qq USING (vec_id) JOIN sub_2 c USING (super))"""
+
+  private def twoLevelFrontSql: String = twoLevelFrontSqlOver(rawQFrontSql)
 
   private val q168 = QuerySpec(
     "q168_ann_ivf_pq_two_level",
@@ -1376,20 +1384,12 @@ object Advanced {
     * one-cell-of-record assignment, the join-shaped residual
     * relation, both residual-trained codebooks, the query beam, and
     * the per-(q, cell) LUT ADC — bit for bit. */
-  private val q178 = QuerySpec(
-    "q178_ann_ivf_pq_residual_two_level",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val model = graft.operators.ProductQuant.trainResidualTwoLevel(emb,
-        "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
-        nCells = 4, cellIters = 2, superProbe = 2)
-      graft.operators.ProductQuant.ivfAdcResidualTopKTwoLevel(emb,
-          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
-          dim = 64, model, k = 3, nProbe = 2, superProbe = 2)
-        .orderBy(col("q_id"), col("rank"))
-    },
-    oracle = Some {
-      twoLevelFrontSql + s""",
+  /** The shared residual ∘ two-level replay TAIL (q178/q184): the
+    * one-cell-of-record assignment over `cc`, the join-shaped
+    * residual relation, both residual-trained codebooks, the query
+    * beam, and the per-(q, cell) LUT ADC — everything downstream of
+    * the `q` domain the front defines. */
+  private def residualTwoLevelTailSql: String = s""",
       a1 AS (
         SELECT vec_id, cell FROM (
           SELECT vec_id, cell,
@@ -1445,7 +1445,20 @@ object Advanced {
                  ORDER BY adc_dist, c_id) AS INTEGER) AS rank
         FROM adc) WHERE rank <= 3
       ORDER BY q_id, rank"""
-    })
+
+  private val q178 = QuerySpec(
+    "q178_ann_ivf_pq_residual_two_level",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.ProductQuant.trainResidualTwoLevel(emb,
+        "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
+        nCells = 4, cellIters = 2, superProbe = 2)
+      graft.operators.ProductQuant.ivfAdcResidualTopKTwoLevel(emb,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3, nProbe = 2, superProbe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some(twoLevelFrontSql + residualTwoLevelTailSql))
 
   /** q181: ORACLE-CHECKED residual-drift retrain alarm
     * ([[graft.operators.ProductQuant.residualDriftReport]]) — the
@@ -1550,6 +1563,37 @@ object Advanced {
   private def rot182Sql: String =
     rot182.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
+  /** The rot182 rows as a DuckDB relation (i, rv) — bound ONCE as a
+    * CTE and joined, never re-evaluated inside a lambda (a big
+    * literal inside a DuckDB lambda re-evaluates per element). */
+  private def rotrCteSql: String = s"""rotr AS (
+        SELECT CAST(generate_subscripts(r, 1) AS INTEGER) AS i,
+               unnest(r) AS rv
+        FROM (SELECT $rot182Sql AS r))"""
+
+  /** `out` = `src` (vec_id, v micro list) rotated by rot182 with the
+    * exact (Σ + 10¹⁵) // 10⁶ − 10⁹ offset-floor arithmetic
+    * [[graft.operators.ProductQuant.rotate]] computes. */
+  private def rotatedCteSql(src: String, out: String): String = s"""$out AS (
+        SELECT vec_id, list(val ORDER BY i) AS v FROM (
+          SELECT s.vec_id, rotr.i,
+                 (list_sum(list_transform(range(1, 65),
+                    j -> rotr.rv[j] * s.v[j]))
+                  + 1000000000000000) // 1000000 - 1000000000 AS val
+          FROM $src s CROSS JOIN rotr)
+        GROUP BY vec_id)"""
+
+  /** The ROTATED-domain `q` front for [[twoLevelFrontSqlOver]]:
+    * micro vectors, the rot182 relation, and `q` = the rotated micro
+    * domain every downstream CTE consumes unchanged. */
+  private def rotatedQFrontSql: String = s"""vm AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+        FROM embeddings),
+      $rotrCteSql,
+      ${rotatedCteSql("vm", "q")}"""
+
   /** q182: ORACLE-CHECKED PQ in a ROTATED domain — the
     * micro-exactness argument OPQ rests on, proven end to end with a
     * FIXED rotation (the q166 fixed-weights precedent: a trained
@@ -1575,23 +1619,7 @@ object Advanced {
         .orderBy(col("q_id"), col("rank"))
     },
     oracle = Some(s"""
-      WITH vm AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
-        FROM embeddings),
-      rotr AS (
-        SELECT CAST(generate_subscripts(r, 1) AS INTEGER) AS i,
-               unnest(r) AS rv
-        FROM (SELECT $rot182Sql AS r)),
-      q AS (
-        SELECT vec_id, list(val ORDER BY i) AS v FROM (
-          SELECT vm.vec_id, rotr.i,
-                 (list_sum(list_transform(range(1, 65),
-                    j -> rotr.rv[j] * vm.v[j]))
-                  + 1000000000000000) // 1000000 - 1000000000 AS val
-          FROM vm CROSS JOIN rotr)
-        GROUP BY vec_id),
+      WITH $rotatedQFrontSql,
       seeded AS (
         SELECT vec_id, v,
                CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
@@ -1666,8 +1694,117 @@ object Advanced {
         AND NOT list_has_any(list_transform(embedding, x -> x IS NULL),
                              [true])"""))
 
+  /** q184: ORACLE-CHECKED composed OPQ ∘ residual ∘ two-level SERVING
+    * path ([[graft.operators.ProductQuant.encodeOpqResidualTwoLevel]]
+    * → [[graft.operators.ProductQuant.opqResidualTopKTwoLevelOverCodes]])
+    * — the full production index lifecycle's search leg, run exactly
+    * as a frozen deployment runs it: the corpus encodes to a stored
+    * (c_id, cell, codes) relation and the query side rotates +
+    * searches OVER that relation, never re-encoding the corpus. The
+    * rotation is the FIXED rot182 (the q182/q166 precedent — a
+    * trained matrix cannot live in static oracle SQL; q183 witnesses
+    * the trained path), so DuckDB replays the entire composition —
+    * offset-floor rotation, two-level cell training in the rotated
+    * domain, join-shaped residuals, residual codebooks, beam
+    * candidates, per-(q, cell) LUT ADC — bit for bit: the q178 tail
+    * over the rotated front. */
+  private val q184 = QuerySpec(
+    "q184_ann_opq_residual_two_level",
+    (s, dir) => {
+      import graft.operators.ProductQuant
+      val emb = Tables.embeddings(s, dir)
+      val rotated = ProductQuant.rotate(emb, "vec_id", "embedding", 64,
+        rot182)
+      val model = ProductQuant.OpqResidualTwoLevelModel(rot182,
+        ProductQuant.trainResidualTwoLevel(rotated, "vec_id", "__rv",
+          dim = 64, m = 2, k = 4, iters = 2, nCells = 4, cellIters = 2,
+          superProbe = 2))
+      val codes = ProductQuant.encodeOpqResidualTwoLevel(emb, "vec_id",
+          "embedding", 64, model)
+        .repartition(s.sparkContext.defaultParallelism)
+      ProductQuant.opqResidualTopKTwoLevelOverCodes(codes,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3, nProbe = 2, superProbe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some(
+      twoLevelFrontSqlOver(rotatedQFrontSql) + residualTwoLevelTailSql))
+
+  /** q185: ORACLE-CHECKED rotated-domain drift alarm — q181's retrain
+    * alarm composed with the OPQ rotation (the alarm a deployed
+    * rotated index actually runs): baseline and appended batches both
+    * ROTATE (fixed rot182; exact offset-floor integers), the +0.25
+    * shift is applied in the RAW domain before rotation (as arriving
+    * data would be), and the flat-cell residual norms, floor means,
+    * and basis-point ratio replay in DuckDB bit for bit — including
+    * the 10000-bp same-data calibration witness. */
+  private val q185 = QuerySpec(
+    "q185_opq_drift_alarm",
+    (s, dir) => {
+      import graft.operators.ProductQuant
+      val emb = Tables.embeddings(s, dir)
+      def rot(df: org.apache.spark.sql.DataFrame) =
+        ProductQuant.rotate(df, "vec_id", "embedding", 64, rot182)
+      val model = ProductQuant.trainResidual(rot(emb), "vec_id", "__rv",
+        dim = 64, m = 2, k = 4, iters = 2, nCells = 8, cellIters = 2)
+      val shifted = emb.withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double") + lit(0.25)))
+      def rep(appended: org.apache.spark.sql.DataFrame, name: String) =
+        ProductQuant.residualDriftReport(model, rot(emb), rot(appended),
+            "vec_id", "__rv", dim = 64)
+          .withColumn("scenario", lit(name))
+      rep(emb, "same").unionByName(rep(shifted, "shifted"))
+        .select(col("scenario"), col("n_base"), col("n_new"),
+          col("base_msr"), col("new_msr"), col("drift_bp"), col("retrain"))
+        .orderBy(col("scenario"))
+    },
+    oracle = Some(s"""
+      WITH $rotatedQFrontSql,
+      seeded AS (
+        SELECT vec_id, v,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 AS r
+        FROM q),
+      ${pqChainSql(2, 1, 64, 8)},
+      bmin AS (
+        SELECT vec_id, min(dist) AS n2 FROM dE_2 GROUP BY vec_id),
+      svm AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round((CAST(x AS DOUBLE) + 0.25) * 1000000, 0)
+                   AS BIGINT)) AS v
+        FROM embeddings),
+      ${rotatedCteSql("svm", "shifted")},
+      dS AS (
+        SELECT s.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (s.v[i] - c.v[i]) * (s.v[i] - c.v[i]))) AS BIGINT) AS dist
+        FROM shifted s CROSS JOIN c2_2 c),
+      smin AS (
+        SELECT vec_id, min(dist) AS n2 FROM dS GROUP BY vec_id),
+      b AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS s
+        FROM bmin),
+      sh AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS s
+        FROM smin),
+      rep AS (
+        SELECT 'same' AS scenario, b.n AS n_base, b.n AS n_new,
+               b.s // b.n AS base_msr, b.s // b.n AS new_msr
+        FROM b
+        UNION ALL
+        SELECT 'shifted', b.n, sh.n, b.s // b.n, sh.s // sh.n
+        FROM b, sh)
+      SELECT scenario, n_base, n_new, base_msr, new_msr,
+             CASE WHEN n_base > 0 AND n_new > 0 AND base_msr > 0
+                  THEN (new_msr * 10000) // base_msr END AS drift_bp,
+             coalesce((new_msr * 10000) // base_msr > 12500, false)
+               AS retrain
+      FROM rep
+      ORDER BY scenario"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142,
-      q143, q168, q177, q178, q181, q182, q183)
+      q143, q168, q177, q178, q181, q182, q183, q184, q185)
 }

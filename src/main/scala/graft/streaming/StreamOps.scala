@@ -353,6 +353,28 @@ object StreamOps {
         batch, idCol, vecCol, dim, model, superProbe), id)
     }
 
+  /** [[indexAppendEachBatch]] for the composed OPQ index: each batch
+    * rotates (one broadcast row, batch-local and stateless) and
+    * encodes against the FROZEN rotated-domain index
+    * ([[graft.operators.ProductQuant.encodeOpqResidualTwoLevel]]);
+    * `sink` appends the (c_id, cell, codes) rows. The same
+    * append ≡ rebuild identity holds — rotate and encode are pure
+    * per-row functions of the frozen model (spec-proven mid-stream:
+    * stored ∪ appended searched by
+    * [[graft.operators.ProductQuant.opqResidualTopKTwoLevelOverCodes]]
+    * equals the batch rebuild). */
+  def opqIndexAppendEachBatch(vecs: DataFrame,
+                              model: graft.operators.ProductQuant.OpqResidualTwoLevelModel,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              dim: Int = 64, superProbe: Int = 2)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.operators.ProductQuant.encodeOpqResidualTwoLevel(
+        batch, idCol, vecCol, dim, model, superProbe), id)
+    }
+
   /** Declarative gap-based session aggregation (session_window): sessions
     * close after `gap` of per-user inactivity; emits one row per closed
     * session in append mode. */

@@ -85,6 +85,68 @@ class VectorIndexArtifactsSpec extends SparkSpec {
         "embedding", dim = 64, tm, k = 3))
   }
 
+  test("OPQ and OPQ∘residual∘two-level indexes round-trip: frozen rotated search is byte-identical") {
+    val opq = ProductQuant.trainOpq(emb, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2, opqIters = 2)
+    val d1 = java.nio.file.Files.createTempDirectory("opq").toString + "/idx"
+    VectorIndexArtifacts.saveOpq(spark, d1, opq)
+    val opqL = VectorIndexArtifacts.loadOpq(spark, d1)
+    opqL.rotation shouldBe opq.rotation
+    opqL.pq shouldBe opq.pq
+    rowsOf(ProductQuant.opqAdcTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, opqL, k = 3)) shouldBe
+      rowsOf(ProductQuant.opqAdcTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, opq, k = 3))
+    // the composed production index: save/load the full model, write
+    // the stored code relation to parquet, and serve FROZEN — loaded
+    // model over loaded codes must equal the in-memory fused search
+    val cm = ProductQuant.trainOpqResidualTwoLevel(emb, "vec_id",
+      "embedding", dim = 64, m = 2, k = 4, iters = 2, nCells = 4,
+      opqIters = 2)
+    val d2 = java.nio.file.Files.createTempDirectory("opqr").toString + "/idx"
+    VectorIndexArtifacts.saveOpqResidualTwoLevel(spark, d2, cm)
+    val cmL = VectorIndexArtifacts.loadOpqResidualTwoLevel(spark, d2)
+    cmL.rotation shouldBe cm.rotation
+    cmL.inner.pq shouldBe cm.inner.pq
+    val codesDir = java.nio.file.Files.createTempDirectory("opqc").toString
+    ParquetSink(codesDir + "/codes").write(
+      ProductQuant.encodeOpqResidualTwoLevel(emb, "vec_id", "embedding",
+        64, cm))
+    val stored = spark.read.parquet(codesDir + "/codes")
+    rowsOf(ProductQuant.opqResidualTopKTwoLevelOverCodes(stored, queries,
+      "vec_id", "embedding", 64, cmL, k = 3)) shouldBe
+      rowsOf(ProductQuant.opqResidualTopKTwoLevel(emb, queries,
+        "vec_id", "embedding", 64, cm, k = 3))
+    // and the rotated-domain drift alarm runs off the loaded model
+    val rep = ProductQuant.opqResidualDriftReportTwoLevel(cmL, emb, emb,
+      "vec_id", "embedding", 64).collect().head
+    rep.getAs[Long]("drift_bp") shouldBe 10000L
+    rep.getAs[Boolean]("retrain") shouldBe false
+  }
+
+  test("corrupted rotation artifacts fail loudly: missing row and ragged row both reject") {
+    val rot = ProductQuant.identityRotation(4)
+    val dir = java.nio.file.Files.createTempDirectory("rot").toString + "/idx"
+    VectorIndexArtifacts.saveRotation(spark, dir, rot)
+    VectorIndexArtifacts.loadRotation(spark, dir) shouldBe rot
+    // drop row i=2: contiguity check must reject
+    val pruned = spark.read.parquet(s"$dir/rotation").filter(col("i") =!= 2)
+    val moved = java.nio.file.Files.createTempDirectory("rotbad").toString + "/idx"
+    new java.io.File(moved).mkdirs()
+    ParquetSink(s"$moved/rotation", coalesceTo = Some(1)).write(pruned)
+    an[IllegalArgumentException] should be thrownBy
+      VectorIndexArtifacts.loadRotation(spark, moved)
+    // truncate row 2's vector: squareness check must reject
+    val ragged = spark.read.parquet(s"$dir/rotation")
+      .withColumn("rvec", when(col("i") === 2,
+        slice(col("rvec"), 1, 3)).otherwise(col("rvec")))
+    val moved2 = java.nio.file.Files.createTempDirectory("rotbad2").toString + "/idx"
+    new java.io.File(moved2).mkdirs()
+    ParquetSink(s"$moved2/rotation", coalesceTo = Some(1)).write(ragged)
+    an[IllegalArgumentException] should be thrownBy
+      VectorIndexArtifacts.loadRotation(spark, moved2)
+  }
+
   test("corrupted artifacts fail loudly instead of serving a wrong index") {
     val model = KMeans.fit(emb, "vec_id", "embedding", k = 3, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("bad").toString + "/idx"

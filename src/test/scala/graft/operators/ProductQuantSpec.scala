@@ -455,6 +455,59 @@ class ProductQuantSpec extends SparkSpec {
     viaAppend shouldBe oneShot
   }
 
+  test("flat residual index serves over a loaded code relation: OverCodes ≡ fused, append ≡ rebuild") {
+    // the API symmetry rule: a loaded FLAT ResidualModel's stored
+    // codes must be searchable without re-encoding the corpus, exactly
+    // as the two-level form already is
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") > 100)
+    val fresh = emb.filter(col("vec_id") <= 100)
+    val m = ProductQuant.trainResidual(old, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2, nCells = 8)
+    val queries = emb.filter(col("vec_id") <= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "adc_dist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val codes = ProductQuant.encodeResidual(emb, "vec_id", "embedding",
+      64, m)
+    rows(ProductQuant.ivfAdcResidualTopKOverCodes(codes, queries,
+      "vec_id", "embedding", 64, m, k = 3)) shouldBe
+      rows(ProductQuant.ivfAdcResidualTopK(emb, queries, "vec_id",
+        "embedding", 64, m, k = 3))
+    // assign-only append: frozen-model encodes union to the rebuild
+    val appended = ProductQuant
+      .encodeResidual(old, "vec_id", "embedding", 64, m)
+      .unionByName(ProductQuant
+        .encodeResidual(fresh, "vec_id", "embedding", 64, m))
+    appended.except(codes).count() shouldBe 0L
+    codes.except(appended).count() shouldBe 0L
+  }
+
+  test("composed OPQ∘residual∘two-level: rotated append ≡ rebuild, OverCodes ≡ fused") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") > 100)
+    val fresh = emb.filter(col("vec_id") <= 100)
+    val m = ProductQuant.trainOpqResidualTwoLevel(old, "vec_id",
+      "embedding", dim = 64, m = 2, k = 4, iters = 2, nCells = 4,
+      opqIters = 2)
+    val appended = ProductQuant
+      .encodeOpqResidualTwoLevel(old, "vec_id", "embedding", 64, m)
+      .unionByName(ProductQuant
+        .encodeOpqResidualTwoLevel(fresh, "vec_id", "embedding", 64, m))
+    val rebuilt = ProductQuant
+      .encodeOpqResidualTwoLevel(emb, "vec_id", "embedding", 64, m)
+    appended.except(rebuilt).count() shouldBe 0L
+    rebuilt.except(appended).count() shouldBe 0L
+    val queries = emb.filter(col("vec_id") <= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "adc_dist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    rows(ProductQuant.opqResidualTopKTwoLevelOverCodes(appended, queries,
+      "vec_id", "embedding", 64, m, k = 3)) shouldBe
+      rows(ProductQuant.opqResidualTopKTwoLevel(emb, queries, "vec_id",
+        "embedding", 64, m, k = 3))
+  }
+
   test("drift alarm (two-level): identical batch is 10000bp quiet; shifted data trips retrain") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val m = ProductQuant.trainResidualTwoLevel(emb, "vec_id", "embedding",

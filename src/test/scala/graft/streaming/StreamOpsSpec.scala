@@ -330,4 +330,57 @@ class StreamOpsSpec extends SparkSpec {
       rows(ProductQuant.ivfAdcResidualTopKTwoLevel(emb, queries,
         "vec_id", "embedding", 64, model, k = 3))
   }
+
+  test("mid-stream index append in the ROTATED domain: OPQ∘residual∘two-level stays ≡ batch rebuild") {
+    // the composed best-recall index's live-ingest contract: each
+    // arriving batch rotates + encodes against the FROZEN model, and
+    // the accumulated relation serves exactly what a batch rebuild
+    // would — the q181 lifecycle on the top rung of the index ladder
+    import graft.operators.ProductQuant
+    implicit val ctx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") > 100)
+    val model = ProductQuant.trainOpqResidualTwoLevel(old, "vec_id",
+      "embedding", dim = 64, m = 2, k = 4, iters = 2, nCells = 4,
+      opqIters = 2)
+    val arriving = emb.filter(col("vec_id") <= 100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (batch1, batch2) = arriving.splitAt(arriving.length / 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val appendedBatches = scala.collection.mutable.ArrayBuffer
+      .empty[Array[(Long, Int, Seq[Int])]]
+    val q = StreamOps.opqIndexAppendEachBatch(
+        in.toDF().toDF("vec_id", "embedding"), model) { (codes, _) =>
+        appendedBatches += codes.select("c_id", "cell", "codes")
+          .as[(Long, Int, Seq[Int])].collect()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_opq_append").toString)
+      .start()
+    try {
+      in.addData(batch1.toSeq); q.processAllAvailable()
+      in.addData(batch2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    appendedBatches.map(_.length).sum shouldBe arriving.length
+    val streamed = appendedBatches.flatten.toSeq
+      .toDF("c_id", "cell", "codes")
+    val accumulated = ProductQuant
+      .encodeOpqResidualTwoLevel(old, "vec_id", "embedding", 64, model)
+      .unionByName(streamed)
+    val queries = emb.filter(col("vec_id") <= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "adc_dist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    rows(ProductQuant.opqResidualTopKTwoLevelOverCodes(accumulated,
+      queries, "vec_id", "embedding", 64, model, k = 3)) shouldBe
+      rows(ProductQuant.opqResidualTopKTwoLevel(emb, queries,
+        "vec_id", "embedding", 64, model, k = 3))
+    // the live drift alarm on the arriving data: same-distribution
+    // batches stay quiet in the rotated domain too
+    val rep = ProductQuant.opqResidualDriftReportTwoLevel(model, old,
+      emb.filter(col("vec_id") <= 100), "vec_id", "embedding", 64)
+      .collect().head
+    rep.getAs[Boolean]("retrain") shouldBe false
+  }
 }
