@@ -281,6 +281,36 @@ object Vocabulary {
     (merges.toSeq, words, seq)
   }
 
+  /** Everything one [[bpeLearn]] pass produces, packaged for the
+    * frozen-tokenizer lifecycle: the ordered merge list (driver-side),
+    * the subword alphabet (subword, sub_id — [[bpeVocab]]'s exact id
+    * rule), and the learned word→symbols segmentation table (word,
+    * syms; eagerly checkpointed — reading it never re-runs the corpus
+    * word count). One learn, every artifact: callers that previously
+    * chained [[bpeMerges]] + [[bpeVocab]] (+ an apply) paid the full
+    * learn once PER CALL — two redundant corpus passes and 2× the
+    * census rounds at any scale. */
+  case class BpeModel(merges: Seq[(Int, String, String, Long)],
+                      vocab: DataFrame, segments: DataFrame) {
+    /** The (lhs, rhs) list in rank order — [[bpeEncodeWith]]'s shape. */
+    def mergePairs: Seq[(String, String)] =
+      merges.sortBy(_._1).map(m => (m._2, m._3))
+  }
+
+  /** Learn once, return all three artifacts ([[BpeModel]]) — the
+    * single-pass form of [[bpeMerges]] + [[bpeVocab]] +
+    * [[bpeSegments]] (spec-proven identical outputs). */
+  def bpeLearnAll(docs: DataFrame, textCol: String, numMerges: Int,
+                  batch: Int = 1): BpeModel = {
+    val (merges, words, seq) = bpeLearn(docs, textCol, numMerges, batch)
+    val segments = seq.select(col("word"), col("syms"))
+    val vocab = segments.select(explode(col("syms")).as("subword")).distinct()
+      .withColumn("sub_id",
+        row_number().over(Window.orderBy(col("subword"))).cast("int"))
+    words.unpersist()
+    BpeModel(merges, vocab, segments)
+  }
+
   /** Learn `numMerges` BPE merges over the corpus: (rank, lhs, rhs,
     * pair_count) in learning order, rank 1-based. */
   def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
@@ -357,12 +387,18 @@ object Vocabulary {
     * bounded), return (word, cnt, syms) eagerly checkpointed so the
     * callers' lazy plans never re-run the corpus word count. */
   private def applyMerges(docs: DataFrame, textCol: String,
-                          merges: Seq[(String, String)]): DataFrame = {
-    val words = docs
+                          merges: Seq[(String, String)]): DataFrame =
+    foldMerges(docs
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    var seq = words.select(col("word"), col("cnt"),
-      charSyms(col("word")).as("syms"))
+      .select(col("word"), col("cnt"), charSyms(col("word")).as("syms")),
+      merges)
+
+  /** Fold an ordered merge list over any (…, syms) relation under the
+    * learning checkpoint cadence; returned eagerly checkpointed. */
+  private def foldMerges(seq0: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame = {
+    var seq = seq0
     var pendingFolds = 0
     merges.foreach { case (a, b) =>
       seq = seq.withColumn("syms", applyMerge(col("syms"), a, b))
@@ -409,6 +445,41 @@ object Vocabulary {
       .select(col("id"), col("word_pos").cast("int").as("word_pos"),
         posexplode(col("syms")).as(Seq("sub_pos", "subword")))
       .join(broadcast(vocab.select(col("subword"), col("sub_id"))),
+        Seq("subword"), "left")
+      .select(col("id").as(idCol), col("word_pos"),
+        col("sub_pos").cast("int").as("sub_pos"),
+        col("subword"), col("sub_id"))
+  }
+
+  /** [[bpeEncodeWith]] reusing a learned [[BpeModel]]'s segmentation
+    * table — the production frozen-apply path: a word's segmentation
+    * is a pure function of (word, ordered merges), so the learn-time
+    * table is valid for ANY later corpus; only words the learn corpus
+    * never saw (the crawl's novelty — a small set under Heaps' law)
+    * pay the merge folds, over the novel-word relation alone. Same
+    * output and contract as [[bpeEncodeWith]] (spec-proven ≡): NULL
+    * sub_id marks out-of-alphabet symbols. Scale shape: one
+    * distinct-token aggregate finds the novel words (the same cost
+    * class as bpeEncodeWith's word count — but the fold chain now
+    * touches novel words only), segmentation + alphabet broadcast,
+    * the corpus never shuffles. */
+  def bpeEncodeWithModel(docs: DataFrame, idCol: String, textCol: String,
+                         model: BpeModel): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("word_pos", "word")))
+    val novel = toks.select(col("word")).distinct()
+      .join(model.segments.select(col("word")), Seq("word"), "left_anti")
+    val novelSegs = foldMerges(
+      novel.select(col("word"), charSyms(col("word")).as("syms")),
+      model.mergePairs)
+    val segs = model.segments.select(col("word"), col("syms"))
+      .unionByName(novelSegs.select(col("word"), col("syms")))
+    toks
+      .join(broadcast(segs), "word")
+      .select(col("id"), col("word_pos").cast("int").as("word_pos"),
+        posexplode(col("syms")).as(Seq("sub_pos", "subword")))
+      .join(broadcast(model.vocab.select(col("subword"), col("sub_id"))),
         Seq("subword"), "left")
       .select(col("id").as(idCol), col("word_pos"),
         col("sub_pos").cast("int").as("sub_pos"),

@@ -577,16 +577,17 @@ object ScaleOps {
     "q153_bpe_frozen_vocab",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = graft.operators.Vocabulary
-        .bpeMerges(docs, "text", 10)
-        .orderBy(col("rank"))
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val vocab = graft.operators.Vocabulary.bpeVocab(docs, "text", 10)
+      // ONE learn produces merges + alphabet + the reusable
+      // segmentation table; the frozen apply folds merges only over
+      // the crawl's NOVEL words (here: "zx") — previously this query
+      // paid the full learn twice (bpeMerges + bpeVocab) plus a third
+      // corpus word count in the apply
+      val model = graft.operators.Vocabulary.bpeLearnAll(docs, "text", 10)
       import s.implicits._
       val crawl = docs.select(col("doc_id"), col("text"))
         .union(Seq((9999992L, "the zx data")).toDF("doc_id", "text"))
-      graft.operators.Vocabulary.bpeEncodeWith(crawl, "doc_id", "text",
-          merges, vocab)
+      graft.operators.Vocabulary.bpeEncodeWithModel(crawl, "doc_id", "text",
+          model)
         .filter((col("doc_id") < 40 || col("doc_id") === 9999992L)
           && col("word_pos") < 8)
         .orderBy(col("doc_id"), col("word_pos"), col("sub_pos"))

@@ -152,6 +152,38 @@ class BpeSpec extends SparkSpec {
       (1, 0, "z", -1), (1, 1, "z", -1))
   }
 
+  test("bpeLearnAll: one learn returns the same merges, vocab, and segments as the three separate calls") {
+    val docs = Seq((1L, "low low low lower lower lowest"),
+      (2L, "lowest low")).toDF("doc_id", "text")
+    val model = Vocabulary.bpeLearnAll(docs, "text", 3)
+    model.merges shouldBe Vocabulary.bpeMerges(docs, "text", 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    model.vocab.collect().map(_.toSeq).toSet shouldBe
+      Vocabulary.bpeVocab(docs, "text", 3).collect().map(_.toSeq).toSet
+    model.segments.collect().map(_.toSeq).toSet shouldBe
+      Vocabulary.bpeSegments(docs, "text", 3)
+        .select(col("word"),
+          org.apache.spark.sql.functions.split(col("encoding"), " ")
+            .as("syms"))
+        .collect().map(_.toSeq).toSet
+  }
+
+  test("bpeEncodeWithModel ≡ bpeEncodeWith on a later crawl: cached segments reused, novel words folded") {
+    val train = Seq((1L, "low low low lower lower")).toDF("doc_id", "text")
+    val model = Vocabulary.bpeLearnAll(train, "text", 3)
+    // crawl mixes SEEN words (from the cached segmentation table),
+    // novel words the merges still fire on (slow), and out-of-alphabet
+    // text (zz) — the frozen contract end to end
+    val crawl = Seq((9L, "slow zz lower"), (10L, "low slows"))
+      .toDF("doc_id", "text")
+    val viaModel = Vocabulary.bpeEncodeWithModel(crawl, "doc_id", "text",
+      model).collect().map(_.toSeq).toSet
+    val viaFold = Vocabulary.bpeEncodeWith(crawl, "doc_id", "text",
+      model.mergePairs, model.vocab).collect().map(_.toSeq).toSet
+    viaModel shouldBe viaFold
+  }
+
   test("merge table rank/count types and ordering are stable") {
     val df = Vocabulary.bpeMerges(
       Seq((1L, "abc abc abd")).toDF("doc_id", "text"), "text", 4)
