@@ -359,16 +359,33 @@ object ProductQuant {
   def trainResidual(df: DataFrame, idCol: String, vecCol: String,
                     dim: Int, m: Int, k: Int, iters: Int, nCells: Int,
                     cellIters: Int = 2): ResidualModel = {
-    val n = math.min(65536, math.max(4096, 64 * nCells))
+    val nCell = math.min(65536, math.max(4096, 64 * nCells))
+    val nPq = math.min(65536, math.max(4096, 64 * k))
+    // ONE rank-sample draw covers both fits; the sub-draws below are
+    // prefixes of the same (rank, id) order, so each equals the draw
+    // the corresponding fit would have made against the full corpus
     val sample = cleanVecs(df, vecCol, dim)
       .withColumn("__r", Similarity.portableCentroidRank(col(idCol)))
-      .orderBy(col("__r"), col(idCol)).limit(n)
-      .select(col(idCol), col(vecCol))
+      .orderBy(col("__r"), col(idCol)).limit(math.max(nCell, nPq))
+      .select(col(idCol), col(vecCol), col("__r"))
       .cache()
     try {
-      val cells = KMeans.fit(sample, idCol, vecCol, nCells, cellIters)
-      val resid = residualVecs(df, idCol, vecCol, dim, cells)
-      ResidualModel(cells, train(resid, idCol, "rvec", dim, m, k, iters))
+      val cells = KMeans.fit(
+        sample.orderBy(col("__r"), col(idCol)).limit(nCell)
+          .select(col(idCol), col(vecCol)),
+        idCol, vecCol, nCells, cellIters)
+      // sample-FIRST residuals: [[train]]'s own md5-rank draw over the
+      // residual relation would select exactly the rank-top nPq corpus
+      // rows (residuals are per-row pure and complete), so computing
+      // residuals over that prefix instead of the whole corpus changes
+      // nothing downstream — and removes the one full-corpus
+      // residual pass training used to pay
+      val resid = residualVecs(
+        sample.orderBy(col("__r"), col(idCol)).limit(nPq)
+          .select(col(idCol), col(vecCol)),
+        idCol, vecCol, dim, cells)
+      ResidualModel(cells,
+        train(resid, idCol, "rvec", dim, m, k, iters, sampleN = nPq))
     } finally { sample.unpersist(); () }
   }
 
@@ -507,8 +524,18 @@ object ProductQuant {
                             superProbe: Int = 2): ResidualTwoLevelModel = {
     val tl = Similarity.trainTwoLevelCells(df, idCol, vecCol, nCells,
       cellIters)
-    val resid = residualVecsTwoLevel(df, idCol, vecCol, dim, tl, superProbe)
-    ResidualTwoLevelModel(tl, train(resid, idCol, "rvec", dim, m, k, iters))
+    // sample-FIRST residuals (the trainResidual argument): [[train]]'s
+    // rank draw over the residual relation is the rank-top nPq corpus
+    // rows, so residuals are computed over that prefix only
+    val nPq = math.min(65536, math.max(4096, 64 * k))
+    val pqSample = cleanVecs(df, vecCol, dim)
+      .withColumn("__r", Similarity.portableCentroidRank(col(idCol)))
+      .orderBy(col("__r"), col(idCol)).limit(nPq)
+      .select(col(idCol), col(vecCol))
+    val resid = residualVecsTwoLevel(pqSample, idCol, vecCol, dim, tl,
+      superProbe)
+    ResidualTwoLevelModel(tl,
+      train(resid, idCol, "rvec", dim, m, k, iters, sampleN = nPq))
   }
 
   /** The corpus-side INDEX relation of the residual two-level form:
