@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** WARC-shaped crawl-archive record ingestion — the step at the very
@@ -125,22 +125,48 @@ object WarcRecords {
         "content_length", "payload")
   }
 
+  /** Strip a leading HTTP message envelope from a decoded payload:
+    * in real ISO-28500 crawls a response record's payload is the FULL
+    * HTTP message (Content-Type: application/http — status line,
+    * headers, CRLF-CRLF, body), and feeding that to text extraction
+    * leaks header lines into the corpus as prose. A payload starting
+    * with `HTTP/` is cut at its first CRLF-CRLF (header-only messages
+    * — no blank line or nothing after it — yield ''); anything else
+    * passes through unchanged (writers that store bare HTML, the
+    * spec-pinned minimal-fixture case). HTTP/1.x mandates CRLF line
+    * endings, so no LF-only fallback is attempted — a nonconforming
+    * envelope passes through visibly rather than being half-stripped. */
+  private[io] def stripHttpEnvelope(payload: Column): Column = {
+    val sep = locate("\r\n\r\n", payload)
+    when(payload.startsWith("HTTP/"),
+      when(sep > 0, payload.substr(sep + lit(4), length(payload)))
+        .otherwise(lit("")))
+      .otherwise(payload)
+  }
+
   /** Archive rows → the (doc_id, url, html) relation
     * [[graft.pipelines.TrainingCorpusPipeline]]'s crawl front
     * consumes (`Config.urlCol`/`htmlCol`): response records with a
-    * target URI, payload UTF-8-decoded, `doc_id = xxhash64(uri)` —
-    * deterministic, well-spread, integral (the LSH stages' id
-    * contract); collision odds are the corpus-negligible 64-bit
-    * birthday bound. Non-response records (warcinfo, request,
-    * metadata) drop here — they are archive bookkeeping, not
-    * documents. A NULL warc_type is KEPT (minimal writers omit it;
-    * a payload with a URI is a document until proven otherwise). */
+    * target URI, payload UTF-8-decoded with any HTTP envelope
+    * stripped ([[stripHttpEnvelope]]), and
+    * `doc_id = xxhash64(archive key, record_idx)` — deterministic,
+    * well-spread, integral (the LSH stages' id contract), and UNIQUE
+    * per record position: a URI crawled twice (re-crawls, revisits,
+    * the same page in two archives) keeps two distinct ids instead of
+    * silently colliding, leaving residual collision odds at the
+    * corpus-negligible 64-bit birthday bound. Re-crawl DEDUP is a
+    * policy decision downstream (`dropDuplicates("url")`, or the
+    * near-dup family), not an accident of id derivation.
+    * Non-response records (warcinfo, request, metadata) drop here —
+    * they are archive bookkeeping, not documents. A NULL warc_type is
+    * KEPT (minimal writers omit it; a payload with a URI is a
+    * document until proven otherwise). */
   def toCrawlDocs(archives: DataFrame, keyCol: String = "path",
                   contentCol: String = "content"): DataFrame =
     splitRecords(archives, keyCol, contentCol)
       .filter(col("target_uri").isNotNull &&
         (col("warc_type").isNull || col("warc_type") === "response"))
-      .select(xxhash64(col("target_uri")).as("doc_id"),
+      .select(xxhash64(col(keyCol), col("record_idx")).as("doc_id"),
         col("target_uri").as("url"),
-        col("payload").cast("string").as("html"))
+        stripHttpEnvelope(col("payload").cast("string")).as("html"))
 }

@@ -105,8 +105,68 @@ class WarcRecordsSpec extends SparkSpec {
       .as[(String, String)].collect()
     rows.map(_._1) shouldBe Array("https://x.example/1", "https://x.example/2")
     rows(0)._2 shouldBe "<p>doc</p>"
-    // ids are the deterministic uri hash — integral, stable
+    // ids are the deterministic (archive, record position) hash —
+    // integral, stable across runs
     docs.select(col("doc_id")).as[Long].collect() should have size 2
+  }
+
+  test("toCrawlDocs: HTTP envelopes strip to the body; bare HTML passes; duplicate URIs keep distinct ids") {
+    val uri = "https://x.example/page"
+    val envBody = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "X-Crawler: bot\r\n\r\n<p>env</p>"
+    val headerOnly = "HTTP/1.1 304 Not Modified\r\nETag: \"x\""
+    val bytes =
+      record(uri, envBody.getBytes("UTF-8")) ++
+      record(uri, "<p>bare</p>".getBytes("UTF-8")) ++ // re-crawl, bare HTML
+      record("https://x.example/304", headerOnly.getBytes("UTF-8"))
+    val docs = WarcRecords.toCrawlDocs(
+        Seq(("a", bytes)).toDF("path", "content"))
+      .orderBy("doc_id")
+    val rows = docs.select("doc_id", "url", "html")
+      .as[(Long, String, String)].collect()
+    rows should have size 3
+    // the application/http envelope never reaches the html column...
+    rows.map(_._3).sorted shouldBe Array("", "<p>bare</p>", "<p>env</p>")
+    rows.map(_._3).foreach(h => h should not include "HTTP/1.1")
+    // ...and the SAME uri crawled twice yields two DISTINCT doc ids
+    // (the advice-flagged collision source: uri-keyed hashing)
+    rows.filter(_._2 == uri).map(_._1).distinct should have size 2
+  }
+
+  test("toCrawlDocs under readStream: file-backed stream output ≡ batch output") {
+    // the scaladoc's claim, proven: the scanner is a stateless
+    // mapPartitions over binaryFile rows, so the SAME code path serves
+    // batch backfill and live ingest — record for record
+    val dir = Files.createTempDirectory("graft_warc_stream")
+    Files.write(Paths.get(dir.toString, "a.warc"),
+      record("https://s.example/1", "<p>a</p>".getBytes("UTF-8")) ++
+        record("https://s.example/1", // re-crawl in the same archive
+          ("HTTP/1.1 200 OK\r\n\r\n<p>a2</p>").getBytes("UTF-8")))
+    Files.write(Paths.get(dir.toString, "b.warc"),
+      record("https://s.example/2", "<p>b</p>".getBytes("UTF-8")))
+    // binaryFile's FIXED source schema, stated explicitly (streaming
+    // file sources never infer)
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val streamed = WarcRecords.toCrawlDocs(
+      spark.readStream.format("binaryFile").schema(binSchema)
+        .option("pathGlobFilter", "*.warc").load(dir.toString))
+    val q = streamed.writeStream.format("memory")
+      .queryName("warc_stream_docs").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_warc_stream").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.table("warc_stream_docs")
+      .select("doc_id", "url", "html").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    val batch = WarcRecords.toCrawlDocs(
+        BinaryFileSource(dir.toString, pathGlobFilter = Some("*.warc"))
+          .read(spark))
+      .select("doc_id", "url", "html").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    live should have size 3
+    live shouldBe batch
   }
 
   test("binaryFile → splitRecords: archives read from disk, one scan per file, no shuffle") {

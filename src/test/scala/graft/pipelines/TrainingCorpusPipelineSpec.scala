@@ -340,10 +340,10 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
       urlBlocklist = Some(Seq("blocked.example").toDF("domain")))
     outW.count() should be > 0L
     // the blocked archive's documents never reach the corpus: their
-    // uri-hash ids (toCrawlDocs' id rule) are absent from the output
-    val blockedIds = blockedSrc.map(_._1).toSeq.toDF("oid")
-      .select(xxhash64(concat(lit("https://blocked.example/p/"),
-        col("oid").cast("string"))).as("doc_id"))
+    // (archive, record position) ids (toCrawlDocs' id rule) are
+    // absent from the output — all of arch0's record slots
+    val blockedIds = blockedSrc.indices.toDF("ridx")
+      .select(xxhash64(lit("arch0"), col("ridx").cast("int")).as("doc_id"))
     outW.join(blockedIds, Seq("doc_id"), "left_semi").count() shouldBe 0L
     // extraction really ran: no markup, no script bodies in chunks
     outW.filter(col("chunk_text").contains("junk()")).count() shouldBe 0L
