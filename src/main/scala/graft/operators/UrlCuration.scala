@@ -140,9 +140,18 @@ object UrlCuration {
       }
       .toSeq
 
-  /** The shipped curated ICANN-core list (resources/graft/psl.dat) —
-    * replace with the full published list for production fidelity
-    * (same parser, same relation shape). */
+  /** The shipped FULL published list (resources/graft/psl.dat — the
+    * verbatim publicsuffix.org public_suffix_list.dat, MPL 2.0, ICANN
+    * + private sections, ~9.5k rules): the long tail of third-level
+    * registries and platform suffixes (s3.amazonaws.com, github.io,
+    * the blogspot.* family) is exactly where registered-domain
+    * mistakes hide, so the real list ships rather than a curated
+    * core. Still model-sized: ~10⁴ broadcast rows, the same order as
+    * a PQ codebook. To pin a different snapshot, swap the resource
+    * file (or call [[parsePsl]] on any lines) — parser and join path
+    * are list-agnostic. IDN rules are matched in the FORM the list
+    * carries them (unicode labels); punycode hosts match the xn--
+    * rules — normalize hosts to one form upstream. */
   def defaultPsl(): Seq[PslRule] = {
     val in = getClass.getResourceAsStream("/graft/psl.dat")
     require(in != null, "graft/psl.dat missing from classpath")

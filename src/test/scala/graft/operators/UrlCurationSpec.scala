@@ -69,15 +69,40 @@ class UrlCurationSpec extends SparkSpec {
   }
 
   test("defaultPsl: long-tail suffixes the 18-entry literal list gets wrong") {
-    val d = pslDomainOf("sub.agency.act.gov.au", "shop.mall.com.sg",
-      "a.b.example.org", "blog.user.blogspot.com")
-    // third-level registration under a state suffix: act.gov.au is the
-    // public suffix, agency.act.gov.au the registrant
-    d("sub.agency.act.gov.au") shouldBe "agency.act.gov.au"
+    val d = pslDomainOf("sub.agency.act.edu.au", "sub.agency.act.gov.au",
+      "shop.mall.com.sg", "a.b.example.org", "blog.user.blogspot.com")
+    // third-level registration under a state suffix: act.edu.au is the
+    // public suffix, agency.act.edu.au the registrant
+    d("sub.agency.act.edu.au") shouldBe "agency.act.edu.au"
+    // the published list's long tail is authoritative where a curated
+    // core guesses wrong: act.gov.au was REMOVED from the list
+    // (publicsuffix Bug 984824), so gov.au is the suffix and
+    // act.gov.au itself the registrant
+    d("sub.agency.act.gov.au") shouldBe "act.gov.au"
     d("shop.mall.com.sg") shouldBe "mall.com.sg"
     d("a.b.example.org") shouldBe "example.org"
     // private-section platform: each blogspot subdomain is a registrant
     d("blog.user.blogspot.com") shouldBe "user.blogspot.com"
+  }
+
+  test("defaultPsl: full published list — private-section platform suffixes resolve registrants") {
+    // the long-tail classes only the real publicsuffix.org list
+    // carries: cloud-storage suffixes (s3.amazonaws.com), pages
+    // platforms (github.io), ccTLD platform variants
+    // (blogspot.com.ar) — each bucket/user is its own registrant,
+    // which is what keeps per-domain quotas honest on platform hosts
+    val d = pslDomainOf("mybucket.s3.amazonaws.com", "s3.amazonaws.com",
+      "assets.mybucket.s3.amazonaws.com", "user.github.io",
+      "www.user.github.io", "blog.user.blogspot.com.ar")
+    d("mybucket.s3.amazonaws.com") shouldBe "mybucket.s3.amazonaws.com"
+    // a bare public suffix has no registrant: passes through whole
+    d("s3.amazonaws.com") shouldBe "s3.amazonaws.com"
+    d("assets.mybucket.s3.amazonaws.com") shouldBe "mybucket.s3.amazonaws.com"
+    d("user.github.io") shouldBe "user.github.io"
+    d("www.user.github.io") shouldBe "user.github.io"
+    d("blog.user.blogspot.com.ar") shouldBe "user.blogspot.com.ar"
+    // rule-count sanity: the shipped resource is the real list
+    UrlCuration.defaultPsl().size should be > 9000
   }
 
   test("defaultPsl: wildcard rules make every child a public suffix; exceptions carve back out") {
