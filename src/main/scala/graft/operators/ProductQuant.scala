@@ -919,15 +919,25 @@ object ProductQuant {
     * evidence, retrain false — an empty probe must not page anyone. */
   private def driftReport(base: DataFrame, appended: DataFrame,
                           alarmBp: Long): DataFrame = {
-    val b = base.agg(count(lit(1)).as("n_base"), sum(col("__n2")).as("__sb"))
+    // Σ‖r‖² accumulates in DECIMAL(38,0): per-row norms reach ~10¹⁵
+    // at micro magnitudes, so a BIGINT sum wraps past ~10⁴ rows —
+    // an alarm that silently wraps at production corpus size is worse
+    // than none. Decimal keeps the sum exact to ~10²³ rows; the
+    // floor-division back to BIGINT msr is unchanged (and DuckDB's
+    // HUGEINT sum replays it — the q181/q185 oracles).
+    val b = base.agg(count(lit(1)).as("n_base"),
+      sum(col("__n2").cast("decimal(38,0)")).as("__sb"))
     val a = appended.agg(count(lit(1)).as("n_new"),
-      sum(col("__n2")).as("__sa"))
+      sum(col("__n2").cast("decimal(38,0)")).as("__sa"))
     b.crossJoin(a)
       .select(col("n_base"), col("n_new"),
         expr("__sb div n_base").as("base_msr"),
         expr("__sa div n_new").as("new_msr"),
+        // the ×10⁴ widens in decimal as well: msr itself can sit at
+        // ~10¹⁵ (high-norm corpora), where a BIGINT product overflows
         expr("case when n_base > 0 and n_new > 0 and __sb div n_base > 0 " +
-          "then ((__sa div n_new) * 10000) div (__sb div n_base) end")
+          "then ((__sa div n_new) * cast(10000 as decimal(38,0))) " +
+          "div (__sb div n_base) end")
           .as("drift_bp"))
       .withColumn("retrain",
         coalesce(col("drift_bp") > alarmBp, lit(false)))
@@ -951,9 +961,12 @@ object ProductQuant {
     * [[ivfAdcResidualTopK]]'s internal encoding) have outlived the
     * frozen centroids. One row: (n_base, n_new, base_msr, new_msr,
     * drift_bp, retrain). Exact integers end to end (oracle-checked,
-    * q181); sums stay under 2⁶³ to ~10⁵ unit-norm vectors per side —
-    * probe a bounded sample at larger scales (an alarm needs a
-    * consistent estimate, not the full corpus). */
+    * q181): norms sum in DECIMAL(38,0) — exact to ~10²³ rows per
+    * side, no silent wrap at any corpus size (spec-pinned past 2⁶³)
+    * — with the msr floor-division back in BIGINT. Probing a bounded
+    * sample is still the right CALL at 100 TB (an alarm needs a
+    * consistent estimate, not a corpus pass), but it is a cost
+    * choice now, not a correctness requirement. */
   def residualDriftReport(model: ResidualModel, baseline: DataFrame,
                           appended: DataFrame, idCol: String,
                           vecCol: String, dim: Int,

@@ -508,6 +508,26 @@ class ProductQuantSpec extends SparkSpec {
         "embedding", 64, m, k = 3))
   }
 
+  test("drift sums do not wrap: Σ‖r‖² past 2⁶³ stays exact (decimal accumulation)") {
+    // 2000 rows × 6.4e15 per-row norm² = 1.28e19 > 2⁶³ ≈ 9.2e18: a
+    // BIGINT sum wraps (or throws under ANSI); the report must stay
+    // exact — msr is per-row-equal so the expected value is known
+    val cells: KMeans.Model = Seq((1, Seq.fill(64)(0L)))
+    val book: KMeans.Model = Seq((1, Seq.fill(32)(0L)))
+    val model = ProductQuant.ResidualModel(cells,
+      ProductQuant.Model(Seq((1, 32), (33, 32)), Seq(book, book)))
+    val big = spark.range(0, 2000)
+      .select(col("id").as("vec_id"),
+        array(Seq.fill(64)(lit(10.0f)): _*).as("embedding"))
+    val rep = ProductQuant.residualDriftReport(model, big, big,
+      "vec_id", "embedding", 64).collect().head
+    // per dim: (10·10⁶)² = 10¹⁴; × 64 dims = 6.4e15
+    rep.getAs[Long]("base_msr") shouldBe 64L * 100000000000000L
+    rep.getAs[Long]("new_msr") shouldBe 64L * 100000000000000L
+    rep.getAs[Long]("drift_bp") shouldBe 10000L
+    rep.getAs[Boolean]("retrain") shouldBe false
+  }
+
   test("drift alarm (two-level): identical batch is 10000bp quiet; shifted data trips retrain") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val m = ProductQuant.trainResidualTwoLevel(emb, "vec_id", "embedding",
