@@ -53,7 +53,8 @@ object PlanDump {
       "q179_psl_domain_report" -> "full-PSL domains: per-HOST partial agg is the corpus's one shuffle; suffix/rule equi joins and the host->domain map join run on host-sized relations; rules broadcast as data",
       "q180_warc_extract" -> "WARC round-trip: one aggregate shuffle assembles archives, the record scanner is a narrow mapPartitions pass, extraction fuses — no join anywhere",
       "q181_index_drift_alarm" -> "drift alarm: two narrow literal-model norm passes reduced to single-row aggregates — per-append-batch cheap by construction",
-      "q182_ann_opq_rotated" -> "OPQ rotated PQ: the rotation is a narrow dim-squared literal matmul fused into the scan projection; the ADC tail is q142's unchanged")
+      "q182_ann_opq_rotated" -> "OPQ rotated PQ: the rotation joins as a ONE-ROW broadcast relation (no dim-squared plan literal — the r10 fix); the ADC tail is q142's unchanged",
+      "q184_ann_opq_residual_two_level" -> "composed OPQ-residual-two-level SERVING: the corpus encodes once into the stored (c_id, cell, codes) relation, queries rotate through the broadcast row and search OVER the codes via cell equi-joins — no K-sized and no dim-sized literal anywhere in the plan")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"

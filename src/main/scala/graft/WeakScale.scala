@@ -76,6 +76,9 @@ object WeakScale {
     lazy val driftModel = graft.operators.ProductQuant.trainResidual(
       baseVecs, "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
       nCells = 8)
+    lazy val opqServeModel = graft.operators.ProductQuant
+      .trainOpqResidualTwoLevel(baseVecs, "vec_id", "embedding", dim = 64,
+        m = 2, k = 4, iters = 2, nCells = 4, opqIters = 2)
 
     // one warm-up at 1x per operator family compiles the plan shapes
     def measurements(k: Int, runs: Int): Seq[(String, Double, Long)] = {
@@ -534,6 +537,22 @@ object WeakScale {
                 "embedding", 64, opqModel.rotation),
               "vec_id", "__rv", 64, opqModel.pq)
             .agg(count(lit(1)), sum(element_at(col("codes"), 1))).collect()
+          vecs.count()
+        }),
+        // composed OPQ∘residual∘two-level SERVING (q184 shape): frozen
+        // model (trained once on the base corpus), corpus encode is
+        // one rotate (broadcast row) + assign + code argmins, search
+        // is the cell equi-join over the code relation with a fixed
+        // 20-query side — expect ~linear (candidates ∝ n·nProbe/nCells
+        // with constant cells here)
+        ("opq_serve_q184", V, () => {
+          val codes = graft.operators.ProductQuant
+            .encodeOpqResidualTwoLevel(vecs, "vec_id", "embedding", 64,
+              opqServeModel)
+          graft.operators.ProductQuant.opqResidualTopKTwoLevelOverCodes(
+              codes, baseVecs.filter(col("vec_id") <= 20), "vec_id",
+              "embedding", 64, opqServeModel, k = 3)
+            .agg(count(lit(1)), sum(col("adc_dist"))).collect()
           vecs.count()
         }),
         // residual-drift retrain alarm (q181): two narrow norm passes

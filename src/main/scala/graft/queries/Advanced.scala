@@ -1728,7 +1728,8 @@ object Advanced {
         .orderBy(col("q_id"), col("rank"))
     },
     oracle = Some(
-      twoLevelFrontSqlOver(rotatedQFrontSql) + residualTwoLevelTailSql))
+      twoLevelFrontSqlOver(rotatedQFrontSql) + residualTwoLevelTailSql),
+    bench = true)
 
   /** q185: ORACLE-CHECKED rotated-domain drift alarm — q181's retrain
     * alarm composed with the OPQ rotation (the alarm a deployed
