@@ -112,6 +112,149 @@ object UrlCuration {
     df.join(broadcast(hitHosts), host(col(urlCol)) === col("__h"), "left_anti")
   }
 
+  // ---- URL canonicalization + canonical dedup --------------------------
+  // The crawl-dedup FRONT stage (CCNet/RefinedWeb-class pipelines run
+  // URL dedup before any content dedup): the same page arrives under
+  // mixed-case scheme/host, default ports, fragments, tracking
+  // parameters, and shuffled query order — canonicalize first and the
+  // cheap exact-key dedup catches what would otherwise burn MinHash
+  // budget downstream.
+
+  /** Exact-name query parameters dropped by [[canonicalUrl]] — the
+    * common click/campaign trackers; extend per deployment. */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+  /** Canonical form of a URL (NULL in → NULL out), engine-portable
+    * string/array arithmetic only (each step replayed by the q186
+    * oracle): fragment dropped; scheme and host lower-cased; default
+    * ports stripped (`:80` under http, `:443` under https); an empty
+    * path becomes `/`; query parameters drop when empty, when the
+    * `k=v` string starts with a `trackingPrefixes` entry (`utm_`), or
+    * when the name is in `trackingExact`; survivors SORT
+    * lexicographically (full `k=v` binary order — both engines
+    * compare UTF-8 bytes) and re-join. Credentials/userinfo are NOT
+    * handled (crawl URLs do not carry them; a URL with `@` keeps it
+    * verbatim and simply canonicalizes to itself consistently).
+    * Narrow codegen-friendly expressions; no UDF, no shuffle. */
+  def canonicalUrl(url: Column,
+                   trackingExact: Seq[String] = DefaultTrackingParams,
+                   trackingPrefixes: Seq[String] = Seq("utm_")): Column = {
+    val base = element_at(split(url, "#"), 1)
+    val p = locate("://", base)
+    val scheme = lower(base.substr(lit(1), p - 1))
+    val rest = base.substr(p + 3, length(base))
+    val slash = locate("/", rest)
+    val hostport = lower(when(slash > 0, rest.substr(lit(1), slash - 1))
+      .otherwise(rest))
+    val pathq = when(slash > 0, rest.substr(slash, length(rest)))
+      .otherwise(lit("/"))
+    val q = locate("?", pathq)
+    val path = when(q > 0, pathq.substr(lit(1), q - 1)).otherwise(pathq)
+    val query = when(q > 0, pathq.substr(q + 1, length(pathq)))
+      .otherwise(lit(""))
+    val host = when(scheme === "http" && hostport.endsWith(":80"),
+        hostport.substr(lit(1), length(hostport) - 3))
+      .when(scheme === "https" && hostport.endsWith(":443"),
+        hostport.substr(lit(1), length(hostport) - 4))
+      .otherwise(hostport)
+    val kept = array_sort(filter(split(query, "&"), x => {
+      val name = element_at(split(x, "="), 1)
+      val prefixHit = trackingPrefixes
+        .map(pre => x.startsWith(pre)).reduce(_ || _)
+      x =!= "" && !prefixHit && !name.isin(trackingExact: _*)
+    }))
+    // no "://" ⇒ out of contract (crawl URLs carry schemes): pass
+    // through VERBATIM rather than assemble from undefined substrings
+    // — the host('')/blocklist keep-the-unparseable convention
+    when(p > 0,
+      concat(scheme, lit("://"), host, path,
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+          .otherwise(lit(""))))
+      .otherwise(url)
+  }
+
+  /** The DuckDB replay of [[canonicalUrl]] as a CTE chain over
+    * `srcRel` (which must yield `$idCol` and `$urlExpr` per row),
+    * ending in CTE `ccanon ($idCol, canonical)` — shared by the
+    * q186/q187 oracles. Tracking lists interpolate from the SAME
+    * defaults the Spark side uses. */
+  def canonicalUrlCtes(srcRel: String, idCol: String, urlExpr: String,
+                       trackingExact: Seq[String] = DefaultTrackingParams,
+                       trackingPrefixes: Seq[String] = Seq("utm_")): String = {
+    val exactList = trackingExact.map(t => s"'$t'").mkString("[", ", ", "]")
+    val prefixHit = trackingPrefixes
+      .map(pre => s"starts_with(x, '$pre')").mkString(" OR ")
+    s"""cb AS (
+        SELECT $idCol, $urlExpr AS __u,
+               string_split($urlExpr, '#')[1] AS b FROM $srcRel),
+      cparts AS (
+        SELECT $idCol, __u, strpos(b, '://') AS sp,
+               lower(substring(b, 1, strpos(b, '://') - 1)) AS scheme,
+               substring(b, strpos(b, '://') + 3) AS rest
+        FROM cb),
+      chp AS (
+        SELECT $idCol, __u, sp, scheme,
+               lower(CASE WHEN strpos(rest, '/') > 0
+                    THEN substring(rest, 1, strpos(rest, '/') - 1)
+                    ELSE rest END) AS hostport,
+               CASE WHEN strpos(rest, '/') > 0
+                    THEN substring(rest, strpos(rest, '/'))
+                    ELSE '/' END AS pathq
+        FROM cparts),
+      cpq AS (
+        SELECT $idCol, __u, sp, scheme,
+               CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                    THEN substring(hostport, 1, length(hostport) - 3)
+                    WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN substring(hostport, 1, length(hostport) - 4)
+                    ELSE hostport END AS host,
+               CASE WHEN strpos(pathq, '?') > 0
+                    THEN substring(pathq, 1, strpos(pathq, '?') - 1)
+                    ELSE pathq END AS path,
+               CASE WHEN strpos(pathq, '?') > 0
+                    THEN substring(pathq, strpos(pathq, '?') + 1)
+                    ELSE '' END AS query
+        FROM chp),
+      ck AS (
+        SELECT $idCol, __u, sp, scheme, host, path,
+               list_sort(list_filter(string_split(query, '&'),
+                 x -> x <> '' AND NOT ($prefixHit)
+                      AND NOT list_contains($exactList,
+                            string_split(x, '=')[1]))) AS ps
+        FROM cpq),
+      ccanon AS (
+        SELECT $idCol,
+               CASE WHEN sp > 0
+                    THEN scheme || '://' || host || path ||
+                         CASE WHEN len(ps) > 0
+                              THEN '?' || array_to_string(ps, '&')
+                              ELSE '' END
+                    ELSE __u END AS canonical
+        FROM ck)"""
+  }
+
+  /** Keep-first dedup on the canonical URL: one survivor per
+    * canonical form — the row with the SMALLEST `idCol` (the
+    * dedup family's deterministic keep-best rule) — with NULL-url
+    * rows all KEPT (no URL is no evidence of duplication; the
+    * [[blocklistFilter]] convention). Plan: the canonical key is a
+    * narrow expression, the keeper election one groupBy(canonical)
+    * min-aggregate (map-side combined), and survivors come back via
+    * an equi join on (canonical, id) — the corpus's one shuffle, the
+    * same cost class any exact dedup pays. Output: the input rows,
+    * survivors only. */
+  def canonicalUrlDedup(df: DataFrame, urlCol: String,
+                        idCol: String): DataFrame = {
+    val withC = df.withColumn("__curl", canonicalUrl(col(urlCol)))
+    val keepers = withC.filter(col("__curl").isNotNull)
+      .groupBy(col("__curl")).agg(min(col(idCol)).as(idCol))
+    withC.filter(col("__curl").isNotNull)
+      .join(keepers, Seq("__curl", idCol), "left_semi")
+      .unionByName(withC.filter(col("__curl").isNull))
+      .drop("__curl")
+  }
+
   // ---- Full public-suffix-list support -------------------------------
 
   /** One parsed PSL rule. `kind`: 0 = normal (`co.uk`), 1 = wildcard

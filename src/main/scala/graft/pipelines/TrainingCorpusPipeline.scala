@@ -152,7 +152,14 @@ object TrainingCorpusPipeline {
       // URL column for the blocklist gate (used with run()'s
       // urlBlocklist) — the RefinedWeb/FineWeb URL-FIRST seating:
       // blocked domains drop before a byte of text is touched
-      urlCol: Option[String] = None)
+      urlCol: Option[String] = None,
+      // opt-in stage -2.5: canonical-URL keep-first dedup (UrlCuration
+      // .canonicalUrlDedup) — re-crawls differing only in tracker
+      // params / fragment / case / default port collapse BEFORE HTML
+      // extraction or any text stage spends a cycle on them; the
+      // cheapest dedup in the pipeline, seated earliest. Requires
+      // urlCol; NULL-url rows all pass (gated elsewhere)
+      urlDedup: Boolean = false)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -198,20 +205,32 @@ object TrainingCorpusPipeline {
       case _ => docs
     }
 
+    // -2.5 (opt-in) canonical-URL dedup: the cheapest dedup runs
+    // before extraction — a re-crawled page differing only in
+    // tracking noise never pays HTML extraction, normalization, or
+    // any hashing stage. Keep-first by idCol (deterministic).
+    val urlDeduped =
+      if (!cfg.urlDedup) urlGated
+      else {
+        val u = cfg.urlCol.getOrElse(throw new IllegalArgumentException(
+          "Config.urlDedup requires Config.urlCol"))
+        graft.operators.UrlCuration.canonicalUrlDedup(urlGated, u, idCol)
+      }
+
     // -2. (opt-in) HTML extraction: raw crawl pages become prose —
     // comments/script/style dropped, block structure preserved as
     // the line breaks the line-level stages (0b, C4) key on,
     // entities decoded. The extracted text REPLACES textCol.
     val docsText = cfg.htmlCol match {
       case Some(h) =>
-        urlGated
+        urlDeduped
           .drop(textCol)
           .join(graft.operators.HtmlExtract
-              .extractText(urlGated, idCol, h)
+              .extractText(urlDeduped, idCol, h)
               .select(col(idCol), col("text").as(textCol)),
             Seq(idCol))
           .drop(h)
-      case None => urlGated
+      case None => urlDeduped
     }
 
     // -1. (opt-in) Unicode normalization: the first text rewrite —

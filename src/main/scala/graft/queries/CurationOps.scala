@@ -1236,7 +1236,106 @@ object CurationOps {
           FROM recs) w""",
       "archive_id, record_idx, url", "payload")))
 
+  /** The q186/q187 messy-URL mix: every canonicalization rule class —
+    * upper-case scheme/host + default https port + tracker + fragment
+    * (0), default http port + shuffled params (1), already canonical
+    * (2), all-tracker query (3), duplicate param names out of order
+    * (4), bare host with no path (5), mixed trackers (6). Classes
+    * 1/3/4/5/6 omit doc_id from the URL, so each (source, class)
+    * group canonicalizes to ONE form — the q187 dedup fixture. */
+  private val url186Sql =
+    """CASE doc_id % 7
+        WHEN 0 THEN 'HTTPS://Example-' || upper(source)
+                    || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+                    || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                    || '#sec-2'
+        WHEN 1 THEN 'http://example-' || source || '.com:80/a?b=2&a=1'
+        WHEN 2 THEN 'https://example-' || source || '.com/p/'
+                    || CAST(doc_id AS VARCHAR)
+        WHEN 3 THEN 'https://example-' || source
+                    || '.com/p?gclid=zz&x=1&utm_campaign=c'
+        WHEN 4 THEN 'http://EXAMPLE-' || source || '.com/q?z=9&y=8&z=1'
+        WHEN 5 THEN 'https://example-' || source || '.com'
+        ELSE 'https://example-' || source
+             || '.com/t?fbclid=abc&utm_medium=m' END"""
+      .replaceAll("\n\\s+", " ")
+
+  private def url186: org.apache.spark.sql.Column = {
+    val d = col("doc_id").cast("string")
+    when(col("doc_id") % 7 === 0,
+        concat(lit("HTTPS://Example-"), upper(col("source")),
+          lit(".COM:443/Path/"), d, lit("?utm_source=feed&id="), d,
+          lit("#sec-2")))
+      .when(col("doc_id") % 7 === 1,
+        concat(lit("http://example-"), col("source"),
+          lit(".com:80/a?b=2&a=1")))
+      .when(col("doc_id") % 7 === 2,
+        concat(lit("https://example-"), col("source"), lit(".com/p/"), d))
+      .when(col("doc_id") % 7 === 3,
+        concat(lit("https://example-"), col("source"),
+          lit(".com/p?gclid=zz&x=1&utm_campaign=c")))
+      .when(col("doc_id") % 7 === 4,
+        concat(lit("http://EXAMPLE-"), col("source"),
+          lit(".com/q?z=9&y=8&z=1")))
+      .when(col("doc_id") % 7 === 5,
+        concat(lit("https://example-"), col("source"), lit(".com")))
+      .otherwise(concat(lit("https://example-"), col("source"),
+        lit(".com/t?fbclid=abc&utm_medium=m")))
+  }
+
+  /** q186: URL canonicalization
+    * ([[graft.operators.UrlCuration.canonicalUrl]]) — the crawl-dedup
+    * front normalizer: fragment/default-port/case/tracking-parameter
+    * noise collapses and surviving query params sort, all as narrow
+    * engine-portable string/array arithmetic (no UDF, no parse_url).
+    * DuckDB replays every step — the split points, the port strips,
+    * the tracker filter (same interpolated lists), the binary param
+    * sort — bit for bit on the full messy mix. */
+  private val q186 = QuerySpec(
+    "q186_url_canonicalize",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.UrlCuration.canonicalUrl(url186).as("canonical"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH src AS (SELECT doc_id, $url186Sql AS url FROM documents),
+      ${graft.operators.UrlCuration.canonicalUrlCtes("src", "doc_id", "url")}
+      SELECT doc_id, canonical FROM ccanon ORDER BY doc_id"""))
+
+  /** q187: canonical-URL dedup
+    * ([[graft.operators.UrlCuration.canonicalUrlDedup]]) — the stage
+    * the canonicalizer exists for: one survivor per canonical form
+    * (smallest doc id, the dedup family's keep-best rule), NULL-url
+    * rows all kept. Classes 1/3/4/5/6 of the mix collapse to one row
+    * per (source, class); a planted NULL-url row rides through.
+    * DuckDB elects the same keepers from the same canonical relation. */
+  private val q187 = QuerySpec(
+    "q187_url_canonical_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), url186.as("url"))
+        .unionByName(Seq((9999993L, null.asInstanceOf[String]))
+          .toDF("doc_id", "url"))
+      graft.operators.UrlCuration.canonicalUrlDedup(docs, "url", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH src AS (
+        SELECT doc_id, $url186Sql AS url FROM documents
+        UNION ALL SELECT 9999993, NULL),
+      ${graft.operators.UrlCuration.canonicalUrlCtes("src", "doc_id", "url")},
+      keep AS (
+        SELECT min(doc_id) AS doc_id FROM ccanon
+        WHERE canonical IS NOT NULL GROUP BY canonical
+        UNION ALL
+        SELECT doc_id FROM ccanon WHERE canonical IS NULL)
+      SELECT s.doc_id, s.url FROM src s JOIN keep USING (doc_id)
+      ORDER BY s.doc_id"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
-      q134, q144, q148, q150, q156, q173, q174, q175, q176, q179, q180)
+      q134, q144, q148, q150, q156, q173, q174, q175, q176, q179, q180,
+      q186, q187)
 }

@@ -50,6 +50,52 @@ class UrlCurationSpec extends SparkSpec {
     kept shouldBe Array(3L, 4L, 5L)
   }
 
+  test("canonicalUrl: hand-computed rule classes — case, ports, fragments, trackers, param sort") {
+    val cases = Seq(
+      // scheme+host fold, default https port, tracker drops, fragment drops
+      "HTTPS://Example.COM:443/Path/p?utm_source=x&id=7#frag" ->
+        "https://example.com/Path/p?id=7",
+      // default http port, params sort lexicographically
+      "http://a.com:80/a?b=2&a=1" -> "http://a.com/a?a=1&b=2",
+      // non-default port SURVIVES; :8080 must not be mistaken for :80
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // bare host → "/" path; https on port 80 keeps the port
+      "https://a.com" -> "https://a.com/",
+      "https://a.com:80/x" -> "https://a.com:80/x",
+      // exact-name trackers drop wherever they sit; empties drop
+      "https://a.com/p?gclid=1&&x=2&fbclid=3" -> "https://a.com/p?x=2",
+      // all-tracker query → no '?' at all
+      "https://a.com/p?utm_a=1&utm_b=2" -> "https://a.com/p",
+      // PATH case is preserved (paths are case-sensitive); query value
+      // case preserved; duplicate names keep both, sorted
+      "https://A.com/CaSe?z=B&z=A" -> "https://a.com/CaSe?z=A&z=B",
+      // out of contract (no scheme): verbatim pass-through
+      "a.com/x?utm_a=1" -> "a.com/x?utm_a=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlCuration.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    got shouldBe cases.map(_._2)
+    // NULL in → NULL out
+    Seq(Tuple1(null.asInstanceOf[String])).toDF("url")
+      .select(UrlCuration.canonicalUrl(col("url")))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("canonicalUrlDedup: smallest id survives per canonical form; NULL-url rows ALL kept") {
+    val docs = Seq(
+      (5L, "https://A.com:443/p?utm_x=1"), // ≡ id 2's canonical? no — https default port is 443
+      (2L, "https://a.com/p"),
+      (9L, "https://a.com/p#other"),        // ≡ canonical of id 2
+      (3L, "https://b.com/q"),
+      (7L, null.asInstanceOf[String]),
+      (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val kept = UrlCuration.canonicalUrlDedup(docs, "url", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    // canonical group {2, 5, 9} → keep 2; {3} → keep 3; NULLs 7, 8 kept
+    kept shouldBe Array(2L, 3L, 7L, 8L)
+  }
+
   // ---- full PSL path ---------------------------------------------------
 
   private def pslDomainOf(hosts: String*): Map[String, String] = {

@@ -350,6 +350,30 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     outW.filter(col("chunk_text").contains("<p>")).count() shouldBe 0L
   }
 
+  test("urlDedup stage: tracker-variant re-crawls collapse before any text stage; NULL urls pass") {
+    // two crawls of the same page under tracking noise + one distinct
+    // page + one NULL-url row: the keep-first rule must admit exactly
+    // ids {1, 3, 4} into the pipeline proper
+    val crawl = pool.limit(3).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val fixture = Seq(
+      (1L, crawl(0)._2, "https://Site.example/p?utm_c=x"),
+      (2L, crawl(1)._2, "https://site.example:443/p#top"), // ≡ id 1 canonical
+      (3L, crawl(2)._2, "https://site.example/q"),
+      (4L, crawl(0)._2 + " tail variation four", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "url")
+    val outD = TrainingCorpusPipeline.run(fixture, holdout, "doc_id",
+      "text", cfg.copy(urlCol = Some("url"), urlDedup = true,
+        nearDupThreshold = 0.99))
+    val ids = outD.select("doc_id").distinct().as[Long].collect().sorted
+    ids should contain (1L)
+    ids should not contain 2L
+    // urlDedup without urlCol is a config error, caught up front
+    an[IllegalArgumentException] should be thrownBy
+      TrainingCorpusPipeline.run(fixture, holdout, "doc_id", "text",
+        cfg.copy(urlDedup = true))
+  }
+
   test("htmlCol aliased to textCol or idCol fails loudly at the front door") {
     // the htmlCol path drops htmlCol after the extraction join — an
     // alias would silently delete a role column mid-pipeline; run()
