@@ -34,6 +34,41 @@ object TokenizerArtifacts {
     ParquetSink(s"$path/vocab", coalesceTo = Some(1)).write(vocab)
   }
 
+  /** Snapshot a full [[graft.operators.Vocabulary.BpeModel]] —
+    * [[saveBpe]] plus the learned word→symbols SEGMENTATION table, so
+    * a production frozen tokenizer neither re-learns nor re-folds
+    * words the training corpus already segmented
+    * (`Vocabulary.bpeEncodeWithModel` reads it directly; only novel
+    * words pay folds). The segments relation is vocabulary-sized
+    * (Heaps' law ≪ corpus — the same class the appliers already
+    * broadcast) but can outgrow "one coalesced file" at web scale, so
+    * it writes with the source partitioning and loads LAZY (no driver
+    * collect). */
+  def saveBpeModel(path: String,
+                   model: graft.operators.Vocabulary.BpeModel): Unit = {
+    val spark = model.vocab.sparkSession
+    import spark.implicits._
+    ParquetSink(s"$path/merges", coalesceTo = Some(1)).write(
+      model.merges.toDF("rank", "lhs", "rhs", "pair_count"))
+    ParquetSink(s"$path/vocab", coalesceTo = Some(1)).write(model.vocab)
+    ParquetSink(s"$path/segments").write(model.segments)
+  }
+
+  def loadBpeModel(spark: SparkSession,
+                   path: String): graft.operators.Vocabulary.BpeModel = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    require(merges.map(_._1) == (1 to merges.size),
+      s"loaded merge ranks must be contiguous 1..n, got ${merges.map(_._1)}")
+    graft.operators.Vocabulary.BpeModel(merges,
+      spark.read.parquet(s"$path/vocab")
+        .select(col("subword"), col("sub_id")),
+      spark.read.parquet(s"$path/segments")
+        .select(col("word"), col("syms")))
+  }
+
   /** The ordered merge list, ready for `bpeEncodeWith` /
     * `bpeSegmentsWith`. Rank order IS the algorithm — merges must
     * fold in learning order — so the load re-sorts explicitly rather

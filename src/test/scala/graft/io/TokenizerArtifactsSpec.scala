@@ -42,6 +42,31 @@ class TokenizerArtifactsSpec extends SparkSpec {
       .count() should be > 0L
   }
 
+  test("BpeModel: saved merges+vocab+segments serve the cached frozen apply byte-identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpem").toString + "/tok"
+    val model = Vocabulary.bpeLearnAll(docs, "text", 10)
+    TokenizerArtifacts.saveBpeModel(dir, model)
+    val loaded = TokenizerArtifacts.loadBpeModel(spark, dir)
+    loaded.merges shouldBe model.merges
+    // a later crawl with a novel word: the loaded model's cached
+    // segments serve known words, the fold path handles "zx", and the
+    // whole thing matches the in-memory model row for row
+    val crawl = docs.select(col("doc_id"), col("text"))
+      .union(Seq((9999994L, "the zx data")).toDF("doc_id", "text"))
+    rowsOf(Vocabulary.bpeEncodeWithModel(crawl, "doc_id", "text", loaded)) shouldBe
+      rowsOf(Vocabulary.bpeEncodeWithModel(crawl, "doc_id", "text", model))
+    // a pruned merge table must not load as a valid tokenizer
+    val pruned = spark.read.parquet(s"$dir/merges")
+      .filter(col("rank") =!= 3)
+    val bad = java.nio.file.Files.createTempDirectory("bpembad").toString + "/tok"
+    ParquetSink(s"$bad/merges", coalesceTo = Some(1)).write(pruned)
+    ParquetSink(s"$bad/vocab", coalesceTo = Some(1)).write(model.vocab)
+    ParquetSink(s"$bad/segments").write(model.segments)
+    an[IllegalArgumentException] should be thrownBy
+      TokenizerArtifacts.loadBpeModel(spark, bad)
+  }
+
   test("unigram: saved piece table encodes byte-identically; unspellable words keep the <unk> row") {
     val dir = java.nio.file.Files.createTempDirectory("uni").toString + "/tok"
     val vocabDf = UnigramTokenizer.seedVocab(docs, "text",
