@@ -276,4 +276,66 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Driver-side reference of [[UrlCuration.canonicalUrl]]'s rules —
+    * the independent implementation the property test compares the
+    * Spark expression against. ASCII inputs only: Scala's String sort
+    * is UTF-16 order and Spark's is UTF-8 byte order, identical on
+    * ASCII (the generator stays ASCII; the operator doc notes binary
+    * ordering). */
+  private def refCanonicalUrl(url: String): String = {
+    if (url == null) return null
+    val base = url.split("#", -1)(0)
+    val p = base.indexOf("://")
+    if (p < 0) return url
+    val scheme = base.substring(0, p).toLowerCase
+    val rest = base.substring(p + 3)
+    val slash = rest.indexOf('/')
+    val hostport =
+      (if (slash >= 0) rest.substring(0, slash) else rest).toLowerCase
+    val pathq = if (slash >= 0) rest.substring(slash) else "/"
+    val q = pathq.indexOf('?')
+    val path = if (q >= 0) pathq.substring(0, q) else pathq
+    val query = if (q >= 0) pathq.substring(q + 1) else ""
+    val host =
+      if (scheme == "http" && hostport.endsWith(":80")) hostport.dropRight(3)
+      else if (scheme == "https" && hostport.endsWith(":443"))
+        hostport.dropRight(4)
+      else hostport
+    val kept = query.split("&", -1).filter(x => x.nonEmpty &&
+      !x.startsWith("utm_") &&
+      !UrlCuration.DefaultTrackingParams.contains(x.split("=", -1)(0)))
+      .sorted
+    scheme + "://" + host + path +
+      (if (kept.nonEmpty) "?" + kept.mkString("&") else "")
+  }
+
+  test("canonicalUrl ≡ driver reference over arbitrary component-assembled URLs") {
+    // components drawn to collide with every rule: mixed-case schemes
+    // and hosts, default and non-default ports, tracker and real
+    // params in shuffled orders, duplicate names, fragments, empty
+    // params, bare hosts — 200 URLs across 4 seeds
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+      labels <- Gen.listOfN(2, Gen.oneOf("Ex", "site", "A1", "b-2", "WWW"))
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.choose(0, 2).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("Path", "p", "x9")))
+      params <- Gen.choose(0, 5).flatMap(n => Gen.listOfN(n,
+        Gen.oneOf("utm_source=x", "utm_b=2", "gclid=9", "fbclid=",
+          "id=7", "a=1", "b=2", "z=A", "z=B", "", "flag")))
+      frag <- Gen.oneOf("", "#top", "#sec-2")
+    } yield scheme + "://" + labels.mkString(".") + ".com" + port +
+      segs.map("/" + _).mkString +
+      (if (params.nonEmpty) "?" + params.mkString("&") else "") + frag
+    val urls = (1 to 4).flatMap(i =>
+      Gen.listOfN(50, urlGen)(Gen.Parameters.default, Seed(7000L + i)).get)
+    val got = urls.toDF("url")
+      .select(UrlCuration.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    got.zip(urls.map(refCanonicalUrl)).zipWithIndex.foreach {
+      case ((g, r), i) =>
+        assert(g == r, s"url ${urls(i)} canonicalized to $g, reference $r")
+    }
+  }
 }
