@@ -169,4 +169,32 @@ object WarcRecords {
       .select(xxhash64(col(keyCol), col("record_idx")).as("doc_id"),
         col("target_uri").as("url"),
         stripHttpEnvelope(col("payload").cast("string")).as("html"))
+
+  /** [[toCrawlDocs]] for a binaryFile ARCHIVE relation (streaming or
+    * batch) that also carries the archive's `modificationTime`: the
+    * output keeps it as event-time column `tsCol` — the only
+    * timestamp a raw archive row has — which is what lets a crawl
+    * stream watermark and flow straight into
+    * [[graft.pipelines.StreamingIngestPipeline]]. Record semantics,
+    * envelope strip, and the (archive, position) id rule are
+    * byte-identical to [[toCrawlDocs]] (the (path, mtime) pair
+    * threads through the scanner as one JSON key and unpacks after —
+    * ids hash the path component alone, so timed and untimed reads
+    * of the same archive agree). */
+  def toCrawlDocsTimed(archives: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val keyed = archives.select(
+      to_json(struct(col("path").as("p"),
+        col("modificationTime").as("t"))).as("__akey"),
+      col("content"))
+    splitRecords(keyed, "__akey", "content")
+      .filter(col("target_uri").isNotNull &&
+        (col("warc_type").isNull || col("warc_type") === "response"))
+      .withColumn("__k", from_json(col("__akey"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "p STRING, t TIMESTAMP")))
+      .select(xxhash64(col("__k.p"), col("record_idx")).as("doc_id"),
+        col("target_uri").as("url"),
+        stripHttpEnvelope(col("payload").cast("string")).as("html"),
+        col("__k.t").as(tsCol))
+  }
 }

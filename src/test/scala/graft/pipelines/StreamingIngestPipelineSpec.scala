@@ -217,4 +217,71 @@ class StreamingIngestPipelineSpec extends SparkSpec {
         s"state ($late rows) exceeds the ~20-row (2x watermark) horizon")
     } finally q.stop()
   }
+
+  test("archive bytes to gated corpus, LIVE: WARC stream -> extraction -> ingest pipeline") {
+    // the full crawl mouth composed with the streaming hygiene chain:
+    // raw multi-record archive FILES arrive, toCrawlDocsTimed splits
+    // them (event time = the archive's mtime), HtmlExtract pulls
+    // prose, and StreamingIngestPipeline gates it — all one
+    // continuous query, no batch step anywhere
+    import graft.io.{BinaryFileSource, WarcRecords}
+    val decent = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank"
+    def rec(uri: String, html: String): Array[Byte] = {
+      val p = html.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val dir = Files.createTempDirectory("warc_live")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.toString, "c.warc"),
+      rec("https://live.example/1",
+        s"<html><body><p>$decent fresh page</p><script>junk()</script></body></html>") ++
+        rec("https://live.example/2",                 // junk text: gated out
+          "<html><body><p>" + "a" * 30 + " " + "b" * 30 + "</p></body></html>"))
+    val emptyIndex = Seq.empty[String].toDF("text")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val docsStream = WarcRecords.toCrawlDocsTimed(
+      spark.readStream.format("binaryFile").schema(binSchema)
+        .option("pathGlobFilter", "*.warc").load(dir.toString))
+      .withColumn("__k", struct(col("doc_id"), col("url"), col("ts")))
+    val extracted = graft.operators.HtmlExtract
+      .extractText(docsStream, "__k", "html")
+      .select(col("__k.doc_id").as("doc_id"), col("__k.url").as("url"),
+        col("__k.ts").as("ts"), col("text"))
+    val q = StreamingIngestPipeline
+      .run(extracted, emptyIndex, "ts", "text", minQuality = 0.3)
+      .writeStream.format("memory").queryName("warc_live_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_warc_live").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("warc_live_out")
+    out.count() shouldBe 1L
+    val row = out.select("url", "text").as[(String, String)].collect().head
+    row._1 shouldBe "https://live.example/1"
+    // extraction really ran inside the stream: prose only
+    row._2 should include ("fresh page")
+    (row._2 should not).include("junk()")
+    (row._2 should not).include("<p>")
+    // the event time came from the archive file itself
+    out.select("ts").collect().head.getTimestamp(0) should not be null
+    // and the timed reader agrees with the untimed batch reader on
+    // ids/urls/html for the same archive
+    val timed = WarcRecords.toCrawlDocsTimed(
+        BinaryFileSource(dir.toString, pathGlobFilter = Some("*.warc"))
+          .read(spark))
+      .select("doc_id", "url", "html").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    val untimed = WarcRecords.toCrawlDocs(
+        BinaryFileSource(dir.toString, pathGlobFilter = Some("*.warc"))
+          .read(spark))
+      .select("doc_id", "url", "html").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    timed shouldBe untimed
+  }
 }
