@@ -115,6 +115,57 @@ object HtmlExtract {
       cleanLines(decodeEntities(stripTags(html))).as("text"))
   }
 
+  // ---- Page-level meta signals ----------------------------------------
+  // The two <head> directives every production crawl processor
+  // honors BEFORE content is considered: robots noindex (the page
+  // asked not to be indexed — ethically and legally load-bearing for
+  // a training corpus) and <link rel=canonical> (the SITE's own
+  // statement of which URL is the real one — a stronger dedup signal
+  // than anything derivable from the URL string). Both attribute
+  // orders handled; RE2-safe patterns (no lookahead), so DuckDB
+  // replays them verbatim (q188).
+
+  // the four patterns, shared verbatim with the q188 oracle (RE2 and
+  // Java regex read them identically — no lookahead, no backrefs)
+  private[graft] val NoindexPatA: String =
+    "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+      "content\\s*=\\s*[\"']?([^\"'>]*)"
+  private[graft] val NoindexPatB: String =
+    "(?is)<meta[^>]*content\\s*=\\s*[\"']?([^\"'>]*)[\"']?[^>]*" +
+      "name\\s*=\\s*[\"']?robots"
+  private[graft] val CanonicalPatA: String =
+    "(?is)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
+      "href\\s*=\\s*[\"']?([^\"'\\s>]+)"
+  private[graft] val CanonicalPatB: String =
+    "(?is)<link[^>]*href\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^>]*" +
+      "rel\\s*=\\s*[\"']?canonical"
+
+  /** true when the page carries a robots noindex directive (either
+    * attribute order, any case, token anywhere in content). NULL html
+    * → false: absence of evidence is not a directive. */
+  def noindex(html: Column): Column = {
+    val m1 = regexp_extract(html, NoindexPatA, 1)
+    val m2 = regexp_extract(html, NoindexPatB, 1)
+    coalesce(lower(m1).contains("noindex") || lower(m2).contains("noindex"),
+      lit(false))
+  }
+
+  /** The `<link rel=canonical>` target: '' when the page declares
+    * none, NULL html → NULL (the regexp-extract '' convention —
+    * matches the title rule). Either attribute order, both quote
+    * styles. */
+  def canonicalHref(html: Column): Column = {
+    val c1 = regexp_extract(html, CanonicalPatA, 1)
+    val c2 = regexp_extract(html, CanonicalPatB, 1)
+    when(c1 =!= "", c1).otherwise(c2)
+  }
+
+  /** Drop pages that asked not to be indexed ([[noindex]]) — a narrow
+    * filter, seated with the URL-level gates (before extraction
+    * spends a cycle on refused content). */
+  def dropNoindex(df: DataFrame, htmlCol: String): DataFrame =
+    df.filter(!noindex(col(htmlCol)))
+
   /** (idCol, pos, href): every `<a href=...>` target in document
     * order (0-based pos) — fragment-only links (`#...`) excluded, the
     * raw edge list a crawl graph ([[GraphOps.pageRank]]) consumes. */

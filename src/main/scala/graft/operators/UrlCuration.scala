@@ -245,8 +245,29 @@ object UrlCuration {
     * same cost class any exact dedup pays. Output: the input rows,
     * survivors only. */
   def canonicalUrlDedup(df: DataFrame, urlCol: String,
-                        idCol: String): DataFrame = {
-    val withC = df.withColumn("__curl", canonicalUrl(col(urlCol)))
+                        idCol: String): DataFrame =
+    dedupByCanonicalKey(df, canonicalUrl(col(urlCol)), idCol)
+
+  /** [[canonicalUrlDedup]] upgraded with the page's OWN canonical
+    * declaration: the dedup key is the canonical form of the
+    * `<link rel=canonical>` target where the page declares one
+    * ([[HtmlExtract.canonicalHref]], '' = none), else of the page
+    * URL. A mirror, an AMP variant, and a tracker-noised re-crawl of
+    * the same article all collapse onto the article's declared URL —
+    * the dedup signal the site itself publishes, stronger than
+    * anything derivable from the fetch URL. Same keep-smallest-id /
+    * NULL-key-rows-all-kept rules and plan shape. */
+  def canonicalLinkDedup(df: DataFrame, urlCol: String, hrefCol: String,
+                         idCol: String): DataFrame =
+    dedupByCanonicalKey(df,
+      canonicalUrl(coalesce(
+        when(col(hrefCol) =!= "", col(hrefCol)), col(urlCol))),
+      idCol)
+
+  /** Keep-first per non-NULL canonical key; NULL-key rows all pass. */
+  private def dedupByCanonicalKey(df: DataFrame, key: Column,
+                                  idCol: String): DataFrame = {
+    val withC = df.withColumn("__curl", key)
     val keepers = withC.filter(col("__curl").isNotNull)
       .groupBy(col("__curl")).agg(min(col(idCol)).as(idCol))
     withC.filter(col("__curl").isNotNull)

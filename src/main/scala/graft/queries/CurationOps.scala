@@ -1334,8 +1334,135 @@ object CurationOps {
       SELECT s.doc_id, s.url FROM src s JOIN keep USING (doc_id)
       ORDER BY s.doc_id"""))
 
+  /** The q188/q189 meta-signal page mix: robots noindex in both
+    * attribute orders and cases (0, 1), `<link rel=canonical>` in
+    * both orders/quote styles with case- and tracker-noised targets
+    * that canonicalize EQUAL per source (2, 3 — the q189 collapse
+    * pair), and a plain page (4). */
+  private val page188Sql =
+    """CASE doc_id % 5
+        WHEN 0 THEN '<html><head><meta name="robots" content="nofollow, noindex"></head><body><p>' || text || '</p></body></html>'
+        WHEN 1 THEN '<html><head><META CONTENT=''NOINDEX'' NAME=''Robots''></head><body><p>' || text || '</p></body></html>'
+        WHEN 2 THEN '<html><head><link rel="canonical" href="https://Canon-' || source || '.example/Article"></head><body><p>' || text || '</p></body></html>'
+        WHEN 3 THEN '<html><head><link href=''https://canon-' || source || '.example/Article?utm_x=1'' rel=''canonical''></head><body><p>' || text || '</p></body></html>'
+        ELSE '<html><head></head><body><p>' || text || '</p></body></html>' END"""
+      .replaceAll("\n\\s+", " ")
+
+  private def page188: org.apache.spark.sql.Column = {
+    val body = concat(lit("<body><p>"), col("text"), lit("</p></body></html>"))
+    when(col("doc_id") % 5 === 0, concat(
+        lit("<html><head><meta name=\"robots\" " +
+          "content=\"nofollow, noindex\"></head>"), body))
+      .when(col("doc_id") % 5 === 1, concat(
+        lit("<html><head><META CONTENT='NOINDEX' NAME='Robots'></head>"),
+        body))
+      .when(col("doc_id") % 5 === 2, concat(
+        lit("<html><head><link rel=\"canonical\" href=\"https://Canon-"),
+        col("source"), lit(".example/Article\"></head>"), body))
+      .when(col("doc_id") % 5 === 3, concat(
+        lit("<html><head><link href='https://canon-"), col("source"),
+        lit(".example/Article?utm_x=1' rel='canonical'></head>"), body))
+      .otherwise(concat(lit("<html><head></head>"), body))
+  }
+
+  private def sqlPat(p: String): String = p.replace("'", "''")
+
+  /** q188: page-level meta signals
+    * ([[graft.operators.HtmlExtract.noindex]] /
+    * [[graft.operators.HtmlExtract.canonicalHref]]) — the two head
+    * directives a production crawl processor honors before content is
+    * read: the robots noindex flag (a page's request to stay out —
+    * load-bearing for a training corpus) and the site's own canonical
+    * URL declaration. Both engines run the IDENTICAL four regex
+    * patterns (RE2-safe: no lookahead) over pages exercising both
+    * attribute orders, cases, and quote styles. */
+  private val q188 = QuerySpec(
+    "q188_html_meta_signals",
+    (s, dir) =>
+      Tables.documents(s, dir).withColumn("html", page188)
+        .select(col("doc_id"),
+          graft.operators.HtmlExtract.noindex(col("html")).as("noindex"),
+          graft.operators.HtmlExtract.canonicalHref(col("html"))
+            .as("canonical"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH src AS (SELECT doc_id, $page188Sql AS h FROM documents)
+      SELECT doc_id,
+             coalesce(
+               contains(lower(regexp_extract(h, '${sqlPat(
+                 graft.operators.HtmlExtract.NoindexPatA)}', 1)), 'noindex')
+               OR contains(lower(regexp_extract(h, '${sqlPat(
+                 graft.operators.HtmlExtract.NoindexPatB)}', 1)), 'noindex'),
+               false) AS noindex,
+             CASE WHEN regexp_extract(h, '${sqlPat(
+               graft.operators.HtmlExtract.CanonicalPatA)}', 1) <> ''
+                  THEN regexp_extract(h, '${sqlPat(
+                    graft.operators.HtmlExtract.CanonicalPatA)}', 1)
+                  ELSE regexp_extract(h, '${sqlPat(
+                    graft.operators.HtmlExtract.CanonicalPatB)}', 1)
+             END AS canonical
+      FROM src ORDER BY doc_id"""))
+
+  /** q189: the meta-aware crawl gate COMPOSED
+    * ([[graft.operators.HtmlExtract.dropNoindex]] →
+    * [[graft.operators.UrlCuration.canonicalLinkDedup]]): noindex
+    * pages drop first, then pages collapse on the canonical form of
+    * their DECLARED canonical target (falling back to the fetch URL)
+    * — classes 2 and 3 of the mix declare case-/tracker-noised
+    * targets that canonicalize equal per source, so each source keeps
+    * its smallest doc id; plain pages keep their unique URLs. DuckDB
+    * replays signals, gate, canonicalization, and keeper election end
+    * to end. */
+  private val q189 = QuerySpec(
+    "q189_html_canonical_gate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("html", page188)
+        .withColumn("url", concat(lit("https://example-"), col("source"),
+          lit(".com/p/"), col("doc_id").cast("string")))
+      val gated = graft.operators.HtmlExtract.dropNoindex(docs, "html")
+        .withColumn("cl",
+          graft.operators.HtmlExtract.canonicalHref(col("html")))
+      graft.operators.UrlCuration.canonicalLinkDedup(gated, "url", "cl",
+          "doc_id")
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH src AS (
+        SELECT doc_id, $page188Sql AS h,
+               'https://example-' || source || '.com/p/'
+                 || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      sigs AS (
+        SELECT doc_id, url,
+               coalesce(
+                 contains(lower(regexp_extract(h, '${sqlPat(
+                   graft.operators.HtmlExtract.NoindexPatA)}', 1)), 'noindex')
+                 OR contains(lower(regexp_extract(h, '${sqlPat(
+                   graft.operators.HtmlExtract.NoindexPatB)}', 1)),
+                   'noindex'), false) AS nix,
+               CASE WHEN regexp_extract(h, '${sqlPat(
+                 graft.operators.HtmlExtract.CanonicalPatA)}', 1) <> ''
+                    THEN regexp_extract(h, '${sqlPat(
+                      graft.operators.HtmlExtract.CanonicalPatA)}', 1)
+                    ELSE regexp_extract(h, '${sqlPat(
+                      graft.operators.HtmlExtract.CanonicalPatB)}', 1)
+               END AS cl
+        FROM src),
+      gated AS (SELECT doc_id, url, cl FROM sigs WHERE NOT nix),
+      ${graft.operators.UrlCuration.canonicalUrlCtes("gated", "doc_id",
+        "CASE WHEN cl <> '' THEN cl ELSE url END")},
+      keep AS (
+        SELECT min(doc_id) AS doc_id FROM ccanon
+        WHERE canonical IS NOT NULL GROUP BY canonical
+        UNION ALL
+        SELECT doc_id FROM ccanon WHERE canonical IS NULL)
+      SELECT g.doc_id, g.url FROM gated g JOIN keep USING (doc_id)
+      ORDER BY g.doc_id"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
       q134, q144, q148, q150, q156, q173, q174, q175, q176, q179, q180,
-      q186, q187)
+      q186, q187, q188, q189)
 }

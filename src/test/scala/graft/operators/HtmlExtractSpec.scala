@@ -74,4 +74,39 @@ class HtmlExtractSpec extends SparkSpec {
     val pr = GraphOps.pageRank(edges, "src", "dst", iters = 2)
     pr.count() should be > 0L
   }
+
+  test("meta signals: noindex both orders/cases, canonicalHref both orders/quotes, NULL html") {
+    import spark.implicits._
+    val cases = Seq(
+      ("""<head><meta name="robots" content="nofollow, noindex"></head>""",
+        true, ""),
+      ("""<head><META CONTENT='NOINDEX' NAME='Robots'></head>""", true, ""),
+      // noindex must match the robots meta, not any meta
+      ("""<head><meta name="viewport" content="noindex"></head>""",
+        false, ""),
+      // a robots meta WITHOUT noindex stays indexable
+      ("""<head><meta name="robots" content="nofollow"></head>""",
+        false, ""),
+      ("""<head><link rel="canonical" href="https://x.example/p"></head>""",
+        false, "https://x.example/p"),
+      ("""<head><link href='https://y.example/q' rel='canonical'></head>""",
+        false, "https://y.example/q"),
+      // rel=stylesheet links are not canonical declarations
+      ("""<head><link rel="stylesheet" href="s.css"></head>""", false, ""))
+    val got = cases.map(_._1).toDF("html")
+      .select(HtmlExtract.noindex(col("html")).as("nix"),
+        HtmlExtract.canonicalHref(col("html")).as("cl"))
+      .collect().map(r => (r.getBoolean(0), r.getString(1))).toSeq
+    got shouldBe cases.map(c => (c._2, c._3))
+    // NULL html: no directive (false), no declaration (NULL)
+    val nullRow = Seq(Tuple1(null.asInstanceOf[String])).toDF("html")
+      .select(HtmlExtract.noindex(col("html")).as("nix"),
+        HtmlExtract.canonicalHref(col("html")).as("cl"))
+      .collect().head
+    nullRow.getBoolean(0) shouldBe false
+    nullRow.isNullAt(1) shouldBe true
+    // dropNoindex composes as the gate
+    HtmlExtract.dropNoindex(
+      cases.map(_._1).toDF("html"), "html").count() shouldBe 5L
+  }
 }
