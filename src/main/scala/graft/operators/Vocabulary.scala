@@ -486,6 +486,68 @@ object Vocabulary {
         col("subword"), col("sub_id"))
   }
 
+  /** Frozen-vocabulary coverage per group — the BPE drift alarm and
+    * [[UnigramTokenizer.coverage]]'s twin (q161), closing the
+    * two-lifecycle symmetry: per `groupCol` slice, the share of
+    * subword OCCURRENCES the frozen alphabet cannot id. BPE is
+    * open-vocabulary at the WORD level, so drift surfaces as unknown
+    * SYMBOLS (characters the training corpus never saw — the NULL-id
+    * rows [[bpeEncodeWithModel]] emits); a slice whose unknown_bp
+    * climbs is text the vocabulary serves badly. Output: (groupCol,
+    * n_subwords, n_unknown, unknown_bp) — exact integer basis
+    * points. Same scale shape as the encoders: corpus tokenized
+    * once, segmentation + alphabet broadcast, one group aggregate;
+    * only novel words pay merge folds. */
+  def bpeCoverageWithModel(docs: DataFrame, groupCol: String,
+                           textCol: String, model: BpeModel): DataFrame = {
+    val toks = docs.select(col(groupCol),
+      explode(TextFns.tokens(col(textCol))).as("word"))
+    val novel = toks.select(col("word")).distinct()
+      .join(model.segments.select(col("word")), Seq("word"), "left_anti")
+    val novelSegs = foldMerges(
+      novel.select(col("word"), charSyms(col("word")).as("syms")),
+      model.mergePairs)
+    val segs = model.segments.select(col("word"), col("syms"))
+      .unionByName(novelSegs.select(col("word"), col("syms")))
+    toks
+      .join(broadcast(segs), "word")
+      .select(col(groupCol), explode(col("syms")).as("subword"))
+      .join(broadcast(model.vocab.select(col("subword"), col("sub_id"))),
+        Seq("subword"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_subwords"),
+        sum(when(col("sub_id").isNull, 1L).otherwise(0L)).as("n_unknown"))
+      .withColumn("unknown_bp", expr("n_unknown * 10000 div n_subwords"))
+  }
+
+  /** DuckDB replay of [[bpeCoverageWithModel]] ∘ [[bpeLearnAll]]:
+    * learn on `seedTable`, frozen-apply to `applyTable`, count
+    * out-of-alphabet subword occurrences per group. */
+  def bpeCoverageOracle(seedTable: String, applyTable: String,
+                        textCol: String, groupCol: String,
+                        numMerges: Int): String =
+    bpeCtes(seedTable, textCol, numMerges) + ",\n      " +
+      bpeApplyCtes(applyTable, textCol, numMerges) + s""",
+      vocab AS (
+        SELECT DISTINCT unnest(syms) AS subword FROM seq$numMerges),
+      occ AS (
+        SELECT $groupCol, unnest(list_filter(
+          string_split_regex(coalesce($textCol, ''), '\\s+'),
+          x -> x <> '')) AS word
+        FROM $applyTable),
+      subw AS (
+        SELECT o.$groupCol, unnest(s.syms) AS subword
+        FROM occ o JOIN aseq$numMerges s USING (word))
+      SELECT $groupCol,
+             CAST(count(*) AS BIGINT) AS n_subwords,
+             CAST(sum(CASE WHEN v.subword IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unknown,
+             CAST(sum(CASE WHEN v.subword IS NULL THEN 1 ELSE 0 END)
+               * 10000 // count(*) AS BIGINT) AS unknown_bp
+      FROM subw LEFT JOIN vocab v USING (subword)
+      GROUP BY $groupCol
+      ORDER BY $groupCol"""
+
   /** Tokenizer fertility per group: how many subwords the learned
     * merge table spends per word of each `groupCol` slice — THE
     * standard grade for a tokenizer (fertility near 1 = words mostly
@@ -620,12 +682,15 @@ object Vocabulary {
     * same island-parity greedy rewrite; subwords outside the learned
     * alphabet keep NULL ids via the LEFT join. `where` restricts the
     * OUTPUT only. */
-  def bpeEncodeWithOracle(seedTable: String, applyTable: String,
-                          idCol: String, textCol: String, numMerges: Int,
-                          where: String): String = {
-    val sb = new StringBuilder(bpeCtes(seedTable, textCol, numMerges))
-    sb.append(s""",
-      aseq0 AS MATERIALIZED (
+  /** The frozen-APPLY chain: char-split `applyTable`'s word relation
+    * and rewrite each learned `b$r` with the same island-parity
+    * greedy rule, yielding `aseq$numMerges` (word, cnt, syms). Shared
+    * by [[bpeEncodeWithOracle]] and [[bpeCoverageOracle]]; must be
+    * appended after [[bpeCtes]] (reads the `b$r` best-pair CTEs). */
+  private def bpeApplyCtes(applyTable: String, textCol: String,
+                           numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""aseq0 AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt,
                list_transform(range(1, length(word) + 1),
                  i -> substring(word, CAST(i AS INT), 1)) AS syms
@@ -669,6 +734,15 @@ object Vocabulary {
         WHERE mb.i IS NULL
         GROUP BY e.word)""")
     }
+    sb.toString
+  }
+
+  def bpeEncodeWithOracle(seedTable: String, applyTable: String,
+                          idCol: String, textCol: String, numMerges: Int,
+                          where: String): String = {
+    val sb = new StringBuilder(bpeCtes(seedTable, textCol, numMerges))
+    sb.append(",\n      ")
+    sb.append(bpeApplyCtes(applyTable, textCol, numMerges))
     sb.append(s""",
       vocab AS (
         SELECT subword,

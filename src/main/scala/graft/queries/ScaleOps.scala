@@ -800,7 +800,38 @@ object ScaleOps {
     oracle = Some(graft.operators.Vocabulary.bpeMergesOracle(
       "documents", "text", numMerges = 10)))
 
+  /** q190: BPE frozen-vocabulary coverage drift
+    * ([[graft.operators.Vocabulary.bpeCoverageWithModel]]) — q161's
+    * twin for the BPE lifecycle, closing the two-tokenizer symmetry:
+    * per source, the share of subword occurrences the frozen alphabet
+    * cannot id. BPE is open-vocabulary at the word level, so drift
+    * surfaces as unknown SYMBOLS — the planted 'alien' slice carries
+    * characters (x, z) outside the training alphabet and must show a
+    * nonzero unknown_bp while every trained source reads 0. One
+    * learn feeds segmentation + alphabet (the bpeLearnAll path);
+    * DuckDB replays learn, frozen apply, and the per-group integer
+    * basis points end to end. */
+  private val q190 = QuerySpec(
+    "q190_bpe_coverage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Vocabulary.bpeLearnAll(docs, "text", 10)
+      import s.implicits._
+      val crawl = docs.select(col("source"), col("text"))
+        .union(Seq(("alien", "the zx data qq"), ("alien", "zzz xx"))
+          .toDF("source", "text"))
+      graft.operators.Vocabulary
+        .bpeCoverageWithModel(crawl, "source", "text", model)
+        .orderBy(col("source"))
+    },
+    oracle = Some(graft.operators.Vocabulary.bpeCoverageOracle(
+      "documents",
+      "(SELECT source, text FROM documents " +
+        "UNION ALL SELECT 'alien', 'the zx data qq' " +
+        "UNION ALL SELECT 'alien', 'zzz xx')",
+      "text", "source", numMerges = 10)))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161, q162, q163, q166, q167, q169, q170, q172)
+    q161, q162, q163, q166, q167, q169, q170, q172, q190)
 }
