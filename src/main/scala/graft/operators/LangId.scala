@@ -296,4 +296,97 @@ object LangId {
              coalesce(b.score, 0) AS score,
              coalesce(b.margin, 0) AS margin
       FROM norm n LEFT JOIN best b ON n.id = b.id"""
+
+  // ---- Unicode script composition --------------------------------------
+
+  /** The classified BMP script blocks, in output-column order:
+    * (name, inclusive codepoint ranges). Deliberately coarse — block
+    * granularity, Latin spanning Basic+Supplement+Extended (the ×/÷
+    * signs inside Latin-1 ride along; a composition signal, not a
+    * validator). Astral codepoints and unlisted blocks land in
+    * `other`. */
+  private[operators] val ScriptRanges: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "digit" -> Seq((0x30, 0x39)),
+    "latin" -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    "greek" -> Seq((0x370, 0x3FF)),
+    "cyrillic" -> Seq((0x400, 0x4FF)),
+    "hebrew" -> Seq((0x590, 0x5FF)),
+    "arabic" -> Seq((0x600, 0x6FF)),
+    "devanagari" -> Seq((0x900, 0x97F)),
+    "kana" -> Seq((0x3040, 0x30FF)),
+    "cjk" -> Seq((0x4E00, 0x9FFF)),
+    "hangul" -> Seq((0xAC00, 0xD7AF)))
+
+  private def cp(i: Int): String = new String(Character.toChars(i))
+
+  /** Per-group Unicode-SCRIPT composition — the worldwide complement
+    * to the n-gram profiles above (which cover space-delimited
+    * Latin-script languages): per `groupCol`, the share of non-space
+    * characters in each major script block, in exact integer basis
+    * points — the signal that routes a slice to the right language
+    * pipeline (or flags mixed-script spam) without any model.
+    *
+    * Engine-exact WITHOUT a codepoint function: characters come from
+    * codepoint-indexed substrings (both engines' substring/length
+    * count codepoints) and classification is string-RANGE comparison
+    * — UTF-8 binary order IS codepoint order, so `c BETWEEN lo AND
+    * hi` agrees bit for bit, astral characters included. Non-space =
+    * above U+0020 and not the ideographic space U+3000.
+    *
+    * Scale: one narrow per-character explode (|text| rows — the
+    * n-gram explode's cost class) into ONE map-side-combined group
+    * aggregate of conditional sums; nothing corpus-sized shuffles.
+    * Output: (groupCol, n_chars, <script>_bp per block, other_bp);
+    * groups with no non-space characters emit no row. */
+  def scriptMix(df: DataFrame, groupCol: String,
+                textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val chars = df
+      .select(col(groupCol), explode(transform(
+        sequence(lit(1), length(t)), i => t.substr(i, lit(1)))).as("__c"))
+      .filter(col("__c") > " " && col("__c") =!= cp(0x3000))
+    def inBlock(ranges: Seq[(Int, Int)]) =
+      ranges.map { case (lo, hi) =>
+        col("__c") >= cp(lo) && col("__c") <= cp(hi)
+      }.reduce(_ || _)
+    val anyBlock = inBlock(ScriptRanges.flatMap(_._2))
+    val aggs =
+      ScriptRanges.map { case (name, ranges) =>
+        sum(when(inBlock(ranges), 1L).otherwise(0L)).as(s"__n_$name")
+      } :+ sum(when(anyBlock, 0L).otherwise(1L)).as("__n_other")
+    val counted = chars.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_chars"), aggs: _*)
+    val bps = (ScriptRanges.map(_._1) :+ "other").map(name =>
+      expr(s"__n_$name * 10000 div n_chars").as(s"${name}_bp"))
+    counted.select(col(groupCol) +: col("n_chars") +: bps: _*)
+  }
+
+  /** DuckDB replay of [[scriptMix]] — ranges rendered as chr()
+    * bounds from the SAME constants. */
+  def scriptMixOracle(table: String, groupCol: String,
+                      textCol: String): String = {
+    def cond(ranges: Seq[(Int, Int)]) = ranges
+      .map { case (lo, hi) => s"(c >= chr($lo) AND c <= chr($hi))" }
+      .mkString(" OR ")
+    val classCols = ScriptRanges.map { case (name, ranges) =>
+      s"""CAST(sum(CASE WHEN ${cond(ranges)} THEN 1 ELSE 0 END)
+             * 10000 // count(*) AS BIGINT) AS ${name}_bp"""
+    }
+    val otherCol =
+      s"""CAST(sum(CASE WHEN ${cond(ScriptRanges.flatMap(_._2))}
+             THEN 0 ELSE 1 END) * 10000 // count(*) AS BIGINT) AS other_bp"""
+    s"""
+      WITH ch AS (
+        SELECT $groupCol, c FROM (
+          SELECT $groupCol,
+                 unnest(list_transform(range(1, length(t) + 1),
+                   i -> substring(t, CAST(i AS INT), 1))) AS c
+          FROM (SELECT $groupCol, coalesce($textCol, '') AS t FROM $table))
+        WHERE c > ' ' AND c <> chr(12288))
+      SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_chars,
+             ${(classCols :+ otherCol).mkString(",\n             ")}
+      FROM ch
+      GROUP BY $groupCol
+      ORDER BY $groupCol"""
+  }
 }

@@ -831,7 +831,37 @@ object ScaleOps {
         "UNION ALL SELECT 'alien', 'zzz xx')",
       "text", "source", numMerges = 10)))
 
+  /** q191: Unicode-script composition per source
+    * ([[graft.operators.LangId.scriptMix]]) — the worldwide
+    * complement to the q149 n-gram language profiles: per slice, the
+    * exact-basis-point share of each major script block, the signal
+    * that routes text to the right language pipeline (or flags
+    * mixed-script spam) with no model at all. Classification is pure
+    * string-range comparison over codepoint-indexed substrings
+    * (UTF-8 binary order IS codepoint order), so DuckDB replays it
+    * bit for bit — planted Cyrillic/CJK/kana/mixed slices included. */
+  private val q191 = QuerySpec(
+    "q191_script_mix",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("source"), col("text"))
+        .union(Seq(
+          ("ru", "привет мир 2024 год"),
+          ("zh", "你好 世界 数据"),
+          ("jp", "こんにちは カタカナ 漢字"),
+          ("mix", "hello мир 你好 123 — Ωμέγα")).toDF("source", "text"))
+      graft.operators.LangId.scriptMix(docs, "source", "text")
+        .orderBy(col("source"))
+    },
+    oracle = Some(graft.operators.LangId.scriptMixOracle(
+      "(SELECT source, text FROM documents UNION ALL " +
+        "SELECT 'ru', 'привет мир 2024 год' UNION ALL " +
+        "SELECT 'zh', '你好 世界 数据' UNION ALL " +
+        "SELECT 'jp', 'こんにちは カタカナ 漢字' UNION ALL " +
+        "SELECT 'mix', 'hello мир 你好 123 — Ωμέγα')",
+      "source", "text")))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161, q162, q163, q166, q167, q169, q170, q172, q190)
+    q161, q162, q163, q166, q167, q169, q170, q172, q190, q191)
 }
