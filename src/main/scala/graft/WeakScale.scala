@@ -565,6 +565,32 @@ object WeakScale {
             .collect()
           vecs.count()
         }),
+        // canonical-URL dedup (q187 shape): the canonical key is a
+        // narrow expression; keeper election is ONE groupBy(key)
+        // min-agg with map-side combine + a semi join back — the same
+        // single-shuffle cost class as exact dedup. URLs synthesized
+        // so ~2/7 of rows collapse per replica. Expect ~linear.
+        ("url_canonical_q187", D, () => {
+          val withUrl = docs.withColumn("url",
+            concat(lit("https://Ex"), (col("doc_id") % 97).cast("string"),
+              lit(".com:443/p"),
+              when(col("doc_id") % 7 < 2, lit("?utm_s=x&gclid=1"))
+                .otherwise(concat(lit("/"), col("doc_id").cast("string")))))
+          graft.operators.UrlCuration
+            .canonicalUrlDedup(withUrl, "url", "doc_id")
+            .agg(count(lit(1))).collect()
+          docs.count()
+        }),
+        // script composition (q191 shape): the per-CHARACTER explode —
+        // the heaviest narrow pass in the text family (|text| rows per
+        // doc) — straight into one map-side-combined group aggregate.
+        // Expect linear with a visible constant; no join, no second
+        // shuffle.
+        ("script_mix_q191", D, () => {
+          graft.operators.LangId.scriptMix(docs, "source", "text")
+            .agg(sum(col("n_chars")), count(lit(1))).collect()
+          docs.count()
+        }),
         // feature hashing: explode + one (id, bucket) groupBy with
         // map-side combine; ≤ dim rows per doc — expect linear
         ("feature_hash_q162", D, () => {

@@ -472,6 +472,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("aggregate(sequence(1, length("), plan)
   }
 
+  test("q186: URL canonicalization is map-only — no join, no exchange before the oracle sort") {
+    val plan = executedPlanOf("q186_url_canonicalize")
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("q187: canonical dedup is ONE key shuffle — keeper min-agg partial-combines, no window, no cartesian") {
+    val plan = executedPlanOf("q187_url_canonical_dedup")
+    // keeper election must be a partial+final hash agg on the
+    // canonical key (map-side combine), never a per-key window or a
+    // nested-loop pairing
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q191: script mix partial-aggregates before the group shuffle — one pass, no join") {
+    val plan = executedPlanOf("q191_script_mix")
+    // the per-character explode must reduce map-side (conditional
+    // sums) before anything shuffles; corpus-sized rows cross the
+    // wire only as per-group partials
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("q148: C4 cleaning is map-only — no exchange before the oracle sort") {
     val plan = executedPlanOf("q148_c4_clean")
     assert("Exchange".r.findAllIn(plan).size <= 1, plan)
