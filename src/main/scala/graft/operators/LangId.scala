@@ -361,6 +361,82 @@ object LangId {
     counted.select(col(groupCol) +: col("n_chars") +: bps: _*)
   }
 
+  /** Per-group mixed-script WORD share — the homoglyph/confusable
+    * signal ([[scriptMix]]'s word-grain sibling): a word whose
+    * LETTERS span ≥ 2 script blocks ("раypal" — Cyrillic р/а spliced
+    * into Latin) is the classic spoofing/spam shape; clean prose is
+    * script-pure per word even in multilingual documents, so the
+    * share of mixed words is a precise junk signal where a
+    * doc-level mix fraction is not. Digits and unlisted characters
+    * are script-NEUTRAL (codes like "x86" or "привет2024" stay
+    * clean). Output: (groupCol, n_words, n_mixed, mixed_bp) — exact
+    * integer basis points. Same engine-exactness argument as
+    * scriptMix (codepoint substrings + string-range comparison);
+    * plan: one word explode, per-word HOF arithmetic, one
+    * map-side-combined group aggregate. */
+  def mixedScriptWords(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val letterRanges = ScriptRanges.filter(_._1 != "digit")
+    // per character: the index of its letter-script block, -1 for
+    // neutral (digits, punctuation, unlisted)
+    def idxOf(c: Column): Column =
+      letterRanges.zipWithIndex.foldRight(lit(-1): Column) {
+        case (((_, ranges), i), acc) =>
+          when(ranges.map { case (lo, hi) =>
+            c >= cp(lo) && c <= cp(hi)
+          }.reduce(_ || _), lit(i)).otherwise(acc)
+      }
+    val mixed = {
+      val w = col("__w")
+      val idxs = transform(sequence(lit(1), length(w)),
+        i => idxOf(w.substr(i, lit(1))))
+      size(array_distinct(filter(idxs, x => x >= 0))) >= 2
+    }
+    df.select(col(groupCol),
+        explode(graft.functions.TextFns.tokens(coalesce(col(textCol),
+          lit("")))).as("__w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(mixed, 1L).otherwise(0L)).as("n_mixed"))
+      .withColumn("mixed_bp", expr("n_mixed * 10000 div n_words"))
+  }
+
+  /** DuckDB replay of [[mixedScriptWords]]. */
+  def mixedScriptWordsOracle(table: String, groupCol: String,
+                             textCol: String): String = {
+    val letterRanges = ScriptRanges.filter(_._1 != "digit")
+    val caseArms = letterRanges.zipWithIndex.map { case ((_, ranges), i) =>
+      val cond = ranges
+        .map { case (lo, hi) => s"(c >= chr($lo) AND c <= chr($hi))" }
+        .mkString(" OR ")
+      s"WHEN $cond THEN $i"
+    }.mkString(" ")
+    s"""
+      WITH w AS (
+        SELECT $groupCol, unnest(list_filter(
+          string_split_regex(coalesce($textCol, ''), '\\s+'),
+          x -> x <> '')) AS word
+        FROM $table),
+      flagged AS (
+        SELECT $groupCol,
+               len(list_distinct(list_filter(
+                 list_transform(
+                   list_transform(range(1, length(word) + 1),
+                     i -> substring(word, CAST(i AS INT), 1)),
+                   c -> CASE $caseArms ELSE -1 END),
+                 x -> x >= 0))) >= 2 AS mixed
+        FROM w)
+      SELECT $groupCol,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed,
+             CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) * 10000
+               // count(*) AS BIGINT) AS mixed_bp
+      FROM flagged
+      GROUP BY $groupCol
+      ORDER BY $groupCol"""
+  }
+
   /** DuckDB replay of [[scriptMix]] — ranges rendered as chr()
     * bounds from the SAME constants. */
   def scriptMixOracle(table: String, groupCol: String,

@@ -861,7 +861,36 @@ object ScaleOps {
         "SELECT 'mix', 'hello мир 你好 123 — Ωμέγα')",
       "source", "text")))
 
+  /** q192: mixed-script (homoglyph) word share per source
+    * ([[graft.operators.LangId.mixedScriptWords]]) — q191's
+    * word-grain sibling and the confusable-spam signal: a word whose
+    * letters span two script blocks ("раypal") is the classic
+    * spoofing shape, while clean multilingual prose is script-pure
+    * per word. Digits and punctuation are neutral, so codes and
+    * "привет2024" stay clean. The planted 'homo' slice carries two
+    * spliced words among clean ones; trained sources read 0. DuckDB
+    * replays the per-word distinct-script arithmetic bit for bit. */
+  private val q192 = QuerySpec(
+    "q192_mixed_script_words",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("source"), col("text"))
+        .union(Seq(
+          ("homo", "get раypal now mixѕcript alert"),
+          ("homo", "привет2024 hello x86 clean"),
+          ("ru2", "чистый русский текст без примесей"))
+          .toDF("source", "text"))
+      graft.operators.LangId.mixedScriptWords(docs, "source", "text")
+        .orderBy(col("source"))
+    },
+    oracle = Some(graft.operators.LangId.mixedScriptWordsOracle(
+      "(SELECT source, text FROM documents UNION ALL " +
+        "SELECT 'homo', 'get раypal now mixѕcript alert' UNION ALL " +
+        "SELECT 'homo', 'привет2024 hello x86 clean' UNION ALL " +
+        "SELECT 'ru2', 'чистый русский текст без примесей')",
+      "source", "text")))
+
   val specs: Seq[QuerySpec] = Seq(q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q131, q132, q133, q136, q145, q146, q147, q149, q151, q152, q153, q160,
-    q161, q162, q163, q166, q167, q169, q170, q172, q190, q191)
+    q161, q162, q163, q166, q167, q169, q170, q172, q190, q191, q192)
 }
