@@ -134,4 +134,35 @@ class LangIdSpec extends SparkSpec {
     s1 shouldBe Seq("_th", "the", "he_").flatMap(w.get).map(_.toLong).sum
     s2 shouldBe (2 * s1 + Seq("e_t").flatMap(w.get).map(_.toLong).sum)
   }
+
+  test("scriptMix: hand-computed fractions; whitespace excluded; empty groups vanish") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 'да nyet 99' → non-space chars: д,а (cyrillic) n,y,e,t (latin)
+    // 9,9 (digit) = 8 chars; U+3000 excluded like ASCII space
+    val df = Seq(("a", "да nyet　99"), ("empty", " \t ")).toDF("g", "t")
+    val rows = LangId.scriptMix(df, "g", "t").collect()
+    rows should have size 1 // the all-whitespace group emits no row
+    val r = rows.head
+    r.getAs[Long]("n_chars") shouldBe 8L
+    r.getAs[Long]("cyrillic_bp") shouldBe 2500L
+    r.getAs[Long]("latin_bp") shouldBe 5000L
+    r.getAs[Long]("digit_bp") shouldBe 2500L
+    r.getAs[Long]("other_bp") shouldBe 0L
+  }
+
+  test("mixedScriptWords: spliced words flag, digit-suffixed and pure words stay clean") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      ("a", "раypal hello привет2024 x86"),    // 1 mixed of 4
+      ("b", "чистый текст"))                   // pure Cyrillic: 0
+      .toDF("g", "t")
+    val rows = LangId.mixedScriptWords(df, "g", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_mixed"),
+          r.getAs[Long]("mixed_bp"))).toMap
+    rows("a") shouldBe ((4L, 1L, 2500L))
+    rows("b") shouldBe ((2L, 0L, 0L))
+  }
 }
