@@ -54,7 +54,9 @@ object PlanDump {
       "q180_warc_extract" -> "WARC round-trip: one aggregate shuffle assembles archives, the record scanner is a narrow mapPartitions pass, extraction fuses — no join anywhere",
       "q181_index_drift_alarm" -> "drift alarm: two narrow literal-model norm passes reduced to single-row aggregates — per-append-batch cheap by construction",
       "q182_ann_opq_rotated" -> "OPQ rotated PQ: the rotation joins as a ONE-ROW broadcast relation (no dim-squared plan literal — the r10 fix); the ADC tail is q142's unchanged",
-      "q184_ann_opq_residual_two_level" -> "composed OPQ-residual-two-level SERVING: the corpus encodes once into the stored (c_id, cell, codes) relation, queries rotate through the broadcast row and search OVER the codes via cell equi-joins — no K-sized and no dim-sized literal anywhere in the plan")
+      "q184_ann_opq_residual_two_level" -> "composed OPQ-residual-two-level SERVING: the corpus encodes once into the stored (c_id, cell, codes) relation, queries rotate through the broadcast row and search OVER the codes via cell equi-joins — no K-sized and no dim-sized literal anywhere in the plan",
+      "q187_url_canonical_dedup" -> "canonical-URL dedup: the canonical key is a narrow expression; keeper election is ONE partial-combined min-agg on the key plus a semi join back — the exact-dedup cost class, no window, no nested loop",
+      "q191_script_mix" -> "script composition: the per-character explode (the heaviest narrow text pass) reduces map-side into per-group conditional-sum partials before the only shuffle — corpus-sized rows never cross the wire")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"
