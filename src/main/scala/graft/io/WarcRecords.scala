@@ -125,21 +125,93 @@ object WarcRecords {
         "content_length", "payload")
   }
 
-  /** Strip a leading HTTP message envelope from a decoded payload:
-    * in real ISO-28500 crawls a response record's payload is the FULL
-    * HTTP message (Content-Type: application/http — status line,
-    * headers, CRLF-CRLF, body), and feeding that to text extraction
-    * leaks header lines into the corpus as prose. A payload starting
-    * with `HTTP/` is cut at its first CRLF-CRLF (header-only messages
-    * — no blank line or nothing after it — yield ''); anything else
-    * passes through unchanged (writers that store bare HTML, the
-    * spec-pinned minimal-fixture case). HTTP/1.x mandates CRLF line
-    * endings, so no LF-only fallback is attempted — a nonconforming
-    * envelope passes through visibly rather than being half-stripped. */
-  private[io] def stripHttpEnvelope(payload: Column): Column = {
+  /** `Transfer-Encoding: chunked` header present in an HTTP header
+    * block (any case, any position in the value list — `gzip,
+    * chunked`). Multi-line match over CRLF-separated header lines. */
+  private val ChunkedHdrPat =
+    "(?im)^transfer-encoding[ \\t]*:[^\\r\\n]*chunked"
+
+  /** De-chunk a `Transfer-Encoding: chunked` HTTP message body,
+    * BYTE-accurately: chunk sizes count OCTETS (RFC 9112 §7.1), and a
+    * multi-byte UTF-8 character may straddle a chunk boundary, so the
+    * walk happens on the raw payload bytes and the UTF-8 decode runs
+    * ONCE over the reassembled body — walking the decoded string
+    * would mis-count every non-ASCII body. Chunk extensions
+    * (`;ext=v` after the hex size) and trailers after the terminal
+    * 0-chunk are dropped per spec. Fail-soft (the scanner's
+    * good-prefix rule): a malformed size line ends the walk with
+    * everything de-chunked so far; a chunk declared past end-of-data
+    * contributes its available prefix. */
+  private[io] def dechunkHttpBody(msg: Array[Byte]): String = {
+    if (msg == null) return null
+    var hdrEnd = -1
+    var i = 0
+    while (hdrEnd < 0 && i + 3 < msg.length) {
+      if (msg(i) == '\r' && msg(i + 1) == '\n' &&
+          msg(i + 2) == '\r' && msg(i + 3) == '\n') hdrEnd = i
+      i += 1
+    }
+    if (hdrEnd < 0) return ""
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = hdrEnd + 4
+    var done = false
+    while (!done) {
+      var le = pos
+      while (le + 1 < msg.length &&
+          !(msg(le) == '\r' && msg(le + 1) == '\n')) le += 1
+      if (le + 1 >= msg.length) done = true // no CRLF-terminated size line
+      else {
+        val sizeStr = new String(msg, pos, le - pos, "ISO-8859-1")
+          .split(";", 2)(0).trim
+        val size =
+          try java.lang.Long.parseLong(sizeStr, 16)
+          catch { case _: NumberFormatException => -1L }
+        if (size <= 0) done = true // terminal 0-chunk, or malformed framing
+        else {
+          val start = le + 2
+          if (start + size > msg.length) {
+            out.write(msg, start, msg.length - start)
+            done = true
+          } else {
+            out.write(msg, start, size.toInt)
+            pos = (start + size + 2).toInt // skip the chunk-data CRLF
+          }
+        }
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private lazy val dechunkUdf =
+    org.apache.spark.sql.functions.udf(dechunkHttpBody _)
+
+  /** Strip a leading HTTP message envelope from a raw (binary)
+    * payload: in real ISO-28500 crawls a response record's payload is
+    * the FULL HTTP message (Content-Type: application/http — status
+    * line, headers, CRLF-CRLF, body), and feeding that to text
+    * extraction leaks header lines into the corpus as prose. A
+    * payload starting with `HTTP/` is cut at its first CRLF-CRLF
+    * (header-only messages — no blank line or nothing after it —
+    * yield ''); when the header block declares `Transfer-Encoding:
+    * chunked`, the body additionally DE-CHUNKS ([[dechunkHttpBody]] —
+    * hex chunk-size framing lines are exactly the header-leak failure
+    * mode this strip exists for, and real archives carry chunked
+    * responses routinely). Anything else passes through unchanged
+    * (writers that store bare HTML, the spec-pinned minimal-fixture
+    * case). HTTP/1.x mandates CRLF line endings, so no LF-only
+    * fallback is attempted — a nonconforming envelope passes through
+    * visibly rather than being half-stripped. The non-chunked paths
+    * stay pure codegen expressions; only chunked rows pay the UDF
+    * (genuinely sequential byte-count framing — no Catalyst
+    * expression exists, and CaseWhen evaluates branches lazily). */
+  private[io] def stripHttpEnvelope(payloadBin: Column): Column = {
+    val payload = payloadBin.cast("string")
     val sep = locate("\r\n\r\n", payload)
+    val hdr = payload.substr(lit(1), sep - 1)
     when(payload.startsWith("HTTP/"),
-      when(sep > 0, payload.substr(sep + lit(4), length(payload)))
+      when(sep > 0,
+        when(hdr.rlike(ChunkedHdrPat), dechunkUdf(payloadBin))
+          .otherwise(payload.substr(sep + lit(4), length(payload))))
         .otherwise(lit("")))
       .otherwise(payload)
   }
@@ -168,7 +240,7 @@ object WarcRecords {
         (col("warc_type").isNull || col("warc_type") === "response"))
       .select(xxhash64(col(keyCol), col("record_idx")).as("doc_id"),
         col("target_uri").as("url"),
-        stripHttpEnvelope(col("payload").cast("string")).as("html"))
+        stripHttpEnvelope(col("payload")).as("html"))
 
   /** [[toCrawlDocs]] for a binaryFile ARCHIVE relation (streaming or
     * batch) that also carries the archive's `modificationTime`: the
@@ -178,23 +250,27 @@ object WarcRecords {
     * [[graft.pipelines.StreamingIngestPipeline]]. Record semantics,
     * envelope strip, and the (archive, position) id rule are
     * byte-identical to [[toCrawlDocs]] (the (path, mtime) pair
-    * threads through the scanner as one JSON key and unpacks after —
-    * ids hash the path component alone, so timed and untimed reads
-    * of the same archive agree). */
+    * threads through the scanner as path + U+0001 + `unix_micros` —
+    * LOSSLESS, unlike a JSON round-trip, whose default timestamp
+    * format is millisecond-precision and session-timezone-dependent
+    * — and ids hash the path component alone, so timed and untimed
+    * reads of the same archive agree). The timestamp splits back off
+    * at the LAST separator, so a pathological path containing U+0001
+    * still round-trips. */
   def toCrawlDocsTimed(archives: DataFrame, tsCol: String = "ts"): DataFrame = {
     val keyed = archives.select(
-      to_json(struct(col("path").as("p"),
-        col("modificationTime").as("t"))).as("__akey"),
+      concat_ws("\u0001", col("path"),
+        unix_micros(col("modificationTime")).cast("string")).as("__akey"),
       col("content"))
+    val tsStr = element_at(split(col("__akey"), "\u0001"), -1)
     splitRecords(keyed, "__akey", "content")
+      .withColumn("__p", col("__akey").substr(
+        lit(1), length(col("__akey")) - length(tsStr) - 1))
       .filter(col("target_uri").isNotNull &&
         (col("warc_type").isNull || col("warc_type") === "response"))
-      .withColumn("__k", from_json(col("__akey"),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "p STRING, t TIMESTAMP")))
-      .select(xxhash64(col("__k.p"), col("record_idx")).as("doc_id"),
+      .select(xxhash64(col("__p"), col("record_idx")).as("doc_id"),
         col("target_uri").as("url"),
-        stripHttpEnvelope(col("payload").cast("string")).as("html"),
-        col("__k.t").as(tsCol))
+        stripHttpEnvelope(col("payload")).as("html"),
+        timestamp_micros(tsStr.cast("long")).as(tsCol))
   }
 }

@@ -125,27 +125,38 @@ object HtmlExtract {
   // orders handled; RE2-safe patterns (no lookahead), so DuckDB
   // replays them verbatim (q188).
 
-  // the four patterns, shared verbatim with the q188 oracle (RE2 and
-  // Java regex read them identically — no lookahead, no backrefs)
+  // the patterns, shared verbatim with the q188 oracle (RE2 and
+  // Java regex read them identically — no lookahead, no backrefs).
+  // Each attribute-value token is followed by a REQUIRED terminator
+  // class ["'\s/>]: `name="robots-nocontent"` and `rel="canonical-alt"`
+  // are different declarations and must NOT match a prefix.
+  private[graft] val CommentPat: String = "(?s)<!--.*?-->"
   private[graft] val NoindexPatA: String =
-    "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+    "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>][^>]*" +
       "content\\s*=\\s*[\"']?([^\"'>]*)"
   private[graft] val NoindexPatB: String =
     "(?is)<meta[^>]*content\\s*=\\s*[\"']?([^\"'>]*)[\"']?[^>]*" +
-      "name\\s*=\\s*[\"']?robots"
+      "name\\s*=\\s*[\"']?robots[\"'\\s/>]"
   private[graft] val CanonicalPatA: String =
-    "(?is)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
+    "(?is)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"'\\s/>][^>]*" +
       "href\\s*=\\s*[\"']?([^\"'\\s>]+)"
   private[graft] val CanonicalPatB: String =
     "(?is)<link[^>]*href\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^>]*" +
-      "rel\\s*=\\s*[\"']?canonical"
+      "rel\\s*=\\s*[\"']?canonical[\"'\\s/>]"
+
+  /** Comments removed before any meta-signal match: a directive
+    * inside `<!-- -->` is not a declaration. */
+  private def signalSource(html: Column): Column =
+    regexp_replace(html, CommentPat, " ")
 
   /** true when the page carries a robots noindex directive (either
     * attribute order, any case, token anywhere in content). NULL html
-    * → false: absence of evidence is not a directive. */
+    * → false: absence of evidence is not a directive. Commented-out
+    * directives do not count. */
   def noindex(html: Column): Column = {
-    val m1 = regexp_extract(html, NoindexPatA, 1)
-    val m2 = regexp_extract(html, NoindexPatB, 1)
+    val src = signalSource(html)
+    val m1 = regexp_extract(src, NoindexPatA, 1)
+    val m2 = regexp_extract(src, NoindexPatB, 1)
     coalesce(lower(m1).contains("noindex") || lower(m2).contains("noindex"),
       lit(false))
   }
@@ -153,10 +164,11 @@ object HtmlExtract {
   /** The `<link rel=canonical>` target: '' when the page declares
     * none, NULL html → NULL (the regexp-extract '' convention —
     * matches the title rule). Either attribute order, both quote
-    * styles. */
+    * styles; commented-out declarations ignored. */
   def canonicalHref(html: Column): Column = {
-    val c1 = regexp_extract(html, CanonicalPatA, 1)
-    val c2 = regexp_extract(html, CanonicalPatB, 1)
+    val src = signalSource(html)
+    val c1 = regexp_extract(src, CanonicalPatA, 1)
+    val c2 = regexp_extract(src, CanonicalPatB, 1)
     when(c1 =!= "", c1).otherwise(c2)
   }
 

@@ -144,11 +144,19 @@ object UrlCuration {
     val p = locate("://", base)
     val scheme = lower(base.substr(lit(1), p - 1))
     val rest = base.substr(p + 3, length(base))
-    val slash = locate("/", rest)
-    val hostport = lower(when(slash > 0, rest.substr(lit(1), slash - 1))
+    // authority ends at the EARLIEST of '/' and '?': a legal URL may
+    // carry a query with no path (https://a.com?b=2), and cutting at
+    // '/' alone would swallow that query into the host (lowercased,
+    // unsorted, trackers kept). least() skips NULLs in both engines.
+    val cut = least(nullif(locate("/", rest), lit(0)),
+      nullif(locate("?", rest), lit(0)))
+    val hostport = lower(when(cut.isNotNull, rest.substr(lit(1), cut - 1))
       .otherwise(rest))
-    val pathq = when(slash > 0, rest.substr(slash, length(rest)))
-      .otherwise(lit("/"))
+    val tail = when(cut.isNotNull, rest.substr(cut, length(rest)))
+      .otherwise(lit(""))
+    // '' → '/', '?…' → '/?…', '/…' stays — the empty path becomes '/'
+    val pathq = when(tail.startsWith("/"), tail)
+      .otherwise(concat(lit("/"), tail))
     val q = locate("?", pathq)
     val path = when(q > 0, pathq.substr(lit(1), q - 1)).otherwise(pathq)
     val query = when(q > 0, pathq.substr(q + 1, length(pathq)))
@@ -193,15 +201,21 @@ object UrlCuration {
                lower(substring(b, 1, strpos(b, '://') - 1)) AS scheme,
                substring(b, strpos(b, '://') + 3) AS rest
         FROM cb),
+      ccut AS (
+        SELECT $idCol, __u, sp, scheme, rest,
+               least(nullif(strpos(rest, '/'), 0),
+                     nullif(strpos(rest, '?'), 0)) AS cut
+        FROM cparts),
       chp AS (
         SELECT $idCol, __u, sp, scheme,
-               lower(CASE WHEN strpos(rest, '/') > 0
-                    THEN substring(rest, 1, strpos(rest, '/') - 1)
+               lower(CASE WHEN cut IS NOT NULL
+                    THEN substring(rest, 1, cut - 1)
                     ELSE rest END) AS hostport,
-               CASE WHEN strpos(rest, '/') > 0
-                    THEN substring(rest, strpos(rest, '/'))
-                    ELSE '/' END AS pathq
-        FROM cparts),
+               CASE WHEN cut IS NULL THEN '/'
+                    WHEN substring(rest, cut, 1) = '/'
+                    THEN substring(rest, cut)
+                    ELSE '/' || substring(rest, cut) END AS pathq
+        FROM ccut),
       cpq AS (
         SELECT $idCol, __u, sp, scheme,
                CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
@@ -248,21 +262,87 @@ object UrlCuration {
                         idCol: String): DataFrame =
     dedupByCanonicalKey(df, canonicalUrl(col(urlCol)), idCol)
 
+  /** Resolve a declared canonical href against the page's fetch URL —
+    * real pages routinely declare RELATIVE canonicals (`href="/"`,
+    * `/article`), and keying a cross-site dedup on the raw relative
+    * string would collapse unrelated hosts onto one key (silent
+    * cross-site data loss). Rules, in order: empty/NULL href → the
+    * fetch URL; href with `://` → trusted absolute, used verbatim;
+    * unparseable fetch URL (no `://`) → the fetch URL (a relative
+    * href has no base to resolve against); protocol-relative `//h/p`
+    * → fetch scheme + `:` + href; root-relative `/p` → fetch origin
+    * (scheme://hostport, authority cut at the earliest of `/` and
+    * `?`) + href; any other relative form (path-relative, `../`) →
+    * the fetch URL (conservative: never invent a cross-host key).
+    * Narrow expressions; [[resolveHrefSql]] is the DuckDB replay. */
+  def resolveHref(url: Column, href: Column): Column = {
+    val p = locate("://", url)
+    val scheme = url.substr(lit(1), p - 1)
+    val rest = url.substr(p + 3, length(url))
+    val cut = least(nullif(locate("/", rest), lit(0)),
+      nullif(locate("?", rest), lit(0)))
+    val hostport = when(cut.isNotNull, rest.substr(lit(1), cut - 1))
+      .otherwise(rest)
+    when(href.isNull || href === "", url)
+      .when(locate("://", href) > 0, href)
+      .when(p === 0, url)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"),
+        concat(scheme, lit("://"), hostport, href))
+      .otherwise(url)
+  }
+
+  /** DuckDB replay of [[resolveHref]] as one scalar expression over
+    * column names `u` (fetch URL) and `h` (declared href) — branch
+    * order and semantics identical to the Spark side. */
+  def resolveHrefSql(u: String, h: String): String = {
+    val rest = s"substring($u, strpos($u, '://') + 3)"
+    val cut = s"least(nullif(strpos($rest, '/'), 0), " +
+      s"nullif(strpos($rest, '?'), 0))"
+    s"""CASE WHEN $h IS NULL OR $h = '' THEN $u
+         WHEN strpos($h, '://') > 0 THEN $h
+         WHEN strpos(coalesce($u, ''), '://') = 0 THEN $u
+         WHEN starts_with($h, '//')
+           THEN substring($u, 1, strpos($u, '://') - 1) || ':' || $h
+         WHEN starts_with($h, '/')
+           THEN substring($u, 1, strpos($u, '://') - 1) || '://' ||
+                (CASE WHEN $cut IS NOT NULL
+                      THEN substring($rest, 1, $cut - 1)
+                      ELSE $rest END) || $h
+         ELSE $u END"""
+  }
+
   /** [[canonicalUrlDedup]] upgraded with the page's OWN canonical
     * declaration: the dedup key is the canonical form of the
     * `<link rel=canonical>` target where the page declares one
-    * ([[HtmlExtract.canonicalHref]], '' = none), else of the page
-    * URL. A mirror, an AMP variant, and a tracker-noised re-crawl of
-    * the same article all collapse onto the article's declared URL —
-    * the dedup signal the site itself publishes, stronger than
-    * anything derivable from the fetch URL. Same keep-smallest-id /
-    * NULL-key-rows-all-kept rules and plan shape. */
+    * ([[HtmlExtract.canonicalHref]], '' = none) — RESOLVED against
+    * the fetch URL ([[resolveHref]]), so a relative declared target
+    * keys within its own host and never collapses documents across
+    * sites — else of the page URL. A mirror, an AMP variant, and a
+    * tracker-noised re-crawl of the same article all collapse onto
+    * the article's declared URL — the dedup signal the site itself
+    * publishes, stronger than anything derivable from the fetch URL.
+    * Same keep-smallest-id / NULL-key-rows-all-kept rules and plan
+    * shape. */
   def canonicalLinkDedup(df: DataFrame, urlCol: String, hrefCol: String,
                          idCol: String): DataFrame =
     dedupByCanonicalKey(df,
-      canonicalUrl(coalesce(
-        when(col(hrefCol) =!= "", col(hrefCol)), col(urlCol))),
+      letBound(resolveHref(col(urlCol), col(hrefCol)))(canonicalUrl(_)),
       idCol)
+
+  /** Let-binding for expression composition: `f`'s references to its
+    * argument become LAMBDA-VARIABLE leaves instead of copies of
+    * `x`'s tree. canonicalUrl references its input ~15 times and
+    * resolveHref ~18, so `canonicalUrl(resolveHref(bigTree))` pastes
+    * `bigTree` hundreds of times — and predicate pushdown then
+    * inlines the whole product into filter conditions (a measured
+    * 148 MB plan string → driver OOM on q189). Binding through a
+    * one-element `transform` keeps the composition LINEAR in tree
+    * size. Cost: higher-order functions are CodegenFallback — pay it
+    * only where composition depth demands it (a per-row scalar in a
+    * dedup-key projection, not a hot inner loop). */
+  private def letBound(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
 
   /** Keep-first per non-NULL canonical key; NULL-key rows all pass. */
   private def dedupByCanonicalKey(df: DataFrame, key: Column,

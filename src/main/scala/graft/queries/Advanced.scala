@@ -1707,7 +1707,9 @@ object Advanced {
     * offset-floor rotation, two-level cell training in the rotated
     * domain, join-shaped residuals, residual codebooks, beam
     * candidates, per-(q, cell) LUT ADC — bit for bit: the q178 tail
-    * over the rotated front. */
+    * over the rotated front. NOT a bench entry: this query times the
+    * in-query TRAINING lifecycle; the frozen-serve twin [[q193]] is
+    * what the bench reports (the q153 precedent). */
   private val q184 = QuerySpec(
     "q184_ann_opq_residual_two_level",
     (s, dir) => {
@@ -1719,6 +1721,58 @@ object Advanced {
         ProductQuant.trainResidualTwoLevel(rotated, "vec_id", "__rv",
           dim = 64, m = 2, k = 4, iters = 2, nCells = 4, cellIters = 2,
           superProbe = 2))
+      // encode over the ALREADY-rotated relation (encodeOpqResidual-
+      // TwoLevel would rotate the corpus a second time — the encode
+      // is definitionally encodeResidualTwoLevel ∘ rotate)
+      val codes = ProductQuant.encodeResidualTwoLevel(rotated, "vec_id",
+          "__rv", 64, model.inner)
+        .repartition(s.sparkContext.defaultParallelism)
+      ProductQuant.opqResidualTopKTwoLevelOverCodes(codes,
+          emb.filter(col("vec_id") <= 20), "vec_id", "embedding",
+          dim = 64, model, k = 3, nProbe = 2, superProbe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some(
+      twoLevelFrontSqlOver(rotatedQFrontSql) + residualTwoLevelTailSql))
+
+  /** Per-corpus frozen OPQ∘residual∘two-level model cache backing
+    * [[q193]]: production trains ONCE, persists the artifact
+    * ([[graft.io.VectorIndexArtifacts]]), and every serving run loads
+    * the frozen model — so the first call per corpus dir trains and
+    * round-trips through save/load (exercising the artifact path),
+    * and every later call is pure serving. Keyed by dir: sf0.001
+    * warm-up and sf0.1 timed runs never share a model. */
+  private val frozenOpqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.ProductQuant.OpqResidualTwoLevelModel]()
+
+  /** q193: FROZEN-SERVE twin of q184 — the BENCH entry for the
+    * composed index (the q153 frozen-bench precedent). q184 times the
+    * full in-query training lifecycle (sample-bounded Lloyd rounds =
+    * dozens of tiny driver-orchestrated jobs), which is NOT what a
+    * deployed index pays per serving run; this twin serves from the
+    * cached frozen model ([[frozenOpqModels]]) so the benched work is
+    * exactly the production path: one corpus rotate (broadcast row) +
+    * residual encode + the `OverCodes` cell-join ADC search. Results
+    * are bit-identical to q184 (same training on the same corpus),
+    * so the same oracle replays it. */
+  private val q193 = QuerySpec(
+    "q193_ann_opq_frozen_serve",
+    (s, dir) => {
+      import graft.operators.ProductQuant
+      val emb = Tables.embeddings(s, dir)
+      val model = frozenOpqModels.computeIfAbsent(dir, _ => {
+        val rotated = ProductQuant.rotate(emb, "vec_id", "embedding", 64,
+          rot182)
+        val trained = ProductQuant.OpqResidualTwoLevelModel(rot182,
+          ProductQuant.trainResidualTwoLevel(rotated, "vec_id", "__rv",
+            dim = 64, m = 2, k = 4, iters = 2, nCells = 4, cellIters = 2,
+            superProbe = 2))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-opq-frozen-").toString
+        graft.io.VectorIndexArtifacts.saveOpqResidualTwoLevel(s, tmp,
+          trained)
+        graft.io.VectorIndexArtifacts.loadOpqResidualTwoLevel(s, tmp)
+      })
       val codes = ProductQuant.encodeOpqResidualTwoLevel(emb, "vec_id",
           "embedding", 64, model)
         .repartition(s.sparkContext.defaultParallelism)
@@ -1807,5 +1861,5 @@ object Advanced {
   val specs: Seq[QuerySpec] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q69, q70, q71, q72, q73, q74, q75, q76, q137, q138, q139, q141, q142,
-      q143, q168, q177, q178, q181, q182, q183, q184, q185)
+      q143, q168, q177, q178, q181, q182, q183, q184, q185, q193)
 }

@@ -1240,11 +1240,13 @@ object CurationOps {
     * upper-case scheme/host + default https port + tracker + fragment
     * (0), default http port + shuffled params (1), already canonical
     * (2), all-tracker query (3), duplicate param names out of order
-    * (4), bare host with no path (5), mixed trackers (6). Classes
-    * 1/3/4/5/6 omit doc_id from the URL, so each (source, class)
+    * (4), bare host with no path (5), mixed trackers (6), query with
+    * NO path (7 — the authority must cut at '?', the params must
+    * still drop/sort, and the empty path becomes '/'). Classes
+    * 1/3/4/5/6/7 omit doc_id from the URL, so each (source, class)
     * group canonicalizes to ONE form — the q187 dedup fixture. */
   private val url186Sql =
-    """CASE doc_id % 7
+    """CASE doc_id % 8
         WHEN 0 THEN 'HTTPS://Example-' || upper(source)
                     || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
                     || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
@@ -1256,31 +1258,35 @@ object CurationOps {
                     || '.com/p?gclid=zz&x=1&utm_campaign=c'
         WHEN 4 THEN 'http://EXAMPLE-' || source || '.com/q?z=9&y=8&z=1'
         WHEN 5 THEN 'https://example-' || source || '.com'
-        ELSE 'https://example-' || source
-             || '.com/t?fbclid=abc&utm_medium=m' END"""
+        WHEN 6 THEN 'https://example-' || source
+                    || '.com/t?fbclid=abc&utm_medium=m'
+        ELSE 'https://Example-' || source || '.com?b=2&A=1&utm_x=9' END"""
       .replaceAll("\n\\s+", " ")
 
   private def url186: org.apache.spark.sql.Column = {
     val d = col("doc_id").cast("string")
-    when(col("doc_id") % 7 === 0,
+    when(col("doc_id") % 8 === 0,
         concat(lit("HTTPS://Example-"), upper(col("source")),
           lit(".COM:443/Path/"), d, lit("?utm_source=feed&id="), d,
           lit("#sec-2")))
-      .when(col("doc_id") % 7 === 1,
+      .when(col("doc_id") % 8 === 1,
         concat(lit("http://example-"), col("source"),
           lit(".com:80/a?b=2&a=1")))
-      .when(col("doc_id") % 7 === 2,
+      .when(col("doc_id") % 8 === 2,
         concat(lit("https://example-"), col("source"), lit(".com/p/"), d))
-      .when(col("doc_id") % 7 === 3,
+      .when(col("doc_id") % 8 === 3,
         concat(lit("https://example-"), col("source"),
           lit(".com/p?gclid=zz&x=1&utm_campaign=c")))
-      .when(col("doc_id") % 7 === 4,
+      .when(col("doc_id") % 8 === 4,
         concat(lit("http://EXAMPLE-"), col("source"),
           lit(".com/q?z=9&y=8&z=1")))
-      .when(col("doc_id") % 7 === 5,
+      .when(col("doc_id") % 8 === 5,
         concat(lit("https://example-"), col("source"), lit(".com")))
-      .otherwise(concat(lit("https://example-"), col("source"),
-        lit(".com/t?fbclid=abc&utm_medium=m")))
+      .when(col("doc_id") % 8 === 6,
+        concat(lit("https://example-"), col("source"),
+          lit(".com/t?fbclid=abc&utm_medium=m")))
+      .otherwise(concat(lit("https://Example-"), col("source"),
+        lit(".com?b=2&A=1&utm_x=9")))
   }
 
   /** q186: URL canonicalization
@@ -1338,31 +1344,51 @@ object CurationOps {
     * attribute orders and cases (0, 1), `<link rel=canonical>` in
     * both orders/quote styles with case- and tracker-noised targets
     * that canonicalize EQUAL per source (2, 3 — the q189 collapse
-    * pair), and a plain page (4). */
+    * pair), a plain page (4), a RELATIVE declared canonical (5 —
+    * must resolve against the fetch URL, collapsing within a source
+    * but NEVER across sources), a commented-out noindex plus a
+    * robots-nocontent meta (6 — neither is a robots directive; the
+    * page must survive the gate), and rel="canonical-alt" (7 — a
+    * DIFFERENT declaration, not a canonical; falls back to the fetch
+    * URL). */
   private val page188Sql =
-    """CASE doc_id % 5
+    """CASE doc_id % 8
         WHEN 0 THEN '<html><head><meta name="robots" content="nofollow, noindex"></head><body><p>' || text || '</p></body></html>'
         WHEN 1 THEN '<html><head><META CONTENT=''NOINDEX'' NAME=''Robots''></head><body><p>' || text || '</p></body></html>'
         WHEN 2 THEN '<html><head><link rel="canonical" href="https://Canon-' || source || '.example/Article"></head><body><p>' || text || '</p></body></html>'
         WHEN 3 THEN '<html><head><link href=''https://canon-' || source || '.example/Article?utm_x=1'' rel=''canonical''></head><body><p>' || text || '</p></body></html>'
-        ELSE '<html><head></head><body><p>' || text || '</p></body></html>' END"""
+        WHEN 4 THEN '<html><head></head><body><p>' || text || '</p></body></html>'
+        WHEN 5 THEN '<html><head><link rel="canonical" href="/Article"></head><body><p>' || text || '</p></body></html>'
+        WHEN 6 THEN '<html><head><!-- <meta name="robots" content="noindex"> --><meta name="robots-nocontent" content="noindex"></head><body><p>' || text || '</p></body></html>'
+        ELSE '<html><head><link rel="canonical-alt" href="https://alt-' || source || '.example/x"></head><body><p>' || text || '</p></body></html>' END"""
       .replaceAll("\n\\s+", " ")
 
   private def page188: org.apache.spark.sql.Column = {
     val body = concat(lit("<body><p>"), col("text"), lit("</p></body></html>"))
-    when(col("doc_id") % 5 === 0, concat(
+    when(col("doc_id") % 8 === 0, concat(
         lit("<html><head><meta name=\"robots\" " +
           "content=\"nofollow, noindex\"></head>"), body))
-      .when(col("doc_id") % 5 === 1, concat(
+      .when(col("doc_id") % 8 === 1, concat(
         lit("<html><head><META CONTENT='NOINDEX' NAME='Robots'></head>"),
         body))
-      .when(col("doc_id") % 5 === 2, concat(
+      .when(col("doc_id") % 8 === 2, concat(
         lit("<html><head><link rel=\"canonical\" href=\"https://Canon-"),
         col("source"), lit(".example/Article\"></head>"), body))
-      .when(col("doc_id") % 5 === 3, concat(
+      .when(col("doc_id") % 8 === 3, concat(
         lit("<html><head><link href='https://canon-"), col("source"),
         lit(".example/Article?utm_x=1' rel='canonical'></head>"), body))
-      .otherwise(concat(lit("<html><head></head>"), body))
+      .when(col("doc_id") % 8 === 4, concat(
+        lit("<html><head></head>"), body))
+      .when(col("doc_id") % 8 === 5, concat(
+        lit("<html><head><link rel=\"canonical\" href=\"/Article\">" +
+          "</head>"), body))
+      .when(col("doc_id") % 8 === 6, concat(
+        lit("<html><head><!-- <meta name=\"robots\" content=\"noindex\">" +
+          " --><meta name=\"robots-nocontent\" content=\"noindex\">" +
+          "</head>"), body))
+      .otherwise(concat(
+        lit("<html><head><link rel=\"canonical-alt\" href=\"https://alt-"),
+        col("source"), lit(".example/x\"></head>"), body))
   }
 
   private def sqlPat(p: String): String = p.replace("'", "''")
@@ -1386,7 +1412,10 @@ object CurationOps {
             .as("canonical"))
         .orderBy(col("doc_id")),
     oracle = Some(s"""
-      WITH src AS (SELECT doc_id, $page188Sql AS h FROM documents)
+      WITH src AS (
+        SELECT doc_id, regexp_replace($page188Sql, '${sqlPat(
+          graft.operators.HtmlExtract.CommentPat)}', ' ', 'g') AS h
+        FROM documents)
       SELECT doc_id,
              coalesce(
                contains(lower(regexp_extract(h, '${sqlPat(
@@ -1430,7 +1459,8 @@ object CurationOps {
     },
     oracle = Some(s"""
       WITH src AS (
-        SELECT doc_id, $page188Sql AS h,
+        SELECT doc_id, regexp_replace($page188Sql, '${sqlPat(
+          graft.operators.HtmlExtract.CommentPat)}', ' ', 'g') AS h,
                'https://example-' || source || '.com/p/'
                  || CAST(doc_id AS VARCHAR) AS url
         FROM documents),
@@ -1451,8 +1481,13 @@ object CurationOps {
                END AS cl
         FROM src),
       gated AS (SELECT doc_id, url, cl FROM sigs WHERE NOT nix),
-      ${graft.operators.UrlCuration.canonicalUrlCtes("gated", "doc_id",
-        "CASE WHEN cl <> '' THEN cl ELSE url END")},
+      resolved AS (
+        SELECT doc_id, url,
+               ${graft.operators.UrlCuration.resolveHrefSql("url", "cl")}
+                 AS rurl
+        FROM gated),
+      ${graft.operators.UrlCuration.canonicalUrlCtes("resolved", "doc_id",
+        "rurl")},
       keep AS (
         SELECT min(doc_id) AS doc_id FROM ccanon
         WHERE canonical IS NOT NULL GROUP BY canonical

@@ -133,6 +133,75 @@ class WarcRecordsSpec extends SparkSpec {
     rows.filter(_._2 == uri).map(_._1).distinct should have size 2
   }
 
+  test("chunked HTTP payloads de-chunk: no hex framing, no trailers, byte-accurate across chunk splits") {
+    def chunk(data: Array[Byte], ext: String = ""): Array[Byte] =
+      (data.length.toHexString + ext + "\r\n").getBytes("ISO-8859-1") ++
+        data ++ "\r\n".getBytes("ISO-8859-1")
+    val body = "<p>héllo — chunked</p>"
+    val full = body.getBytes("UTF-8")
+    full.length should be > body.length // multibyte for real
+    // split INSIDE the 2-byte é (bytes 4..5 of "<p>h é ..."): chunk
+    // sizes count octets, so a string-domain de-chunker would corrupt
+    // this boundary
+    val (c1, rest) = full.splitAt(5)
+    val (c2, c3) = rest.splitAt(7)
+    val msg =
+      ("HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n" +
+        "Transfer-Encoding: CHUNKED\r\n\r\n").getBytes("ISO-8859-1") ++
+      chunk(c1) ++ chunk(c2, ext = ";ext=v") ++ chunk(c3) ++
+      "0\r\nX-Trailer: t\r\n\r\n".getBytes("ISO-8859-1")
+    val docs = WarcRecords.toCrawlDocs(
+      Seq(("a", record("https://x.example/c", msg))).toDF("path", "content"))
+    val html = docs.select("html").as[String].collect()
+    html shouldBe Array(body)
+    html.head should not include "Transfer"
+    html.head should not include "Trailer"
+    // a 'gzip, chunked' value list also triggers; a NON-chunked
+    // envelope still takes the plain-cut path
+    val msg2 = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n" +
+      "\r\n").getBytes("ISO-8859-1") ++ chunk("<p>x</p>".getBytes("UTF-8")) ++
+      "0\r\n\r\n".getBytes("ISO-8859-1")
+    val plain = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "5\r\nnot-a-chunk").getBytes("UTF-8")
+    val both = WarcRecords.toCrawlDocs(Seq(
+        ("b", record("https://x.example/g", msg2) ++
+          record("https://x.example/p", plain))).toDF("path", "content"))
+      .orderBy("url").select("html").as[String].collect()
+    both shouldBe Array("<p>x</p>", "5\r\nnot-a-chunk")
+  }
+
+  test("chunked de-chunk is fail-soft: malformed framing keeps the good prefix") {
+    // malformed size line after one good chunk → good chunk survives
+    val msg = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4\r\ngood\r\nZZZZ\r\nnever").getBytes("ISO-8859-1")
+    // declared-past-end chunk → available prefix survives
+    val msg2 = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "ff\r\npartial").getBytes("ISO-8859-1")
+    val docs = WarcRecords.toCrawlDocs(Seq(
+        ("a", record("https://x.example/1", msg) ++
+          record("https://x.example/2", msg2))).toDF("path", "content"))
+      .orderBy("url").select("html").as[String].collect()
+    docs shouldBe Array("good", "partial")
+  }
+
+  test("toCrawlDocsTimed carries modificationTime LOSSLESSLY (microseconds) and ids match the untimed read") {
+    val bytes = record("https://t.example/1", "<p>t</p>".getBytes("UTF-8"))
+    // a microsecond-precision mtime: the old JSON round-trip truncated
+    // to milliseconds (and was session-timezone-dependent)
+    val mt = java.sql.Timestamp.valueOf("2026-03-01 10:20:30.123456")
+    val archives = Seq(("a1", mt, bytes))
+      .toDF("path", "modificationTime", "content")
+    val timed = WarcRecords.toCrawlDocsTimed(archives)
+      .select("doc_id", "url", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    timed should have size 1
+    timed.head._3 shouldBe mt
+    val untimed = WarcRecords.toCrawlDocs(
+        archives.select(col("path"), col("content")))
+      .select("doc_id").as[Long].collect()
+    timed.head._1 shouldBe untimed.head
+  }
+
   test("toCrawlDocs under readStream: file-backed stream output ≡ batch output") {
     // the scaladoc's claim, proven: the scanner is a stateless
     // mapPartitions over binaryFile rows, so the SAME code path serves
