@@ -217,6 +217,40 @@ object Multimodal {
       .select(col("__k.media_id").as("keep_id"),
         col("__k.kind").as("kind"), col("n_copies"), col("ids"))
 
+  /** Joint media↔text curation gate: keep only documents owning at
+    * least ONE original image — i.e. an image that wins (or is alone
+    * in) its byte-dedup group ([[dedupePayloads]]'s keep-min rule). A
+    * document whose every image is a LOSING byte-duplicate of images
+    * seen elsewhere is scraped-gallery spam / a mirror page in a
+    * multimodal corpus — the media-side evidence gates the text side,
+    * which no text-only stage can see. `media` carries
+    * (mediaIdCol, docIdCol, payloadCol); docs with NO media rows at
+    * all are KEPT (absence of images is not evidence of scraping —
+    * the blocklist keep-the-unparseable convention).
+    *
+    * Plan shape: payloads reduce to a 16-byte fingerprint before the
+    * one groupBy(fp) min-agg shuffle (payload bytes never shuffle),
+    * keepers semi-join back media-id-sized, owner docs distinct, and
+    * the corpus joins owner-doc-sized — the q26 fingerprint-dedup
+    * cost class end to end. */
+  def dropAllDuplicateImageDocs(docs: DataFrame, idCol: String,
+                                media: DataFrame, mediaIdCol: String,
+                                docIdCol: String,
+                                payloadCol: String): DataFrame = {
+    val fp = media.select(col(mediaIdCol).as("__mid"),
+      col(docIdCol).as("__did"),
+      md5(coalesce(col(payloadCol), lit(Array.emptyByteArray))).as("__fp"))
+    val keepers = fp.groupBy(col("__fp"))
+      .agg(min(col("__mid")).as("__mid"))
+      .select(col("__mid"))
+    val ownerDocs = fp.join(keepers, Seq("__mid"), "left_semi")
+      .select(col("__did")).distinct()
+    val withMedia = fp.select(col("__did")).distinct()
+    docs.join(
+      withMedia.join(ownerDocs, Seq("__did"), "left_anti"),
+      col(idCol) === col("__did"), "left_anti")
+  }
+
   def metadataTable(media: Dataset[Media]): DataFrame =
     decodeAll(media).toDF().select(col("media_id"), col("kind"),
       col("meta.format").as("format"), col("meta.width").as("width"),

@@ -1,0 +1,249 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image fingerprints (aHash / dHash) + banded-Hamming
+  * near-duplicate detection — the image-native analog of the text
+  * family's MinHash: byte-level dedup ([[Multimodal.dedupePayloads]])
+  * dies on the FIRST re-encode of an image (PNG→BMP of identical
+  * pixels shares not one byte), while a perceptual hash is a function
+  * of the DECODED luminance grid, so re-encoded / losslessly
+  * re-packaged copies collapse and small retouches land within a few
+  * Hamming bits (the classic aHash/dHash contract — see the pHash
+  * family of algorithms; no external library involved, the JDK's
+  * ImageIO is the decoder).
+  *
+  * Exact integer contract (what makes the q194/q195 oracles replay
+  * bit-for-bit): luminance = (299·R + 587·G + 114·B) div 1000
+  * (BT.601 in integer thousandths — for gray pixels R=G=B=v it is
+  * exactly v); the grid is BANDED block-averaging — pixel (x, y) of a
+  * W×H image belongs to block (x·GW div W, y·GH div H) and each block
+  * value is floor(Σ luma / count) — deterministic for every image
+  * size with no resampling kernel to disagree over; aHash bit i is
+  * `block_i > floor-mean of all blocks`; dHash bit (y·8+x) is
+  * `block(x+1, y) > block(x, y)` on a 9×8 grid. Bits pack LSB-first
+  * into one BIGINT (bit 63 lands in the sign — both engines carry
+  * the same two's-complement pattern).
+  *
+  * Scale shape: hashing is a narrow `mapPartitions` decode (payloads
+  * never shuffle — only the 8-byte hash moves, the q26 fingerprint
+  * rule); near-dup is 4×16-bit banding → equi-join buckets → exact
+  * `bit_count(xor)` re-check — the q28 banded-LSH shape, never
+  * all-pairs. Pigeonhole guarantee: Hamming ≤ 3 pairs share at least
+  * one intact 16-bit band, so the default `maxDist = 3` misses
+  * nothing (subject to the degenerate-bucket cap, documented below).
+  */
+object PerceptualHash {
+
+  /** Decode an image payload to (width, height, row-major luminance)
+    * — gray rasters read their sample directly (exact), color images
+    * go through sRGB and the integer BT.601 luma. None when ImageIO
+    * cannot decode (the caller's null-hash convention). */
+  private[multimodal] def lumaPixels(payload: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = {
+    val pb = Multimodal.bytes(payload)
+    if (pb.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pb))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](w * h)
+      val gray = img.getRaster.getNumBands == 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) =
+            if (gray) img.getRaster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              (299 * r + 587 * g + 114 * b) / 1000
+            }
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Banded block grid: block (gx, gy) averages (floor) the pixels
+    * with x·gw div W = gx and y·gh div H = gy. Row-major gw×gh. */
+  private[multimodal] def blockGrid(w: Int, h: Int, px: Array[Int],
+                                    gw: Int, gh: Int): Array[Long] = {
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = y.toLong * gh / h
+      var x = 0
+      while (x < w) {
+        val gx = x.toLong * gw / w
+        val i = (gy * gw + gx).toInt
+        sums(i) += px(y * w + x)
+        counts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => if (counts(i) == 0) 0L else sums(i) / counts(i))
+  }
+
+  /** aHash bits over an 8×8 block grid: bit i = block_i > mean. */
+  private[multimodal] def aHashOfGrid(g: Array[Long]): Long = {
+    val mean = g.sum / g.length
+    var bits = 0L
+    var i = 0
+    while (i < g.length) {
+      if (g(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** dHash bits over a 9×8 grid: bit (y·8+x) = g(x+1, y) > g(x, y). */
+  private[multimodal] def dHashOfGrid(g: Array[Long]): Long = {
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** 64-bit average hash of an image payload; None when undecodable. */
+  def aHash64(payload: Array[Byte]): Option[Long] =
+    lumaPixels(payload).map { case (w, h, px) =>
+      aHashOfGrid(blockGrid(w, h, px, 8, 8)) }
+
+  /** 64-bit difference hash (horizontal gradient) of an image payload. */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    lumaPixels(payload).map { case (w, h, px) =>
+      dHashOfGrid(blockGrid(w, h, px, 9, 8)) }
+
+  /** (media_id, ahash, dhash) for every IMAGE payload — one narrow
+    * decode pass, the per-partition decoder lifecycle of the other
+    * kernels; undecodable payloads keep their row with NULL hashes
+    * (a corrupt image is a quality signal, not a dropped record).
+    * Non-image kinds are filtered (a perceptual IMAGE hash of audio
+    * bytes is noise). */
+  def perceptualHashes(media: Dataset[Multimodal.Media]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image")
+      .mapPartitions(_.map { m =>
+        val g = lumaPixels(m.payload)
+        (m.media_id,
+          g.map { case (w, h, px) => aHashOfGrid(blockGrid(w, h, px, 8, 8)) },
+          g.map { case (w, h, px) => dHashOfGrid(blockGrid(w, h, px, 9, 8)) })
+      })
+      .toDF("media_id", "ahash", "dhash")
+  }
+
+  /** Banded-Hamming near-duplicates over a 64-bit hash column:
+    * (dup_id, keep_id, hamming) — for each id, the SMALLEST id below
+    * it within `maxDist` Hamming bits (the dedup family's
+    * keep-smallest rule; rows with no smaller neighbor are absent =
+    * survivors). Candidates come from 4×16-bit band buckets (exact
+    * equi-join, pigeonhole-complete for maxDist ≤ 3); buckets larger
+    * than `maxBucket` are SKIPPED — a 16-bit band shared by thousands
+    * of images is a degenerate region (flat borders, letterboxing)
+    * whose pairs, if real, surface through their other three bands;
+    * the cap bounds the worst bucket's pair fanout exactly as q28's
+    * MinHash banding does. NULL hashes never match (undecodable
+    * images are not each other's duplicates). */
+  def nearDupsByHash(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    val h = hashes.select(col(idCol).cast("long").as("__id"),
+        col(hashCol).cast("long").as("__h"))
+      .filter(col("__h").isNotNull)
+    // arithmetic shift + mask ≡ logical shift on the low 16 bits (the
+    // mask drops the sign extension) — both engines agree
+    val bands = h.select(col("__id"), col("__h"),
+      explode(array((0 to 3).map(b =>
+        struct(lit(b).as("b"),
+          (shiftright(col("__h"), b * 16) bitwiseAND lit(65535L))
+            .as("v"))): _*)).as("__band"))
+      .select(col("__id"), col("__h"),
+        col("__band.b").as("__b"), col("__band.v").as("__v"))
+    // bucket census (groupBy + join back, the q28 cap shape — no
+    // window): singleton buckets can't pair, oversized ones are the
+    // documented degenerate case
+    val sizes = bands.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("__b"), col("__v"))
+    val capped = bands.join(sizes, Seq("__b", "__v"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__v") === col("b.__v") &&
+          col("a.__id") > col("b.__id"))
+      .select(col("a.__id").as("dup_id"), col("b.__id").as("__nbr"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+    pairs.groupBy(col("dup_id"))
+      .agg(min(struct(col("__nbr"), col("hamming"))).as("__k"))
+      .select(col("dup_id"), col("__k.__nbr").as("keep_id"),
+        col("__k.hamming").cast("int").as("hamming"))
+  }
+
+  // ---- Oracle-replayable fixture rendering ------------------------------
+
+  /** Render a W×H image whose pixel (x, y) has the gray value
+    * min(floorMod(a + bx·x + cy·y + dxy·x·y, 256) + spot, 255) in all
+    * three channels — `spot` (`spotBump`) applies only to the 2×2
+    * top-right corner (x ≥ W−2, y < 2; exactly block (7,0) of the
+    * 8×8 grid on a 16×16 canvas), the clean "small local retouch"
+    * perturbation for near-dup fixtures — encoded with the given
+    * LOSSLESS ImageIO format ("png" / "bmp"; gif is palette-limited —
+    * avoid). The pixel FORMULA is what a DuckDB oracle replays
+    * (integer arithmetic), while the Spark side round-trips through
+    * real encode → real decode → luma — so an oracle-checked catalog
+    * query proves the whole codec path without DuckDB ever seeing a
+    * byte of image. RGB (not gray) BufferedImage on purpose: every
+    * JDK writer handles it, and equal channels make luma exactly v. */
+  def renderGrayImage(w: Int, h: Int, a: Long, bx: Long, cy: Long,
+                      dxy: Long, spotBump: Long, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = java.lang.Math.floorMod(
+          a + bx * x + cy * y + dxy * x * y, 256L)
+        val spot = if (x >= w - 2 && y < 2) spotBump else 0L
+        val v = math.min(base + spot, 255L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no ImageIO writer for format $format")
+    out.toByteArray
+  }
+
+  /** [[renderGrayImage]] as a column function (deterministic UDF —
+    * a codec call has no Catalyst expression): fixed 16×16 canvas,
+    * coefficients, spot bump, and format from columns. */
+  def renderGrayImage16(a: Column, bx: Column, cy: Column, dxy: Column,
+                        spotBump: Column, format: Column): Column = {
+    val f = udf((a: Long, bx: Long, cy: Long, dxy: Long, spot: Long,
+                 fmt: String) =>
+      renderGrayImage(16, 16, a, bx, cy, dxy, spot, fmt))
+    f(a, bx, cy, dxy, spotBump, format)
+  }
+}

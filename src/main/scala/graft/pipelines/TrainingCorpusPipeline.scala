@@ -181,7 +181,8 @@ object TrainingCorpusPipeline {
           textCol: String, cfg: Config = Config(),
           historicalIndex: Option[DataFrame] = None,
           qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None,
-          urlBlocklist: Option[DataFrame] = None): DataFrame = {
+          urlBlocklist: Option[DataFrame] = None,
+          media: Option[DataFrame] = None): DataFrame = {
     // config sanity: the htmlCol path drops htmlCol after joining the
     // extracted text in as textCol — htmlCol colliding with either
     // role column would silently delete the column every later stage
@@ -217,20 +218,34 @@ object TrainingCorpusPipeline {
         graft.operators.UrlCuration.canonicalUrlDedup(urlGated, u, idCol)
       }
 
+    // -2.25 (opt-in) media originality gate: when a media relation
+    // (media_id, <idCol>, payload) rides along, documents whose EVERY
+    // image is a LOSING byte-duplicate of media seen elsewhere drop
+    // here (scraped-gallery/mirror evidence the text stages cannot
+    // see) — media-side evidence, so it seats with the URL-level
+    // gates, before a byte of text is read. Docs with no media rows
+    // pass (Multimodal.dropAllDuplicateImageDocs's convention).
+    val mediaGated = media match {
+      case Some(m) =>
+        graft.multimodal.Multimodal.dropAllDuplicateImageDocs(
+          urlDeduped, idCol, m, "media_id", idCol, "payload")
+      case None => urlDeduped
+    }
+
     // -2. (opt-in) HTML extraction: raw crawl pages become prose —
     // comments/script/style dropped, block structure preserved as
     // the line breaks the line-level stages (0b, C4) key on,
     // entities decoded. The extracted text REPLACES textCol.
     val docsText = cfg.htmlCol match {
       case Some(h) =>
-        urlDeduped
+        mediaGated
           .drop(textCol)
           .join(graft.operators.HtmlExtract
-              .extractText(urlDeduped, idCol, h)
+              .extractText(mediaGated, idCol, h)
               .select(col(idCol), col("text").as(textCol)),
             Seq(idCol))
           .drop(h)
-      case None => urlDeduped
+      case None => mediaGated
     }
 
     // -1. (opt-in) Unicode normalization: the first text rewrite —

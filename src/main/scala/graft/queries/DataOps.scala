@@ -585,7 +585,203 @@ object DataOps {
       FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
       ORDER BY t.doc_id"""))
 
+  // ---- Perceptual image hashing (q194/q195) ---------------------------
+  // The fixture images are REAL: a deterministic 16×16 gray pattern
+  // (pixel value an integer formula of a group id) renders through
+  // javax.imageio into actual PNG/BMP bytes, and the Spark side
+  // decodes those bytes back with the REAL codec before hashing. The
+  // DuckDB oracle replays the pixel FORMULA (pure integer arithmetic)
+  // — so a hash mismatch ANYWHERE in render → encode → decode → luma
+  // → block grid → bit packing fails the oracle, proving the whole
+  // codec round-trip without DuckDB touching a byte of image.
+
+  /** The shared oracle front: pixels → 8×8 block grid → aHash, for a
+    * CTE `g (doc_id, gid, bump)`. Bit 63 forces HUGEINT accumulation
+    * (DuckDB's BIGINT `<<` overflows at 63); `power(2, i)` is exact in
+    * double through 2⁶³ and folds back to the two's-complement BIGINT
+    * Spark carries. */
+  private def phashOracleSql(): String = s"""
+      px AS (
+        SELECT doc_id, x.range AS x, y.range AS y,
+               least(((gid*7) + (gid%5+1)*x.range + (gid%11+1)*y.range
+                      + (gid%3)*x.range*y.range) % 256
+                 + CASE WHEN x.range >= 14 AND y.range < 2
+                        THEN bump ELSE 0 END, 255) AS v
+        FROM g, range(16) x, range(16) y),
+      blk8 AS (
+        SELECT doc_id, (x*8)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM px GROUP BY 1, 2, 3),
+      mean8 AS (SELECT doc_id, sum(b)//64 AS m FROM blk8 GROUP BY doc_id),
+      ah AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ahash
+        FROM (SELECT doc_id,
+                     coalesce(sum(CASE WHEN b > m
+                       THEN CAST(power(2, gy*8+gx) AS HUGEINT) END),
+                       0) AS s
+              FROM blk8 JOIN mean8 USING (doc_id) GROUP BY doc_id))"""
+
+  /** q194: perceptual image hashes (aHash + dHash,
+    * [[graft.multimodal.PerceptualHash]]) through the REAL ImageIO
+    * codec round-trip — the same pixels encoded PNG for even ids and
+    * BMP for odd ids MUST hash identically (the hash is a function of
+    * the decoded luminance grid, not the bytes), which the oracle
+    * enforces by computing hashes from the pixel formula with no
+    * format term at all. */
+  private val q194 = QuerySpec(
+    "q194_image_phash",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, PerceptualHash}
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 50).as("gid"))
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          PerceptualHash.renderGrayImage16(col("gid") * 7,
+            col("gid") % 5 + 1, col("gid") % 11 + 1, col("gid") % 3,
+            lit(0L),
+            when(col("doc_id") % 2 === 0, "png").otherwise("bmp"))
+            .as("payload"))
+        .as[Multimodal.Media]
+      PerceptualHash.perceptualHashes(media)
+        .select(col("media_id").as("doc_id"), col("ahash"), col("dhash"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH g AS (
+        SELECT doc_id, doc_id % 50 AS gid, 0 AS bump FROM documents),
+      ${phashOracleSql()},
+      blk9 AS (
+        SELECT doc_id, (x*9)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM px GROUP BY 1, 2, 3),
+      dh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS dhash
+        FROM (SELECT l.doc_id,
+                     coalesce(sum(CASE WHEN r.b > l.b
+                       THEN CAST(power(2, l.gy*8+l.gx) AS HUGEINT) END),
+                       0) AS s
+              FROM blk9 l JOIN blk9 r
+                ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+              GROUP BY l.doc_id))
+      SELECT doc_id, ahash, dhash FROM ah JOIN dh USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** q195: perceptual near-dup
+    * ([[graft.multimodal.PerceptualHash.nearDupsByHash]]) — the
+    * image-native dedup byte-md5 cannot do: the same pattern rendered
+    * PNG and BMP (zero shared bytes) collapses at Hamming 0, and a
+    * small local retouch (one brightened corner block) lands within
+    * the Hamming≤3 budget for most groups (one fixture group lands at
+    * 5 and legitimately escapes — a big-enough edit IS a different
+    * image). 4×16-bit banding → bucket join (census-capped) → exact
+    * bit_count re-check, all replayed in SQL. */
+  private val q195 = QuerySpec(
+    "q195_image_phash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, PerceptualHash}
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 40).as("gid"),
+          when(col("doc_id") % 5 === 0, 64L).otherwise(0L).as("bump"))
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          PerceptualHash.renderGrayImage16(col("gid") * 7,
+            col("gid") % 5 + 1, col("gid") % 11 + 1, col("gid") % 3,
+            col("bump"),
+            when(col("doc_id") % 2 === 0, "png").otherwise("bmp"))
+            .as("payload"))
+        .as[Multimodal.Media]
+      PerceptualHash.nearDupsByHash(
+          PerceptualHash.perceptualHashes(media), "media_id", "ahash",
+          maxDist = 3, maxBucket = 1024)
+        .select(col("dup_id"), col("keep_id"), col("hamming"))
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some(s"""
+      WITH g AS (
+        SELECT doc_id, doc_id % 40 AS gid,
+               CASE WHEN doc_id % 5 = 0 THEN 64 ELSE 0 END AS bump
+        FROM documents),
+      ${phashOracleSql()},
+      bands AS (
+        SELECT doc_id, ahash, b.range AS b,
+               (ahash >> CAST(16*b.range AS INTEGER)) & 65535 AS v
+        FROM ah, range(4) b),
+      ok AS (
+        SELECT b, v FROM bands GROUP BY b, v
+        HAVING count(*) BETWEEN 2 AND 1024),
+      cb AS (SELECT bands.* FROM bands JOIN ok USING (b, v)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS dup_id, c.doc_id AS nbr,
+               bit_count(xor(a.ahash, c.ahash)) AS hamming
+        FROM cb a JOIN cb c ON a.b = c.b AND a.v = c.v
+          AND a.doc_id > c.doc_id)
+      SELECT dup_id, min(nbr) AS keep_id,
+             CAST(arg_min(hamming, nbr) AS INTEGER) AS hamming
+      FROM pairs WHERE hamming <= 3
+      GROUP BY dup_id
+      ORDER BY dup_id"""))
+
+  /** q196: joint media↔text curation
+    * ([[graft.multimodal.Multimodal.dropAllDuplicateImageDocs]]) —
+    * documents gate on media-side evidence: each doc carries two
+    * images (one from a shared pool; the second unique, except every
+    * fifth doc whose second image is ALSO pooled), and a doc survives
+    * only if at least one of its images WINS its byte-dedup group.
+    * Scraped-gallery docs (all images seen elsewhere with smaller
+    * ids) drop; DuckDB replays fingerprints, keeper election, and the
+    * gate end to end. */
+  private val q196 = QuerySpec(
+    "q196_media_doc_gate",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, dir)
+      val media = docs.select(
+          col("doc_id"),
+          concat(lit("IMG:"), (col("doc_id") % 40).cast("string"))
+            .as("pa"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("IMGB:"), (col("doc_id") % 40).cast("string")))
+            .otherwise(concat(lit("IMG:uniq:"),
+              col("doc_id").cast("string"))).as("pb"))
+        .select(col("doc_id"), explode(array(
+          struct((col("doc_id") * 2).as("media_id"),
+            encode(col("pa"), "UTF-8").as("payload")),
+          struct((col("doc_id") * 2 + 1).as("media_id"),
+            encode(col("pb"), "UTF-8").as("payload")))).as("m"))
+        .select(col("m.media_id").as("media_id"), col("doc_id"),
+          col("m.payload").as("payload"))
+      Multimodal.dropAllDuplicateImageDocs(docs, "doc_id", media,
+          "media_id", "doc_id", "payload")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH media AS (
+        SELECT doc_id, doc_id * 2 AS media_id,
+               'IMG:' || CAST(doc_id % 40 AS VARCHAR) AS payload
+        FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id * 2 + 1,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'IMGB:' || CAST(doc_id % 40 AS VARCHAR)
+                    ELSE 'IMG:uniq:' || CAST(doc_id AS VARCHAR) END
+        FROM documents),
+      fp AS (SELECT doc_id, media_id, md5(payload) AS f FROM media),
+      keepers AS (SELECT min(media_id) AS media_id FROM fp GROUP BY f),
+      owners AS (
+        SELECT DISTINCT doc_id FROM fp
+        JOIN keepers USING (media_id))
+      SELECT doc_id FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM owners)
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49, q50, q51, q92, q130)
+    q48, q49, q50, q51, q92, q130, q194, q195, q196)
 }

@@ -1,0 +1,151 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[PerceptualHash]] — the image-native near-dup signal. q194/q195
+  * prove engine parity on the formula fixture; this spec pins the
+  * byte-true properties the SQL replay cannot reach: REAL codec
+  * round-trips (the same pixels through two encoders), the hash
+  * invariances that make a perceptual hash perceptual, and the
+  * near-dup operator's election/cap/NULL rules on hand hashes. */
+class PerceptualHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reimplementation of the hash from the pixel formula
+    * (no codec) — what the DuckDB oracle computes. */
+  private def formulaHashes(a: Long, bx: Long, cy: Long, dxy: Long,
+                            bump: Long = 0): (Long, Long) = {
+    val px = Array.tabulate(16, 16)((y, x) =>
+      math.min(java.lang.Math.floorMod(a + bx * x + cy * y + dxy * x * y,
+        256L) + (if (x >= 14 && y < 2) bump else 0L), 255L).toInt)
+    def grid(gw: Int, gh: Int): Array[Long] = {
+      val s = new Array[Long](gw * gh); val c = new Array[Long](gw * gh)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val i = (y * gh / 16) * gw + (x * gw / 16)
+        s(i) += px(y)(x); c(i) += 1
+      }
+      Array.tabulate(gw * gh)(i => s(i) / c(i))
+    }
+    val g8 = grid(8, 8)
+    val mean = g8.sum / 64
+    val ah = g8.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > mean) acc | (1L << i) else acc }
+    val g9 = grid(9, 8)
+    var dh = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (g9(y * 9 + x + 1) > g9(y * 9 + x)) dh |= 1L << (y * 8 + x)
+    (ah, dh)
+  }
+
+  test("hash of the REAL codec round-trip equals the formula hash; PNG ≡ BMP") {
+    for (gid <- Seq(0L, 7L, 13L, 42L, 49L)) {
+      val (a, bx, cy, dxy) = (gid * 7, gid % 5 + 1, gid % 11 + 1, gid % 3)
+      val expected = formulaHashes(a, bx, cy, dxy)
+      for (fmt <- Seq("png", "bmp")) {
+        val bytesImg = PerceptualHash.renderGrayImage(16, 16, a, bx, cy,
+          dxy, 0, fmt)
+        PerceptualHash.aHash64(bytesImg) shouldBe Some(expected._1)
+        PerceptualHash.dHash64(bytesImg) shouldBe Some(expected._2)
+      }
+    }
+  }
+
+  test("aHash is invariant to global brightness shift and to upscaling; md5 is not") {
+    val base = PerceptualHash.renderGrayImage(16, 16, 10, 2, 3, 0, 0, "png")
+    val brighter = PerceptualHash.renderGrayImage(16, 16, 50, 2, 3, 0, 0, "png")
+    // +40 uniform brightness (a-coefficient shift, no 256-wrap in this
+    // pattern: values stay < 256): every block and the mean shift
+    // together, so all 64 comparisons are unchanged
+    PerceptualHash.aHash64(base) shouldBe PerceptualHash.aHash64(brighter)
+    // 2× nearest-neighbor upscale preserves the banded block grid
+    // exactly: pixel (x, y) of the 32×32 copies value from (x/2, y/2)
+    val big = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y, src.getRGB(x / 2, y / 2))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    PerceptualHash.aHash64(big) shouldBe PerceptualHash.aHash64(base)
+    PerceptualHash.dHash64(big) shouldBe PerceptualHash.dHash64(base)
+    java.util.Arrays.equals(base, big) shouldBe false
+  }
+
+  test("perceptualHashes: images only, undecodable rows keep NULL hashes, no shuffle") {
+    val media = Seq(
+      Multimodal.Media(1L, "image",
+        PerceptualHash.renderGrayImage(16, 16, 3, 1, 2, 0, 0, "png")),
+      Multimodal.Media(2L, "image", "not an image".getBytes("UTF-8")),
+      Multimodal.Media(3L, "audio", Array[Byte](1, 2, 3)),
+      Multimodal.Media(4L, "image", null)).toDS()
+    val out = PerceptualHash.perceptualHashes(media)
+      .orderBy("media_id")
+      .select(col("media_id"), col("ahash").isNull, col("dhash").isNull)
+      .as[(Long, Boolean, Boolean)].collect()
+    out shouldBe Array((1L, false, false), (2L, true, true),
+      (4L, true, true))
+    PerceptualHash.perceptualHashes(media)
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("nearDupsByHash: min-id election, Hamming cutoff, NULL exclusion, bucket cap") {
+    // hand hashes: 10 ≡ 11 (distance 0), 12 at distance 2 from both,
+    // 13 at distance 9 from 10 but sharing bands (one flipped bit in
+    // three of the four bands... keep it simple: far), 14 NULL
+    val h10 = 0x0123456789abcdefL
+    val h12 = h10 ^ 0x0000000000000003L // 2 low bits
+    val far = h10 ^ 0x0101010101010101L // 8 bits, one per byte
+    val hashes = Seq((10L, Some(h10)), (11L, Some(h10)),
+      (12L, Some(h12)), (13L, Some(far)), (14L, None))
+      .toDF("id", "h")
+    val out = PerceptualHash.nearDupsByHash(hashes, "id", "h", maxDist = 3)
+      .orderBy("dup_id")
+      .as[(Long, Long, Int)].collect()
+    // 11 dups 10 at 0; 12 dups 10 at 2; 13 within bands of 10/11/12?
+    // far flips one bit in EVERY 16-bit band → no identical band → no
+    // candidate; 14 never matches
+    out shouldBe Array((11L, 10L, 0), (12L, 10L, 2))
+    // bucket cap: three identical hashes with maxBucket = 2 → every
+    // band bucket holds 3 > 2 entries → no pairs at all
+    val trio = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "h")
+    PerceptualHash.nearDupsByHash(trio, "id", "h", maxDist = 3,
+      maxBucket = 2).count() shouldBe 0L
+    PerceptualHash.nearDupsByHash(trio, "id", "h", maxDist = 3,
+      maxBucket = 3).count() shouldBe 2L
+  }
+
+  test("re-encoded copies: PNG and BMP of the same pixels share no bytes but collapse at Hamming 0") {
+    val png = PerceptualHash.renderGrayImage(16, 16, 11, 3, 5, 1, 0, "png")
+    val bmp = PerceptualHash.renderGrayImage(16, 16, 11, 3, 5, 1, 0, "bmp")
+    java.util.Arrays.equals(png, bmp) shouldBe false
+    // byte dedup (md5) sees two objects; the perceptual hash sees one
+    val media = Seq(Multimodal.Media(1L, "image", png),
+      Multimodal.Media(2L, "image", bmp)).toDS()
+    Multimodal.dedupePayloads(media).count() shouldBe 2L
+    val dups = PerceptualHash.nearDupsByHash(
+      PerceptualHash.perceptualHashes(media), "media_id", "ahash")
+      .as[(Long, Long, Int)].collect()
+    dups shouldBe Array((2L, 1L, 0))
+  }
+
+  test("dropAllDuplicateImageDocs: all-losing docs drop; keeper owners and media-less docs survive") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    // doc 1 owns originals of both pools; doc 2's images are ALL
+    // losing copies of doc 1's → drops; doc 3 has one losing copy but
+    // one unique image → survives; doc 4 has no media rows → kept
+    val media = Seq(
+      (10L, 1L, "A"), (11L, 1L, "B"),
+      (20L, 2L, "A"), (21L, 2L, "B"),
+      (30L, 3L, "A"), (31L, 3L, "C")).toDF("media_id", "doc_id", "p")
+      .withColumn("payload", encode(col("p"), "UTF-8"))
+    val kept = Multimodal.dropAllDuplicateImageDocs(docs, "doc_id",
+        media, "media_id", "doc_id", "payload")
+      .orderBy("doc_id").as[Long].collect()
+    kept shouldBe Array(1L, 3L, 4L)
+  }
+}

@@ -350,6 +350,31 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     outW.filter(col("chunk_text").contains("<p>")).count() shouldBe 0L
   }
 
+  test("opt-in media gate: a doc whose every image is a losing duplicate drops; media-less docs pass") {
+    val crawl = pool.limit(3).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val fixture = Seq(
+      (1L, crawl(0)._2),                           // owns both originals
+      (2L, crawl(1)._2),                           // all images copies of 1's
+      (3L, crawl(2)._2))                           // no media rows at all
+      .toDF("doc_id", "text")
+    val media = Seq(
+      (10L, 1L, "imgA"), (11L, 1L, "imgB"),
+      (20L, 2L, "imgA"), (21L, 2L, "imgB"))
+      .toDF("media_id", "doc_id", "p")
+      .withColumn("payload", encode(col("p"), "UTF-8"))
+    val out = TrainingCorpusPipeline.run(fixture, holdout, "doc_id",
+      "text", cfg.copy(nearDupThreshold = 0.99), media = Some(media))
+    val ids = out.select("doc_id").distinct().as[Long].collect().sorted
+    ids should contain allOf (1L, 3L)
+    ids should not contain 2L
+    // without the media relation the same doc survives (the gate is
+    // opt-in, media evidence only)
+    TrainingCorpusPipeline.run(fixture, holdout, "doc_id", "text",
+        cfg.copy(nearDupThreshold = 0.99))
+      .select("doc_id").distinct().as[Long].collect() should contain (2L)
+  }
+
   test("urlDedup stage: tracker-variant re-crawls collapse before any text stage; NULL urls pass") {
     // two crawls of the same page under tracking noise + one distinct
     // page + one NULL-url row: the keep-first rule must admit exactly
