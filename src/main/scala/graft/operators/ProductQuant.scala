@@ -104,22 +104,63 @@ object ProductQuant {
     transform(typedlit(book.sortBy(_._1).map(_._2)),
       c => KMeans.sqDistMicro(slice(micro, start, len), c))
 
-  /** Encode every vector to its `m` nearest-code ids — a pure narrow
-    * map against literal codebooks (no join, no shuffle; this is the
-    * pass that shrinks the corpus index 4·dim/m-fold). First-match
-    * `array_position` = smallest-code-id tie-break, the KMeans
-    * convention. Output: (idCol, codes array<int>, 1-based ids). */
-  def encode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-             model: Model): DataFrame = {
-    val micro = KMeans.microVec(col(vecCol))
-    val codeCols = model.slices.zip(model.books).map {
-      case ((start, len), book) =>
-        val d = bookDists(micro, start, len, book)
-        array_position(d, array_min(d)).cast("int")
-    }
-    cleanVecs(df, vecCol, dim)
-      .select(col(idCol), array(codeCols: _*).as("codes"))
+  /** Compiled PQ-code argmin kernel: micro vector in, the m 1-based
+    * nearest-code ids out, over the model's codebooks captured as
+    * primitive arrays. The expression form ([[bookDists]] +
+    * array_position/array_min — a `transform` over a `typedlit` book
+    * with an `aggregate(zip_with(...))` per code) is a higher-order
+    * function chain, which is CodegenFallback: INTERPRETED per row
+    * with boxed allocations per (row, code, dim). Invisible at toy
+    * arity (k=4), it measured ~20 ms/ROW at production arity
+    * (m=8, k=256, dim=64 — the r11 weak-scale ladder caught 41 s for
+    * 2 000 rows) where this kernel runs the same exact-integer
+    * arithmetic in microseconds. Query-side LUT construction keeps
+    * the expression form (query relations are model-sized); every
+    * CORPUS-sized encode goes through here. Semantics identical and
+    * oracle-pinned: id-sorted book, strict `<` keeps the FIRST
+    * minimum = smallest code id, exact integer micro distances. */
+  private def codesKernel(model: Model)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val books: Array[Array[Array[Long]]] =
+      model.books.map(_.sortBy(_._1).map(_._2.toArray).toArray).toArray
+    val starts: Array[Int] = model.slices.map(_._1 - 1).toArray
+    val lens: Array[Int] = model.slices.map(_._2).toArray
+    udf((mv: scala.collection.Seq[Long]) => {
+      val out = new Array[Int](books.length)
+      var s = 0
+      while (s < books.length) {
+        val st = starts(s); val ln = lens(s); val bk = books(s)
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < bk.length) {
+          val code = bk(c)
+          var d = 0L
+          var i = 0
+          while (i < ln) {
+            val t = mv(st + i) - code(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best + 1
+        s += 1
+      }
+      out
+    })
   }
+
+  /** Encode every vector to its `m` nearest-code ids — a pure narrow
+    * map against the frozen codebooks (no join, no shuffle; this is
+    * the pass that shrinks the corpus index 4·dim/m-fold), argmin via
+    * the compiled [[codesKernel]]. First minimum = smallest-code-id
+    * tie-break, the KMeans convention. Output:
+    * (idCol, codes array<int>, 1-based ids). */
+  def encode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+             model: Model): DataFrame =
+    cleanVecs(df, vecCol, dim)
+      .select(col(idCol),
+        codesKernel(model)(KMeans.microVec(col(vecCol))).as("codes"))
 
   /** Query-side ADC lookup tables: (q_id, __lut0..__lut{m-1}), each
     * lut the k exact integer squared distances from the query's
@@ -401,14 +442,8 @@ object ProductQuant {
   def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int, model: ResidualModel): DataFrame = {
     val rv = residualVecs(df, idCol, vecCol, dim, model.cells)
-    val rMicro = KMeans.microVec(col("rvec"))
-    val codeCols = model.pq.slices.zip(model.pq.books).map {
-      case ((start, len), book) =>
-        val d = bookDists(rMicro, start, len, book)
-        array_position(d, array_min(d)).cast("int")
-    }
     rv.select(col(idCol).as("c_id"), col("cell"),
-      array(codeCols: _*).as("codes"))
+      codesKernel(model.pq)(KMeans.microVec(col("rvec"))).as("codes"))
   }
 
   /** Residual IVF-PQ search: candidates share one of the query's
@@ -555,14 +590,8 @@ object ProductQuant {
                              superProbe: Int = 2): DataFrame = {
     val rv = residualVecsTwoLevel(df, idCol, vecCol, dim, model.cells,
       superProbe)
-    val rMicro = KMeans.microVec(col("rvec"))
-    val codeCols = model.pq.slices.zip(model.pq.books).map {
-      case ((start, len), book) =>
-        val d = bookDists(rMicro, start, len, book)
-        array_position(d, array_min(d)).cast("int")
-    }
     rv.select(col(idCol).as("c_id"), col("cell"),
-      array(codeCols: _*).as("codes"))
+      codesKernel(model.pq)(KMeans.microVec(col("rvec"))).as("codes"))
   }
 
   /** [[ivfAdcResidualTopK]] behind the two-level quantizer: same
