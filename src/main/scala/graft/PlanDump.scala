@@ -56,7 +56,8 @@ object PlanDump {
       "q182_ann_opq_rotated" -> "OPQ rotated PQ: the rotation joins as a ONE-ROW broadcast relation (no dim-squared plan literal — the r10 fix); the ADC tail is q142's unchanged",
       "q184_ann_opq_residual_two_level" -> "composed OPQ-residual-two-level SERVING: the corpus encodes once into the stored (c_id, cell, codes) relation, queries rotate through the broadcast row and search OVER the codes via cell equi-joins — no K-sized and no dim-sized literal anywhere in the plan",
       "q187_url_canonical_dedup" -> "canonical-URL dedup: the canonical key is a narrow expression; keeper election is ONE partial-combined min-agg on the key plus a semi join back — the exact-dedup cost class, no window, no nested loop",
-      "q191_script_mix" -> "script composition: the per-character explode (the heaviest narrow text pass) reduces map-side into per-group conditional-sum partials before the only shuffle — corpus-sized rows never cross the wire")
+      "q191_script_mix" -> "script composition: the per-character explode (the heaviest narrow text pass) reduces map-side into per-group conditional-sum partials before the only shuffle — corpus-sized rows never cross the wire",
+      "q195_image_phash_neardup" -> "perceptual near-dup: image decode + hash is one narrow mapPartitions pass (payload bytes never shuffle — only the 8-byte hash moves), 4x16-bit band explode into a census-capped bucket equi-join, exact bit_count recheck, min-struct keeper election — the q28 banded-LSH shape on images")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"

@@ -79,6 +79,14 @@ object WeakScale {
     lazy val opqServeModel = graft.operators.ProductQuant
       .trainOpqResidualTwoLevel(baseVecs, "vec_id", "embedding", dim = 64,
         m = 2, k = 4, iters = 2, nCells = 4, opqIters = 2)
+    // PRODUCTION-arity composed model (m=8, k=256): the catalog's
+    // queries run toy arity for oracle speed; this model proves the
+    // broadcast-relation codebooks keep codegen/compile constants
+    // bounded at real codebook size (the r9 q182 lesson: a dim² or
+    // K-sized literal would explode exactly here)
+    lazy val opqProdModel = graft.operators.ProductQuant
+      .trainOpqResidualTwoLevel(baseVecs, "vec_id", "embedding", dim = 64,
+        m = 8, k = 256, iters = 2, nCells = 4, opqIters = 2)
 
     // one warm-up at 1x per operator family compiles the plan shapes
     def measurements(k: Int, runs: Int): Seq[(String, Double, Long)] = {
@@ -553,6 +561,41 @@ object WeakScale {
               codes, baseVecs.filter(col("vec_id") <= 20), "vec_id",
               "embedding", 64, opqServeModel, k = 3)
             .agg(count(lit(1)), sum(col("adc_dist"))).collect()
+          vecs.count()
+        }),
+        // production-arity PQ encode (m=8, k=256, dim=64): same shape
+        // as opq_serve_q184's encode leg but with 2048-entry
+        // codebooks riding as broadcast relations — expect linear
+        // with a constant comparable to the toy arity (a K-sized or
+        // dim² literal would instead re-pay janino compile per scale)
+        ("opq_encode_m8k256", V, () => {
+          graft.operators.ProductQuant.encodeOpqResidualTwoLevel(vecs,
+              "vec_id", "embedding", 64, opqProdModel)
+            .agg(count(lit(1)), sum(element_at(col("codes"), 1))).collect()
+          vecs.count()
+        }),
+        // production-arity frozen serve (m=8, k=256): encode + the
+        // OverCodes cell-join ADC search — the full q193 bench path
+        // at real codebook size
+        ("opq_serve_m8k256", V, () => {
+          val codes = graft.operators.ProductQuant
+            .encodeOpqResidualTwoLevel(vecs, "vec_id", "embedding", 64,
+              opqProdModel)
+          graft.operators.ProductQuant.opqResidualTopKTwoLevelOverCodes(
+              codes, baseVecs.filter(col("vec_id") <= 20), "vec_id",
+              "embedding", 64, opqProdModel, k = 3)
+            .agg(count(lit(1)), sum(col("adc_dist"))).collect()
+          vecs.count()
+        }),
+        // the flagship index's one previously-untimed stage: the FULL
+        // composed train (Procrustes alternation + residual two-level,
+        // q184's arity) over the REPLICATED corpus — every fit is
+        // sample-bounded, so the ladder must be FLAT: train cost is
+        // corpus-size-independent by construction
+        ("opq_train_q184", V, () => {
+          graft.operators.ProductQuant.trainOpqResidualTwoLevel(vecs,
+            "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
+            nCells = 4, opqIters = 2)
           vecs.count()
         }),
         // residual-drift retrain alarm (q181): two narrow norm passes

@@ -54,6 +54,95 @@ object VectorFns {
   /** L2 norm. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Exact integer squared L2 distance between two micro (array<bigint>)
+    * vectors via the native fused expression (preferred — this kernel
+    * sits under every centroid assignment: KMeans fit rounds, IVF cell
+    * assignment, residual derivation; the HOF form pays interpreted
+    * CodegenFallback eval per (row, candidate)). */
+  def sqDistMicro(a: Column, b: Column): Column =
+    Bridge.column(SqDistMicro(Bridge.expression(a), Bridge.expression(b)))
+
+  /** [[SqDistMicro]] composed from higher-order built-ins — the
+    * differential oracle (bitwise-equal: integer arithmetic has no
+    * summation-order sensitivity). */
+  def sqDistMicroHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+}
+
+/** Native exact integer squared L2 distance over two `array<bigint>`
+  * micro vectors — the assignment kernel under the whole vector-index
+  * family. Same fused-loop design as [[CosineSimilarity]]; NULL on
+  * length mismatch or any NULL element (matching the HOF fold, whose
+  * zip_with null-pads the short side and whose NULL product poisons
+  * the sum) — visible, never a scan-poisoning throw. All-integer:
+  * bitwise-equal to the HOF form and to DuckDB's list arithmetic.
+  */
+case class SqDistMicro(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dist_micro needs array<bigint> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val t = xs.getLong(i) - ys.getLong(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""
+         |final int $n = $xs.numElements();
+         |if ($n != $ys.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($xs.isNullAt($i) || $ys.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final long $t = $xs.getLong($i) - $ys.getLong($i);
+         |    $d += $t * $t;
+         |  }
+         |  ${ev.value} = $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native cosine similarity over two `array<float>` columns.

@@ -42,10 +42,17 @@ object KMeans {
   def microVec(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(1e6), 0).cast("long"))
 
-  /** Exact integer squared L2 distance between two micro vectors. */
+  /** Exact integer squared L2 distance between two micro vectors —
+    * the NATIVE fused expression ([[graft.functions.SqDistMicro]]):
+    * this kernel sits under every centroid assignment (fit rounds,
+    * IVF cells, residual derivation), often join-shaped at
+    * (row × candidate) grain, where the old HOF composition paid
+    * interpreted CodegenFallback eval per pair (the same class of
+    * cost the r11 ladder caught in the PQ encode at k=256).
+    * Bitwise-identical results: integer arithmetic, no summation
+    * order to disagree over (VectorFnsSpec differential). */
   def sqDistMicro(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFns.sqDistMicro(a, b)
 
   /** A fitted model: (cid 1..k, centroid in micro space). */
   type Model = Seq[(Int, Seq[Long])]

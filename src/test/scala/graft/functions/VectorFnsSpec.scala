@@ -38,6 +38,30 @@ class VectorFnsSpec extends SparkSpec {
     assert(rows(diff).head.getDouble(0) < 1e-9)
   }
 
+  test("sq_dist_micro: native == HOF bitwise on real micro vectors; NULL/mismatch rules") {
+    // the assignment kernel under the whole vector-index family —
+    // exact integers, so native and HOF must agree BITWISE
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val m = e.select(col("vec_id").as("ia"),
+      graft.operators.KMeans.microVec(col("embedding")).as("va")).limit(30)
+    val n = e.select(col("vec_id").as("ib"),
+      graft.operators.KMeans.microVec(col("embedding")).as("vb")).limit(30)
+    val diff = m.crossJoin(n)
+      .select((VectorFns.sqDistMicro(col("va"), col("vb"))
+        =!= VectorFns.sqDistMicroHof(col("va"), col("vb"))).as("ne"))
+      .agg(sum(when(col("ne"), 1L).otherwise(0L)))
+    rows(diff).head.getLong(0) shouldBe 0L
+    // hand values + the NULL rules (mismatched length, NULL element)
+    eval1(Seq((Array(1L, 5L), Array(4L, 1L))).toDF("a", "b")
+      .select(VectorFns.sqDistMicro(col("a"), col("b"))))
+      .asInstanceOf[Long] shouldBe 25L // 9 + 16
+    assert(eval1(Seq((Array(1L, 5L), Array(4L))).toDF("a", "b")
+      .select(VectorFns.sqDistMicro(col("a"), col("b")))) == null)
+    assert(eval1(Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L))))
+      .toDF("a", "b")
+      .select(VectorFns.sqDistMicro(col("a"), col("b")))) == null)
+  }
+
   test("native cosine accepts array<double> too") {
     eval1(Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
       .select(VectorFns.cosine(col("a"), col("b"))))

@@ -508,6 +508,38 @@ class ProductQuantSpec extends SparkSpec {
         "embedding", 64, m, k = 3))
   }
 
+  test("production lifecycle: trainOpqResidualTwoLevel → save → load → serve ≡ in-memory serve") {
+    // the deployment path end to end: the PRODUCTION training entry
+    // (not a fixed rotation), the artifact round-trip, and serving
+    // from the loaded model — all three joints must be loss-free
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val trained = ProductQuant.trainOpqResidualTwoLevel(emb, "vec_id",
+      "embedding", dim = 64, m = 2, k = 4, iters = 2, nCells = 4,
+      opqIters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_opq_lifecycle").toString
+    graft.io.VectorIndexArtifacts.saveOpqResidualTwoLevel(spark, dir,
+      trained)
+    val loaded = graft.io.VectorIndexArtifacts
+      .loadOpqResidualTwoLevel(spark, dir)
+    // rotation and codebooks round-trip byte-identically; cell SEQ
+    // order may differ (cells are id-keyed — serving equality below
+    // is the binding contract)
+    loaded.rotation shouldBe trained.rotation
+    loaded.inner.pq shouldBe trained.inner.pq
+    val queries = emb.filter(col("vec_id") <= 20)
+    def serve(m: ProductQuant.OpqResidualTwoLevelModel) =
+      ProductQuant.opqResidualTopKTwoLevelOverCodes(
+          ProductQuant.encodeOpqResidualTwoLevel(emb, "vec_id",
+            "embedding", 64, m),
+          queries, "vec_id", "embedding", 64, m, k = 3)
+        .select("q_id", "rank", "c_id", "adc_dist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val served = serve(loaded)
+    served shouldBe serve(trained)
+    served.length should be > 0
+  }
+
   test("drift sums do not wrap: Σ‖r‖² past 2⁶³ stays exact (decimal accumulation)") {
     // 2000 rows × 6.4e15 per-row norm² = 1.28e19 > 2⁶³ ≈ 9.2e18: a
     // BIGINT sum wraps (or throws under ANSI); the report must stay

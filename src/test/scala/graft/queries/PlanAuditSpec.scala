@@ -591,6 +591,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 3, s"expected <= 3 corpus scans, got $scans\n" + plan)
   }
 
+  test("q195: perceptual near-dup — payloads never shuffle, band joins are hash equi, no window") {
+    val plan = planOf("q195_image_phash_neardup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // payload bytes stay inside the narrow decode pass: below the
+    // (deepest) mapPartitions kernel there is no exchange — the
+    // payload column dies inside the kernel and everything shuffled
+    // afterwards is (id, hash/band)-sized
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.split("MapPartitions").last.contains("Exchange"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
