@@ -290,10 +290,14 @@ class PropertySpec extends SparkSpec {
     if (p < 0) return url
     val scheme = base.substring(0, p).toLowerCase
     val rest = base.substring(p + 3)
-    val slash = rest.indexOf('/')
+    // authority ends at the EARLIEST of '/' and '?' (the r11 ADVICE
+    // fix: a query with no path must not fold into the host)
+    val cutCands = Seq(rest.indexOf('/'), rest.indexOf('?')).filter(_ >= 0)
+    val cut = if (cutCands.isEmpty) -1 else cutCands.min
     val hostport =
-      (if (slash >= 0) rest.substring(0, slash) else rest).toLowerCase
-    val pathq = if (slash >= 0) rest.substring(slash) else "/"
+      (if (cut >= 0) rest.substring(0, cut) else rest).toLowerCase
+    val tail = if (cut >= 0) rest.substring(cut) else ""
+    val pathq = if (tail.startsWith("/")) tail else "/" + tail
     val q = pathq.indexOf('?')
     val path = if (q >= 0) pathq.substring(0, q) else pathq
     val query = if (q >= 0) pathq.substring(q + 1) else ""
