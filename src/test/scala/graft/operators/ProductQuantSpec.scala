@@ -194,6 +194,58 @@ class ProductQuantSpec extends SparkSpec {
     recall should be >= 0.60
   }
 
+  test("production-arity composed index (m=8, k=256): recall beats the toy arity it benchmarks against") {
+    // the r11 ladder measures m8k256 THROUGHPUT; this pins the other
+    // half — the finer codebooks must buy accuracy. Recall@3 of the
+    // composed OPQ∘residual∘two-level serve vs exact-L2 truth, at
+    // q184's toy arity and at production arity, same corpus
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") <= 50)
+    val truth = exactL2Top3(emb, queries)
+    def recallAt(m: Int, k: Int): Double = {
+      val model = ProductQuant.trainOpqResidualTwoLevel(emb, "vec_id",
+        "embedding", dim = 64, m = m, k = k, iters = 2, nCells = 4,
+        cellIters = 2, opqIters = 2)
+      val got = ProductQuant.opqResidualTopKTwoLevel(emb, queries,
+          "vec_id", "embedding", 64, model, k = 3, nProbe = 4,
+          superProbe = 2)
+        .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val toy = recallAt(2, 4)
+    val prod = recallAt(8, 256)
+    // measured 0.438 vs 0.059 on the sf0.001 fixture — pure-ADC
+    // top-3 (no exact rerank) on NEAR-RANDOM vectors, PQ's hardest
+    // case: the point pinned here is the ~7× accuracy the finer
+    // codebooks buy, not an absolute (production adds adcRerank —
+    // the existing recall test measures 0.743 with candK=50 — and
+    // clustered real embeddings quantize far better)
+    withClue(s"toy(m=2,k=4)=$toy prod(m=8,k=256)=$prod:") {
+      prod should be >= (toy + 0.2)
+      prod should be >= 0.30
+    }
+  }
+
+  /** Exact integer-L2 top-3 per query (self-match excluded) — the
+    * truth set for the recall pins. */
+  private def exactL2Top3(corpus: org.apache.spark.sql.DataFrame,
+                          queries: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long)] = {
+    val c = corpus.select(col("vec_id").as("c_id"),
+      KMeans.microVec(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      KMeans.microVec(col("embedding")).as("qv"))
+    q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.functions.VectorFns.sqDistMicro(col("qv"), col("cv"))
+          .as("d"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("d"), col("c_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+  }
+
   test("residual encoding: recall vs exact-L2 truth at least matches raw encoding") {
     // the by_residual promise: the same code budget spent on the
     // within-cell geometry ranks candidates no worse (usually better);
