@@ -217,6 +217,39 @@ object Multimodal {
       .select(col("__k.media_id").as("keep_id"),
         col("__k.kind").as("kind"), col("n_copies"), col("ids"))
 
+  /** LAION-class image quality gate — the structural rules every
+    * image-corpus pipeline applies before any model sees a pixel:
+    * decodability (bytes a real codec rejects are not an image),
+    * minimum short side (thumbnails and tracking pixels carry no
+    * signal), and bounded aspect ratio (banners/sliver crops distort
+    * training) — `max(w,h) ≤ maxAspect·min(w,h)`, integer arithmetic.
+    * Judged on the REAL decoded header ([[realImageMeta]]) only:
+    * undecodable payloads are keep=false with zeroed dims, NEVER
+    * stub-faked (a gate that passes garbage on synthetic metadata is
+    * worse than no gate). Non-image kinds are not judged (filtered —
+    * an image rule says nothing about audio). One narrow header-only
+    * pass (O(header) per payload, payloads never shuffle). Output:
+    * (media_id, format, width, height, keep). */
+  def imageQualityGate(media: Dataset[Media], minSide: Int = 64,
+                       maxAspect: Int = 3): DataFrame = {
+    require(minSide >= 1 && maxAspect >= 1,
+      s"minSide/maxAspect must be positive, got $minSide/$maxAspect")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image")
+      .mapPartitions(_.map { m =>
+        realImageMeta(m.payload) match {
+          case Some(mt) =>
+            val keep = mt.width >= minSide && mt.height >= minSide &&
+              math.max(mt.width, mt.height).toLong <=
+                maxAspect.toLong * math.min(mt.width, mt.height)
+            (m.media_id, mt.format, mt.width, mt.height, keep)
+          case None => (m.media_id, "", 0, 0, false)
+        }
+      })
+      .toDF("media_id", "format", "width", "height", "keep")
+  }
+
   /** Joint media↔text curation gate: keep only documents owning at
     * least ONE original image — i.e. an image that wins (or is alone
     * in) its byte-dedup group ([[dedupePayloads]]'s keep-min rule). A

@@ -246,4 +246,15 @@ object PerceptualHash {
       renderGrayImage(16, 16, a, bx, cy, dxy, spot, fmt))
     f(a, bx, cy, dxy, spotBump, format)
   }
+
+  /** [[renderGrayImage]] with per-row canvas DIMENSIONS — the fixture
+    * generator for size/aspect-sensitive paths (the q197 quality
+    * gate: the oracle replays the dimension formulas while the Spark
+    * side reads dims back off the REAL decoded header). */
+  def renderGrayImageWH(w: Column, h: Column, a: Column,
+                        format: Column): Column = {
+    val f = udf((w: Int, h: Int, a: Long, fmt: String) =>
+      renderGrayImage(w, h, a, 3, 5, 1, 0, fmt))
+    f(w, h, a, format)
+  }
 }

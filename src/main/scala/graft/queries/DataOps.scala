@@ -781,7 +781,50 @@ object DataOps {
       WHERE doc_id IN (SELECT doc_id FROM owners)
       ORDER BY doc_id"""))
 
+  /** q197: image quality gate
+    * ([[graft.multimodal.Multimodal.imageQualityGate]]) — the
+    * LAION-class structural rules (decodable, short side ≥ 32, aspect
+    * ≤ 3:1) judged on the REAL decoded header: the fixture renders
+    * each doc's image at formula-derived dimensions through the real
+    * PNG/BMP writers, Spark reads width/height back off the decoded
+    * header, and the oracle replays the dimension FORMULAS and the
+    * integer gate — so a dimension lie anywhere in the codec
+    * round-trip fails the oracle. Sizes sweep 8..136 × 8..152:
+    * thumbnails fail the side floor, slivers fail the aspect cap,
+    * both formats must gate identically. */
+  private val q197 = QuerySpec(
+    "q197_image_quality_gate",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, PerceptualHash}
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(8) + (col("doc_id") % 9) * 16).cast("int").as("w"),
+          (lit(8) + (col("doc_id") % 7) * 24).cast("int").as("h"))
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          PerceptualHash.renderGrayImageWH(col("w"), col("h"),
+            col("media_id") % 251,
+            when(col("media_id") % 2 === 0, "png").otherwise("bmp"))
+            .as("payload"))
+        .as[Multimodal.Media]
+      Multimodal.imageQualityGate(media, minSide = 32, maxAspect = 3)
+        .select(col("media_id").as("doc_id"), col("format"),
+          col("width"), col("height"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+             CAST(8 + (doc_id % 9) * 16 AS INTEGER) AS width,
+             CAST(8 + (doc_id % 7) * 24 AS INTEGER) AS height,
+             (8 + (doc_id % 9) * 16 >= 32 AND 8 + (doc_id % 7) * 24 >= 32
+              AND greatest(8 + (doc_id % 9) * 16, 8 + (doc_id % 7) * 24)
+                  <= 3 * least(8 + (doc_id % 9) * 16,
+                               8 + (doc_id % 7) * 24)) AS keep
+      FROM documents
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49, q50, q51, q92, q130, q194, q195, q196)
+    q48, q49, q50, q51, q92, q130, q194, q195, q196, q197)
 }

@@ -133,6 +133,25 @@ class PerceptualHashSpec extends SparkSpec {
     dups shouldBe Array((2L, 1L, 0))
   }
 
+  test("imageQualityGate: undecodable rejects, boundaries are inclusive, non-images not judged") {
+    def img(w: Int, h: Int) =
+      PerceptualHash.renderGrayImage(w, h, 7, 3, 5, 1, 0, "png")
+    val media = Seq(
+      Multimodal.Media(1L, "image", img(64, 64)),   // square, large: keep
+      Multimodal.Media(2L, "image", img(64, 63)),   // one px under: drop
+      Multimodal.Media(3L, "image", img(64, 192)),  // aspect exactly 3: keep
+      Multimodal.Media(4L, "image", img(64, 193)),  // aspect over 3: drop
+      Multimodal.Media(5L, "image", "junk".getBytes("UTF-8")), // undecodable
+      Multimodal.Media(6L, "audio", Array[Byte](1, 2, 3))      // not judged
+    ).toDS()
+    val out = Multimodal.imageQualityGate(media, minSide = 64, maxAspect = 3)
+      .orderBy("media_id")
+      .select("media_id", "width", "height", "keep")
+      .as[(Long, Int, Int, Boolean)].collect()
+    out shouldBe Array((1L, 64, 64, true), (2L, 64, 63, false),
+      (3L, 64, 192, true), (4L, 64, 193, false), (5L, 0, 0, false))
+  }
+
   test("dropAllDuplicateImageDocs: all-losing docs drop; keeper owners and media-less docs survive") {
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     // doc 1 owns originals of both pools; doc 2's images are ALL
