@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, SqDistMicro}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
     ext.injectFunction(GraftExtensions.dotProduct)
+    ext.injectFunction(GraftExtensions.sqDistMicro)
     ext.injectFunction(GraftExtensions.topKPairs)
     ext.injectFunction(GraftExtensions.unicodeNormalize)
     ext.injectFunction(GraftExtensions.boundedCollect)
@@ -47,6 +48,16 @@ object GraftExtensions {
       require(children.length == 2,
         s"dot_product takes 2 arguments, got ${children.length}")
       DotProduct(children.head, children(1))
+    })
+
+  val sqDistMicro: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("sq_dist_micro"),
+    new ExpressionInfo(classOf[SqDistMicro].getName, "sq_dist_micro"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"sq_dist_micro takes 2 arguments, got ${children.length}")
+      SqDistMicro(children.head, children(1))
     })
 
   /** `top_k_pairs(score, id, k)` — the native bounded-heap top-k
@@ -116,8 +127,8 @@ object GraftExtensions {
   /** Register on an already-built session (tests / notebooks that can't
     * set spark.sql.extensions before session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimilarity, dotProduct, topKPairs, unicodeNormalize,
-      boundedCollect).foreach {
+    Seq(cosineSimilarity, dotProduct, sqDistMicro, topKPairs,
+      unicodeNormalize, boundedCollect).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)

@@ -60,6 +60,12 @@ class VectorFnsSpec extends SparkSpec {
     assert(eval1(Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L))))
       .toDF("a", "b")
       .select(VectorFns.sqDistMicro(col("a"), col("b")))) == null)
+    // SQL-registered through the extension surface like its siblings
+    graft.GraftExtensions.register(spark)
+    Seq((Array(1L, 5L), Array(4L, 1L))).toDF("a", "b")
+      .createOrReplaceTempView("sqd_v")
+    spark.sql("SELECT sq_dist_micro(a, b) AS d FROM sqd_v")
+      .collect().head.getLong(0) shouldBe 25L
   }
 
   test("native cosine accepts array<double> too") {
