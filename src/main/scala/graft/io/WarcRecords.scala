@@ -258,9 +258,14 @@ object WarcRecords {
     * at the LAST separator, so a pathological path containing U+0001
     * still round-trips. */
   def toCrawlDocsTimed(archives: DataFrame, tsCol: String = "ts"): DataFrame = {
+    // a NULL mtime must still contribute the separator (concat_ws
+    // SKIPS nulls — the path would then parse back empty and every
+    // null-mtime archive's record N would collide on one doc_id):
+    // coalesce to '' keeps the separator; it splits back as ts = NULL
     val keyed = archives.select(
       concat_ws("\u0001", col("path"),
-        unix_micros(col("modificationTime")).cast("string")).as("__akey"),
+        coalesce(unix_micros(col("modificationTime")).cast("string"),
+          lit(""))).as("__akey"),
       col("content"))
     val tsStr = element_at(split(col("__akey"), "\u0001"), -1)
     splitRecords(keyed, "__akey", "content")
@@ -271,6 +276,6 @@ object WarcRecords {
       .select(xxhash64(col("__p"), col("record_idx")).as("doc_id"),
         col("target_uri").as("url"),
         stripHttpEnvelope(col("payload")).as("html"),
-        timestamp_micros(tsStr.cast("long")).as(tsCol))
+        timestamp_micros(nullif(tsStr, lit("")).cast("long")).as(tsCol))
   }
 }

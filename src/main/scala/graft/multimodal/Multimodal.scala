@@ -270,9 +270,15 @@ object Multimodal {
                                 media: DataFrame, mediaIdCol: String,
                                 docIdCol: String,
                                 payloadCol: String): DataFrame = {
-    val fp = media.select(col(mediaIdCol).as("__mid"),
-      col(docIdCol).as("__did"),
-      md5(coalesce(col(payloadCol), lit(Array.emptyByteArray))).as("__fp"))
+    // NULL payloads are NOT evidence (failed fetches): fingerprinting
+    // them would pool every null-payload image corpus-wide into one
+    // "duplicate group" and drop docs on no bytes at all. They are
+    // excluded outright, so a doc whose images are all NULL counts as
+    // media-less and is KEPT (the keep-the-unparseable convention).
+    val fp = media.filter(col(payloadCol).isNotNull)
+      .select(col(mediaIdCol).as("__mid"),
+        col(docIdCol).as("__did"),
+        md5(col(payloadCol)).as("__fp"))
     val keepers = fp.groupBy(col("__fp"))
       .agg(min(col("__mid")).as("__mid"))
       .select(col("__mid"))

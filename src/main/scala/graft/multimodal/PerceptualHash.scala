@@ -164,6 +164,16 @@ object PerceptualHash {
     * images are not each other's duplicates). */
   def nearDupsByHash(hashes: DataFrame, idCol: String, hashCol: String,
                      maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    // integral columns only, loudly: a silent cast('long') of string
+    // ids would NULL them all and return an EMPTY result — near-dup
+    // dedup quietly disabled is worse than a config error
+    Seq(idCol, hashCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = hashes.schema(c).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"nearDupsByHash needs an integral $c column, got " +
+          s"${dt.catalogString} (hash non-numeric ids to long first)")
+    }
     val h = hashes.select(col(idCol).cast("long").as("__id"),
         col(hashCol).cast("long").as("__h"))
       .filter(col("__h").isNotNull)

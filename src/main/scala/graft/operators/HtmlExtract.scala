@@ -129,19 +129,23 @@ object HtmlExtract {
   // Java regex read them identically — no lookahead, no backrefs).
   // Each attribute-value token is followed by a REQUIRED terminator
   // class ["'\s/>]: `name="robots-nocontent"` and `rel="canonical-alt"`
-  // are different declarations and must NOT match a prefix.
+  // are different declarations and must NOT match a prefix. Because
+  // that terminator class may consume the tag's closing '>', every
+  // filler AFTER it is [^<>]* (never the looser [^>]*): the pair of
+  // attributes must sit in ONE tag — `<meta name=robots><meta
+  // content="…">` is two declarations, not one.
   private[graft] val CommentPat: String = "(?s)<!--.*?-->"
   private[graft] val NoindexPatA: String =
-    "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>][^>]*" +
+    "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>][^<>]*" +
       "content\\s*=\\s*[\"']?([^\"'>]*)"
   private[graft] val NoindexPatB: String =
-    "(?is)<meta[^>]*content\\s*=\\s*[\"']?([^\"'>]*)[\"']?[^>]*" +
+    "(?is)<meta[^>]*content\\s*=\\s*[\"']?([^\"'>]*)[\"']?[^<>]*" +
       "name\\s*=\\s*[\"']?robots[\"'\\s/>]"
   private[graft] val CanonicalPatA: String =
-    "(?is)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"'\\s/>][^>]*" +
+    "(?is)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"'\\s/>][^<>]*" +
       "href\\s*=\\s*[\"']?([^\"'\\s>]+)"
   private[graft] val CanonicalPatB: String =
-    "(?is)<link[^>]*href\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^>]*" +
+    "(?is)<link[^>]*href\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^<>]*" +
       "rel\\s*=\\s*[\"']?canonical[\"'\\s/>]"
 
   /** Comments removed before any meta-signal match: a directive

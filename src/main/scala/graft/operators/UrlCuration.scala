@@ -268,13 +268,18 @@ object UrlCuration {
     * string would collapse unrelated hosts onto one key (silent
     * cross-site data loss). Rules, in order: empty/NULL href → the
     * fetch URL; href with `://` → trusted absolute, used verbatim;
-    * unparseable fetch URL (no `://`) → the fetch URL (a relative
-    * href has no base to resolve against); protocol-relative `//h/p`
-    * → fetch scheme + `:` + href; root-relative `/p` → fetch origin
-    * (scheme://hostport, authority cut at the earliest of `/` and
-    * `?`) + href; any other relative form (path-relative, `../`) →
-    * the fetch URL (conservative: never invent a cross-host key).
-    * Narrow expressions; [[resolveHrefSql]] is the DuckDB replay. */
+    * unparseable fetch URL (no LEADING scheme) → the fetch URL (a
+    * relative href has no base to resolve against); protocol-relative
+    * `//h/p` → fetch scheme + `:` + href; root-relative `/p` → fetch
+    * origin (scheme://hostport, authority cut at the earliest of `/`
+    * and `?`) + href; any other relative form (path-relative, `../`)
+    * → the fetch URL (conservative: never invent a cross-host key).
+    * "Absolute" means a scheme AT THE START (`^scheme://`), not a
+    * `://` anywhere — `/login?next=https://sso.example/x` is a
+    * RELATIVE href whose query embeds a URL, and trusting it verbatim
+    * would collapse unrelated hosts onto one key (the exact cross-site
+    * loss this function exists to prevent). Narrow expressions;
+    * [[resolveHrefSql]] is the DuckDB replay. */
   def resolveHref(url: Column, href: Column): Column = {
     val p = locate("://", url)
     val scheme = url.substr(lit(1), p - 1)
@@ -284,13 +289,17 @@ object UrlCuration {
     val hostport = when(cut.isNotNull, rest.substr(lit(1), cut - 1))
       .otherwise(rest)
     when(href.isNull || href === "", url)
-      .when(locate("://", href) > 0, href)
-      .when(p === 0, url)
+      .when(href.rlike(SchemePrefixPat), href)
+      .when(!url.rlike(SchemePrefixPat), url)
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
       .when(href.startsWith("/"),
         concat(scheme, lit("://"), hostport, href))
       .otherwise(url)
   }
+
+  /** A URL-like string's LEADING scheme (RFC 3986 scheme grammar) —
+    * shared by both engines' absolute-href tests (RE2-safe). */
+  private val SchemePrefixPat = "^[A-Za-z][A-Za-z0-9+.-]*://"
 
   /** DuckDB replay of [[resolveHref]] as one scalar expression over
     * column names `u` (fetch URL) and `h` (declared href) — branch
@@ -299,9 +308,10 @@ object UrlCuration {
     val rest = s"substring($u, strpos($u, '://') + 3)"
     val cut = s"least(nullif(strpos($rest, '/'), 0), " +
       s"nullif(strpos($rest, '?'), 0))"
+    val pat = s"'$SchemePrefixPat'"
     s"""CASE WHEN $h IS NULL OR $h = '' THEN $u
-         WHEN strpos($h, '://') > 0 THEN $h
-         WHEN strpos(coalesce($u, ''), '://') = 0 THEN $u
+         WHEN regexp_matches($h, $pat) THEN $h
+         WHEN NOT regexp_matches(coalesce($u, ''), $pat) THEN $u
          WHEN starts_with($h, '//')
            THEN substring($u, 1, strpos($u, '://') - 1) || ':' || $h
          WHEN starts_with($h, '/')

@@ -1768,10 +1768,19 @@ object Advanced {
             dim = 64, m = 2, k = 4, iters = 2, nCells = 4, cellIters = 2,
             superProbe = 2))
         val tmp = java.nio.file.Files
-          .createTempDirectory("graft-opq-frozen-").toString
-        graft.io.VectorIndexArtifacts.saveOpqResidualTwoLevel(s, tmp,
-          trained)
-        graft.io.VectorIndexArtifacts.loadOpqResidualTwoLevel(s, tmp)
+          .createTempDirectory("graft-opq-frozen-")
+        // model-sized artifacts, but a long-lived JVM (bench rounds,
+        // test suites) must not accumulate them: sweep at exit
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            java.nio.file.Files.walk(tmp).sorted(
+                java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          } catch { case scala.util.control.NonFatal(_) => }))
+        graft.io.VectorIndexArtifacts.saveOpqResidualTwoLevel(s,
+          tmp.toString, trained)
+        graft.io.VectorIndexArtifacts.loadOpqResidualTwoLevel(s,
+          tmp.toString)
       })
       val codes = ProductQuant.encodeOpqResidualTwoLevel(emb, "vec_id",
           "embedding", 64, model)

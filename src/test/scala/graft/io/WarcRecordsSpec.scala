@@ -200,6 +200,23 @@ class WarcRecordsSpec extends SparkSpec {
         archives.select(col("path"), col("content")))
       .select("doc_id").as[Long].collect()
     timed.head._1 shouldBe untimed.head
+    // NULL mtime: ts is NULL but the path must still parse back whole
+    // (concat_ws skips nulls — without the coalesce the key lost its
+    // separator and every null-mtime archive's record N collided)
+    val nullMt = Seq(
+      ("x1", null.asInstanceOf[java.sql.Timestamp],
+        record("https://t.example/a", "<p>a</p>".getBytes("UTF-8"))),
+      ("x2", null.asInstanceOf[java.sql.Timestamp],
+        record("https://t.example/b", "<p>b</p>".getBytes("UTF-8"))))
+      .toDF("path", "modificationTime", "content")
+    val nt = WarcRecords.toCrawlDocsTimed(nullMt)
+      .select("doc_id", "url", "ts")
+      .as[(Long, String, Option[java.sql.Timestamp])].collect()
+    nt.map(_._3) shouldBe Array(None, None)
+    nt.map(_._1).distinct should have size 2 // ids hash the real paths
+    nt.map(_._1).toSet shouldBe WarcRecords.toCrawlDocs(
+        nullMt.select(col("path"), col("content")))
+      .select("doc_id").as[Long].collect().toSet
   }
 
   test("toCrawlDocs under readStream: file-backed stream output ≡ batch output") {

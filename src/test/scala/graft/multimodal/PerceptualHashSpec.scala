@@ -166,5 +166,24 @@ class PerceptualHashSpec extends SparkSpec {
         media, "media_id", "doc_id", "payload")
       .orderBy("doc_id").as[Long].collect()
     kept shouldBe Array(1L, 3L, 4L)
+    // NULL payloads are NOT evidence: two docs whose only images are
+    // failed fetches must BOTH be kept (they are media-less for the
+    // gate's purposes), never pooled into one fake duplicate group
+    val nullMedia = Seq((40L, 1L), (50L, 2L))
+      .toDF("media_id", "doc_id")
+      .withColumn("payload", lit(null).cast("binary"))
+    Multimodal.dropAllDuplicateImageDocs(
+        Seq(1L, 2L).toDF("doc_id"), "doc_id",
+        nullMedia, "media_id", "doc_id", "payload")
+      .orderBy("doc_id").as[Long].collect() shouldBe Array(1L, 2L)
+  }
+
+  test("nearDupsByHash rejects non-integral id/hash columns loudly") {
+    val bad = Seq(("m-1", 5L)).toDF("id", "h")
+    an[IllegalArgumentException] should be thrownBy
+      PerceptualHash.nearDupsByHash(bad, "id", "h")
+    val bad2 = Seq((1L, "0xff")).toDF("id", "h")
+    an[IllegalArgumentException] should be thrownBy
+      PerceptualHash.nearDupsByHash(bad2, "id", "h")
   }
 }

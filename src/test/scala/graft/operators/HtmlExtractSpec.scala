@@ -92,7 +92,21 @@ class HtmlExtractSpec extends SparkSpec {
       ("""<head><link href='https://y.example/q' rel='canonical'></head>""",
         false, "https://y.example/q"),
       // rel=stylesheet links are not canonical declarations
-      ("""<head><link rel="stylesheet" href="s.css"></head>""", false, ""))
+      ("""<head><link rel="stylesheet" href="s.css"></head>""", false, ""),
+      // prefix declarations are DIFFERENT declarations (terminator rule)
+      ("""<head><meta name="robots-nocontent" content="noindex"></head>""",
+        false, ""),
+      ("""<head><link rel="canonical-alt" href="https://alt.example/x"></head>""",
+        false, ""),
+      // commented-out directives are not declarations
+      ("""<head><!-- <meta name="robots" content="noindex"> --></head>""",
+        false, ""),
+      // attribute pairs must sit in ONE tag: the robots meta closing
+      // '>' must not let the pattern run into the NEXT tag's content
+      ("""<head><meta name=robots><meta name="description" content="how to noindex pages"></head>""",
+        false, ""),
+      ("""<head><link rel=canonical><a href="https://other.example/x">t</a></head>""",
+        false, ""))
     val got = cases.map(_._1).toDF("html")
       .select(HtmlExtract.noindex(col("html")).as("nix"),
         HtmlExtract.canonicalHref(col("html")).as("cl"))
@@ -107,6 +121,6 @@ class HtmlExtractSpec extends SparkSpec {
     nullRow.isNullAt(1) shouldBe true
     // dropNoindex composes as the gate
     HtmlExtract.dropNoindex(
-      cases.map(_._1).toDF("html"), "html").count() shouldBe 5L
+      cases.map(_._1).toDF("html"), "html").count() shouldBe 10L
   }
 }

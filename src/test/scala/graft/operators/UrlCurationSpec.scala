@@ -105,6 +105,34 @@ class UrlCurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
+  test("resolveHref: relative forms resolve against the fetch URL; embedded URLs in queries don't fool the absolute test") {
+    def resolve(url: String, href: String): String =
+      Seq((url, href)).toDF("u", "h")
+        .select(UrlCuration.resolveHref(col("u"), col("h")))
+        .collect().head.getString(0)
+    // absolute href: trusted verbatim
+    resolve("https://a.com/p", "https://b.org/x") shouldBe "https://b.org/x"
+    // root-relative: fetch ORIGIN + href (authority cut handles
+    // query-no-path fetch URLs too)
+    resolve("https://a.com/p/q?z=1", "/Article") shouldBe
+      "https://a.com/Article"
+    resolve("https://a.com?z=1", "/Article") shouldBe "https://a.com/Article"
+    // protocol-relative: fetch scheme
+    resolve("https://a.com/p", "//cdn.example/x") shouldBe
+      "https://cdn.example/x"
+    // a RELATIVE href whose QUERY embeds a URL is still relative —
+    // '://' anywhere must not make it "absolute" (trusting it would
+    // collapse unrelated hosts onto one cross-site key)
+    resolve("https://a.com/p", "/login?next=https://sso.example/x") shouldBe
+      "https://a.com/login?next=https://sso.example/x"
+    // path-relative: conservative fetch-URL fallback
+    resolve("https://a.com/p", "article") shouldBe "https://a.com/p"
+    // empty/NULL href: fetch URL
+    resolve("https://a.com/p", "") shouldBe "https://a.com/p"
+    // unparseable fetch URL (no LEADING scheme): can't resolve
+    resolve("not a url ://x", "/Article") shouldBe "not a url ://x"
+  }
+
   test("parsePsl: comments skip, wildcard and exception markers parse, case folds") {
     val rules = UrlCuration.parsePsl(Seq(
       "// a comment", "", "CO.UK", "*.ck", "!www.ck", "com.sg"))
