@@ -178,6 +178,48 @@ class PerceptualHashSpec extends SparkSpec {
       .orderBy("doc_id").as[Long].collect() shouldBe Array(1L, 2L)
   }
 
+  test("media kernels under readStream: streamed hashes/gate ≡ batch (stateless narrow ops)") {
+    // the crawl-to-media story streams like the text one: hashing and
+    // the quality gate are stateless per-row kernels, so the SAME code
+    // path serves batch backfill and live ingest — row for row
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_media_stream")
+    val media = Seq(
+      Multimodal.Media(1L, "image",
+        PerceptualHash.renderGrayImage(64, 64, 3, 1, 2, 0, 0, "png")),
+      Multimodal.Media(2L, "image",
+        PerceptualHash.renderGrayImage(64, 64, 3, 1, 2, 0, 0, "bmp")),
+      Multimodal.Media(3L, "image",
+        PerceptualHash.renderGrayImage(16, 200, 5, 2, 1, 0, 0, "png")))
+    media.toDS().write.parquet(dir.toString + "/in")
+    val schema = media.toDS().schema
+    val streamed = spark.readStream.schema(schema)
+      .parquet(dir.toString + "/in").as[Multimodal.Media]
+    val out = Multimodal.imageQualityGate(streamed, minSide = 32,
+        maxAspect = 3)
+      .join(PerceptualHash.perceptualHashes(streamed.filter(_.kind == "image"))
+        .select(col("media_id"), col("ahash")), Seq("media_id"))
+    val q = out.writeStream.format("memory").queryName("media_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_media").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.table("media_stream")
+      .select("media_id", "keep", "ahash")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    val batch = Multimodal.imageQualityGate(media.toDS(), minSide = 32,
+        maxAspect = 3)
+      .join(PerceptualHash.perceptualHashes(media.toDS()),
+        Seq("media_id"))
+      .select("media_id", "keep", "ahash")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    live shouldBe batch
+    live.map(r => (r._1, r._2)) shouldBe
+      Array((1L, true), (2L, true), (3L, false)) // sliver drops
+    live(0)._3 shouldBe live(1)._3 // PNG ≡ BMP hash, streamed
+  }
+
   test("nearDupsByHash rejects non-integral id/hash columns loudly") {
     val bad = Seq(("m-1", 5L)).toDF("id", "h")
     an[IllegalArgumentException] should be thrownBy
