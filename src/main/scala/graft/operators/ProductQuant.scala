@@ -549,28 +549,60 @@ object ProductQuant {
           x => x.cast("double") / lit(1e6)).as("rvec"))
   }
 
+  /** The ONE corpus-linear pass of a composed train: the rank-top `n`
+    * clean rows, cached. Every k-means fit downstream draws its own
+    * md5-rank sample as a PREFIX of this relation — bit-identical to
+    * the draw it would have made against the full corpus, because the
+    * rank is a pure function of the row id (shared by every fit) and
+    * a rank-ordered TakeOrdered over a rank-ordered prefix returns
+    * that prefix. Before this, a composed build (OPQ alternation +
+    * super cells + sub cells + m residual books ≈ a dozen fits) paid
+    * a dozen corpus-linear TakeOrdered selections; now it pays one
+    * (the r11 `opq_train_q184` weak-scale finding). */
+  private def sharedTrainSample(df: DataFrame, idCol: String,
+                                vecCol: String, dim: Int,
+                                n: Int): DataFrame =
+    cleanVecs(df, vecCol, dim)
+      .withColumn("__r", Similarity.portableCentroidRank(col(idCol)))
+      .orderBy(col("__r"), col(idCol)).limit(n)
+      .select(col(idCol), col(vecCol))
+      .cache()
+
   /** Train the composed index: two-level cells on the raw vectors,
     * PQ codebooks on the join-shaped residuals (both sample-bounded;
     * [[train]] applies its own rank-sample rule to the residual
-    * relation). */
+    * relation). All fits draw prefixes of ONE cached
+    * [[sharedTrainSample]] — one corpus selection pass total instead
+    * of one per fit; bit-identical by the prefix argument there.
+    * (The shared draw applies the ANN-family cleanVecs contract
+    * uniformly, so wrong-length vectors are excluded from cell
+    * training too — previously only NULL-element rows were.) */
   def trainResidualTwoLevel(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, m: Int, k: Int, iters: Int,
                             nCells: Int, cellIters: Int = 2,
                             superProbe: Int = 2): ResidualTwoLevelModel = {
-    val tl = Similarity.trainTwoLevelCells(df, idCol, vecCol, nCells,
-      cellIters)
-    // sample-FIRST residuals (the trainResidual argument): [[train]]'s
-    // rank draw over the residual relation is the rank-top nPq corpus
-    // rows, so residuals are computed over that prefix only
+    val kCells = if (nCells > 0) nCells
+      else Similarity.suggestCells(df.filter(col(vecCol).isNotNull
+        && !exists(col(vecCol), x => x.isNull)).count())
+    val nTl = math.min(262144, math.max(4096, 64 * kCells))
     val nPq = math.min(65536, math.max(4096, 64 * k))
-    val pqSample = cleanVecs(df, vecCol, dim)
-      .withColumn("__r", Similarity.portableCentroidRank(col(idCol)))
-      .orderBy(col("__r"), col(idCol)).limit(nPq)
-      .select(col(idCol), col(vecCol))
-    val resid = residualVecsTwoLevel(pqSample, idCol, vecCol, dim, tl,
-      superProbe)
-    ResidualTwoLevelModel(tl,
-      train(resid, idCol, "rvec", dim, m, k, iters, sampleN = nPq))
+    val shared = sharedTrainSample(df, idCol, vecCol, dim,
+      math.max(nTl, nPq))
+    try {
+      val tl = Similarity.trainTwoLevelCells(shared, idCol, vecCol,
+        kCells, cellIters, sampleN = nTl)
+      // sample-FIRST residuals (the trainResidual argument): [[train]]'s
+      // rank draw over the residual relation is the rank-top nPq corpus
+      // rows, so residuals are computed over that prefix only
+      val pqSample = shared
+        .withColumn("__r", Similarity.portableCentroidRank(col(idCol)))
+        .orderBy(col("__r"), col(idCol)).limit(nPq)
+        .select(col(idCol), col(vecCol))
+      val resid = residualVecsTwoLevel(pqSample, idCol, vecCol, dim, tl,
+        superProbe)
+      ResidualTwoLevelModel(tl,
+        train(resid, idCol, "rvec", dim, m, k, iters, sampleN = nPq))
+    } finally { shared.unpersist(); () }
   }
 
   /** The corpus-side INDEX relation of the residual two-level form:
@@ -870,12 +902,28 @@ object ProductQuant {
                                nCells: Int, cellIters: Int = 2,
                                superProbe: Int = 2, opqIters: Int = 3,
                                sampleN: Int = 0): OpqResidualTwoLevelModel = {
-    val rot = trainOpq(df, idCol, vecCol, dim, m, k, iters, opqIters,
-      sampleN).rotation
-    val rotated = rotate(df, idCol, vecCol, dim, rot)
-    OpqResidualTwoLevelModel(rot,
-      trainResidualTwoLevel(rotated, idCol, "__rv", dim, m, k, iters,
-        nCells, cellIters, superProbe))
+    // ONE corpus selection feeds the whole composition: the OPQ
+    // alternation, the two-level cells, and the residual books all
+    // draw rank prefixes of the same cached sample (bit-identical to
+    // their full-corpus draws — the sharedTrainSample argument; the
+    // rotation step commutes with the prefix because rotate is
+    // per-row and the rank is a pure function of the id)
+    val kCells = if (nCells > 0) nCells
+      else Similarity.suggestCells(cleanVecs(df, vecCol, dim).count())
+    val nOpq = if (sampleN > 0) sampleN
+      else math.min(65536, math.max(4096, 64 * k))
+    val nTl = math.min(262144, math.max(4096, 64 * kCells))
+    val nPq = math.min(65536, math.max(4096, 64 * k))
+    val shared = sharedTrainSample(df, idCol, vecCol, dim,
+      math.max(nOpq, math.max(nTl, nPq)))
+    try {
+      val rot = trainOpq(shared, idCol, vecCol, dim, m, k, iters, opqIters,
+        sampleN = nOpq).rotation
+      val rotated = rotate(shared, idCol, vecCol, dim, rot)
+      OpqResidualTwoLevelModel(rot,
+        trainResidualTwoLevel(rotated, idCol, "__rv", dim, m, k, iters,
+          kCells, cellIters, superProbe))
+    } finally { shared.unpersist(); () }
   }
 
   /** The stored code relation of the composed index: rotate, then
