@@ -131,19 +131,15 @@ object WarcRecords {
   private val ChunkedHdrPat =
     "(?im)^transfer-encoding[ \\t]*:[^\\r\\n]*chunked"
 
-  /** De-chunk a `Transfer-Encoding: chunked` HTTP message body,
-    * BYTE-accurately: chunk sizes count OCTETS (RFC 9112 §7.1), and a
-    * multi-byte UTF-8 character may straddle a chunk boundary, so the
-    * walk happens on the raw payload bytes and the UTF-8 decode runs
-    * ONCE over the reassembled body — walking the decoded string
-    * would mis-count every non-ASCII body. Chunk extensions
-    * (`;ext=v` after the hex size) and trailers after the terminal
-    * 0-chunk are dropped per spec. Fail-soft (the scanner's
-    * good-prefix rule): a malformed size line ends the walk with
-    * everything de-chunked so far; a chunk declared past end-of-data
-    * contributes its available prefix. */
-  private[io] def dechunkHttpBody(msg: Array[Byte]): String = {
-    if (msg == null) return null
+  /** `Content-Encoding: gzip` (or the RFC 9110 `x-gzip` alias) header
+    * present in an HTTP header block — real archives carry
+    * gzip-encoded bodies routinely, and a gzip body UTF-8-decoded raw
+    * is mojibake in the corpus. */
+  private val GzipHdrPat =
+    "(?im)^content-encoding[ \\t]*:[^\\r\\n]*gzip"
+
+  /** Index of the first CRLF-CRLF (header/body separator), or -1. */
+  private def crlfCrlfAt(msg: Array[Byte]): Int = {
     var hdrEnd = -1
     var i = 0
     while (hdrEnd < 0 && i + 3 < msg.length) {
@@ -151,10 +147,29 @@ object WarcRecords {
           msg(i + 2) == '\r' && msg(i + 3) == '\n') hdrEnd = i
       i += 1
     }
-    if (hdrEnd < 0) return ""
+    hdrEnd
+  }
+
+  /** De-chunk the body bytes starting at `bodyStart`, BYTE-accurately:
+    * chunk sizes count OCTETS (RFC 9112 §7.1), and a multi-byte UTF-8
+    * character may straddle a chunk boundary, so the walk happens on
+    * the raw bytes and any charset decode runs ONCE over the
+    * reassembled body. Chunk extensions (`;ext=v` after the hex size)
+    * and trailers after the terminal 0-chunk are dropped per spec.
+    * Fail-soft (the scanner's good-prefix rule): a malformed size
+    * line ends the walk with everything de-chunked so far; a chunk
+    * declared past end-of-data contributes its available prefix. A
+    * malformed FIRST size line (nothing de-chunked yet) returns the
+    * raw body unchanged — some WARC writers store the already-decoded
+    * body while preserving the `Transfer-Encoding: chunked` header,
+    * and there the "size line" is the document's first text; the
+    * empty prefix would lose the whole document. */
+  private def dechunkBodyBytes(msg: Array[Byte],
+                               bodyStart: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    var pos = hdrEnd + 4
+    var pos = bodyStart
     var done = false
+    var sawValidSize = false
     while (!done) {
       var le = pos
       while (le + 1 < msg.length &&
@@ -166,8 +181,10 @@ object WarcRecords {
         val size =
           try java.lang.Long.parseLong(sizeStr, 16)
           catch { case _: NumberFormatException => -1L }
-        if (size <= 0) done = true // terminal 0-chunk, or malformed framing
+        if (size < 0) done = true // malformed framing
+        else if (size == 0) { sawValidSize = true; done = true } // 0-chunk
         else {
+          sawValidSize = true
           val start = le + 2
           if (start + size > msg.length) {
             out.write(msg, start, msg.length - start)
@@ -179,11 +196,56 @@ object WarcRecords {
         }
       }
     }
-    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    if (out.size() == 0 && !sawValidSize)
+      java.util.Arrays.copyOfRange(msg, bodyStart, msg.length)
+    else out.toByteArray
   }
 
-  private lazy val dechunkUdf =
-    org.apache.spark.sql.functions.udf(dechunkHttpBody _)
+  /** Gunzip a body, fail-soft: bytes without the gzip magic pass
+    * through unchanged (writers that store the already-decoded body
+    * while preserving the `Content-Encoding: gzip` header — the
+    * de-chunk fallback's sibling pattern), and a truncated/corrupt
+    * stream keeps whatever decompressed cleanly (the good-prefix
+    * rule). JDK GZIPInputStream; no external codec. */
+  private[io] def gunzipBytes(body: Array[Byte]): Array[Byte] = {
+    if (body.length < 2 || (body(0) & 0xff) != 0x1f ||
+        (body(1) & 0xff) != 0x8b) return body
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case scala.util.control.NonFatal(_) => }
+    out.toByteArray
+  }
+
+  /** Decode an HTTP message body: locate the header/body split, then
+    * de-chunk and/or gunzip per the declared transfer/content
+    * codings — in that order (RFC 9112: transfer coding frames the
+    * message, content coding wraps the representation, so a chunked
+    * gzip body de-chunks first and gunzips the reassembled bytes).
+    * One UTF-8 decode at the end. */
+  private[io] def decodeHttpBody(msg: Array[Byte], chunked: Boolean,
+                                 gzipped: Boolean): String = {
+    if (msg == null) return null
+    val hdrEnd = crlfCrlfAt(msg)
+    if (hdrEnd < 0) return ""
+    var body: Array[Byte] =
+      if (chunked) dechunkBodyBytes(msg, hdrEnd + 4)
+      else java.util.Arrays.copyOfRange(msg, hdrEnd + 4, msg.length)
+    if (gzipped) body = gunzipBytes(body)
+    new String(body, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** [[decodeHttpBody]] for chunked-only messages — kept as the
+    * spec-pinned de-chunk entry point. */
+  private[io] def dechunkHttpBody(msg: Array[Byte]): String =
+    decodeHttpBody(msg, chunked = true, gzipped = false)
+
+  private lazy val decodeBodyUdf =
+    org.apache.spark.sql.functions.udf(decodeHttpBody _)
 
   /** Strip a leading HTTP message envelope from a raw (binary)
     * payload: in real ISO-28500 crawls a response record's payload is
@@ -193,24 +255,27 @@ object WarcRecords {
     * payload starting with `HTTP/` is cut at its first CRLF-CRLF
     * (header-only messages — no blank line or nothing after it —
     * yield ''); when the header block declares `Transfer-Encoding:
-    * chunked`, the body additionally DE-CHUNKS ([[dechunkHttpBody]] —
-    * hex chunk-size framing lines are exactly the header-leak failure
-    * mode this strip exists for, and real archives carry chunked
-    * responses routinely). Anything else passes through unchanged
+    * chunked` and/or `Content-Encoding: gzip`, the body additionally
+    * DE-CHUNKS then GUNZIPS ([[decodeHttpBody]] — hex chunk-size
+    * framing lines are exactly the header-leak failure mode this
+    * strip exists for, a raw gzip body is mojibake, and real archives
+    * carry both routinely). Anything else passes through unchanged
     * (writers that store bare HTML, the spec-pinned minimal-fixture
     * case). HTTP/1.x mandates CRLF line endings, so no LF-only
     * fallback is attempted — a nonconforming envelope passes through
-    * visibly rather than being half-stripped. The non-chunked paths
-    * stay pure codegen expressions; only chunked rows pay the UDF
-    * (genuinely sequential byte-count framing — no Catalyst
+    * visibly rather than being half-stripped. The plain path stays a
+    * pure codegen expression; only chunked/gzipped rows pay the UDF
+    * (genuinely sequential byte framing / a codec call — no Catalyst
     * expression exists, and CaseWhen evaluates branches lazily). */
   private[io] def stripHttpEnvelope(payloadBin: Column): Column = {
     val payload = payloadBin.cast("string")
     val sep = locate("\r\n\r\n", payload)
     val hdr = payload.substr(lit(1), sep - 1)
+    val chunked = hdr.rlike(ChunkedHdrPat)
+    val gzipped = hdr.rlike(GzipHdrPat)
     when(payload.startsWith("HTTP/"),
       when(sep > 0,
-        when(hdr.rlike(ChunkedHdrPat), dechunkUdf(payloadBin))
+        when(chunked || gzipped, decodeBodyUdf(payloadBin, chunked, gzipped))
           .otherwise(payload.substr(sep + lit(4), length(payload))))
         .otherwise(lit("")))
       .otherwise(payload)

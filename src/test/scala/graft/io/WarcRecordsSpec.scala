@@ -184,6 +184,58 @@ class WarcRecordsSpec extends SparkSpec {
     docs shouldBe Array("good", "partial")
   }
 
+  test("already-decoded body under a chunked header falls back to the plain cut") {
+    // a real WARC-writer pattern: the body was stored decoded but the
+    // 'Transfer-Encoding: chunked' header preserved — the first 'size
+    // line' is HTML, not hex, and the old empty-prefix rule lost the
+    // whole document
+    val body = "<html>\r\n<p>decoded already</p>\r\n</html>"
+    val msg = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      body).getBytes("UTF-8")
+    // same pattern without any CRLF inside the body (the walk finds no
+    // size-line terminator at all)
+    val msg2 = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "<p>one line, no crlf</p>").getBytes("UTF-8")
+    val docs = WarcRecords.toCrawlDocs(Seq(
+        ("a", record("https://x.example/1", msg) ++
+          record("https://x.example/2", msg2))).toDF("path", "content"))
+      .orderBy("url").select("html").as[String].collect()
+    docs shouldBe Array(body, "<p>one line, no crlf</p>")
+  }
+
+  test("Content-Encoding: gzip bodies gunzip — alone, composed with chunked, and fail-soft without the magic") {
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      out.write(data); out.close()
+      bos.toByteArray
+    }
+    def chunk(data: Array[Byte]): Array[Byte] =
+      (data.length.toHexString + "\r\n").getBytes("ISO-8859-1") ++
+        data ++ "\r\n".getBytes("ISO-8859-1")
+    val body = "<p>gzipped — prose</p>"
+    // gzip alone
+    val msg1 = ("HTTP/1.1 200 OK\r\nContent-Encoding: GZIP\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ gz(body.getBytes("UTF-8"))
+    // chunked + gzip: transfer coding frames the gzip stream, and the
+    // chunk boundary lands mid-stream — de-chunk MUST run first
+    val gzBytes = gz(body.getBytes("UTF-8"))
+    val (g1, g2) = gzBytes.splitAt(7)
+    val msg2 = ("HTTP/1.1 200 OK\r\nContent-Encoding: x-gzip\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes("ISO-8859-1") ++
+      chunk(g1) ++ chunk(g2) ++ "0\r\n\r\n".getBytes("ISO-8859-1")
+    // declared gzip but stored decoded (no magic) → passthrough
+    val msg3 = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" +
+      "<p>not actually gzip</p>").getBytes("UTF-8")
+    val docs = WarcRecords.toCrawlDocs(Seq(
+        ("a", record("https://x.example/1", msg1) ++
+          record("https://x.example/2", msg2) ++
+          record("https://x.example/3", msg3))).toDF("path", "content"))
+      .orderBy("url").select("html").as[String].collect()
+    docs shouldBe Array(body, body, "<p>not actually gzip</p>")
+    docs.foreach(h => h should not include "Encoding")
+  }
+
   test("toCrawlDocsTimed carries modificationTime LOSSLESSLY (microseconds) and ids match the untimed read") {
     val bytes = record("https://t.example/1", "<p>t</p>".getBytes("UTF-8"))
     // a microsecond-precision mtime: the old JSON round-trip truncated
