@@ -50,14 +50,29 @@ object PerceptualHash {
       val w = img.getWidth
       val h = img.getHeight
       val out = new Array[Int](w * h)
+      // gray rasters read their raw sample, SCALED to 8 bits by the
+      // raster's declared bit depth: a 16-bit grayscale sample is
+      // 0..65535, and hashing it against the 0..255 luma of the RGB
+      // path would stop a bit-depth-changing re-encode of identical
+      // pixels from collapsing as a near-dup (the "function of the
+      // decoded luminance grid" contract). Deep samples shift down
+      // (v·257 >> 8 = v exactly, the 8→16 replication convention);
+      // shallow ones (1/2/4-bit) stretch by 255/(2^b−1) — both exact
+      // integer maps, no colorspace conversion to disagree over.
       val gray = img.getRaster.getNumBands == 1
+      val bits = if (gray) img.getRaster.getSampleModel.getSampleSize(0)
+        else 8
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           out(y * w + x) =
-            if (gray) img.getRaster.getSample(x, y, 0)
-            else {
+            if (gray) {
+              val v = img.getRaster.getSample(x, y, 0)
+              if (bits == 8) v
+              else if (bits > 8) v >> (bits - 8)
+              else v * 255 / ((1 << bits) - 1)
+            } else {
               val rgb = img.getRGB(x, y)
               val r = (rgb >> 16) & 0xff
               val g = (rgb >> 8) & 0xff

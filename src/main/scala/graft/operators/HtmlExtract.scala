@@ -153,28 +153,37 @@ object HtmlExtract {
   private def signalSource(html: Column): Column =
     regexp_replace(html, CommentPat, " ")
 
+  /** Evaluate `f` over `x` materialized ONCE per row (the UrlCuration
+    * let-binding trick: a lambda variable is a leaf, so the engine
+    * cannot inline `x` into each of `f`'s references) — here it keeps
+    * the O(doc) comment-strip scan at one pass per row instead of one
+    * per regexp_extract, including in interpreted/fallback contexts
+    * where whole-stage-codegen subexpression elimination is absent. */
+  private def letBound(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
   /** true when the page carries a robots noindex directive (either
     * attribute order, any case, token anywhere in content). NULL html
     * → false: absence of evidence is not a directive. Commented-out
     * directives do not count. */
-  def noindex(html: Column): Column = {
-    val src = signalSource(html)
-    val m1 = regexp_extract(src, NoindexPatA, 1)
-    val m2 = regexp_extract(src, NoindexPatB, 1)
-    coalesce(lower(m1).contains("noindex") || lower(m2).contains("noindex"),
-      lit(false))
-  }
+  def noindex(html: Column): Column =
+    letBound(signalSource(html)) { src =>
+      val m1 = regexp_extract(src, NoindexPatA, 1)
+      val m2 = regexp_extract(src, NoindexPatB, 1)
+      coalesce(lower(m1).contains("noindex") || lower(m2).contains("noindex"),
+        lit(false))
+    }
 
   /** The `<link rel=canonical>` target: '' when the page declares
     * none, NULL html → NULL (the regexp-extract '' convention —
     * matches the title rule). Either attribute order, both quote
     * styles; commented-out declarations ignored. */
-  def canonicalHref(html: Column): Column = {
-    val src = signalSource(html)
-    val c1 = regexp_extract(src, CanonicalPatA, 1)
-    val c2 = regexp_extract(src, CanonicalPatB, 1)
-    when(c1 =!= "", c1).otherwise(c2)
-  }
+  def canonicalHref(html: Column): Column =
+    letBound(signalSource(html)) { src =>
+      val c1 = regexp_extract(src, CanonicalPatA, 1)
+      val c2 = regexp_extract(src, CanonicalPatB, 1)
+      when(c1 =!= "", c1).otherwise(c2)
+    }
 
   /** Drop pages that asked not to be indexed ([[noindex]]) — a narrow
     * filter, seated with the URL-level gates (before extraction

@@ -51,6 +51,33 @@ class PerceptualHashSpec extends SparkSpec {
     }
   }
 
+  test("bit-depth-changing re-encodes collapse: 16-bit and 8-bit gray of the same pixels hash identically") {
+    // the same pixel formula rendered as TYPE_BYTE_GRAY (8-bit raster,
+    // raw-sample path) and TYPE_USHORT_GRAY with the v·257 replication
+    // convention (16-bit raster — the sample must scale down by bit
+    // depth, not hash raw 0..65535 against 0..255)
+    def grayPng(imgType: Int, scale: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16, imgType)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = java.lang.Math.floorMod(10L + 2L * x + 3L * y, 256L).toInt
+        img.getRaster.setSample(x, y, 0, v * scale)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val b8 = grayPng(java.awt.image.BufferedImage.TYPE_BYTE_GRAY, 1)
+    val b16 = grayPng(java.awt.image.BufferedImage.TYPE_USHORT_GRAY, 257)
+    java.util.Arrays.equals(b8, b16) shouldBe false
+    PerceptualHash.aHash64(b16) shouldBe PerceptualHash.aHash64(b8)
+    PerceptualHash.dHash64(b16) shouldBe PerceptualHash.dHash64(b8)
+    // and both agree with the RGB rendering of the same formula (the
+    // three paths — raw 8-bit sample, scaled deep sample, BT.601 luma
+    // of equal channels — are one luminance grid)
+    val rgb = PerceptualHash.renderGrayImage(16, 16, 10, 2, 3, 0, 0, "png")
+    PerceptualHash.aHash64(b16) shouldBe PerceptualHash.aHash64(rgb)
+  }
+
   test("aHash is invariant to global brightness shift and to upscaling; md5 is not") {
     val base = PerceptualHash.renderGrayImage(16, 16, 10, 2, 3, 0, 0, "png")
     val brighter = PerceptualHash.renderGrayImage(16, 16, 50, 2, 3, 0, 0, "png")
