@@ -178,29 +178,69 @@ object PerceptualHash {
     * MinHash banding does. NULL hashes never match (undecodable
     * images are not each other's duplicates). */
   def nearDupsByHash(hashes: DataFrame, idCol: String, hashCol: String,
-                     maxDist: Int = 3, maxBucket: Int = 1024): DataFrame = {
+                     maxDist: Int = 3, maxBucket: Int = 1024): DataFrame =
+    bandedNearDups(hashes, idCol, Seq(hashCol), maxDist, maxBucket)
+
+  /** [[nearDupsByHash]] over BOTH perceptual hashes as one 128-bit
+    * fingerprint: candidates come from 8 censused 16-bit bands (4 per
+    * hash — pigeonhole-complete for total Hamming ≤ 7), and a pair
+    * confirms on the SUM of the two Hamming distances. This closes
+    * both degenerate edges the single-hash form documents:
+    * flat/letterboxed regions collapse aHash bands into over-cap
+    * buckets that the census SKIPS (a true near-dup whose only intact
+    * aHash band is the degenerate one is invisible to aHash banding —
+    * its gradient-domain dHash bands still surface it), and
+    * conversely an aHash-only match between genuinely different
+    * images (brightness layout agrees, gradient structure does not)
+    * fails the summed confirmation instead of merging. NULL in
+    * EITHER hash excludes the row (no half-fingerprint matches). */
+  def nearDupsByDualHash(hashes: DataFrame, idCol: String,
+                         aHashCol: String = "ahash",
+                         dHashCol: String = "dhash",
+                         maxDist: Int = 6,
+                         maxBucket: Int = 1024): DataFrame =
+    bandedNearDups(hashes, idCol, Seq(aHashCol, dHashCol), maxDist,
+      maxBucket)
+
+  /** The shared banding core: (dup_id, keep_id, hamming) — for each
+    * id, the SMALLEST id below it within `maxDist` TOTAL Hamming bits
+    * over `hashCols` (the dedup family's keep-smallest rule; rows
+    * with no smaller neighbor are absent = survivors). Candidates
+    * come from 16-bit band buckets, 4 per hash column (exact
+    * equi-join, pigeonhole-complete for maxDist < 4·|hashCols|);
+    * buckets larger than `maxBucket` are SKIPPED — a band shared by
+    * thousands of images is a degenerate region (flat borders,
+    * letterboxing) whose pairs, if real, surface through the other
+    * bands; the cap bounds the worst bucket's pair fanout exactly as
+    * q28's MinHash banding does. NULL hashes never match
+    * (undecodable images are not each other's duplicates). */
+  private def bandedNearDups(hashes: DataFrame, idCol: String,
+                             hashCols: Seq[String], maxDist: Int,
+                             maxBucket: Int): DataFrame = {
     // integral columns only, loudly: a silent cast('long') of string
     // ids would NULL them all and return an EMPTY result — near-dup
     // dedup quietly disabled is worse than a config error
-    Seq(idCol, hashCol).foreach { c =>
+    (idCol +: hashCols).foreach { c =>
       import org.apache.spark.sql.types._
       val dt = hashes.schema(c).dataType
       require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
         s"nearDupsByHash needs an integral $c column, got " +
           s"${dt.catalogString} (hash non-numeric ids to long first)")
     }
-    val h = hashes.select(col(idCol).cast("long").as("__id"),
-        col(hashCol).cast("long").as("__h"))
-      .filter(col("__h").isNotNull)
+    val hCols = hashCols.indices.map(i => s"__h$i")
+    val h = hashes.select(col(idCol).cast("long").as("__id") +:
+        hashCols.zip(hCols).map { case (c, a) => col(c).cast("long").as(a) }: _*)
+      .filter(hCols.map(col(_).isNotNull).reduce(_ && _))
     // arithmetic shift + mask ≡ logical shift on the low 16 bits (the
     // mask drops the sign extension) — both engines agree
-    val bands = h.select(col("__id"), col("__h"),
-      explode(array((0 to 3).map(b =>
-        struct(lit(b).as("b"),
-          (shiftright(col("__h"), b * 16) bitwiseAND lit(65535L))
-            .as("v"))): _*)).as("__band"))
-      .select(col("__id"), col("__h"),
-        col("__band.b").as("__b"), col("__band.v").as("__v"))
+    val bandStructs = hCols.zipWithIndex.flatMap { case (hc, hi) =>
+      (0 to 3).map(b => struct(lit(hi * 4 + b).as("b"),
+        (shiftright(col(hc), b * 16) bitwiseAND lit(65535L)).as("v")))
+    }
+    val bands = h.select(col("__id") +: hCols.map(col) :+
+        explode(array(bandStructs: _*)).as("__band"): _*)
+      .select(col("__id") +: hCols.map(col) :+
+        col("__band.b").as("__b") :+ col("__band.v").as("__v"): _*)
     // bucket census (groupBy + join back, the q28 cap shape — no
     // window): singleton buckets can't pair, oversized ones are the
     // documented degenerate case
@@ -209,12 +249,14 @@ object PerceptualHash {
       .filter(col("__n") >= 2 && col("__n") <= maxBucket)
       .select(col("__b"), col("__v"))
     val capped = bands.join(sizes, Seq("__b", "__v"))
+    val totalHam = hCols.map(hc =>
+      bit_count(col(s"a.$hc").bitwiseXOR(col(s"b.$hc")))).reduce(_ + _)
     val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.__b") === col("b.__b") && col("a.__v") === col("b.__v") &&
           col("a.__id") > col("b.__id"))
       .select(col("a.__id").as("dup_id"), col("b.__id").as("__nbr"),
-        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).as("hamming"))
+        totalHam.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
     pairs.groupBy(col("dup_id"))
@@ -270,6 +312,51 @@ object PerceptualHash {
                  fmt: String) =>
       renderGrayImage(16, 16, a, bx, cy, dxy, spot, fmt))
     f(a, bx, cy, dxy, spotBump, format)
+  }
+
+  /** Letterboxed fixture: rows y < 4 are black (the degenerate flat
+    * region that collapses hash bands into one corpus-wide bucket),
+    * rows y ≥ 4 carry floorMod(a + bx·x + cy·y + dxy·x·y, 200), and
+    * `bump` adds to ENTIRE pixel-row pairs {4,5}, {8,9}, {12,13}
+    * (capped at 255). Full-row bumps are the dual-hash fixture's
+    * point: they flip aHash bits (blocks cross the global mean) in
+    * every pattern band while flipping ZERO dHash bits (dHash
+    * compares horizontally within a row — a uniform row shift
+    * preserves every adjacent-block order), so the retouched pair is
+    * exactly the class aHash banding can miss and dHash banding
+    * rescues. 16×16, lossless formats only (the renderGrayImage
+    * rule). */
+  def renderLetterboxImage16(a: Column, bx: Column, cy: Column,
+                             dxy: Column, bump: Column,
+                             format: Column): Column = {
+    val f = udf((a: Long, bx: Long, cy: Long, dxy: Long, bump: Long,
+                 fmt: String) => {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val v =
+            if (y < 4) 0
+            else {
+              val base = java.lang.Math.floorMod(
+                a + bx * x + cy * y + dxy * x * y, 200L)
+              val b = if (y == 4 || y == 5 || y == 8 || y == 9 ||
+                y == 12 || y == 13) bump else 0L
+              math.min(base + b, 255L).toInt
+            }
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, out),
+        s"no ImageIO writer for format $fmt")
+      out.toByteArray
+    })
+    f(a, bx, cy, dxy, bump, format)
   }
 
   /** [[renderGrayImage]] with per-row canvas DIMENSIONS — the fixture

@@ -824,7 +824,112 @@ object DataOps {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** q198: DUAL-hash perceptual near-dup
+    * ([[graft.multimodal.PerceptualHash.nearDupsByDualHash]]) on a
+    * LETTERBOXED fixture — the degenerate region single-hash banding
+    * documents away: every image shares black top rows, so aHash band
+    * 0 (and dHash band 0) is ONE corpus-wide bucket the census cap
+    * skips, and the retouch (a uniform bump over full pixel-row
+    * pairs) flips aHash bits in all three pattern bands while
+    * flipping ZERO dHash bits — the retouched pair's only intact
+    * aHash band is the skipped degenerate one, invisible to q195's
+    * single-hash banding, but its gid-specific dHash bands surface it
+    * and the summed 128-bit confirmation (≤ 6) accepts it. The same
+    * sum also REJECTS aHash-only coincidences between different
+    * patterns (brightness layout agrees, gradient disagrees) — both
+    * directions replayed bit-for-bit by the oracle. */
+  private val q198 = QuerySpec(
+    "q198_image_dual_hash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, PerceptualHash}
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          ((col("doc_id") / 2).cast("long") % 40).as("gid"),
+          when(col("doc_id") % 2 === 1, 20L).otherwise(0L).as("bump"))
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          PerceptualHash.renderLetterboxImage16(col("gid") * 7,
+            col("gid") % 5 + 1, col("gid") % 11 + 1, col("gid") % 3,
+            col("bump"),
+            when(col("media_id") % 3 === 0, "bmp").otherwise("png"))
+            .as("payload"))
+        .as[Multimodal.Media]
+      PerceptualHash.nearDupsByDualHash(
+          PerceptualHash.perceptualHashes(media), "media_id",
+          "ahash", "dhash", maxDist = 6, maxBucket = 64)
+        .select(col("dup_id"), col("keep_id"), col("hamming"))
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT doc_id, (doc_id // 2) % 40 AS gid,
+               CASE WHEN doc_id % 2 = 1 THEN 20 ELSE 0 END AS bump
+        FROM documents),
+      px AS (
+        SELECT doc_id, x.range AS x, y.range AS y,
+               CASE WHEN y.range < 4 THEN 0
+                    ELSE least(((gid*7) + (gid%5+1)*x.range
+                                + (gid%11+1)*y.range
+                                + (gid%3)*x.range*y.range) % 200
+                      + CASE WHEN y.range IN (4,5,8,9,12,13)
+                             THEN bump ELSE 0 END, 255) END AS v
+        FROM g, range(16) x, range(16) y),
+      blk8 AS (
+        SELECT doc_id, (x*8)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM px GROUP BY 1, 2, 3),
+      mean8 AS (SELECT doc_id, sum(b)//64 AS m FROM blk8 GROUP BY doc_id),
+      ah AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ahash
+        FROM (SELECT doc_id,
+                     coalesce(sum(CASE WHEN b > m
+                       THEN CAST(power(2, gy*8+gx) AS HUGEINT) END),
+                       0) AS s
+              FROM blk8 JOIN mean8 USING (doc_id) GROUP BY doc_id)),
+      blk9 AS (
+        SELECT doc_id, (x*9)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM px GROUP BY 1, 2, 3),
+      dh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS dhash
+        FROM (SELECT l.doc_id,
+                     coalesce(sum(CASE WHEN r.b > l.b
+                       THEN CAST(power(2, l.gy*8+l.gx) AS HUGEINT) END),
+                       0) AS s
+              FROM blk9 l JOIN blk9 r
+                ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+              GROUP BY l.doc_id)),
+      hh AS (SELECT doc_id, ahash, dhash FROM ah JOIN dh USING (doc_id)),
+      bands AS (
+        SELECT doc_id, ahash, dhash, b.range AS b,
+               CASE WHEN b.range < 4
+                    THEN (ahash >> CAST(16*b.range AS INTEGER)) & 65535
+                    ELSE (dhash >> CAST(16*(b.range-4) AS INTEGER)) & 65535
+               END AS v
+        FROM hh, range(8) b),
+      ok AS (
+        SELECT b, v FROM bands GROUP BY b, v
+        HAVING count(*) BETWEEN 2 AND 64),
+      cb AS (SELECT bands.* FROM bands JOIN ok USING (b, v)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS dup_id, c.doc_id AS nbr,
+               bit_count(xor(a.ahash, c.ahash))
+                 + bit_count(xor(a.dhash, c.dhash)) AS hamming
+        FROM cb a JOIN cb c ON a.b = c.b AND a.v = c.v
+          AND a.doc_id > c.doc_id)
+      SELECT dup_id, min(nbr) AS keep_id,
+             CAST(arg_min(hamming, nbr) AS INTEGER) AS hamming
+      FROM pairs WHERE hamming <= 6
+      GROUP BY dup_id
+      ORDER BY dup_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49, q50, q51, q92, q130, q194, q195, q196, q197)
+    q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198)
 }

@@ -247,6 +247,42 @@ class PerceptualHashSpec extends SparkSpec {
     live(0)._3 shouldBe live(1)._3 // PNG ≡ BMP hash, streamed
   }
 
+  test("dual-hash near-dup: rescues the letterbox pair single-hash banding misses AND rejects its false positive") {
+    // letterboxed fixture (renderLetterboxImage16): ids 1/2 are the
+    // SAME pattern (gid 4) base + full-row-bump retouch — aHash flips
+    // one bit in EACH pattern band (Hamming 3) while dHash flips none,
+    // so the pair's only intact aHash band is the degenerate letterbox
+    // band 0 that every image shares; id 3 is a DIFFERENT pattern
+    // (gid 37) whose brightness layout coincides with id 2 at aHash
+    // Hamming 3 but whose gradient structure differs at dHash 5;
+    // ids 10-13 are filler patterns that push the degenerate band-0
+    // bucket past the cap (7 members > maxBucket 4)
+    val media = Seq((1L, 4L, 0L), (2L, 4L, 20L), (3L, 37L, 0L),
+        (10L, 10L, 0L), (11L, 20L, 0L), (12L, 30L, 0L), (13L, 33L, 0L))
+      .toDF("media_id", "gid", "bump")
+      .select(col("media_id"), lit("image").as("kind"),
+        PerceptualHash.renderLetterboxImage16(col("gid") * 7,
+          col("gid") % 5 + 1, col("gid") % 11 + 1, col("gid") % 3,
+          col("bump"), lit("png")).as("payload"))
+      .as[Multimodal.Media]
+    val hashes = PerceptualHash.perceptualHashes(media).cache()
+    // single-hash banding: the true pair (2, 1) is INVISIBLE (its only
+    // intact band is the over-cap degenerate one) and the cross-pattern
+    // coincidence (3, 2) CONFIRMS — the wrong answer on both counts
+    val single = PerceptualHash.nearDupsByHash(hashes, "media_id",
+        "ahash", maxDist = 3, maxBucket = 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    single shouldBe Array((3L, 2L, 3))
+    // dual-hash: the true pair surfaces through its gid-specific dHash
+    // bands (total Hamming 3+0), the coincidence fails the summed
+    // confirmation (3+5 > 6)
+    val dual = PerceptualHash.nearDupsByDualHash(hashes, "media_id",
+        "ahash", "dhash", maxDist = 6, maxBucket = 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    dual shouldBe Array((2L, 1L, 3))
+    hashes.unpersist()
+  }
+
   test("nearDupsByHash rejects non-integral id/hash columns loudly") {
     val bad = Seq(("m-1", 5L)).toDF("id", "h")
     an[IllegalArgumentException] should be thrownBy
