@@ -290,6 +290,76 @@ object Multimodal {
       col(idCol) === col("__did"), "left_anti")
   }
 
+  /** [[dropAllDuplicateImageDocs]] with PERCEPTUAL originality: an
+    * image is original only if it wins its byte-dedup group AND its
+    * decoded content is not a near-duplicate of a smaller-id byte
+    * keeper ([[PerceptualHash.nearDupsByDualHash]] — aHash+dHash
+    * summed confirmation). The byte gate alone is provably blind to
+    * re-encoded copies (PNG→BMP of identical pixels shares zero
+    * bytes — the q195 witness), so the exact scraped-gallery spam it
+    * exists for survives it by re-encoding; here those re-encodes
+    * collapse onto one keeper and galleries of them drop.
+    *
+    * Plan shape: perceptual hashes are computed for ALL media in the
+    * same narrow decode pass class as the byte gate's md5 (payload
+    * bytes NEVER shuffle — only 16-byte fingerprints and two 8-byte
+    * hashes move; hashing keepers-only instead would semi-join the
+    * payload column through a corpus-scale shuffle, the one thing a
+    * 100 TB media gate cannot do). Election then runs entirely on
+    * hash-sized relations: byte keepers (min-id per fingerprint),
+    * their hash rows semi-joined in, banded near-dup among keepers,
+    * anti-join to originals, owner docs distinct. NULL payloads are
+    * excluded as evidence and undecodable keepers (NULL hashes) never
+    * match anything — both keep-the-unparseable. `mediaIdCol` must be
+    * integral (the near-dup id contract; the Media encoder refuses a
+    * lossy upcast loudly). */
+  def dropAllDuplicateImageDocsPerceptual(docs: DataFrame, idCol: String,
+                                          media: DataFrame,
+                                          mediaIdCol: String,
+                                          docIdCol: String,
+                                          payloadCol: String,
+                                          maxDist: Int = 6,
+                                          maxBucket: Int = 1024): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    // integral media ids only, loudly (the nearDups rule): a silent
+    // cast('long') of string ids would NULL every hash row and leave
+    // the perceptual leg quietly disabled
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = media.schema(mediaIdCol).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"dropAllDuplicateImageDocsPerceptual needs an integral " +
+          s"$mediaIdCol column, got ${dt.catalogString}")
+    }
+    val fp = media.filter(col(payloadCol).isNotNull)
+      .select(col(mediaIdCol).as("__mid"),
+        col(docIdCol).as("__did"),
+        md5(col(payloadCol)).as("__fp"))
+    val keepers = fp.groupBy(col("__fp"))
+      .agg(min(col("__mid")).as("__mid"))
+      .select(col("__mid"))
+    // one narrow decode pass over all payloads, in place
+    val hashes = PerceptualHash.perceptualHashes(
+      media.filter(col(payloadCol).isNotNull)
+        .select(col(mediaIdCol).cast("long").as("media_id"),
+          lit("image").as("kind"), col(payloadCol).as("payload"))
+        .as[Media])
+    val keeperHashes = hashes
+      .join(keepers.select(col("__mid").as("media_id")), Seq("media_id"),
+        "left_semi")
+    val dups = PerceptualHash.nearDupsByDualHash(keeperHashes, "media_id",
+        "ahash", "dhash", maxDist, maxBucket)
+      .select(col("dup_id").as("__mid"))
+    val originals = keepers.join(dups, Seq("__mid"), "left_anti")
+    val ownerDocs = fp.join(originals, Seq("__mid"), "left_semi")
+      .select(col("__did")).distinct()
+    val withMedia = fp.select(col("__did")).distinct()
+    docs.join(
+      withMedia.join(ownerDocs, Seq("__did"), "left_anti"),
+      col(idCol) === col("__did"), "left_anti")
+  }
+
   def metadataTable(media: Dataset[Media]): DataFrame =
     decodeAll(media).toDF().select(col("media_id"), col("kind"),
       col("meta.format").as("format"), col("meta.width").as("width"),

@@ -159,7 +159,15 @@ object TrainingCorpusPipeline {
       // extraction or any text stage spends a cycle on them; the
       // cheapest dedup in the pipeline, seated earliest. Requires
       // urlCol; NULL-url rows all pass (gated elsewhere)
-      urlDedup: Boolean = false)
+      urlDedup: Boolean = false,
+      // upgrade the media originality gate (run()'s `media`) from
+      // byte-fingerprint election to PERCEPTUAL election
+      // (Multimodal.dropAllDuplicateImageDocsPerceptual): re-encoded
+      // gallery copies (PNG→BMP shares zero bytes) collapse onto one
+      // keeper instead of each counting as "original", so the
+      // scraped-gallery spam the gate exists for actually drops.
+      // Requires an integral media_id column in the media relation
+      mediaPerceptualDedup: Boolean = false)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -226,6 +234,9 @@ object TrainingCorpusPipeline {
     // gates, before a byte of text is read. Docs with no media rows
     // pass (Multimodal.dropAllDuplicateImageDocs's convention).
     val mediaGated = media match {
+      case Some(m) if cfg.mediaPerceptualDedup =>
+        graft.multimodal.Multimodal.dropAllDuplicateImageDocsPerceptual(
+          urlDeduped, idCol, m, "media_id", idCol, "payload")
       case Some(m) =>
         graft.multimodal.Multimodal.dropAllDuplicateImageDocs(
           urlDeduped, idCol, m, "media_id", idCol, "payload")

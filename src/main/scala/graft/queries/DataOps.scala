@@ -929,7 +929,117 @@ object DataOps {
       GROUP BY dup_id
       ORDER BY dup_id"""))
 
+  /** q199: PERCEPTUAL media→doc gate
+    * ([[graft.multimodal.Multimodal.dropAllDuplicateImageDocsPerceptual]],
+    * the production pipeline's `mediaPerceptualDedup` stage) — q196's
+    * byte gate upgraded to decoded-content originality: each doc owns
+    * one REAL rendered image; re-encodes (PNG vs BMP of one pattern —
+    * distinct byte groups, so every one wins its own byte group and
+    * q196's gate keeps them ALL) and full-row retouches collapse onto
+    * one perceptual keeper, and docs owning only collapsed copies
+    * drop. On this fixture the byte-only gate keeps 180 docs; the
+    * perceptual gate keeps 54 (34 owners of true originals + 20
+    * media-less/NULL-payload docs, both keep-the-unparseable). The
+    * oracle replays byte-group election as GROUP BY the render
+    * parameters (the renderer is deterministic, so byte-identity ≡
+    * parameter-identity), then the full dual-hash pipeline of q198
+    * over the keepers. */
+  private val q199 = QuerySpec(
+    "q199_media_doc_gate_perceptual",
+    (s, dir) => {
+      import graft.multimodal.{Multimodal, PerceptualHash}
+      val docs = Tables.documents(s, dir)
+      val media = docs.filter(col("doc_id") < 490)
+        .select(col("doc_id"),
+          ((col("doc_id") / 2).cast("long") % 40).as("gid"),
+          when(col("doc_id") % 2 === 1, 20L).otherwise(0L).as("bump"))
+        .select(col("doc_id").as("media_id"), col("doc_id"),
+          when(col("doc_id") < 480,
+            PerceptualHash.renderLetterboxImage16(col("gid") * 7,
+              col("gid") % 5 + 1, col("gid") % 11 + 1, col("gid") % 3,
+              col("bump"),
+              when(col("doc_id") % 3 === 0, "bmp").otherwise("png")))
+            .otherwise(lit(null).cast("binary")).as("payload"))
+      Multimodal.dropAllDuplicateImageDocsPerceptual(docs, "doc_id",
+          media, "media_id", "doc_id", "payload",
+          maxDist = 6, maxBucket = 64)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id, (doc_id // 2) % 40 AS gid,
+               CASE WHEN doc_id % 2 = 1 THEN 20 ELSE 0 END AS bump,
+               CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+        FROM documents WHERE doc_id < 480),
+      g AS (
+        SELECT min(doc_id) AS doc_id, gid, bump
+        FROM m GROUP BY gid, bump, fmt),
+      px AS (
+        SELECT doc_id, x.range AS x, y.range AS y,
+               CASE WHEN y.range < 4 THEN 0
+                    ELSE least(((gid*7) + (gid%5+1)*x.range
+                                + (gid%11+1)*y.range
+                                + (gid%3)*x.range*y.range) % 200
+                      + CASE WHEN y.range IN (4,5,8,9,12,13)
+                             THEN bump ELSE 0 END, 255) END AS v
+        FROM g, range(16) x, range(16) y),
+      blk8 AS (
+        SELECT doc_id, (x*8)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM px GROUP BY 1, 2, 3),
+      mean8 AS (SELECT doc_id, sum(b)//64 AS m FROM blk8 GROUP BY doc_id),
+      ah AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ahash
+        FROM (SELECT doc_id,
+                     coalesce(sum(CASE WHEN b > m
+                       THEN CAST(power(2, gy*8+gx) AS HUGEINT) END),
+                       0) AS s
+              FROM blk8 JOIN mean8 USING (doc_id) GROUP BY doc_id)),
+      blk9 AS (
+        SELECT doc_id, (x*9)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM px GROUP BY 1, 2, 3),
+      dh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS dhash
+        FROM (SELECT l.doc_id,
+                     coalesce(sum(CASE WHEN r.b > l.b
+                       THEN CAST(power(2, l.gy*8+l.gx) AS HUGEINT) END),
+                       0) AS s
+              FROM blk9 l JOIN blk9 r
+                ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+              GROUP BY l.doc_id)),
+      hh AS (SELECT doc_id, ahash, dhash FROM ah JOIN dh USING (doc_id)),
+      bands AS (
+        SELECT doc_id, ahash, dhash, b.range AS b,
+               CASE WHEN b.range < 4
+                    THEN (ahash >> CAST(16*b.range AS INTEGER)) & 65535
+                    ELSE (dhash >> CAST(16*(b.range-4) AS INTEGER)) & 65535
+               END AS v
+        FROM hh, range(8) b),
+      ok AS (
+        SELECT b, v FROM bands GROUP BY b, v
+        HAVING count(*) BETWEEN 2 AND 64),
+      cb AS (SELECT bands.* FROM bands JOIN ok USING (b, v)),
+      dups AS (
+        SELECT DISTINCT a.doc_id AS dup_id
+        FROM cb a JOIN cb c ON a.b = c.b AND a.v = c.v
+          AND a.doc_id > c.doc_id
+        WHERE bit_count(xor(a.ahash, c.ahash))
+                + bit_count(xor(a.dhash, c.dhash)) <= 6)
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 480
+         OR doc_id IN (SELECT doc_id FROM g WHERE doc_id NOT IN
+                         (SELECT dup_id FROM dups))
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198)
+    q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199)
 }

@@ -375,6 +375,37 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect() should contain (2L)
   }
 
+  test("mediaPerceptualDedup: a re-encoded gallery survives the byte gate and drops under the perceptual one") {
+    import graft.multimodal.PerceptualHash
+    val crawl = pool.limit(3).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val fixture = Seq(
+      (1L, crawl(0)._2),   // owns the original rendering
+      (2L, crawl(1)._2),   // same pixels re-encoded BMP: zero shared
+                           // bytes, so it WINS its byte group — only
+                           // perceptual election sees through it
+      (3L, crawl(2)._2))   // a genuinely different image
+      .toDF("doc_id", "text")
+    val media = Seq((10L, 1L, 4L, "png"), (20L, 2L, 4L, "bmp"),
+        (30L, 3L, 21L, "png"))
+      .toDF("media_id", "doc_id", "gid", "fmt")
+      .select(col("media_id"), col("doc_id"),
+        PerceptualHash.renderLetterboxImage16(col("gid") * 7,
+          col("gid") % 5 + 1, col("gid") % 11 + 1, col("gid") % 3,
+          lit(0L), col("fmt")).as("payload"))
+    val base = cfg.copy(nearDupThreshold = 0.99)
+    // byte gate: every image is byte-unique → every doc an owner
+    TrainingCorpusPipeline.run(fixture, holdout, "doc_id", "text", base,
+        media = Some(media))
+      .select("doc_id").distinct().as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L)
+    // perceptual gate: doc 2's only image collapses onto doc 1's keeper
+    TrainingCorpusPipeline.run(fixture, holdout, "doc_id", "text",
+        base.copy(mediaPerceptualDedup = true), media = Some(media))
+      .select("doc_id").distinct().as[Long].collect().sorted shouldBe
+      Array(1L, 3L)
+  }
+
   test("urlDedup stage: tracker-variant re-crawls collapse before any text stage; NULL urls pass") {
     // two crawls of the same page under tracking noise + one distinct
     // page + one NULL-url row: the keep-first rule must admit exactly
