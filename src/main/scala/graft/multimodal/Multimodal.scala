@@ -151,6 +151,138 @@ object Multimodal {
     }
   }
 
+  // ---- Video frames: length-prefixed image container -------------------
+  // The container ships no video codec (an environment limit, like
+  // audio), but a concatenation of length-prefixed REAL image frames
+  // is an honest stand-in for the I-frame/keyframe stream ffmpeg
+  // would hand back: the framing walk, the per-frame REAL codec
+  // decode, the hashing, and every relational step downstream are the
+  // production shapes — a deployment swaps ONLY the splitter for an
+  // ffmpeg keyframe call.
+
+  /** Pack image byte arrays into one video payload: each frame is
+    * [4-byte big-endian length][frame bytes]. The fixture/ingest-side
+    * twin of [[splitImageFrames]]. */
+  def packImageFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      val len = f.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      out.write(f, 0, len)
+    }
+    out.toByteArray
+  }
+
+  /** Walk a length-prefixed frame container, fail-soft (the scanner's
+    * good-prefix rule): a corrupt length (non-positive or past
+    * end-of-data) ends the walk with every frame parsed so far. */
+  private[multimodal] def splitImageFrames(payload: Array[Byte])
+      : Seq[Array[Byte]] = {
+    val pb = bytes(payload)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    var done = false
+    while (!done && pos + 4 <= pb.length) {
+      val len = ((pb(pos) & 0xff) << 24) | ((pb(pos + 1) & 0xff) << 16) |
+        ((pb(pos + 2) & 0xff) << 8) | (pb(pos + 3) & 0xff)
+      if (len <= 0 || pos + 4 + len > pb.length) done = true
+      else {
+        out += java.util.Arrays.copyOfRange(pb, pos + 4, pos + 4 + len)
+        pos += 4 + len
+      }
+    }
+    out.toSeq
+  }
+
+  /** Per-frame perceptual hashes of every VIDEO payload: one narrow
+    * container-walk + decode pass (payloads never shuffle — only
+    * (id, idx, two 8-byte hashes) move), every `stride`-th frame,
+    * undecodable frames keep their row with NULL hashes (corrupt
+    * frames are a signal, not a dropped record — the perceptualHashes
+    * convention). Output: (media_id, frame_idx, ahash, dhash). */
+  def videoFrameHashes(media: Dataset[Media], stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video")
+      .mapPartitions(_.flatMap { m =>
+        splitImageFrames(m.payload).zipWithIndex
+          .collect { case (f, i) if i % stride == 0 =>
+            val g = PerceptualHash.lumaPixels(f)
+            (m.media_id, i,
+              g.map { case (w, h, px) =>
+                PerceptualHash.aHashOfGrid(
+                  PerceptualHash.blockGrid(w, h, px, 8, 8)) },
+              g.map { case (w, h, px) =>
+                PerceptualHash.dHashOfGrid(
+                  PerceptualHash.blockGrid(w, h, px, 9, 8)) })
+          }
+      })
+      .toDF("media_id", "frame_idx", "ahash", "dhash")
+  }
+
+  /** Video near-duplicates by FRAME-SET overlap — alignment-free, so
+    * re-encoded copies (every frame collapses at Hamming 0 through
+    * the real codec), trimmed copies (the shared tail still clears
+    * the overlap floor), and single-frame retouches all surface, and
+    * a shifted frame index (trimming) changes nothing. Two stages,
+    * both banded: frame pairs across videos come from the q28-shaped
+    * 16-bit aHash band buckets (census-capped — degenerate
+    * title-card/black frames shared by thousands of videos are
+    * SKIPPED, their videos pair through their distinctive frames),
+    * confirm at `bit_count(xor) <= maxDist`; then video pair (a, b),
+    * a > b, is a near-dup when the count of DISTINCT a-frames with a
+    * matching b-frame clears `minOverlapBp` basis points of a's
+    * hashed-frame count — `matched·10000 >= bp·n` in exact integers,
+    * division-free. Keeper: smallest such b (the dedup family rule).
+    * Output: (dup_id, keep_id, n_matched, n_frames). */
+  def videoNearDups(media: Dataset[Media], stride: Int = 1,
+                    maxDist: Int = 3, maxBucket: Int = 1024,
+                    minOverlapBp: Int = 6000): DataFrame = {
+    require(minOverlapBp >= 1 && minOverlapBp <= 10000,
+      s"minOverlapBp must be in 1..10000, got $minOverlapBp")
+    val fh = videoFrameHashes(media, stride)
+      .filter(col("ahash").isNotNull)
+    val nFrames = fh.groupBy(col("media_id").as("__vid"))
+      .agg(count(lit(1)).as("n_frames"))
+    val bands = fh.select(col("media_id").as("__vid"),
+        col("frame_idx").as("__f"), col("ahash").as("__h"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("b"),
+            (shiftright(col("ahash"), b * 16) bitwiseAND lit(65535L))
+              .as("v"))): _*)).as("__band"))
+      .select(col("__vid"), col("__f"), col("__h"),
+        col("__band.b").as("__b"), col("__band.v").as("__v"))
+    val sizes = bands.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("__b"), col("__v"))
+    val capped = bands.join(sizes, Seq("__b", "__v"))
+    // distinct matched a-frames per video pair (a frame may match
+    // through several bands and several b-frames — it counts once)
+    val matched = capped.as("a")
+      .join(capped.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__v") === col("b.__v") &&
+          col("a.__vid") > col("b.__vid"))
+      .filter(bit_count(col("a.__h").bitwiseXOR(col("b.__h"))) <= maxDist)
+      .select(col("a.__vid").as("dup_id"), col("b.__vid").as("__nbr"),
+        col("a.__f").as("__f"))
+      .distinct()
+      .groupBy(col("dup_id"), col("__nbr"))
+      .agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(nFrames.select(col("__vid").as("dup_id"),
+        col("n_frames")), Seq("dup_id"))
+      .filter(col("n_matched") * 10000 >= lit(minOverlapBp.toLong) *
+        col("n_frames"))
+      .groupBy(col("dup_id"))
+      .agg(min(struct(col("__nbr"), col("n_matched"), col("n_frames")))
+        .as("__k"))
+      .select(col("dup_id"), col("__k.__nbr").as("keep_id"),
+        col("__k.n_matched").as("n_matched"), col("__k.n_frames").as("n_frames"))
+  }
+
   /** Resize images to fit a bounding box (stub for a libvips/Pillow
     * resample): aspect-preserving target dims from the decoded meta,
     * payload re-encoded proportionally to the pixel-count change — the

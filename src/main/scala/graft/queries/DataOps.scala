@@ -1039,7 +1039,111 @@ object DataOps {
                          (SELECT dup_id FROM dups))
       ORDER BY doc_id"""))
 
+  /** q200: VIDEO near-dup by frame-set overlap
+    * ([[graft.multimodal.Multimodal.videoNearDups]]) — the video-dedup
+    * story composed from existing kernels: each doc is a length-
+    * prefixed container of six REAL 16×16 rendered frames
+    * ([[graft.multimodal.Multimodal.packImageFrames]]), and the four
+    * variants per pattern family are exactly the copies a crawl
+    * carries: the original, a re-encode (same pixels, BMP — zero
+    * shared bytes in any frame), a TRIM (first frame dropped — frame
+    * indices shift, which alignment-free set overlap ignores), and a
+    * one-frame retouch (spot bump). All three non-originals collapse
+    * onto the family's smallest id at ≥ 6000 bp overlap; unrelated
+    * patterns never pair. The oracle replays per-frame aHash from the
+    * pixel formulas, the frame-level banding + census, the distinct-
+    * matched-frame count, and the division-free basis-point floor —
+    * so the container walk and six codec round-trips per doc are all
+    * under oracle. */
+  private val q200 = QuerySpec(
+    "q200_video_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Multimodal, PerceptualHash}
+      val mkVideo = udf((gid: Long, variant: Int) => {
+        val fmt = if (variant == 1) "bmp" else "png"
+        val fs = (if (variant == 2) 1 to 5 else 0 to 5).map { f =>
+          PerceptualHash.renderGrayImage(16, 16, gid * 7,
+            (gid + f) % 5 + 1, (gid + 2 * f) % 11 + 1, (gid + f) % 3,
+            if (variant == 3 && f == 3) 64L else 0L, fmt)
+        }
+        Multimodal.packImageFrames(fs)
+      })
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          mkVideo(((col("doc_id") / 4).cast("long") % 60),
+            (col("doc_id") % 4).cast("int")).as("payload"))
+        .as[Multimodal.Media]
+      Multimodal.videoNearDups(media, stride = 1, maxDist = 3,
+          maxBucket = 256, minOverlapBp = 6000)
+        .select(col("dup_id"), col("keep_id"), col("n_matched"),
+          col("n_frames"))
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT doc_id, (doc_id // 4) % 60 AS gid, doc_id % 4 AS variant
+        FROM documents),
+      fr AS (
+        SELECT doc_id, gid, variant, f.range AS f,
+               CASE WHEN variant = 3 AND f.range = 3 THEN 64 ELSE 0 END
+                 AS bump
+        FROM g, range(6) f
+        WHERE NOT (variant = 2 AND f.range = 0)),
+      px AS (
+        SELECT doc_id, f, x.range AS x, y.range AS y,
+               least(((gid*7) + ((gid+f)%5+1)*x.range
+                      + ((gid+2*f)%11+1)*y.range
+                      + ((gid+f)%3)*x.range*y.range) % 256
+                 + CASE WHEN x.range >= 14 AND y.range < 2
+                        THEN bump ELSE 0 END, 255) AS v
+        FROM fr, range(16) x, range(16) y),
+      blk8 AS (
+        SELECT doc_id, f, (x*8)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM px GROUP BY 1, 2, 3, 4),
+      mean8 AS (
+        SELECT doc_id, f, sum(b)//64 AS m FROM blk8 GROUP BY doc_id, f),
+      ah AS (
+        SELECT doc_id, f,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ahash
+        FROM (SELECT doc_id, f,
+                     coalesce(sum(CASE WHEN b > m
+                       THEN CAST(power(2, gy*8+gx) AS HUGEINT) END),
+                       0) AS s
+              FROM blk8 JOIN mean8 USING (doc_id, f)
+              GROUP BY doc_id, f)),
+      nf AS (SELECT doc_id, count(*) AS n_frames FROM ah GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, f, ahash, b.range AS b,
+               (ahash >> CAST(16*b.range AS INTEGER)) & 65535 AS v
+        FROM ah, range(4) b),
+      ok AS (
+        SELECT b, v FROM bands GROUP BY b, v
+        HAVING count(*) BETWEEN 2 AND 256),
+      cb AS (SELECT bands.* FROM bands JOIN ok USING (b, v)),
+      mt AS (
+        SELECT dup_id, nbr, count(*) AS n_matched FROM (
+          SELECT DISTINCT a.doc_id AS dup_id, c.doc_id AS nbr, a.f
+          FROM cb a JOIN cb c ON a.b = c.b AND a.v = c.v
+            AND a.doc_id > c.doc_id
+          WHERE bit_count(xor(a.ahash, c.ahash)) <= 3)
+        GROUP BY dup_id, nbr),
+      dup AS (
+        SELECT mt.dup_id, mt.nbr, mt.n_matched, nf.n_frames
+        FROM mt JOIN nf ON nf.doc_id = mt.dup_id
+        WHERE mt.n_matched * 10000 >= 6000 * nf.n_frames)
+      SELECT dup_id, min(nbr) AS keep_id,
+             arg_min(n_matched, nbr) AS n_matched,
+             arg_min(n_frames, nbr) AS n_frames
+      FROM dup
+      GROUP BY dup_id
+      ORDER BY dup_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
-    q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199)
+    q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
+    q200)
 }

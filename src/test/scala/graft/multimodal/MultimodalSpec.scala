@@ -219,4 +219,48 @@ class MultimodalSpec extends SparkSpec {
     val meta = Multimodal.decodeAll(m).collect().head.meta
     meta shouldBe Multimodal.stubDecode("image", truncated)
   }
+
+  test("packImageFrames/splitImageFrames round-trip; corrupt tail keeps the good prefix") {
+    val f1 = Array[Byte](1, 2, 3)
+    val f2 = Array[Byte](4, 5)
+    val packed = Multimodal.packImageFrames(Seq(f1, f2))
+    val back = Multimodal.splitImageFrames(packed)
+    back.map(_.toSeq) shouldBe Seq(f1.toSeq, f2.toSeq)
+    // a corrupt third length (declared past end-of-data) drops only
+    // the tail; a negative length likewise
+    val corrupt = packed ++ Array[Byte](0, 0, 0, 99, 7)
+    Multimodal.splitImageFrames(corrupt).map(_.toSeq) shouldBe
+      Seq(f1.toSeq, f2.toSeq)
+    Multimodal.splitImageFrames(Array[Byte](-1, 0, 0, 1, 7)) shouldBe empty
+    Multimodal.splitImageFrames(null) shouldBe empty
+  }
+
+  test("videoNearDups: re-encoded and trimmed copies collapse on the original; unrelated videos survive") {
+    import spark.implicits._
+    def frame(gid: Long, f: Int, fmt: String, bump: Long = 0L) =
+      PerceptualHash.renderGrayImage(16, 16, gid * 7, (gid + f) % 5 + 1,
+        (gid + 2 * f) % 11 + 1, (gid + f) % 3, bump, fmt)
+    def video(gid: Long, fmt: String, frames: Range) =
+      Multimodal.packImageFrames(frames.map(f => frame(gid, f, fmt)))
+    val fixtures = Seq(
+      // 1 = original; 2 = BMP re-encode (zero shared bytes per frame);
+      // 3 = trimmed (first frame dropped, indices shift); 4 = a
+      // different pattern family entirely
+      Multimodal.Media(1L, "video", video(9L, "png", 0 to 5)),
+      Multimodal.Media(2L, "video", video(9L, "bmp", 0 to 5)),
+      Multimodal.Media(3L, "video", video(9L, "png", 1 to 5)),
+      Multimodal.Media(4L, "video", video(33L, "png", 0 to 5)),
+      // and a non-video row the walk must ignore
+      Multimodal.Media(5L, "image", frame(9L, 0, "png")))
+    val out = Multimodal.videoNearDups(fixtures.toDS(), stride = 1,
+        maxDist = 3, maxBucket = 64, minOverlapBp = 6000)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // 2 matches 1 on all six frames; 3 matches 1 on all five of ITS
+    // frames (the overlap floor is over the dup's own frame count —
+    // trimming does not dilute it); 4 pairs with nothing
+    out.map(r => (r._1, r._2)) shouldBe Array((2L, 1L), (3L, 1L))
+    out.find(_._1 == 2L).get._3 shouldBe 6L
+    out.find(_._1 == 3L).get._3 shouldBe 5L
+    out.find(_._1 == 3L).get._4 shouldBe 5L
+  }
 }
