@@ -76,9 +76,6 @@ object WeakScale {
     lazy val driftModel = graft.operators.ProductQuant.trainResidual(
       baseVecs, "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 2,
       nCells = 8)
-    lazy val opqServeModel = graft.operators.ProductQuant
-      .trainOpqResidualTwoLevel(baseVecs, "vec_id", "embedding", dim = 64,
-        m = 2, k = 4, iters = 2, nCells = 4, opqIters = 2)
     // PRODUCTION-arity composed model (m=8, k=256): the catalog's
     // queries run toy arity for oracle speed; this model proves the
     // broadcast-relation codebooks keep codegen/compile constants
@@ -547,22 +544,10 @@ object WeakScale {
             .agg(count(lit(1)), sum(element_at(col("codes"), 1))).collect()
           vecs.count()
         }),
-        // composed OPQ∘residual∘two-level SERVING (q184 shape): frozen
-        // model (trained once on the base corpus), corpus encode is
-        // one rotate (broadcast row) + assign + code argmins, search
-        // is the cell equi-join over the code relation with a fixed
-        // 20-query side — expect ~linear (candidates ∝ n·nProbe/nCells
-        // with constant cells here)
-        ("opq_serve_q184", V, () => {
-          val codes = graft.operators.ProductQuant
-            .encodeOpqResidualTwoLevel(vecs, "vec_id", "embedding", 64,
-              opqServeModel)
-          graft.operators.ProductQuant.opqResidualTopKTwoLevelOverCodes(
-              codes, baseVecs.filter(col("vec_id") <= 20), "vec_id",
-              "embedding", 64, opqServeModel, k = 3)
-            .agg(count(lit(1)), sum(col("adc_dist"))).collect()
-          vecs.count()
-        }),
+        // (the toy-arity opq_serve_q184 ladder was RETIRED in r12: its
+        // 16x point wobbled 4.4-6.0s run-to-run while the production-
+        // arity opq_serve_m8k256 row below measures the same serve
+        // path at real codebook size with a steady shape — SCALE.md)
         // production-arity PQ encode (m=8, k=256, dim=64): same shape
         // as opq_serve_q184's encode leg but with 2048-entry
         // codebooks riding as broadcast relations — expect linear
