@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * The IMAGE kernel is REAL where the JDK can be: PNG/JPEG/GIF/BMP
   * headers decode via `javax.imageio` (ships in the JDK, offline-safe)
   * to exact format/width/height/channels — header-only, O(1) per
-  * payload. Audio/video kernels remain STUBS (no ffmpeg/soundfile in
-  * this container): deterministic functions of the payload bytes that
-  * stand in for the codec calls. Everything around both — schemas,
-  * encoders, partition-wise batching, init-once-per-partition
-  * lifecycle, frame-explosion shape — is the real distributed plumbing
-  * and is what the tests assert.
+  * payload. The AUDIO kernel is real for RIFF/WAVE PCM
+  * ([[AudioWave]]: parser, envelope hash, near-dup, quality gate);
+  * compressed audio and real video CODECS remain stubs (no
+  * ffmpeg/soundfile in this container) — video rides the
+  * length-prefixed image-frame container ([[packImageFrames]]) whose
+  * per-frame decode is the real image codec. Everything around the
+  * stubs — schemas, encoders, partition-wise batching,
+  * init-once-per-partition lifecycle, frame-explosion shape — is the
+  * real distributed plumbing and is what the tests assert.
   *
   * Scale notes: payload columns ride through shuffles as opaque bytes;
   * keep them OUT of wide shuffles (extract features first, join the

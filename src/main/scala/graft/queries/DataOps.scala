@@ -1142,8 +1142,165 @@ object DataOps {
       GROUP BY dup_id
       ORDER BY dup_id"""))
 
+  // ---- Real audio kernel (q201/q202) -----------------------------------
+  // The fixture WAVs are REAL RIFF/PCM files assembled by
+  // AudioWave.writeWav and re-parsed by the REAL RIFF walker before
+  // any number is computed; the DuckDB oracle replays the sample
+  // FORMULAS (pure integer arithmetic) — the q194 codec-round-trip
+  // pattern on the audio axis.
+
+  /** q201: audio quality gate
+    * ([[graft.multimodal.AudioWave.audioQualityGate]]) — parseability,
+    * sample-rate floor, length floor, and the exact-integer clipping
+    * per-mille, judged on REALLY-parsed PCM: each doc synthesizes a
+    * WAV whose rate/length/clipping/parseability are formula-driven
+    * (including overlaps), Spark reads everything back through the
+    * RIFF walker, and the oracle replays the formulas — a lie
+    * anywhere in write → parse → count fails the hash. */
+  private val q201 = QuerySpec(
+    "q201_audio_quality_gate",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{AudioWave, Multimodal}
+      val mkWav = udf((docId: Long) => {
+        if (docId % 17 == 0) "not a wav, just prose".getBytes("UTF-8")
+        else {
+          val rate = if (docId % 7 == 0) 4000
+            else 8000 + (docId % 5).toInt * 4000
+          val n = if (docId % 11 == 0) 512
+            else 1024 + (docId % 3).toInt * 512
+          val a = (docId % 251).toInt
+          val b = (docId % 7).toInt + 1
+          val clip = docId % 13 == 0
+          val samples = Array.tabulate(n) { t =>
+            if (clip && t < n / 16) 32767
+            else ((a + b * t) % 64 - 32) * 256
+          }
+          AudioWave.writeWav(samples, rate, bits = 16)
+        }
+      })
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+          mkWav(col("doc_id")).as("payload"))
+        .as[Multimodal.Media]
+      AudioWave.audioQualityGate(media, minRate = 8000,
+          minSamples = 1024, maxClipPerMille = 10)
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("clip_per_mille"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id,
+               doc_id % 17 = 0 AS bad,
+               CASE WHEN doc_id % 7 = 0 THEN 4000
+                    ELSE 8000 + (doc_id % 5) * 4000 END AS rate,
+               CASE WHEN doc_id % 11 = 0 THEN 512
+                    ELSE 1024 + (doc_id % 3) * 512 END AS n,
+               doc_id % 13 = 0 AS clip
+        FROM documents)
+      SELECT doc_id,
+             CAST(CASE WHEN bad THEN 0 ELSE rate END AS INTEGER)
+               AS sample_rate,
+             CAST(CASE WHEN bad THEN 0 ELSE n END AS INTEGER) AS n_samples,
+             CAST(CASE WHEN bad THEN 0
+                       WHEN clip THEN (n // 16) * 1000 // n
+                       ELSE 0 END AS INTEGER) AS clip_per_mille,
+             (NOT bad AND rate >= 8000 AND n >= 1024 AND
+              (CASE WHEN clip THEN (n // 16) * 1000 // n ELSE 0 END) <= 10)
+               AS keep
+      FROM p
+      ORDER BY doc_id"""))
+
+  /** q202: audio near-dup by banded energy-envelope hash
+    * ([[graft.multimodal.AudioWave.audioNearDups]]) — the re-master
+    * collapse byte-md5 cannot do on audio: a bit-depth re-encode
+    * (8-bit WAV of the same signal, zero shared data bytes) and a
+    * volume-halved re-master both hash IDENTICALLY (exact
+    * normalization + gain invariance), and a 16-sample mute retouch
+    * lands within Hamming 3 for most groups (one fixture family
+    * legitimately escapes at 11 — a big-enough edit IS different
+    * audio). Banding, census cap, and keeper election are the q195
+    * machinery; everything replays from the sample formulas. */
+  private val q202 = QuerySpec(
+    "q202_audio_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{AudioWave, Multimodal}
+      val mkWav = udf((docId: Long) => {
+        val g = (docId / 4) % 60
+        val variant = (docId % 4).toInt
+        val samples = Array.tabulate(1024) { t =>
+          val w = t / 16
+          val base = ((g * 13 + (g % 7 + 1) * t) % 64 - 32).toInt
+          val hi = (g * 1103515245L + w.toLong * w * (g % 13 + 1) +
+            w.toLong * (g % 31 + 3)) % 97 < 32
+          val v = base * (if (hi) 4 else 1)
+          if (variant == 3 && t >= 256 && t < 272) 0
+          else if (variant == 2) v * 128
+          else v * 256
+        }
+        AudioWave.writeWav(samples, 16000,
+          bits = if (variant == 1) 8 else 16)
+      })
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+          mkWav(col("doc_id")).as("payload"))
+        .as[Multimodal.Media]
+      AudioWave.audioNearDups(media, maxDist = 3, maxBucket = 1024)
+        .select(col("dup_id"), col("keep_id"), col("hamming"))
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT doc_id, (doc_id // 4) % 60 AS gid, doc_id % 4 AS variant
+        FROM documents),
+      smp AS (
+        SELECT doc_id, t.range AS t, t.range // 16 AS w,
+               CASE WHEN variant = 3 AND t.range >= 256 AND t.range < 272
+                    THEN 0
+                    ELSE ((gid*13 + (gid%7+1)*t.range) % 64 - 32)
+                      * (CASE WHEN (gid*1103515245
+                                    + (t.range//16)*(t.range//16)*(gid%13+1)
+                                    + (t.range//16)*(gid%31+3)) % 97 < 32
+                              THEN 4 ELSE 1 END)
+                      * (CASE WHEN variant = 2 THEN 128 ELSE 256 END)
+               END AS s
+        FROM g, range(1024) t),
+      env AS (
+        SELECT doc_id, w, sum(abs(s)) // count(*) AS e
+        FROM smp GROUP BY doc_id, w),
+      mn AS (SELECT doc_id, sum(e) // 64 AS m FROM env GROUP BY doc_id),
+      eh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ehash
+        FROM (SELECT doc_id,
+                     coalesce(sum(CASE WHEN e > m
+                       THEN CAST(power(2, w) AS HUGEINT) END), 0) AS s
+              FROM env JOIN mn USING (doc_id) GROUP BY doc_id)),
+      bands AS (
+        SELECT doc_id, ehash, b.range AS b,
+               (ehash >> CAST(16*b.range AS INTEGER)) & 65535 AS v
+        FROM eh, range(4) b),
+      ok AS (
+        SELECT b, v FROM bands GROUP BY b, v
+        HAVING count(*) BETWEEN 2 AND 1024),
+      cb AS (SELECT bands.* FROM bands JOIN ok USING (b, v)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS dup_id, c.doc_id AS nbr,
+               bit_count(xor(a.ehash, c.ehash)) AS hamming
+        FROM cb a JOIN cb c ON a.b = c.b AND a.v = c.v
+          AND a.doc_id > c.doc_id)
+      SELECT dup_id, min(nbr) AS keep_id,
+             CAST(arg_min(hamming, nbr) AS INTEGER) AS hamming
+      FROM pairs WHERE hamming <= 3
+      GROUP BY dup_id
+      ORDER BY dup_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
-    q200)
+    q200, q201, q202)
 }

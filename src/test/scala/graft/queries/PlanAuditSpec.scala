@@ -604,6 +604,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.split("MapPartitions").last.contains("Exchange"), plan)
   }
 
+  test("q198: dual-hash near-dup — same audit surface as q195, 8-band joins stay hash equi") {
+    val plan = planOf("q198_image_dual_hash_neardup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.split("MapPartitions").last.contains("Exchange"), plan)
+  }
+
+  test("q199: perceptual media gate — payloads reach the decode kernel unshuffled, election is semi/anti equi-joins") {
+    val plan = planOf("q199_media_doc_gate_perceptual")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the one decode pass: payload bytes die inside the mapPartitions
+    // kernel with no exchange between it and its scan (the q195 .last
+    // check would cross into the SIBLING election branches that
+    // legitimately shuffle fingerprint-sized rows after this one)
+    assert(plan.contains("MapPartitions"), plan)
+    val kernelInput = plan.split("MapPartitions").last
+      .split("FileScan").head
+    assert(!kernelInput.contains("Exchange"), plan)
+  }
+
+  test("q200: video near-dup — frame decode is narrow, pair joins are hash equi, no window") {
+    val plan = planOf("q200_video_neardup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.split("MapPartitions").last.contains("Exchange"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
