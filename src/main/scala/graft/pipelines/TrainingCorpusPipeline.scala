@@ -179,7 +179,9 @@ object TrainingCorpusPipeline {
     * intermediates that Spark can only release after the result is
     * consumed — materialize, then `spark.catalog.clearCache()` in a
     * long-lived session. The dedup survivor set is additionally a
-    * LAZY localCheckpoint (lineage truncation, see stage 3): its
+    * localCheckpoint (lineage truncation, see stage 3 — EAGER, which
+    * is deadlock-load-bearing, not a convenience; the why lives at
+    * the stage-3 comment): its
     * blocks are released by RDD garbage collection once the returned
     * Dataset is unreferenced — NOT by clearCache() — and, unlike a
     * persist, are not recomputable if an executor holding them is
@@ -393,26 +395,34 @@ object TrainingCorpusPipeline {
     }
 
     // 3. near-dup dedup: MinHash-LSH clusters, min-id survivor.
-    // LAZY localCheckpoint: `deduped` is re-referenced by every
+    // EAGER localCheckpoint: `deduped` is re-referenced by every
     // decontamination detector AND the final anti join — four copies
     // of the full stage-0..3 DAG in one logical plan. Truncating
     // lineage here turns them into leaf scans: analysis/AQE cost stays
     // bounded however many detectors are enabled (the same
     // plan-growth fix as Dedup.connectedComponents; without it the
     // fully-enabled pipeline's plan STRING alone is heap-threatening).
-    // eager=false keeps THIS stage job-free until the caller consumes
-    // the result. (run() as a whole is job-free only with the LM
-    // stages off: the 2c/2d operators eager-checkpoint their
-    // vocabulary-sized count relations at construction — small jobs,
-    // launched during run().) Trade-offs vs persist, documented in
-    // run()'s scaladoc:
-    // checkpointed partitions are released by RDD GC (not
-    // clearCache()), and are not recomputable after an executor loss.
+    // eager=true is LOAD-BEARING, not a convenience: a lazy
+    // localCheckpoint materializes on whatever thread first computes
+    // the relation, and when that consumer is a broadcast join the
+    // checkpoint's RDD.doCheckpoint runs on a broadcast-exchange
+    // thread — whose lock order (RDDCheckpointData$ class lock, then
+    // each RDD monitor) DEADLOCKS against dag-scheduler-event-loop's
+    // getCacheLocs (RDD monitor, then the class lock). Observed as a
+    // hard application freeze (jstack "Found 1 deadlock", zero CPU) in
+    // this suite; on a production cluster the same race freezes the
+    // whole app. Eager checkpointing runs doCheckpoint on the driver
+    // main thread at construction, where the inverted order cannot
+    // arise. (Cost: the dedup job launches during run() instead of at
+    // first consumption — run()'s callers always consume.) Trade-offs
+    // vs persist, documented in run()'s scaladoc: checkpointed
+    // partitions are released by RDD GC (not clearCache()), and are
+    // not recomputable after an executor loss.
     val nearKeep = Dedup.nearDupGroups(modelGated, idCol, textCol,
         cfg.shingleN, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
       .select(col("keep_id").as(idCol))
     val deduped0 = modelGated.join(nearKeep, Seq(idCol), "left_semi")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     // 3b. (opt-in) repeated-span excision: cut cross-doc repeated
     // n-gram runs from the SURVIVORS (the Lee et al. ExactSubstr pass,
