@@ -138,6 +138,18 @@ object WarcRecords {
   private val GzipHdrPat =
     "(?im)^content-encoding[ \\t]*:[^\\r\\n]*gzip"
 
+  /** Routing union of the two coding patterns: ONE regex scan per row
+    * decides whether the decode UDF runs at all; the UDF re-derives
+    * the individual flags from the header bytes it already holds
+    * (repeating each rlike as a UDF argument would pay both scans
+    * twice per encoded row in interpreted/fallback contexts — the
+    * HtmlExtract letBound lesson). */
+  private val EncodedHdrPat =
+    "(?im)^(transfer-encoding[ \\t]*:[^\\r\\n]*chunked" +
+      "|content-encoding[ \\t]*:[^\\r\\n]*gzip)"
+  private lazy val ChunkedRe = java.util.regex.Pattern.compile(ChunkedHdrPat)
+  private lazy val GzipRe = java.util.regex.Pattern.compile(GzipHdrPat)
+
   /** Index of the first CRLF-CRLF (header/body separator), or -1. */
   private def crlfCrlfAt(msg: Array[Byte]): Int = {
     var hdrEnd = -1
@@ -206,7 +218,14 @@ object WarcRecords {
     * while preserving the `Content-Encoding: gzip` header — the
     * de-chunk fallback's sibling pattern), and a truncated/corrupt
     * stream keeps whatever decompressed cleanly (the good-prefix
-    * rule). JDK GZIPInputStream; no external codec. */
+    * rule). Magic-but-nothing-decoded yields EMPTY on purpose — the
+    * asymmetry with the de-chunk fallback is deliberate: a mislabeled
+    * chunked body is plain text worth recovering, but a body that
+    * really starts with the gzip magic IS compressed, so its raw
+    * bytes are never the document — passing them through would feed
+    * mojibake to the corpus, strictly worse than an empty record the
+    * quality gates can count. JDK GZIPInputStream; no external
+    * codec. */
   private[io] def gunzipBytes(body: Array[Byte]): Array[Byte] = {
     if (body.length < 2 || (body(0) & 0xff) != 0x1f ||
         (body(1) & 0xff) != 0x8b) return body
@@ -244,8 +263,22 @@ object WarcRecords {
   private[io] def dechunkHttpBody(msg: Array[Byte]): String =
     decodeHttpBody(msg, chunked = true, gzipped = false)
 
+  /** [[decodeHttpBody]] deriving the coding flags ITSELF from the
+    * header block (one pass over bytes the decode already holds) —
+    * the UDF entry point, so the column side pays exactly one routing
+    * regex per row instead of re-evaluating each header rlike as a
+    * UDF argument. */
+  private[io] def decodeHttpBodyAuto(msg: Array[Byte]): String = {
+    if (msg == null) return null
+    val hdrEnd = crlfCrlfAt(msg)
+    if (hdrEnd < 0) return ""
+    val hdr = new String(msg, 0, hdrEnd, "ISO-8859-1")
+    decodeHttpBody(msg, ChunkedRe.matcher(hdr).find(),
+      GzipRe.matcher(hdr).find())
+  }
+
   private lazy val decodeBodyUdf =
-    org.apache.spark.sql.functions.udf(decodeHttpBody _)
+    org.apache.spark.sql.functions.udf(decodeHttpBodyAuto _)
 
   /** Strip a leading HTTP message envelope from a raw (binary)
     * payload: in real ISO-28500 crawls a response record's payload is
@@ -271,11 +304,9 @@ object WarcRecords {
     val payload = payloadBin.cast("string")
     val sep = locate("\r\n\r\n", payload)
     val hdr = payload.substr(lit(1), sep - 1)
-    val chunked = hdr.rlike(ChunkedHdrPat)
-    val gzipped = hdr.rlike(GzipHdrPat)
     when(payload.startsWith("HTTP/"),
       when(sep > 0,
-        when(chunked || gzipped, decodeBodyUdf(payloadBin, chunked, gzipped))
+        when(hdr.rlike(EncodedHdrPat), decodeBodyUdf(payloadBin))
           .otherwise(payload.substr(sep + lit(4), length(payload))))
         .otherwise(lit("")))
       .otherwise(payload)

@@ -139,9 +139,14 @@ object AudioWave {
         }
         return Some((WavMeta(rate, channels, bits, frames), mono))
       }
-      // skip chunk, word-aligned per RIFF spec
-      if (size < 0 || size > Int.MaxValue - 9) return None
-      pos = body + size.toInt + (size.toInt & 1)
+      // skip chunk, word-aligned per RIFF spec — arithmetic in LONG:
+      // a corrupt declared size near 2³¹ would wrap an Int `pos`
+      // negative, turn the loop guard true, and throw out of the
+      // documented fail-soft contract (index out of bounds) instead
+      // of returning None
+      val next = body.toLong + size + (size & 1L)
+      if (size < 0 || next > b.length) return None
+      pos = next.toInt
     }
     None
   }

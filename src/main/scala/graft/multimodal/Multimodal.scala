@@ -189,7 +189,10 @@ object Multimodal {
     while (!done && pos + 4 <= pb.length) {
       val len = ((pb(pos) & 0xff) << 24) | ((pb(pos + 1) & 0xff) << 16) |
         ((pb(pos + 2) & 0xff) << 8) | (pb(pos + 3) & 0xff)
-      if (len <= 0 || pos + 4 + len > pb.length) done = true
+      // bounds compare in LONG: a corrupt length near 2³¹ would wrap
+      // `pos + 4 + len` negative, pass the guard, and throw out of the
+      // fail-soft contract instead of ending the walk
+      if (len <= 0 || pos + 4L + len > pb.length) done = true
       else {
         out += java.util.Arrays.copyOfRange(pb, pos + 4, pos + 4 + len)
         pos += 4 + len
@@ -245,23 +248,31 @@ object Multimodal {
                     minOverlapBp: Int = 6000): DataFrame = {
     require(minOverlapBp >= 1 && minOverlapBp <= 10000,
       s"minOverlapBp must be in 1..10000, got $minOverlapBp")
-    val fh = videoFrameHashes(media, stride)
+    // aHash-only internal pass: [[videoFrameHashes]] computes BOTH
+    // hashes, but this operator bands and confirms on aHash alone —
+    // paying the 9×8 dHash grid per frame in the corpus-scale decode
+    // pass for a column nothing reads would be waste Catalyst cannot
+    // prune out of an opaque mapPartitions
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fh = media.filter(_.kind == "video")
+      .mapPartitions(_.flatMap { m =>
+        splitImageFrames(m.payload).zipWithIndex
+          .collect { case (f, i) if i % stride == 0 =>
+            (m.media_id, i, PerceptualHash.lumaPixels(f).map {
+              case (w, h, px) => PerceptualHash.aHashOfGrid(
+                PerceptualHash.blockGrid(w, h, px, 8, 8)) })
+          }
+      })
+      .toDF("media_id", "frame_idx", "ahash")
       .filter(col("ahash").isNotNull)
     val nFrames = fh.groupBy(col("media_id").as("__vid"))
       .agg(count(lit(1)).as("n_frames"))
-    val bands = fh.select(col("media_id").as("__vid"),
-        col("frame_idx").as("__f"), col("ahash").as("__h"),
-        explode(array((0 to 3).map(b =>
-          struct(lit(b).as("b"),
-            (shiftright(col("ahash"), b * 16) bitwiseAND lit(65535L))
-              .as("v"))): _*)).as("__band"))
-      .select(col("__vid"), col("__f"), col("__h"),
-        col("__band.b").as("__b"), col("__band.v").as("__v"))
-    val sizes = bands.groupBy(col("__b"), col("__v"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
-      .select(col("__b"), col("__v"))
-    val capped = bands.join(sizes, Seq("__b", "__v"))
+    // the family's shared candidacy stage: banded buckets + census cap
+    val capped = PerceptualHash.cappedBands(
+      fh.select(col("media_id").as("__vid"), col("frame_idx").as("__f"),
+        col("ahash").as("__h")),
+      Seq("__vid", "__f"), Seq("__h"), maxBucket)
     // distinct matched a-frames per video pair (a frame may match
     // through several bands and several b-frames — it counts once)
     val matched = capped.as("a")

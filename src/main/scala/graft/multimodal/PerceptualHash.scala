@@ -231,24 +231,7 @@ object PerceptualHash {
     val h = hashes.select(col(idCol).cast("long").as("__id") +:
         hashCols.zip(hCols).map { case (c, a) => col(c).cast("long").as(a) }: _*)
       .filter(hCols.map(col(_).isNotNull).reduce(_ && _))
-    // arithmetic shift + mask ≡ logical shift on the low 16 bits (the
-    // mask drops the sign extension) — both engines agree
-    val bandStructs = hCols.zipWithIndex.flatMap { case (hc, hi) =>
-      (0 to 3).map(b => struct(lit(hi * 4 + b).as("b"),
-        (shiftright(col(hc), b * 16) bitwiseAND lit(65535L)).as("v")))
-    }
-    val bands = h.select(col("__id") +: hCols.map(col) :+
-        explode(array(bandStructs: _*)).as("__band"): _*)
-      .select(col("__id") +: hCols.map(col) :+
-        col("__band.b").as("__b") :+ col("__band.v").as("__v"): _*)
-    // bucket census (groupBy + join back, the q28 cap shape — no
-    // window): singleton buckets can't pair, oversized ones are the
-    // documented degenerate case
-    val sizes = bands.groupBy(col("__b"), col("__v"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
-      .select(col("__b"), col("__v"))
-    val capped = bands.join(sizes, Seq("__b", "__v"))
+    val capped = cappedBands(h, Seq("__id"), hCols, maxBucket)
     val totalHam = hCols.map(hc =>
       bit_count(col(s"a.$hc").bitwiseXOR(col(s"b.$hc")))).reduce(_ + _)
     val pairs = capped.as("a")
@@ -263,6 +246,35 @@ object PerceptualHash {
       .agg(min(struct(col("__nbr"), col("hamming"))).as("__k"))
       .select(col("dup_id"), col("__k.__nbr").as("keep_id"),
         col("__k.hamming").cast("int").as("hamming"))
+  }
+
+  /** The shared candidacy stage of every banded near-dup in this
+    * family (image single/dual hash, video frames, audio envelopes):
+    * explode each long hash column into four 16-bit bands (arithmetic
+    * shift + mask ≡ logical shift on the low 16 bits — both engines
+    * agree), census the (band, value) buckets, and keep rows whose
+    * bucket can pair and is under the degenerate-region cap (the q28
+    * MinHash rule). Output: `keyCols ++ hashCols ++ (__b, __v)`. One
+    * copy of the census logic, every caller in sync. */
+  private[multimodal] def cappedBands(h: DataFrame, keyCols: Seq[String],
+                                      hashCols: Seq[String],
+                                      maxBucket: Int): DataFrame = {
+    val bandStructs = hashCols.zipWithIndex.flatMap { case (hc, hi) =>
+      (0 to 3).map(b => struct(lit(hi * 4 + b).as("b"),
+        (shiftright(col(hc), b * 16) bitwiseAND lit(65535L)).as("v")))
+    }
+    val bands = h.select(keyCols.map(col) ++ hashCols.map(col) :+
+        explode(array(bandStructs: _*)).as("__band"): _*)
+      .select(keyCols.map(col) ++ hashCols.map(col) :+
+        col("__band.b").as("__b") :+ col("__band.v").as("__v"): _*)
+    // bucket census (groupBy + join back, the q28 cap shape — no
+    // window): singleton buckets can't pair, oversized ones are the
+    // documented degenerate case
+    val sizes = bands.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("__b"), col("__v"))
+    bands.join(sizes, Seq("__b", "__v"))
   }
 
   // ---- Oracle-replayable fixture rendering ------------------------------

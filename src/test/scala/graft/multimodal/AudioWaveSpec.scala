@@ -52,6 +52,13 @@ class AudioWaveSpec extends SparkSpec {
     AudioWave.parseWav(spliced).map(_._2.toSeq) shouldBe Some(s.toSeq)
     // garbage, a compressed format tag, and NULL all refuse loudly-soft
     AudioWave.parseWav("not a wav at all, just text".getBytes) shouldBe None
+    // adversarial chunk size near 2³¹: the skip arithmetic must not
+    // wrap an Int position negative (that threw out of the fail-soft
+    // contract instead of returning None)
+    val evil = full.take(12) ++ "junk".getBytes("ISO-8859-1") ++
+      Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F) ++
+      full.drop(12)
+    AudioWave.parseWav(evil) shouldBe None
     val compressed = full.clone()
     compressed(20) = 85 // format tag 0x0055 = MP3
     AudioWave.parseWav(compressed) shouldBe None

@@ -233,6 +233,12 @@ class MultimodalSpec extends SparkSpec {
       Seq(f1.toSeq, f2.toSeq)
     Multimodal.splitImageFrames(Array[Byte](-1, 0, 0, 1, 7)) shouldBe empty
     Multimodal.splitImageFrames(null) shouldBe empty
+    // adversarial declared length near 2³¹: the bounds compare must
+    // not wrap Int (that threw IllegalArgumentException out of the
+    // fail-soft walk); the good prefix before it still survives
+    val evil = packed ++ Array[Byte](0x7F, -1, -1, -1) ++ Array[Byte](7)
+    Multimodal.splitImageFrames(evil).map(_.toSeq) shouldBe
+      Seq(f1.toSeq, f2.toSeq)
   }
 
   test("videoNearDups: re-encoded and trimmed copies collapse on the original; unrelated videos survive") {

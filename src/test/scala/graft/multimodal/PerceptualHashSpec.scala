@@ -247,6 +247,49 @@ class PerceptualHashSpec extends SparkSpec {
     live(0)._3 shouldBe live(1)._3 // PNG ≡ BMP hash, streamed
   }
 
+  test("video and audio kernels under readStream: streamed frame/envelope hashes ≡ batch") {
+    // the r12 kernels inherit the media-streaming story: the container
+    // walk + per-frame decode (video) and the RIFF parse + envelope
+    // hash (audio) are stateless narrow mapPartitions, so live ingest
+    // and batch backfill share one code path row for row
+    import java.nio.file.Files
+    def frame(f: Int) = PerceptualHash.renderGrayImage(16, 16, 9 * 7,
+      (9 + f) % 5 + 1, (9 + 2 * f) % 11 + 1, (9 + f) % 3, 0, "png")
+    val wav = AudioWave.writeWav(
+      Array.tabulate(1024)(t => ((13 + 3 * t) % 64 - 32) * 256), 16000, 16)
+    val media = Seq(
+      Multimodal.Media(1L, "video",
+        Multimodal.packImageFrames((0 to 3).map(frame))),
+      Multimodal.Media(2L, "audio", wav),
+      Multimodal.Media(3L, "audio", "not audio".getBytes))
+    val dir = Files.createTempDirectory("graft_av_stream")
+    media.toDS().write.parquet(dir.toString + "/in")
+    val streamed = spark.readStream.schema(media.toDS().schema)
+      .parquet(dir.toString + "/in").as[Multimodal.Media]
+    val out = Multimodal.videoFrameHashes(streamed)
+      .select(col("media_id"), col("frame_idx").cast("long").as("k"),
+        col("ahash").as("h"))
+      .unionByName(AudioWave.audioHashes(streamed)
+        .select(col("media_id"), lit(-1L).as("k"), col("ehash").as("h")))
+    val q = out.writeStream.format("memory").queryName("av_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_av").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.table("av_stream")
+      .as[(Long, Long, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    val batch = (Multimodal.videoFrameHashes(media.toDS())
+        .select(col("media_id"), col("frame_idx").cast("long").as("k"),
+          col("ahash").as("h"))
+        .unionByName(AudioWave.audioHashes(media.toDS())
+          .select(col("media_id"), lit(-1L).as("k"), col("ehash").as("h"))))
+      .as[(Long, Long, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    live shouldBe batch
+    live.count(_._1 == 1L) shouldBe 4 // all four frames, streamed
+    live.find(_._1 == 3L).get._3 shouldBe None // unparseable stays NULL
+  }
+
   test("dual-hash near-dup: rescues the letterbox pair single-hash banding misses AND rejects its false positive") {
     // letterboxed fixture (renderLetterboxImage16): ids 1/2 are the
     // SAME pattern (gid 4) base + full-row-bump retouch — aHash flips
