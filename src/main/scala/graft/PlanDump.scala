@@ -57,7 +57,11 @@ object PlanDump {
       "q184_ann_opq_residual_two_level" -> "composed OPQ-residual-two-level SERVING: the corpus encodes once into the stored (c_id, cell, codes) relation, queries rotate through the broadcast row and search OVER the codes via cell equi-joins — no K-sized and no dim-sized literal anywhere in the plan",
       "q187_url_canonical_dedup" -> "canonical-URL dedup: the canonical key is a narrow expression; keeper election is ONE partial-combined min-agg on the key plus a semi join back — the exact-dedup cost class, no window, no nested loop",
       "q191_script_mix" -> "script composition: the per-character explode (the heaviest narrow text pass) reduces map-side into per-group conditional-sum partials before the only shuffle — corpus-sized rows never cross the wire",
-      "q195_image_phash_neardup" -> "perceptual near-dup: image decode + hash is one narrow mapPartitions pass (payload bytes never shuffle — only the 8-byte hash moves), 4x16-bit band explode into a census-capped bucket equi-join, exact bit_count recheck, min-struct keeper election — the q28 banded-LSH shape on images")
+      "q195_image_phash_neardup" -> "perceptual near-dup: image decode + hash is one narrow mapPartitions pass (payload bytes never shuffle — only the 8-byte hash moves), 4x16-bit band explode into a census-capped bucket equi-join, exact bit_count recheck, min-struct keeper election — the q28 banded-LSH shape on images",
+      "q198_image_dual_hash_neardup" -> "dual-hash near-dup: ONE decode pass emits both 8-byte hashes, 8 bands (4 per hash) through the shared census-capped bucket join, confirmation on the SUMMED bit_count — same cost class as q195 with twice the candidacy surface and none of its degenerate-band blindness",
+      "q199_media_doc_gate_perceptual" -> "perceptual media gate: md5 fingerprints and perceptual hashes both computed in narrow passes over the payload IN PLACE (payload bytes never shuffle); keeper election, hash semi-join, banded near-dup, originals anti-join, and owner-doc distinct all run on fingerprint/hash-sized relations",
+      "q200_video_neardup" -> "video near-dup: the container walk + per-frame decode + aHash is one narrow mapPartitions pass; frame-level banded census-capped bucket join, per-(video,video) distinct-matched-frame count, division-free basis-point overlap filter, min-struct keeper election — q28 banding lifted to frame sets",
+      "q202_audio_neardup" -> "audio near-dup: RIFF parse + envelope hash is one narrow mapPartitions pass (payload bytes never shuffle — only the 8-byte envelope hash moves); the tail is literally the shared banded near-dup core")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"
