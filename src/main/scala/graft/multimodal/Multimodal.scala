@@ -520,14 +520,22 @@ object Multimodal {
   * once-per-partition lifecycle. */
 private[multimodal] class DecoderSession private () extends Serializable {
   /** Images decode for REAL when the bytes are a format the JDK reads
-    * (PNG/JPEG/GIF/BMP — [[Multimodal.realImageMeta]]); everything
-    * else (non-image payloads, audio, video) falls back to the
+    * (PNG/JPEG/GIF/BMP — [[Multimodal.realImageMeta]]), and audio
+    * decodes for REAL when the bytes are RIFF/WAVE PCM
+    * ([[AudioWave.parseWav]] — rate/channels/bit-depth off the real
+    * header, n_frames carries the PCM frame count); everything else
+    * (non-media payloads, compressed audio, video) falls back to the
     * deterministic stub, so existing fixtures and oracles see
     * identical metadata. */
   def decode(kind: String, payload: Array[Byte]): Multimodal.MediaMeta =
     if (kind == "image")
       Multimodal.realImageMeta(payload)
         .getOrElse(Multimodal.stubDecode(kind, payload))
+    else if (kind == "audio")
+      AudioWave.parseWav(payload).map { case (mt, _) =>
+        Multimodal.MediaMeta("wav", 0, 0, mt.nSamples, mt.sampleRate,
+          mt.channels)
+      }.getOrElse(Multimodal.stubDecode(kind, payload))
     else Multimodal.stubDecode(kind, payload)
 
   /** Deterministic hash-derived pseudo-embedding in [-1, 1). */

@@ -220,6 +220,20 @@ class MultimodalSpec extends SparkSpec {
     meta shouldBe Multimodal.stubDecode("image", truncated)
   }
 
+  test("decodeAll: real WAV audio payloads carry REAL header metadata; text payloads keep the stub") {
+    import spark.implicits._
+    val wav = AudioWave.writeWav(
+      Array.tabulate(500)(t => (t % 64 - 32) * 256), 22050, bits = 16,
+      channels = 1)
+    val rows = Multimodal.decodeAll(Seq(
+        Multimodal.Media(1L, "audio", wav),
+        Multimodal.Media(2L, "audio", "plain prose".getBytes))
+      .toDS()).collect().sortBy(_.media_id)
+    rows(0).meta shouldBe Multimodal.MediaMeta("wav", 0, 0, 500, 22050, 1)
+    rows(1).meta shouldBe Multimodal.stubDecode("audio",
+      "plain prose".getBytes) // non-WAV bytes keep the stub path
+  }
+
   test("packImageFrames/splitImageFrames round-trip; corrupt tail keeps the good prefix") {
     val f1 = Array[Byte](1, 2, 3)
     val f2 = Array[Byte](4, 5)
