@@ -248,14 +248,22 @@ object Multimodal {
                     minOverlapBp: Int = 6000): DataFrame = {
     require(minOverlapBp >= 1 && minOverlapBp <= 10000,
       s"minOverlapBp must be in 1..10000, got $minOverlapBp")
-    // aHash-only internal pass: [[videoFrameHashes]] computes BOTH
-    // hashes, but this operator bands and confirms on aHash alone —
-    // paying the 9×8 dHash grid per frame in the corpus-scale decode
-    // pass for a column nothing reads would be waste Catalyst cannot
-    // prune out of an opaque mapPartitions
+    videoOverlapDups(videoFrameAHashes(media, stride), maxDist,
+      maxBucket, minOverlapBp)
+  }
+
+  /** aHash-only per-frame pass: [[videoFrameHashes]] computes BOTH
+    * hashes, but the overlap dedup bands and confirms on aHash alone —
+    * paying the 9×8 dHash grid per frame in the corpus-scale decode
+    * pass for a column nothing reads would be waste Catalyst cannot
+    * prune out of an opaque mapPartitions. Decoded frames only
+    * (NULL hashes dropped here — they can't band). */
+  private[multimodal] def videoFrameAHashes(media: Dataset[Media],
+                                            stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
-    val fh = media.filter(_.kind == "video")
+    media.filter(_.kind == "video")
       .mapPartitions(_.flatMap { m =>
         splitImageFrames(m.payload).zipWithIndex
           .collect { case (f, i) if i % stride == 0 =>
@@ -266,6 +274,16 @@ object Multimodal {
       })
       .toDF("media_id", "frame_idx", "ahash")
       .filter(col("ahash").isNotNull)
+  }
+
+  /** The relational tail of [[videoNearDups]] over a precomputed
+    * (media_id, frame_idx, ahash) relation — split out so callers
+    * that must dedup among a SUBSET of videos (the originality gate's
+    * byte keepers) can filter the hash-sized relation instead of
+    * semi-joining payload bytes through a shuffle. */
+  private[multimodal] def videoOverlapDups(fh: DataFrame, maxDist: Int,
+                                           maxBucket: Int,
+                                           minOverlapBp: Int): DataFrame = {
     val nFrames = fh.groupBy(col("media_id").as("__vid"))
       .agg(count(lit(1)).as("n_frames"))
     // the family's shared candidacy stage: banded buckets + census cap
@@ -499,6 +517,76 @@ object Multimodal {
       .select(col("dup_id").as("__mid"))
     val originals = keepers.join(dups, Seq("__mid"), "left_anti")
     val ownerDocs = fp.join(originals, Seq("__mid"), "left_semi")
+      .select(col("__did")).distinct()
+    val withMedia = fp.select(col("__did")).distinct()
+    docs.join(
+      withMedia.join(ownerDocs, Seq("__did"), "left_anti"),
+      col(idCol) === col("__did"), "left_anti")
+  }
+
+  /** The UNIFIED multimodal originality gate: docs gate on evidence
+    * from ANY media kind — images via the dual perceptual hash, audio
+    * via the envelope hash, video via frame-set overlap — behind one
+    * byte-level election. A media row is ORIGINAL iff it wins its
+    * byte-dedup group (md5, kind-agnostic — container magics keep
+    * kinds byte-disjoint) AND its kind's perceptual election does not
+    * collapse it onto a smaller keeper; a doc survives iff it owns at
+    * least one original (docs with no non-NULL media pass — the
+    * keep-the-unparseable convention, as do docs whose media is
+    * undecodable: NULL hashes never match).
+    *
+    * Plan shape: every hash family is computed over ALL media in its
+    * kind's narrow decode pass (payload bytes NEVER shuffle — the
+    * dropAllDuplicateImageDocsPerceptual rule), keepers restrict the
+    * HASH relations, and the three dup sets union id-sized. The
+    * per-kind thresholds are each family's documented defaults. */
+  def dropAllDuplicateMediaDocs(docs: DataFrame, idCol: String,
+                                media: DataFrame, mediaIdCol: String,
+                                docIdCol: String, kindCol: String,
+                                payloadCol: String,
+                                imageMaxDist: Int = 6,
+                                audioMaxDist: Int = 3,
+                                videoMaxDist: Int = 3,
+                                videoMinOverlapBp: Int = 6000,
+                                maxBucket: Int = 1024): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = media.schema(mediaIdCol).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"dropAllDuplicateMediaDocs needs an integral $mediaIdCol " +
+          s"column, got ${dt.catalogString}")
+    }
+    val m = media.filter(col(payloadCol).isNotNull)
+      .select(col(mediaIdCol).cast("long").as("media_id"),
+        col(docIdCol).as("__did"), col(kindCol).as("kind"),
+        col(payloadCol).as("payload"))
+    val fp = m.select(col("media_id"), col("__did"),
+      md5(col("payload")).as("__fp"))
+    val keepers = fp.groupBy(col("__fp"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select(col("media_id"))
+    def keeperOnly(hashes: DataFrame): DataFrame =
+      hashes.join(keepers, Seq("media_id"), "left_semi")
+    val typed = m.select(col("media_id"), col("kind"), col("payload"))
+      .as[Media]
+    val imgDups = PerceptualHash.nearDupsByDualHash(
+        keeperOnly(PerceptualHash.perceptualHashes(typed)),
+        "media_id", "ahash", "dhash", imageMaxDist, maxBucket)
+      .select(col("dup_id"))
+    val audDups = PerceptualHash.nearDupsByHash(
+        keeperOnly(AudioWave.audioHashes(typed)),
+        "media_id", "ehash", audioMaxDist, maxBucket)
+      .select(col("dup_id"))
+    val vidDups = videoOverlapDups(
+        keeperOnly(videoFrameAHashes(typed, stride = 1)),
+        videoMaxDist, maxBucket, videoMinOverlapBp)
+      .select(col("dup_id"))
+    val dups = imgDups.unionByName(audDups).unionByName(vidDups)
+      .select(col("dup_id").as("media_id"))
+    val originals = keepers.join(dups, Seq("media_id"), "left_anti")
+    val ownerDocs = fp.join(originals, Seq("media_id"), "left_semi")
       .select(col("__did")).distinct()
     val withMedia = fp.select(col("__did")).distinct()
     docs.join(

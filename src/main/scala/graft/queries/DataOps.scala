@@ -1299,8 +1299,258 @@ object DataOps {
       GROUP BY dup_id
       ORDER BY dup_id"""))
 
+  /** q203: UNIFIED multimodal originality gate
+    * ([[graft.multimodal.Multimodal.dropAllDuplicateMediaDocs]]) —
+    * one doc gate over evidence from ALL media kinds at once: each
+    * doc owns one REAL media object (doc_id mod 3 picks image / audio
+    * / video), every kind carries its byte-blind re-encode class
+    * (PNG↔BMP letterbox renders; 16↔8-bit WAVs; full↔trimmed frame
+    * containers), and byte election + the three perceptual elections
+    * (dual-hash / envelope / frame-set overlap) run behind one gate.
+    * DuckDB replays all three CTE families (each individually proven
+    * in q198–q202) plus the kind-split byte election — container
+    * magics keep kinds byte-disjoint, so GROUP BY the per-kind render
+    * parameters is exact. NULL-payload docs (480–489) and media-less
+    * docs (≥490) pass untouched. */
+  private val q203 = QuerySpec(
+    "q203_media_doc_gate_unified",
+    (s, dir) => {
+      import graft.multimodal.{AudioWave, Multimodal, PerceptualHash}
+      val docs = Tables.documents(s, dir)
+      val mkAudio = udf((j: Long) => {
+        val g = (j / 2) % 30
+        val samples = Array.tabulate(1024) { t =>
+          val w = t / 16
+          val base = ((g * 13 + (g % 7 + 1) * t) % 64 - 32).toInt
+          val hi = (g * 1103515245L + w.toLong * w * (g % 13 + 1) +
+            w.toLong * (g % 31 + 3)) % 97 < 32
+          base * (if (hi) 4 else 1) * 256
+        }
+        AudioWave.writeWav(samples, 16000,
+          bits = if (j % 2 == 1) 8 else 16)
+      })
+      val mkVideo = udf((j: Long) => {
+        val g = (j / 2) % 30
+        val fs = (if (j % 2 == 1) 1 to 5 else 0 to 5).map { f =>
+          PerceptualHash.renderGrayImage(16, 16, g * 7,
+            (g + f) % 5 + 1, (g + 2 * f) % 11 + 1, (g + f) % 3, 0L,
+            "png")
+        }
+        Multimodal.packImageFrames(fs)
+      })
+      val j = (col("doc_id") / 3).cast("long")
+      val g = ((j / 2).cast("long") % 30)
+      val media = docs.filter(col("doc_id") < 490)
+        .select(col("doc_id").as("media_id"), col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          when(col("doc_id") >= 480, lit(null).cast("binary"))
+            .when(col("doc_id") % 3 === 0,
+              PerceptualHash.renderLetterboxImage16(g * 7, g % 5 + 1,
+                g % 11 + 1, g % 3,
+                when(j % 2 === 1, 20L).otherwise(0L),
+                when(j % 3 === 0, "bmp").otherwise("png")))
+            .when(col("doc_id") % 3 === 1, mkAudio(j))
+            .otherwise(mkVideo(j)).as("payload"))
+      Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id", media,
+          "media_id", "doc_id", "kind", "payload",
+          imageMaxDist = 6, audioMaxDist = 3, videoMaxDist = 3,
+          videoMinOverlapBp = 6000, maxBucket = 64)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT doc_id, doc_id // 3 AS j, ((doc_id // 3) // 2) % 30 AS gid
+        FROM documents WHERE doc_id < 480),
+      -- ---- image family (doc_id % 3 = 0): letterbox dual-hash -------
+      img_g AS (
+        SELECT min(doc_id) AS doc_id, gid, bump FROM (
+          SELECT doc_id, gid,
+                 CASE WHEN j % 2 = 1 THEN 20 ELSE 0 END AS bump,
+                 CASE WHEN j % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+          FROM base WHERE doc_id % 3 = 0)
+        GROUP BY gid, bump, fmt),
+      img_px AS (
+        SELECT doc_id, x.range AS x, y.range AS y,
+               CASE WHEN y.range < 4 THEN 0
+                    ELSE least(((gid*7) + (gid%5+1)*x.range
+                                + (gid%11+1)*y.range
+                                + (gid%3)*x.range*y.range) % 200
+                      + CASE WHEN y.range IN (4,5,8,9,12,13)
+                             THEN bump ELSE 0 END, 255) END AS v
+        FROM img_g, range(16) x, range(16) y),
+      img_blk8 AS (
+        SELECT doc_id, (x*8)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM img_px GROUP BY 1, 2, 3),
+      img_mean8 AS (
+        SELECT doc_id, sum(b)//64 AS m FROM img_blk8 GROUP BY doc_id),
+      img_ah AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ahash
+        FROM (SELECT doc_id,
+                     coalesce(sum(CASE WHEN b > m
+                       THEN CAST(power(2, gy*8+gx) AS HUGEINT) END),
+                       0) AS s
+              FROM img_blk8 JOIN img_mean8 USING (doc_id)
+              GROUP BY doc_id)),
+      img_blk9 AS (
+        SELECT doc_id, (x*9)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM img_px GROUP BY 1, 2, 3),
+      img_dh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS dhash
+        FROM (SELECT l.doc_id,
+                     coalesce(sum(CASE WHEN r.b > l.b
+                       THEN CAST(power(2, l.gy*8+l.gx) AS HUGEINT) END),
+                       0) AS s
+              FROM img_blk9 l JOIN img_blk9 r
+                ON r.doc_id = l.doc_id AND r.gy = l.gy
+                  AND r.gx = l.gx + 1
+              GROUP BY l.doc_id)),
+      img_hh AS (
+        SELECT doc_id, ahash, dhash FROM img_ah JOIN img_dh
+        USING (doc_id)),
+      img_bands AS (
+        SELECT doc_id, ahash, dhash, b.range AS b,
+               CASE WHEN b.range < 4
+                    THEN (ahash >> CAST(16*b.range AS INTEGER)) & 65535
+                    ELSE (dhash >> CAST(16*(b.range-4) AS INTEGER))
+                      & 65535 END AS v
+        FROM img_hh, range(8) b),
+      img_ok AS (
+        SELECT b, v FROM img_bands GROUP BY b, v
+        HAVING count(*) BETWEEN 2 AND 64),
+      img_cb AS (
+        SELECT img_bands.* FROM img_bands JOIN img_ok USING (b, v)),
+      img_dups AS (
+        SELECT DISTINCT a.doc_id AS dup_id
+        FROM img_cb a JOIN img_cb c ON a.b = c.b AND a.v = c.v
+          AND a.doc_id > c.doc_id
+        WHERE bit_count(xor(a.ahash, c.ahash))
+                + bit_count(xor(a.dhash, c.dhash)) <= 6),
+      -- ---- audio family (doc_id % 3 = 1): envelope hash -------------
+      aud_g AS (
+        SELECT min(doc_id) AS doc_id, gid FROM (
+          SELECT doc_id, gid, j % 2 AS bits8
+          FROM base WHERE doc_id % 3 = 1)
+        GROUP BY gid, bits8),
+      aud_smp AS (
+        SELECT doc_id, t.range // 16 AS w,
+               ((gid*13 + (gid%7+1)*t.range) % 64 - 32)
+                 * (CASE WHEN (gid*1103515245
+                               + (t.range//16)*(t.range//16)*(gid%13+1)
+                               + (t.range//16)*(gid%31+3)) % 97 < 32
+                         THEN 4 ELSE 1 END) * 256 AS s
+        FROM aud_g, range(1024) t),
+      aud_env AS (
+        SELECT doc_id, w, sum(abs(s)) // count(*) AS e
+        FROM aud_smp GROUP BY doc_id, w),
+      aud_mn AS (
+        SELECT doc_id, sum(e) // 64 AS m FROM aud_env GROUP BY doc_id),
+      aud_eh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ehash
+        FROM (SELECT doc_id,
+                     coalesce(sum(CASE WHEN e > m
+                       THEN CAST(power(2, w) AS HUGEINT) END), 0) AS s
+              FROM aud_env JOIN aud_mn USING (doc_id)
+              GROUP BY doc_id)),
+      aud_bands AS (
+        SELECT doc_id, ehash, b.range AS b,
+               (ehash >> CAST(16*b.range AS INTEGER)) & 65535 AS v
+        FROM aud_eh, range(4) b),
+      aud_ok AS (
+        SELECT b, v FROM aud_bands GROUP BY b, v
+        HAVING count(*) BETWEEN 2 AND 64),
+      aud_cb AS (
+        SELECT aud_bands.* FROM aud_bands JOIN aud_ok USING (b, v)),
+      aud_dups AS (
+        SELECT DISTINCT a.doc_id AS dup_id
+        FROM aud_cb a JOIN aud_cb c ON a.b = c.b AND a.v = c.v
+          AND a.doc_id > c.doc_id
+        WHERE bit_count(xor(a.ehash, c.ehash)) <= 3),
+      -- ---- video family (doc_id % 3 = 2): frame-set overlap ----------
+      vid_g AS (
+        SELECT min(doc_id) AS doc_id, gid, trimmed FROM (
+          SELECT doc_id, gid, j % 2 AS trimmed
+          FROM base WHERE doc_id % 3 = 2)
+        GROUP BY gid, trimmed),
+      vid_fr AS (
+        SELECT doc_id, gid, f.range AS f
+        FROM vid_g, range(6) f
+        WHERE NOT (trimmed = 1 AND f.range = 0)),
+      vid_px AS (
+        SELECT doc_id, f, x.range AS x, y.range AS y,
+               ((gid*7) + ((gid+f)%5+1)*x.range
+                + ((gid+2*f)%11+1)*y.range
+                + ((gid+f)%3)*x.range*y.range) % 256 AS v
+        FROM vid_fr, range(16) x, range(16) y),
+      vid_blk8 AS (
+        SELECT doc_id, f, (x*8)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM vid_px GROUP BY 1, 2, 3, 4),
+      vid_mean8 AS (
+        SELECT doc_id, f, sum(b)//64 AS m FROM vid_blk8
+        GROUP BY doc_id, f),
+      vid_ah AS (
+        SELECT doc_id, f,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ahash
+        FROM (SELECT doc_id, f,
+                     coalesce(sum(CASE WHEN b > m
+                       THEN CAST(power(2, gy*8+gx) AS HUGEINT) END),
+                       0) AS s
+              FROM vid_blk8 JOIN vid_mean8 USING (doc_id, f)
+              GROUP BY doc_id, f)),
+      vid_nf AS (
+        SELECT doc_id, count(*) AS n_frames FROM vid_ah GROUP BY doc_id),
+      vid_bands AS (
+        SELECT doc_id, f, ahash, b.range AS b,
+               (ahash >> CAST(16*b.range AS INTEGER)) & 65535 AS v
+        FROM vid_ah, range(4) b),
+      vid_ok AS (
+        SELECT b, v FROM vid_bands GROUP BY b, v
+        HAVING count(*) BETWEEN 2 AND 64),
+      vid_cb AS (
+        SELECT vid_bands.* FROM vid_bands JOIN vid_ok USING (b, v)),
+      vid_mt AS (
+        SELECT dup_id, nbr, count(*) AS n_matched FROM (
+          SELECT DISTINCT a.doc_id AS dup_id, c.doc_id AS nbr, a.f
+          FROM vid_cb a JOIN vid_cb c ON a.b = c.b AND a.v = c.v
+            AND a.doc_id > c.doc_id
+          WHERE bit_count(xor(a.ahash, c.ahash)) <= 3)
+        GROUP BY dup_id, nbr),
+      vid_dups AS (
+        SELECT DISTINCT vid_mt.dup_id
+        FROM vid_mt JOIN vid_nf ON vid_nf.doc_id = vid_mt.dup_id
+        WHERE vid_mt.n_matched * 10000 >= 6000 * vid_nf.n_frames),
+      -- ---- union + gate ----------------------------------------------
+      keepers AS (
+        SELECT doc_id FROM img_g UNION ALL
+        SELECT doc_id FROM aud_g UNION ALL
+        SELECT doc_id FROM vid_g),
+      dups AS (
+        SELECT dup_id FROM img_dups UNION ALL
+        SELECT dup_id FROM aud_dups UNION ALL
+        SELECT dup_id FROM vid_dups)
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 480
+         OR doc_id IN (SELECT doc_id FROM keepers WHERE doc_id NOT IN
+                         (SELECT dup_id FROM dups))
+      ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
-    q200, q201, q202)
+    q200, q201, q202, q203)
 }

@@ -255,6 +255,46 @@ class MultimodalSpec extends SparkSpec {
       Seq(f1.toSeq, f2.toSeq)
   }
 
+  test("dropAllDuplicateMediaDocs: one gate over image+audio+video evidence; re-encodes of every kind drop") {
+    import spark.implicits._
+    def frame(g: Long, f: Int) = PerceptualHash.renderGrayImage(16, 16,
+      g * 7, (g + f) % 5 + 1, (g + 2 * f) % 11 + 1, (g + f) % 3, 0, "png")
+    def img(fmt: String) = PerceptualHash.renderLetterboxImage16(
+      lit(4L * 7), lit(4L % 5 + 1), lit(4L % 11 + 1), lit(4L % 3),
+      lit(0L), lit(fmt))
+    val wav16 = AudioWave.writeWav(
+      Array.tabulate(1024)(t => ((13 + 7 * t) % 64 - 32) * 256), 16000, 16)
+    val wav8 = AudioWave.writeWav(
+      Array.tabulate(1024)(t => ((13 + 7 * t) % 64 - 32) * 256), 16000, 8)
+    val docs = (1L to 8L).toDF("doc_id")
+    val media = Seq(
+      (1L, "image"), (2L, "image"),   // PNG original / BMP re-encode
+      (3L, "audio"), (4L, "audio"),   // 16-bit original / 8-bit re-master
+      (5L, "video"), (6L, "video"),   // full / trimmed
+      (7L, "image"),                  // NULL payload (failed fetch)
+      (8L, "video"))                  // unrelated pattern family
+      .toDF("media_id", "kind")
+      .withColumn("doc_id", col("media_id"))
+      .withColumn("payload",
+        when(col("media_id") === 1, img("png"))
+          .when(col("media_id") === 2, img("bmp"))
+          .when(col("media_id") === 3, lit(wav16))
+          .when(col("media_id") === 4, lit(wav8))
+          .when(col("media_id") === 5,
+            lit(Multimodal.packImageFrames((0 to 5).map(frame(9, _)))))
+          .when(col("media_id") === 6,
+            lit(Multimodal.packImageFrames((1 to 5).map(frame(9, _)))))
+          .when(col("media_id") === 8,
+            lit(Multimodal.packImageFrames((0 to 5).map(frame(23, _)))))
+          .otherwise(lit(null).cast("binary")))
+    val kept = Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id",
+        media, "media_id", "doc_id", "kind", "payload")
+      .as[Long].collect().sorted
+    // every re-encode class drops behind its kind's election; the
+    // NULL-payload doc and the unrelated video survive
+    kept shouldBe Array(1L, 3L, 5L, 7L, 8L)
+  }
+
   test("videoNearDups: re-encoded and trimmed copies collapse on the original; unrelated videos survive") {
     import spark.implicits._
     def frame(gid: Long, f: Int, fmt: String, bump: Long = 0L) =
