@@ -240,17 +240,14 @@ object WarcRecords {
     out.toByteArray
   }
 
-  /** Decode an HTTP message body: locate the header/body split, then
-    * de-chunk and/or gunzip per the declared transfer/content
-    * codings — in that order (RFC 9112: transfer coding frames the
-    * message, content coding wraps the representation, so a chunked
-    * gzip body de-chunks first and gunzips the reassembled bytes).
-    * One UTF-8 decode at the end. */
-  private[io] def decodeHttpBody(msg: Array[Byte], chunked: Boolean,
-                                 gzipped: Boolean): String = {
-    if (msg == null) return null
-    val hdrEnd = crlfCrlfAt(msg)
-    if (hdrEnd < 0) return ""
+  /** Decode the body after a KNOWN header/body split: de-chunk and/or
+    * gunzip per the declared transfer/content codings — in that order
+    * (RFC 9112: transfer coding frames the message, content coding
+    * wraps the representation, so a chunked gzip body de-chunks first
+    * and gunzips the reassembled bytes). One UTF-8 decode at the
+    * end. */
+  private def decodeBodyFrom(msg: Array[Byte], hdrEnd: Int,
+                             chunked: Boolean, gzipped: Boolean): String = {
     var body: Array[Byte] =
       if (chunked) dechunkBodyBytes(msg, hdrEnd + 4)
       else java.util.Arrays.copyOfRange(msg, hdrEnd + 4, msg.length)
@@ -258,22 +255,32 @@ object WarcRecords {
     new String(body, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** [[decodeBodyFrom]] with its own separator scan — the
+    * explicit-flags entry point. */
+  private[io] def decodeHttpBody(msg: Array[Byte], chunked: Boolean,
+                                 gzipped: Boolean): String = {
+    if (msg == null) return null
+    val hdrEnd = crlfCrlfAt(msg)
+    if (hdrEnd < 0) return ""
+    decodeBodyFrom(msg, hdrEnd, chunked, gzipped)
+  }
+
   /** [[decodeHttpBody]] for chunked-only messages — kept as the
     * spec-pinned de-chunk entry point. */
   private[io] def dechunkHttpBody(msg: Array[Byte]): String =
     decodeHttpBody(msg, chunked = true, gzipped = false)
 
-  /** [[decodeHttpBody]] deriving the coding flags ITSELF from the
-    * header block (one pass over bytes the decode already holds) —
-    * the UDF entry point, so the column side pays exactly one routing
-    * regex per row instead of re-evaluating each header rlike as a
-    * UDF argument. */
+  /** [[decodeBodyFrom]] deriving the coding flags ITSELF from the
+    * header block — the UDF entry point, so the column side pays
+    * exactly one routing regex per row instead of re-evaluating each
+    * header rlike as a UDF argument, and the separator scan runs ONCE
+    * (the flag derivation and the body cut share the same hdrEnd). */
   private[io] def decodeHttpBodyAuto(msg: Array[Byte]): String = {
     if (msg == null) return null
     val hdrEnd = crlfCrlfAt(msg)
     if (hdrEnd < 0) return ""
     val hdr = new String(msg, 0, hdrEnd, "ISO-8859-1")
-    decodeHttpBody(msg, ChunkedRe.matcher(hdr).find(),
+    decodeBodyFrom(msg, hdrEnd, ChunkedRe.matcher(hdr).find(),
       GzipRe.matcher(hdr).find())
   }
 

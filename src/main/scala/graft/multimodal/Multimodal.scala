@@ -201,6 +201,23 @@ object Multimodal {
     out.toSeq
   }
 
+  /** The one container-walk pass shared by every per-frame operator:
+    * (media_id, frame_idx, frame bytes) for every `stride`-th frame
+    * of every VIDEO payload — narrow, payloads stay in place. ONE
+    * copy of the walk, so stride semantics and the fail-soft rule
+    * cannot diverge between the dual-hash and aHash-only paths. */
+  private def videoFrames(media: Dataset[Media],
+                          stride: Int): Dataset[(Long, Int, Array[Byte])] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video")
+      .mapPartitions(_.flatMap { m =>
+        splitImageFrames(m.payload).zipWithIndex
+          .collect { case (f, i) if i % stride == 0 => (m.media_id, i, f) }
+      })
+  }
+
   /** Per-frame perceptual hashes of every VIDEO payload: one narrow
     * container-walk + decode pass (payloads never shuffle — only
     * (id, idx, two 8-byte hashes) move), every `stride`-th frame,
@@ -208,23 +225,19 @@ object Multimodal {
     * frames are a signal, not a dropped record — the perceptualHashes
     * convention). Output: (media_id, frame_idx, ahash, dhash). */
   def videoFrameHashes(media: Dataset[Media], stride: Int = 1): DataFrame = {
-    require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(_.kind == "video")
-      .mapPartitions(_.flatMap { m =>
-        splitImageFrames(m.payload).zipWithIndex
-          .collect { case (f, i) if i % stride == 0 =>
-            val g = PerceptualHash.lumaPixels(f)
-            (m.media_id, i,
-              g.map { case (w, h, px) =>
-                PerceptualHash.aHashOfGrid(
-                  PerceptualHash.blockGrid(w, h, px, 8, 8)) },
-              g.map { case (w, h, px) =>
-                PerceptualHash.dHashOfGrid(
-                  PerceptualHash.blockGrid(w, h, px, 9, 8)) })
-          }
-      })
+    videoFrames(media, stride)
+      .map { case (id, i, f) =>
+        val g = PerceptualHash.lumaPixels(f)
+        (id, i,
+          g.map { case (w, h, px) =>
+            PerceptualHash.aHashOfGrid(
+              PerceptualHash.blockGrid(w, h, px, 8, 8)) },
+          g.map { case (w, h, px) =>
+            PerceptualHash.dHashOfGrid(
+              PerceptualHash.blockGrid(w, h, px, 9, 8)) })
+      }
       .toDF("media_id", "frame_idx", "ahash", "dhash")
   }
 
@@ -260,18 +273,14 @@ object Multimodal {
     * (NULL hashes dropped here — they can't band). */
   private[multimodal] def videoFrameAHashes(media: Dataset[Media],
                                             stride: Int): DataFrame = {
-    require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(_.kind == "video")
-      .mapPartitions(_.flatMap { m =>
-        splitImageFrames(m.payload).zipWithIndex
-          .collect { case (f, i) if i % stride == 0 =>
-            (m.media_id, i, PerceptualHash.lumaPixels(f).map {
-              case (w, h, px) => PerceptualHash.aHashOfGrid(
-                PerceptualHash.blockGrid(w, h, px, 8, 8)) })
-          }
-      })
+    videoFrames(media, stride)
+      .map { case (id, i, f) =>
+        (id, i, PerceptualHash.lumaPixels(f).map {
+          case (w, h, px) => PerceptualHash.aHashOfGrid(
+            PerceptualHash.blockGrid(w, h, px, 8, 8)) })
+      }
       .toDF("media_id", "frame_idx", "ahash")
       .filter(col("ahash").isNotNull)
   }
@@ -446,7 +455,18 @@ object Multimodal {
     val keepers = fp.groupBy(col("__fp"))
       .agg(min(col("__mid")).as("__mid"))
       .select(col("__mid"))
-    val ownerDocs = fp.join(keepers, Seq("__mid"), "left_semi")
+    gateDocsOnOriginals(docs, idCol, fp, keepers)
+  }
+
+  /** The shared gate tail of the originality family: keep docs owning
+    * at least one `originals` media row; docs with NO evidence rows
+    * in `fp` pass (keep-the-unparseable). ONE copy of the election
+    * gate, every originality variant in lockstep. `fp` carries
+    * (__mid, __did); `originals` carries (__mid). */
+  private def gateDocsOnOriginals(docs: DataFrame, idCol: String,
+                                  fp: DataFrame,
+                                  originals: DataFrame): DataFrame = {
+    val ownerDocs = fp.join(originals, Seq("__mid"), "left_semi")
       .select(col("__did")).distinct()
     val withMedia = fp.select(col("__did")).distinct()
     docs.join(
@@ -483,46 +503,15 @@ object Multimodal {
                                           docIdCol: String,
                                           payloadCol: String,
                                           maxDist: Int = 6,
-                                          maxBucket: Int = 1024): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    // integral media ids only, loudly (the nearDups rule): a silent
-    // cast('long') of string ids would NULL every hash row and leave
-    // the perceptual leg quietly disabled
-    locally {
-      import org.apache.spark.sql.types._
-      val dt = media.schema(mediaIdCol).dataType
-      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
-        s"dropAllDuplicateImageDocsPerceptual needs an integral " +
-          s"$mediaIdCol column, got ${dt.catalogString}")
-    }
-    val fp = media.filter(col(payloadCol).isNotNull)
-      .select(col(mediaIdCol).as("__mid"),
-        col(docIdCol).as("__did"),
-        md5(col(payloadCol)).as("__fp"))
-    val keepers = fp.groupBy(col("__fp"))
-      .agg(min(col("__mid")).as("__mid"))
-      .select(col("__mid"))
-    // one narrow decode pass over all payloads, in place
-    val hashes = PerceptualHash.perceptualHashes(
-      media.filter(col(payloadCol).isNotNull)
-        .select(col(mediaIdCol).cast("long").as("media_id"),
-          lit("image").as("kind"), col(payloadCol).as("payload"))
-        .as[Media])
-    val keeperHashes = hashes
-      .join(keepers.select(col("__mid").as("media_id")), Seq("media_id"),
-        "left_semi")
-    val dups = PerceptualHash.nearDupsByDualHash(keeperHashes, "media_id",
-        "ahash", "dhash", maxDist, maxBucket)
-      .select(col("dup_id").as("__mid"))
-    val originals = keepers.join(dups, Seq("__mid"), "left_anti")
-    val ownerDocs = fp.join(originals, Seq("__mid"), "left_semi")
-      .select(col("__did")).distinct()
-    val withMedia = fp.select(col("__did")).distinct()
-    docs.join(
-      withMedia.join(ownerDocs, Seq("__did"), "left_anti"),
-      col(idCol) === col("__did"), "left_anti")
-  }
+                                          maxBucket: Int = 1024): DataFrame =
+    // the image-only special case of the unified gate: a constant
+    // 'image' kind routes every payload to the dual-hash election and
+    // the audio/video legs see empty inputs — one copy of the byte
+    // election and gate tail instead of three
+    dropAllDuplicateMediaDocs(docs, idCol,
+      media.withColumn("__gate_kind", lit("image")),
+      mediaIdCol, docIdCol, "__gate_kind", payloadCol,
+      imageMaxDist = maxDist, maxBucket = maxBucket)
 
   /** The UNIFIED multimodal originality gate: docs gate on evidence
     * from ANY media kind — images via the dual perceptual hash, audio
@@ -551,6 +540,15 @@ object Multimodal {
                                 maxBucket: Int = 1024): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // loud configuration validation — the videoNearDups rules apply
+    // here too (routing around them would let minOverlapBp = 0 mark
+    // any single banded frame match a whole-video duplicate, and a
+    // silent string-id cast would NULL every hash row)
+    require(videoMinOverlapBp >= 1 && videoMinOverlapBp <= 10000,
+      s"videoMinOverlapBp must be in 1..10000, got $videoMinOverlapBp")
+    require(imageMaxDist >= 0 && audioMaxDist >= 0 && videoMaxDist >= 0,
+      "per-kind maxDist thresholds must be non-negative, got " +
+        s"$imageMaxDist/$audioMaxDist/$videoMaxDist")
     locally {
       import org.apache.spark.sql.types._
       val dt = media.schema(mediaIdCol).dataType
@@ -559,17 +557,19 @@ object Multimodal {
           s"column, got ${dt.catalogString}")
     }
     val m = media.filter(col(payloadCol).isNotNull)
-      .select(col(mediaIdCol).cast("long").as("media_id"),
+      .select(col(mediaIdCol).cast("long").as("__mid"),
         col(docIdCol).as("__did"), col(kindCol).as("kind"),
         col(payloadCol).as("payload"))
-    val fp = m.select(col("media_id"), col("__did"),
+    val fp = m.select(col("__mid"), col("__did"),
       md5(col("payload")).as("__fp"))
     val keepers = fp.groupBy(col("__fp"))
-      .agg(min(col("media_id")).as("media_id"))
-      .select(col("media_id"))
+      .agg(min(col("__mid")).as("__mid"))
+      .select(col("__mid"))
     def keeperOnly(hashes: DataFrame): DataFrame =
-      hashes.join(keepers, Seq("media_id"), "left_semi")
-    val typed = m.select(col("media_id"), col("kind"), col("payload"))
+      hashes.join(keepers.select(col("__mid").as("media_id")),
+        Seq("media_id"), "left_semi")
+    val typed = m.select(col("__mid").as("media_id"), col("kind"),
+        col("payload"))
       .as[Media]
     val imgDups = PerceptualHash.nearDupsByDualHash(
         keeperOnly(PerceptualHash.perceptualHashes(typed)),
@@ -584,14 +584,9 @@ object Multimodal {
         videoMaxDist, maxBucket, videoMinOverlapBp)
       .select(col("dup_id"))
     val dups = imgDups.unionByName(audDups).unionByName(vidDups)
-      .select(col("dup_id").as("media_id"))
-    val originals = keepers.join(dups, Seq("media_id"), "left_anti")
-    val ownerDocs = fp.join(originals, Seq("media_id"), "left_semi")
-      .select(col("__did")).distinct()
-    val withMedia = fp.select(col("__did")).distinct()
-    docs.join(
-      withMedia.join(ownerDocs, Seq("__did"), "left_anti"),
-      col(idCol) === col("__did"), "left_anti")
+      .select(col("dup_id").as("__mid"))
+    val originals = keepers.join(dups, Seq("__mid"), "left_anti")
+    gateDocsOnOriginals(docs, idCol, fp, originals)
   }
 
   def metadataTable(media: Dataset[Media]): DataFrame =
