@@ -138,7 +138,13 @@ object WarcRecords {
   private val GzipHdrPat =
     "(?im)^content-encoding[ \\t]*:[^\\r\\n]*gzip"
 
-  /** Routing union of the two coding patterns: ONE regex scan per row
+  /** `Content-Encoding: deflate` — the next-most-common coding real
+    * archives carry after gzip; matches `deflate` anywhere in the
+    * value list (same any-position rule as the gzip pattern). */
+  private val DeflateHdrPat =
+    "(?im)^content-encoding[ \\t]*:[^\\r\\n]*deflate"
+
+  /** Routing union of the coding patterns: ONE regex scan per row
     * decides whether the decode UDF runs at all; the UDF re-derives
     * the individual flags from the header bytes it already holds
     * (repeating each rlike as a UDF argument would pay both scans
@@ -146,9 +152,11 @@ object WarcRecords {
     * HtmlExtract letBound lesson). */
   private val EncodedHdrPat =
     "(?im)^(transfer-encoding[ \\t]*:[^\\r\\n]*chunked" +
-      "|content-encoding[ \\t]*:[^\\r\\n]*gzip)"
+      "|content-encoding[ \\t]*:[^\\r\\n]*(gzip|deflate))"
   private lazy val ChunkedRe = java.util.regex.Pattern.compile(ChunkedHdrPat)
   private lazy val GzipRe = java.util.regex.Pattern.compile(GzipHdrPat)
+  private lazy val DeflateRe =
+    java.util.regex.Pattern.compile(DeflateHdrPat)
 
   /** Index of the first CRLF-CRLF (header/body separator), or -1. */
   private def crlfCrlfAt(msg: Array[Byte]): Int = {
@@ -213,6 +221,32 @@ object WarcRecords {
     else out.toByteArray
   }
 
+  /** Decompression budget per RECORD: untrusted crawl bytes include
+    * zip bombs (a few KB of input expanding to GBs), and the decode
+    * UDF buffers its output in executor heap — an uncapped inflate is
+    * an OOM any adversarial archive can trigger at will. 64 MiB is
+    * ~30× the largest text documents real crawls carry (HTML pages
+    * top out in low single-digit MiB; Common Crawl truncates records
+    * at 1 MiB) while costing nothing legitimate. The walk stops AT
+    * the cap and keeps the good prefix (the fail-soft rule): a
+    * capped document is a quality-gate signal, a dead executor is
+    * not. */
+  private[io] val MaxDecodedBodyBytes: Int = 64 * 1024 * 1024
+
+  /** Drain `in` into a buffer, stopping at [[MaxDecodedBodyBytes]];
+    * decompressor errors keep the good prefix (shared fail-soft walk
+    * of the gzip and deflate legs). */
+  private def drainCapped(in: java.io.InputStream,
+                          out: java.io.ByteArrayOutputStream): Unit =
+    try {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0 && out.size() < MaxDecodedBodyBytes) {
+        out.write(buf, 0, math.min(n, MaxDecodedBodyBytes - out.size()))
+        n = if (out.size() < MaxDecodedBodyBytes) in.read(buf) else -1
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+
   /** Gunzip a body, fail-soft: bytes without the gzip magic pass
     * through unchanged (writers that store the already-decoded body
     * while preserving the `Content-Encoding: gzip` header — the
@@ -224,45 +258,85 @@ object WarcRecords {
     * really starts with the gzip magic IS compressed, so its raw
     * bytes are never the document — passing them through would feed
     * mojibake to the corpus, strictly worse than an empty record the
-    * quality gates can count. JDK GZIPInputStream; no external
-    * codec. */
+    * quality gates can count. Output is capped at
+    * [[MaxDecodedBodyBytes]] (gzip-bomb guard — the prefix up to the
+    * cap is kept). JDK GZIPInputStream; no external codec. */
   private[io] def gunzipBytes(body: Array[Byte]): Array[Byte] = {
     if (body.length < 2 || (body(0) & 0xff) != 0x1f ||
         (body(1) & 0xff) != 0x8b) return body
     val out = new java.io.ByteArrayOutputStream()
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(body))
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case scala.util.control.NonFatal(_) => }
+    try drainCapped(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body)), out)
+    catch { case scala.util.control.NonFatal(_) => } // header parse throw
     out.toByteArray
   }
 
+  /** Inflate a `Content-Encoding: deflate` body, fail-soft. The wire
+    * reality this handles: spec-conforming writers send a ZLIB-wrapped
+    * stream (RFC 9110 §8.4.1.2), a well-known population of servers
+    * sends RAW deflate under the same label, and some writers store
+    * the already-decoded body while keeping the header. Routing:
+    * bytes carrying a valid zlib header (low CMF nibble 8 = deflate,
+    * CMF·256+FLG divisible by 31 — a 1-in-31 false-positive rate on
+    * text, and a wrong guess falls through to the raw retry) inflate
+    * zlib-wrapped; on zero output the raw-deflate retry runs; a body
+    * neither leg can start decoding passes through unchanged
+    * (mislabeled-identity — unlike gzip there is NO magic proving the
+    * bytes are compressed, so the de-chunk fallback's
+    * recover-the-text rule applies, not gzip's empty-on-magic rule).
+    * Whichever leg decodes anything keeps its good prefix, capped at
+    * [[MaxDecodedBodyBytes]] (bomb guard). JDK Inflater only. */
+  private[io] def inflateBytes(body: Array[Byte]): Array[Byte] = {
+    if (body.length < 2) return body
+    def leg(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      val out = new java.io.ByteArrayOutputStream()
+      try drainCapped(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(body), inf), out)
+      finally inf.end()
+      out.toByteArray
+    }
+    val zlibHdr = (body(0) & 0x0f) == 8 &&
+      (((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0
+    val first = leg(nowrap = !zlibHdr)
+    if (first.nonEmpty) first
+    else {
+      val second = leg(nowrap = zlibHdr)
+      if (second.nonEmpty) second else body
+    }
+  }
+
   /** Decode the body after a KNOWN header/body split: de-chunk and/or
-    * gunzip per the declared transfer/content codings — in that order
-    * (RFC 9112: transfer coding frames the message, content coding
-    * wraps the representation, so a chunked gzip body de-chunks first
-    * and gunzips the reassembled bytes). One UTF-8 decode at the
-    * end. */
+    * decompress per the declared transfer/content codings — in that
+    * order (RFC 9112: transfer coding frames the message, content
+    * coding wraps the representation, so a chunked gzip body
+    * de-chunks first and gunzips the reassembled bytes). A body
+    * declaring BOTH content codings (`gzip, deflate` — vanishingly
+    * rare, and writers disagree on list order) takes the gzip leg
+    * alone: gzip IS deflate plus a framing wrapper, its magic-sniffed
+    * passthrough makes the choice self-correcting for mislabels, and
+    * chaining both would double-decode single-coded bodies. One UTF-8
+    * decode at the end. */
   private def decodeBodyFrom(msg: Array[Byte], hdrEnd: Int,
-                             chunked: Boolean, gzipped: Boolean): String = {
+                             chunked: Boolean, gzipped: Boolean,
+                             deflated: Boolean): String = {
     var body: Array[Byte] =
       if (chunked) dechunkBodyBytes(msg, hdrEnd + 4)
       else java.util.Arrays.copyOfRange(msg, hdrEnd + 4, msg.length)
     if (gzipped) body = gunzipBytes(body)
+    else if (deflated) body = inflateBytes(body)
     new String(body, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** [[decodeBodyFrom]] with its own separator scan — the
     * explicit-flags entry point. */
   private[io] def decodeHttpBody(msg: Array[Byte], chunked: Boolean,
-                                 gzipped: Boolean): String = {
+                                 gzipped: Boolean,
+                                 deflated: Boolean = false): String = {
     if (msg == null) return null
     val hdrEnd = crlfCrlfAt(msg)
     if (hdrEnd < 0) return ""
-    decodeBodyFrom(msg, hdrEnd, chunked, gzipped)
+    decodeBodyFrom(msg, hdrEnd, chunked, gzipped, deflated)
   }
 
   /** [[decodeHttpBody]] for chunked-only messages — kept as the
@@ -281,7 +355,7 @@ object WarcRecords {
     if (hdrEnd < 0) return ""
     val hdr = new String(msg, 0, hdrEnd, "ISO-8859-1")
     decodeBodyFrom(msg, hdrEnd, ChunkedRe.matcher(hdr).find(),
-      GzipRe.matcher(hdr).find())
+      GzipRe.matcher(hdr).find(), DeflateRe.matcher(hdr).find())
   }
 
   private lazy val decodeBodyUdf =
@@ -295,11 +369,11 @@ object WarcRecords {
     * payload starting with `HTTP/` is cut at its first CRLF-CRLF
     * (header-only messages — no blank line or nothing after it —
     * yield ''); when the header block declares `Transfer-Encoding:
-    * chunked` and/or `Content-Encoding: gzip`, the body additionally
-    * DE-CHUNKS then GUNZIPS ([[decodeHttpBody]] — hex chunk-size
-    * framing lines are exactly the header-leak failure mode this
-    * strip exists for, a raw gzip body is mojibake, and real archives
-    * carry both routinely). Anything else passes through unchanged
+    * chunked` and/or `Content-Encoding: gzip`/`deflate`, the body
+    * additionally DE-CHUNKS then DECOMPRESSES ([[decodeHttpBody]] —
+    * hex chunk-size framing lines are exactly the header-leak failure
+    * mode this strip exists for, a raw compressed body is mojibake,
+    * and real archives carry all three routinely). Anything else passes through unchanged
     * (writers that store bare HTML, the spec-pinned minimal-fixture
     * case). HTTP/1.x mandates CRLF line endings, so no LF-only
     * fallback is attempted — a nonconforming envelope passes through

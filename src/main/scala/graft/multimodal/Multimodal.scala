@@ -77,6 +77,30 @@ object Multimodal {
     }
   }
 
+  /** True when the bytes START with a real image-format signature:
+    * PNG, JPEG, GIF, BMP (the formats the JDK decodes) plus TIFF
+    * (decoded since JDK 9). The gatekeeper every image decode in this
+    * package runs FIRST, because `javax.imageio` registers a WBMP
+    * reader and WBMP has NO magic — its "detection" accepts any
+    * stream starting with two zero bytes and plausible dimension
+    * varints, so arbitrary binary payloads (length-prefixed frame
+    * containers, truncated fetches) "decode" as tiny garbage bitmaps.
+    * For metadata that is merely misleading; for the perceptual
+    * election it is corpus damage — two unrelated payloads of similar
+    * length hash near each other and innocent docs drop as
+    * "duplicates". An image is bytes that DECLARE themselves an
+    * image. */
+  private[multimodal] def hasImageMagic(pb: Array[Byte]): Boolean = {
+    if (pb.length < 8) return false
+    def u(i: Int) = pb(i) & 0xff
+    (u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4e && u(3) == 0x47) || // PNG
+    (u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff) ||                 // JPEG
+    (u(0) == 'G' && u(1) == 'I' && u(2) == 'F' && u(3) == '8') ||     // GIF
+    (u(0) == 'B' && u(1) == 'M') ||                                   // BMP
+    (u(0) == 'I' && u(1) == 'I' && u(2) == 0x2a && u(3) == 0) ||      // TIFF LE
+    (u(0) == 'M' && u(1) == 'M' && u(2) == 0 && u(3) == 0x2a)         // TIFF BE
+  }
+
   // ---- REAL image kernel (JDK-builtin, offline-safe) -------------------
   /** Header-only image probe with `javax.imageio` — the ONE codec this
     * container actually ships (PNG/JPEG/GIF/BMP readers are part of
@@ -91,7 +115,9 @@ object Multimodal {
     * remain honest stubs (no ffmpeg/soundfile in this environment). */
   private[multimodal] def realImageMeta(payload: Array[Byte]): Option[MediaMeta] = {
     val pb = bytes(payload)
-    if (pb.length < 8) return None
+    // magic first ([[hasImageMagic]]): without it the WBMP reader
+    // claims arbitrary binary and reports garbage dims as metadata
+    if (pb.length < 8 || !hasImageMagic(pb)) return None
     val in = new java.io.ByteArrayInputStream(pb)
     var iis: javax.imageio.stream.ImageInputStream = null
     try {
@@ -505,13 +531,17 @@ object Multimodal {
                                           maxDist: Int = 6,
                                           maxBucket: Int = 1024): DataFrame =
     // the image-only special case of the unified gate: a constant
-    // 'image' kind routes every payload to the dual-hash election and
-    // the audio/video legs see empty inputs — one copy of the byte
-    // election and gate tail instead of three
+    // 'image' kind routes every payload to the dual-hash election —
+    // one copy of the byte election and gate tail instead of three.
+    // enabledKinds = image SKIPS the audio/video legs entirely (each
+    // would be an opaque typed filter over the full media Dataset that
+    // Catalyst cannot prune — two payload-deserializing corpus scans
+    // guaranteed to produce zero rows under a constant kind)
     dropAllDuplicateMediaDocs(docs, idCol,
       media.withColumn("__gate_kind", lit("image")),
       mediaIdCol, docIdCol, "__gate_kind", payloadCol,
-      imageMaxDist = maxDist, maxBucket = maxBucket)
+      imageMaxDist = maxDist, maxBucket = maxBucket,
+      enabledKinds = Set("image"))
 
   /** The UNIFIED multimodal originality gate: docs gate on evidence
     * from ANY media kind — images via the dual perceptual hash, audio
@@ -528,7 +558,15 @@ object Multimodal {
     * kind's narrow decode pass (payload bytes NEVER shuffle — the
     * dropAllDuplicateImageDocsPerceptual rule), keepers restrict the
     * HASH relations, and the three dup sets union id-sized. The
-    * per-kind thresholds are each family's documented defaults. */
+    * per-kind thresholds are each family's documented defaults.
+    * `enabledKinds` prunes whole perceptual legs: each leg is an
+    * opaque typed filter over the full media Dataset (Catalyst cannot
+    * prune inside it), so a caller that KNOWS a kind is absent — the
+    * image-pinned wrapper, a single-modality corpus — skips that
+    * kind's payload-deserializing scan entirely instead of paying it
+    * to produce zero rows. A disabled kind's keepers are all ORIGINAL
+    * (byte election still judges them — exact duplicates of a
+    * disabled kind still collapse). */
   def dropAllDuplicateMediaDocs(docs: DataFrame, idCol: String,
                                 media: DataFrame, mediaIdCol: String,
                                 docIdCol: String, kindCol: String,
@@ -537,7 +575,9 @@ object Multimodal {
                                 audioMaxDist: Int = 3,
                                 videoMaxDist: Int = 3,
                                 videoMinOverlapBp: Int = 6000,
-                                maxBucket: Int = 1024): DataFrame = {
+                                maxBucket: Int = 1024,
+                                enabledKinds: Set[String] =
+                                  Set("image", "audio", "video")): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     // loud configuration validation — the videoNearDups rules apply
@@ -549,6 +589,10 @@ object Multimodal {
     require(imageMaxDist >= 0 && audioMaxDist >= 0 && videoMaxDist >= 0,
       "per-kind maxDist thresholds must be non-negative, got " +
         s"$imageMaxDist/$audioMaxDist/$videoMaxDist")
+    // a typo ('images') would silently disable a leg — fail loudly
+    require(enabledKinds.subsetOf(Set("image", "audio", "video")),
+      "enabledKinds must be a subset of {image, audio, video}, got " +
+        enabledKinds.toSeq.sorted.mkString("{", ", ", "}"))
     locally {
       import org.apache.spark.sql.types._
       val dt = media.schema(mediaIdCol).dataType
@@ -571,21 +615,29 @@ object Multimodal {
     val typed = m.select(col("__mid").as("media_id"), col("kind"),
         col("payload"))
       .as[Media]
-    val imgDups = PerceptualHash.nearDupsByDualHash(
-        keeperOnly(PerceptualHash.perceptualHashes(typed)),
-        "media_id", "ahash", "dhash", imageMaxDist, maxBucket)
-      .select(col("dup_id"))
-    val audDups = PerceptualHash.nearDupsByHash(
-        keeperOnly(AudioWave.audioHashes(typed)),
-        "media_id", "ehash", audioMaxDist, maxBucket)
-      .select(col("dup_id"))
-    val vidDups = videoOverlapDups(
-        keeperOnly(videoFrameAHashes(typed, stride = 1)),
-        videoMaxDist, maxBucket, videoMinOverlapBp)
-      .select(col("dup_id"))
-    val dups = imgDups.unionByName(audDups).unionByName(vidDups)
-      .select(col("dup_id").as("__mid"))
-    val originals = keepers.join(dups, Seq("__mid"), "left_anti")
+    val legs = Seq.newBuilder[DataFrame]
+    if (enabledKinds("image"))
+      legs += PerceptualHash.nearDupsByDualHash(
+          keeperOnly(PerceptualHash.perceptualHashes(typed)),
+          "media_id", "ahash", "dhash", imageMaxDist, maxBucket)
+        .select(col("dup_id"))
+    if (enabledKinds("audio"))
+      legs += PerceptualHash.nearDupsByHash(
+          keeperOnly(AudioWave.audioHashes(typed)),
+          "media_id", "ehash", audioMaxDist, maxBucket)
+        .select(col("dup_id"))
+    if (enabledKinds("video"))
+      legs += videoOverlapDups(
+          keeperOnly(videoFrameAHashes(typed, stride = 1)),
+          videoMaxDist, maxBucket, videoMinOverlapBp)
+        .select(col("dup_id"))
+    val dups = legs.result() match {
+      // all legs disabled → byte election alone (no perceptual dups)
+      case Nil => keepers.limit(0).select(col("__mid").as("dup_id"))
+      case ds => ds.reduce(_ unionByName _)
+    }
+    val dupIds = dups.select(col("dup_id").as("__mid"))
+    val originals = keepers.join(dupIds, Seq("__mid"), "left_anti")
     gateDocsOnOriginals(docs, idCol, fp, originals)
   }
 

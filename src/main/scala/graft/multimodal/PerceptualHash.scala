@@ -39,11 +39,18 @@ object PerceptualHash {
   /** Decode an image payload to (width, height, row-major luminance)
     * — gray rasters read their sample directly (exact), color images
     * go through sRGB and the integer BT.601 luma. None when ImageIO
-    * cannot decode (the caller's null-hash convention). */
+    * cannot decode (the caller's null-hash convention), and None for
+    * bytes carrying NO image magic ([[Multimodal.hasImageMagic]]):
+    * the JDK registers a WBMP reader whose format has no signature
+    * at all, so arbitrary binary payloads — frame containers, WAVs,
+    * corrupt fetches — "decode" as tiny garbage bitmaps, and two
+    * unrelated payloads of similar length hash NEAR each other;
+    * unsniffed, the perceptual election would merge genuinely
+    * different media and drop innocent docs from the corpus. */
   private[multimodal] def lumaPixels(payload: Array[Byte])
       : Option[(Int, Int, Array[Int])] = {
     val pb = Multimodal.bytes(payload)
-    if (pb.length < 8) return None
+    if (pb.length < 8 || !Multimodal.hasImageMagic(pb)) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pb))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None

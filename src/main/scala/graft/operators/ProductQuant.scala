@@ -581,9 +581,12 @@ object ProductQuant {
                             dim: Int, m: Int, k: Int, iters: Int,
                             nCells: Int, cellIters: Int = 2,
                             superProbe: Int = 2): ResidualTwoLevelModel = {
+    // auto-cell sizing counts cleanVecs rows (NULL AND wrong-length
+    // excluded) — the same population sharedTrainSample trains on, and
+    // the same count trainOpqResidualTwoLevel resolves, so the two
+    // composed-train entry points pick identical nCells on any corpus
     val kCells = if (nCells > 0) nCells
-      else Similarity.suggestCells(df.filter(col(vecCol).isNotNull
-        && !exists(col(vecCol), x => x.isNull)).count())
+      else Similarity.suggestCells(cleanVecs(df, vecCol, dim).count())
     val nTl = math.min(262144, math.max(4096, 64 * kCells))
     val nPq = math.min(65536, math.max(4096, 64 * k))
     val shared = sharedTrainSample(df, idCol, vecCol, dim,

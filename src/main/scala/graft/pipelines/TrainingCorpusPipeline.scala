@@ -167,7 +167,17 @@ object TrainingCorpusPipeline {
       // keeper instead of each counting as "original", so the
       // scraped-gallery spam the gate exists for actually drops.
       // Requires an integral media_id column in the media relation
-      mediaPerceptualDedup: Boolean = false)
+      mediaPerceptualDedup: Boolean = false,
+      // name of the media relation's KIND column ('image'/'audio'/
+      // 'video') — set it to upgrade the perceptual gate from the
+      // image-pinned special case to the UNIFIED gate
+      // (Multimodal.dropAllDuplicateMediaDocs): audio re-masters
+      // (16→8-bit, volume) and trimmed/re-encoded video galleries
+      // then drop from the production pipeline exactly as re-encoded
+      // images do, instead of riding through with NULL image-hashes
+      // as always-"original". Requires mediaPerceptualDedup (byte
+      // election is already kind-agnostic without it)
+      mediaKindCol: Option[String] = None)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -237,9 +247,23 @@ object TrainingCorpusPipeline {
     // pass (Multimodal.dropAllDuplicateImageDocs's convention).
     val mediaGated = media match {
       case Some(m) if cfg.mediaPerceptualDedup =>
-        graft.multimodal.Multimodal.dropAllDuplicateImageDocsPerceptual(
-          urlDeduped, idCol, m, "media_id", idCol, "payload")
+        cfg.mediaKindCol match {
+          // UNIFIED gate: per-kind perceptual elections (image dual-
+          // hash, audio envelope, video frame-set) behind one byte
+          // election — audio/video re-masters drop here too
+          case Some(kindCol) =>
+            graft.multimodal.Multimodal.dropAllDuplicateMediaDocs(
+              urlDeduped, idCol, m, "media_id", idCol, kindCol, "payload")
+          case None =>
+            graft.multimodal.Multimodal.dropAllDuplicateImageDocsPerceptual(
+              urlDeduped, idCol, m, "media_id", idCol, "payload")
+        }
       case Some(m) =>
+        require(cfg.mediaKindCol.isEmpty,
+          "Config.mediaKindCol requires mediaPerceptualDedup: the byte " +
+            "election is already kind-agnostic — a kind column changes " +
+            "nothing without the perceptual legs, so a silent no-op " +
+            "config would misread as a seated gate")
         graft.multimodal.Multimodal.dropAllDuplicateImageDocs(
           urlDeduped, idCol, m, "media_id", idCol, "payload")
       case None => urlDeduped

@@ -236,6 +236,101 @@ class WarcRecordsSpec extends SparkSpec {
     docs.foreach(h => h should not include "Encoding")
   }
 
+  test("Content-Encoding: deflate bodies inflate — zlib-wrapped, raw, composed with chunked, and mislabeled-identity") {
+    def zlib(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def raw(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def chunk(data: Array[Byte]): Array[Byte] =
+      (data.length.toHexString + "\r\n").getBytes("ISO-8859-1") ++
+        data ++ "\r\n".getBytes("ISO-8859-1")
+    val body = "<p>deflated — prose with ünïcode</p>"
+    // zlib-wrapped (the RFC 9110 spelling)
+    val msg1 = "HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+      .getBytes("ISO-8859-1") ++ zlib(body.getBytes("UTF-8"))
+    // RAW deflate under the same label (the well-known server bug)
+    val msg2 = "HTTP/1.1 200 OK\r\nContent-Encoding: Deflate\r\n\r\n"
+      .getBytes("ISO-8859-1") ++ raw(body.getBytes("UTF-8"))
+    // chunked + deflate, chunk boundary mid-stream: de-chunk first
+    val zb = zlib(body.getBytes("UTF-8"))
+    val (z1, z2) = zb.splitAt(5)
+    val msg3 = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Encoding: deflate\r\n\r\n").getBytes("ISO-8859-1") ++
+      chunk(z1) ++ chunk(z2) ++ "0\r\n\r\n".getBytes("ISO-8859-1")
+    // declared deflate but stored decoded: neither leg can start
+    // decoding plain text → passthrough (no magic proves compression,
+    // so the de-chunk recover-the-text rule applies — NOT gzip's
+    // empty-on-magic rule)
+    val msg4 = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" +
+      "<p>not actually deflate</p>").getBytes("UTF-8")
+    val docs = WarcRecords.toCrawlDocs(Seq(
+        ("a", record("https://x.example/1", msg1) ++
+          record("https://x.example/2", msg2) ++
+          record("https://x.example/3", msg3) ++
+          record("https://x.example/4", msg4))).toDF("path", "content"))
+      .orderBy("url").select("html").as[String].collect()
+    docs shouldBe Array(body, body, body, "<p>not actually deflate</p>")
+    docs.foreach(h => h should not include "Encoding")
+  }
+
+  test("decompression output is capped per record (zip-bomb guard) keeping the good prefix") {
+    // ~256 MiB of zeros compresses to ~256 KB of gzip — uncapped, the
+    // decode UDF would buffer all 256 MiB per record in executor heap
+    val bombPlain = 256L * 1024 * 1024
+    def gzZeros(total: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      val block = new Array[Byte](1 << 20) // zeros
+      var left = total
+      while (left > 0) {
+        val n = math.min(left, block.length.toLong).toInt
+        out.write(block, 0, n); left -= n
+      }
+      out.close(); bos.toByteArray
+    }
+    val gunzipped = WarcRecords.gunzipBytes(gzZeros(bombPlain))
+    gunzipped.length shouldBe WarcRecords.MaxDecodedBodyBytes
+    gunzipped.forall(_ == 0) shouldBe true
+    // deflate leg honors the same cap
+    val d = new java.util.zip.Deflater()
+    val bos = new java.io.ByteArrayOutputStream()
+    val block = new Array[Byte](1 << 20)
+    var left = bombPlain
+    while (left > 0) {
+      val n = math.min(left, block.length.toLong).toInt
+      d.setInput(block, 0, n)
+      if (n == left) d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var k = d.deflate(buf)
+      while (k > 0) { bos.write(buf, 0, k); k = d.deflate(buf) }
+      left -= n
+    }
+    d.end()
+    val inflated = WarcRecords.inflateBytes(bos.toByteArray)
+    inflated.length shouldBe WarcRecords.MaxDecodedBodyBytes
+    // a legitimate body far below the cap is untouched
+    val small = "<p>small</p>".getBytes("UTF-8")
+    val gz = {
+      val b = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(b)
+      o.write(small); o.close(); b.toByteArray
+    }
+    WarcRecords.gunzipBytes(gz) shouldBe small
+  }
+
   test("toCrawlDocsTimed carries modificationTime LOSSLESSLY (microseconds) and ids match the untimed read") {
     val bytes = record("https://t.example/1", "<p>t</p>".getBytes("UTF-8"))
     // a microsecond-precision mtime: the old JSON round-trip truncated

@@ -293,6 +293,44 @@ class MultimodalSpec extends SparkSpec {
     // every re-encode class drops behind its kind's election; the
     // NULL-payload doc and the unrelated video survive
     kept shouldBe Array(1L, 3L, 5L, 7L, 8L)
+
+    // enabledKinds prunes whole perceptual legs from the PLAN (each
+    // leg is an opaque typed filter Catalyst cannot prune, so an
+    // empty-by-construction leg would still deserialize-scan the
+    // corpus): the image-pinned wrapper's plan carries NO audio
+    // envelope column, NO video frame column, and strictly fewer
+    // MapPartitions decode passes than the three-leg gate. The
+    // ANALYZED plan is asserted: the optimizer collapses the toDF
+    // renames (erasing the marker column names) and duplicates pushed
+    // filters (making node counts report plan-printing artifacts)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.analyzed.toString
+    val full = Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id",
+      media, "media_id", "doc_id", "kind", "payload")
+    val imageOnly = Multimodal.dropAllDuplicateImageDocsPerceptual(
+      docs, "doc_id", media, "media_id", "doc_id", "payload")
+    plan(full) should include ("ehash")       // audio leg present
+    plan(full) should include ("frame_idx")   // video leg present
+    plan(imageOnly) should not include "ehash"
+    plan(imageOnly) should not include "frame_idx"
+    "MapPartitions".r.findAllIn(plan(imageOnly)).size should be <
+      "MapPartitions".r.findAllIn(plan(full)).size
+    // the image-only gate's verdict matches the unified gate run on
+    // the same rows under a constant 'image' kind: audio/video
+    // payloads are undecodable as images (NULL hashes, all original)
+    imageOnly.as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 4L, 5L, 6L, 7L, 8L)
+    // all legs disabled = byte election alone (exact dups still
+    // collapse; everything byte-unique here, so everything passes)
+    Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id", media,
+        "media_id", "doc_id", "kind", "payload",
+        enabledKinds = Set.empty)
+      .as[Long].collect().sorted shouldBe (1L to 8L).toArray
+    // a typo'd kind fails loudly instead of silently disabling a leg
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id", media,
+        "media_id", "doc_id", "kind", "payload",
+        enabledKinds = Set("images"))
   }
 
   test("videoNearDups: re-encoded and trimmed copies collapse on the original; unrelated videos survive") {

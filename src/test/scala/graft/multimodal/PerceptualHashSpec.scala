@@ -326,6 +326,28 @@ class PerceptualHashSpec extends SparkSpec {
     hashes.unpersist()
   }
 
+  test("non-image bytes NEVER image-hash: the magic sniff closes the WBMP false-decode hazard") {
+    // the JDK's WBMP reader has NO magic — ImageIO.read accepts any
+    // stream starting 00 00 + plausible dimension varints, so a
+    // length-prefixed frame container (4-byte big-endian length of a
+    // ~300-byte PNG = 00 00 01 xx) "decodes" as a 1×len garbage
+    // bitmap. Two unrelated containers of similar length then hash
+    // NEAR each other and the perceptual election drops innocent
+    // docs. Pin: containers and WAVs hash NULL; real formats pass.
+    val png = PerceptualHash.renderGrayImage(16, 16, 7, 2, 3, 0, 0, "png")
+    val container = Multimodal.packImageFrames(Seq(png))
+    javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(container)) should not be null // the hazard is real
+    PerceptualHash.aHash64(container) shouldBe None                   // and closed
+    PerceptualHash.aHash64(
+      AudioWave.writeWav(Array.fill(64)(256), 16000, 16)) shouldBe None
+    PerceptualHash.aHash64(png) should not be None
+    PerceptualHash.aHash64(
+      PerceptualHash.renderGrayImage(16, 16, 7, 2, 3, 0, 0, "bmp")) should not be None
+    // realImageMeta shares the sniff: no garbage 1×N metadata rows
+    Multimodal.realImageMeta(container) shouldBe None
+  }
+
   test("nearDupsByHash rejects non-integral id/hash columns loudly") {
     val bad = Seq(("m-1", 5L)).toDF("id", "h")
     an[IllegalArgumentException] should be thrownBy

@@ -406,6 +406,55 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
       Array(1L, 3L)
   }
 
+  test("mediaKindCol seats the UNIFIED gate: PNG→BMP, 16→8-bit WAV, and trimmed-video galleries all drop; NULL-payload and media-less docs pass") {
+    import graft.multimodal.{AudioWave, Multimodal, PerceptualHash}
+    val crawl = pool.limit(8).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val fixture = (1L to 8L).map(i => (i, crawl(i.toInt - 1)._2))
+      .toDF("doc_id", "text")
+    def img(fmt: String) =
+      PerceptualHash.renderGrayImage(16, 16, 28, 5, 5, 1, 0, fmt)
+    // multiples of 256 in [-32768, 31744]: the 16→8-bit truncating
+    // re-encode round-trips exactly (the AudioWave normalization
+    // contract), so the re-master's envelope hash lands at Hamming 0
+    val samples = Array.tabulate(1024) { t =>
+      val w = t / 16
+      (t % 64 - 32) * (if ((w * w + 5 * w) % 97 < 32) 4 else 1) * 256
+    }
+    def wav(bits: Int) = AudioWave.writeWav(samples, 16000, bits)
+    def video(range: Range) = Multimodal.packImageFrames(
+      range.map(f => PerceptualHash.renderGrayImage(16, 16, 7,
+        f % 5 + 1, (2 * f) % 11 + 1, f % 3, 0, "png")))
+    val media = Seq(
+      (10L, 1L, "image", img("png")),
+      (20L, 2L, "image", img("bmp")),     // same pixels, zero shared bytes
+      (30L, 3L, "audio", wav(16)),
+      (40L, 4L, "audio", wav(8)),         // quiet 8-bit re-master
+      (50L, 5L, "video", video(0 to 5)),
+      (60L, 6L, "video", video(1 to 5)),  // trimmed re-upload
+      (70L, 7L, "audio", null.asInstanceOf[Array[Byte]])) // failed fetch
+      .toDF("media_id", "doc_id", "kind", "payload")      // doc 8: no media
+    val base = cfg.copy(nearDupThreshold = 0.99, mediaPerceptualDedup = true)
+    // the image-pinned perceptual gate is BLIND to the audio/video
+    // re-masters (NULL image-hashes → always "original"): only the
+    // BMP re-encode drops — exactly the gap mediaKindCol closes
+    TrainingCorpusPipeline.run(fixture, holdout, "doc_id", "text", base,
+        media = Some(media))
+      .select("doc_id").distinct().as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 4L, 5L, 6L, 7L, 8L)
+    // the unified gate: every kind's re-master collapses onto its
+    // keeper; the NULL-payload doc (no evidence) and the media-less
+    // doc pass untouched
+    TrainingCorpusPipeline.run(fixture, holdout, "doc_id", "text",
+        base.copy(mediaKindCol = Some("kind")), media = Some(media))
+      .select("doc_id").distinct().as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 5L, 7L, 8L)
+    // kindCol without the perceptual legs is a config error, loudly
+    an[IllegalArgumentException] should be thrownBy
+      TrainingCorpusPipeline.run(fixture, holdout, "doc_id", "text",
+        cfg.copy(mediaKindCol = Some("kind")), media = Some(media))
+  }
+
   test("urlDedup stage: tracker-variant re-crawls collapse before any text stage; NULL urls pass") {
     // two crawls of the same page under tracking noise + one distinct
     // page + one NULL-url row: the keep-first rule must admit exactly
