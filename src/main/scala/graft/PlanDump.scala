@@ -62,7 +62,8 @@ object PlanDump {
       "q199_media_doc_gate_perceptual" -> "perceptual media gate: md5 fingerprints and perceptual hashes both computed in narrow passes over the payload IN PLACE (payload bytes never shuffle); keeper election, hash semi-join, banded near-dup, originals anti-join, and owner-doc distinct all run on fingerprint/hash-sized relations",
       "q200_video_neardup" -> "video near-dup: the container walk + per-frame decode + aHash is one narrow mapPartitions pass; frame-level banded census-capped bucket join, per-(video,video) distinct-matched-frame count, division-free basis-point overlap filter, min-struct keeper election — q28 banding lifted to frame sets",
       "q202_audio_neardup" -> "audio near-dup: RIFF parse + envelope hash is one narrow mapPartitions pass (payload bytes never shuffle — only the 8-byte envelope hash moves); the tail is literally the shared banded near-dup core",
-      "q203_media_doc_gate_unified" -> "unified multimodal gate: ONE byte-fingerprint shuffle, three narrow per-kind decode passes over disjoint kind partitions (payloads stay in place), keepers restrict HASH relations only, the three dup sets union id-sized into one anti-join election — the SCALE.md cost-class claim, in the plan")
+      "q203_media_doc_gate_unified" -> "unified multimodal gate: ONE byte-fingerprint shuffle, three narrow per-kind decode passes over disjoint kind partitions (payloads stay in place), keepers restrict HASH relations only, the three dup sets union id-sized into one anti-join election — the SCALE.md cost-class claim, in the plan",
+      "q204_media_incremental_dedup" -> "incremental media dedup: the BATCH index broadcasts (censused band relations under BroadcastExchange), the HISTORY index streams map-side into every BroadcastHashJoin — no shuffle ever touches history rows; keeper election runs on matched-pair (batch-bounded) relations only")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"

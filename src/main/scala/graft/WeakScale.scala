@@ -593,6 +593,66 @@ object WeakScale {
             .collect()
           vecs.count()
         }),
+        // unified media originality gate (q203 shape): one media
+        // object per doc (kind = doc_id mod 3), every even/odd pair a
+        // re-encode class (PNG/BMP, 16/8-bit WAV, full/trimmed
+        // container), render params salted per replica so no
+        // cross-replica byte or perceptual collisions exist — each
+        // replica carries the same election work. The timed body
+        // includes fixture synthesis (render UDFs) like the URL
+        // ladder below; claimed cost class: narrow per-kind decode
+        // passes (payloads never shuffle) + one fingerprint shuffle +
+        // banded hash-sized elections ⇒ expect ~linear, with the
+        // letterbox's degenerate bands absorbed by the census cap.
+        ("media_gate_q203", D, () => {
+          import graft.multimodal.{AudioWave, Multimodal, PerceptualHash}
+          val mkAudio = udf((g: Long, bits8: Boolean) => {
+            val samples = Array.tabulate(1024) { t =>
+              val w = t / 16
+              val base = ((g * 13 + (g % 7 + 1) * t) % 64 - 32).toInt
+              val hi = (g * 1103515245L + w.toLong * w * (g % 13 + 1) +
+                w.toLong * (g % 31 + 3)) % 97 < 32
+              base * (if (hi) 4 else 1) * 256
+            }
+            AudioWave.writeWav(samples, 16000, bits = if (bits8) 8 else 16)
+          })
+          val mkVideo = udf((g: Long, trimmed: Boolean) => {
+            val fs = (if (trimmed) 1 to 5 else 0 to 5).map { f =>
+              PerceptualHash.renderGrayImage(16, 16, g * 7,
+                (g + f) % 5 + 1, (g + 2 * f) % 11 + 1, (g + f) % 3, 0L,
+                "png")
+            }
+            Multimodal.packImageFrames(fs)
+          })
+          val base = col("doc_id") % 10000000L
+          val j = expr("(doc_id % 10000000) div 3")
+          val g = expr("((doc_id % 10000000) div 3) div 2") +
+            expr("doc_id div 10000000") * 10000000L
+          val reenc = j % 2 === 1
+          val media = docs.select(col("doc_id").as("media_id"),
+            col("doc_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (pmod(base, lit(3)) + 1).cast("int")).as("kind"),
+            when(pmod(base, lit(3)) === 0,
+              graft.multimodal.PerceptualHash.renderLetterboxImage16(
+                g * 7, g % 5 + 1, g % 11 + 1, g % 3, lit(0L),
+                when(reenc, "bmp").otherwise("png")))
+              .when(pmod(base, lit(3)) === 1, mkAudio(g, reenc))
+              .otherwise(mkVideo(g, reenc)).as("payload"))
+            // materialized ONCE: in production the media relation is
+            // STORAGE (a parquet scan the gate re-reads per pass), not
+            // a recomputed expression — without the pin the gate's
+            // fingerprint pass + three kind legs would re-render the
+            // fixture ~5×, timing synthesis instead of the gate
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          media.count()
+          try {
+            Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id", media,
+                "media_id", "doc_id", "kind", "payload")
+              .agg(count(lit(1))).collect()
+            docs.count()
+          } finally { media.unpersist(); () }
+        }),
         // canonical-URL dedup (q187 shape): the canonical key is a
         // narrow expression; keeper election is ONE groupBy(key)
         // min-agg with map-side combine + a semi join back — the same

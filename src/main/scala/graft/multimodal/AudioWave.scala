@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   * as-is; 8-bit unsigned maps (u − 128)·256 — exact inverse of the
   * 16→8 truncating re-encode, so a bit-depth re-encode of the same
   * signal is sample-identical after normalization); stereo mixes down
-  * floor((L+R)/2); the envelope is the banded 64-window mean of |s|
-  * (window of sample t is t·64 div N — the [[PerceptualHash]] block
-  * rule on a 1-D signal, deterministic for every length); hash bit i
-  * is `env_i > floor-mean of all windows`. The mean comparison makes
-  * the hash EXACTLY invariant to uniform gain (volume re-masters
-  * collapse — the brightness-shift argument of aHash, proven in
-  * spec), and normalization makes it exactly invariant to bit-depth
+  * floor((L+R)/2); windows follow t·64 div N (the [[PerceptualHash]]
+  * block rule on a 1-D signal, deterministic for every length); hash
+  * bit i is `window-sum_i·N > total·count_i` — the window mean of
+  * |s| vs the GLOBAL mean, cross-multiplied in exact integers with
+  * no floor division, so the hash is EXACTLY invariant to ANY
+  * uniform gain that keeps stored samples integral (both products
+  * scale by g — volume re-masters collapse, the brightness-shift
+  * argument of aHash, proven in spec for non-power-of-two gains),
+  * and normalization makes it exactly invariant to bit-depth
   * re-encodes.
   *
   * Scale shape: parsing + hashing is one narrow `mapPartitions` pass
@@ -153,31 +155,47 @@ object AudioWave {
 
   // ---- energy-envelope hash ---------------------------------------------
 
-  /** 64-bit energy-envelope hash: bit i = (banded-window mean of |s|)
-    * exceeds the floor-mean of all 64 windows. None for an empty
-    * signal. Invariant to uniform gain and to bit-depth re-encodes of
-    * 256-multiple signals (doc-comment above); NOT invariant to
-    * trimming (window boundaries shift) — trimmed copies are the
-    * frame-set story ([[Multimodal.videoNearDups]]), not this one. */
+  /** 64-bit energy-envelope hash: bit i = the banded-window mean of
+    * |s| strictly exceeds the GLOBAL mean of |s| — compared
+    * cross-multiplied in exact integers (`sums_i·n > total·counts_i`,
+    * never a floor division), so the hash is EXACTLY invariant to any
+    * uniform gain that keeps the stored samples integral (×g scales
+    * both products by g; the old double-floored mean-of-window-means
+    * rule was exact only for gains that preserved every floor, e.g.
+    * the fixture's power-of-two re-masters — near-mean bits could
+    * flip under a general re-master). Combined with the 8↔16-bit
+    * normalization it is exactly invariant to bit-depth re-encodes of
+    * 256-multiple signals. None for an empty signal. NOT invariant to
+    * trimming (window boundaries shift — trimmed copies are the
+    * frame-set story, [[Multimodal.videoNearDups]]) and only
+    * APPROXIMATELY robust to resampling: a rate change rewrites
+    * sample values, window sums track the same energy profile
+    * proportionally but not exactly, so bits near the global mean can
+    * flip — a resampled re-master lands NEAR its original (small
+    * Hamming, spec-measured), not at 0; size `maxDist` accordingly.
+    * The cross-multiply runs in BigInt: `sums_i·n` exceeds a Long
+    * once n passes ~1.3·10⁸ samples (a 2-hour 16 kHz signal), and 64
+    * small-object comparisons per payload cost nothing next to the
+    * PCM parse. */
   def envelopeHash64(samples: Array[Int]): Option[Long] = {
     val n = samples.length
     if (n == 0) return None
     val sums = new Array[Long](64)
     val counts = new Array[Long](64)
+    var total = 0L
     var t = 0
     while (t < n) {
       val w = (t.toLong * 64 / n).toInt
-      sums(w) += math.abs(samples(t).toLong)
+      val a = math.abs(samples(t).toLong)
+      sums(w) += a
       counts(w) += 1
+      total += a
       t += 1
     }
-    val env = Array.tabulate(64)(i =>
-      if (counts(i) == 0) 0L else sums(i) / counts(i))
-    val mean = env.sum / 64
     var bits = 0L
     var i = 0
     while (i < 64) {
-      if (env(i) > mean) bits |= 1L << i
+      if (BigInt(sums(i)) * n > BigInt(total) * counts(i)) bits |= 1L << i
       i += 1
     }
     Some(bits)

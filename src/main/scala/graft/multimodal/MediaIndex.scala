@@ -1,0 +1,185 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Incremental perceptual media dedup — the shape a CONTINUOUSLY
+  * crawling pipeline actually runs: yesterday's corpus is not
+  * re-gated, it is an INDEX (hash-sized, persisted between runs), and
+  * each new batch is judged against it without a byte of history
+  * moving. The q83 Bloom-gate pattern generalized from exact text
+  * fingerprints to the whole perceptual family: byte fingerprints,
+  * image dual-hash, audio envelope hash, video frame-set overlap.
+  *
+  * Scale contract (the reason this operator exists as more than a
+  * re-run of the batch gate over `history ∪ batch`):
+  *  - The HISTORY side never shuffles: its index rows are banded by a
+  *    narrow ×4-per-hash projection ([[PerceptualHash.bandsOf]]) and
+  *    joined as the STREAMED side of broadcast joins. At 100 TB of
+  *    accumulated corpus the index is billions of ~50-byte rows — one
+  *    linear scan per batch, no exchange, no sort.
+  *  - The BATCH side broadcasts: a crawl batch is bounded by ingest
+  *    cadence (minutes of crawling), so its banded hash relation fits
+  *    the broadcast threshold the way q83 bounds its Bloom filter.
+  *    Batch-side band buckets are census-capped
+  *    ([[PerceptualHash.cappedBandsCross]] — singletons kept, they
+  *    pair with history), bounding per-history-row join fanout at
+  *    `maxBucket`.
+  *  - Everything after the match runs on matched-pair relations
+  *    (batch-bounded): one small groupBy elects the keeper.
+  *
+  * Semantics: a batch object is a DUPLICATE iff it byte-matches any
+  * history object (kind-agnostic, the dedupePayloads rule) or its
+  * kind's perceptual election matches it to any history object
+  * (image: summed dual-hash Hamming ≤ `imageMaxDist`; audio: envelope
+  * Hamming ≤ `audioMaxDist`; video: ≥ `videoMinOverlapBp` basis
+  * points of the BATCH video's hashed frames match some single
+  * history video at frame Hamming ≤ `videoMaxDist` — the
+  * videoNearDups floor, alignment-free, so a trimmed re-upload of an
+  * indexed video still collapses). Keeper = the smallest matching
+  * history id, byte matches taking precedence (they are the stronger
+  * evidence). NULL payloads and undecodable media carry no perceptual
+  * evidence and pass (keep-the-unparseable); unknown kinds ('bin')
+  * are judged by bytes alone. Batch-INTERNAL duplicates are the batch
+  * gate's job ([[Multimodal.dropAllDuplicateMediaDocs]]) — this
+  * operator compares only across the batch/history boundary, so the
+  * two compose: gate the batch internally, dedupe it against history,
+  * append the survivors' index rows to the index.
+  */
+object MediaIndex {
+
+  /** The persistable hash INDEX of a media corpus: one row per
+    * non-NULL-payload object — (media_id, kind, fp md5-hex,
+    * ahash/dhash for decodable images, ehash for parseable audio,
+    * fhashes = frame-order array of per-frame aHashes for walkable
+    * videos; hash columns NULL where the kind or a failed decode
+    * makes them inapplicable). ~50 bytes a row: the relation a
+    * pipeline persists between runs and appends each batch's
+    * survivors to. Building it pays the per-kind narrow decode passes
+    * plus hash-sized joins — payload bytes never shuffle (the
+    * perceptual-gate rule). */
+  def mediaHashIndex(media: Dataset[Multimodal.Media]): DataFrame = {
+    val m = media.filter(_.payload != null)
+    val fp = m.toDF().select(col("media_id"), col("kind"),
+      md5(col("payload")).as("fp"))
+    val img = PerceptualHash.perceptualHashes(m)
+    val aud = AudioWave.audioHashes(m)
+    val vid = Multimodal.videoFrameAHashes(m, stride = 1)
+      .groupBy(col("media_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("ahash")))),
+        f => f("ahash")).as("fhashes"))
+    fp.join(img, Seq("media_id"), "left")
+      .join(aud, Seq("media_id"), "left")
+      .join(vid, Seq("media_id"), "left")
+  }
+
+  /** Batch objects that duplicate HISTORY: (dup_id = batch media_id,
+    * keep_id = smallest matching history media_id, via ∈ {'byte',
+    * 'image', 'audio', 'video'} — byte precedence). Both arguments
+    * are [[mediaHashIndex]] relations; `history` streams (never
+    * shuffles, see the object doc), `batch` broadcasts. */
+  def incrementalMediaDups(batch: DataFrame, history: DataFrame,
+                           imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+                           videoMaxDist: Int = 3,
+                           videoMinOverlapBp: Int = 6000,
+                           maxBucket: Int = 1024): DataFrame = {
+    require(videoMinOverlapBp >= 1 && videoMinOverlapBp <= 10000,
+      s"videoMinOverlapBp must be in 1..10000, got $videoMinOverlapBp")
+    require(imageMaxDist >= 0 && audioMaxDist >= 0 && videoMaxDist >= 0,
+      "per-kind maxDist thresholds must be non-negative, got " +
+        s"$imageMaxDist/$audioMaxDist/$videoMaxDist")
+
+    // ---- byte leg: exact fingerprint equality, kind-agnostic -------
+    val byteDups = history
+      .select(col("fp"), col("media_id").as("__h"))
+      .join(broadcast(batch.select(col("media_id").as("dup_id"),
+        col("fp"))), Seq("fp"))
+      .select(col("dup_id"), col("__h"), lit(0).as("__p"),
+        lit("byte").as("via"))
+
+    // shared banded cross-match: history bands narrow, batch bands
+    // censused + broadcast, exact Hamming confirmation
+    def crossLeg(batchRows: DataFrame, histRows: DataFrame,
+                 hashCols: Seq[String], ham: Column, maxDist: Int,
+                 extraBatchCols: Seq[String] = Nil): DataFrame = {
+      val bBands = PerceptualHash.cappedBandsCross(batchRows,
+        "dup_id" +: extraBatchCols, hashCols, maxBucket)
+        .select(("dup_id" +: extraBatchCols).map(col) ++
+          hashCols.map(c => col(c).as(s"b_$c")) :+
+          col("__b") :+ col("__v"): _*)
+      PerceptualHash.bandsOf(histRows, Seq("__h"), hashCols)
+        .join(broadcast(bBands), Seq("__b", "__v"))
+        .filter(ham <= maxDist)
+        .select(("dup_id" +: extraBatchCols).map(col) :+ col("__h"): _*)
+        .distinct()
+    }
+    def hamOf(c: String): Column =
+      bit_count(col(c).bitwiseXOR(col(s"b_$c")))
+
+    // ---- image leg: summed dual-hash distance -----------------------
+    def imgRows(idx: DataFrame, idAs: String) =
+      idx.filter(col("ahash").isNotNull && col("dhash").isNotNull)
+        .select(col("media_id").as(idAs), col("ahash"), col("dhash"))
+    val imgDups = crossLeg(imgRows(batch, "dup_id"), imgRows(history, "__h"),
+        Seq("ahash", "dhash"), hamOf("ahash") + hamOf("dhash"), imageMaxDist)
+      .select(col("dup_id"), col("__h"), lit(1).as("__p"),
+        lit("image").as("via"))
+
+    // ---- audio leg: envelope hash ------------------------------------
+    def audRows(idx: DataFrame, idAs: String) =
+      idx.filter(col("ehash").isNotNull)
+        .select(col("media_id").as(idAs), col("ehash"))
+    val audDups = crossLeg(audRows(batch, "dup_id"), audRows(history, "__h"),
+        Seq("ehash"), hamOf("ehash"), audioMaxDist)
+      .select(col("dup_id"), col("__h"), lit(1).as("__p"),
+        lit("audio").as("via"))
+
+    // ---- video leg: frame-set overlap vs ONE history video ----------
+    def vidRows(idx: DataFrame, idAs: String) =
+      idx.filter(col("fhashes").isNotNull && size(col("fhashes")) > 0)
+        .select(col("media_id").as(idAs),
+          posexplode(col("fhashes")).as(Seq("__f", "fh")))
+    val bN = batch.filter(col("fhashes").isNotNull)
+      .select(col("media_id").as("dup_id"),
+        size(col("fhashes")).as("__n"))
+    val vidDups = crossLeg(vidRows(batch, "dup_id"),
+        vidRows(history, "__h").drop("__f"),
+        Seq("fh"), hamOf("fh"), videoMaxDist, extraBatchCols = Seq("__f"))
+      .groupBy(col("dup_id"), col("__h"))
+      .agg(count(lit(1)).as("__m")) // distinct batch frames matched
+      .join(broadcast(bN), Seq("dup_id"))
+      .filter(col("__m") * 10000 >= lit(videoMinOverlapBp.toLong) *
+        col("__n"))
+      .select(col("dup_id"), col("__h"), lit(1).as("__p"),
+        lit("video").as("via"))
+
+    // keeper election on matched pairs only (batch-bounded): byte
+    // precedence, then smallest history id
+    byteDups.unionByName(imgDups).unionByName(audDups).unionByName(vidDups)
+      .groupBy(col("dup_id"))
+      .agg(min(struct(col("__p"), col("__h"), col("via"))).as("__k"))
+      .select(col("dup_id"), col("__k.__h").as("keep_id"),
+        col("__k.via").as("via"))
+  }
+
+  /** The gate wrapper: the batch with every history-duplicate dropped
+    * — what a streaming ingest appends to the corpus (and whose
+    * [[mediaHashIndex]] rows it appends to the index). */
+  def dedupeAgainstHistory(batch: Dataset[Multimodal.Media],
+                           history: DataFrame,
+                           imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+                           videoMaxDist: Int = 3,
+                           videoMinOverlapBp: Int = 6000,
+                           maxBucket: Int = 1024): Dataset[Multimodal.Media] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val dups = incrementalMediaDups(mediaHashIndex(batch), history,
+      imageMaxDist, audioMaxDist, videoMaxDist, videoMinOverlapBp,
+      maxBucket)
+    batch.toDF()
+      .join(dups.select(col("dup_id").as("media_id")),
+        Seq("media_id"), "left_anti")
+      .as[Multimodal.Media]
+  }
+}

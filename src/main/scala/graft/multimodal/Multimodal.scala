@@ -37,9 +37,56 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
+  /** Sniff the media KIND from the payload's leading bytes — magics
+    * only, no decode: image formats via [[hasImageMagic]] (PNG/JPEG/
+    * GIF/BMP/TIFF), audio via the RIFF/WAVE container tag, video via
+    * the ISO-BMFF `ftyp` box (MP4/MOV — size at 0, tag at 4), the
+    * EBML magic (MKV/WebM), or this package's own frame container
+    * ([[packImageFrames]]'s `GFV1`). Anything else is "bin": an
+    * unrecognized payload must never be guessed into a kind, because
+    * every perceptual leg trusts the kind column to route decodes. */
+  private[multimodal] def sniffKind(payload: Array[Byte]): String = {
+    val pb = bytes(payload)
+    def u(i: Int) = pb(i) & 0xff
+    if (hasImageMagic(pb)) "image"
+    else if (pb.length >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' &&
+      u(3) == 'F' && u(8) == 'W' && u(9) == 'A' && u(10) == 'V' &&
+      u(11) == 'E') "audio"
+    else if (pb.length >= 8 && u(4) == 'f' && u(5) == 't' && u(6) == 'y' &&
+      u(7) == 'p') "video"
+    else if (pb.length >= 4 && u(0) == 0x1a && u(1) == 0x45 &&
+      u(2) == 0xdf && u(3) == 0xa3) "video"
+    else if (hasFrameMagic(pb)) "video"
+    else "bin"
+  }
+
+  private lazy val sniffKindUdf = udf(sniffKind _)
+
+  /** A `binaryFile` relation (path, modificationTime, length, content
+    * — [[graft.io.BinaryFileSource]]) → the media relation every
+    * operator in this package consumes: `media_id = xxhash64(path)`
+    * (deterministic, well-spread, integral — the WarcRecords id rule;
+    * collision odds are the corpus-negligible 64-bit birthday bound),
+    * `kind` sniffed from the payload's own magic ([[sniffKind]] —
+    * extensions lie on real crawls; bytes do not), `payload` the raw
+    * content, plus `path` and the file's `modificationTime` as
+    * event-time column `mtime` (the only timestamp an on-disk object
+    * has — what lets a media stream watermark, the toCrawlDocsTimed
+    * discipline). Narrow projection: no shuffle, payloads stay in
+    * place; at 100 TB this is one linear scan. `.select(media
+    * columns).as[Media]` feeds the typed operators. */
+  def fromBinaryFiles(files: DataFrame): DataFrame =
+    files.select(
+      xxhash64(col("path")).as("media_id"),
+      sniffKindUdf(col("content")).as("kind"),
+      col("content").as("payload"),
+      col("path"),
+      col("modificationTime").as("mtime"))
+
   /** Wrap a testdata table into the media shape: text bytes play the
     * opaque payload, `kind` cycles image/audio/video. Stand-in for a
-    * real `binaryFile`/parquet media source. */
+    * real `binaryFile`/parquet media source ([[fromBinaryFiles]] is
+    * the real-disk entrance). */
   def asMedia(documents: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): Dataset[Media] = {
     val spark = documents.sparkSession
@@ -189,11 +236,25 @@ object Multimodal {
   // production shapes — a deployment swaps ONLY the splitter for an
   // ffmpeg keyframe call.
 
-  /** Pack image byte arrays into one video payload: each frame is
-    * [4-byte big-endian length][frame bytes]. The fixture/ingest-side
-    * twin of [[splitImageFrames]]. */
+  /** The frame container's 4-byte magic: every container format needs
+    * a signature ([[sniffKind]] routes on magics alone — an
+    * unsniffable container would reach a binaryFile-fed gate as 'bin'
+    * and silently skip the video leg). The bytes can never be
+    * mistaken for a frame length-prefix: read as one, they declare a
+    * ~1.2 GB first frame, which the walk's bounds guard rejects. */
+  private val FrameMagic: Array[Byte] =
+    "GFV1".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private[multimodal] def hasFrameMagic(pb: Array[Byte]): Boolean =
+    pb.length >= 4 && pb(0) == FrameMagic(0) && pb(1) == FrameMagic(1) &&
+      pb(2) == FrameMagic(2) && pb(3) == FrameMagic(3)
+
+  /** Pack image byte arrays into one video payload: the container
+    * magic, then each frame as [4-byte big-endian length][frame
+    * bytes]. The fixture/ingest-side twin of [[splitImageFrames]]. */
   def packImageFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    out.write(FrameMagic, 0, 4)
     frames.foreach { f =>
       val len = f.length
       out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
@@ -205,12 +266,16 @@ object Multimodal {
 
   /** Walk a length-prefixed frame container, fail-soft (the scanner's
     * good-prefix rule): a corrupt length (non-positive or past
-    * end-of-data) ends the walk with every frame parsed so far. */
+    * end-of-data) ends the walk with every frame parsed so far. A
+    * leading container magic is skipped; magic-less payloads walk
+    * from byte 0 (pre-magic containers keep parsing — the magic read
+    * as a length fails the bounds guard, so the two framings can
+    * never be confused). */
   private[multimodal] def splitImageFrames(payload: Array[Byte])
       : Seq[Array[Byte]] = {
     val pb = bytes(payload)
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var pos = 0
+    var pos = if (hasFrameMagic(pb)) 4 else 0
     var done = false
     while (!done && pos + 4 <= pb.length) {
       val len = ((pb(pos) & 0xff) << 24) | ((pb(pos + 1) & 0xff) << 16) |

@@ -266,20 +266,47 @@ object PerceptualHash {
   private[multimodal] def cappedBands(h: DataFrame, keyCols: Seq[String],
                                       hashCols: Seq[String],
                                       maxBucket: Int): DataFrame = {
-    val bandStructs = hashCols.zipWithIndex.flatMap { case (hc, hi) =>
-      (0 to 3).map(b => struct(lit(hi * 4 + b).as("b"),
-        (shiftright(col(hc), b * 16) bitwiseAND lit(65535L)).as("v")))
-    }
-    val bands = h.select(keyCols.map(col) ++ hashCols.map(col) :+
-        explode(array(bandStructs: _*)).as("__band"): _*)
-      .select(keyCols.map(col) ++ hashCols.map(col) :+
-        col("__band.b").as("__b") :+ col("__band.v").as("__v"): _*)
+    val bands = bandsOf(h, keyCols, hashCols)
     // bucket census (groupBy + join back, the q28 cap shape — no
     // window): singleton buckets can't pair, oversized ones are the
     // documented degenerate case
     val sizes = bands.groupBy(col("__b"), col("__v"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("__b"), col("__v"))
+    bands.join(sizes, Seq("__b", "__v"))
+  }
+
+  /** The raw band explosion shared by [[cappedBands]] and the
+    * cross-relation (incremental) matchers: each long hash column
+    * becomes four (16·i-shifted & 0xffff) 16-bit band rows. A NARROW
+    * ×(4·|hashCols|) projection — no shuffle, which is what lets the
+    * incremental gate band a history index without moving it. */
+  private[multimodal] def bandsOf(h: DataFrame, keyCols: Seq[String],
+                                  hashCols: Seq[String]): DataFrame = {
+    val bandStructs = hashCols.zipWithIndex.flatMap { case (hc, hi) =>
+      (0 to 3).map(b => struct(lit(hi * 4 + b).as("b"),
+        (shiftright(col(hc), b * 16) bitwiseAND lit(65535L)).as("v")))
+    }
+    h.select(keyCols.map(col) ++ hashCols.map(col) :+
+        explode(array(bandStructs: _*)).as("__band"): _*)
+      .select(keyCols.map(col) ++ hashCols.map(col) :+
+        col("__band.b").as("__b") :+ col("__band.v").as("__v"): _*)
+  }
+
+  /** [[cappedBands]] for CROSS-relation matching (a small batch vs a
+    * large history): singleton buckets are KEPT — a lone batch band
+    * can still pair with the other side — so only the
+    * degenerate-region cap applies. Capping the BATCH side bounds the
+    * per-history-row join fanout at `maxBucket` rows per band, the
+    * same worst-bucket bound the self-join census gives. */
+  private[multimodal] def cappedBandsCross(h: DataFrame, keyCols: Seq[String],
+                                           hashCols: Seq[String],
+                                           maxBucket: Int): DataFrame = {
+    val bands = bandsOf(h, keyCols, hashCols)
+    val sizes = bands.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
       .select(col("__b"), col("__v"))
     bands.join(sizes, Seq("__b", "__v"))
   }

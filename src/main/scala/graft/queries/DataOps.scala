@@ -1237,7 +1237,11 @@ object DataOps {
             w.toLong * (g % 31 + 3)) % 97 < 32
           val v = base * (if (hi) 4 else 1)
           if (variant == 3 && t >= 256 && t < 272) 0
-          else if (variant == 2) v * 128
+          // ×85: a NON-power-of-two, non-multiple-of-256 gain — only
+          // the cross-multiplied (floor-free) envelope rule collapses
+          // it exactly; the old double-floored rule could flip
+          // near-mean bits under it
+          else if (variant == 2) v * 85
           else v * 256
         }
         AudioWave.writeWav(samples, 16000,
@@ -1264,22 +1268,23 @@ object DataOps {
                                     + (t.range//16)*(t.range//16)*(gid%13+1)
                                     + (t.range//16)*(gid%31+3)) % 97 < 32
                               THEN 4 ELSE 1 END)
-                      * (CASE WHEN variant = 2 THEN 128 ELSE 256 END)
+                      * (CASE WHEN variant = 2 THEN 85 ELSE 256 END)
                END AS s
         FROM g, range(1024) t),
       env AS (
-        SELECT doc_id, w, sum(abs(s)) // count(*) AS e
+        SELECT doc_id, w, sum(abs(s)) AS sm, count(*) AS c
         FROM smp GROUP BY doc_id, w),
-      mn AS (SELECT doc_id, sum(e) // 64 AS m FROM env GROUP BY doc_id),
+      tot AS (SELECT doc_id, sum(sm) AS ts, sum(c) AS n
+              FROM env GROUP BY doc_id),
       eh AS (
         SELECT doc_id,
                CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
                          THEN s - 18446744073709551616::HUGEINT
                          ELSE s END AS BIGINT) AS ehash
         FROM (SELECT doc_id,
-                     coalesce(sum(CASE WHEN e > m
+                     coalesce(sum(CASE WHEN sm * n > ts * c
                        THEN CAST(power(2, w) AS HUGEINT) END), 0) AS s
-              FROM env JOIN mn USING (doc_id) GROUP BY doc_id)),
+              FROM env JOIN tot USING (doc_id) GROUP BY doc_id)),
       bands AS (
         SELECT doc_id, ehash, b.range AS b,
                (ehash >> CAST(16*b.range AS INTEGER)) & 65535 AS v
@@ -1352,7 +1357,15 @@ object DataOps {
                 when(j % 3 === 0, "bmp").otherwise("png")))
             .when(col("doc_id") % 3 === 1, mkAudio(j))
             .otherwise(mkVideo(j)).as("payload"))
-      Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id", media,
+      // the gate re-references its media relation ~5× (fingerprint
+      // pass + three kind legs + evidence tail); in production media
+      // is STORAGE it re-scans, so an expensively-DERIVED relation
+      // (these render UDFs) is materialized once — the SCALE.md r13
+      // usage rule, and what makes this bench entry time the GATE
+      // rather than five fixture renders
+      val mediaPinned = media.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id", mediaPinned,
           "media_id", "doc_id", "kind", "payload",
           imageMaxDist = 6, audioMaxDist = 3, videoMaxDist = 3,
           videoMinOverlapBp = 6000, maxBucket = 64)
@@ -1450,19 +1463,20 @@ object DataOps {
                          THEN 4 ELSE 1 END) * 256 AS s
         FROM aud_g, range(1024) t),
       aud_env AS (
-        SELECT doc_id, w, sum(abs(s)) // count(*) AS e
+        SELECT doc_id, w, sum(abs(s)) AS sm, count(*) AS c
         FROM aud_smp GROUP BY doc_id, w),
-      aud_mn AS (
-        SELECT doc_id, sum(e) // 64 AS m FROM aud_env GROUP BY doc_id),
+      aud_tot AS (
+        SELECT doc_id, sum(sm) AS ts, sum(c) AS n
+        FROM aud_env GROUP BY doc_id),
       aud_eh AS (
         SELECT doc_id,
                CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
                          THEN s - 18446744073709551616::HUGEINT
                          ELSE s END AS BIGINT) AS ehash
         FROM (SELECT doc_id,
-                     coalesce(sum(CASE WHEN e > m
+                     coalesce(sum(CASE WHEN sm * n > ts * c
                        THEN CAST(power(2, w) AS HUGEINT) END), 0) AS s
-              FROM aud_env JOIN aud_mn USING (doc_id)
+              FROM aud_env JOIN aud_tot USING (doc_id)
               GROUP BY doc_id)),
       aud_bands AS (
         SELECT doc_id, ehash, b.range AS b,
@@ -1547,10 +1561,323 @@ object DataOps {
       WHERE doc_id >= 480
          OR doc_id IN (SELECT doc_id FROM keepers WHERE doc_id NOT IN
                          (SELECT dup_id FROM dups))
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    // bench entry (r12 verdict): the flagship media-gate family was
+    // untimed — a regression in the decode/hash/election path was
+    // invisible to BENCH. The fixture is fixed-size (doc_id < 490),
+    // so this times the KERNEL family (render+decode+hash+election),
+    // not data scaling — the weak-scale ladder covers growth.
+    bench = true)
+
+  /** q204: INCREMENTAL media dedup against a persisted hash index
+    * ([[graft.multimodal.MediaIndex.incrementalMediaDups]]) — the
+    * continuously-crawling shape: history (ids < 100, one canonical
+    * object per id, kind = id mod 3) is indexed once; the batch
+    * (ids 100–199, kind = (id−100) mod 3) carries per-kind classes —
+    * byte copies, perceptual re-encodes (BMP / 8-bit WAV / trimmed
+    * container), and fresh objects — and each batch object is judged
+    * against history only: (dup_id, keep_id, via) with byte
+    * precedence. DuckDB replays all three hash families (proven in
+    * q198–q203), the byte election as render-parameter equality, AND
+    * the cross-relation banding itself (batch-side census ≤ 16,
+    * history raw — the exact candidate set, so the census cap is
+    * oracle-checked too). Fresh objects and the history side appear
+    * in no output row. */
+  private val q204 = QuerySpec(
+    "q204_media_incremental_dedup",
+    (s, dir) => {
+      import graft.multimodal.{AudioWave, MediaIndex, Multimodal, PerceptualHash}
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val mkAudio = udf((gid: Long, bits8: Boolean) => {
+        val samples = Array.tabulate(1024) { t =>
+          val w = t / 16
+          val base = ((gid * 13 + (gid % 7 + 1) * t) % 64 - 32).toInt
+          val hi = (gid * 1103515245L + w.toLong * w * (gid % 13 + 1) +
+            w.toLong * (gid % 31 + 3)) % 97 < 32
+          base * (if (hi) 4 else 1) * 256
+        }
+        AudioWave.writeWav(samples, 16000, bits = if (bits8) 8 else 16)
+      })
+      val mkVideo = udf((gid: Long, trimmed: Boolean) => {
+        val fs = (if (trimmed) 1 to 5 else 0 to 5).map { f =>
+          PerceptualHash.renderGrayImage(16, 16, gid * 7,
+            (gid + f) % 5 + 1, (gid + 2 * f) % 11 + 1, (gid + f) % 3, 0L,
+            "png")
+        }
+        Multimodal.packImageFrames(fs)
+      })
+      def mediaOf(ids: org.apache.spark.sql.DataFrame,
+                  kindOf: org.apache.spark.sql.Column,
+                  gid: org.apache.spark.sql.Column,
+                  reenc: org.apache.spark.sql.Column) =
+        ids.select(col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (kindOf + 1).cast("int")).as("kind"),
+          when(kindOf === 0,
+            PerceptualHash.renderLetterboxImage16(gid * 7, gid % 5 + 1,
+              gid % 11 + 1, gid % 3, lit(0L),
+              when(reenc, "bmp").otherwise("png")))
+            .when(kindOf === 1, mkAudio(gid, reenc))
+            .otherwise(mkVideo(gid, reenc)).as("payload"))
+      val hist = mediaOf(docs.filter(col("doc_id") < 100),
+        pmod(col("doc_id"), lit(3)), col("doc_id"), lit(false))
+      val k = col("doc_id") - 100
+      val cls = pmod(expr("(doc_id - 100) div 3"), lit(3))
+      val batch = mediaOf(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+        pmod(k, lit(3)), when(cls === 2, k + 300).otherwise(k), cls === 1)
+      // index builds re-reference their media (fp + three kernels):
+      // materialize the rendered fixtures once (the q203 rule)
+      val bp = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hp = hist.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      MediaIndex.incrementalMediaDups(
+          MediaIndex.mediaHashIndex(bp.as[Multimodal.Media]),
+          MediaIndex.mediaHashIndex(hp.as[Multimodal.Media]),
+          maxBucket = 16)
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some("""
+      WITH prm AS (
+        SELECT doc_id AS id, doc_id % 3 AS kind, doc_id AS gid,
+               FALSE AS reenc
+        FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id AS id, (doc_id - 100) % 3 AS kind,
+               CASE WHEN ((doc_id - 100) // 3) % 3 = 2
+                    THEN doc_id + 200 ELSE doc_id - 100 END AS gid,
+               ((doc_id - 100) // 3) % 3 = 1 AS reenc
+        FROM documents WHERE doc_id >= 100 AND doc_id < 200),
+      -- ---- image family (kind 0): letterbox dual-hash ---------------
+      img_px AS (
+        SELECT id, x.range AS x, y.range AS y,
+               CASE WHEN y.range < 4 THEN 0
+                    ELSE least(((gid*7) + (gid%5+1)*x.range
+                                + (gid%11+1)*y.range
+                                + (gid%3)*x.range*y.range) % 200, 255)
+               END AS v
+        FROM prm, range(16) x, range(16) y WHERE kind = 0),
+      img_blk8 AS (
+        SELECT id, (x*8)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM img_px GROUP BY 1, 2, 3),
+      img_mean8 AS (
+        SELECT id, sum(b)//64 AS m FROM img_blk8 GROUP BY id),
+      img_ah AS (
+        SELECT id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ahash
+        FROM (SELECT id,
+                     coalesce(sum(CASE WHEN b > m
+                       THEN CAST(power(2, gy*8+gx) AS HUGEINT) END),
+                       0) AS s
+              FROM img_blk8 JOIN img_mean8 USING (id)
+              GROUP BY id)),
+      img_blk9 AS (
+        SELECT id, (x*9)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM img_px GROUP BY 1, 2, 3),
+      img_dh AS (
+        SELECT id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS dhash
+        FROM (SELECT l.id,
+                     coalesce(sum(CASE WHEN r.b > l.b
+                       THEN CAST(power(2, l.gy*8+l.gx) AS HUGEINT) END),
+                       0) AS s
+              FROM img_blk9 l JOIN img_blk9 r
+                ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+              GROUP BY l.id)),
+      img_hh AS (
+        SELECT id, ahash, dhash FROM img_ah JOIN img_dh USING (id)),
+      img_bands AS (
+        SELECT id, ahash, dhash, b.range AS b,
+               CASE WHEN b.range < 4
+                    THEN (ahash >> CAST(16*b.range AS INTEGER)) & 65535
+                    ELSE (dhash >> CAST(16*(b.range-4) AS INTEGER))
+                      & 65535 END AS v
+        FROM img_hh, range(8) b),
+      img_bcensus AS (
+        SELECT b, v FROM img_bands WHERE id >= 100
+        GROUP BY b, v HAVING count(*) <= 16),
+      img_m AS (
+        SELECT dup_id, min(hid) AS keep_id FROM (
+          SELECT DISTINCT bb.id AS dup_id, hb.id AS hid
+          FROM img_bands bb
+          JOIN img_bcensus c ON bb.b = c.b AND bb.v = c.v
+          JOIN img_bands hb ON hb.b = bb.b AND hb.v = bb.v
+            AND hb.id < 100
+          WHERE bb.id >= 100
+            AND bit_count(xor(bb.ahash, hb.ahash))
+              + bit_count(xor(bb.dhash, hb.dhash)) <= 6)
+        GROUP BY dup_id),
+      -- ---- audio family (kind 1): envelope hash ---------------------
+      aud_smp AS (
+        SELECT id, t.range // 16 AS w,
+               ((gid*13 + (gid%7+1)*t.range) % 64 - 32)
+                 * (CASE WHEN (gid*1103515245
+                               + (t.range//16)*(t.range//16)*(gid%13+1)
+                               + (t.range//16)*(gid%31+3)) % 97 < 32
+                         THEN 4 ELSE 1 END) * 256 AS s
+        FROM prm, range(1024) t WHERE kind = 1),
+      aud_env AS (
+        SELECT id, w, sum(abs(s)) AS sm, count(*) AS c
+        FROM aud_smp GROUP BY id, w),
+      aud_tot AS (
+        SELECT id, sum(sm) AS ts, sum(c) AS n
+        FROM aud_env GROUP BY id),
+      aud_eh AS (
+        SELECT id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ehash
+        FROM (SELECT id,
+                     coalesce(sum(CASE WHEN sm * n > ts * c
+                       THEN CAST(power(2, w) AS HUGEINT) END), 0) AS s
+              FROM aud_env JOIN aud_tot USING (id)
+              GROUP BY id)),
+      aud_bands AS (
+        SELECT id, ehash, b.range AS b,
+               (ehash >> CAST(16*b.range AS INTEGER)) & 65535 AS v
+        FROM aud_eh, range(4) b),
+      aud_bcensus AS (
+        SELECT b, v FROM aud_bands WHERE id >= 100
+        GROUP BY b, v HAVING count(*) <= 16),
+      aud_m AS (
+        SELECT dup_id, min(hid) AS keep_id FROM (
+          SELECT DISTINCT bb.id AS dup_id, hb.id AS hid
+          FROM aud_bands bb
+          JOIN aud_bcensus c ON bb.b = c.b AND bb.v = c.v
+          JOIN aud_bands hb ON hb.b = bb.b AND hb.v = bb.v
+            AND hb.id < 100
+          WHERE bb.id >= 100
+            AND bit_count(xor(bb.ehash, hb.ehash)) <= 3)
+        GROUP BY dup_id),
+      -- ---- video family (kind 2): frame-set overlap ------------------
+      vid_fr AS (
+        SELECT id, gid, f.range AS f
+        FROM prm, range(6) f
+        WHERE kind = 2 AND NOT (reenc AND f.range = 0)),
+      vid_px AS (
+        SELECT id, f, x.range AS x, y.range AS y,
+               ((gid*7) + ((gid+f)%5+1)*x.range
+                + ((gid+2*f)%11+1)*y.range
+                + ((gid+f)%3)*x.range*y.range) % 256 AS v
+        FROM vid_fr, range(16) x, range(16) y),
+      vid_blk8 AS (
+        SELECT id, f, (x*8)//16 AS gx, (y*8)//16 AS gy,
+               sum(v)//count(*) AS b
+        FROM vid_px GROUP BY 1, 2, 3, 4),
+      vid_mean8 AS (
+        SELECT id, f, sum(b)//64 AS m FROM vid_blk8 GROUP BY id, f),
+      vid_ah AS (
+        SELECT id, f,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS ahash
+        FROM (SELECT id, f,
+                     coalesce(sum(CASE WHEN b > m
+                       THEN CAST(power(2, gy*8+gx) AS HUGEINT) END),
+                       0) AS s
+              FROM vid_blk8 JOIN vid_mean8 USING (id, f)
+              GROUP BY id, f)),
+      vid_bands AS (
+        SELECT id, f, ahash, b.range AS b,
+               (ahash >> CAST(16*b.range AS INTEGER)) & 65535 AS v
+        FROM vid_ah, range(4) b),
+      vid_bcensus AS (
+        SELECT b, v FROM vid_bands WHERE id >= 100
+        GROUP BY b, v HAVING count(*) <= 16),
+      vid_pair AS (
+        SELECT DISTINCT bb.id AS dup_id, bb.f AS f, hb.id AS hid
+        FROM vid_bands bb
+        JOIN vid_bcensus c ON bb.b = c.b AND bb.v = c.v
+        JOIN vid_bands hb ON hb.b = bb.b AND hb.v = bb.v
+          AND hb.id < 100
+        WHERE bb.id >= 100
+          AND bit_count(xor(bb.ahash, hb.ahash)) <= 3),
+      vid_nf AS (
+        SELECT id AS dup_id, count(*) AS n FROM vid_ah
+        WHERE id >= 100 GROUP BY id),
+      vid_m AS (
+        SELECT dup_id, min(hid) AS keep_id FROM (
+          SELECT dup_id, hid, count(*) AS m
+          FROM vid_pair GROUP BY dup_id, hid) mt
+        JOIN vid_nf USING (dup_id)
+        WHERE mt.m * 10000 >= 6000 * vid_nf.n
+        GROUP BY dup_id),
+      -- ---- byte leg (render-parameter equality) + precedence --------
+      byte_m AS (
+        SELECT b.id AS dup_id, min(h.id) AS keep_id
+        FROM prm b JOIN prm h
+          ON b.kind = h.kind AND b.gid = h.gid AND b.reenc = h.reenc
+        WHERE b.id >= 100 AND h.id < 100
+        GROUP BY b.id),
+      perc AS (
+        SELECT dup_id, keep_id, 'image' AS via FROM img_m
+        UNION ALL SELECT dup_id, keep_id, 'audio' FROM aud_m
+        UNION ALL SELECT dup_id, keep_id, 'video' FROM vid_m)
+      SELECT coalesce(b.dup_id, p.dup_id) AS dup_id,
+             coalesce(b.keep_id, p.keep_id) AS keep_id,
+             CASE WHEN b.keep_id IS NOT NULL THEN 'byte'
+                  ELSE p.via END AS via
+      FROM byte_m b FULL OUTER JOIN perc p ON p.dup_id = b.dup_id
+      ORDER BY dup_id"""))
+
+  /** q205: the binaryFile→Media bridge's KIND routing
+    * ([[graft.multimodal.Multimodal.fromBinaryFiles]]) — kind comes
+    * from the payload's own magic, never a path extension (the
+    * fixture paths carry none): real PNG/BMP renders route to image,
+    * a real RIFF/WAVE to audio, the GFV1 frame container AND a
+    * minimal ISO-BMFF `ftyp` box to video, plain text to bin. The
+    * oracle replays the class→kind map over the same ids — thin by
+    * design: the CONTENTS of each kind's pipeline are q194–q204's
+    * job; this pins the routing layer every one of them trusts. */
+  private val q205 = QuerySpec(
+    "q205_media_kind_sniff",
+    (s, dir) => {
+      import graft.multimodal.{AudioWave, Multimodal, PerceptualHash}
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val mkPayload = udf((id: Long) => {
+        val g = id / 6
+        (id % 6) match {
+          case 0 => PerceptualHash.renderGrayImage(16, 16, g, g % 5 + 1,
+            g % 11 + 1, 0, 0, "png")
+          case 1 => PerceptualHash.renderGrayImage(16, 16, g, g % 5 + 1,
+            g % 11 + 1, 0, 0, "bmp")
+          case 2 => AudioWave.writeWav(
+            Array.tabulate(256)(t => (((g + t) % 64 - 32) * 256).toInt),
+            16000, 16)
+          case 3 => Multimodal.packImageFrames(Seq(
+            PerceptualHash.renderGrayImage(16, 16, g, 2, 3, 0, 0, "png")))
+          case 4 => Array[Byte](0, 0, 0, 16) ++
+            "ftypisom".getBytes("ISO-8859-1") ++ new Array[Byte](4)
+          case _ => s"plain text payload $g".getBytes("UTF-8")
+        }
+      })
+      Multimodal.fromBinaryFiles(docs.select(
+          concat(lit("mem://f"),
+            lpad(col("doc_id").cast("string"), 6, "0")).as("path"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("modificationTime"),
+          mkPayload(col("doc_id")).as("content")))
+        .select(col("path"), col("kind"))
+        .orderBy(col("path"))
+    },
+    oracle = Some("""
+      SELECT 'mem://f' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS path,
+             CASE doc_id % 6
+               WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+               WHEN 2 THEN 'audio' WHEN 3 THEN 'video'
+               WHEN 4 THEN 'video' ELSE 'bin' END AS kind
+      FROM documents WHERE doc_id < 300
+      ORDER BY path"""))
 
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
-    q200, q201, q202, q203)
+    q200, q201, q202, q203, q204, q205)
 }

@@ -85,6 +85,63 @@ class IoSpec extends SparkSpec {
     groups.map(_.getLong(2)).sorted shouldBe Seq(1L, 2L)
   }
 
+  test("fromBinaryFiles: real on-disk media (PNG/BMP/WAV) → Media shape → unified originality gate, end to end") {
+    import graft.multimodal.{AudioWave, Multimodal, PerceptualHash}
+    import org.apache.spark.sql.functions.{col, xxhash64, lit}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_io_media")
+    def put(name: String, bytes: Array[Byte]): java.nio.file.Path =
+      Files.write(dir.resolve(name), bytes)
+    // a REAL rendered image, its BMP re-encode (zero shared bytes),
+    // a REAL 16-bit WAV, its 8-bit re-master, and a non-media file
+    put("orig.png", PerceptualHash.renderGrayImage(16, 16, 28, 5, 5, 1, 0, "png"))
+    put("copy.bmp", PerceptualHash.renderGrayImage(16, 16, 28, 5, 5, 1, 0, "bmp"))
+    val samples = Array.tabulate(1024) { t =>
+      val w = t / 16
+      (t % 64 - 32) * (if ((w * w + 5 * w) % 97 < 32) 4 else 1) * 256
+    }
+    put("orig.wav", AudioWave.writeWav(samples, 16000, 16))
+    put("remaster.wav", AudioWave.writeWav(samples, 16000, 8))
+    def vid(range: Range) = Multimodal.packImageFrames(range.map(f =>
+      PerceptualHash.renderGrayImage(16, 16, 7, f % 5 + 1,
+        (2 * f) % 11 + 1, f % 3, 0, "png")))
+    put("orig.gfv", vid(0 to 5))
+    put("trimmed.gfv", vid(1 to 5))
+    put("notes.txt", "just text".getBytes("UTF-8"))
+    val media = Multimodal.fromBinaryFiles(
+      BinaryFileSource(dir.toString).read(spark))
+    // kind comes from the payload's OWN magic, never the extension;
+    // mtime rides along (the event-time column a stream watermarks)
+    val byName = media.collect().map(r => (
+      r.getAs[String]("path").split('/').last,
+      (r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+        r.getAs[java.sql.Timestamp]("mtime")))).toMap
+    byName("orig.png")._2 shouldBe "image"
+    byName("copy.bmp")._2 shouldBe "image"
+    byName("orig.wav")._2 shouldBe "audio"
+    byName("remaster.wav")._2 shouldBe "audio"
+    byName("orig.gfv")._2 shouldBe "video"
+    byName("trimmed.gfv")._2 shouldBe "video"
+    byName("notes.txt")._2 shouldBe "bin"
+    byName.values.foreach(_._3 should not be null)
+    byName.values.map(_._1).toSet should have size 7 // distinct ids
+    // end to end: each file is its own doc; exactly ONE of each
+    // re-encode pair survives the unified gate (keep-smallest elects
+    // by the hashed id — which member wins is arbitrary but unique),
+    // and the non-media file passes (a 'bin' kind has no perceptual
+    // leg — byte election alone judges it)
+    val docs = media.select(col("media_id").as("doc_id"), col("path"))
+    val kept = Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id",
+        media, "media_id", "media_id", "kind", "payload")
+      .select(col("path")).as[String].collect()
+      .map(_.split('/').last).sorted
+    kept should have size 4
+    kept should contain ("notes.txt")
+    kept.count(_.matches("(orig\\.png|copy\\.bmp)")) shouldBe 1
+    kept.count(_.endsWith(".wav")) shouldBe 1
+    kept.count(_.endsWith(".gfv")) shouldBe 1
+  }
+
   test("partitioned JSON sink lays out Hive-style partition dirs") {
     val dir = Files.createTempDirectory("graft_io_part").toString
     val df = Seq(("20240101", 1L), ("20240101", 2L), ("20240102", 3L))

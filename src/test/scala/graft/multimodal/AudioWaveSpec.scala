@@ -65,18 +65,52 @@ class AudioWaveSpec extends SparkSpec {
     AudioWave.parseWav(null) shouldBe None
   }
 
-  test("envelope hash: exactly invariant to uniform gain and bit-depth re-encode; empty is None") {
+  test("envelope hash: exactly invariant to ANY uniform integer gain and to bit-depth re-encode; empty is None") {
     val v = Array.tabulate(1024)(t => (13 + 7 * t) % 64 - 32)
     val s16 = v.map(_ * 256)
     val h = AudioWave.envelopeHash64(s16)
     h.isDefined shouldBe true
-    // volume-halved re-master: every window and the mean halve together
+    // power-of-two re-master (the old floor rule also survived this)
     AudioWave.envelopeHash64(v.map(_ * 128)) shouldBe h
+    // NON-power-of-two, non-multiple-of-256 gains — the cross-
+    // multiplied rule's claim: ×85, ×3, and the raw ×1 signal all
+    // hash identically (the old double-floored rule could flip
+    // near-mean bits here)
+    AudioWave.envelopeHash64(v.map(_ * 85)) shouldBe h
+    AudioWave.envelopeHash64(v.map(_ * 3)) shouldBe h
+    AudioWave.envelopeHash64(v) shouldBe h
     // bit-depth re-encode THROUGH the real writer/parser
     val Some((_, back8)) = AudioWave.parseWav(
       AudioWave.writeWav(s16, 16000, bits = 8))
     AudioWave.envelopeHash64(back8) shouldBe h
     AudioWave.envelopeHash64(Array.empty[Int]) shouldBe None
+  }
+
+  test("resampled re-masters land NEAR the original, not at Hamming 0 — the documented miss class, measured") {
+    // a 2:1 decimation ("32 kHz → 16 kHz" re-master): the banded
+    // window rule is time-proportional (t·64 div N), so each
+    // decimated window samples the same time region — window sums
+    // track the energy profile approximately, and only bits whose
+    // window mean sits near the global mean can flip. The envelope
+    // hash's contract is exact under gain/bit-depth and APPROXIMATE
+    // under resampling: this pins the measured miss class so maxDist
+    // sizing is evidence-based, not hoped.
+    def signal(n: Int) = Array.tabulate(n) { t =>
+      val w = t.toLong * 64 / n // window-aligned structure
+      val base = (13 + 7 * w) % 64 - 32
+      val hi = (1103515245L * w + w * w * 11) % 97 < 32
+      (base * (if (hi) 4 else 1) * 256).toInt
+    }
+    val full = signal(2048)
+    val decimated = Array.tabulate(1024)(i => full(2 * i))
+    val h1 = AudioWave.envelopeHash64(full).get
+    val h2 = AudioWave.envelopeHash64(decimated).get
+    val hamming = java.lang.Long.bitCount(h1 ^ h2)
+    // within the family's default maxDist = 3 on this fixture: a
+    // clean decimation still collapses through audioNearDups.
+    // (Adversarial signals with many windows AT the global mean can
+    // exceed it — resample robustness is statistical, never exact.)
+    hamming should be <= 3
   }
 
   test("audioHashes/audioNearDups: re-encoded and re-mastered copies collapse; unparseable is NULL, never a match") {

@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[MediaIndex]] — incremental perceptual dedup of a new batch
+  * against a persisted hash index. q204 proves engine parity on the
+  * image leg; this spec pins the cross-kind semantics and the scale
+  * contract (history never shuffles) that SQL replay cannot reach. */
+class MediaIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def img(gid: Long, fmt: String) =
+    PerceptualHash.renderGrayImage(16, 16, gid * 7, gid % 5 + 1,
+      gid % 11 + 1, gid % 3, 0, fmt)
+  private def wavSamples = Array.tabulate(1024) { t =>
+    val w = t / 16
+    (t % 64 - 32) * (if ((w * w + 5 * w) % 97 < 32) 4 else 1) * 256
+  }
+  private def video(gid: Long, range: Range) =
+    Multimodal.packImageFrames(range.map(f =>
+      PerceptualHash.renderGrayImage(16, 16, gid * 7, (gid + f) % 5 + 1,
+        (gid + 2 * f) % 11 + 1, (gid + f) % 3, 0, "png")))
+
+  private lazy val history = MediaIndex.mediaHashIndex(Seq(
+    Multimodal.Media(100L, "image", img(4, "png")),
+    Multimodal.Media(101L, "audio", AudioWave.writeWav(wavSamples, 16000, 16)),
+    Multimodal.Media(102L, "video", video(9, 0 to 5)),
+    Multimodal.Media(103L, "bin", "xyz-payload".getBytes("UTF-8"))).toDS())
+
+  private lazy val batch = Seq(
+    Multimodal.Media(1L, "image", img(4, "png")),   // byte copy of 100
+    Multimodal.Media(2L, "image", img(4, "bmp")),   // re-encode of 100
+    Multimodal.Media(3L, "audio",
+      AudioWave.writeWav(wavSamples, 16000, 8)),    // re-master of 101
+    Multimodal.Media(4L, "video", video(9, 1 to 5)), // trim of 102
+    Multimodal.Media(5L, "image", img(21, "png")),  // fresh image
+    Multimodal.Media(6L, "audio", null),            // failed fetch
+    Multimodal.Media(7L, "bin", "xyz-payload".getBytes("UTF-8")), // byte copy of 103
+    Multimodal.Media(8L, "video", video(33, 0 to 5))).toDS() // fresh video
+
+  test("mediaHashIndex: one hash-sized row per non-NULL payload, per-kind hash columns") {
+    val idx = history.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    idx.keySet shouldBe Set(100L, 101L, 102L, 103L)
+    def isNull(id: Long, c: String): Boolean =
+      idx(id).isNullAt(idx(id).fieldIndex(c))
+    isNull(100L, "ahash") shouldBe false
+    isNull(100L, "ehash") shouldBe true
+    isNull(101L, "ahash") shouldBe true
+    isNull(101L, "ehash") shouldBe false
+    idx(102L).getAs[Seq[Long]]("fhashes") should have size 6
+    isNull(103L, "ahash") shouldBe true
+    isNull(103L, "fhashes") shouldBe true
+    idx.values.foreach(_.getAs[String]("fp") should have length 32)
+  }
+
+  test("incrementalMediaDups: byte/image/audio/video matches with byte precedence; fresh, NULL, and unindexed-kind objects pass") {
+    val dups = MediaIndex.incrementalMediaDups(
+        MediaIndex.mediaHashIndex(batch), history, maxBucket = 64)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    dups shouldBe Array(
+      (1L, 100L, "byte"),   // byte match wins over the image match
+      (2L, 100L, "image"),
+      (3L, 101L, "audio"),
+      (4L, 102L, "video"),
+      (7L, 103L, "byte"))
+    val kept = MediaIndex.dedupeAgainstHistory(batch, history,
+      maxBucket = 64).collect().map(_.media_id).sorted
+    kept shouldBe Array(5L, 6L, 8L)
+  }
+
+  test("trimmed batch video clears the overlap floor on ITS OWN frame count; a half-overlap does not") {
+    // batch video shares only 3 of its 6 frames with history → 5000bp
+    // < 6000bp floor → survives; the 5-frame trim (5/5 matched) drops
+    val half = Seq(Multimodal.Media(11L, "video",
+      Multimodal.packImageFrames(
+        (3 to 5).map(f => PerceptualHash.renderGrayImage(16, 16, 9 * 7,
+          (9 + f) % 5 + 1, (9 + 2 * f) % 11 + 1, (9 + f) % 3, 0, "png")) ++
+        (0 to 2).map(f => PerceptualHash.renderGrayImage(16, 16, 77 * 7,
+          (77 + f) % 5 + 1, (77 + 2 * f) % 11 + 1, (77 + f) % 3, 0, "png"))
+      ))).toDS()
+    MediaIndex.incrementalMediaDups(MediaIndex.mediaHashIndex(half),
+      history, maxBucket = 64).count() shouldBe 0L
+  }
+
+  test("scale contract: the history index is never shuffled — batch broadcasts, history streams") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediaidx")
+    val histPath = s"$dir/history_index"
+    history.write.parquet(histPath)
+    val histFromDisk = spark.read.parquet(histPath)
+    val dups = MediaIndex.incrementalMediaDups(
+      MediaIndex.mediaHashIndex(batch), histFromDisk, maxBucket = 64)
+    dups.count() shouldBe 5L // same verdicts through the disk round-trip
+    val plan = dups.queryExecution.executedPlan
+    // no ShuffleExchange subtree may contain the history scan: every
+    // byte of index history flows map-side into broadcast joins
+    val shuffledScans = plan.collect { case s: ShuffleExchangeExec => s }
+      .flatMap(_.collectLeaves())
+      .collect { case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",") }
+    shuffledScans.filter(_.contains("history_index")) shouldBe empty
+    // and the joins against history really are broadcast joins
+    plan.toString should include ("BroadcastHashJoin")
+  }
+}

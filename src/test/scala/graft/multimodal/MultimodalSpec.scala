@@ -253,6 +253,15 @@ class MultimodalSpec extends SparkSpec {
     val evil = packed ++ Array[Byte](0x7F, -1, -1, -1) ++ Array[Byte](7)
     Multimodal.splitImageFrames(evil).map(_.toSeq) shouldBe
       Seq(f1.toSeq, f2.toSeq)
+    // back-compat: a MAGIC-LESS container (the pre-GFV1 framing)
+    // still walks from byte 0 — the magic read as a length would
+    // declare a ~1.2 GB frame, so the two framings can't be confused
+    Multimodal.splitImageFrames(packed.drop(4)).map(_.toSeq) shouldBe
+      Seq(f1.toSeq, f2.toSeq)
+    // and the magic routes the sniffer: containers are 'video' to a
+    // binaryFile-fed gate, never 'bin'
+    Multimodal.sniffKind(packed) shouldBe "video"
+    Multimodal.sniffKind(packed.drop(4)) shouldBe "bin"
   }
 
   test("dropAllDuplicateMediaDocs: one gate over image+audio+video evidence; re-encodes of every kind drop") {

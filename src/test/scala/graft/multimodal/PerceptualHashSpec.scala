@@ -335,10 +335,18 @@ class PerceptualHashSpec extends SparkSpec {
     // NEAR each other and the perceptual election drops innocent
     // docs. Pin: containers and WAVs hash NULL; real formats pass.
     val png = PerceptualHash.renderGrayImage(16, 16, 7, 2, 3, 0, 0, "png")
-    val container = Multimodal.packImageFrames(Seq(png))
+    // a RAW length-prefixed blob (the magic-less pre-GFV1 container
+    // framing — any [00 00 len len][data] structure on a real crawl)
+    val len = png.length
+    val container = Array[Byte](((len >>> 24) & 0xff).toByte,
+      ((len >>> 16) & 0xff).toByte, ((len >>> 8) & 0xff).toByte,
+      (len & 0xff).toByte) ++ png
     javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(container)) should not be null // the hazard is real
     PerceptualHash.aHash64(container) shouldBe None                   // and closed
+    // the GFV1 container is equally un-image-hashable
+    PerceptualHash.aHash64(
+      Multimodal.packImageFrames(Seq(png))) shouldBe None
     PerceptualHash.aHash64(
       AudioWave.writeWav(Array.fill(64)(256), 16000, 16)) shouldBe None
     PerceptualHash.aHash64(png) should not be None

@@ -637,6 +637,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.split("MapPartitions").last.contains("Exchange"), plan)
   }
 
+  test("q204: incremental media dedup — no cartesian, batch broadcasts, history joins are broadcast-equi") {
+    val plan = planOf("q204_media_incremental_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // every history-vs-batch match is a broadcast equi-join (the batch
+    // side broadcasts; MediaIndexSpec pins the stronger history-scan-
+    // never-shuffles property on a parquet-backed index)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
