@@ -233,11 +233,13 @@ object WarcRecords {
     * not. */
   private[io] val MaxDecodedBodyBytes: Int = 64 * 1024 * 1024
 
-  /** Drain `in` into a buffer, stopping at [[MaxDecodedBodyBytes]];
-    * decompressor errors keep the good prefix (shared fail-soft walk
-    * of the gzip and deflate legs). */
+  /** Drain `in` into a buffer, stopping at [[MaxDecodedBodyBytes]].
+    * Returns TRUE when the stream ended cleanly (end-of-stream, or
+    * the cap was hit before any error) — the deflate legs route on
+    * it; decompressor errors keep the good prefix and return false
+    * (shared fail-soft walk of the gzip and deflate legs). */
   private def drainCapped(in: java.io.InputStream,
-                          out: java.io.ByteArrayOutputStream): Unit =
+                          out: java.io.ByteArrayOutputStream): Boolean =
     try {
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
@@ -245,7 +247,8 @@ object WarcRecords {
         out.write(buf, 0, math.min(n, MaxDecodedBodyBytes - out.size()))
         n = if (out.size() < MaxDecodedBodyBytes) in.read(buf) else -1
       }
-    } catch { case scala.util.control.NonFatal(_) => }
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Gunzip a body, fail-soft: bytes without the gzip magic pass
     * through unchanged (writers that store the already-decoded body
@@ -275,34 +278,51 @@ object WarcRecords {
     * reality this handles: spec-conforming writers send a ZLIB-wrapped
     * stream (RFC 9110 §8.4.1.2), a well-known population of servers
     * sends RAW deflate under the same label, and some writers store
-    * the already-decoded body while keeping the header. Routing:
-    * bytes carrying a valid zlib header (low CMF nibble 8 = deflate,
-    * CMF·256+FLG divisible by 31 — a 1-in-31 false-positive rate on
-    * text, and a wrong guess falls through to the raw retry) inflate
-    * zlib-wrapped; on zero output the raw-deflate retry runs; a body
-    * neither leg can start decoding passes through unchanged
-    * (mislabeled-identity — unlike gzip there is NO magic proving the
-    * bytes are compressed, so the de-chunk fallback's
-    * recover-the-text rule applies, not gzip's empty-on-magic rule).
-    * Whichever leg decodes anything keeps its good prefix, capped at
-    * [[MaxDecodedBodyBytes]] (bomb guard). JDK Inflater only. */
+    * the already-decoded body while keeping the header. Routing rests
+    * on how much evidence of compression the bytes carry:
+    *  - A valid ZLIB header (low CMF nibble 8 = deflate, CMF·256+FLG
+    *    divisible by 31) is treated like gzip's magic: the body IS
+    *    compressed, so a clean decode returns its output (INCLUDING a
+    *    legitimately-empty body — success is the stream ENDING
+    *    CLEANLY, never output being non-empty) and a corrupt stream
+    *    keeps the good prefix; raw bytes are never the document.
+    *  - NO zlib header: raw deflate has no magic at all, so the
+    *    raw-inflate leg is accepted ONLY when it consumes the stream
+    *    cleanly — a plain-text body mislabeled deflate whose first
+    *    bytes happen to start a decodable fixed-Huffman block emits
+    *    garbage and then ERRORS, and must pass through unchanged
+    *    (the de-chunk recover-the-text rule), not ship its garbage
+    *    prefix. The cost: a TRUNCATED raw-deflate body (no header,
+    *    corrupt tail) is indistinguishable from text and passes
+    *    through raw — the price of a magic-less format.
+    * Output capped at [[MaxDecodedBodyBytes]] (bomb guard — hitting
+    * the cap counts as clean). JDK Inflater only. */
   private[io] def inflateBytes(body: Array[Byte]): Array[Byte] = {
     if (body.length < 2) return body
-    def leg(nowrap: Boolean): Array[Byte] = {
+    def leg(nowrap: Boolean): (Boolean, Array[Byte]) = {
       val inf = new java.util.zip.Inflater(nowrap)
       val out = new java.io.ByteArrayOutputStream()
-      try drainCapped(new java.util.zip.InflaterInputStream(
-          new java.io.ByteArrayInputStream(body), inf), out)
-      finally inf.end()
-      out.toByteArray
+      val clean =
+        try drainCapped(new java.util.zip.InflaterInputStream(
+            new java.io.ByteArrayInputStream(body), inf), out)
+        finally inf.end()
+      (clean, out.toByteArray)
     }
     val zlibHdr = (body(0) & 0x0f) == 8 &&
       (((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0
-    val first = leg(nowrap = !zlibHdr)
-    if (first.nonEmpty) first
-    else {
-      val second = leg(nowrap = zlibHdr)
-      if (second.nonEmpty) second else body
+    if (zlibHdr) {
+      val (clean, zOut) = leg(nowrap = false)
+      if (clean || zOut.nonEmpty) zOut
+      else {
+        // zlib header but nothing decoded: one raw retry (a text
+        // body can fake the 1-in-31 header check), else empty — the
+        // header is evidence of compression, like gzip's magic
+        val (rawClean, rawOut) = leg(nowrap = true)
+        if (rawClean && rawOut.nonEmpty) rawOut else zOut
+      }
+    } else {
+      val (rawClean, rawOut) = leg(nowrap = true)
+      if (rawClean && rawOut.nonEmpty) rawOut else body
     }
   }
 

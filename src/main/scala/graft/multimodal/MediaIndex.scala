@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale contract (the reason this operator exists as more than a
   * re-run of the batch gate over `history ∪ batch`):
-  *  - The HISTORY side never shuffles: its index rows are banded by a
-  *    narrow ×4-per-hash projection ([[PerceptualHash.bandsOf]]) and
-  *    joined as the STREAMED side of broadcast joins. At 100 TB of
-  *    accumulated corpus the index is billions of ~50-byte rows — one
-  *    linear scan per batch, no exchange, no sort.
+  *  - HISTORY ROWS never shuffle: index rows are banded by a narrow
+  *    ×4-per-hash projection ([[PerceptualHash.bandsOf]]) and joined
+  *    as the STREAMED side of broadcast joins. At 100 TB of
+  *    accumulated corpus the index is billions of ~50-byte rows — a
+  *    linear scan per batch, no row exchange, no sort. The ONE
+  *    exchange derived from history is its band-bucket census
+  *    (map-side-combined groupBy over (band, value) — a relation
+  *    bounded at ≤ 12×65536 rows BY CONSTRUCTION, broadcast back),
+  *    which is what caps degenerate history buckets: without it a
+  *    flat/letterboxed band value shared by half the index would
+  *    join against every matching batch band row.
   *  - The BATCH side broadcasts: a crawl batch is bounded by ingest
   *    cadence (minutes of crawling), so its banded hash relation fits
   *    the broadcast threshold the way q83 bounds its Bloom filter.
@@ -59,12 +65,20 @@ object MediaIndex {
     * plus hash-sized joins — payload bytes never shuffle (the
     * perceptual-gate rule). */
   def mediaHashIndex(media: Dataset[Multimodal.Media]): DataFrame = {
-    val m = media.filter(_.payload != null)
-    val fp = m.toDF().select(col("media_id"), col("kind"),
+    val spark = media.sparkSession
+    import spark.implicits._
+    // COLUMNAR null filter, not a typed predicate: an opaque
+    // `_.payload != null` would deserialize every payload byte array
+    // through the encoder on the fingerprint pass and blind Catalyst
+    // on all four downstream scans (the enabledKinds lesson); the
+    // column form is a pushable IsNotNull over the scan
+    val m = media.toDF().filter(col("payload").isNotNull)
+    val typed = m.as[Multimodal.Media]
+    val fp = m.select(col("media_id"), col("kind"),
       md5(col("payload")).as("fp"))
-    val img = PerceptualHash.perceptualHashes(m)
-    val aud = AudioWave.audioHashes(m)
-    val vid = Multimodal.videoFrameAHashes(m, stride = 1)
+    val img = PerceptualHash.perceptualHashes(typed)
+    val aud = AudioWave.audioHashes(typed)
+    val vid = Multimodal.videoFrameAHashes(typed, stride = 1)
       .groupBy(col("media_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("frame_idx"), col("ahash")))),
@@ -99,7 +113,17 @@ object MediaIndex {
         lit("byte").as("via"))
 
     // shared banded cross-match: history bands narrow, batch bands
-    // censused + broadcast, exact Hamming confirmation
+    // censused + broadcast, exact Hamming confirmation. BOTH sides
+    // are bucket-capped: capping only the batch side bounds fanout
+    // per history row, but a degenerate band value shared by a large
+    // fraction of HISTORY (flat/letterboxed media — the family's
+    // documented degenerate class) would still join |histBucket| ×
+    // |batchBucket| rows pre-Hamming. The history census costs the
+    // ONE exchange this operator permits over history-derived data:
+    // a map-side-combined groupBy(__b, __v) whose world is ≤
+    // 12 bands × 65536 values ≈ 786k rows BY CONSTRUCTION — history
+    // ROWS (ids, hashes, fingerprints) still never shuffle, and the
+    // capped-bucket set broadcasts back over the streaming scan.
     def crossLeg(batchRows: DataFrame, histRows: DataFrame,
                  hashCols: Seq[String], ham: Column, maxDist: Int,
                  extraBatchCols: Seq[String] = Nil): DataFrame = {
@@ -108,7 +132,12 @@ object MediaIndex {
         .select(("dup_id" +: extraBatchCols).map(col) ++
           hashCols.map(c => col(c).as(s"b_$c")) :+
           col("__b") :+ col("__v"): _*)
-      PerceptualHash.bandsOf(histRows, Seq("__h"), hashCols)
+      val hBands = PerceptualHash.bandsOf(histRows, Seq("__h"), hashCols)
+      val hOk = hBands.groupBy(col("__b"), col("__v"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket)
+        .select(col("__b"), col("__v"))
+      hBands.join(broadcast(hOk), Seq("__b", "__v"))
         .join(broadcast(bBands), Seq("__b", "__v"))
         .filter(ham <= maxDist)
         .select(("dup_id" +: extraBatchCols).map(col) :+ col("__h"): _*)

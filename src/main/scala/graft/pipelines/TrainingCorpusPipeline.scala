@@ -213,6 +213,14 @@ object TrainingCorpusPipeline {
         "dropped — aliasing them would drop the extracted text too")
     require(cfg.htmlCol.forall(_ != idCol),
       s"Config.htmlCol must differ from idCol ('$idCol')")
+    // validated on cfg ALONE at the front door (not inside the media
+    // branch): the misconfiguration must fail loudly even on a run
+    // that happens to pass media = None — a silent no-op config would
+    // misread as a seated gate on the next run that wires media in
+    require(cfg.mediaKindCol.isEmpty || cfg.mediaPerceptualDedup,
+      "Config.mediaKindCol requires mediaPerceptualDedup: the byte " +
+        "election is already kind-agnostic — a kind column changes " +
+        "nothing without the perceptual legs")
     // -3. (opt-in) URL blocklist gate: the FIRST stage — suffix-
     // semantics domain blocking over the URL column alone (the
     // RefinedWeb/FineWeb order: no text is read for docs whose
@@ -259,11 +267,6 @@ object TrainingCorpusPipeline {
               urlDeduped, idCol, m, "media_id", idCol, "payload")
         }
       case Some(m) =>
-        require(cfg.mediaKindCol.isEmpty,
-          "Config.mediaKindCol requires mediaPerceptualDedup: the byte " +
-            "election is already kind-agnostic — a kind column changes " +
-            "nothing without the perceptual legs, so a silent no-op " +
-            "config would misread as a seated gate")
         graft.multimodal.Multimodal.dropAllDuplicateImageDocs(
           urlDeduped, idCol, m, "media_id", idCol, "payload")
       case None => urlDeduped

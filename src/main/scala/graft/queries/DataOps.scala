@@ -1362,9 +1362,14 @@ object DataOps {
       // is STORAGE it re-scans, so an expensively-DERIVED relation
       // (these render UDFs) is materialized once — the SCALE.md r13
       // usage rule, and what makes this bench entry time the GATE
-      // rather than five fixture renders
-      val mediaPinned = media.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // rather than five fixture renders. EAGER localCheckpoint, not
+      // persist: a builder cannot unpersist (its result is consumed
+      // after it returns), and un-released cache entries from every
+      // invocation would accumulate for the session's life —
+      // checkpoint blocks are GC-released when the plan is dropped.
+      // (Eager is also the deadlock-safe mode: never lazy-checkpoint
+      // a relation a consumer may broadcast.)
+      val mediaPinned = media.localCheckpoint(true)
       Multimodal.dropAllDuplicateMediaDocs(docs, "doc_id", mediaPinned,
           "media_id", "doc_id", "kind", "payload",
           imageMaxDist = 6, audioMaxDist = 3, videoMaxDist = 3,
@@ -1579,10 +1584,10 @@ object DataOps {
     * against history only: (dup_id, keep_id, via) with byte
     * precedence. DuckDB replays all three hash families (proven in
     * q198–q203), the byte election as render-parameter equality, AND
-    * the cross-relation banding itself (batch-side census ≤ 16,
-    * history raw — the exact candidate set, so the census cap is
-    * oracle-checked too). Fresh objects and the history side appear
-    * in no output row. */
+    * the cross-relation banding itself (BOTH sides' bucket census
+    * ≤ 16 — the exact candidate set, so the two-sided degenerate-
+    * bucket cap is oracle-checked too). Fresh objects and the
+    * history side appear in no output row. */
   private val q204 = QuerySpec(
     "q204_media_incremental_dedup",
     (s, dir) => {
@@ -1628,11 +1633,11 @@ object DataOps {
         docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),
         pmod(k, lit(3)), when(cls === 2, k + 300).otherwise(k), cls === 1)
       // index builds re-reference their media (fp + three kernels):
-      // materialize the rendered fixtures once (the q203 rule)
-      val bp = batch.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hp = hist.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the rendered fixtures once, eager-checkpointed so
+      // blocks release by GC instead of leaking a cache entry per
+      // builder invocation (the q203 rule)
+      val bp = batch.localCheckpoint(true)
+      val hp = hist.localCheckpoint(true)
       MediaIndex.incrementalMediaDups(
           MediaIndex.mediaHashIndex(bp.as[Multimodal.Media]),
           MediaIndex.mediaHashIndex(hp.as[Multimodal.Media]),
@@ -1704,6 +1709,9 @@ object DataOps {
       img_bcensus AS (
         SELECT b, v FROM img_bands WHERE id >= 100
         GROUP BY b, v HAVING count(*) <= 16),
+      img_hcensus AS (
+        SELECT b, v FROM img_bands WHERE id < 100
+        GROUP BY b, v HAVING count(*) <= 16),
       img_m AS (
         SELECT dup_id, min(hid) AS keep_id FROM (
           SELECT DISTINCT bb.id AS dup_id, hb.id AS hid
@@ -1711,6 +1719,7 @@ object DataOps {
           JOIN img_bcensus c ON bb.b = c.b AND bb.v = c.v
           JOIN img_bands hb ON hb.b = bb.b AND hb.v = bb.v
             AND hb.id < 100
+          JOIN img_hcensus hc ON hc.b = hb.b AND hc.v = hb.v
           WHERE bb.id >= 100
             AND bit_count(xor(bb.ahash, hb.ahash))
               + bit_count(xor(bb.dhash, hb.dhash)) <= 6)
@@ -1747,6 +1756,9 @@ object DataOps {
       aud_bcensus AS (
         SELECT b, v FROM aud_bands WHERE id >= 100
         GROUP BY b, v HAVING count(*) <= 16),
+      aud_hcensus AS (
+        SELECT b, v FROM aud_bands WHERE id < 100
+        GROUP BY b, v HAVING count(*) <= 16),
       aud_m AS (
         SELECT dup_id, min(hid) AS keep_id FROM (
           SELECT DISTINCT bb.id AS dup_id, hb.id AS hid
@@ -1754,6 +1766,7 @@ object DataOps {
           JOIN aud_bcensus c ON bb.b = c.b AND bb.v = c.v
           JOIN aud_bands hb ON hb.b = bb.b AND hb.v = bb.v
             AND hb.id < 100
+          JOIN aud_hcensus hc ON hc.b = hb.b AND hc.v = hb.v
           WHERE bb.id >= 100
             AND bit_count(xor(bb.ehash, hb.ehash)) <= 3)
         GROUP BY dup_id),
@@ -1792,12 +1805,16 @@ object DataOps {
       vid_bcensus AS (
         SELECT b, v FROM vid_bands WHERE id >= 100
         GROUP BY b, v HAVING count(*) <= 16),
+      vid_hcensus AS (
+        SELECT b, v FROM vid_bands WHERE id < 100
+        GROUP BY b, v HAVING count(*) <= 16),
       vid_pair AS (
         SELECT DISTINCT bb.id AS dup_id, bb.f AS f, hb.id AS hid
         FROM vid_bands bb
         JOIN vid_bcensus c ON bb.b = c.b AND bb.v = c.v
         JOIN vid_bands hb ON hb.b = bb.b AND hb.v = bb.v
           AND hb.id < 100
+        JOIN vid_hcensus hc ON hc.b = hb.b AND hc.v = hb.v
         WHERE bb.id >= 100
           AND bit_count(xor(bb.ahash, hb.ahash)) <= 3),
       vid_nf AS (

@@ -276,13 +276,19 @@ class WarcRecordsSpec extends SparkSpec {
     // empty-on-magic rule)
     val msg4 = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" +
       "<p>not actually deflate</p>").getBytes("UTF-8")
+    // a zlib-compressed EMPTY body: success is the stream ending
+    // CLEANLY, not output being non-empty — the raw zlib bytes must
+    // never ship as mojibake
+    val msg5 = "HTTP/1.1 204 No Content\r\nContent-Encoding: deflate\r\n\r\n"
+      .getBytes("ISO-8859-1") ++ zlib(Array.emptyByteArray)
     val docs = WarcRecords.toCrawlDocs(Seq(
         ("a", record("https://x.example/1", msg1) ++
           record("https://x.example/2", msg2) ++
           record("https://x.example/3", msg3) ++
-          record("https://x.example/4", msg4))).toDF("path", "content"))
+          record("https://x.example/4", msg4) ++
+          record("https://x.example/5", msg5))).toDF("path", "content"))
       .orderBy("url").select("html").as[String].collect()
-    docs shouldBe Array(body, body, body, "<p>not actually deflate</p>")
+    docs shouldBe Array(body, body, body, "<p>not actually deflate</p>", "")
     docs.foreach(h => h should not include "Encoding")
   }
 

@@ -94,13 +94,22 @@ class MediaIndexSpec extends SparkSpec {
       MediaIndex.mediaHashIndex(batch), histFromDisk, maxBucket = 64)
     dups.count() shouldBe 5L // same verdicts through the disk round-trip
     val plan = dups.queryExecution.executedPlan
-    // no ShuffleExchange subtree may contain the history scan: every
-    // byte of index history flows map-side into broadcast joins
-    val shuffledScans = plan.collect { case s: ShuffleExchangeExec => s }
-      .flatMap(_.collectLeaves())
-      .collect { case f: FileSourceScanExec =>
-        f.relation.location.rootPaths.mkString(",") }
-    shuffledScans.filter(_.contains("history_index")) shouldBe empty
+    // history ROWS never shuffle: every ShuffleExchange whose subtree
+    // reads the history scan must carry ONLY band-census columns
+    // ((__b, __v) + count partials — a ≤ 12×65536-row world by
+    // construction), never ids, hashes, fingerprints, or payloads
+    val histShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+            .contains("history_index")
+        case _ => false
+      })
+    histShuffles.foreach { s =>
+      val cols = s.output.map(_.name).toSet
+      assert(cols.forall(c => c == "__b" || c == "__v" ||
+        c.startsWith("count")), s"history shuffle carries $cols")
+    }
     // and the joins against history really are broadcast joins
     plan.toString should include ("BroadcastHashJoin")
   }
