@@ -653,6 +653,53 @@ object WeakScale {
             docs.count()
           } finally { media.unpersist(); () }
         }),
+        // incremental media dedup (q204 shape): the axis that grows
+        // in production is HISTORY (the accumulated corpus index) —
+        // the batch is bounded by ingest cadence, so the ladder
+        // replicates the history index k× against a FIXED ~1.7k-object
+        // batch. Batch index build + its broadcast are a constant;
+        // history pays a narrow band projection + one tiny (band,
+        // value) census + streamed broadcast joins ⇒ expect ~linear
+        // in history with a visible constant floor. History hashes
+        // are replica-salted (distinct band values per replica) so no
+        // cross-replica bucket merging shrinks the work.
+        ("media_incr_q204", D, () => {
+          import graft.multimodal.MediaIndex
+          // index relations synthesized directly at the HASH level —
+          // this ladder measures the GATE against a grown index, not
+          // media decoding (the media_gate ladder above owns that)
+          val histIdx = docs.select(
+            col("doc_id").as("media_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+            md5(concat(lit("h"), col("doc_id").cast("string"))).as("fp"),
+            when(col("doc_id") % 3 === 0,
+              xxhash64(lit("a"), col("doc_id"))).as("ahash"),
+            when(col("doc_id") % 3 === 0,
+              xxhash64(lit("d"), col("doc_id"))).as("dhash"),
+            when(col("doc_id") % 3 === 1,
+              xxhash64(lit("e"), col("doc_id"))).as("ehash"),
+            when(col("doc_id") % 3 === 2,
+              transform(sequence(lit(0), lit(5)),
+                f => xxhash64(lit("f"), col("doc_id"), f))).as("fhashes"))
+          val batchIdx = baseDocs.filter(col("doc_id") % 3 === 0)
+            .select(
+              (col("doc_id") + 900000000L).as("media_id"),
+              element_at(array(lit("image"), lit("audio"), lit("video")),
+                (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+              // every other batch object byte-matches history replica 0
+              when(col("doc_id") % 2 === 0,
+                md5(concat(lit("h"), col("doc_id").cast("string"))))
+                .otherwise(md5(concat(lit("b"),
+                  col("doc_id").cast("string")))).as("fp"),
+              xxhash64(lit("a"), col("doc_id") + 500000000L).as("ahash"),
+              xxhash64(lit("d"), col("doc_id") + 500000000L).as("dhash"),
+              lit(null).cast("long").as("ehash"),
+              lit(null).cast("array<long>").as("fhashes"))
+          MediaIndex.incrementalMediaDups(batchIdx, histIdx)
+            .agg(count(lit(1))).collect()
+          docs.count()
+        }),
         // canonical-URL dedup (q187 shape): the canonical key is a
         // narrow expression; keeper election is ONE groupBy(key)
         // min-agg with map-side combine + a semi join back — the same

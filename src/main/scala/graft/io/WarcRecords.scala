@@ -105,13 +105,63 @@ object WarcRecords {
       }
     }
 
+  /** Whole-archive decompression budget: archives legitimately
+    * expand 3–10× (Common Crawl segments run ~1 GiB decompressed), so
+    * the cap sits far above the record-level
+    * [[MaxDecodedBodyBytes]] — it exists to bound what one
+    * adversarial archive-file bomb can pin in a task's heap; records
+    * before the cap survive (good prefix). */
+  private[io] val MaxDecodedArchiveBytes: Int = 1 << 30
+
+  /** Decompress a whole ARCHIVE's bytes when they carry a compression
+    * magic — real crawls ship `.warc.gz` (the ISO-28500 convention:
+    * one gzip member per record, concatenated — the JDK stream reads
+    * members sequentially, so the whole file inflates in one pass)
+    * and increasingly `.warc.zst` (zstd frames; zstd-jni ships with
+    * Spark). Plain bytes pass through untouched; magic-but-corrupt
+    * keeps whatever inflated cleanly (every record before the
+    * corruption — the scanner's good-prefix rule composes, because
+    * the scan stops at the first unparsable record anyway). */
+  private[io] def decompressArchive(content: Array[Byte]): Array[Byte] = {
+    if (content == null || content.length < 4) return content
+    def u(i: Int) = content(i) & 0xff
+    val gz = u(0) == 0x1f && u(1) == 0x8b
+    val zst = u(0) == 0x28 && u(1) == 0xb5 && u(2) == 0x2f && u(3) == 0xfd
+    if (!gz && !zst) return content
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in: java.io.InputStream =
+        if (gz) new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(content))
+        else {
+          val z = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(content))
+          z.setContinuous(false)
+          z
+        }
+      try {
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n > 0 && out.size() < MaxDecodedArchiveBytes) {
+          out.write(buf, 0,
+            math.min(n, MaxDecodedArchiveBytes - out.size()))
+          n = if (out.size() < MaxDecodedArchiveBytes) in.read(buf) else -1
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => } // good prefix
+    out.toByteArray
+  }
+
   /** One row per archive record:
     * (keyCol: string, record_idx, warc_type, target_uri,
     * content_length, payload: binary). `keyCol` (the archive's
     * identity — binaryFile's `path`) is carried through as a string;
     * `contentCol` may be binary (binaryFile) or string (cast is the
-    * UTF-8 encode). Record order within an archive is its physical
-    * byte order (`record_idx` 0-based). */
+    * UTF-8 encode). Compressed archives (`.warc.gz` member streams,
+    * `.warc.zst`) inflate transparently per archive
+    * ([[decompressArchive]] — magic-sniffed, so plain archives pay
+    * nothing). Record order within an archive is its physical byte
+    * order (`record_idx` 0-based). */
   def splitRecords(df: DataFrame, keyCol: String,
                    contentCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -119,7 +169,8 @@ object WarcRecords {
     df.select(col(keyCol).cast("string"), col(contentCol).cast("binary"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (k, bytes) =>
-        scan(bytes).map { case (i, t, u, n, p) => (k, i, t, u, n, p) }
+        scan(decompressArchive(bytes))
+          .map { case (i, t, u, n, p) => (k, i, t, u, n, p) }
       })
       .toDF(keyCol, "record_idx", "warc_type", "target_uri",
         "content_length", "payload")

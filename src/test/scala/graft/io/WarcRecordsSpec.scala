@@ -337,6 +337,36 @@ class WarcRecordsSpec extends SparkSpec {
     WarcRecords.gunzipBytes(gz) shouldBe small
   }
 
+  test(".warc.gz and .warc.zst archives inflate transparently: member-per-record gzip, single- and multi-frame zstd, corrupt tails keep the prefix, plain archives untouched") {
+    val r1 = record("https://z.example/1", "<p>one</p>".getBytes("UTF-8"))
+    val r2 = record("https://z.example/2", "<p>two</p>".getBytes("UTF-8"))
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(bos)
+      o.write(b); o.close(); bos.toByteArray
+    }
+    val archives = Seq(
+      // the ISO-28500 convention: ONE gzip member per record,
+      // concatenated — the stream must read across member boundaries
+      ("a.warc.gz", gzMember(r1) ++ gzMember(r2)),
+      ("b.warc.zst", com.github.luben.zstd.Zstd.compress(r1 ++ r2)),
+      ("c.warc.zst", com.github.luben.zstd.Zstd.compress(r1) ++
+        com.github.luben.zstd.Zstd.compress(r2)),
+      ("d.warc", r1 ++ r2), // plain passes through
+      // corrupt second member: every record before it survives
+      ("e.warc.gz", gzMember(r1) ++ "garbage".getBytes("UTF-8")))
+      .toDF("path", "content")
+    val docs = WarcRecords.toCrawlDocs(archives)
+      .select("url", "html").as[(String, String)].collect()
+    // r1 rides all five archives; r2 all but the corrupt-tail one
+    docs.count(_ == ("https://z.example/1", "<p>one</p>")) shouldBe 5
+    docs.count(_ == ("https://z.example/2", "<p>two</p>")) shouldBe 4
+    docs should have size 9
+    // ids keep the (archive, record position) rule through inflation
+    WarcRecords.toCrawlDocs(archives).select("doc_id").distinct()
+      .count() shouldBe 9L
+  }
+
   test("toCrawlDocsTimed carries modificationTime LOSSLESSLY (microseconds) and ids match the untimed read") {
     val bytes = record("https://t.example/1", "<p>t</p>".getBytes("UTF-8"))
     // a microsecond-precision mtime: the old JSON round-trip truncated
