@@ -32,41 +32,73 @@ import org.apache.spark.sql.functions._
   * Scale shape: a pure narrow per-row pass (`mapPartitions` over the
   * archive rows — genuinely imperative byte scanning, the documented
   * last-resort case), no shuffle, no driver materialization; records
-  * stream out of a lazy iterator. Executor memory is bounded by the
-  * archive-file size, which [[BinaryFileSource]]'s `maxBytes` guard
-  * caps at read time. Works identically under `readStream` (the
-  * binaryFile streaming source + a stateless mapPartitions), so the
-  * same scanner serves batch backfill and live ingest.
+  * stream out of a lazy iterator, and compressed archives inflate AS
+  * A STREAM — executor memory is bounded by the COMPRESSED file
+  * (binaryFile's content, capped by [[BinaryFileSource]]'s `maxBytes`
+  * guard) plus ONE record in flight, never the inflated archive
+  * (real `.warc.gz` segments inflate to multiple GiB). Works
+  * identically under `readStream` (the binaryFile streaming source +
+  * a stateless mapPartitions), so the same scanner serves batch
+  * backfill and live ingest.
   */
 object WarcRecords {
 
-  private val Crlf = "\r\n".getBytes("ISO-8859-1")
+  /** Header-block size bound: a WARC header block is a handful of
+    * short ASCII lines; 1 MiB of bytes without the blank-line
+    * terminator is structural damage, not a header. */
+  private val MaxHeaderBytes: Int = 1 << 20
+
+  /** Per-RECORD payload bound for the STREAMING scanner: the byte
+    * scanner was implicitly bounded by the archive file's size, but a
+    * compressed archive can declare any Content-Length it likes and
+    * the streaming parser must allocate the buffer BEFORE reading.
+    * 1 GiB is ~1000× the largest records real crawls carry; a larger
+    * declaration is treated as the structural violation it is
+    * (fail-soft: everything before it was already emitted). */
+  private[io] val MaxRecordPayloadBytes: Long = 1L << 30
 
   /** Sequentially scan one archive's bytes into
     * (record_idx, warc_type, target_uri, content_length, payload)
-    * tuples — lazy, fail-soft (class doc). */
+    * tuples — lazy, fail-soft (class doc). Delegates to the streaming
+    * scanner: ONE parser, no drift between byte and stream paths. */
   private[io] def scan(bytes: Array[Byte])
       : Iterator[(Int, String, String, Long, Array[Byte])] =
+    if (bytes == null) Iterator.empty
+    else scanStream(new java.io.ByteArrayInputStream(bytes))
+
+  /** The streaming record parser: reads records straight off an
+    * InputStream, so a COMPRESSED archive never materializes its
+    * inflated copy — task memory is bounded by ONE record
+    * (header ≤ [[MaxHeaderBytes]] + payload ≤
+    * [[MaxRecordPayloadBytes]]), not the archive's inflated size
+    * (real `.warc.gz` segments inflate to multiple GiB — a
+    * whole-buffer design either truncates them or pins
+    * archive-sized byte arrays per task). Decompressor errors
+    * mid-stream read as EOF: every record fully parsed before the
+    * damage is emitted (the fail-soft rule). */
+  private[io] def scanStream(in0: java.io.InputStream)
+      : Iterator[(Int, String, String, Long, Array[Byte])] =
     new Iterator[(Int, String, String, Long, Array[Byte])] {
-      private var pos = 0
+      private val in = new java.io.BufferedInputStream(in0, 65536)
       private var idx = 0
       private var nextRec: (Int, String, String, Long, Array[Byte]) = _
-      private var done = bytes == null
+      private var done = false
 
-      private def startsWith(p: Int, s: String): Boolean = {
-        val m = s.getBytes("ISO-8859-1")
-        p + m.length <= bytes.length &&
-          java.util.Arrays.equals(bytes, p, p + m.length, m, 0, m.length)
-      }
+      private def read1(): Int =
+        try in.read()
+        catch { case scala.util.control.NonFatal(_) => -1 }
 
-      private def indexOfCrlfCrlf(from: Int): Int = {
-        var i = from
-        while (i + 3 < bytes.length) {
-          if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-              bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
-          i += 1
+      /** Fill `buf` completely or report how many bytes arrived. */
+      private def readFully(buf: Array[Byte]): Int = {
+        var off = 0
+        var eof = false
+        while (off < buf.length && !eof) {
+          val n =
+            try in.read(buf, off, buf.length - off)
+            catch { case scala.util.control.NonFatal(_) => -1 }
+          if (n < 0) eof = true else off += n
         }
-        -1
+        off
       }
 
       private def advance(): Unit = {
@@ -74,27 +106,40 @@ object WarcRecords {
         if (done) return
         // tolerate any CR/LF run between records (the spec's two
         // CRLFs, or a sloppy writer's extra blank lines)
-        while (pos < bytes.length &&
-            (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-        if (pos >= bytes.length) { done = true; return }
-        if (!startsWith(pos, "WARC/")) { done = true; return }
-        val hdrEnd = indexOfCrlfCrlf(pos)
-        if (hdrEnd < 0) { done = true; return }
-        val block = new String(bytes, pos, hdrEnd - pos, "ISO-8859-1")
+        var b = read1()
+        while (b == '\r' || b == '\n') b = read1()
+        if (b < 0) { done = true; return }
+        // header block: everything up to the first CRLF-CRLF
+        val hdr = new java.io.ByteArrayOutputStream(512)
+        hdr.write(b)
+        var run = 0 // progress through \r\n\r\n
+        while (run < 4 && hdr.size() <= MaxHeaderBytes) {
+          val c = read1()
+          if (c < 0) { done = true; return } // EOF mid-header
+          hdr.write(c)
+          run = (run, c) match {
+            case (0, '\r') | (2, '\r') => run + 1
+            case (1, '\n') | (3, '\n') => run + 1
+            case (_, '\r') => 1
+            case _ => 0
+          }
+        }
+        if (run < 4) { done = true; return } // unterminated giant header
+        val block = new String(hdr.toByteArray, 0, hdr.size() - 4,
+          "ISO-8859-1")
+        if (!block.startsWith("WARC/")) { done = true; return }
         val headers = block.split("\r\n").drop(1).iterator
           .map(_.split(":", 2))
           .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
           .toMap
-        val cl = headers.get("content-length").flatMap(_.toLongOption)
-        cl match {
-          case Some(n) if n >= 0 && hdrEnd + 4 + n <= bytes.length =>
-            val payload = java.util.Arrays.copyOfRange(
-              bytes, hdrEnd + 4, (hdrEnd + 4 + n).toInt)
+        headers.get("content-length").flatMap(_.toLongOption) match {
+          case Some(n) if n >= 0 && n <= MaxRecordPayloadBytes =>
+            val payload = new Array[Byte](n.toInt)
+            if (readFully(payload) < n) { done = true; return } // truncated
             nextRec = (idx, headers.getOrElse("warc-type", null),
               headers.getOrElse("warc-target-uri", null), n, payload)
             idx += 1
-            pos = hdrEnd + 4 + n.toInt
-          case _ => done = true // no/bad length, or declared past EOF
+          case _ => done = true // no/bad/absurd length
         }
       }
 
@@ -105,51 +150,100 @@ object WarcRecords {
       }
     }
 
-  /** Whole-archive decompression budget: archives legitimately
-    * expand 3–10× (Common Crawl segments run ~1 GiB decompressed), so
-    * the cap sits far above the record-level
-    * [[MaxDecodedBodyBytes]] — it exists to bound what one
-    * adversarial archive-file bomb can pin in a task's heap; records
-    * before the cap survive (good prefix). */
-  private[io] val MaxDecodedArchiveBytes: Int = 1 << 30
+  /** Total-inflation budget per archive: the STREAMING scanner keeps
+    * memory bounded by one record, so this cap guards CPU, not heap —
+    * a zstd bomb at ~1000:1 could otherwise stream terabytes out of
+    * one small file. 16 GiB is ~4× the largest real crawl segments
+    * (Common Crawl runs ~1 GiB compressed / 3–5 GiB inflated);
+    * records before the cap survive (good prefix). */
+  private[io] val MaxInflatedArchiveBytes: Long = 16L << 30
 
-  /** Decompress a whole ARCHIVE's bytes when they carry a compression
-    * magic — real crawls ship `.warc.gz` (the ISO-28500 convention:
-    * one gzip member per record, concatenated — the JDK stream reads
-    * members sequentially, so the whole file inflates in one pass)
-    * and increasingly `.warc.zst` (zstd frames; zstd-jni ships with
-    * Spark). Plain bytes pass through untouched; magic-but-corrupt
-    * keeps whatever inflated cleanly (every record before the
-    * corruption — the scanner's good-prefix rule composes, because
-    * the scan stops at the first unparsable record anyway). */
-  private[io] def decompressArchive(content: Array[Byte]): Array[Byte] = {
-    if (content == null || content.length < 4) return content
-    def u(i: Int) = content(i) & 0xff
-    val gz = u(0) == 0x1f && u(1) == 0x8b
-    val zst = u(0) == 0x28 && u(1) == 0xb5 && u(2) == 0x2f && u(3) == 0xfd
-    if (!gz && !zst) return content
-    val out = new java.io.ByteArrayOutputStream()
-    try {
-      val in: java.io.InputStream =
-        if (gz) new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(content))
+  private def limited(in: java.io.InputStream,
+                      limit: Long): java.io.InputStream =
+    new java.io.InputStream {
+      private var left = limit
+      override def read(): Int =
+        if (left <= 0) -1
+        else { val b = in.read(); if (b >= 0) left -= 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (left <= 0) -1
         else {
-          val z = new com.github.luben.zstd.ZstdInputStream(
-            new java.io.ByteArrayInputStream(content))
-          z.setContinuous(false)
-          z
+          val n = in.read(b, off, math.min(len.toLong, left).toInt)
+          if (n > 0) left -= n
+          n
         }
-      try {
-        val buf = new Array[Byte](65536)
-        var n = in.read(buf)
-        while (n > 0 && out.size() < MaxDecodedArchiveBytes) {
-          out.write(buf, 0,
-            math.min(n, MaxDecodedArchiveBytes - out.size()))
-          n = if (out.size() < MaxDecodedArchiveBytes) in.read(buf) else -1
+      override def close(): Unit = in.close()
+    }
+
+  /** Open an archive's bytes as a DECOMPRESSING stream when they
+    * carry a compression magic — real crawls ship `.warc.gz` (the
+    * ISO-28500 convention: one gzip member per record, concatenated —
+    * the JDK stream reads members sequentially) and increasingly
+    * `.warc.zst` (zstd frames; zstd-jni ships with Spark). A
+    * `.warc.zst` may legally LEAD with skippable frames (magic
+    * 0x184D2A50–5F — the established convention stores the
+    * decompression dictionary there, itself possibly zstd-compressed):
+    * leading skippables are walked off, their LAST content is offered
+    * to the decoder as a dictionary (frames that don't reference a
+    * dictionary ignore it), and decoding starts at the first standard
+    * frame — without this, the most common real `.warc.zst` variant
+    * reads as zero records. Plain bytes stream through untouched.
+    * Streaming (never a whole inflated buffer) is what keeps task
+    * memory record-bounded on multi-GiB archives; inflation is
+    * CPU-capped at [[MaxInflatedArchiveBytes]]. Corrupt streams EOF
+    * mid-read and the scanner keeps the good prefix. */
+  private[io] def decompressStream(content: Array[Byte])
+      : java.io.InputStream = {
+    val empty = new java.io.ByteArrayInputStream(Array.emptyByteArray)
+    if (content == null) return empty
+    if (content.length < 4)
+      return new java.io.ByteArrayInputStream(content)
+    def u(i: Int) = content(i) & 0xff
+    def zstdAt(p: Int) = p + 4 <= content.length &&
+      u(p) == 0x28 && u(p + 1) == 0xb5 && u(p + 2) == 0x2f &&
+      u(p + 3) == 0xfd
+    def skippableAt(p: Int) = p + 8 <= content.length &&
+      (u(p) & 0xf0) == 0x50 && u(p + 1) == 0x2a && u(p + 2) == 0x4d &&
+      u(p + 3) == 0x18
+    try {
+      if (u(0) == 0x1f && u(1) == 0x8b)
+        limited(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(content)),
+          MaxInflatedArchiveBytes)
+      else if (zstdAt(0) || skippableAt(0)) {
+        var pos = 0
+        var dict: Array[Byte] = null
+        while (skippableAt(pos)) {
+          val sz = u(pos + 4).toLong | (u(pos + 5).toLong << 8) |
+            (u(pos + 6).toLong << 16) | (u(pos + 7).toLong << 24)
+          if (pos + 8 + sz > content.length) return empty // corrupt frame
+          dict = java.util.Arrays.copyOfRange(content, pos + 8,
+            (pos + 8 + sz).toInt)
+          pos += (8 + sz).toInt
         }
-      } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => } // good prefix
-    out.toByteArray
+        // a compressed dictionary is itself a zstd frame
+        if (dict != null && dict.length >= 4 &&
+            (dict(0) & 0xff) == 0x28 && (dict(1) & 0xff) == 0xb5 &&
+            (dict(2) & 0xff) == 0x2f && (dict(3) & 0xff) == 0xfd)
+          dict = try {
+            val sz = com.github.luben.zstd.Zstd
+              .getFrameContentSize(dict)
+            if (sz > 0 && sz <= (64L << 20))
+              com.github.luben.zstd.Zstd.decompress(dict, sz.toInt)
+            else dict
+          } catch { case scala.util.control.NonFatal(_) => dict }
+        val z = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(content, pos,
+            content.length - pos))
+        z.setContinuous(false)
+        if (dict != null && dict.nonEmpty)
+          try z.setDict(dict)
+          catch { case scala.util.control.NonFatal(_) => } // bad dict: try without
+        limited(z, MaxInflatedArchiveBytes)
+      } else new java.io.ByteArrayInputStream(content)
+    } catch {
+      case scala.util.control.NonFatal(_) => empty // bad magic header
+    }
   }
 
   /** One row per archive record:
@@ -158,10 +252,11 @@ object WarcRecords {
     * identity — binaryFile's `path`) is carried through as a string;
     * `contentCol` may be binary (binaryFile) or string (cast is the
     * UTF-8 encode). Compressed archives (`.warc.gz` member streams,
-    * `.warc.zst`) inflate transparently per archive
-    * ([[decompressArchive]] — magic-sniffed, so plain archives pay
-    * nothing). Record order within an archive is its physical byte
-    * order (`record_idx` 0-based). */
+    * `.warc.zst` incl. leading skippable/dictionary frames) inflate
+    * transparently AS A STREAM ([[decompressStream]] — magic-sniffed,
+    * so plain archives pay nothing, and task memory stays bounded by
+    * one record, never the inflated archive). Record order within an
+    * archive is its physical byte order (`record_idx` 0-based). */
   def splitRecords(df: DataFrame, keyCol: String,
                    contentCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -169,7 +264,7 @@ object WarcRecords {
     df.select(col(keyCol).cast("string"), col(contentCol).cast("binary"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (k, bytes) =>
-        scan(decompressArchive(bytes))
+        scanStream(decompressStream(bytes))
           .map { case (i, t, u, n, p) => (k, i, t, u, n, p) }
       })
       .toDF(keyCol, "record_idx", "warc_type", "target_uri",
@@ -325,55 +420,72 @@ object WarcRecords {
     out.toByteArray
   }
 
+  /** One Inflater pass over `body`: (finishedCleanly — the stream
+    * reached a valid final-block end with NO trailing garbage (or hit
+    * the bomb cap), decoded bytes). The strict completion signal is
+    * what separates a real deflate stream from plain text whose first
+    * bytes happen to start a decodable block: text emits garbage and
+    * then errors / runs off the end / leaves trailing bytes — it
+    * essentially never ends a valid final block exactly at
+    * end-of-input. */
+  private def inflateLeg(body: Array[Byte],
+                         nowrap: Boolean): (Boolean, Array[Byte]) = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    val out = new java.io.ByteArrayOutputStream()
+    var error = false
+    var capped = false
+    try {
+      inf.setInput(body)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !error && !capped) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException =>
+            error = true; 0 }
+        if (n > 0) {
+          out.write(buf, 0, math.min(n, MaxDecodedBodyBytes - out.size()))
+          capped = out.size() >= MaxDecodedBodyBytes
+        } else if (!error && !inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary()))
+          // truncated (input exhausted mid-stream) or FDICT-bearing
+          // zlib (we have no preset dictionary) — either way dirty;
+          // without this arm a needsDictionary stall would spin
+          error = true
+      }
+      val clean = capped ||
+        (!error && inf.finished() && inf.getRemaining == 0)
+      (clean, out.toByteArray)
+    } finally inf.end()
+  }
+
   /** Inflate a `Content-Encoding: deflate` body, fail-soft. The wire
     * reality this handles: spec-conforming writers send a ZLIB-wrapped
     * stream (RFC 9110 §8.4.1.2), a well-known population of servers
     * sends RAW deflate under the same label, and some writers store
-    * the already-decoded body while keeping the header. Routing rests
-    * on how much evidence of compression the bytes carry:
-    *  - A valid ZLIB header (low CMF nibble 8 = deflate, CMF·256+FLG
-    *    divisible by 31) is treated like gzip's magic: the body IS
-    *    compressed, so a clean decode returns its output (INCLUDING a
-    *    legitimately-empty body — success is the stream ENDING
-    *    CLEANLY, never output being non-empty) and a corrupt stream
-    *    keeps the good prefix; raw bytes are never the document.
-    *  - NO zlib header: raw deflate has no magic at all, so the
-    *    raw-inflate leg is accepted ONLY when it consumes the stream
-    *    cleanly — a plain-text body mislabeled deflate whose first
-    *    bytes happen to start a decodable fixed-Huffman block emits
-    *    garbage and then ERRORS, and must pass through unchanged
-    *    (the de-chunk recover-the-text rule), not ship its garbage
-    *    prefix. The cost: a TRUNCATED raw-deflate body (no header,
-    *    corrupt tail) is indistinguishable from text and passes
-    *    through raw — the price of a magic-less format.
-    * Output capped at [[MaxDecodedBodyBytes]] (bomb guard — hitting
-    * the cap counts as clean). JDK Inflater only. */
+    * the already-decoded body while keeping the header. Deflate has
+    * no real magic — the 2-byte zlib header check false-positives on
+    * real text (e.g. a body starting "x ") about 1 in 500 — so unlike
+    * gzip the header only picks which leg runs FIRST; what decides is
+    * the decode outcome ([[inflateLeg]]'s strict completion signal):
+    *  - a leg that finishes cleanly is trusted, INCLUDING an empty
+    *    result (a deflated empty body must become '', never its raw
+    *    compressed bytes as mojibake);
+    *  - a zlib-header body that decodes a NON-EMPTY prefix before
+    *    corruption keeps the prefix (by then the header plus working
+    *    blocks are real evidence of compression — the good-prefix
+    *    rule);
+    *  - anything else passes through unchanged (mislabeled-identity:
+    *    recover the text). The cost, documented: a body whose stream
+    *    is corrupt before its first decoded byte ships raw. */
   private[io] def inflateBytes(body: Array[Byte]): Array[Byte] = {
     if (body.length < 2) return body
-    def leg(nowrap: Boolean): (Boolean, Array[Byte]) = {
-      val inf = new java.util.zip.Inflater(nowrap)
-      val out = new java.io.ByteArrayOutputStream()
-      val clean =
-        try drainCapped(new java.util.zip.InflaterInputStream(
-            new java.io.ByteArrayInputStream(body), inf), out)
-        finally inf.end()
-      (clean, out.toByteArray)
-    }
     val zlibHdr = (body(0) & 0x0f) == 8 &&
       (((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0
-    if (zlibHdr) {
-      val (clean, zOut) = leg(nowrap = false)
-      if (clean || zOut.nonEmpty) zOut
-      else {
-        // zlib header but nothing decoded: one raw retry (a text
-        // body can fake the 1-in-31 header check), else empty — the
-        // header is evidence of compression, like gzip's magic
-        val (rawClean, rawOut) = leg(nowrap = true)
-        if (rawClean && rawOut.nonEmpty) rawOut else zOut
-      }
-    } else {
-      val (rawClean, rawOut) = leg(nowrap = true)
-      if (rawClean && rawOut.nonEmpty) rawOut else body
+    val (firstClean, firstOut) = inflateLeg(body, nowrap = !zlibHdr)
+    if (firstClean || (zlibHdr && firstOut.nonEmpty)) firstOut
+    else {
+      val (secondClean, secondOut) = inflateLeg(body, nowrap = zlibHdr)
+      if (secondClean) secondOut else body
     }
   }
 

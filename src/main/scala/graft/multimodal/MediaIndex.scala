@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *    ×4-per-hash projection ([[PerceptualHash.bandsOf]]) and joined
   *    as the STREAMED side of broadcast joins. At 100 TB of
   *    accumulated corpus the index is billions of ~50-byte rows — a
-  *    linear scan per batch, no row exchange, no sort. The ONE
-  *    exchange derived from history is its band-bucket census
-  *    (map-side-combined groupBy over (band, value) — a relation
-  *    bounded at ≤ 12×65536 rows BY CONSTRUCTION, broadcast back),
+  *    handful of narrow COLUMNAR scans per batch (each leg reads its
+  *    own 8-byte hash column twice: band census + probe), no row
+  *    exchange, no sort. The ONE exchange derived from history is
+  *    that band-bucket census (map-side-combined groupBy over
+  *    (band, value) — bounded at ≤ 4·|hashCols|·65536 rows BY
+  *    CONSTRUCTION, ≤ 524k for the dual-hash leg, broadcast back),
   *    which is what caps degenerate history buckets: without it a
   *    flat/letterboxed band value shared by half the index would
   *    join against every matching batch band row.
@@ -114,16 +116,22 @@ object MediaIndex {
 
     // shared banded cross-match: history bands narrow, batch bands
     // censused + broadcast, exact Hamming confirmation. BOTH sides
-    // are bucket-capped: capping only the batch side bounds fanout
-    // per history row, but a degenerate band value shared by a large
-    // fraction of HISTORY (flat/letterboxed media — the family's
-    // documented degenerate class) would still join |histBucket| ×
-    // |batchBucket| rows pre-Hamming. The history census costs the
-    // ONE exchange this operator permits over history-derived data:
-    // a map-side-combined groupBy(__b, __v) whose world is ≤
-    // 12 bands × 65536 values ≈ 786k rows BY CONSTRUCTION — history
-    // ROWS (ids, hashes, fingerprints) still never shuffle, and the
-    // capped-bucket set broadcasts back over the streaming scan.
+    // are bucket-capped (one shared census rule —
+    // PerceptualHash.cappedBandsCross): capping only the batch side
+    // bounds fanout per history row, but a degenerate band value
+    // shared by a large fraction of HISTORY (flat/letterboxed media —
+    // the family's documented degenerate class) would still join
+    // |histBucket| × |batchBucket| rows pre-Hamming; two-sided caps
+    // bound each (band, value) at maxBucket². The history census is
+    // the ONE exchange over history-derived data this operator
+    // permits: a map-side-combined (band, value) aggregate whose
+    // world is ≤ 4·|hashCols|·65536 rows (≤ 524k for the dual-hash
+    // leg) BY CONSTRUCTION, broadcast back — history ROWS (ids,
+    // hashes, fingerprints) never shuffle. Cost accounting, honest:
+    // each leg reads the index twice (census + probe), but both are
+    // narrow COLUMNAR scans of the leg's own 8-byte hash column on a
+    // ~50-byte-row relation — row-linear, column-pruned, never
+    // payload-sized.
     def crossLeg(batchRows: DataFrame, histRows: DataFrame,
                  hashCols: Seq[String], ham: Column, maxDist: Int,
                  extraBatchCols: Seq[String] = Nil): DataFrame = {
@@ -132,12 +140,8 @@ object MediaIndex {
         .select(("dup_id" +: extraBatchCols).map(col) ++
           hashCols.map(c => col(c).as(s"b_$c")) :+
           col("__b") :+ col("__v"): _*)
-      val hBands = PerceptualHash.bandsOf(histRows, Seq("__h"), hashCols)
-      val hOk = hBands.groupBy(col("__b"), col("__v"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucket)
-        .select(col("__b"), col("__v"))
-      hBands.join(broadcast(hOk), Seq("__b", "__v"))
+      PerceptualHash.cappedBandsCross(histRows, Seq("__h"), hashCols,
+          maxBucket, broadcastCensus = true)
         .join(broadcast(bBands), Seq("__b", "__v"))
         .filter(ham <= maxDist)
         .select(("dup_id" +: extraBatchCols).map(col) :+ col("__h"): _*)

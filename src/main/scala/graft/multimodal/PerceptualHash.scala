@@ -295,20 +295,28 @@ object PerceptualHash {
   }
 
   /** [[cappedBands]] for CROSS-relation matching (a small batch vs a
-    * large history): singleton buckets are KEPT — a lone batch band
-    * can still pair with the other side — so only the
-    * degenerate-region cap applies. Capping the BATCH side bounds the
-    * per-history-row join fanout at `maxBucket` rows per band, the
-    * same worst-bucket bound the self-join census gives. */
+    * large history): singleton buckets are KEPT — a lone band row can
+    * still pair with the other side — so only the degenerate-region
+    * cap applies. Capping EACH side bounds the per-(band, value) join
+    * output at `maxBucket²`, the cross-relation analog of the
+    * self-join census's worst-bucket bound. `broadcastCensus` is for
+    * the LARGE side: its bucket census is a map-side-combined
+    * aggregate over a (band, value) world bounded at
+    * 4·|hashCols|·65536 rows by construction, so broadcasting it back
+    * keeps the large side's ROWS out of every exchange — only census
+    * partials move. ONE copy of the census rule either way. */
   private[multimodal] def cappedBandsCross(h: DataFrame, keyCols: Seq[String],
                                            hashCols: Seq[String],
-                                           maxBucket: Int): DataFrame = {
+                                           maxBucket: Int,
+                                           broadcastCensus: Boolean = false)
+      : DataFrame = {
     val bands = bandsOf(h, keyCols, hashCols)
     val sizes = bands.groupBy(col("__b"), col("__v"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
       .select(col("__b"), col("__v"))
-    bands.join(sizes, Seq("__b", "__v"))
+    bands.join(if (broadcastCensus) broadcast(sizes) else sizes,
+      Seq("__b", "__v"))
   }
 
   // ---- Oracle-replayable fixture rendering ------------------------------

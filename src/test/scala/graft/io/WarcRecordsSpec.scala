@@ -281,14 +281,27 @@ class WarcRecordsSpec extends SparkSpec {
     // never ship as mojibake
     val msg5 = "HTTP/1.1 204 No Content\r\nContent-Encoding: deflate\r\n\r\n"
       .getBytes("ISO-8859-1") ++ zlib(Array.emptyByteArray)
+    // a RAW-deflated empty body (0x03 0x00 — no zlib wrapper): the
+    // strict finished+consumed signal trusts the clean empty decode
+    val msg6 = "HTTP/1.1 204 No Content\r\nContent-Encoding: deflate\r\n\r\n"
+      .getBytes("ISO-8859-1") ++ raw(Array.emptyByteArray)
+    // mislabeled TEXT whose first two bytes ("x ") pass the 2-byte
+    // zlib-header check (0x7820 % 31 == 0): both legs fail to decode,
+    // the document must pass through, never ship as empty
+    val fake = "x marks the spot — plain prose, not a zlib stream"
+    val msg7 = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" +
+      fake).getBytes("UTF-8")
     val docs = WarcRecords.toCrawlDocs(Seq(
         ("a", record("https://x.example/1", msg1) ++
           record("https://x.example/2", msg2) ++
           record("https://x.example/3", msg3) ++
           record("https://x.example/4", msg4) ++
-          record("https://x.example/5", msg5))).toDF("path", "content"))
+          record("https://x.example/5", msg5) ++
+          record("https://x.example/6", msg6) ++
+          record("https://x.example/7", msg7))).toDF("path", "content"))
       .orderBy("url").select("html").as[String].collect()
-    docs shouldBe Array(body, body, body, "<p>not actually deflate</p>", "")
+    docs shouldBe Array(body, body, body, "<p>not actually deflate</p>",
+      "", "", fake)
     docs.foreach(h => h should not include "Encoding")
   }
 
@@ -354,17 +367,27 @@ class WarcRecordsSpec extends SparkSpec {
         com.github.luben.zstd.Zstd.compress(r2)),
       ("d.warc", r1 ++ r2), // plain passes through
       // corrupt second member: every record before it survives
-      ("e.warc.gz", gzMember(r1) ++ "garbage".getBytes("UTF-8")))
+      ("e.warc.gz", gzMember(r1) ++ "garbage".getBytes("UTF-8")),
+      // the established .warc.zst convention: a LEADING SKIPPABLE
+      // frame (magic 0x184D2A5x + LE size) carries the dictionary —
+      // an unsniffed skippable start read the whole archive as
+      // "plain" and produced zero records
+      ("f.warc.zst", {
+        val dict = "not really a dictionary".getBytes("UTF-8")
+        val skip = Array[Byte](0x5E.toByte, 0x2A, 0x4D, 0x18.toByte,
+          (dict.length & 0xff).toByte, 0, 0, 0) ++ dict
+        skip ++ com.github.luben.zstd.Zstd.compress(r1 ++ r2)
+      }))
       .toDF("path", "content")
     val docs = WarcRecords.toCrawlDocs(archives)
       .select("url", "html").as[(String, String)].collect()
-    // r1 rides all five archives; r2 all but the corrupt-tail one
-    docs.count(_ == ("https://z.example/1", "<p>one</p>")) shouldBe 5
-    docs.count(_ == ("https://z.example/2", "<p>two</p>")) shouldBe 4
-    docs should have size 9
+    // r1 rides all six archives; r2 all but the corrupt-tail one
+    docs.count(_ == ("https://z.example/1", "<p>one</p>")) shouldBe 6
+    docs.count(_ == ("https://z.example/2", "<p>two</p>")) shouldBe 5
+    docs should have size 11
     // ids keep the (archive, record position) rule through inflation
     WarcRecords.toCrawlDocs(archives).select("doc_id").distinct()
-      .count() shouldBe 9L
+      .count() shouldBe 11L
   }
 
   test("toCrawlDocsTimed carries modificationTime LOSSLESSLY (microseconds) and ids match the untimed read") {

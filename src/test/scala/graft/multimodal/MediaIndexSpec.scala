@@ -96,8 +96,8 @@ class MediaIndexSpec extends SparkSpec {
     val plan = dups.queryExecution.executedPlan
     // history ROWS never shuffle: every ShuffleExchange whose subtree
     // reads the history scan must carry ONLY band-census columns
-    // ((__b, __v) + count partials — a ≤ 12×65536-row world by
-    // construction), never ids, hashes, fingerprints, or payloads
+    // ((__b, __v) + count partials — a ≤ 4·|hashCols|·65536-row world
+    // by construction), never ids, hashes, fingerprints, or payloads
     val histShuffles = plan.collect { case s: ShuffleExchangeExec => s }
       .filter(_.collectLeaves().exists {
         case f: FileSourceScanExec =>
