@@ -84,4 +84,44 @@ object StreamingIngestPipeline {
       run(docs, corpusIndex, tsCol, textCol, minQuality, lateness, fpCol),
       nearDupIndex, idCol, textCol, nearDupThreshold, preGate)(sink)
   }
+
+  /** The MEDIA twin of [[run]]: continuous media ingest from a
+    * binaryFile STREAM (path/modificationTime/content rows —
+    * `spark.readStream.format("binaryFile")`), each file bridged to
+    * the media shape ([[graft.multimodal.Multimodal.fromBinaryFiles]]
+    * — id from the path hash, kind sniffed from payload magics) and
+    * each micro-batch judged against the persisted perceptual hash
+    * index ([[graft.multimodal.MediaIndex.dedupeAgainstHistory]] —
+    * byte + image dual-hash + audio envelope + video frame-set, the
+    * q204 semantics). `sink` receives each batch's SURVIVORS (full
+    * media rows) and the batch id; a production sink appends the
+    * survivors to the corpus AND their
+    * [[graft.multimodal.MediaIndex.mediaHashIndex]] rows to the
+    * index, which is how the gate remembers across batches —
+    * foreachBatch on purpose (the election is a batch groupBy over
+    * matched pairs; the INDEX carries the cross-batch state, so the
+    * streaming side holds none). Within-batch duplicates are the
+    * batch gate's job inside the sink when wanted
+    * ([[graft.multimodal.Multimodal.dedupePayloads]] et al.). */
+  def runMediaIngest(files: DataFrame, historyIndex: DataFrame,
+      imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+      videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
+      maxBucket: Int = 1024)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val media = graft.multimodal.Multimodal.fromBinaryFiles(files)
+    media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val typed = batch.select(col("media_id"), col("kind"),
+          col("payload"))
+        .as[graft.multimodal.Multimodal.Media]
+      val survivors = graft.multimodal.MediaIndex.dedupeAgainstHistory(
+        typed, historyIndex, imageMaxDist, audioMaxDist, videoMaxDist,
+        videoMinOverlapBp, maxBucket)
+      // re-attach path/mtime (the sink's lineage columns) id-sized
+      sink(batch.join(survivors.select(col("media_id")),
+        Seq("media_id"), "left_semi"), id)
+    }
+  }
 }

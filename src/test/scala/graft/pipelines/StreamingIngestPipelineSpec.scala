@@ -284,4 +284,55 @@ class StreamingIngestPipelineSpec extends SparkSpec {
       .collect().sortBy(_._1)
     timed shouldBe untimed
   }
+
+  test("runMediaIngest: on-disk media stream → kind sniff → incremental perceptual gate per micro-batch, survivors keep lineage columns") {
+    import graft.multimodal.{AudioWave, MediaIndex, Multimodal, PerceptualHash}
+    def img(gid: Long, fmt: String) =
+      PerceptualHash.renderGrayImage(16, 16, gid * 7, gid % 5 + 1,
+        gid % 11 + 1, gid % 3, 0, fmt)
+    val samples = Array.tabulate(1024) { t =>
+      val w = t / 16
+      (t % 64 - 32) * (if ((w * w + 5 * w) % 97 < 32) 4 else 1) * 256
+    }
+    // HISTORY: the corpus already holds one image and one audio track
+    val history = MediaIndex.mediaHashIndex(Seq(
+      Multimodal.Media(100L, "image", img(4, "png")),
+      Multimodal.Media(101L, "audio",
+        AudioWave.writeWav(samples, 16000, 16))).toDS())
+    // the live crawl delivers: a BMP re-encode of the known image, an
+    // 8-bit re-master of the known track, and two fresh objects
+    val dir = Files.createTempDirectory("media_live")
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir.toString, name), bytes); ()
+    }
+    put("known.bmp", img(4, "bmp"))
+    put("remaster.wav", AudioWave.writeWav(samples, 16000, 8))
+    put("fresh.png", img(21, "png"))
+    // a genuinely different energy profile (NOT a negation — the
+    // envelope hashes |s|, so -samples would collapse onto history)
+    put("fresh.wav", AudioWave.writeWav(
+      Array.tabulate(1024)(t => ((t * 31) % 64 - 32) *
+        ((t / 16) % 3 + 1) * 256), 16000, 16))
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = StreamingIngestPipeline.runMediaIngest(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .load(dir.toString),
+        history, maxBucket = 64) { (batch, _) =>
+        kept ++= batch.select("path", "kind")
+          .as[(String, String)].collect()
+          .map { case (p, k) => (p.split('/').last, k) }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_media_live").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the re-encode and the re-master drop against history; the
+    // fresh objects survive with their sniffed kinds + path lineage
+    kept.sortBy(_._1) shouldBe Seq(
+      ("fresh.png", "image"), ("fresh.wav", "audio"))
+  }
 }
