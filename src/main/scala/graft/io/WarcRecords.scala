@@ -84,21 +84,39 @@ object WarcRecords {
       private var nextRec: (Int, String, String, Long, Array[Byte]) = _
       private var done = false
 
+      /** Terminal state: the parse is over — release the stream NOW
+        * (gzip Inflater / zstd native contexts hold off-heap window
+        * buffers that otherwise wait for finalization; a partition of
+        * thousands of archives must not accumulate them). */
+      private def finish(): Unit = {
+        done = true
+        try in.close()
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+
       private def read1(): Int =
         try in.read()
         catch { case scala.util.control.NonFatal(_) => -1 }
 
-      /** Fill `buf` completely or report how many bytes arrived. */
-      private def readFully(buf: Array[Byte]): Int = {
-        var off = 0
-        var eof = false
-        while (off < buf.length && !eof) {
-          val n =
-            try in.read(buf, off, buf.length - off)
+      /** Read exactly `n` payload bytes, growing in bounded chunks —
+        * allocation tracks bytes actually RECEIVED, never the
+        * declared length (a tiny hostile archive declaring
+        * Content-Length: 1 GiB must cost its real few bytes, not a
+        * 1 GiB pre-allocation per task). None on EOF before `n`. */
+      private def readPayload(n: Long): Option[Array[Byte]] = {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(n, 65536L).toInt)
+        val buf = new Array[Byte](65536)
+        var left = n
+        while (left > 0) {
+          val r =
+            try in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
             catch { case scala.util.control.NonFatal(_) => -1 }
-          if (n < 0) eof = true else off += n
+          if (r < 0) return None // truncated
+          out.write(buf, 0, r)
+          left -= r
         }
-        off
+        Some(out.toByteArray)
       }
 
       private def advance(): Unit = {
@@ -108,14 +126,14 @@ object WarcRecords {
         // CRLFs, or a sloppy writer's extra blank lines)
         var b = read1()
         while (b == '\r' || b == '\n') b = read1()
-        if (b < 0) { done = true; return }
+        if (b < 0) { finish(); return }
         // header block: everything up to the first CRLF-CRLF
         val hdr = new java.io.ByteArrayOutputStream(512)
         hdr.write(b)
         var run = 0 // progress through \r\n\r\n
         while (run < 4 && hdr.size() <= MaxHeaderBytes) {
           val c = read1()
-          if (c < 0) { done = true; return } // EOF mid-header
+          if (c < 0) { finish(); return } // EOF mid-header
           hdr.write(c)
           run = (run, c) match {
             case (0, '\r') | (2, '\r') => run + 1
@@ -124,22 +142,24 @@ object WarcRecords {
             case _ => 0
           }
         }
-        if (run < 4) { done = true; return } // unterminated giant header
+        if (run < 4) { finish(); return } // unterminated giant header
         val block = new String(hdr.toByteArray, 0, hdr.size() - 4,
           "ISO-8859-1")
-        if (!block.startsWith("WARC/")) { done = true; return }
+        if (!block.startsWith("WARC/")) { finish(); return }
         val headers = block.split("\r\n").drop(1).iterator
           .map(_.split(":", 2))
           .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
           .toMap
         headers.get("content-length").flatMap(_.toLongOption) match {
           case Some(n) if n >= 0 && n <= MaxRecordPayloadBytes =>
-            val payload = new Array[Byte](n.toInt)
-            if (readFully(payload) < n) { done = true; return } // truncated
-            nextRec = (idx, headers.getOrElse("warc-type", null),
-              headers.getOrElse("warc-target-uri", null), n, payload)
-            idx += 1
-          case _ => done = true // no/bad/absurd length
+            readPayload(n) match {
+              case Some(payload) =>
+                nextRec = (idx, headers.getOrElse("warc-type", null),
+                  headers.getOrElse("warc-target-uri", null), n, payload)
+                idx += 1
+              case None => finish() // truncated payload
+            }
+          case _ => finish() // no/bad/absurd length
         }
       }
 
@@ -421,15 +441,19 @@ object WarcRecords {
   }
 
   /** One Inflater pass over `body`: (finishedCleanly — the stream
-    * reached a valid final-block end with NO trailing garbage (or hit
-    * the bomb cap), decoded bytes). The strict completion signal is
-    * what separates a real deflate stream from plain text whose first
-    * bytes happen to start a decodable block: text emits garbage and
-    * then errors / runs off the end / leaves trailing bytes — it
-    * essentially never ends a valid final block exactly at
-    * end-of-input. */
-  private def inflateLeg(body: Array[Byte],
-                         nowrap: Boolean): (Boolean, Array[Byte]) = {
+    * reached a valid final-block end with at most `trailerSlack`
+    * trailing bytes (or hit the bomb cap), decoded bytes). The strict
+    * completion signal is what separates a real deflate stream from
+    * plain text whose first bytes happen to start a decodable block:
+    * text emits garbage and then errors / runs off the end / leaves a
+    * long unconsumed tail — it essentially never ends a valid final
+    * block within a few bytes of end-of-input. The slack exists for
+    * the raw leg: a known broken-server class strips the zlib header
+    * but keeps the 4-byte Adler-32 trailer (and captures append
+    * CRLF padding), so a completed stream with a checksum-sized
+    * residue is a real deflate body, not text. */
+  private def inflateLeg(body: Array[Byte], nowrap: Boolean,
+                         trailerSlack: Int = 0): (Boolean, Array[Byte]) = {
     val inf = new java.util.zip.Inflater(nowrap)
     val out = new java.io.ByteArrayOutputStream()
     var error = false
@@ -453,7 +477,7 @@ object WarcRecords {
           error = true
       }
       val clean = capped ||
-        (!error && inf.finished() && inf.getRemaining == 0)
+        (!error && inf.finished() && inf.getRemaining <= trailerSlack)
       (clean, out.toByteArray)
     } finally inf.end()
   }
@@ -481,10 +505,15 @@ object WarcRecords {
     if (body.length < 2) return body
     val zlibHdr = (body(0) & 0x0f) == 8 &&
       (((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0
-    val (firstClean, firstOut) = inflateLeg(body, nowrap = !zlibHdr)
+    // raw legs tolerate a checksum-trailer-sized residue (8 bytes:
+    // Adler-32/CRC + CRLF padding); the zlib leg consumes its own
+    // trailer, so its clean end is exact
+    def leg(nowrap: Boolean) =
+      inflateLeg(body, nowrap, trailerSlack = if (nowrap) 8 else 0)
+    val (firstClean, firstOut) = leg(nowrap = !zlibHdr)
     if (firstClean || (zlibHdr && firstOut.nonEmpty)) firstOut
     else {
-      val (secondClean, secondOut) = inflateLeg(body, nowrap = zlibHdr)
+      val (secondClean, secondOut) = leg(nowrap = zlibHdr)
       if (secondClean) secondOut else body
     }
   }

@@ -91,37 +91,65 @@ object StreamingIngestPipeline {
     * the media shape ([[graft.multimodal.Multimodal.fromBinaryFiles]]
     * — id from the path hash, kind sniffed from payload magics) and
     * each micro-batch judged against the persisted perceptual hash
-    * index ([[graft.multimodal.MediaIndex.dedupeAgainstHistory]] —
+    * index ([[graft.multimodal.MediaIndex.incrementalMediaDups]] —
     * byte + image dual-hash + audio envelope + video frame-set, the
     * q204 semantics). `sink` receives each batch's SURVIVORS (full
-    * media rows) and the batch id; a production sink appends the
-    * survivors to the corpus AND their
+    * media rows incl. path/mtime lineage) and the batch id, and must
+    * CONSUME them within the call (the batch is pinned for the call
+    * and released after — index builds re-reference their media ~5×,
+    * so an unpinned batch would re-read every binary file per leg).
+    * A production sink appends the survivors to the corpus AND their
     * [[graft.multimodal.MediaIndex.mediaHashIndex]] rows to the
     * index, which is how the gate remembers across batches —
     * foreachBatch on purpose (the election is a batch groupBy over
     * matched pairs; the INDEX carries the cross-batch state, so the
-    * streaming side holds none). Within-batch duplicates are the
-    * batch gate's job inside the sink when wanted
+    * streaming side holds none). `historyIndex` is a FUNCTION
+    * re-evaluated per micro-batch for exactly that reason: a captured
+    * DataFrame over parquet snapshots its file listing at creation
+    * and would never see the rows the sink appends — batch 2's
+    * re-encode of a batch-1 survivor would sail through. Pass
+    * `() => spark.read.parquet(indexPath)` (or a snapshot-refreshing
+    * table); the overload below takes a static DataFrame for
+    * fixed-index uses and documents that limitation. Within-batch
+    * duplicates are the batch gate's job inside the sink when wanted
     * ([[graft.multimodal.Multimodal.dedupePayloads]] et al.). */
-  def runMediaIngest(files: DataFrame, historyIndex: DataFrame,
-      imageMaxDist: Int = 6, audioMaxDist: Int = 3,
-      videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
-      maxBucket: Int = 1024)(
+  def runMediaIngest(files: DataFrame, historyIndex: () => DataFrame,
+      imageMaxDist: Int, audioMaxDist: Int,
+      videoMaxDist: Int, videoMinOverlapBp: Int,
+      maxBucket: Int)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val media = graft.multimodal.Multimodal.fromBinaryFiles(files)
     media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val spark = batch.sparkSession
       import spark.implicits._
-      val typed = batch.select(col("media_id"), col("kind"),
-          col("payload"))
-        .as[graft.multimodal.Multimodal.Media]
-      val survivors = graft.multimodal.MediaIndex.dedupeAgainstHistory(
-        typed, historyIndex, imageMaxDist, audioMaxDist, videoMaxDist,
-        videoMinOverlapBp, maxBucket)
-      // re-attach path/mtime (the sink's lineage columns) id-sized
-      sink(batch.join(survivors.select(col("media_id")),
-        Seq("media_id"), "left_semi"), id)
+      val pinned = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val typed = pinned.select(col("media_id"), col("kind"),
+            col("payload"))
+          .as[graft.multimodal.Multimodal.Media]
+        val dups = graft.multimodal.MediaIndex.incrementalMediaDups(
+          graft.multimodal.MediaIndex.mediaHashIndex(typed),
+          historyIndex(), imageMaxDist, audioMaxDist, videoMaxDist,
+          videoMinOverlapBp, maxBucket)
+        sink(pinned.join(dups.select(col("dup_id").as("media_id")),
+          Seq("media_id"), "left_anti"), id)
+      } finally { pinned.unpersist(); () }
     }
   }
+
+  /** [[runMediaIngest]] against a FIXED index relation — correct when
+    * the index genuinely does not grow during the run (a frozen
+    * historical snapshot); a file-backed DataFrame will NOT see rows
+    * appended mid-run (its file listing is snapshotted at creation) —
+    * use the function form for the append-as-you-ingest loop. */
+  def runMediaIngest(files: DataFrame, historyIndex: DataFrame,
+      imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+      videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
+      maxBucket: Int = 1024)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    runMediaIngest(files, () => historyIndex, imageMaxDist, audioMaxDist,
+      videoMaxDist, videoMinOverlapBp, maxBucket)(sink)
 }

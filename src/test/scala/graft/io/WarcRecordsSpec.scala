@@ -84,6 +84,18 @@ class WarcRecordsSpec extends SparkSpec {
     val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\npayload"
       ).getBytes("ISO-8859-1")
     split(noLen).count() shouldBe 0L
+    // damage class 1b, hostile: a tiny archive DECLARING a huge
+    // payload must cost its real few bytes, not a declared-length
+    // pre-allocation (the streaming parser grows by bytes received)
+    val hostile = record("https://x.example/1", "ok".getBytes("UTF-8")) ++
+      record("https://x.example/2", "tiny".getBytes("UTF-8"),
+        declaredLen = Some(900L * 1024 * 1024))
+    split(hostile).count() shouldBe 1L
+    // and a length past the absurdity cap is a structural violation
+    val absurd = record("https://x.example/1", "ok".getBytes("UTF-8")) ++
+      record("https://x.example/2", "tiny".getBytes("UTF-8"),
+        declaredLen = Some(3L * 1024 * 1024 * 1024))
+    split(absurd).count() shouldBe 1L
     // null/empty archives yield zero rows, not a crash
     split(Array.empty[Byte]).count() shouldBe 0L
     WarcRecords.splitRecords(
@@ -291,6 +303,12 @@ class WarcRecordsSpec extends SparkSpec {
     val fake = "x marks the spot — plain prose, not a zlib stream"
     val msg7 = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" +
       fake).getBytes("UTF-8")
+    // the known broken-server class: zlib header STRIPPED but the
+    // 4-byte Adler-32 trailer kept — a completed raw stream with a
+    // checksum-sized residue is a real deflate body, not text
+    val msg8 = "HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+      .getBytes("ISO-8859-1") ++ raw(body.getBytes("UTF-8")) ++
+      Array[Byte](0x12, 0x34, 0x56, 0x78)
     val docs = WarcRecords.toCrawlDocs(Seq(
         ("a", record("https://x.example/1", msg1) ++
           record("https://x.example/2", msg2) ++
@@ -298,10 +316,11 @@ class WarcRecordsSpec extends SparkSpec {
           record("https://x.example/4", msg4) ++
           record("https://x.example/5", msg5) ++
           record("https://x.example/6", msg6) ++
-          record("https://x.example/7", msg7))).toDF("path", "content"))
+          record("https://x.example/7", msg7) ++
+          record("https://x.example/8", msg8))).toDF("path", "content"))
       .orderBy("url").select("html").as[String].collect()
     docs shouldBe Array(body, body, body, "<p>not actually deflate</p>",
-      "", "", fake)
+      "", "", fake, body)
     docs.foreach(h => h should not include "Encoding")
   }
 
