@@ -101,6 +101,40 @@ object WeakScale {
       // 16x corpus the op never touches is minutes of wasted wall-clock
       // per scale)
       val D = "docs"; val V = "vecs"
+      // SPARK_GRAFT_WEAKSCALE_ONLY="semantic,bpe" measures a
+      // comma-separated name-substring subset (local iteration; the
+      // committed SCALE.md rows use the full run). Parsed here so the
+      // text-index PREBUILD below can skip when its row is filtered out.
+      val only = sys.env.get("SPARK_GRAFT_WEAKSCALE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      def selected(name: String): Boolean =
+        only.forall(_.exists(name.contains))
+      // PREBUILD for the text_incr row: the persisted MinHash band+set
+      // index over a k×-replicated history, written to PARQUET outside
+      // the timed region — in production the index IS on-disk state
+      // between runs; timing its build would time the (linear by
+      // design) build, not the per-batch judge. History text is
+      // replica-SALTED (a per-replica token interleaved between every
+      // word) so every shingle carries its replica id: batch docs
+      // (r0-salted) near-dup ONLY replica 0 — without the salt every
+      // replica of a doc is within one token of every other
+      // (replicateDocs appends one tag token), and candidates would
+      // grow k× per batch doc, timing candidate fanout instead of
+      // history-index growth.
+      val textIdxDir =
+        java.nio.file.Files.createTempDirectory(s"graft_textidx_$k").toString
+      if (selected("text_incr_q206")) {
+        val saltedHist = (0 until k).map { i =>
+          baseDocs.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "\\s+", s" r$i ").as("text"))
+        }.reduce(_ union _)
+        val (hb, hs) = graft.operators.TextIndex.buildIndex(
+          saltedHist, "doc_id", "text")
+        hb.write.mode("overwrite").parquet(s"$textIdxDir/bands")
+        hs.write.mode("overwrite").parquet(s"$textIdxDir/sets")
+        spark.catalog.clearCache()
+      }
       val ops: Seq[(String, String, () => Long)] = Seq(
         ("bloom_dedup_q83", D, () => {
           Dedup.bloomDedupe(batch, index, "doc_id", "text",
@@ -700,6 +734,24 @@ object WeakScale {
             .agg(count(lit(1))).collect()
           docs.count()
         }),
+        // incremental TEXT near-dup (q206 shape): the production axis
+        // is HISTORY (the persisted band+set index, prebuilt to
+        // parquet above) — the batch is fixed (~2.5k r0-salted docs,
+        // each matching exactly its replica-0 counterpart). Timed:
+        // the JUDGE alone, reading the index from disk as production
+        // does. History pays two narrow columnar band scans + one set
+        // scan per batch, all streamed map-side into broadcast joins;
+        // the one history-derived exchange is the batch-key-restricted
+        // census ⇒ expect FLAT vs history growth, the media_incr_q204
+        // contract for documents.
+        ("text_incr_q206", D, () => {
+          val batch = baseDocs.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              regexp_replace(col("text"), "\\s+", " r0 ").as("text"))
+          graft.operators.TextIndex.incrementalTextDups(batch, "doc_id",
+            "text", spark.read.parquet(s"$textIdxDir/bands"),
+            spark.read.parquet(s"$textIdxDir/sets")).count()
+        }),
         // canonical-URL dedup (q187 shape): the canonical key is a
         // narrow expression; keeper election is ONE groupBy(key)
         // min-agg with map-side combine + a semi join back — the same
@@ -800,12 +852,7 @@ object WeakScale {
             vecs.filter(col("vec_id") <= 20), "vec_id", "embedding",
             dim = 64, model, k = 3, nProbe = 2).count()
         }))
-      // SPARK_GRAFT_WEAKSCALE_ONLY="semantic,bpe" measures a
-      // comma-separated name-substring subset (local iteration; the
-      // committed SCALE.md rows use the full run)
-      val only = sys.env.get("SPARK_GRAFT_WEAKSCALE_ONLY")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      val out = ops.filter(o => only.forall(_.exists(o._1.contains))).map {
+      val out = ops.filter(o => selected(o._1)).map {
         case (name, input, body) =>
         // isolate each operator from its predecessors: drop the
         // operator-internal persisted relations (shingle sets, tf,

@@ -58,11 +58,12 @@ object WarcRecords {
   private[io] val MaxRecordPayloadBytes: Long = 1L << 30
 
   /** Sequentially scan one archive's bytes into
-    * (record_idx, warc_type, target_uri, content_length, payload)
-    * tuples — lazy, fail-soft (class doc). Delegates to the streaming
-    * scanner: ONE parser, no drift between byte and stream paths. */
+    * (record_idx, warc_type, target_uri, warc_date, content_length,
+    * payload) tuples — lazy, fail-soft (class doc). Delegates to the
+    * streaming scanner: ONE parser, no drift between byte and stream
+    * paths. */
   private[io] def scan(bytes: Array[Byte])
-      : Iterator[(Int, String, String, Long, Array[Byte])] =
+      : Iterator[(Int, String, String, String, Long, Array[Byte])] =
     if (bytes == null) Iterator.empty
     else scanStream(new java.io.ByteArrayInputStream(bytes))
 
@@ -77,11 +78,11 @@ object WarcRecords {
     * mid-stream read as EOF: every record fully parsed before the
     * damage is emitted (the fail-soft rule). */
   private[io] def scanStream(in0: java.io.InputStream)
-      : Iterator[(Int, String, String, Long, Array[Byte])] =
-    new Iterator[(Int, String, String, Long, Array[Byte])] {
+      : Iterator[(Int, String, String, String, Long, Array[Byte])] =
+    new Iterator[(Int, String, String, String, Long, Array[Byte])] {
       private val in = new java.io.BufferedInputStream(in0, 65536)
       private var idx = 0
-      private var nextRec: (Int, String, String, Long, Array[Byte]) = _
+      private var nextRec: (Int, String, String, String, Long, Array[Byte]) = _
       private var done = false
 
       /** Terminal state: the parse is over — release the stream NOW
@@ -155,7 +156,8 @@ object WarcRecords {
             readPayload(n) match {
               case Some(payload) =>
                 nextRec = (idx, headers.getOrElse("warc-type", null),
-                  headers.getOrElse("warc-target-uri", null), n, payload)
+                  headers.getOrElse("warc-target-uri", null),
+                  headers.getOrElse("warc-date", null), n, payload)
                 idx += 1
               case None => finish() // truncated payload
             }
@@ -165,7 +167,7 @@ object WarcRecords {
 
       advance()
       override def hasNext: Boolean = nextRec != null
-      override def next(): (Int, String, String, Long, Array[Byte]) = {
+      override def next(): (Int, String, String, String, Long, Array[Byte]) = {
         val r = nextRec; advance(); r
       }
     }
@@ -268,6 +270,8 @@ object WarcRecords {
 
   /** One row per archive record:
     * (keyCol: string, record_idx, warc_type, target_uri,
+    * warc_date: string — the record's own ISO-8601 `WARC-Date`
+    * header, NULL when the writer omitted it,
     * content_length, payload: binary). `keyCol` (the archive's
     * identity — binaryFile's `path`) is carried through as a string;
     * `contentCol` may be binary (binaryFile) or string (cast is the
@@ -283,11 +287,33 @@ object WarcRecords {
     import spark.implicits._
     df.select(col(keyCol).cast("string"), col(contentCol).cast("binary"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (k, bytes) =>
-        scanStream(decompressStream(bytes))
-          .map { case (i, t, u, n, p) => (k, i, t, u, n, p) }
-      })
-      .toDF(keyCol, "record_idx", "warc_type", "target_uri",
+      .mapPartitions { rows =>
+        // The scanner closes its decompressor on normal exhaustion or
+        // parse failure (finish()), but a consumer that ABANDONS the
+        // iterator early (limit/take, a downstream error) would leave
+        // the current gzip Inflater / zstd native context open until
+        // finalization — the accumulation finish() exists to prevent,
+        // multiplied across partitions of thousands of archives. The
+        // pull model keeps at most ONE archive's stream open per task
+        // (flatMap drains each sub-iterator before opening the next),
+        // so a single task-completion hook closing the ACTIVE stream
+        // covers every abandonment path; double-close after a normal
+        // finish() is a no-op on these streams.
+        var active: java.io.InputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (active != null)
+              try active.close()
+              catch { case scala.util.control.NonFatal(_) => }
+          })
+        rows.flatMap { case (k, bytes) =>
+          val in = decompressStream(bytes)
+          active = in
+          scanStream(in)
+            .map { case (i, t, u, d, n, p) => (k, i, t, u, d, n, p) }
+        }
+      }
+      .toDF(keyCol, "record_idx", "warc_type", "target_uri", "warc_date",
         "content_length", "payload")
   }
 
@@ -400,12 +426,12 @@ object WarcRecords {
   private[io] val MaxDecodedBodyBytes: Int = 64 * 1024 * 1024
 
   /** Drain `in` into a buffer, stopping at [[MaxDecodedBodyBytes]].
-    * Returns TRUE when the stream ended cleanly (end-of-stream, or
-    * the cap was hit before any error) — the deflate legs route on
-    * it; decompressor errors keep the good prefix and return false
-    * (shared fail-soft walk of the gzip and deflate legs). */
+    * Fail-soft: a decompressor error mid-stream keeps the good prefix
+    * already written to `out` (the gzip leg's walk — the deflate legs
+    * use [[inflateLeg]], whose strict completion signal needs Inflater
+    * state this stream-level drain cannot see). */
   private def drainCapped(in: java.io.InputStream,
-                          out: java.io.ByteArrayOutputStream): Boolean =
+                          out: java.io.ByteArrayOutputStream): Unit =
     try {
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
@@ -413,8 +439,7 @@ object WarcRecords {
         out.write(buf, 0, math.min(n, MaxDecodedBodyBytes - out.size()))
         n = if (out.size() < MaxDecodedBodyBytes) in.read(buf) else -1
       }
-      true
-    } catch { case scala.util.control.NonFatal(_) => false }
+    } catch { case scala.util.control.NonFatal(_) => }
 
   /** Gunzip a body, fail-soft: bytes without the gzip magic pass
     * through unchanged (writers that store the already-decoded body
@@ -494,13 +519,19 @@ object WarcRecords {
     *  - a leg that finishes cleanly is trusted, INCLUDING an empty
     *    result (a deflated empty body must become '', never its raw
     *    compressed bytes as mojibake);
-    *  - a zlib-header body that decodes a NON-EMPTY prefix before
-    *    corruption keeps the prefix (by then the header plus working
-    *    blocks are real evidence of compression — the good-prefix
-    *    rule);
+    *  - a DIRTY leg's non-empty prefix is kept only after the OTHER
+    *    leg also fails to finish cleanly, and only under a zlib
+    *    header (by then the header plus working blocks are real
+    *    evidence of compression — the good-prefix rule). Running the
+    *    second leg even when the first produced a prefix is what
+    *    saves the ~1-in-500 raw-deflate body whose first two bytes
+    *    coincidentally pass the zlib check and whose zlib leg emits
+    *    garbage before erroring: its raw leg finishes cleanly and
+    *    wins;
     *  - anything else passes through unchanged (mislabeled-identity:
     *    recover the text). The cost, documented: a body whose stream
-    *    is corrupt before its first decoded byte ships raw. */
+    *    is corrupt before its first decoded byte under BOTH legs
+    *    ships raw; corrupt bodies (rare) pay both inflate passes. */
   private[io] def inflateBytes(body: Array[Byte]): Array[Byte] = {
     if (body.length < 2) return body
     val zlibHdr = (body(0) & 0x0f) == 8 &&
@@ -511,10 +542,12 @@ object WarcRecords {
     def leg(nowrap: Boolean) =
       inflateLeg(body, nowrap, trailerSlack = if (nowrap) 8 else 0)
     val (firstClean, firstOut) = leg(nowrap = !zlibHdr)
-    if (firstClean || (zlibHdr && firstOut.nonEmpty)) firstOut
+    if (firstClean) firstOut
     else {
       val (secondClean, secondOut) = leg(nowrap = zlibHdr)
-      if (secondClean) secondOut else body
+      if (secondClean) secondOut
+      else if (zlibHdr && firstOut.nonEmpty) firstOut
+      else body
     }
   }
 
@@ -527,18 +560,25 @@ object WarcRecords {
     * rare, and writers disagree on list order) takes the gzip leg
     * alone: gzip IS deflate plus a framing wrapper, its magic-sniffed
     * passthrough makes the choice self-correcting for mislabels, and
-    * chaining both would double-decode single-coded bodies. One UTF-8
-    * decode at the end. */
-  private def decodeBodyFrom(msg: Array[Byte], hdrEnd: Int,
-                             chunked: Boolean, gzipped: Boolean,
-                             deflated: Boolean): String = {
+    * chaining both would double-decode single-coded bodies. BYTES
+    * out — the text path UTF-8-decodes once at the end; the media
+    * path ([[toCrawlMedia]]) consumes the bytes raw. */
+  private def decodeBodyBytesFrom(msg: Array[Byte], hdrEnd: Int,
+                                  chunked: Boolean, gzipped: Boolean,
+                                  deflated: Boolean): Array[Byte] = {
     var body: Array[Byte] =
       if (chunked) dechunkBodyBytes(msg, hdrEnd + 4)
       else java.util.Arrays.copyOfRange(msg, hdrEnd + 4, msg.length)
     if (gzipped) body = gunzipBytes(body)
     else if (deflated) body = inflateBytes(body)
-    new String(body, java.nio.charset.StandardCharsets.UTF_8)
+    body
   }
+
+  private def decodeBodyFrom(msg: Array[Byte], hdrEnd: Int,
+                             chunked: Boolean, gzipped: Boolean,
+                             deflated: Boolean): String =
+    new String(decodeBodyBytesFrom(msg, hdrEnd, chunked, gzipped, deflated),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   /** [[decodeBodyFrom]] with its own separator scan — the
     * explicit-flags entry point. */
@@ -646,6 +686,74 @@ object WarcRecords {
     * reads of the same archive agree). The timestamp splits back off
     * at the LAST separator, so a pathological path containing U+0001
     * still round-trips. */
+  /** [[stripHttpEnvelope]] for BINARY payloads — the media leg's
+    * strip: a payload starting with the ASCII `HTTP/` prefix is cut
+    * at its first CRLF-CRLF and the body de-chunked/decompressed per
+    * the declared codings, all at the BYTE level (casting media bytes
+    * through a string, as the text strip's column form does, corrupts
+    * every non-UTF-8 byte — the exact payloads this leg exists for).
+    * Anything else passes through untouched. Header-only messages
+    * yield empty. */
+  private[io] def stripHttpEnvelopeBytes(msg: Array[Byte]): Array[Byte] = {
+    if (msg == null) return null
+    if (msg.length < 5 || msg(0) != 'H' || msg(1) != 'T' || msg(2) != 'T' ||
+        msg(3) != 'P' || msg(4) != '/') return msg
+    val hdrEnd = crlfCrlfAt(msg)
+    if (hdrEnd < 0) return Array.emptyByteArray
+    val hdr = new String(msg, 0, hdrEnd, "ISO-8859-1")
+    decodeBodyBytesFrom(msg, hdrEnd, ChunkedRe.matcher(hdr).find(),
+      GzipRe.matcher(hdr).find(), DeflateRe.matcher(hdr).find())
+  }
+
+  private lazy val stripEnvelopeBytesUdf = {
+    import org.apache.spark.sql.functions.udf
+    udf(stripHttpEnvelopeBytes _)
+  }
+
+  /** The MEDIA leg of the crawl scanner: archive rows → the Media
+    * relation ([[graft.multimodal.Multimodal.Media]] shape +
+    * url/mtime lineage) for response records whose payload BYTES
+    * carry an image/audio/video magic — so crawl archives feed the
+    * media gate end-to-end (archive → scanner → media → index judge)
+    * instead of media entering only via `binaryFile` trees.
+    *
+    *  - Routing is by the payload's OWN magic
+    *    ([[graft.multimodal.Multimodal.kindOf]] — never a declared
+    *    Content-Type, which real crawls get wrong routinely), applied
+    *    AFTER the HTTP envelope strip ([[stripHttpEnvelopeBytes]] —
+    *    response payloads are full HTTP messages in real ISO-28500
+    *    crawls, and the magic sits on the BODY). Records whose body
+    *    is not a recognized media kind (html/text/unknown — the
+    *    document leg's material) are dropped here: [[toCrawlDocs]]
+    *    owns them, and the two legs partition the archive between
+    *    them by content, not by guess.
+    *  - `media_id = xxhash64(archive key, record_idx)` — the
+    *    [[toCrawlDocs]] id rule (deterministic, well-spread,
+    *    re-crawl-distinct), NOT a URI hash: the same image fetched
+    *    twice keeps two ids and byte-dedup collapses them by
+    *    CONTENT, the same policy split as text re-crawls.
+    *  - `mtime` = the record's own `WARC-Date` (ISO-8601, cast; NULL
+    *    when the writer omitted it) — the event time a media stream
+    *    watermarks on, per-record rather than per-archive.
+    *
+    * Scale shape: splitRecords' narrow streaming scan + one
+    * byte-level strip/sniff per record; payloads never shuffle. The
+    * output feeds [[graft.multimodal.MediaIndex]] directly:
+    * `.select("media_id", "kind", "payload").as[Media]`. */
+  def toCrawlMedia(archives: DataFrame, keyCol: String = "path",
+                   contentCol: String = "content"): DataFrame =
+    splitRecords(archives, keyCol, contentCol)
+      .filter(col("target_uri").isNotNull &&
+        (col("warc_type").isNull || col("warc_type") === "response"))
+      .select(xxhash64(col(keyCol), col("record_idx")).as("media_id"),
+        stripEnvelopeBytesUdf(col("payload")).as("payload"),
+        col("target_uri").as("url"),
+        col("warc_date").cast("timestamp").as("mtime"))
+      .withColumn("kind", graft.multimodal.Multimodal.kindOf(col("payload")))
+      .filter(col("kind").isin("image", "audio", "video"))
+      .select(col("media_id"), col("kind"), col("payload"), col("url"),
+        col("mtime"))
+
   def toCrawlDocsTimed(archives: DataFrame, tsCol: String = "ts"): DataFrame = {
     // a NULL mtime must still contribute the separator (concat_ws
     // SKIPS nulls — the path would then parse back empty and every

@@ -196,9 +196,120 @@ object MediaIndex {
         col("__k.via").as("via"))
   }
 
+  /** Batch-INTERNAL duplicate election over ONE [[mediaHashIndex]]
+    * relation — the composition partner [[incrementalMediaDups]]'s
+    * scaladoc prescribes: gate the batch internally FIRST, then judge
+    * the internal keepers against history. Runs entirely on the
+    * hash-sized index rows (no second decode pass — the batch paid
+    * its per-kind decodes once, building the index): byte election =
+    * min-id per fingerprint; perceptual elections among byte KEEPERS
+    * per kind via the family's banded operators (image dual-hash,
+    * audio envelope, video frame-set overlap — each already electing
+    * the smallest keeper per dup). Output (dup_id, keep_id, via) —
+    * byte losers and perceptual dups are disjoint by construction
+    * (a perceptual leg only sees byte keepers), and the kind-routed
+    * hash columns keep the perceptual legs disjoint from each other,
+    * so no cross-leg precedence election is needed. */
+  def intraBatchDups(batchIdx: DataFrame, imageMaxDist: Int = 6,
+                     audioMaxDist: Int = 3, videoMaxDist: Int = 3,
+                     videoMinOverlapBp: Int = 6000,
+                     maxBucket: Int = 1024): DataFrame = {
+    val k = batchIdx.groupBy(col("fp")).agg(min(col("media_id")).as("keep_id"))
+    val byteDups = batchIdx.select(col("media_id"), col("fp"))
+      .join(k, Seq("fp"))
+      .filter(col("media_id") =!= col("keep_id"))
+      .select(col("media_id").as("dup_id"), col("keep_id"),
+        lit("byte").as("via"))
+    val keepers = batchIdx
+      .join(k.select(col("keep_id").as("media_id")), Seq("media_id"),
+        "left_semi")
+    val img = PerceptualHash.nearDupsByDualHash(
+        keepers.filter(col("ahash").isNotNull && col("dhash").isNotNull)
+          .select(col("media_id"), col("ahash"), col("dhash")),
+        "media_id", "ahash", "dhash", imageMaxDist, maxBucket)
+      .select(col("dup_id"), col("keep_id"), lit("image").as("via"))
+    val aud = PerceptualHash.nearDupsByHash(
+        keepers.filter(col("ehash").isNotNull)
+          .select(col("media_id"), col("ehash")),
+        "media_id", "ehash", audioMaxDist, maxBucket)
+      .select(col("dup_id"), col("keep_id"), lit("audio").as("via"))
+    val vid = Multimodal.videoOverlapDups(
+        keepers.filter(col("fhashes").isNotNull && size(col("fhashes")) > 0)
+          .select(col("media_id"),
+            posexplode(col("fhashes")).as(Seq("frame_idx", "ahash"))),
+        videoMaxDist, maxBucket, videoMinOverlapBp)
+      .select(col("dup_id"), col("keep_id"), lit("video").as("via"))
+    byteDups.unionByName(img).unionByName(aud).unionByName(vid)
+  }
+
+  /** ONE ingest step over a PINNED batch index: batch-internal
+    * election, then the history judge over the internal keepers.
+    * Returns (dups — internal ∪ cross-history (dup_id, keep_id, via),
+    * indexDelta — the surviving rows of `batchIdx`, i.e. exactly what
+    * a production sink appends to the persisted index). `batchIdx`
+    * is consumed by three subtrees — pin it (eager localCheckpoint /
+    * persist) before calling, as [[mediaHashIndex]]'s callers do for
+    * media.
+    *
+    * REPLAY-IDEMPOTENT append (foreachBatch redelivers a batch on
+    * failure, and a double-appended index row would silently shadow
+    * future keeper elections by id order): on redelivery every
+    * batch row's fingerprint byte-matches its own already-appended
+    * index row, so the byte leg flags it and the delta is EMPTY —
+    * content identity is the id guard. (An explicit media_id
+    * anti-join against the index would buy the same guarantee by
+    * shuffling the corpus-sized index on id — the one thing this
+    * family never does; rows WITHOUT index presence are exactly the
+    * NULL-payload rows, which never produce index rows either time.)
+    * Spec-pinned: the same batch applied twice yields an identical
+    * final index. */
+  def ingestStep(batchIdx: DataFrame, history: DataFrame,
+                 imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+                 videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
+                 maxBucket: Int = 1024): (DataFrame, DataFrame) = {
+    val intra = intraBatchDups(batchIdx, imageMaxDist, audioMaxDist,
+      videoMaxDist, videoMinOverlapBp, maxBucket)
+    val pruned = batchIdx.join(intra.select(col("dup_id").as("media_id")),
+      Seq("media_id"), "left_anti")
+    val cross = incrementalMediaDups(pruned, history, imageMaxDist,
+      audioMaxDist, videoMaxDist, videoMinOverlapBp, maxBucket)
+    val dups = intra.unionByName(cross)
+    val delta = pruned.join(cross.select(col("dup_id").as("media_id")),
+      Seq("media_id"), "left_anti")
+    (dups, delta)
+  }
+
+  /** The index-maintenance wrapper ([[ingestStep]] from raw media):
+    * judge `batch` against `history` (batch-internal election
+    * included) and return the REPLAY-IDEMPOTENT index delta — the
+    * rows to append to the persisted index. The batch is pinned here
+    * (it is re-referenced ~5× by the index build; the
+    * [[dedupeAgainstHistory]] rule). */
+  def appendSurvivors(history: DataFrame, batch: Dataset[Multimodal.Media],
+                      imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+                      videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
+                      maxBucket: Int = 1024): DataFrame = {
+    val pinnedIdx = mediaHashIndex(batch.localCheckpoint(true))
+      .localCheckpoint(true)
+    ingestStep(pinnedIdx, history, imageMaxDist, audioMaxDist,
+      videoMaxDist, videoMinOverlapBp, maxBucket)._2
+  }
+
   /** The gate wrapper: the batch with every history-duplicate dropped
     * — what a streaming ingest appends to the corpus (and whose
-    * [[mediaHashIndex]] rows it appends to the index). */
+    * [[mediaHashIndex]] rows it appends to the index). The batch is
+    * PINNED here (eager localCheckpoint — the q203 rule): the index
+    * build re-references payloads ~5× (fingerprint + three kind legs)
+    * and the anti join reads the batch once more, so an expensively
+    * derived batch relation would otherwise recompute per leg.
+    * Callers composing the pieces directly ([[mediaHashIndex]] +
+    * [[incrementalMediaDups]]) must pin their own batch — as
+    * [[graft.pipelines.StreamingIngestPipeline.runMediaIngest]] does
+    * with a persist it can release. Eager on purpose (materializes at
+    * call time): checkpoint blocks release by RDD GC once the result
+    * is unreferenced, and a LAZY localCheckpoint first materialized
+    * under a broadcast-exchange thread can deadlock against the DAG
+    * scheduler (the TrainingCorpusPipeline stage-3 lock-order note). */
   def dedupeAgainstHistory(batch: Dataset[Multimodal.Media],
                            history: DataFrame,
                            imageMaxDist: Int = 6, audioMaxDist: Int = 3,
@@ -207,10 +318,11 @@ object MediaIndex {
                            maxBucket: Int = 1024): Dataset[Multimodal.Media] = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val dups = incrementalMediaDups(mediaHashIndex(batch), history,
+    val pinned = batch.localCheckpoint(true)
+    val dups = incrementalMediaDups(mediaHashIndex(pinned), history,
       imageMaxDist, audioMaxDist, videoMaxDist, videoMinOverlapBp,
       maxBucket)
-    batch.toDF()
+    pinned.toDF()
       .join(dups.select(col("dup_id").as("media_id")),
         Seq("media_id"), "left_anti")
       .as[Multimodal.Media]

@@ -39,19 +39,28 @@ object Multimodal {
 
   /** Sniff the media KIND from the payload's leading bytes — magics
     * only, no decode: image formats via [[hasImageMagic]] (PNG/JPEG/
-    * GIF/BMP/TIFF), audio via the RIFF/WAVE container tag, video via
-    * the ISO-BMFF `ftyp` box (MP4/MOV — size at 0, tag at 4), the
-    * EBML magic (MKV/WebM), or this package's own frame container
-    * ([[packImageFrames]]'s `GFV1`). Anything else is "bin": an
+    * GIF/BMP/TIFF) or the RIFF/WEBP form tag, audio via the RIFF/WAVE
+    * form tag, video via RIFF/AVI (`AVI` + space), the ISO-BMFF
+    * `ftyp` box (MP4/MOV — size at 0, tag at 4), the EBML magic
+    * (MKV/WebM), or this package's own frame container
+    * ([[packImageFrames]]'s `GFV1`). RIFF routes by its FORM tag —
+    * WAVE/AVI /WEBP each to its kind, any other form to "bin" (a
+    * RIFF container of unknown content must not be guessed). WEBP and
+    * AVI have no shipped decoder in this environment, so their
+    * perceptual legs fail-soft to NULL hashes (keep-the-unparseable)
+    * — the ROUTING is still correct, which is what the quality gates
+    * and kind censuses consume. Anything else is "bin": an
     * unrecognized payload must never be guessed into a kind, because
     * every perceptual leg trusts the kind column to route decodes. */
   private[multimodal] def sniffKind(payload: Array[Byte]): String = {
     val pb = bytes(payload)
     def u(i: Int) = pb(i) & 0xff
-    if (hasImageMagic(pb)) "image"
-    else if (pb.length >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' &&
-      u(3) == 'F' && u(8) == 'W' && u(9) == 'A' && u(10) == 'V' &&
-      u(11) == 'E') "audio"
+    def riffForm(a: Char, b: Char, c: Char, d: Char): Boolean =
+      pb.length >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' &&
+        u(3) == 'F' && u(8) == a && u(9) == b && u(10) == c && u(11) == d
+    if (hasImageMagic(pb) || riffForm('W', 'E', 'B', 'P')) "image"
+    else if (riffForm('W', 'A', 'V', 'E')) "audio"
+    else if (riffForm('A', 'V', 'I', ' ')) "video"
     else if (pb.length >= 8 && u(4) == 'f' && u(5) == 't' && u(6) == 'y' &&
       u(7) == 'p') "video"
     else if (pb.length >= 4 && u(0) == 0x1a && u(1) == 0x45 &&
@@ -61,6 +70,14 @@ object Multimodal {
   }
 
   private lazy val sniffKindUdf = udf(sniffKind _)
+
+  /** [[sniffKind]] as a column: the kind router for payloads that
+    * arrive OUTSIDE [[fromBinaryFiles]] (crawl-archive media records,
+    * per-doc media arrays in a streamed corpus) — one sniff rule
+    * everywhere, magics only, never an extension or a declared
+    * Content-Type. */
+  def kindOf(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sniffKindUdf(payload)
 
   /** A `binaryFile` relation (path, modificationTime, length, content
     * — [[graft.io.BinaryFileSource]]) → the media relation every

@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental TEXT near-dup against a PERSISTED MinHash band index —
+  * the [[graft.multimodal.MediaIndex]] shape for documents, and the
+  * single most common operation a continuously-crawling text pipeline
+  * runs: yesterday's corpus is not re-banded and re-shuffled per
+  * ingest cycle (what re-running [[Dedup.minhashPairs]] over
+  * `history ∪ batch` would do), it is an INDEX persisted between runs
+  * — two narrow relations, `(doc, band, sig)` band rows (~24 bytes a
+  * row, `bands` rows per doc) and `(doc, shs)` hashed shingle sets —
+  * and each new batch is judged against it without a row of history
+  * ever entering an exchange.
+  *
+  * Scale contract (why this operator exists as more than a re-run of
+  * the within-corpus pair operator):
+  *  - HISTORY ROWS never shuffle. The band index is probed by TWO
+  *    BroadcastHashJoins with history streaming map-side (a census
+  *    leg and the candidate leg — each a narrow columnar scan of the
+  *    24-byte-row band relation), and the set index streams once
+  *    through the verification BroadcastHashJoin. At 100 TB of
+  *    accumulated corpus these are three row-linear scans per batch;
+  *    no history sort, no history exchange.
+  *  - The ONE exchange over history-DERIVED data is the band-bucket
+  *    census, and it is bounded by the BATCH by construction: history
+  *    bands are first semi-joined against the broadcast batch band
+  *    keys, so the map-side-combined (band, sig) aggregate's world is
+  *    ≤ |batch band rows| distinct keys — batch-sized, not
+  *    history-sized. (MinHash band hashes are 64-bit, so an
+  *    unrestricted census would be ~|history|·bands distinct keys —
+  *    the restriction is what keeps the media family's
+  *    bounded-by-construction census property when the band-value
+  *    domain is no longer 16-bit.)
+  *  - The BATCH side broadcasts: a crawl batch is bounded by ingest
+  *    cadence, so its banded signature relation fits the broadcast
+  *    threshold (the q83 Bloom-gate argument). Candidate pairs are
+  *    batch-bounded: ≤ |batch band rows| · maxBucket by the two-sided
+  *    cap.
+  *  - Degenerate buckets are capped on BOTH sides (the
+  *    [[Dedup.minhashCandidates]] guard, cross-relation form): batch
+  *    buckets through the bounded-collect aggregate (singletons KEPT
+  *    — a lone batch band row still pairs with history), history
+  *    buckets through the census (a (band, sig) shared by > maxBucket
+  *    history docs is boilerplate-degenerate content, not near-dup
+  *    evidence — its pairs, if real, surface through the other
+  *    bands).
+  *  - Verification is EXACT Jaccard per candidate pair
+  *    ([[Dedup.verifyJaccard]]'s math — the q27 operator in its
+  *    intended candidate-grading role), so precision is 1.0 and
+  *    recall follows the band curve (miss ≈ (1−t^r)^b ≈ 5·10⁻⁸ at
+  *    t = 0.8 with 128 hashes / 32 bands — the q28 argument).
+  *
+  * Semantics: a batch doc is a DUPLICATE iff its exact shingle-set
+  * Jaccard against some history doc is ≥ `threshold`; keeper = the
+  * smallest matching history id (carrying that pair's Jaccard). NULL
+  * text carries no signature and passes (its content is UNKNOWN, the
+  * [[Dedup.exact]] singleton rule). Batch-INTERNAL duplicates are the
+  * batch operators' job ([[Dedup.exact]] / [[Dedup.minhashPairs]]) —
+  * this judge compares only across the batch/history boundary, so the
+  * two compose: dedupe the batch internally, judge it against
+  * history, append the survivors' index rows.
+  *
+  * Replay idempotency (foreachBatch redelivers on failure): a
+  * replayed batch's docs exact-match their own appended index rows at
+  * Jaccard 1.0 — content identity IS the id guard — so
+  * [[survivorIndexRows]]' delta is empty on replay; NULL-text docs,
+  * the only rows the content argument cannot cover, are never
+  * indexable and contribute no rows either time (spec-pinned).
+  *
+  * Index parameters (shingleN, numHashes, bands, seed) must match
+  * between [[buildIndex]] and the judge — they are plain arguments
+  * here because the index is two PARQUET RELATIONS a pipeline loads
+  * back across runs (a carrier object cannot persist); store them
+  * alongside the index paths.
+  */
+object TextIndex {
+
+  private def requireIntegralId(df: DataFrame, idCol: String,
+                                who: String): Unit = {
+    val t = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(t == org.apache.spark.sql.types.LongType
+        || t == org.apache.spark.sql.types.IntegerType,
+      s"$who needs an integral doc id, got ${t.catalogString}; " +
+        "map string keys to a surrogate id first")
+  }
+
+  /** Build the two persistable index relations over a corpus:
+    * (band rows `(doc, band, sig)`, set rows `(doc, shs)`). Write
+    * both to parquet and read them back for the judge — the band
+    * relation is what the per-batch probes scan (banding work paid
+    * ONCE at build, never per batch), the set relation is what exact
+    * verification reads. NULL-text docs are EXCLUDED from both (no
+    * signature → not indexable evidence; they also keep
+    * [[survivorIndexRows]] replay-idempotent). One tokenization pass
+    * feeds both relations (the persisted [[Dedup.shingleSets]] —
+    * release with `spark.catalog.clearCache()` once written). */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                 seed: Long = 42L): (DataFrame, DataFrame) = {
+    requireIntegralId(corpus, idCol, "TextIndex.buildIndex")
+    val sets = Dedup.shingleSets(corpus, idCol, textCol, shingleN, "doc")
+      .filter(col("shs").isNotNull)
+    (bandRowsOf(sets, numHashes, bands, seed), sets)
+  }
+
+  /** Band rows `(doc, band, sig)` from a set relation (`(doc, shs)`,
+    * id column FIRST — [[buildIndex]]'s second output or a parquet
+    * read of it): the MinHash signature kernel + LSH banding, narrow
+    * (no shuffle). This is also the append path: survivors' set rows
+    * → their band rows. */
+  def bandRowsOf(sets: DataFrame, numHashes: Int = 128, bands: Int = 32,
+                 seed: Long = 42L): DataFrame =
+    Dedup.bandBuckets(
+      Dedup.minhashSignaturesFromSets(sets, numHashes, seed), bands)
+
+  /** Batch docs that near-duplicate HISTORY: (dup_id, keep_id =
+    * smallest matching history id, jaccard = that pair's exact
+    * Jaccard, rounded to 6). `histBands`/`histSets` are
+    * [[buildIndex]] relations (typically parquet reads); see the
+    * object doc for the plan contract. `maxBucket` is the two-sided
+    * degenerate-bucket cap — oracle-checked call sites disable it
+    * (Int.MaxValue) because an exact oracle computes the uncapped
+    * pair set (the q28 call-site split). */
+  def incrementalTextDups(batch: DataFrame, idCol: String, textCol: String,
+                          histBands: DataFrame, histSets: DataFrame,
+                          shingleN: Int = 3, numHashes: Int = 128,
+                          bands: Int = 32, threshold: Double = 0.8,
+                          seed: Long = 42L,
+                          maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(batch, idCol, "TextIndex.incrementalTextDups")
+    val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN, "dup_id")
+    dupsFromSets(bSets, batch.schema(idCol).dataType, histBands, histSets,
+      numHashes, bands, threshold, seed, maxBucket)
+  }
+
+  /** The judge over a PRECOMPUTED batch set relation — shared by
+    * [[incrementalTextDups]] and [[survivorIndexRows]] so the batch
+    * pays one tokenization pass however it is consumed. `bSets` is
+    * the (persisted) [[Dedup.shingleSets]] relation with id column
+    * `dup_id`. */
+  private def dupsFromSets(bSets: DataFrame,
+                           idType: org.apache.spark.sql.types.DataType,
+                           histBands: DataFrame, histSets: DataFrame,
+                           numHashes: Int, bands: Int, threshold: Double,
+                           seed: Long, maxBucket: Int): DataFrame = {
+    // batch band rows, degenerate buckets dropped whole INSIDE the
+    // bounded-collect buffer (the minhashCandidates guard; singletons
+    // kept — cross-relation matching, not self-pairing). One shuffle
+    // over batch band rows — batch-bounded.
+    val bBands = bandRowsOf(bSets, numHashes, bands, seed)
+      .groupBy(col("band"), col("sig"))
+      .agg(BoundedCollectLong.boundedCollect(maxBucket)(col("doc")).as("bc"))
+      .filter(col("bc.n") <= maxBucket)
+      .select(col("band"), col("sig"), explode(col("bc.items")).as("dup_id"))
+    val bKeys = bBands.select(col("band"), col("sig")).distinct()
+    // history bucket census RESTRICTED to the batch's keys: history
+    // bands stream through a BroadcastHashJoin against the broadcast
+    // key set, then the map-side-combined aggregate's world is
+    // ≤ |bKeys| distinct keys — the one history-DERIVED exchange,
+    // batch-bounded by construction (object doc).
+    val hOkKeys = histBands
+      .join(broadcast(bKeys), Seq("band", "sig"))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("band"), col("sig"))
+    // candidate pairs: history streams once more against the
+    // census-approved broadcast batch bands; distinct() shuffles only
+    // candidate pairs (≤ |batch band rows| · maxBucket)
+    val bOk = bBands.join(broadcast(hOkKeys), Seq("band", "sig"))
+    val cands = histBands
+      .join(broadcast(bOk), Seq("band", "sig"))
+      .select(col("dup_id"), col("doc").as("__h"))
+      .distinct()
+    // exact-Jaccard verification (Dedup.verifyJaccard's math): the
+    // batch-bounded candidate relation carries its batch-side shingle
+    // sets and broadcasts; the history SET index streams through the
+    // one BroadcastHashJoin — candidate history docs' sets are read
+    // in place, never shuffled
+    val withBatchSets = cands
+      .join(bSets.select(col("dup_id"), col("shs").as("__sa")), Seq("dup_id"))
+    val verified = histSets
+      .select(col("doc").as("__h"), col("shs").as("__sb"))
+      .join(broadcast(withBatchSets), Seq("__h"))
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__j", col("__inter").cast("double")
+        / (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+      .filter(col("__j") >= threshold)
+    // keeper election on matched pairs only (batch-bounded): smallest
+    // history id, carrying that pair's jaccard
+    verified.groupBy(col("dup_id"))
+      .agg(min(struct(col("__h"), col("__j"))).as("__k"))
+      .select(col("dup_id").cast(idType).as("dup_id"),
+        col("__k.__h").as("keep_id"),
+        round(col("__k.__j"), 6).as("jaccard"))
+  }
+
+  /** The gate wrapper: the batch with every history near-duplicate
+    * dropped — what a streaming ingest appends to the corpus. */
+  def dedupeAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+                         histBands: DataFrame, histSets: DataFrame,
+                         shingleN: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32, threshold: Double = 0.8,
+                         seed: Long = 42L,
+                         maxBucket: Int = 1000): DataFrame =
+    batch.join(
+      incrementalTextDups(batch, idCol, textCol, histBands, histSets,
+        shingleN, numHashes, bands, threshold, seed, maxBucket)
+        .select(col("dup_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** The INDEX MAINTENANCE step: the survivors' index rows — (band
+    * rows, set rows) to append to the persisted relations after
+    * judging a batch. Replay-idempotent (object doc): a redelivered
+    * batch's docs match their own already-appended rows at Jaccard
+    * 1.0 and the delta is empty, so foreachBatch redelivery cannot
+    * double-append rows that would shadow future keeper elections.
+    * NULL-text docs are excluded (never indexable). Same parameters
+    * as the judge — the appended rows must band identically to the
+    * build. */
+  def survivorIndexRows(batch: DataFrame, idCol: String, textCol: String,
+                        histBands: DataFrame, histSets: DataFrame,
+                        shingleN: Int = 3, numHashes: Int = 128,
+                        bands: Int = 32, threshold: Double = 0.8,
+                        seed: Long = 42L,
+                        maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    requireIntegralId(batch, idCol, "TextIndex.survivorIndexRows")
+    val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN, "dup_id")
+    val dups = dupsFromSets(bSets, batch.schema(idCol).dataType, histBands,
+      histSets, numHashes, bands, threshold, seed, maxBucket)
+    val survivorSets = bSets
+      .filter(col("shs").isNotNull)
+      .join(dups.select(col("dup_id")), Seq("dup_id"), "left_anti")
+      .withColumnRenamed("dup_id", "doc")
+    (bandRowsOf(survivorSets, numHashes, bands, seed), survivorSets)
+  }
+}

@@ -111,13 +111,35 @@ object StreamingIngestPipeline {
     * `() => spark.read.parquet(indexPath)` (or a snapshot-refreshing
     * table); the overload below takes a static DataFrame for
     * fixed-index uses and documents that limitation. Within-batch
-    * duplicates are the batch gate's job inside the sink when wanted
-    * ([[graft.multimodal.Multimodal.dedupePayloads]] et al.). */
+    * duplicates are gated HERE too ([[graft.multimodal.MediaIndex
+    * .intraBatchDups]] composed before the history judge, the
+    * MediaIndex composition rule): two fresh copies of the same new
+    * image arriving in ONE micro-batch admit one survivor, not two. */
   def runMediaIngest(files: DataFrame, historyIndex: () => DataFrame,
       imageMaxDist: Int, audioMaxDist: Int,
       videoMaxDist: Int, videoMinOverlapBp: Int,
       maxBucket: Int)(
       sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    runMediaIngestIndexed(files, historyIndex, imageMaxDist, audioMaxDist,
+      videoMaxDist, videoMinOverlapBp, maxBucket)(
+      (survivors, _, id) => sink(survivors, id))
+
+  /** [[runMediaIngest]] for the production APPEND loop: the sink
+    * additionally receives the batch's REPLAY-IDEMPOTENT index delta
+    * ([[graft.multimodal.MediaIndex.ingestStep]] — the surviving
+    * index rows; on a foreachBatch redelivery the byte leg matches
+    * every row against its own already-appended copy and the delta is
+    * empty, so a failed-and-replayed batch cannot double-append rows
+    * that would shadow future keeper elections). A production sink
+    * appends the SURVIVORS to the corpus and the DELTA to the index
+    * path the `historyIndex` function re-reads — no recomputation of
+    * index rows in the sink. */
+  def runMediaIngestIndexed(files: DataFrame, historyIndex: () => DataFrame,
+      imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+      videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
+      maxBucket: Int = 1024)(
+      sink: (DataFrame, DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val media = graft.multimodal.Multimodal.fromBinaryFiles(files)
     media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -129,12 +151,16 @@ object StreamingIngestPipeline {
         val typed = pinned.select(col("media_id"), col("kind"),
             col("payload"))
           .as[graft.multimodal.Multimodal.Media]
-        val dups = graft.multimodal.MediaIndex.incrementalMediaDups(
-          graft.multimodal.MediaIndex.mediaHashIndex(typed),
-          historyIndex(), imageMaxDist, audioMaxDist, videoMaxDist,
-          videoMinOverlapBp, maxBucket)
+        // the index relation is re-referenced by the intra-batch
+        // election, the history judge, and the delta anti-join —
+        // eager-pin the HASH rows so payloads decode exactly once
+        val batchIdx = graft.multimodal.MediaIndex.mediaHashIndex(typed)
+          .localCheckpoint(true)
+        val (dups, delta) = graft.multimodal.MediaIndex.ingestStep(
+          batchIdx, historyIndex(), imageMaxDist, audioMaxDist,
+          videoMaxDist, videoMinOverlapBp, maxBucket)
         sink(pinned.join(dups.select(col("dup_id").as("media_id")),
-          Seq("media_id"), "left_anti"), id)
+          Seq("media_id"), "left_anti"), delta, id)
       } finally { pinned.unpersist(); () }
     }
   }
@@ -152,4 +178,78 @@ object StreamingIngestPipeline {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     runMediaIngest(files, () => historyIndex, imageMaxDist, audioMaxDist,
       videoMaxDist, videoMinOverlapBp, maxBucket)(sink)
+
+  /** The DOC-level continuous pipeline with the MEDIA originality
+    * gate seated in it — the streaming twin of
+    * [[TrainingCorpusPipeline]]'s `Config.mediaKindCol` stage: a
+    * streamed crawl drops scraped-gallery DOCUMENTS (every owned
+    * media object a duplicate), not just media objects. `docs` rows
+    * carry their media inline as `mediaCol:
+    * array<struct<media_id: long, payload: binary>>` (the natural
+    * crawl shape — a page arrives with its fetched objects; kinds
+    * are sniffed from payload magics, [[graft.multimodal.Multimodal
+    * .kindOf]]). Stages: the full text hygiene chain ([[run]]:
+    * quality floor + PII gate, watermark in-stream dedup, exact
+    * corpus-index anti-join), then per micro-batch the media gate —
+    * batch-internal election + judge vs the persisted media hash
+    * index ([[graft.multimodal.MediaIndex.ingestStep]]) and the
+    * dropAllDuplicateMediaDocs election rule: a doc survives iff it
+    * owns ≥ 1 ORIGINAL media object; docs with no non-NULL media
+    * carry no media evidence and PASS (keep-the-unparseable). The
+    * sink receives (surviving docs, media-index delta, batch id);
+    * the delta is replay-idempotent (ingestStep's contract), and
+    * `mediaHistoryIndex` is a FUNCTION re-read per batch for the
+    * same append-visibility reason as [[runMediaIngest]]. */
+  def runMediaGatedDocs(docs: DataFrame, corpusIndex: DataFrame,
+      mediaHistoryIndex: () => DataFrame, tsCol: String, idCol: String,
+      textCol: String, mediaCol: String, minQuality: Double = 0.3,
+      lateness: String = "1 hour", fpCol: String = "fp",
+      imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+      videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
+      maxBucket: Int = 1024)(
+      sink: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val gated = run(docs, corpusIndex, tsCol, textCol, minQuality,
+      lateness, fpCol)
+    gated.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val pinned = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // evidence rows: one per non-NULL media payload; pinned
+        // eagerly — the index build re-references payloads ~5×, and
+        // re-exploding the doc rows per leg would re-deserialize
+        // every payload array each time
+        val media = pinned
+          .select(col(idCol).as("__did"), explode(col(mediaCol)).as("m"))
+          .select(col("__did"), col("m.media_id").as("media_id"),
+            col("m.payload").as("payload"))
+          .filter(col("payload").isNotNull)
+          .withColumn("kind",
+            graft.multimodal.Multimodal.kindOf(col("payload")))
+          .localCheckpoint(true)
+        val typed = media.select(col("media_id"), col("kind"),
+            col("payload"))
+          .as[graft.multimodal.Multimodal.Media]
+        val batchIdx = graft.multimodal.MediaIndex.mediaHashIndex(typed)
+          .localCheckpoint(true)
+        val (dups, delta) = graft.multimodal.MediaIndex.ingestStep(
+          batchIdx, mediaHistoryIndex(), imageMaxDist, audioMaxDist,
+          videoMaxDist, videoMinOverlapBp, maxBucket)
+        // the dropAllDuplicateMediaDocs election tail: docs owning at
+        // least one original survive; docs whose EVERY media object
+        // is a duplicate drop; docs with no media evidence pass
+        val evid = media.select(col("__did"), col("media_id"))
+        val ownerDocs = evid
+          .join(dups.select(col("dup_id").as("media_id")),
+            Seq("media_id"), "left_anti")
+          .select(col("__did")).distinct()
+        val dropDocs = evid.select(col("__did")).distinct()
+          .join(ownerDocs, Seq("__did"), "left_anti")
+        sink(pinned.join(dropDocs, col(idCol) === col("__did"),
+          "left_anti"), delta, id)
+      } finally { pinned.unpersist(); () }
+    }
+  }
 }

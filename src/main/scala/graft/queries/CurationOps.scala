@@ -1236,6 +1236,73 @@ object CurationOps {
           FROM recs) w""",
       "archive_id, record_idx, url", "payload")))
 
+  /** q207: the MEDIA leg of the crawl scanner
+    * ([[graft.io.WarcRecords.toCrawlMedia]]) — archives carrying
+    * BINARY payloads (real PNG renders, a real RIFF/WAVE track, the
+    * GFV1 frame container, plain HTML, and an HTTP-ENVELOPED PNG)
+    * split by the same content-length scanner and route to the Media
+    * shape by the BODY's magic: html drops to the document leg's
+    * territory, the enveloped PNG routes to image ONLY because the
+    * byte-level envelope strip ran before the sniff (enveloped bytes
+    * start with `HTTP/`, not a magic), and `WARC-Date` surfaces as
+    * the per-record event time. The oracle replays the class→kind map
+    * and the date over the same ids (the q205 thin-routing pattern —
+    * the kind pipelines' CONTENTS are q194–q204's job; this pins that
+    * crawl archives now FEED them). q180's text leg is untouched:
+    * the two legs partition the archive by content. */
+  private val q207 = QuerySpec(
+    "q207_warc_media_extract",
+    (s, dir) => {
+      import graft.multimodal.{AudioWave, Multimodal, PerceptualHash}
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val mkRec = udf((id: Long) => {
+        val g = id / 5
+        val payload: Array[Byte] = (id % 5) match {
+          case 0 => PerceptualHash.renderGrayImage(16, 16, g, g % 5 + 1,
+            g % 11 + 1, 0, 0, "png")
+          case 1 => AudioWave.writeWav(
+            Array.tabulate(256)(t => (((g + t) % 64 - 32) * 256).toInt),
+            16000, 16)
+          case 2 => Multimodal.packImageFrames(Seq(
+            PerceptualHash.renderGrayImage(16, 16, g, 2, 3, 0, 0, "png")))
+          case 3 =>
+            s"<html><body><p>plain page $g</p></body></html>"
+              .getBytes("UTF-8")
+          case _ =>
+            val png = PerceptualHash.renderGrayImage(16, 16, g + 7,
+              g % 5 + 1, g % 11 + 1, 0, 0, "png")
+            ("HTTP/1.1 200 OK\r\n" +
+              "Content-Type: application/octet-stream\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ png
+        }
+        (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: https://m.example/$id\r\n" +
+          "WARC-Date: 2026-01-02T03:04:05Z\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n")
+          .getBytes("ISO-8859-1") ++
+          payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      })
+      val concatBytes = udf((rs: Seq[Array[Byte]]) => rs.flatten.toArray)
+      val archives = docs
+        .select((col("doc_id") % 10).as("aid"), col("doc_id"),
+          mkRec(col("doc_id")).as("rec"))
+        .groupBy(col("aid"))
+        .agg(concatBytes(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec"))).as("content"))
+      graft.io.WarcRecords.toCrawlMedia(archives, "aid", "content")
+        .select(col("url"), col("kind"),
+          unix_micros(col("mtime")).as("mtime_us"))
+        .orderBy(col("url"))
+    },
+    oracle = Some("""
+      SELECT 'https://m.example/' || CAST(doc_id AS VARCHAR) AS url,
+             CASE doc_id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  WHEN 2 THEN 'video' ELSE 'image' END AS kind,
+             epoch_us(TIMESTAMP '2026-01-02 03:04:05') AS mtime_us
+      FROM documents WHERE doc_id < 300 AND doc_id % 5 <> 3
+      ORDER BY url"""))
+
   /** The q186/q187 messy-URL mix: every canonicalization rule class —
     * upper-case scheme/host + default https port + tracker + fragment
     * (0), default http port + shuffled params (1), already canonical
@@ -1499,5 +1566,5 @@ object CurationOps {
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
       q134, q144, q148, q150, q156, q173, q174, q175, q176, q179, q180,
-      q186, q187, q188, q189)
+      q186, q187, q188, q189, q207)
 }

@@ -1893,8 +1893,99 @@ object DataOps {
       FROM documents WHERE doc_id < 300
       ORDER BY path"""))
 
+  /** q206: INCREMENTAL text near-dup against a persisted MinHash band
+    * index ([[graft.operators.TextIndex.incrementalTextDups]]) — the
+    * q204 shape for DOCUMENTS: history (doc_id < 300, raw text) is
+    * indexed once into the (doc, band, sig) + (doc, shs) relations;
+    * the batch (ids 1000–1299) carries three classes — exact
+    * re-crawls (Jaccard 1.0), one-appended-token near-dups (Jaccard
+    * |S|/(|S|+1), crossing 0.8 exactly when the doc has ≥ 4
+    * shingles — BOTH engines compute it, so the threshold crossing
+    * is oracle-checked, not assumed), and fresh docs (unique
+    * whole-text shingle, no match). Output: (dup_id, keep_id =
+    * smallest matching history id, jaccard). The oracle replays the
+    * EXACT cross-corpus shingle Jaccard — the operator's LSH banding
+    * + exact re-check equals it by the q28 recall argument
+    * (miss ≈ 5·10⁻⁸ at j ≥ 0.8 with 128/32), with maxBucket
+    * unguarded at this call site (the q28 call-site split: an exact
+    * oracle needs the uncapped operator). */
+  private val q206 = QuerySpec(
+    "q206_text_incremental_dedup",
+    (s, dir) => {
+      import graft.operators.TextIndex
+      val docs = Tables.documents(s, dir)
+      val hist = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") < 300).select(
+        (col("doc_id") + 1000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(col("text"), lit(" xtratok")))
+          .otherwise(concat(lit("zfresh"), col("doc_id").cast("string")))
+          .as("text"))
+      val (hBands, hSets) = TextIndex.buildIndex(hist, "doc_id", "text")
+      TextIndex.incrementalTextDups(batch, "doc_id", "text", hBands, hSets,
+          threshold = 0.8, maxBucket = Int.MaxValue)
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some("""
+      WITH hist AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id < 300),
+      batch AS (
+        SELECT doc_id + 1000 AS id,
+               CASE doc_id % 3
+                 WHEN 0 THEN text
+                 WHEN 1 THEN text || ' xtratok'
+                 ELSE 'zfresh' || CAST(doc_id AS VARCHAR) END AS text
+        FROM documents WHERE doc_id < 300),
+      shb AS (
+        SELECT DISTINCT id, s FROM (
+          SELECT id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM (SELECT id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+                FROM batch))),
+      shh AS (
+        SELECT DISTINCT id, s FROM (
+          SELECT id, unnest(
+            CASE WHEN len(w) >= 3 THEN
+              list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s
+          FROM (SELECT id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+                FROM hist))),
+      szb AS (SELECT id, count(*) AS sz FROM shb GROUP BY id),
+      szh AS (SELECT id, count(*) AS sz FROM shh GROUP BY id),
+      inter AS (
+        SELECT b.id AS dup_id, h.id AS hid, count(*) AS isect
+        FROM shb b JOIN shh h ON b.s = h.s
+        GROUP BY 1, 2),
+      j AS (
+        SELECT dup_id, hid,
+               CAST(isect AS DOUBLE) / (szb.sz + szh.sz - isect) AS jac
+        FROM inter
+        JOIN szb ON szb.id = inter.dup_id
+        JOIN szh ON szh.id = inter.hid
+        WHERE CAST(isect AS DOUBLE) / (szb.sz + szh.sz - isect) >= 0.8)
+      SELECT dup_id, hid AS keep_id, round(jac, 6) AS jaccard
+      FROM (SELECT dup_id, hid, jac,
+                   row_number() OVER (PARTITION BY dup_id ORDER BY hid) AS rn
+            FROM j)
+      WHERE rn = 1
+      ORDER BY dup_id"""),
+    // bench entry (the q203 precedent): the incremental-text judge is
+    // the flagship continuous-ingest path — a regression in the
+    // band/census/verify chain must be visible to BENCH. The fixture
+    // is fixed-size (doc_id < 300 at every SF), so this times the
+    // KERNEL family; the text_incr weak-scale ladder owns growth.
+    bench = true)
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
-    q200, q201, q202, q203, q204, q205)
+    q200, q201, q202, q203, q204, q205, q206)
 }

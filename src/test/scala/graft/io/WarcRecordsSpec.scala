@@ -324,6 +324,52 @@ class WarcRecordsSpec extends SparkSpec {
     docs.foreach(h => h should not include "Encoding")
   }
 
+  test("a raw-deflate body whose first bytes pass the zlib header check still decodes via the raw leg (clean second leg beats a dirty first-leg prefix)") {
+    // Hand-crafted RAW deflate stream legal under RFC 1951 but NOT
+    // zlib-producible: a stored non-final block with a NONZERO padding
+    // bit (readers must ignore padding content), sized so the first
+    // two bytes (0x08, 0x1D) pass the 2-byte zlib header check
+    // (CM=8, (0x081D % 31) == 0, FDICT clear) AND the zlib
+    // misinterpretation emits a non-empty garbage prefix before dying
+    // (its view reads a 65506-byte stored block whose NLEN check
+    // passes by construction, copies the remaining ~29 bytes as
+    // "output", then exhausts input). The old dirty-prefix rule
+    // returned that garbage without ever trying the raw leg; the raw
+    // leg decodes the whole stream CLEANLY and must win.
+    val payload = Array[Byte](0x1D, 0x00) ++
+      "quietly rescued raw deflate".getBytes("ISO-8859-1") // 29 bytes
+    payload.length shouldBe 29
+    val stream = Array[Byte](0x08, 0x1D, 0x00, 0xE2.toByte, 0xFF.toByte) ++
+      payload ++ Array[Byte](0x03, 0x00) // final empty fixed block
+    // the fixture really does decode as raw deflate
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(stream)
+    val buf = new Array[Byte](64)
+    val n = inf.inflate(buf)
+    inf.finished() shouldBe true
+    buf.take(n) shouldBe payload
+    inf.end()
+    // and the operator now recovers it instead of shipping garbage
+    WarcRecords.inflateBytes(stream) shouldBe payload
+  }
+
+  test("an early-abandoned record iterator (limit) over compressed archives still yields correct rows (task-completion close covers the abandonment path)") {
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(bos)
+      o.write(b); o.close(); bos.toByteArray
+    }
+    val archive = (1 to 50).map(i => gzMember(
+      record(s"https://x.example/$i", s"<p>$i</p>".getBytes("UTF-8"))))
+      .reduce(_ ++ _)
+    // limit() abandons the scanner mid-archive: the record must still
+    // be right, and the task-completion listener (not finish(), which
+    // never runs here) closes the decompressor
+    val first = split(archive).limit(1)
+      .select(col("payload").cast("string")).as[String].collect()
+    first shouldBe Array("<p>1</p>")
+  }
+
   test("decompression output is capped per record (zip-bomb guard) keeping the good prefix") {
     // ~256 MiB of zeros compresses to ~256 KB of gzip — uncapped, the
     // decode UDF would buffer all 256 MiB per record in executor heap
@@ -407,6 +453,73 @@ class WarcRecordsSpec extends SparkSpec {
     // ids keep the (archive, record position) rule through inflation
     WarcRecords.toCrawlDocs(archives).select("doc_id").distinct()
       .count() shouldBe 11L
+  }
+
+  test("toCrawlMedia: the media leg routes records by BODY magic — bytes intact, envelope stripped, html left to the doc leg") {
+    import graft.multimodal.{AudioWave, Multimodal, PerceptualHash}
+    val png = PerceptualHash.renderGrayImage(16, 16, 9, 2, 3, 0, 0, "png")
+    val wav = AudioWave.writeWav(
+      Array.tabulate(256)(t => ((t % 64 - 32) * 256)), 16000, 16)
+    val html = "<html><body><p>a page</p></body></html>".getBytes("UTF-8")
+    // the envelope case: a full HTTP message wrapping GZIPPED png
+    // bytes — strip must run on BYTES (a string cast corrupts the
+    // payload) and decompress per the declared coding
+    val gz = {
+      val b = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(b)
+      o.write(png); o.close(); b.toByteArray
+    }
+    val enveloped = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ gz
+    def rec(uri: String, p: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val archive = rec("https://m.example/img", png) ++
+      rec("https://m.example/wav", wav) ++
+      rec("https://m.example/page", html) ++
+      rec("https://m.example/wrapped", enveloped)
+    val archives = Seq(("a1", archive)).toDF("path", "content")
+    val media = graft.io.WarcRecords.toCrawlMedia(archives)
+      .orderBy("url")
+      .select(col("url"), col("kind"), col("payload"), col("mtime"))
+      .as[(String, String, Array[Byte], java.sql.Timestamp)].collect()
+    // html is NOT media — the doc leg owns it (both legs partition
+    // the same archive by content)
+    media.map(_._1) shouldBe Array("https://m.example/img",
+      "https://m.example/wav", "https://m.example/wrapped")
+    media.map(_._2) shouldBe Array("image", "audio", "image")
+    // payload bytes survive EXACTLY (the byte-level strip rule): the
+    // bare record untouched, the enveloped record stripped+gunzipped
+    // back to the identical png
+    media(0)._3 shouldBe png
+    media(1)._3 shouldBe wav
+    media(2)._3 shouldBe png
+    // per-record WARC-Date became the event time
+    media.map(_._4.getTime).distinct shouldBe
+      Array(java.sql.Timestamp.valueOf("2026-02-03 04:05:06").getTime)
+    // the DOC leg of the same archive sees the html record (and
+    // UTF-8-mangles the binary ones — which is why the media leg
+    // exists); ids agree across legs by the shared (archive,
+    // position) rule
+    val docs = graft.io.WarcRecords.toCrawlDocs(archives)
+    docs.count() shouldBe 4L
+    val mediaIds = graft.io.WarcRecords.toCrawlMedia(archives)
+      .select("media_id").as[Long].collect().toSet
+    val docIds = docs.select("doc_id").as[Long].collect().toSet
+    mediaIds.subsetOf(docIds) shouldBe true
+    // a record with NO WARC-Date yields NULL mtime, not a crash
+    val undated =
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://m.example/nodate\r\n" +
+        s"Content-Length: ${png.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        png ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val row = graft.io.WarcRecords.toCrawlMedia(
+        Seq(("a2", undated)).toDF("path", "content"))
+      .select(col("kind"), col("mtime").isNull).as[(String, Boolean)]
+      .collect()
+    row shouldBe Array(("image", true))
   }
 
   test("toCrawlDocsTimed carries modificationTime LOSSLESSLY (microseconds) and ids match the untimed read") {

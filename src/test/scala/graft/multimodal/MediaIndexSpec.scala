@@ -83,6 +83,59 @@ class MediaIndexSpec extends SparkSpec {
       history, maxBucket = 64).count() shouldBe 0L
   }
 
+  test("intraBatchDups: within-ONE-batch byte and perceptual elections on index rows alone (no second decode)") {
+    val withinBatch = Seq(
+      Multimodal.Media(10L, "image", img(50, "png")),  // keeper
+      Multimodal.Media(11L, "image", img(50, "png")),  // byte copy of 10
+      Multimodal.Media(12L, "image", img(50, "bmp")),  // re-encode of 10
+      Multimodal.Media(13L, "audio", AudioWave.writeWav(wavSamples, 16000, 16)),
+      Multimodal.Media(14L, "audio", AudioWave.writeWav(wavSamples, 16000, 8)), // re-master of 13
+      Multimodal.Media(15L, "video", video(9, 0 to 5)),
+      Multimodal.Media(16L, "video", video(9, 1 to 5)), // trim of 15
+      Multimodal.Media(17L, "image", img(60, "png"))).toDS() // unrelated
+    val dups = MediaIndex.intraBatchDups(
+        MediaIndex.mediaHashIndex(withinBatch), maxBucket = 64)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    dups shouldBe Array(
+      (11L, 10L, "byte"),
+      (12L, 10L, "image"),
+      (14L, 13L, "audio"),
+      (16L, 15L, "video"))
+  }
+
+  test("ingestStep: intra-batch election composes BEFORE the history judge; the delta is replay-idempotent") {
+    // batch: two fresh copies of the same NEW image in one batch (the
+    // case the sink-side division of labor admitted twice), one
+    // history re-encode, one genuinely fresh track
+    val b = Seq(
+      Multimodal.Media(1L, "image", img(21, "png")),  // fresh, keeper
+      Multimodal.Media(2L, "image", img(21, "png")),  // byte copy of 1 IN batch
+      Multimodal.Media(3L, "image", img(4, "bmp")),   // re-encode of history 100
+      Multimodal.Media(4L, "audio", AudioWave.writeWav(
+        Array.tabulate(1024)(t => ((t * 31) % 64 - 32) *
+          ((t / 16) % 3 + 1) * 256), 16000, 16))).toDS()
+    val idx = MediaIndex.mediaHashIndex(b).localCheckpoint(true)
+    val (dups, delta) = MediaIndex.ingestStep(idx, history, maxBucket = 64)
+    dups.as[(Long, Long, String)].collect().sortBy(_._1) shouldBe Array(
+      (2L, 1L, "byte"),      // within-batch: ONE survivor of the pair
+      (3L, 100L, "image"))   // cross-history re-encode
+    delta.select("media_id").as[Long].collect().sorted shouldBe
+      Array(1L, 4L)
+    // REPLAY (foreachBatch redelivery): append the delta, re-run the
+    // same batch — every row byte-matches its own appended copy, the
+    // delta is EMPTY, the final index is identical
+    val appended = history.unionByName(delta).localCheckpoint(true)
+    val (dups2, delta2) = MediaIndex.ingestStep(idx, appended,
+      maxBucket = 64)
+    delta2.count() shouldBe 0L
+    // the replayed batch's own survivors now read as byte dups of
+    // their appended copies (same ids — self-shadowing, harmless)
+    dups2.filter(col("via") === "byte").count() should be >= 3L
+    // and the raw-media wrapper agrees with the composed step
+    MediaIndex.appendSurvivors(history, b, maxBucket = 64)
+      .select("media_id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+  }
+
   test("scale contract: the history index is never shuffled — batch broadcasts, history streams") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

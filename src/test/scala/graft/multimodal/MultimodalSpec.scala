@@ -264,6 +264,29 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.sniffKind(packed.drop(4)) shouldBe "bin"
   }
 
+  test("sniffKind routes RIFF by FORM tag: WAVE→audio, AVI→video, WEBP→image, unknown forms→bin") {
+    def riff(form: String): Array[Byte] =
+      "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](16, 0, 0, 0) ++
+        form.getBytes("ISO-8859-1") ++ new Array[Byte](8)
+    Multimodal.sniffKind(riff("WAVE")) shouldBe "audio"
+    Multimodal.sniffKind(riff("AVI ")) shouldBe "video"
+    Multimodal.sniffKind(riff("WEBP")) shouldBe "image"
+    // an unknown RIFF form must never be guessed into a kind
+    Multimodal.sniffKind(riff("ACON")) shouldBe "bin"
+    // a truncated RIFF header (no form tag yet) is bin, not a crash
+    Multimodal.sniffKind("RIFF".getBytes("ISO-8859-1")) shouldBe "bin"
+    // the shipped decoders aren't present for WEBP/AVI: the perceptual
+    // kernels must fail-soft to NULL hashes (keep-the-unparseable),
+    // never throw — routing is correct even where decoding is absent
+    import spark.implicits._
+    val m = Seq((1L, "image", riff("WEBP")), (2L, "video", riff("AVI ")))
+      .toDF("media_id", "kind", "payload").as[Multimodal.Media]
+    val ph = PerceptualHash.perceptualHashes(m)
+      .select("ahash").as[Option[Long]].collect()
+    ph shouldBe Array(None) // image leg sees only media_id 1, no hash
+    Multimodal.videoFrameAHashes(m, stride = 1).count() shouldBe 0L
+  }
+
   test("dropAllDuplicateMediaDocs: one gate over image+audio+video evidence; re-encodes of every kind drop") {
     import spark.implicits._
     def frame(g: Long, f: Int) = PerceptualHash.renderGrayImage(16, 16,

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[TextIndex]] — incremental text near-dup against a persisted
+  * MinHash band index. q206 proves engine parity (exact cross-corpus
+  * Jaccard oracle); this spec pins what SQL replay cannot reach: the
+  * parquet round-trip (the index really is persistable state), the
+  * scale contract (history rows never shuffle), replay idempotency of
+  * the index delta, and the two-sided degenerate-bucket cap. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 tokens → 28 shingles: the one-word near-dup below lands at
+  // Jaccard 25/31 ≈ 0.806, just above the 0.8 threshold (a shorter doc
+  // would fall below — 3 of the shingles change with one word)
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "keeps running through the quiet forest toward the distant river bank " +
+    "while morning light spreads across the silent valley floor"
+  private val other = "completely different archival material about " +
+    "ancient trade routes crossing the mountain passes in early winter snow"
+
+  private lazy val history = Seq(
+    (100L, base),
+    (101L, other),
+    (102L, s"$other with one more appendix sentence about caravan tolls"))
+    .toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (1L, base),                                   // exact re-crawl of 100
+    (2L, base.replace("distant", "nearby")),      // near-dup of 100
+    (3L, "a brand new report on deep sea exploration vessels mapping " +
+      "volcanic ridges under the southern ocean currents today"), // fresh
+    (4L, null.asInstanceOf[String]),              // failed extraction
+    (5L, base + " " + base))    // doubled text: near-dup of 100 (only
+                                // the two junction-bridge shingles new)
+    .toDF("doc_id", "text")
+
+  test("judge semantics: exact and near re-crawls flag with the smallest history keeper; fresh and NULL pass") {
+    val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")
+    val dups = TextIndex.incrementalTextDups(batch, "doc_id", "text",
+        hBands, hSets)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    dups.map(d => (d._1, d._2)) shouldBe Array(
+      (1L, 100L), (2L, 100L), (5L, 100L))
+    dups.find(_._1 == 1L).get._3 shouldBe 1.0
+    dups.find(_._1 == 5L).get._3 shouldBe 0.933333 // 28 shared / 30 total
+    dups.find(_._1 == 2L).get._3 should (be >= 0.8 and be < 1.0)
+    // the gate keeps exactly the complement
+    TextIndex.dedupeAgainstIndex(batch, "doc_id", "text", hBands, hSets)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(3L, 4L)
+    spark.catalog.clearCache()
+  }
+
+  test("scale contract through a parquet round-trip: history rows (doc, shs) never enter an exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_textidx")
+    val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")
+    hBands.write.parquet(s"$dir/text_index_bands")
+    hSets.write.parquet(s"$dir/text_index_sets")
+    spark.catalog.clearCache()
+    val dups = TextIndex.incrementalTextDups(batch, "doc_id", "text",
+      spark.read.parquet(s"$dir/text_index_bands"),
+      spark.read.parquet(s"$dir/text_index_sets"))
+    // same verdicts through the disk round-trip (the index IS state)
+    dups.select("dup_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 5L)
+    val plan = dups.queryExecution.executedPlan
+    // every shuffle whose subtree reads an index scan must carry only
+    // batch-bounded DERIVED relations (band-census keys + count
+    // partials, candidate pairs, keeper-election partials) — never the
+    // raw index row columns `doc` (ids stream map-side into broadcast
+    // joins) or `shs` (set bytes are read in place for verification)
+    val histShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+            .contains("text_index")
+        case _ => false
+      })
+    histShuffles.foreach { s =>
+      val cols = s.output.map(_.name).toSet
+      assert(!cols.contains("doc") && !cols.contains("shs"),
+        s"history index rows shuffled: $cols")
+    }
+    // and the probes against the index really are broadcast joins
+    plan.toString should include ("BroadcastHashJoin")
+    spark.catalog.clearCache()
+  }
+
+  test("index delta is replay-idempotent: the same batch appended twice yields an identical final index") {
+    val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")
+    val (dBands, dSets) = TextIndex.survivorIndexRows(batch, "doc_id",
+      "text", hBands, hSets)
+    // survivors 3 (fresh) — NULL-text doc 4 is NEVER indexable
+    dSets.select("doc").as[Long].collect().sorted shouldBe Array(3L)
+    dBands.select("doc").distinct().as[Long].collect() shouldBe Array(3L)
+    // "append" the delta, then REPLAY the same batch (foreachBatch
+    // redelivery): every doc now matches its own appended rows at
+    // Jaccard 1.0, so the second delta must be EMPTY — the final index
+    // is identical however many times the batch is delivered
+    val hBands2 = hBands.unionByName(dBands).localCheckpoint(true)
+    val hSets2 = hSets.unionByName(dSets).localCheckpoint(true)
+    val (rBands, rSets) = TextIndex.survivorIndexRows(batch, "doc_id",
+      "text", hBands2, hSets2)
+    rSets.count() shouldBe 0L
+    rBands.count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
+  test("two-sided degenerate-bucket cap: an oversized history crowd stops matching (documented), uncapped flags it; capped ≡ uncapped when no bucket overflows") {
+    // 12 byte-identical history docs: every band bucket holds 12 ids
+    val crowd = (200L to 211L).map(i => (i, other)).toDF("doc_id", "text")
+    val (cBands, cSets) = TextIndex.buildIndex(crowd, "doc_id", "text")
+    val probe = Seq((1L, other)).toDF("doc_id", "text")
+    // cap below the crowd: every shared bucket is degenerate → no
+    // candidates → the probe passes (the crowd is dedup work for
+    // exact/minhash at a higher threshold, not pair material)
+    TextIndex.incrementalTextDups(probe, "doc_id", "text", cBands, cSets,
+      maxBucket = 8).count() shouldBe 0L
+    // uncapped: flagged with the smallest crowd id as keeper
+    TextIndex.incrementalTextDups(probe, "doc_id", "text", cBands, cSets,
+        maxBucket = Int.MaxValue)
+      .select("keep_id").as[Long].collect() shouldBe Array(200L)
+    spark.catalog.clearCache()
+    // differential: on the benign fixture the production cap changes
+    // nothing (the q27-maxDf/q69-maxBucket differential rule)
+    val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")
+    val capped = TextIndex.incrementalTextDups(batch, "doc_id", "text",
+      hBands, hSets, maxBucket = 1000).collect().map(_.toSeq).sortBy(_.toString)
+    val uncapped = TextIndex.incrementalTextDups(batch, "doc_id", "text",
+      hBands, hSets, maxBucket = Int.MaxValue).collect().map(_.toSeq).sortBy(_.toString)
+    capped shouldBe uncapped
+    spark.catalog.clearCache()
+  }
+
+  test("string ids fail fast (the bounded-collect long contract)") {
+    val strBatch = Seq(("a", base)).toDF("doc_id", "text")
+    val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      TextIndex.incrementalTextDups(strBatch, "doc_id", "text", hBands, hSets)
+    an[IllegalArgumentException] should be thrownBy
+      TextIndex.buildIndex(strBatch, "doc_id", "text")
+    spark.catalog.clearCache()
+  }
+}

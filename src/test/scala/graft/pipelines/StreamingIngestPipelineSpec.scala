@@ -309,6 +309,11 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     put("known.bmp", img(4, "bmp"))
     put("remaster.wav", AudioWave.writeWav(samples, 16000, 8))
     put("fresh.png", img(21, "png"))
+    // a WITHIN-batch byte copy of the fresh image: the batch-internal
+    // election (intraBatchDups composed before the history judge)
+    // must admit ONE survivor of the pair — the smaller media_id
+    // (= xxhash64(path), so which file wins is hash order, not name)
+    put("fresh_copy.png", img(21, "png"))
     // a genuinely different energy profile (NOT a negation — the
     // envelope hashes |s|, so -samples would collapse onto history)
     put("fresh.wav", AudioWave.writeWav(
@@ -316,23 +321,88 @@ class StreamingIngestPipelineSpec extends SparkSpec {
         ((t / 16) % 3 + 1) * 256), 16000, 16))
     val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val q = StreamingIngestPipeline.runMediaIngest(
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingIngestPipeline.runMediaIngestIndexed(
         spark.readStream.format("binaryFile").schema(binSchema)
           .load(dir.toString),
-        history, maxBucket = 64) { (batch, _) =>
-        kept ++= batch.select("path", "kind")
-          .as[(String, String)].collect()
-          .map { case (p, k) => (p.split('/').last, k) }
+        () => history, maxBucket = 64) { (batch, delta, _) =>
+        kept ++= batch.select("path", "kind", "media_id")
+          .as[(String, String, Long)].collect()
+          .map { case (p, k, m) => (p.split('/').last, k, m) }
+        deltas ++= delta.select("media_id").as[Long].collect()
         ()
       }
       .option("checkpointLocation",
         Files.createTempDirectory("ckpt_media_live").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    // the re-encode and the re-master drop against history; the
-    // fresh objects survive with their sniffed kinds + path lineage
-    kept.sortBy(_._1) shouldBe Seq(
-      ("fresh.png", "image"), ("fresh.wav", "audio"))
+    // the re-encode and the re-master drop against history; ONE of
+    // the two fresh-image copies survives (batch-internal election);
+    // the fresh track survives — with sniffed kinds + path lineage
+    kept.count(_._2 == "audio") shouldBe 1
+    kept.map(_._1) should contain ("fresh.wav")
+    val freshImgs = kept.filter(_._2 == "image").map(_._1)
+    freshImgs should have size 1
+    Set("fresh.png", "fresh_copy.png") should contain (freshImgs.head)
+    kept should have size 2
+    // the sink also received the index DELTA: exactly one row per
+    // survivor (what a production sink appends — no recompute)
+    deltas.sorted.toSeq shouldBe kept.map(_._3).sorted.toSeq
+  }
+
+  test("runMediaGatedDocs: a streamed crawl drops scraped-gallery DOCS — every media object a history dup — and keeps docs with one original or no media") {
+    implicit val ctx = spark.sqlContext
+    import graft.multimodal.{AudioWave, MediaIndex, Multimodal, PerceptualHash}
+    def img(gid: Long, fmt: String) =
+      PerceptualHash.renderGrayImage(16, 16, gid * 7, gid % 5 + 1,
+        gid % 11 + 1, gid % 3, 0, fmt)
+    val decent = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank"
+    // media HISTORY: the corpus already holds two images
+    val history = MediaIndex.mediaHashIndex(Seq(
+      Multimodal.Media(100L, "image", img(4, "png")),
+      Multimodal.Media(101L, "image", img(9, "png"))).toDS())
+    val emptyIndex = Seq.empty[String].toDF("text")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    val in = MemoryStream[(Timestamp, Long, String,
+      Seq[(Long, Array[Byte])])]
+    val docs = in.toDF().toDF("ts", "doc_id", "text", "media")
+      .withColumn("media", transform(col("media"),
+        m => struct(m.getField("_1").as("media_id"),
+          m.getField("_2").as("payload"))))
+    val keptDocs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingIngestPipeline.runMediaGatedDocs(
+        docs, emptyIndex, () => history, "ts", "doc_id", "text", "media",
+        maxBucket = 64) { (batch, delta, _) =>
+        keptDocs ++= batch.select("doc_id").as[Long].collect()
+        deltas ++= delta.select("media_id").as[Long].collect()
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_media_docs").toString)
+      .start()
+    try {
+      in.addData(
+        // scraped gallery: BOTH media objects are history dups (a
+        // byte copy and a BMP re-encode) → the DOC drops
+        (ts(0), 1L, s"$decent gallery page with copied pictures",
+          Seq((10L, img(4, "png")), (11L, img(9, "bmp")))),
+        // one original among a dup → the DOC survives
+        (ts(1), 2L, s"$decent article with one original photo",
+          Seq((12L, img(4, "png")), (13L, img(77, "png")))),
+        // no media at all → no media evidence → survives
+        (ts(2), 3L, s"$decent plain prose page with no pictures",
+          Seq.empty),
+        // all media NULL-payload (failed fetches) → no evidence → survives
+        (ts(3), 4L, s"$decent page whose image fetches all failed",
+          Seq((14L, null.asInstanceOf[Array[Byte]]))))
+      q.processAllAvailable()
+    } finally q.stop()
+    keptDocs.sorted.toSeq shouldBe Seq(2L, 3L, 4L)
+    // the index delta carries exactly the surviving ORIGINAL media
+    // object (13) — dups and NULL payloads never enter the index
+    deltas.sorted.toSeq shouldBe Seq(13L)
   }
 }

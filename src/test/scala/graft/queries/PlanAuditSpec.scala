@@ -649,6 +649,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"), plan)
   }
 
+  test("q206: incremental text judge — batch side broadcasts, no cartesian, no window, no sort-merge join") {
+    // the FULL executed string, not the sliced one: q206's plan embeds
+    // cached InMemoryRelations (the persisted shingle sets) whose
+    // stored plan strings carry their own "== Initial Plan ==" marker,
+    // and slicing at the first marker truncates the outer plan.
+    // Presence counts are still valid (≥) and absence checks stricter.
+    val df = graft.SparkEntry.queries("q206_text_incremental_dedup")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // every probe against the history index is a broadcast equi-join
+    // (TextIndexSpec pins the stronger history-rows-never-shuffle
+    // property on a parquet-backed index); the census and keeper
+    // election aggregate map-side
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q207: WARC media leg is scan → narrow strip/sniff — no join, no payload shuffle") {
+    val plan = executedPlanOf("q207_warc_media_extract")
+    // one aggregate shuffle assembles the fixture archives; after the
+    // scanner everything is narrow projection/filter — media payloads
+    // route by body bytes without a join or a second exchange
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    // exchanges: fixture archive assembly (hash) + oracle sort (range)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.

@@ -28,13 +28,59 @@ def normalize(table):
     rows.sort()
     return cols, [str(table.schema.field(c).type) for c in cols], rows
 
+def fresh_con(sf_dir):
+    con = duckdb.connect()
+    # bounded footprint: 32 default threads x ~200 queries accumulate
+    # allocator arenas/maps in one process and late queries die with
+    # bad_alloc at KB sizes despite ~120 GB free; 8 threads is plenty
+    # at sf<=0.01 oracle scale
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='16GB'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+def run_oracle(sf_dir, sql):
+    # one retry on allocator exhaustion: transient (observed under a
+    # concurrent 32-thread JVM), and a retried query either passes or
+    # fails deterministically on content
+    for attempt in (1, 2):
+        con = fresh_con(sf_dir)
+        try:
+            return con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            if attempt == 2 or "Out of Memory" not in str(e):
+                raise
+        finally:
+            con.close()
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # CHUNKED re-exec: one long-lived python/duckdb process accumulates
+    # allocator state across ~200 oracle queries and eventually dies
+    # with bad_alloc on KB-sized blocks (and once a segfault) with
+    # ~120 GB free — per-connection hygiene did not cure it, process
+    # isolation does. With no explicit query filter, split the run
+    # into chunks of 25 queries, each in a fresh subprocess.
+    if not only and len(oracle) > 25:
+        import subprocess
+        names = sorted(oracle)
+        failures = 0
+        for i in range(0, len(names), 25):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir, out_dir]
+                + names[i:i + 25])
+            failures += 1 if r.returncode else 0
+        # rows-only listing (queries with no oracle), once at the end
+        for d in sorted(os.listdir(out_dir)):
+            p = os.path.join(out_dir, d)
+            if os.path.isdir(p) and d not in oracle:
+                rt = load_result(p)
+                n = rt.num_rows if rt is not None else "MISSING"
+                print(f"INFO {d}: rows-only check, rows={n}")
+        sys.exit(1 if failures else 0)
     failures = 0
     for name in sorted(oracle):
         if only and name not in only:
@@ -43,7 +89,11 @@ def main():
         if res is None:
             print(f"FAIL {name}: no spark result written"); failures += 1; continue
         try:
-            exp = con.execute(oracle[name]).fetch_arrow_table()
+            # fresh connection per query: one shared connection
+            # accumulates allocator state across ~200 queries and dies
+            # with bad_alloc on the sort-late tail of the run (observed:
+            # 2KB allocation failures with 120 GB free)
+            exp = run_oracle(sf_dir, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); failures += 1; continue
         gc, gt, gr = normalize(res)
@@ -60,13 +110,15 @@ def main():
             failures += 1
             continue
         print(f"PASS {name} ({len(gr)} rows)")
-    # queries without oracle
-    for d in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, d)
-        if os.path.isdir(p) and d not in oracle:
-            r = load_result(p)
-            n = r.num_rows if r is not None else "MISSING"
-            print(f"INFO {d}: rows-only check, rows={n}")
+    # queries without oracle (skipped under an explicit filter — chunk
+    # children would duplicate the listing per chunk)
+    if not only:
+        for d in sorted(os.listdir(out_dir)):
+            p = os.path.join(out_dir, d)
+            if os.path.isdir(p) and d not in oracle:
+                r = load_result(p)
+                n = r.num_rows if r is not None else "MISSING"
+                print(f"INFO {d}: rows-only check, rows={n}")
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
