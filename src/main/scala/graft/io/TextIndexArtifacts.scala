@@ -1,0 +1,118 @@
+package graft.io
+
+import graft.operators.TextIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-dedup-index persistence — [[VectorIndexArtifacts]]' twin for
+  * the incremental text near-dup family: the [[TextIndex]] relations
+  * ARE parquet state between ingest runs, and the judge's parameters
+  * (shingleN, numHashes, bands, seed, threshold, maxBucket) must match
+  * the build's EXACTLY or verdicts silently change (different
+  * signatures band differently; a different shingle width changes
+  * every Jaccard). `Decontaminate.NearDupIndex` carries its parameters
+  * on the case class for precisely that reason, but it is SESSION
+  * state — this artifact writes the parameters beside the relations as
+  * a one-row parquet sidecar, so a loaded index can only be judged
+  * with the parameters it was built with.
+  *
+  * Layout: `<path>/bands` ((doc, band, sig) — the probe relation),
+  * `<path>/sets` ((doc, shs) — the verification relation),
+  * `<path>/params` (one row). Appends go to bands/sets (the
+  * [[TextIndex.ingestStep]] delta); params are written once.
+  */
+object TextIndexArtifacts {
+
+  /** A loaded index: the two relations plus the build parameters the
+    * judge must reuse. The relations are plain parquet reads — no
+    * caching is imposed here (the judge streams them map-side; see
+    * TextIndex's plan contract). */
+  final case class PersistedTextIndex(bands: DataFrame, sets: DataFrame,
+      shingleN: Int, numHashes: Int, nBands: Int, seed: Long,
+      threshold: Double, maxBucket: Int) {
+    /** Batch docs that near-duplicate this index — the stored
+      * parameters applied, no silent mismatch possible. */
+    def dups(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+      TextIndex.incrementalTextDups(batch, idCol, textCol, bands, sets,
+        shingleN, numHashes, nBands, threshold, seed, maxBucket)
+
+    /** The batch with every index near-duplicate dropped. */
+    def dedupe(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+      TextIndex.dedupeAgainstIndex(batch, idCol, textCol, bands, sets,
+        shingleN, numHashes, nBands, threshold, seed, maxBucket)
+
+    /** Judge + replay-idempotent delta ([[TextIndex.ingestStep]]) —
+      * pass the delta to [[TextIndexArtifacts.append]]. */
+    def ingest(batch: DataFrame, idCol: String, textCol: String,
+               cacheSets: Boolean = true): (DataFrame, (DataFrame, DataFrame)) =
+      TextIndex.ingestStep(batch, idCol, textCol, bands, sets, shingleN,
+        numHashes, nBands, threshold, seed, maxBucket, cacheSets)
+  }
+
+  /** Build the index over `corpus` and write it (relations + params).
+    * Returns nothing on purpose: consumers LOAD — reusing the
+    * in-memory relations would keep the pre-write plan alive and skip
+    * the round-trip this artifact exists to prove. */
+  def build(path: String, corpus: DataFrame, idCol: String, textCol: String,
+            shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+            seed: Long = 42L, threshold: Double = 0.8,
+            maxBucket: Int = 1000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (b, s) = TextIndex.buildIndex(corpus, idCol, textCol, shingleN,
+      numHashes, bands, seed)
+    // sorted within partitions so parquet row-group min/max stats on
+    // (band, sig) support runtime-filter row-group skipping at scale
+    // (the TextIndex.buildIndex deployment note); correctness never
+    // depends on the layout
+    b.sortWithinPartitions(col("band"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    s.write.mode("overwrite").parquet(s"$path/sets")
+    Seq((shingleN, numHashes, bands, seed, threshold, maxBucket))
+      .toDF("shingle_n", "num_hashes", "bands", "seed", "threshold",
+        "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    spark.catalog.clearCache() // release the build's shingle sets
+  }
+
+  /** Append an ingest delta ([[TextIndex.ingestStep]]'s second
+    * result) — replay-idempotent upstream, plain parquet appends
+    * here. Band-row appends keep the sorted-write discipline. */
+  def append(path: String, delta: (DataFrame, DataFrame)): Unit = {
+    delta._1.sortWithinPartitions(col("band"), col("sig"))
+      .write.mode("append").parquet(s"$path/bands")
+    delta._2.write.mode("append").parquet(s"$path/sets")
+  }
+
+  def load(spark: SparkSession, path: String): PersistedTextIndex = {
+    val p = spark.read.parquet(s"$path/params").collect()
+    require(p.length == 1, s"expected one params row at $path, got ${p.length}")
+    val r = p.head
+    PersistedTextIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/sets"),
+      r.getAs[Int]("shingle_n"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("bands"), r.getAs[Long]("seed"),
+      r.getAs[Double]("threshold"), r.getAs[Int]("max_bucket"))
+  }
+
+  /** COMPACTION: many ingest appends leave bands/sets as piles of
+    * small files with interleaved key ranges — rewrite both relations
+    * (one pass each, no logic: index rows are per-doc unique by
+    * construction, so compaction is layout-only), restoring the
+    * sorted-band layout and bounded file counts. Write-to-side +
+    * swap-by-rename is the caller's transactional discipline; this
+    * helper produces the compacted copy at `toPath`. */
+  def compact(spark: SparkSession, fromPath: String, toPath: String,
+              files: Int = 32): Unit = {
+    spark.read.parquet(s"$fromPath/bands")
+      .repartition(files, col("band"), col("sig"))
+      .sortWithinPartitions(col("band"), col("sig"))
+      .write.mode("overwrite").parquet(s"$toPath/bands")
+    spark.read.parquet(s"$fromPath/sets")
+      .repartition(files, col("doc"))
+      .write.mode("overwrite").parquet(s"$toPath/sets")
+    spark.read.parquet(s"$fromPath/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$toPath/params")
+  }
+}

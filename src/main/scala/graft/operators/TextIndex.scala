@@ -95,7 +95,18 @@ object TextIndex {
     * signature → not indexable evidence; they also keep
     * [[survivorIndexRows]] replay-idempotent). One tokenization pass
     * feeds both relations (the persisted [[Dedup.shingleSets]] —
-    * release with `spark.catalog.clearCache()` once written). */
+    * release with `spark.catalog.clearCache()` once written).
+    *
+    * Deployment note for the 100 TB corpus: the per-batch probes are
+    * row-linear scans of the band relation — already cheap (24-byte
+    * rows, column-pruned), and reducible further by writing the index
+    * `sortWithinPartitions(band, sig)`: parquet row-group min/max
+    * stats on `sig` then let Spark's runtime Bloom-filter join
+    * pushdown (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
+    * skip most row groups for a batch's few thousand probe keys, and
+    * compacted appends inherit the ordering. Correctness never
+    * depends on layout — an unsorted index is just a full (still
+    * narrow) scan per probe. */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                  seed: Long = 42L): (DataFrame, DataFrame) = {
@@ -225,15 +236,41 @@ object TextIndex {
                         shingleN: Int = 3, numHashes: Int = 128,
                         bands: Int = 32, threshold: Double = 0.8,
                         seed: Long = 42L,
-                        maxBucket: Int = 1000): (DataFrame, DataFrame) = {
-    requireIntegralId(batch, idCol, "TextIndex.survivorIndexRows")
-    val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN, "dup_id")
+                        maxBucket: Int = 1000): (DataFrame, DataFrame) =
+    ingestStep(batch, idCol, textCol, histBands, histSets, shingleN,
+      numHashes, bands, threshold, seed, maxBucket)._2
+
+  /** ONE ingest step (the [[graft.multimodal.MediaIndex.ingestStep]]
+    * twin for text): judge the batch against the persisted index and
+    * return BOTH the verdicts and the replay-idempotent index delta —
+    * (dups (dup_id, keep_id, jaccard), (band-row delta, set-row
+    * delta)). The batch pays ONE tokenization pass for everything
+    * (the persisted shingle sets feed the signature kernel, the
+    * verification join, and the survivor delta). A production sink
+    * appends the delta to the two index paths its history functions
+    * re-read — no recomputation, and redelivered batches append
+    * nothing (object doc). */
+  def ingestStep(batch: DataFrame, idCol: String, textCol: String,
+                 histBands: DataFrame, histSets: DataFrame,
+                 shingleN: Int = 3, numHashes: Int = 128,
+                 bands: Int = 32, threshold: Double = 0.8,
+                 seed: Long = 42L, maxBucket: Int = 1000,
+                 // cacheSets=false for PER-MICRO-BATCH callers: the
+                 // persisted shingle sets are keyed by logical plan,
+                 // so a long-lived stream would accumulate one cache
+                 // entry per batch (and clearCache would evict OTHER
+                 // pipelines' state); re-tokenizing a bounded batch
+                 // ~3× is the cheaper, leak-free trade there
+                 cacheSets: Boolean = true): (DataFrame, (DataFrame, DataFrame)) = {
+    requireIntegralId(batch, idCol, "TextIndex.ingestStep")
+    val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN,
+      "dup_id", cache = cacheSets)
     val dups = dupsFromSets(bSets, batch.schema(idCol).dataType, histBands,
       histSets, numHashes, bands, threshold, seed, maxBucket)
     val survivorSets = bSets
       .filter(col("shs").isNotNull)
       .join(dups.select(col("dup_id")), Seq("dup_id"), "left_anti")
       .withColumnRenamed("dup_id", "doc")
-    (bandRowsOf(survivorSets, numHashes, bands, seed), survivorSets)
+    (dups, (bandRowsOf(survivorSets, numHashes, bands, seed), survivorSets))
   }
 }

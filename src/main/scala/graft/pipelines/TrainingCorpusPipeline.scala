@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *                           line breaks the line stages key on)
   *   0. incremental gate    (opt-in: Dedup.bloomDedupe vs a historical
   *                           corpus index — skip what's already kept)
+  *   0.5 incremental NEAR-dup gate (opt-in: TextIndex.dedupeAgainstIndex
+  *                           vs the persisted MinHash band index — skip
+  *                           reworded re-crawls of what's already kept;
+  *                           history streams, never shuffles)
   *   0b. line dedup         (opt-in: LineDedup.firstOccurrence — strip
   *                           corpus-wide boilerplate LINES before any
   *                           scoring sees them; the CCNet order)
@@ -202,7 +206,8 @@ object TrainingCorpusPipeline {
           historicalIndex: Option[DataFrame] = None,
           qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None,
           urlBlocklist: Option[DataFrame] = None,
-          media: Option[DataFrame] = None): DataFrame = {
+          media: Option[DataFrame] = None,
+          textNearDupIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // config sanity: the htmlCol path drops htmlCol after joining the
     // extracted text in as textCol — htmlCol colliding with either
     // role column would silently delete the column every later stage
@@ -317,6 +322,23 @@ object TrainingCorpusPipeline {
       case None => canon
     }
 
+    // 0.5 (opt-in) incremental NEAR-dup gate vs the persisted MinHash
+    // band index (TextIndex — the (band rows, set rows) parquet
+    // relations a previous run built/appended): reworded/re-encoded
+    // re-crawls of already-kept documents drop here, which the exact
+    // Bloom gate above is blind to by construction. Seated right
+    // after the exact gate, before any per-doc scoring: history
+    // streams map-side (never shuffles — the q206 plan contract), so
+    // this costs the batch-side banding plus three narrow index scans
+    // however large the accumulated corpus is.
+    val freshNear = textNearDupIndex match {
+      case Some((hBands, hSets)) =>
+        graft.operators.TextIndex.dedupeAgainstIndex(fresh, idCol,
+          textCol, hBands, hSets, cfg.shingleN, cfg.numHashes, cfg.bands,
+          cfg.nearDupThreshold)
+      case None => fresh
+    }
+
     // 0b. (opt-in) line-level boilerplate strip: every distinct line
     // survives only at its corpus-wide first occurrence, documents are
     // rebuilt from their surviving lines. Runs BEFORE quality scoring
@@ -326,11 +348,11 @@ object TrainingCorpusPipeline {
     // every line is boilerplate rebuild to empty and are dropped.
     val lineClean = cfg.lineDedupSep match {
       case Some(sep) =>
-        fresh.drop(textCol)
-          .join(LineDedup.firstOccurrence(fresh, idCol, textCol, sep)
+        freshNear.drop(textCol)
+          .join(LineDedup.firstOccurrence(freshNear, idCol, textCol, sep)
             .select(col(idCol), col("clean").as(textCol)), Seq(idCol))
           .filter(length(col(textCol)) > 0)
-      case None => fresh
+      case None => freshNear
     }
 
     // 1. quality floor — narrow scan

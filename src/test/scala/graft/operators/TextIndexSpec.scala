@@ -136,6 +136,48 @@ class TextIndexSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("TextIndexArtifacts: build → load carries the parameters; append + compact preserve verdicts exactly") {
+    import graft.io.TextIndexArtifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_tia").toString
+    TextIndexArtifacts.build(s"$dir/idx", history, "doc_id", "text",
+      maxBucket = 500)
+    val idx = TextIndexArtifacts.load(spark, s"$dir/idx")
+    // parameters round-trip — a loaded index can only be judged with
+    // the parameters it was built with
+    (idx.shingleN, idx.numHashes, idx.nBands, idx.seed, idx.threshold,
+      idx.maxBucket) shouldBe (3, 128, 32, 42L, 0.8, 500)
+    // verdicts through the artifact ≡ the direct judge
+    val direct = {
+      val (hb, hs) = TextIndex.buildIndex(history, "doc_id", "text")
+      TextIndex.incrementalTextDups(batch, "doc_id", "text", hb, hs,
+        maxBucket = 500).collect().map(_.toSeq).sortBy(_.toString)
+    }
+    idx.dups(batch, "doc_id", "text").collect().map(_.toSeq)
+      .sortBy(_.toString) shouldBe direct
+    spark.catalog.clearCache()
+    // ingest survivors, append the delta, reload: the batch's fresh
+    // doc is now remembered; replaying the batch appends nothing
+    val (_, delta) = idx.ingest(batch, "doc_id", "text")
+    TextIndexArtifacts.append(s"$dir/idx", delta)
+    spark.catalog.clearCache()
+    val idx2 = TextIndexArtifacts.load(spark, s"$dir/idx")
+    idx2.sets.select("doc").as[Long].collect().sorted shouldBe
+      Array(3L, 100L, 101L, 102L)
+    val (dups2, delta2) = idx2.ingest(batch, "doc_id", "text")
+    dups2.select("dup_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L, 5L) // 3 now matches its own appended rows
+    delta2._2.count() shouldBe 0L
+    spark.catalog.clearCache()
+    // compaction is layout-only: verdicts identical from the compacted copy
+    TextIndexArtifacts.compact(spark, s"$dir/idx", s"$dir/idx2", files = 4)
+    val idx3 = TextIndexArtifacts.load(spark, s"$dir/idx2")
+    idx3.dups(batch, "doc_id", "text").collect().map(_.toSeq)
+      .sortBy(_.toString) shouldBe
+      idx2.dups(batch, "doc_id", "text").collect().map(_.toSeq)
+        .sortBy(_.toString)
+    spark.catalog.clearCache()
+  }
+
   test("string ids fail fast (the bounded-collect long contract)") {
     val strBatch = Seq(("a", base)).toDF("doc_id", "text")
     val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")

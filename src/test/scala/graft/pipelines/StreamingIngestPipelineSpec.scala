@@ -351,6 +351,70 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     deltas.sorted.toSeq shouldBe kept.map(_._3).sorted.toSeq
   }
 
+  test("runWithTextIndexGate: the persisted-index near-dup gate REMEMBERS across micro-batches (append delta → next batch sees it)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextIndex
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank " +
+      "while morning light spreads across the silent valley floor"
+    // history corpus: one already-kept doc; its TextIndex relations
+    // live on DISK (parquet) — the production state shape
+    val dir = Files.createTempDirectory("graft_textgate")
+    val (hb0, hs0) = TextIndex.buildIndex(
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    hb0.write.parquet(s"$dir/bands"); hs0.write.parquet(s"$dir/sets")
+    spark.catalog.clearCache()
+    val emptyIndex = Seq.empty[String].toDF("text")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    // 32 tokens → 30 shingles: the one-word re-crawl below lands at
+    // Jaccard 27/33 ≈ 0.818, above the 0.8 gate (3 shingles change
+    // with one mid-text word)
+    val novel = "a brand new report on deep sea exploration vessels " +
+      "mapping volcanic ridges under the southern ocean currents today " +
+      "with sonar sweeps charting the deepest trenches ever recorded " +
+      "before the research vessel returns"
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingIngestPipeline.runWithTextIndexGate(
+        docs, emptyIndex,
+        () => (spark.read.parquet(s"$dir/bands"),
+          spark.read.parquet(s"$dir/sets")),
+        "ts", "doc_id", "text") { (batch, delta, _) =>
+        kept ++= batch.select("doc_id").as[Long].collect()
+        // the production sink: append the replay-idempotent delta to
+        // the index paths the textIndex function re-reads
+        delta._1.write.mode("append").parquet(s"$dir/bands")
+        delta._2.write.mode("append").parquet(s"$dir/sets")
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_textgate").toString)
+      .start()
+    try {
+      // batch 1: a reworded re-crawl of the HISTORY doc drops; the
+      // novel doc survives and its index rows append
+      in.addData(
+        (ts(0), 1L, base.replace("distant", "nearby")),
+        (ts(1), 2L, novel))
+      q.processAllAvailable()
+      kept.sorted.toSeq shouldBe Seq(2L)
+      // batch 2: a reworded re-crawl of BATCH 1's survivor — only the
+      // appended delta can catch it (cross-batch memory); a fresh doc
+      // still passes
+      in.addData(
+        (ts(10), 3L, novel.replace("sonar", "radar")),
+        (ts(11), 4L, "entirely different prose about mountain weather " +
+          "stations recording wind and snowfall across the high passes " +
+          "during the long winter season this year"))
+      q.processAllAvailable()
+      kept.sorted.toSeq shouldBe Seq(2L, 4L)
+    } finally q.stop()
+    // the on-disk index now carries history + both survivors
+    spark.read.parquet(s"$dir/sets").select("doc").as[Long]
+      .collect().sorted shouldBe Array(2L, 4L, 100L)
+  }
+
   test("runMediaGatedDocs: a streamed crawl drops scraped-gallery DOCS — every media object a history dup — and keeps docs with one original or no media") {
     implicit val ctx = spark.sqlContext
     import graft.multimodal.{AudioWave, MediaIndex, Multimodal, PerceptualHash}

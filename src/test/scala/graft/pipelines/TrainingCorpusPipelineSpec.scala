@@ -103,6 +103,40 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
       strictCfg.shingleN, strictCfg.nearDupThreshold).count() shouldBe 0L
   }
 
+  test("opt-in incremental near-dup gate (stage 0.5): reworded re-crawls of the persisted index drop; fresh docs and stage-off behavior unchanged") {
+    // index over half the pool, PERSISTED to parquet (production
+    // state shape); the other half is the new crawl. By the testdata's
+    // planted near-dup structure some crawl docs near-dup the indexed
+    // half — exactly what the exact Bloom gate (stage 0) cannot see.
+    val historic = pool.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val crawl = pool.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcp_tidx")
+    val (hb, hs) = graft.operators.TextIndex.buildIndex(
+      historic, "doc_id", "text")
+    hb.write.parquet(s"$dir/bands"); hs.write.parquet(s"$dir/sets")
+    spark.catalog.clearCache()
+    val idx = (spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sets"))
+    val out3 = TrainingCorpusPipeline.run(crawl, holdout, "doc_id", "text",
+      cfg, textNearDupIndex = Some(idx))
+    val survivors = crawl.join(out3.select("doc_id").distinct(),
+      Seq("doc_id"), "left_semi")
+    // no survivor near-dups the INDEXED corpus (the gate's contract)
+    graft.operators.Decontaminate.nearDupLeaks(historic, survivors,
+      "doc_id", "text", cfg.shingleN, cfg.nearDupThreshold)
+      .count() shouldBe 0L
+    // the gate actually fired: the ungated run keeps at least one doc
+    // that near-dups the index (planted structure), and drops it here
+    val ungated = TrainingCorpusPipeline.run(crawl, holdout, "doc_id",
+      "text", cfg)
+    val ungatedSurv = crawl.join(ungated.select("doc_id").distinct(),
+      Seq("doc_id"), "left_semi")
+    graft.operators.Decontaminate.nearDupLeaks(historic, ungatedSurv,
+      "doc_id", "text", cfg.shingleN, cfg.nearDupThreshold)
+      .count() should be > 0L
+    out3.count() should be > 0L
+  }
+
   test("opt-in curation stages: LM floor, token budget, curriculum position") {
     import graft.functions.TextFns
     val curCfg = cfg.copy(
