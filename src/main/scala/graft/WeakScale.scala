@@ -122,19 +122,21 @@ object WeakScale {
       // grow k× per batch doc, timing candidate fanout instead of
       // history-index growth.
       val textIdxDir =
-        java.nio.file.Files.createTempDirectory(s"graft_textidx_$k").toString
-      if (selected("text_incr_q206")) {
-        val saltedHist = (0 until k).map { i =>
-          baseDocs.select(
-            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-            regexp_replace(col("text"), "\\s+", s" r$i ").as("text"))
-        }.reduce(_ union _)
-        val (hb, hs) = graft.operators.TextIndex.buildIndex(
-          saltedHist, "doc_id", "text")
-        hb.write.mode("overwrite").parquet(s"$textIdxDir/bands")
-        hs.write.mode("overwrite").parquet(s"$textIdxDir/sets")
-        spark.catalog.clearCache()
-      }
+        if (!selected("text_incr_q206")) ""
+        else {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"graft_textidx_$k").toString
+          val saltedHist = (0 until k).map { i =>
+            baseDocs.select(
+              (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+              regexp_replace(col("text"), "\\s+", s" r$i ").as("text"))
+          }.reduce(_ union _)
+          val (hb, hs) = graft.operators.TextIndex.buildIndex(
+            saltedHist, "doc_id", "text", cache = false)
+          hb.write.mode("overwrite").parquet(s"$d/bands")
+          hs.write.mode("overwrite").parquet(s"$d/sets")
+          d
+        }
       val ops: Seq[(String, String, () => Long)] = Seq(
         ("bloom_dedup_q83", D, () => {
           Dedup.bloomDedupe(batch, index, "doc_id", "text",
@@ -871,6 +873,16 @@ object WeakScale {
         (name, sec, rows)
       }
       docs.unpersist(); vecs.unpersist()
+      // drop this rung's on-disk text index — a ladder otherwise
+      // accumulates k-times-replicated parquet piles across rungs
+      if (textIdxDir.nonEmpty) {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm(_))
+          java.nio.file.Files.deleteIfExists(p); ()
+        }
+        rm(java.nio.file.Paths.get(textIdxDir))
+      }
       out
     }
 

@@ -31,15 +31,19 @@ object TextIndexArtifacts {
       shingleN: Int, numHashes: Int, nBands: Int, seed: Long,
       threshold: Double, maxBucket: Int) {
     /** Batch docs that near-duplicate this index — the stored
-      * parameters applied, no silent mismatch possible. */
-    def dups(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+      * parameters applied, no silent mismatch possible. `cacheSets =
+      * false` for repeated bounded-batch loops (one cache entry per
+      * call otherwise — the ingestStep leak note). */
+    def dups(batch: DataFrame, idCol: String, textCol: String,
+             cacheSets: Boolean = true): DataFrame =
       TextIndex.incrementalTextDups(batch, idCol, textCol, bands, sets,
-        shingleN, numHashes, nBands, threshold, seed, maxBucket)
+        shingleN, numHashes, nBands, threshold, seed, maxBucket, cacheSets)
 
     /** The batch with every index near-duplicate dropped. */
-    def dedupe(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    def dedupe(batch: DataFrame, idCol: String, textCol: String,
+               cacheSets: Boolean = true): DataFrame =
       TextIndex.dedupeAgainstIndex(batch, idCol, textCol, bands, sets,
-        shingleN, numHashes, nBands, threshold, seed, maxBucket)
+        shingleN, numHashes, nBands, threshold, seed, maxBucket, cacheSets)
 
     /** Judge + replay-idempotent delta ([[TextIndex.ingestStep]]) —
       * pass the delta to [[TextIndexArtifacts.append]]. */
@@ -59,8 +63,11 @@ object TextIndexArtifacts {
             maxBucket: Int = 1000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // cache=false: two tokenization passes for a write-once build
+    // instead of a session-global cache entry — a library API must
+    // never clearCache() (it would evict the CALLER's cached state)
     val (b, s) = TextIndex.buildIndex(corpus, idCol, textCol, shingleN,
-      numHashes, bands, seed)
+      numHashes, bands, seed, cache = false)
     // sorted within partitions so parquet row-group min/max stats on
     // (band, sig) support runtime-filter row-group skipping at scale
     // (the TextIndex.buildIndex deployment note); correctness never
@@ -72,7 +79,6 @@ object TextIndexArtifacts {
       .toDF("shingle_n", "num_hashes", "bands", "seed", "threshold",
         "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    spark.catalog.clearCache() // release the build's shingle sets
   }
 
   /** Append an ingest delta ([[TextIndex.ingestStep]]'s second

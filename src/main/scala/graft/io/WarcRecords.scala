@@ -705,11 +705,6 @@ object WarcRecords {
       GzipRe.matcher(hdr).find(), DeflateRe.matcher(hdr).find())
   }
 
-  private lazy val stripEnvelopeBytesUdf = {
-    import org.apache.spark.sql.functions.udf
-    udf(stripHttpEnvelopeBytes _)
-  }
-
   /** The MEDIA leg of the crawl scanner: archive rows → the Media
     * relation ([[graft.multimodal.Multimodal.Media]] shape +
     * url/mtime lineage) for response records whose payload BYTES
@@ -736,23 +731,34 @@ object WarcRecords {
     *    when the writer omitted it) — the event time a media stream
     *    watermarks on, per-record rather than per-archive.
     *
-    * Scale shape: splitRecords' narrow streaming scan + one
-    * byte-level strip/sniff per record; payloads never shuffle. The
-    * output feeds [[graft.multimodal.MediaIndex]] directly:
+    * Scale shape: splitRecords' narrow streaming scan + EXACTLY one
+    * byte-level strip/sniff per record (a typed mapPartitions pass —
+    * a UDF-column formulation lets deterministic-filter pushdown
+    * duplicate the strip below the projection, paying every kept
+    * body's decompress twice); payloads never shuffle. The output
+    * feeds [[graft.multimodal.MediaIndex]] directly:
     * `.select("media_id", "kind", "payload").as[Media]`. */
   def toCrawlMedia(archives: DataFrame, keyCol: String = "path",
-                   contentCol: String = "content"): DataFrame =
+                   contentCol: String = "content"): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
     splitRecords(archives, keyCol, contentCol)
       .filter(col("target_uri").isNotNull &&
         (col("warc_type").isNull || col("warc_type") === "response"))
       .select(xxhash64(col(keyCol), col("record_idx")).as("media_id"),
-        stripEnvelopeBytesUdf(col("payload")).as("payload"),
-        col("target_uri").as("url"),
-        col("warc_date").cast("timestamp").as("mtime"))
-      .withColumn("kind", graft.multimodal.Multimodal.kindOf(col("payload")))
-      .filter(col("kind").isin("image", "audio", "video"))
+        col("payload"), col("target_uri").as("url"), col("warc_date"))
+      .as[(Long, Array[Byte], String, String)]
+      .mapPartitions(_.flatMap { case (id, raw, url, date) =>
+        val body = stripHttpEnvelopeBytes(raw)
+        graft.multimodal.Multimodal.sniffKind(body) match {
+          case "bin" => None // html/text/unknown — the doc leg's material
+          case kind => Some((id, kind, body, url, date))
+        }
+      })
+      .toDF("media_id", "kind", "payload", "url", "warc_date")
       .select(col("media_id"), col("kind"), col("payload"), col("url"),
-        col("mtime"))
+        col("warc_date").cast("timestamp").as("mtime"))
+  }
 
   def toCrawlDocsTimed(archives: DataFrame, tsCol: String = "ts"): DataFrame = {
     // a NULL mtime must still contribute the separator (concat_ws

@@ -267,13 +267,25 @@ object MediaIndex {
                  imageMaxDist: Int = 6, audioMaxDist: Int = 3,
                  videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
                  maxBucket: Int = 1024): (DataFrame, DataFrame) = {
+    // both verdict relations are pinned (eager, id-sized): each is
+    // consumed by two+ subtrees below, and an unpinned `cross` would
+    // re-run the whole history judge per consumer
     val intra = intraBatchDups(batchIdx, imageMaxDist, audioMaxDist,
-      videoMaxDist, videoMinOverlapBp, maxBucket)
+      videoMaxDist, videoMinOverlapBp, maxBucket).localCheckpoint(true)
     val pruned = batchIdx.join(intra.select(col("dup_id").as("media_id")),
       Seq("media_id"), "left_anti")
     val cross = incrementalMediaDups(pruned, history, imageMaxDist,
       audioMaxDist, videoMaxDist, videoMinOverlapBp, maxBucket)
-    val dups = intra.unionByName(cross)
+      .localCheckpoint(true)
+    // the returned verdicts exclude SELF-matches (keep_id == dup_id —
+    // possible only on a foreachBatch REDELIVERY, when a survivor's
+    // own appended index rows match it back): a replayed batch then
+    // gates to the SAME survivor set as the original delivery, so a
+    // batchId-idempotent corpus sink loses nothing whichever of its
+    // writes completed before the failure. The DELTA still excludes
+    // self-matched ids (full `cross`), so redelivery appends nothing.
+    val dups = intra.unionByName(
+      cross.filter(col("dup_id") =!= col("keep_id")))
     val delta = pruned.join(cross.select(col("dup_id").as("media_id")),
       Seq("media_id"), "left_anti")
     (dups, delta)

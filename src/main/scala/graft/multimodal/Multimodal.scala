@@ -52,7 +52,7 @@ object Multimodal {
     * and kind censuses consume. Anything else is "bin": an
     * unrecognized payload must never be guessed into a kind, because
     * every perceptual leg trusts the kind column to route decodes. */
-  private[multimodal] def sniffKind(payload: Array[Byte]): String = {
+  private[graft] def sniffKind(payload: Array[Byte]): String = {
     val pb = bytes(payload)
     def u(i: Int) = pb(i) & 0xff
     def riffForm(a: Char, b: Char, c: Char, d: Char): Boolean =

@@ -109,9 +109,14 @@ object TextIndex {
     * narrow) scan per probe. */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                 seed: Long = 42L): (DataFrame, DataFrame) = {
+                 seed: Long = 42L,
+                 // cache=false for write-once builders (two
+                 // tokenization passes instead of a session-global
+                 // cache entry only clearCache could release)
+                 cache: Boolean = true): (DataFrame, DataFrame) = {
     requireIntegralId(corpus, idCol, "TextIndex.buildIndex")
-    val sets = Dedup.shingleSets(corpus, idCol, textCol, shingleN, "doc")
+    val sets = Dedup.shingleSets(corpus, idCol, textCol, shingleN, "doc",
+        cache = cache)
       .filter(col("shs").isNotNull)
     (bandRowsOf(sets, numHashes, bands, seed), sets)
   }
@@ -138,10 +143,13 @@ object TextIndex {
                           histBands: DataFrame, histSets: DataFrame,
                           shingleN: Int = 3, numHashes: Int = 128,
                           bands: Int = 32, threshold: Double = 0.8,
-                          seed: Long = 42L,
-                          maxBucket: Int = 1000): DataFrame = {
+                          seed: Long = 42L, maxBucket: Int = 1000,
+                          // cacheSets=false for repeated bounded-batch
+                          // callers (the ingestStep parameter doc)
+                          cacheSets: Boolean = true): DataFrame = {
     requireIntegralId(batch, idCol, "TextIndex.incrementalTextDups")
-    val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN, "dup_id")
+    val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN,
+      "dup_id", cache = cacheSets)
     dupsFromSets(bSets, batch.schema(idCol).dataType, histBands, histSets,
       numHashes, bands, threshold, seed, maxBucket)
   }
@@ -214,20 +222,17 @@ object TextIndex {
                          histBands: DataFrame, histSets: DataFrame,
                          shingleN: Int = 3, numHashes: Int = 128,
                          bands: Int = 32, threshold: Double = 0.8,
-                         seed: Long = 42L,
-                         maxBucket: Int = 1000): DataFrame =
+                         seed: Long = 42L, maxBucket: Int = 1000,
+                         cacheSets: Boolean = true): DataFrame =
     batch.join(
       incrementalTextDups(batch, idCol, textCol, histBands, histSets,
-        shingleN, numHashes, bands, threshold, seed, maxBucket)
+        shingleN, numHashes, bands, threshold, seed, maxBucket, cacheSets)
         .select(col("dup_id").as(idCol)),
       Seq(idCol), "left_anti")
 
   /** The INDEX MAINTENANCE step: the survivors' index rows — (band
     * rows, set rows) to append to the persisted relations after
-    * judging a batch. Replay-idempotent (object doc): a redelivered
-    * batch's docs match their own already-appended rows at Jaccard
-    * 1.0 and the delta is empty, so foreachBatch redelivery cannot
-    * double-append rows that would shadow future keeper elections.
+    * judging a batch. Replay-idempotent ([[ingestStep]]'s contract).
     * NULL-text docs are excluded (never indexable). Same parameters
     * as the judge — the appended rows must band identically to the
     * build. */
@@ -249,7 +254,30 @@ object TextIndex {
     * verification join, and the survivor delta). A production sink
     * appends the delta to the two index paths its history functions
     * re-read — no recomputation, and redelivered batches append
-    * nothing (object doc). */
+    * nothing.
+    *
+    * Replay idempotency is guaranteed by TWO independent mechanisms:
+    * a redelivered doc usually matches its own appended rows at
+    * Jaccard 1.0 (content identity), but that alone has a hole — a
+    * degenerate doc whose EVERY band bucket is over the census cap
+    * (e.g. >maxBucket identical templated docs already indexed)
+    * produces no candidates and would re-append on every redelivery.
+    * The delta therefore ALSO excludes ids already PRESENT in the
+    * index: presence is detected by streaming the set index's `doc`
+    * column through a BroadcastHashJoin against the broadcast batch
+    * ids (one extra narrow column scan of the index; history rows
+    * still never shuffle — the anti-join-on-id a naive formulation
+    * would shuffle the corpus-sized index for).
+    *
+    * The returned `dups` excludes SELF-matches (keep_id == dup_id —
+    * possible only on replay, when a survivor's own appended rows are
+    * in the index): a replayed batch then yields the SAME survivor
+    * set as the original delivery, so a sink whose corpus append is
+    * batchId-idempotent loses nothing whichever write completed
+    * before the failure. The verdicts are pinned (eager
+    * localCheckpoint — id-sized) before fanning out to the gate and
+    * the two delta relations, so the judge's history scans run ONCE
+    * per batch however many outputs are consumed. */
   def ingestStep(batch: DataFrame, idCol: String, textCol: String,
                  histBands: DataFrame, histSets: DataFrame,
                  shingleN: Int = 3, numHashes: Int = 128,
@@ -265,12 +293,23 @@ object TextIndex {
     requireIntegralId(batch, idCol, "TextIndex.ingestStep")
     val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN,
       "dup_id", cache = cacheSets)
+    // pinned (eager, id-sized): consumed by the self-split below, the
+    // survivor delta, and the caller's gate — one history pass total
     val dups = dupsFromSets(bSets, batch.schema(idCol).dataType, histBands,
       histSets, numHashes, bands, threshold, seed, maxBucket)
+      .localCheckpoint(true)
+    // ids already IN the index (replay detection past the census-cap
+    // hole): index `doc` column streamed against the broadcast batch
+    // id set — batch-bounded output, no history shuffle
+    val present = histSets.select(col("doc").as("dup_id"))
+      .join(broadcast(bSets.select(col("dup_id")).distinct()), Seq("dup_id"))
+      .distinct()
     val survivorSets = bSets
       .filter(col("shs").isNotNull)
-      .join(dups.select(col("dup_id")), Seq("dup_id"), "left_anti")
+      .join(dups.select(col("dup_id")).unionByName(present).distinct(),
+        Seq("dup_id"), "left_anti")
       .withColumnRenamed("dup_id", "doc")
-    (dups, (bandRowsOf(survivorSets, numHashes, bands, seed), survivorSets))
+    (dups.filter(col("dup_id") =!= col("keep_id")),
+      (bandRowsOf(survivorSets, numHashes, bands, seed), survivorSets))
   }
 }

@@ -180,7 +180,16 @@ object StreamingIngestPipeline {
     * that would shadow future keeper elections). A production sink
     * appends the SURVIVORS to the corpus and the DELTA to the index
     * path the `historyIndex` function re-reads — no recomputation of
-    * index rows in the sink. */
+    * index rows in the sink.
+    *
+    * Redelivery contract: the SURVIVOR set replays identically too
+    * (ingestStep excludes self-matches — a survivor matching its own
+    * appended index row is not a duplicate), so a PARTIAL sink
+    * failure (delta appended, corpus append lost, batch redelivered)
+    * re-presents the same survivors instead of silently dropping
+    * them; make the corpus append batchId-idempotent (the standard
+    * foreachBatch discipline) and redelivery is loss- and
+    * duplicate-free in every interleaving. */
   def runMediaIngestIndexed(files: DataFrame, historyIndex: () => DataFrame,
       imageMaxDist: Int = 6, audioMaxDist: Int = 3,
       videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
@@ -243,7 +252,11 @@ object StreamingIngestPipeline {
     * owns ≥ 1 ORIGINAL media object; docs with no non-NULL media
     * carry no media evidence and PASS (keep-the-unparseable). The
     * sink receives (surviving docs, media-index delta, batch id);
-    * the delta is replay-idempotent (ingestStep's contract), and
+    * the delta is replay-idempotent and the DOC verdicts replay
+    * identically (ingestStep excludes self-matches, so a doc whose
+    * media already reached the index through a partially-failed
+    * earlier attempt still reads ORIGINAL on redelivery — make the
+    * doc append batchId-idempotent and no interleaving loses docs);
     * `mediaHistoryIndex` is a FUNCTION re-read per batch for the
     * same append-visibility reason as [[runMediaIngest]]. */
   def runMediaGatedDocs(docs: DataFrame, corpusIndex: DataFrame,

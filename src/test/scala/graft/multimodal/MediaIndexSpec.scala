@@ -122,15 +122,18 @@ class MediaIndexSpec extends SparkSpec {
     delta.select("media_id").as[Long].collect().sorted shouldBe
       Array(1L, 4L)
     // REPLAY (foreachBatch redelivery): append the delta, re-run the
-    // same batch — every row byte-matches its own appended copy, the
-    // delta is EMPTY, the final index is identical
+    // same batch — every survivor byte-matches its own appended copy,
+    // the delta is EMPTY, the final index is identical, AND the
+    // verdicts equal the ORIGINAL delivery's (self-matches are
+    // excluded from dups, so the survivor set replays identically —
+    // a batchId-idempotent corpus sink loses nothing whichever write
+    // completed before a failure)
     val appended = history.unionByName(delta).localCheckpoint(true)
     val (dups2, delta2) = MediaIndex.ingestStep(idx, appended,
       maxBucket = 64)
     delta2.count() shouldBe 0L
-    // the replayed batch's own survivors now read as byte dups of
-    // their appended copies (same ids — self-shadowing, harmless)
-    dups2.filter(col("via") === "byte").count() should be >= 3L
+    dups2.as[(Long, Long, String)].collect().sortBy(_._1) shouldBe Array(
+      (2L, 1L, "byte"), (3L, 100L, "image"))
     // and the raw-media wrapper agrees with the composed step
     MediaIndex.appendSurvivors(history, b, maxBucket = 64)
       .select("media_id").as[Long].collect().sorted shouldBe Array(1L, 4L)

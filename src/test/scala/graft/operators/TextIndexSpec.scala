@@ -124,6 +124,19 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.incrementalTextDups(probe, "doc_id", "text", cBands, cSets,
         maxBucket = Int.MaxValue)
       .select("keep_id").as[Long].collect() shouldBe Array(200L)
+    // the census-cap REPLAY hole is closed by the presence guard: the
+    // capped probe survives and appends; on redelivery its buckets are
+    // STILL over-cap (no self-match can surface), but its id is in
+    // the set index, so the delta must be empty — without the
+    // presence-by-id detection this doc would re-append forever
+    val (_, (db, ds)) = TextIndex.ingestStep(probe, "doc_id", "text",
+      cBands, cSets, maxBucket = 8)
+    ds.select("doc").as[Long].collect() shouldBe Array(1L)
+    val (_, (rb2, rs2)) = TextIndex.ingestStep(probe, "doc_id", "text",
+      cBands.unionByName(db).localCheckpoint(true),
+      cSets.unionByName(ds).localCheckpoint(true), maxBucket = 8)
+    rb2.count() shouldBe 0L
+    rs2.count() shouldBe 0L
     spark.catalog.clearCache()
     // differential: on the benign fixture the production cap changes
     // nothing (the q27-maxDf/q69-maxBucket differential rule)
@@ -164,8 +177,11 @@ class TextIndexSpec extends SparkSpec {
     idx2.sets.select("doc").as[Long].collect().sorted shouldBe
       Array(3L, 100L, 101L, 102L)
     val (dups2, delta2) = idx2.ingest(batch, "doc_id", "text")
+    // verdicts replay IDENTICALLY (doc 3's self-match against its own
+    // appended rows is excluded — the survivor set is stable across
+    // redeliveries) while the delta still appends nothing
     dups2.select("dup_id").as[Long].collect().sorted shouldBe
-      Array(1L, 2L, 3L, 5L) // 3 now matches its own appended rows
+      Array(1L, 2L, 5L)
     delta2._2.count() shouldBe 0L
     spark.catalog.clearCache()
     // compaction is layout-only: verdicts identical from the compacted copy
