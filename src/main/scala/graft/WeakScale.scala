@@ -122,7 +122,7 @@ object WeakScale {
       // grow k× per batch doc, timing candidate fanout instead of
       // history-index growth.
       val textIdxDir =
-        if (!selected("text_incr_q206")) ""
+        if (!selected("text_incr_q206") && !selected("text_ingest_q208")) ""
         else {
           val d = java.nio.file.Files
             .createTempDirectory(s"graft_textidx_$k").toString
@@ -753,6 +753,22 @@ object WeakScale {
           graft.operators.TextIndex.incrementalTextDups(batch, "doc_id",
             "text", spark.read.parquet(s"$textIdxDir/bands"),
             spark.read.parquet(s"$textIdxDir/sets")).count()
+        }),
+        // the FULL ingest step (q208 shape): judge + presence probe +
+        // replay-idempotent delta — what runWithTextIndexGate actually
+        // runs per micro-batch. Adds one narrow `doc`-column scan of
+        // the set index (presence detection) and the delta
+        // derivations on top of the judge above ⇒ expect the same
+        // FLAT curve with a slightly higher constant.
+        ("text_ingest_q208", D, () => {
+          val batch = baseDocs.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              regexp_replace(col("text"), "\\s+", " r0 ").as("text"))
+          val (dups, (db, ds2)) = graft.operators.TextIndex.ingestStep(
+            batch, "doc_id", "text",
+            spark.read.parquet(s"$textIdxDir/bands"),
+            spark.read.parquet(s"$textIdxDir/sets"), cacheSets = false)
+          dups.count() + db.count() + ds2.count()
         }),
         // canonical-URL dedup (q187 shape): the canonical key is a
         // narrow expression; keeper election is ONE groupBy(key)

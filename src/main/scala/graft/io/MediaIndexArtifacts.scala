@@ -1,0 +1,85 @@
+package graft.io
+
+import graft.multimodal.{MediaIndex, Multimodal}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Media-hash-index persistence — [[TextIndexArtifacts]]' twin for
+  * the incremental perceptual media family: the [[MediaIndex]] hash
+  * relation IS parquet state between ingest runs, and the judge's
+  * thresholds (per-kind max Hamming distances, the video overlap
+  * floor, the census cap) must match across runs or verdicts drift
+  * silently between batches. One relation (`<path>/index`, the
+  * [[MediaIndex.mediaHashIndex]] rows) plus a one-row params sidecar
+  * (`<path>/params`). Appends go to the index (the
+  * [[MediaIndex.ingestStep]] delta); params are written once. */
+object MediaIndexArtifacts {
+
+  /** A loaded index: the hash relation plus the judge thresholds it
+    * was operated with. */
+  final case class PersistedMediaIndex(index: DataFrame,
+      imageMaxDist: Int, audioMaxDist: Int, videoMaxDist: Int,
+      videoMinOverlapBp: Int, maxBucket: Int) {
+    /** Batch-internal election + history judge + replay-idempotent
+      * delta over a PINNED batch index relation
+      * ([[MediaIndex.ingestStep]] with the stored thresholds). */
+    def ingest(batchIdx: DataFrame): (DataFrame, DataFrame) =
+      MediaIndex.ingestStep(batchIdx, index, imageMaxDist, audioMaxDist,
+        videoMaxDist, videoMinOverlapBp, maxBucket)
+
+    /** The gate wrapper over raw media ([[MediaIndex
+      * .dedupeAgainstHistory]] — batch pinned inside). */
+    def dedupe(batch: Dataset[Multimodal.Media]): Dataset[Multimodal.Media] =
+      MediaIndex.dedupeAgainstHistory(batch, index, imageMaxDist,
+        audioMaxDist, videoMaxDist, videoMinOverlapBp, maxBucket)
+  }
+
+  /** Index `corpus` and write the artifact. Consumers LOAD (the
+    * TextIndexArtifacts round-trip rule). The index relation is
+    * hash-sized (~50 bytes a row) — payload bytes never reach disk
+    * here. Sorted by fingerprint so parquet row-group stats support
+    * runtime-filter skipping of the byte leg's probes at scale. */
+  def build(path: String, corpus: Dataset[Multimodal.Media],
+            imageMaxDist: Int = 6, audioMaxDist: Int = 3,
+            videoMaxDist: Int = 3, videoMinOverlapBp: Int = 6000,
+            maxBucket: Int = 1024): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    MediaIndex.mediaHashIndex(corpus.localCheckpoint(true))
+      .sortWithinPartitions(col("fp"))
+      .write.mode("overwrite").parquet(s"$path/index")
+    Seq((imageMaxDist, audioMaxDist, videoMaxDist, videoMinOverlapBp,
+        maxBucket))
+      .toDF("image_max_dist", "audio_max_dist", "video_max_dist",
+        "video_min_overlap_bp", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Append an ingest delta ([[MediaIndex.ingestStep]]'s second
+    * result — replay-idempotent upstream). */
+  def append(path: String, delta: DataFrame): Unit =
+    delta.sortWithinPartitions(col("fp"))
+      .write.mode("append").parquet(s"$path/index")
+
+  def load(spark: SparkSession, path: String): PersistedMediaIndex = {
+    val p = spark.read.parquet(s"$path/params").collect()
+    require(p.length == 1, s"expected one params row at $path, got ${p.length}")
+    val r = p.head
+    PersistedMediaIndex(spark.read.parquet(s"$path/index"),
+      r.getAs[Int]("image_max_dist"), r.getAs[Int]("audio_max_dist"),
+      r.getAs[Int]("video_max_dist"), r.getAs[Int]("video_min_overlap_bp"),
+      r.getAs[Int]("max_bucket"))
+  }
+
+  /** Layout-only compaction of append piles (the TextIndexArtifacts
+    * compact discipline: write-to-side, caller swaps by rename). */
+  def compact(spark: SparkSession, fromPath: String, toPath: String,
+              files: Int = 32): Unit = {
+    spark.read.parquet(s"$fromPath/index")
+      .repartition(files, col("fp"))
+      .sortWithinPartitions(col("fp"))
+      .write.mode("overwrite").parquet(s"$toPath/index")
+    spark.read.parquet(s"$fromPath/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$toPath/params")
+  }
+}
