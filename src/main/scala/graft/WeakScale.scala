@@ -736,6 +736,49 @@ object WeakScale {
             .agg(count(lit(1))).collect()
           docs.count()
         }),
+        // the FULL media ingest step: intra-batch election + history
+        // judge + replay-idempotent delta — what runMediaIngestIndexed
+        // runs per micro-batch (the text_ingest row's media twin).
+        // Same hash-level synthesis as media_incr_q204; the batch pin
+        // (eager checkpoint) is part of the shipped step and is timed.
+        ("media_ingest", D, () => {
+          import graft.multimodal.MediaIndex
+          val histIdx = docs.select(
+            col("doc_id").as("media_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+            md5(concat(lit("h"), col("doc_id").cast("string"))).as("fp"),
+            when(col("doc_id") % 3 === 0,
+              xxhash64(lit("a"), col("doc_id"))).as("ahash"),
+            when(col("doc_id") % 3 === 0,
+              xxhash64(lit("d"), col("doc_id"))).as("dhash"),
+            when(col("doc_id") % 3 === 1,
+              xxhash64(lit("e"), col("doc_id"))).as("ehash"),
+            when(col("doc_id") % 3 === 2,
+              transform(sequence(lit(0), lit(5)),
+                f => xxhash64(lit("f"), col("doc_id"), f))).as("fhashes"))
+          val batchIdx = baseDocs.filter(col("doc_id") % 3 === 0)
+            .select(
+              (col("doc_id") + 900000000L).as("media_id"),
+              element_at(array(lit("image"), lit("audio"), lit("video")),
+                (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+              // every other batch object byte-matches history replica
+              // 0; a third of the rest byte-dups ANOTHER batch object
+              // (the intra-batch election's work)
+              when(col("doc_id") % 2 === 0,
+                md5(concat(lit("h"), col("doc_id").cast("string"))))
+                .when(col("doc_id") % 6 === 3,
+                  md5(concat(lit("b"), (col("doc_id") + 6).cast("string"))))
+                .otherwise(md5(concat(lit("b"),
+                  col("doc_id").cast("string")))).as("fp"),
+              xxhash64(lit("a"), col("doc_id") + 500000000L).as("ahash"),
+              xxhash64(lit("d"), col("doc_id") + 500000000L).as("dhash"),
+              lit(null).cast("long").as("ehash"),
+              lit(null).cast("array<long>").as("fhashes"))
+            .localCheckpoint(true)
+          val (dups, delta) = MediaIndex.ingestStep(batchIdx, histIdx)
+          dups.count() + delta.count()
+        }),
         // incremental TEXT near-dup (q206 shape): the production axis
         // is HISTORY (the persisted band+set index, prebuilt to
         // parquet above) — the batch is fixed (~2.5k r0-salted docs,
