@@ -763,11 +763,16 @@ object WeakScale {
               element_at(array(lit("image"), lit("audio"), lit("video")),
                 (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
               // every other batch object byte-matches history replica
-              // 0; a third of the rest byte-dups ANOTHER batch object
-              // (the intra-batch election's work)
+              // 0; %12==3 rows take their +6 partner's fp — and that
+              // partner (%12==9, odd, so it falls through to the
+              // .otherwise branch md5('b'+id)) actually EXISTS in the
+              // batch, so the pairs genuinely collide and the
+              // intra-batch election does real work every rung (a
+              // %6==3 rule would put BOTH ends of each pair on the
+              // 'b'+(id+6) form — a chain where no two fps ever meet)
               when(col("doc_id") % 2 === 0,
                 md5(concat(lit("h"), col("doc_id").cast("string"))))
-                .when(col("doc_id") % 6 === 3,
+                .when(col("doc_id") % 12 === 3,
                   md5(concat(lit("b"), (col("doc_id") + 6).cast("string"))))
                 .otherwise(md5(concat(lit("b"),
                   col("doc_id").cast("string")))).as("fp"),
@@ -936,8 +941,12 @@ object WeakScale {
       // accumulates k-times-replicated parquet piles across rungs
       if (textIdxDir.nonEmpty) {
         def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).forEach(rm(_))
+          if (java.nio.file.Files.isDirectory(p)) {
+            // Files.list holds the directory handle until CLOSED — an
+            // unclosed stream leaks one fd per directory level
+            val s = java.nio.file.Files.list(p)
+            try s.forEach(rm(_)) finally s.close()
+          }
           java.nio.file.Files.deleteIfExists(p); ()
         }
         rm(java.nio.file.Paths.get(textIdxDir))

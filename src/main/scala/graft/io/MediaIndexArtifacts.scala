@@ -56,9 +56,14 @@ object MediaIndexArtifacts {
   }
 
   /** Append an ingest delta ([[MediaIndex.ingestStep]]'s second
-    * result — replay-idempotent upstream). */
+    * result — replay-idempotent upstream). `media_id` is normalized
+    * to LONG (the TextIndexArtifacts build rule): a caller
+    * synthesizing int ids would otherwise leave mixed INT32/INT64
+    * files in one directory, and parquet schema inference reads one
+    * footer. */
   def append(path: String, delta: DataFrame): Unit =
-    delta.sortWithinPartitions(col("fp"))
+    delta.withColumn("media_id", col("media_id").cast("long"))
+      .sortWithinPartitions(col("fp"))
       .write.mode("append").parquet(s"$path/index")
 
   def load(spark: SparkSession, path: String): PersistedMediaIndex = {

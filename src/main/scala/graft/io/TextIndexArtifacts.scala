@@ -71,10 +71,17 @@ object TextIndexArtifacts {
     // sorted within partitions so parquet row-group min/max stats on
     // (band, sig) support runtime-filter row-group skipping at scale
     // (the TextIndex.buildIndex deployment note); correctness never
-    // depends on the layout
-    b.sortWithinPartitions(col("band"), col("sig"))
+    // depends on the layout. Ids normalized to LONG on disk (the
+    // append note below): the judge accepts int OR long batches, and
+    // without one stable on-disk type an int-id build followed by a
+    // long-id append (or vice versa) leaves mixed INT32/INT64 files
+    // in one directory — parquet schema inference then reads from
+    // one footer and can mis-read or fail on the others.
+    b.withColumn("doc", col("doc").cast("long"))
+      .sortWithinPartitions(col("band"), col("sig"))
       .write.mode("overwrite").parquet(s"$path/bands")
-    s.write.mode("overwrite").parquet(s"$path/sets")
+    s.withColumn("doc", col("doc").cast("long"))
+      .write.mode("overwrite").parquet(s"$path/sets")
     Seq((shingleN, numHashes, bands, seed, threshold, maxBucket))
       .toDF("shingle_n", "num_hashes", "bands", "seed", "threshold",
         "max_bucket")
@@ -83,11 +90,15 @@ object TextIndexArtifacts {
 
   /** Append an ingest delta ([[TextIndex.ingestStep]]'s second
     * result) — replay-idempotent upstream, plain parquet appends
-    * here. Band-row appends keep the sorted-write discipline. */
+    * here. Band-row appends keep the sorted-write discipline, and
+    * the id column is normalized to LONG (the build rule: one stable
+    * on-disk schema however the caller keys its batches). */
   def append(path: String, delta: (DataFrame, DataFrame)): Unit = {
-    delta._1.sortWithinPartitions(col("band"), col("sig"))
+    delta._1.withColumn("doc", col("doc").cast("long"))
+      .sortWithinPartitions(col("band"), col("sig"))
       .write.mode("append").parquet(s"$path/bands")
-    delta._2.write.mode("append").parquet(s"$path/sets")
+    delta._2.withColumn("doc", col("doc").cast("long"))
+      .write.mode("append").parquet(s"$path/sets")
   }
 
   def load(spark: SparkSession, path: String): PersistedTextIndex = {

@@ -56,11 +56,15 @@ import org.apache.spark.sql.functions._
   * Jaccard against some history doc is ≥ `threshold`; keeper = the
   * smallest matching history id (carrying that pair's Jaccard). NULL
   * text carries no signature and passes (its content is UNKNOWN, the
-  * [[Dedup.exact]] singleton rule). Batch-INTERNAL duplicates are the
-  * batch operators' job ([[Dedup.exact]] / [[Dedup.minhashPairs]]) —
-  * this judge compares only across the batch/history boundary, so the
-  * two compose: dedupe the batch internally, judge it against
-  * history, append the survivors' index rows.
+  * [[Dedup.exact]] singleton rule). The bare judge
+  * ([[incrementalTextDups]]) compares only across the batch/history
+  * boundary; [[ingestStep]] COMPOSES the batch-internal near-dup
+  * election before it (the [[graft.multimodal.MediaIndex
+  * .intraBatchDups]] composition), because the streamed micro-batch
+  * path has no other defense against two REWORDED copies of one
+  * fresh doc arriving together — the in-stream fingerprint dedup is
+  * exact-only, so without the election both would survive and BOTH
+  * enter the index.
   *
   * Replay idempotency (foreachBatch redelivers on failure): a
   * replayed batch's docs exact-match their own appended index rows at
@@ -216,6 +220,37 @@ object TextIndex {
         round(col("__k.__j"), 6).as("jaccard"))
   }
 
+  /** Batch-INTERNAL near-dup election over the precomputed batch set
+    * relation — the [[graft.multimodal.MediaIndex.intraBatchDups]]
+    * twin for text, composed by [[ingestStep]] BEFORE the history
+    * judge: two reworded copies of one fresh doc arriving in a single
+    * micro-batch must admit one survivor and one set of index rows,
+    * not two. Pure within-corpus LSH over batch-bounded relations
+    * ([[Dedup.minhashCandidates]] → exact-Jaccard verification — the
+    * [[Dedup.minhashPairs]] chain sharing the step's one tokenization
+    * pass): one bucket shuffle over batch band rows, one candidate
+    * verification join, one election groupBy — all batch-sized, so
+    * the composition leaves the step's FLAT-vs-history ladder
+    * untouched. Election rule: a doc is a dup iff some SMALLER batch
+    * id matches it at ≥ threshold; keeper = the smallest such
+    * directly-matching id (pairwise — a chain A~B~C with A≁C keeps A,
+    * drops B and C: B to A, C to B — the family's greedy rule, which
+    * never wrongly merges and is exactly replayable in SQL, unlike a
+    * transitive closure). NULL-text docs carry no signature and never
+    * participate. */
+  private def intraDupsFromSets(bSets: DataFrame, numHashes: Int,
+                                bands: Int, threshold: Double, seed: Long,
+                                maxBucket: Int): DataFrame =
+    Dedup.verifyJaccard(
+        Dedup.minhashCandidates(
+          Dedup.minhashSignaturesFromSets(bSets, numHashes, seed),
+          bands, maxBucket),
+        "id_a", "id_b", bSets, bSets, threshold)
+      .groupBy(col("id_b").as("dup_id"))
+      .agg(min(struct(col("id_a"), col("jaccard"))).as("__k"))
+      .select(col("dup_id"), col("__k.id_a").as("keep_id"),
+        col("__k.jaccard").as("jaccard"))
+
   /** The gate wrapper: the batch with every history near-duplicate
     * dropped — what a streaming ingest appends to the corpus. */
   def dedupeAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
@@ -246,15 +281,17 @@ object TextIndex {
       numHashes, bands, threshold, seed, maxBucket)._2
 
   /** ONE ingest step (the [[graft.multimodal.MediaIndex.ingestStep]]
-    * twin for text): judge the batch against the persisted index and
-    * return BOTH the verdicts and the replay-idempotent index delta —
-    * (dups (dup_id, keep_id, jaccard), (band-row delta, set-row
+    * twin for text): batch-internal near-dup election
+    * ([[intraDupsFromSets]]), then the history judge over the
+    * internal keepers, returning BOTH the verdicts and the
+    * replay-idempotent index delta — (dups (dup_id, keep_id,
+    * jaccard) = internal ∪ cross-history, (band-row delta, set-row
     * delta)). The batch pays ONE tokenization pass for everything
-    * (the persisted shingle sets feed the signature kernel, the
-    * verification join, and the survivor delta). A production sink
-    * appends the delta to the two index paths its history functions
-    * re-read — no recomputation, and redelivered batches append
-    * nothing.
+    * (the persisted shingle sets feed the intra election's signature
+    * kernel, the history judge, both verification joins, and the
+    * survivor delta). A production sink appends the delta to the two
+    * index paths its history functions re-read — no recomputation,
+    * and redelivered batches append nothing.
     *
     * Replay idempotency is guaranteed by TWO independent mechanisms:
     * a redelivered doc usually matches its own appended rows at
@@ -274,10 +311,16 @@ object TextIndex {
     * in the index): a replayed batch then yields the SAME survivor
     * set as the original delivery, so a sink whose corpus append is
     * batchId-idempotent loses nothing whichever write completed
-    * before the failure. The verdicts are pinned (eager
-    * localCheckpoint — id-sized) before fanning out to the gate and
-    * the two delta relations, so the judge's history scans run ONCE
-    * per batch however many outputs are consumed. */
+    * before the failure. The intra election is what makes that
+    * contract hold for batch-INTERNAL near-dup pairs too: it judges
+    * the same batch content identically on every delivery, BEFORE
+    * any appended rows can reshape the verdicts (without it, a
+    * reworded pair {A, B} would both survive on first delivery, then
+    * on redelivery B would match A's appended rows and silently drop
+    * from a partially-failed corpus append). The verdicts are pinned
+    * (eager localCheckpoint — id-sized) before fanning out to the
+    * gate and the two delta relations, so the judge's history scans
+    * run ONCE per batch however many outputs are consumed. */
   def ingestStep(batch: DataFrame, idCol: String, textCol: String,
                  histBands: DataFrame, histSets: DataFrame,
                  shingleN: Int = 3, numHashes: Int = 128,
@@ -293,23 +336,33 @@ object TextIndex {
     requireIntegralId(batch, idCol, "TextIndex.ingestStep")
     val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN,
       "dup_id", cache = cacheSets)
+    // batch-internal election FIRST (pinned — eager, id-sized:
+    // consumed by the prune below and the returned verdicts); its
+    // losers never reach the history judge, exactly as
+    // MediaIndex.ingestStep prunes before its cross judge
+    val intra = intraDupsFromSets(bSets, numHashes, bands, threshold,
+      seed, maxBucket).localCheckpoint(true)
+    val pruned = bSets.join(intra.select(col("dup_id")),
+      Seq("dup_id"), "left_anti")
     // pinned (eager, id-sized): consumed by the self-split below, the
     // survivor delta, and the caller's gate — one history pass total
-    val dups = dupsFromSets(bSets, batch.schema(idCol).dataType, histBands,
-      histSets, numHashes, bands, threshold, seed, maxBucket)
+    val cross = dupsFromSets(pruned, batch.schema(idCol).dataType,
+      histBands, histSets, numHashes, bands, threshold, seed, maxBucket)
       .localCheckpoint(true)
     // ids already IN the index (replay detection past the census-cap
     // hole): index `doc` column streamed against the broadcast batch
-    // id set — batch-bounded output, no history shuffle
+    // id set — batch-bounded output, no history shuffle. Pruned ids
+    // only: intra losers never append, so their presence is moot.
     val present = histSets.select(col("doc").as("dup_id"))
-      .join(broadcast(bSets.select(col("dup_id")).distinct()), Seq("dup_id"))
+      .join(broadcast(pruned.select(col("dup_id")).distinct()),
+        Seq("dup_id"))
       .distinct()
-    val survivorSets = bSets
+    val survivorSets = pruned
       .filter(col("shs").isNotNull)
-      .join(dups.select(col("dup_id")).unionByName(present).distinct(),
+      .join(cross.select(col("dup_id")).unionByName(present).distinct(),
         Seq("dup_id"), "left_anti")
       .withColumnRenamed("dup_id", "doc")
-    (dups.filter(col("dup_id") =!= col("keep_id")),
+    (intra.unionByName(cross.filter(col("dup_id") =!= col("keep_id"))),
       (bandRowsOf(survivorSets, numHashes, bands, seed), survivorSets))
   }
 }

@@ -207,7 +207,7 @@ object TrainingCorpusPipeline {
           qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None,
           urlBlocklist: Option[DataFrame] = None,
           media: Option[DataFrame] = None,
-          textNearDupIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+          textNearDupIndex: Option[graft.io.TextIndexArtifacts.PersistedTextIndex] = None): DataFrame = {
     // config sanity: the htmlCol path drops htmlCol after joining the
     // extracted text in as textCol — htmlCol colliding with either
     // role column would silently delete the column every later stage
@@ -323,19 +323,20 @@ object TrainingCorpusPipeline {
     }
 
     // 0.5 (opt-in) incremental NEAR-dup gate vs the persisted MinHash
-    // band index (TextIndex — the (band rows, set rows) parquet
-    // relations a previous run built/appended): reworded/re-encoded
-    // re-crawls of already-kept documents drop here, which the exact
-    // Bloom gate above is blind to by construction. Seated right
-    // after the exact gate, before any per-doc scoring: history
-    // streams map-side (never shuffles — the q206 plan contract), so
-    // this costs the batch-side banding plus three narrow index scans
-    // however large the accumulated corpus is.
+    // band index (a TextIndexArtifacts.PersistedTextIndex — the
+    // (band rows, set rows) parquet relations a previous run
+    // built/appended, LOADED so the judge runs with the parameters
+    // the index was built with: an index built under a different
+    // seed/shingle width bands and scores differently, and a silent
+    // mismatch would pass everything): reworded/re-encoded re-crawls
+    // of already-kept documents drop here, which the exact Bloom gate
+    // above is blind to by construction. Seated right after the exact
+    // gate, before any per-doc scoring: history streams map-side
+    // (never shuffles — the q206 plan contract), so this costs the
+    // batch-side banding plus three narrow index scans however large
+    // the accumulated corpus is.
     val freshNear = textNearDupIndex match {
-      case Some((hBands, hSets)) =>
-        graft.operators.TextIndex.dedupeAgainstIndex(fresh, idCol,
-          textCol, hBands, hSets, cfg.shingleN, cfg.numHashes, cfg.bands,
-          cfg.nearDupThreshold)
+      case Some(index) => index.dedupe(fresh, idCol, textCol)
       case None => fresh
     }
 

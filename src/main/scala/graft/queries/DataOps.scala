@@ -1998,6 +1998,26 @@ object DataOps {
                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
                 FROM $rel))"""
 
+  /** Exact WITHIN-relation Jaccard pairs at ≥ 0.8 over shingle
+    * relation `a`, dup = the LARGER id of each pair, with per-dup
+    * smallest-direct-match keeper election — the SQL replay of
+    * [[graft.operators.TextIndex]]'s batch-internal election
+    * (ingestStep's intra leg). */
+  private def intraJaccardSql(a: String, out: String): String = s"""
+      ${out}_i AS (
+        SELECT x.id AS dup_id, y.id AS hid, count(*) AS isect
+        FROM $a x JOIN $a y ON x.s = y.s AND x.id > y.id GROUP BY 1, 2),
+      ${out}_sz AS (SELECT id, count(*) AS sz FROM $a GROUP BY id),
+      $out AS (
+        SELECT dup_id, hid,
+               CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) AS jac,
+               row_number() OVER (PARTITION BY dup_id
+                 ORDER BY hid) AS rn
+        FROM ${out}_i
+        JOIN ${out}_sz sa ON sa.id = ${out}_i.dup_id
+        JOIN ${out}_sz sb ON sb.id = ${out}_i.hid
+        WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= 0.8)"""
+
   /** Exact cross-corpus Jaccard pairs at ≥ 0.8 between shingle
     * relations `a` (the batch side) and `b` (the index side), with
     * per-dup keeper election — the q206 oracle tail, shared by q208's
@@ -2030,7 +2050,15 @@ object DataOps {
     * including the survivor election between them. Reversed-token
     * texts are fresh BY CONSTRUCTION (a reversed 3-gram is a
     * different string) yet share the original's length statistics —
-    * realistic fresh content, not sentinel strings. */
+    * realistic fresh content, not sentinel strings. The oracle also
+    * replays ingestStep's batch-INTERNAL election (pairwise: dup =
+    * any doc with a smaller batch match at ≥ 0.8, keeper = its
+    * smallest direct match; losers pruned before the history judge
+    * and never appended): the documents table plants near-dup pairs
+    * at some SFs, and b1 inherits them twice (original-original AND
+    * reversed-reversed — reversal preserves pairwise Jaccard), so
+    * the intra leg is exercised wherever the data provides pairs and
+    * provably empty where it doesn't. */
   private val q208 = QuerySpec(
     "q208_text_index_two_cycles",
     (s, dir) => {
@@ -2081,20 +2109,31 @@ object DataOps {
         FROM documents WHERE doc_id < 100),
       sh_hist AS (${shingleSql("hist")}),
       sh_b1 AS (${shingleSql("b1")}),
-      ${crossJaccardSql("sh_b1", "sh_hist", "d1")},
+      ${intraJaccardSql("sh_b1", "i1")},
+      sh_pb1 AS (
+        SELECT * FROM sh_b1
+        WHERE id NOT IN (SELECT dup_id FROM i1)),
+      ${crossJaccardSql("sh_pb1", "sh_hist", "d1")},
       surv1 AS (
         SELECT id, text FROM b1
-        WHERE id NOT IN (SELECT dup_id FROM d1)),
+        WHERE id NOT IN (SELECT dup_id FROM i1)
+          AND id NOT IN (SELECT dup_id FROM d1)),
       idx2 AS (
         SELECT id, text FROM hist
         UNION ALL SELECT id, text FROM surv1),
       sh_idx2 AS (${shingleSql("idx2")}),
       sh_b2 AS (${shingleSql("b2")}),
       ${crossJaccardSql("sh_b2", "sh_idx2", "d2")}
-      SELECT 1 AS cycle, dup_id, hid AS keep_id, round(jac, 6) AS jaccard
+      SELECT CAST(1 AS BIGINT) AS cycle, dup_id, hid AS keep_id,
+             round(jac, 6) AS jaccard
+      FROM i1 WHERE rn = 1
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS cycle, dup_id, hid AS keep_id,
+             round(jac, 6) AS jaccard
       FROM d1 WHERE rn = 1
       UNION ALL
-      SELECT 2 AS cycle, dup_id, hid AS keep_id, round(jac, 6) AS jaccard
+      SELECT CAST(2 AS BIGINT) AS cycle, dup_id, hid AS keep_id,
+             round(jac, 6) AS jaccard
       FROM d2 WHERE rn = 1
       ORDER BY cycle, dup_id"""))
 

@@ -149,6 +149,51 @@ class TextIndexSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ingestStep composes the batch-internal election: a reworded pair in ONE micro-batch admits one survivor and one set of index rows; redelivery replays the identical survivor set") {
+    // 30 tokens (the `base` sizing): the one-word rewording lands at
+    // Jaccard 25/31 ≈ 0.806, just above threshold — and shares no
+    // vocabulary with `history`, so BOTH copies are fresh vs the index
+    val fresh = "salvage crews raised the sunken ferry hull from the " +
+      "harbor floor at dawn while engineers checked ballast tanks and " +
+      "divers secured lifting straps under the slow turning winter tide mark"
+    val b = Seq((10L, fresh), (11L, fresh.replace("harbor", "marina")))
+      .toDF("doc_id", "text")
+    val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")
+    val (dups, (db, ds)) = TextIndex.ingestStep(b, "doc_id", "text",
+      hBands, hSets)
+    // the larger id loses to its smaller batch partner BEFORE the
+    // history judge ever sees it; exactly ONE copy reaches the index
+    dups.select("dup_id", "keep_id").as[(Long, Long)].collect() shouldBe
+      Array((11L, 10L))
+    ds.select("doc").as[Long].collect() shouldBe Array(10L)
+    db.select("doc").distinct().as[Long].collect() shouldBe Array(10L)
+    // the ADVICE replay scenario: index append COMPLETED, corpus
+    // append lost, batch redelivered — without the intra election the
+    // reworded copy would now match its partner's appended rows
+    // (keeper 10 ≠ 11) and silently vanish from the corpus while its
+    // rows shadow future re-crawls; with it, the verdicts and the
+    // survivor set replay identically and the delta is empty
+    val hb2 = hBands.unionByName(db).localCheckpoint(true)
+    val hs2 = hSets.unionByName(ds).localCheckpoint(true)
+    val (rdups, (rb, rs)) = TextIndex.ingestStep(b, "doc_id", "text",
+      hb2, hs2)
+    rdups.select("dup_id", "keep_id").as[(Long, Long)].collect() shouldBe
+      Array((11L, 10L))
+    rb.count() shouldBe 0L
+    rs.count() shouldBe 0L
+    // cross-boundary cases unchanged: the original batch's history
+    // dups still flag with HISTORY keepers where no smaller batch
+    // partner exists (doc 1 — the smallest of its intra cluster)
+    val (mix, _) = TextIndex.ingestStep(batch, "doc_id", "text",
+      hBands, hSets)
+    val byId = mix.select("dup_id", "keep_id").as[(Long, Long)]
+      .collect().toMap
+    byId(1L) shouldBe 100L // cluster minimum → judged against history
+    byId(2L) shouldBe 1L   // intra losers elect their batch keeper
+    byId(5L) shouldBe 1L
+    spark.catalog.clearCache()
+  }
+
   test("TextIndexArtifacts: build → load carries the parameters; append + compact preserve verdicts exactly") {
     import graft.io.TextIndexArtifacts
     val dir = java.nio.file.Files.createTempDirectory("graft_tia").toString

@@ -111,12 +111,15 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     val historic = pool.filter(pmod(col("doc_id"), lit(2)) === 0)
     val crawl = pool.filter(pmod(col("doc_id"), lit(2)) =!= 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_tcp_tidx")
-    val (hb, hs) = graft.operators.TextIndex.buildIndex(
-      historic, "doc_id", "text")
-    hb.write.parquet(s"$dir/bands"); hs.write.parquet(s"$dir/sets")
+    // PERSISTED via the artifact layer (production state shape): the
+    // loaded index carries its own build parameters — a non-default
+    // seed here would band differently, and passing the relations
+    // without the params sidecar is exactly the silent-pass
+    // misconfiguration the PersistedTextIndex parameter type closes
+    graft.io.TextIndexArtifacts.build(s"$dir/idx", historic,
+      "doc_id", "text")
     spark.catalog.clearCache()
-    val idx = (spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/sets"))
+    val idx = graft.io.TextIndexArtifacts.load(spark, s"$dir/idx")
     val out3 = TrainingCorpusPipeline.run(crawl, holdout, "doc_id", "text",
       cfg, textNearDupIndex = Some(idx))
     val survivors = crawl.join(out3.select("doc_id").distinct(),
