@@ -760,6 +760,66 @@ object WarcRecords {
         col("warc_date").cast("timestamp").as("mtime"))
   }
 
+  /** The SHARED single-pass splitter: archive rows → EVERY routable
+    * response record, each routed by its stripped body's content into
+    * doc-or-media territory — (rec_id, kind ∈ {'doc','image','audio',
+    * 'video'}, url, mtime, text — the UTF-8 body for docs / NULL for
+    * media, payload — the body bytes for media / NULL for docs).
+    *
+    * Why this exists when [[toCrawlDocs]] and [[toCrawlMedia]] already
+    * partition the archive by content: each calls [[splitRecords]]
+    * itself, so a pipeline consuming BOTH legs pays the archive
+    * inflate + record parse TWICE — and at crawl scale decompression
+    * is the dominant ingest cost. This operator runs the scanner
+    * ONCE and routes every record in the same narrow pass that strips
+    * its HTTP envelope and sniffs its magic; the doc and media legs
+    * are then column selections of one relation (one scan subtree in
+    * the plan — the [[graft.pipelines.StreamingIngestPipeline
+    * .runArchiveIngest]] shape).
+    *
+    * Semantics are EXACTLY the two legs' (spec-pinned): media rows ≡
+    * [[toCrawlMedia]] (strip-then-sniff routing, body bytes out,
+    * per-record `WARC-Date` as `mtime`); doc rows carry the UTF-8
+    * decode of the stripped body — [[toCrawlDocs]]' text for every
+    * record whose body is not a recognized media kind (cutting bytes
+    * then decoding equals decoding then cutting: the CRLF-CRLF
+    * separator bytes can never sit inside a multi-byte UTF-8
+    * sequence, continuation bytes are ≥ 0x80). `rec_id` is the
+    * shared (archive, position) id rule, so doc/media relations
+    * derived here agree id-for-id with the single-leg operators.
+    * Docs get the per-record event time too — what lets the routed
+    * stream watermark both legs off one column.
+    *
+    * Scale shape: [[splitRecords]]' narrow streaming scan + exactly
+    * ONE byte-level strip/sniff per record (typed mapPartitions — the
+    * toCrawlMedia pushdown lesson); payloads never shuffle. */
+  def toCrawlRecordsRouted(archives: DataFrame, keyCol: String = "path",
+                           contentCol: String = "content"): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    splitRecords(archives, keyCol, contentCol)
+      .filter(col("target_uri").isNotNull &&
+        (col("warc_type").isNull || col("warc_type") === "response"))
+      .select(xxhash64(col(keyCol), col("record_idx")).as("rec_id"),
+        col("payload"), col("target_uri").as("url"), col("warc_date"))
+      .as[(Long, Array[Byte], String, String)]
+      .mapPartitions(_.map { case (id, raw, url, date) =>
+        val body = stripHttpEnvelopeBytes(raw)
+        graft.multimodal.Multimodal.sniffKind(body) match {
+          case "bin" =>
+            (id, "doc", url, date,
+              if (body == null) null
+              else new String(body, java.nio.charset.StandardCharsets.UTF_8),
+              null: Array[Byte])
+          case kind => (id, kind, url, date, null: String, body)
+        }
+      })
+      .toDF("rec_id", "kind", "url", "warc_date", "text", "payload")
+      .select(col("rec_id"), col("kind"), col("url"),
+        col("warc_date").cast("timestamp").as("mtime"), col("text"),
+        col("payload"))
+  }
+
   def toCrawlDocsTimed(archives: DataFrame, tsCol: String = "ts"): DataFrame = {
     // a NULL mtime must still contribute the separator (concat_ws
     // SKIPS nulls — the path would then parse back empty and every

@@ -1303,6 +1303,86 @@ object CurationOps {
       FROM documents WHERE doc_id < 300 AND doc_id % 5 <> 3
       ORDER BY url"""))
 
+  /** q209: the SHARED single-pass crawl splitter
+    * ([[graft.io.WarcRecords.toCrawlRecordsRouted]]) — ONE
+    * content-length scan routes every response record by its stripped
+    * body's magic into doc-or-media territory, where composing the
+    * two single-leg operators (q180's text leg + q207's media leg)
+    * would inflate and parse every archive TWICE — at crawl scale
+    * decompression dominates ingest cost, so the routed split is the
+    * plan shape [[graft.pipelines.StreamingIngestPipeline
+    * .runArchiveIngest]] runs per micro-batch. Six record classes in
+    * one archive mix: a real PNG, a RIFF/WAVE track, the GFV1 frame
+    * container, plain HTML (→ doc, text carried through), an
+    * HTTP-ENVELOPED PNG (→ image ONLY because the byte-level strip
+    * runs before the sniff), and an HTTP-ENVELOPED HTML page (→ doc
+    * whose TEXT is the stripped body — the doc-side envelope cut
+    * pinned in the same pass). The oracle replays the class→kind map,
+    * both doc classes' exact text, and the per-record WARC-Date. */
+  private val q209 = QuerySpec(
+    "q209_warc_routed_split",
+    (s, dir) => {
+      import graft.multimodal.{AudioWave, Multimodal, PerceptualHash}
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val mkRec = udf((id: Long) => {
+        val g = id / 6
+        val payload: Array[Byte] = (id % 6) match {
+          case 0 => PerceptualHash.renderGrayImage(16, 16, g, g % 5 + 1,
+            g % 11 + 1, 0, 0, "png")
+          case 1 => AudioWave.writeWav(
+            Array.tabulate(256)(t => (((g + t) % 64 - 32) * 256).toInt),
+            16000, 16)
+          case 2 => Multimodal.packImageFrames(Seq(
+            PerceptualHash.renderGrayImage(16, 16, g, 2, 3, 0, 0, "png")))
+          case 3 =>
+            s"<html><body><p>plain page $g</p></body></html>"
+              .getBytes("UTF-8")
+          case 4 =>
+            val png = PerceptualHash.renderGrayImage(16, 16, g + 7,
+              g % 5 + 1, g % 11 + 1, 0, 0, "png")
+            ("HTTP/1.1 200 OK\r\n" +
+              "Content-Type: application/octet-stream\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ png
+          case _ =>
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+              s"<html><body><p>enveloped page $g</p></body></html>")
+              .getBytes("ISO-8859-1")
+        }
+        (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: https://r.example/$id\r\n" +
+          "WARC-Date: 2026-01-02T03:04:05Z\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n")
+          .getBytes("ISO-8859-1") ++
+          payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      })
+      val concatBytes = udf((rs: Seq[Array[Byte]]) => rs.flatten.toArray)
+      val archives = docs
+        .select((col("doc_id") % 10).as("aid"), col("doc_id"),
+          mkRec(col("doc_id")).as("rec"))
+        .groupBy(col("aid"))
+        .agg(concatBytes(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec"))).as("content"))
+      graft.io.WarcRecords.toCrawlRecordsRouted(archives, "aid", "content")
+        .select(col("url"), col("kind"), col("text"),
+          unix_micros(col("mtime")).as("mtime_us"))
+        .orderBy(col("url"))
+    },
+    oracle = Some("""
+      SELECT 'https://r.example/' || CAST(doc_id AS VARCHAR) AS url,
+             CASE doc_id % 6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  WHEN 2 THEN 'video' WHEN 3 THEN 'doc' WHEN 4 THEN 'image'
+                  ELSE 'doc' END AS kind,
+             CASE doc_id % 6
+               WHEN 3 THEN '<html><body><p>plain page '
+                 || CAST(doc_id // 6 AS VARCHAR) || '</p></body></html>'
+               WHEN 5 THEN '<html><body><p>enveloped page '
+                 || CAST(doc_id // 6 AS VARCHAR) || '</p></body></html>'
+               ELSE NULL END AS text,
+             epoch_us(TIMESTAMP '2026-01-02 03:04:05') AS mtime_us
+      FROM documents WHERE doc_id < 300
+      ORDER BY url"""))
+
   /** The q186/q187 messy-URL mix: every canonicalization rule class —
     * upper-case scheme/host + default https port + tracker + fragment
     * (0), default http port + shuffled params (1), already canonical
@@ -1566,5 +1646,5 @@ object CurationOps {
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
       q134, q144, q148, q150, q156, q173, q174, q175, q176, q179, q180,
-      q186, q187, q188, q189, q207)
+      q186, q187, q188, q189, q207, q209)
 }

@@ -522,6 +522,66 @@ class WarcRecordsSpec extends SparkSpec {
     row shouldBe Array(("image", true))
   }
 
+  test("toCrawlRecordsRouted: ONE scanner pass partitions the archive — media rows ≡ toCrawlMedia byte for byte, doc rows carry toCrawlDocs' text, ids shared") {
+    import graft.multimodal.{AudioWave, PerceptualHash}
+    val png = PerceptualHash.renderGrayImage(16, 16, 9, 2, 3, 0, 0, "png")
+    val wav = AudioWave.writeWav(
+      Array.tabulate(256)(t => ((t % 64 - 32) * 256)), 16000, 16)
+    val html = "<html><body><p>a routed page</p></body></html>"
+    val gz = {
+      val b = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(b)
+      o.write(png); o.close(); b.toByteArray
+    }
+    val envImg = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+      .getBytes("ISO-8859-1") ++ gz
+    val envDoc = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      html).getBytes("ISO-8859-1")
+    def rec(uri: String, p: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val archive = rec("https://r.example/img", png) ++
+      rec("https://r.example/wav", wav) ++
+      rec("https://r.example/page", html.getBytes("UTF-8")) ++
+      rec("https://r.example/wrapped", envImg) ++
+      rec("https://r.example/envpage", envDoc)
+    val archives = Seq(("a1", archive)).toDF("path", "content")
+    val routed = graft.io.WarcRecords.toCrawlRecordsRouted(archives)
+      .orderBy("url").collect()
+    routed.map(_.getAs[String]("kind")) shouldBe
+      Array("doc", "image", "doc", "audio", "image")
+    // media rows are BYTE-identical to the single-leg operator —
+    // same strip, same sniff, same (archive, position) ids
+    val viaRouted = routed.filter(_.getAs[String]("kind") != "doc")
+      .map(r => (r.getAs[Long]("rec_id"), r.getAs[String]("kind"),
+        r.getAs[Array[Byte]]("payload").toSeq,
+        r.getAs[java.sql.Timestamp]("mtime"))).sortBy(_._1)
+    val viaLeg = graft.io.WarcRecords.toCrawlMedia(archives)
+      .select("media_id", "kind", "payload", "mtime")
+      .as[(Long, String, Array[Byte], java.sql.Timestamp)]
+      .collect().map(r => (r._1, r._2, r._3.toSeq, r._4)).sortBy(_._1)
+    viaRouted shouldBe viaLeg
+    // doc rows' text ≡ toCrawlDocs' html for the SAME ids (the doc
+    // leg's envelope cut, byte-level then decoded), payload NULL —
+    // and the routed split carries event time on docs too
+    val docRows = routed.filter(_.getAs[String]("kind") == "doc")
+    docRows.foreach(_.getAs[Array[Byte]]("payload") shouldBe null)
+    docRows.foreach(
+      _.getAs[java.sql.Timestamp]("mtime") should not be null)
+    val routedDocs = docRows.map(r =>
+      (r.getAs[Long]("rec_id"), r.getAs[String]("text"))).sortBy(_._1)
+    val legDocs = graft.io.WarcRecords.toCrawlDocs(archives)
+      .select("doc_id", "html").as[(Long, String)].collect()
+      .filter(d => routedDocs.map(_._1).contains(d._1)).sortBy(_._1)
+    routedDocs shouldBe legDocs
+    routedDocs.map(_._2).toSet shouldBe Set(html)
+    // the partition is exhaustive: every toCrawlDocs record lands in
+    // exactly one leg of the routed split
+    routed.length shouldBe 5
+  }
+
   test("toCrawlDocsTimed carries modificationTime LOSSLESSLY (microseconds) and ids match the untimed read") {
     val bytes = record("https://t.example/1", "<p>t</p>".getBytes("UTF-8"))
     // a microsecond-precision mtime: the old JSON round-trip truncated

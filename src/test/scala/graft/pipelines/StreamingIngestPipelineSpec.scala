@@ -415,6 +415,101 @@ class StreamingIngestPipelineSpec extends SparkSpec {
       .collect().sorted shouldBe Array(2L, 4L, 100L)
   }
 
+  test("runArchiveIngest: streamed archives feed BOTH legs from ONE scan — both indexes grow, and batch-2 re-crawls (reworded text, re-encoded media) drop via the appended deltas") {
+    import graft.multimodal.{MediaIndex, Multimodal, PerceptualHash}
+    def img(gid: Long, fmt: String) =
+      PerceptualHash.renderGrayImage(16, 16, gid * 7, gid % 5 + 1,
+        gid % 11 + 1, gid % 3, 0, fmt)
+    def rec(uri: String, p: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank " +
+      "while morning light spreads across the silent valley floor"
+    val novel = "a brand new report on deep sea exploration vessels " +
+      "mapping volcanic ridges under the southern ocean currents today " +
+      "with sonar sweeps charting the deepest trenches ever recorded " +
+      "before the research vessel returns"
+    val fresh2 = "entirely different prose about mountain weather " +
+      "stations recording wind and snowfall across the high passes " +
+      "during the long winter season this year"
+    // persisted state: the TEXT index over one already-kept doc and
+    // the MEDIA hash index over one already-kept image — both parquet,
+    // both appended by the sink, both re-read per micro-batch
+    val dir = Files.createTempDirectory("graft_archingest")
+    val (hb0, hs0) = graft.operators.TextIndex.buildIndex(
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    hb0.write.parquet(s"$dir/tbands"); hs0.write.parquet(s"$dir/tsets")
+    spark.catalog.clearCache()
+    MediaIndex.mediaHashIndex(Seq(
+        Multimodal.Media(100L, "image", img(4, "png"))).toDS())
+      .write.parquet(s"$dir/midx")
+    // the crawler's drop directory: archive 1 lands before the stream
+    // starts, archive 2 mid-run
+    val drop = Files.createTempDirectory("graft_archdrop")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(drop.toString, "a1.warc"),
+      rec("https://c.example/docA", s"$novel".getBytes("UTF-8")) ++
+        rec("https://c.example/seedRewrite",
+          base.replace("distant", "nearby").getBytes("UTF-8")) ++
+        rec("https://c.example/junk",
+          ("a" * 30 + " " + "b" * 30).getBytes("UTF-8")) ++
+        rec("https://c.example/imgM", img(21, "png")) ++
+        rec("https://c.example/seedReenc", img(4, "bmp")))
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val keptDocs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keptMedia = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = StreamingIngestPipeline.runArchiveIngest(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .option("pathGlobFilter", "*.warc").load(drop.toString),
+        () => (spark.read.parquet(s"$dir/tbands"),
+          spark.read.parquet(s"$dir/tsets")),
+        () => spark.read.parquet(s"$dir/midx"),
+        mediaMaxBucket = 64) { b =>
+        keptDocs ++= b.docs.select("url").as[String].collect()
+        keptMedia ++= b.media.select("url").as[String].collect()
+        // the production sink: corpus appends elsewhere; index deltas
+        // appended to the paths the index functions re-read
+        b.textDelta._1.write.mode("append").parquet(s"$dir/tbands")
+        b.textDelta._2.write.mode("append").parquet(s"$dir/tsets")
+        b.mediaDelta.write.mode("append").parquet(s"$dir/midx")
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_archingest").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 1: the novel doc and the fresh image survive; the
+      // reworded re-crawl of the TEXT seed and the BMP re-encode of
+      // the MEDIA seed drop against the prebuilt indexes; junk drops
+      // at the quality floor — one scan fed both verdict legs
+      keptDocs.sorted.toSeq shouldBe Seq("https://c.example/docA")
+      keptMedia.sorted.toSeq shouldBe Seq("https://c.example/imgM")
+      // archive 2: re-crawls of BATCH 1's survivors (text reworded,
+      // media re-encoded) — only the APPENDED deltas can catch them
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(drop.toString, "a2.warc"),
+        rec("https://c.example/docA2",
+          novel.replace("sonar", "radar").getBytes("UTF-8")) ++
+          rec("https://c.example/docB", fresh2.getBytes("UTF-8")) ++
+          rec("https://c.example/imgM2", img(21, "bmp")) ++
+          rec("https://c.example/imgN", img(77, "png")))
+      q.processAllAvailable()
+      keptDocs.sorted.toSeq shouldBe
+        Seq("https://c.example/docA", "https://c.example/docB")
+      keptMedia.sorted.toSeq shouldBe
+        Seq("https://c.example/imgM", "https://c.example/imgN")
+    } finally q.stop()
+    // both on-disk indexes GREW: seed + the two surviving docs /
+    // images each — the continuous-crawl loop is closed end to end
+    spark.read.parquet(s"$dir/tsets").count() shouldBe 3L
+    spark.read.parquet(s"$dir/midx").count() shouldBe 3L
+  }
+
   test("runMediaGatedDocs: a streamed crawl drops scraped-gallery DOCS — every media object a history dup — and keeps docs with one original or no media") {
     implicit val ctx = spark.sqlContext
     import graft.multimodal.{AudioWave, MediaIndex, Multimodal, PerceptualHash}

@@ -681,6 +681,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("q209: routed split is ONE scan subtree — no join, one strip/sniff pass, payloads never shuffle") {
+    val plan = executedPlanOf("q209_warc_routed_split")
+    // the whole point of the shared splitter: BOTH legs come off one
+    // scanner pass — exactly one record-splitting MapPartitions chain
+    // (scanner + the strip/sniff router), no join gluing legs back
+    // together, and no exchange beyond the fixture archive assembly
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
