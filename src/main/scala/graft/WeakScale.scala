@@ -137,7 +137,73 @@ object WeakScale {
           hs.write.mode("overwrite").parquet(s"$d/sets")
           d
         }
+      // PREBUILD for the archive-scan rows: k×-replicated docs packed
+      // into gzip WARC archives (every 5th record a real PNG, the rest
+      // text bodies — the mixed-content shape toCrawlRecordsRouted
+      // exists for), written OUTSIDE the timed region. The two rows
+      // then time the SAME total consumption (inflate + record parse +
+      // strip/sniff + full column materialization) through ONE routed
+      // pass vs the two single-leg passes — the decompression-dominant
+      // cost the shared splitter halves by construction.
+      val archDir =
+        if (!selected("archive_")) ""
+        else {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"graft_arch_$k").toString
+          val png = graft.multimodal.PerceptualHash
+            .renderGrayImage(16, 16, 7, 2, 3, 0, 0, "png")
+          val mkRec = udf((id: Long, text: String) => {
+            val payload: Array[Byte] =
+              if (id % 5 == 0) png
+              else (if (text == null) "" else text).getBytes("UTF-8")
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: https://w.example/$id\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++
+              payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+          })
+          val concatB = udf((rs: Seq[Array[Byte]]) => rs.flatten.toArray)
+          val gzB = udf((b: Array[Byte]) => {
+            val bo = new java.io.ByteArrayOutputStream()
+            val o = new java.util.zip.GZIPOutputStream(bo)
+            o.write(b); o.close(); bo.toByteArray
+          })
+          docs.select(pmod(col("doc_id"), lit(64)).as("aid"), col("doc_id"),
+              mkRec(col("doc_id"), col("text")).as("rec"))
+            .groupBy(col("aid"))
+            .agg(gzB(concatB(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+              x => x.getField("rec")))).as("content"))
+            .collect().foreach { r =>
+              java.nio.file.Files.write(java.nio.file.Paths.get(d,
+                f"a${r.getLong(0)}%03d.warc.gz"),
+                r.getAs[Array[Byte]]("content")); ()
+            }
+          d
+        }
       val ops: Seq[(String, String, () => Long)] = Seq(
+        // the SHARED single-pass splitter: one inflate+parse feeds both
+        // legs; sums force full strip/sniff + column materialization so
+        // pruning can't skip work the comparison is about
+        ("archive_routed_split", D, () => {
+          graft.io.WarcRecords.toCrawlRecordsRouted(
+              graft.io.BinaryFileSource(archDir).read(spark))
+            .agg(sum(length(col("text"))), sum(length(col("payload"))),
+              count(lit(1)))
+            .collect().head.getLong(2)
+        }),
+        // the pre-r15 composition: doc leg + media leg each run their
+        // own splitRecords — every archive inflates and parses TWICE
+        ("archive_two_leg", D, () => {
+          val a = graft.io.BinaryFileSource(archDir).read(spark)
+          val nd = graft.io.WarcRecords.toCrawlDocs(a)
+            .agg(sum(length(col("html"))), count(lit(1)))
+            .collect().head.getLong(1)
+          val nm = graft.io.WarcRecords.toCrawlMedia(a)
+            .agg(sum(length(col("payload"))), count(lit(1)))
+            .collect().head.getLong(1)
+          nd + nm
+        }),
         ("bloom_dedup_q83", D, () => {
           Dedup.bloomDedupe(batch, index, "doc_id", "text",
             expectedItems = 5000L * k).count()
@@ -950,6 +1016,13 @@ object WeakScale {
           java.nio.file.Files.deleteIfExists(p); ()
         }
         rm(java.nio.file.Paths.get(textIdxDir))
+      }
+      if (archDir.nonEmpty) {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(archDir))
+        try s.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally s.close()
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(archDir)); ()
       }
       out
     }

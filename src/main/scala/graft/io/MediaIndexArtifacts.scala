@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
   * silently between batches. One relation (`<path>/index`, the
   * [[MediaIndex.mediaHashIndex]] rows) plus a one-row params sidecar
   * (`<path>/params`). Appends go to the index (the
-  * [[MediaIndex.ingestStep]] delta); params are written once. */
+  * [[MediaIndex.ingestStep]] delta); params are written once.
+  * Retraction mirrors [[TextIndexArtifacts]] (see its object doc for
+  * the takedown semantics): [[retract]] appends ids to an id-sized
+  * `<path>/tombstones` relation, [[load]] filters them out through a
+  * broadcast anti-join (the index keeps streaming map-side — the
+  * judges' plan contract is unchanged), [[compact]] applies them
+  * physically and drops the relation. */
 object MediaIndexArtifacts {
 
   /** A loaded index: the hash relation plus the judge thresholds it
@@ -66,21 +72,40 @@ object MediaIndexArtifacts {
       .sortWithinPartitions(col("fp"))
       .write.mode("append").parquet(s"$path/index")
 
+  /** RETRACT ids (takedowns — the [[TextIndexArtifacts.retract]]
+    * twin): appends the first column of `ids`, cast to long, to the
+    * tombstone relation. O(|ids|), no index rewrite. */
+  def retract(path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def minusTombstones(spark: SparkSession, rel: DataFrame,
+      path: String): DataFrame =
+    if (!TextIndexArtifacts.dirExists(spark, s"$path/tombstones")) rel
+    else rel.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("media_id")).distinct()),
+      Seq("media_id"), "left_anti")
+
   def load(spark: SparkSession, path: String): PersistedMediaIndex = {
     val p = spark.read.parquet(s"$path/params").collect()
     require(p.length == 1, s"expected one params row at $path, got ${p.length}")
     val r = p.head
-    PersistedMediaIndex(spark.read.parquet(s"$path/index"),
+    PersistedMediaIndex(
+      minusTombstones(spark, spark.read.parquet(s"$path/index"), path),
       r.getAs[Int]("image_max_dist"), r.getAs[Int]("audio_max_dist"),
       r.getAs[Int]("video_max_dist"), r.getAs[Int]("video_min_overlap_bp"),
       r.getAs[Int]("max_bucket"))
   }
 
-  /** Layout-only compaction of append piles (the TextIndexArtifacts
-    * compact discipline: write-to-side, caller swaps by rename). */
+  /** Compaction of append piles (the TextIndexArtifacts compact
+    * discipline: write-to-side, caller swaps by rename) — layout plus
+    * the physical application of any tombstones; the compacted copy
+    * carries none. */
   def compact(spark: SparkSession, fromPath: String, toPath: String,
               files: Int = 32): Unit = {
-    spark.read.parquet(s"$fromPath/index")
+    minusTombstones(spark, spark.read.parquet(s"$fromPath/index"), fromPath)
       .repartition(files, col("fp"))
       .sortWithinPartitions(col("fp"))
       .write.mode("overwrite").parquet(s"$toPath/index")

@@ -18,9 +18,26 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `<path>/bands` ((doc, band, sig) — the probe relation),
   * `<path>/sets` ((doc, shs) — the verification relation),
-  * `<path>/params` (one row). Appends go to bands/sets (the
-  * [[TextIndex.ingestStep]] delta); params are written once.
-  */
+  * `<path>/params` (one row), and optionally `<path>/tombstones`
+  * ((doc) — RETRACTED ids, see [[retract]]). Appends go to
+  * bands/sets (the [[TextIndex.ingestStep]] delta); params are
+  * written once.
+  *
+  * Retraction: a 100 TB pipeline eventually must REMOVE docs from the
+  * index (takedowns, license changes, quality recalls), and an
+  * append-only index keeps a removed doc winning keeper elections
+  * forever — smallest-id precedence makes stale early ids especially
+  * sticky. [[retract]] appends ids to an id-sized tombstone relation;
+  * [[load]] serves the index with tombstoned rows FILTERED (a
+  * broadcast anti-join on the history side — tombstones broadcast,
+  * history still streams map-side, so the judges' no-history-shuffle
+  * contract is untouched); [[compact]] applies them physically and
+  * drops the tombstone relation. Semantics after retracting id X: X
+  * stops matching (a former dup of X now survives, or re-elects the
+  * next-smallest matching keeper), and a RE-CRAWL of X's content
+  * re-enters the corpus and the index under its new id — retraction
+  * removes the INDEX ENTRY, not the content's right to exist; policy
+  * blocking is a different gate (URL blocklists, hash denylists). */
 object TextIndexArtifacts {
 
   /** A loaded index: the two relations plus the build parameters the
@@ -101,13 +118,39 @@ object TextIndexArtifacts {
       .write.mode("append").parquet(s"$path/sets")
   }
 
+  /** RETRACT ids from the index (takedowns — object doc): appends the
+    * first column of `ids`, cast to long, to the tombstone relation.
+    * O(|ids|) — no index rewrite; [[load]] filters, [[compact]]
+    * applies physically. Retracting an id not in the index is a
+    * harmless no-op row. */
+  def retract(path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("doc")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private[io] def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The tombstone-filtered relation: `rel` anti-joined against the
+    * BROADCAST tombstone ids — tombstones are id-sized (takedown
+    * lists, not corpora), so the index keeps streaming map-side
+    * through the filter and the judges' plan contract is unchanged. */
+  private[io] def minusTombstones(spark: SparkSession, rel: DataFrame,
+      path: String, idCol: String): DataFrame =
+    if (!dirExists(spark, s"$path/tombstones")) rel
+    else rel.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("doc").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   def load(spark: SparkSession, path: String): PersistedTextIndex = {
     val p = spark.read.parquet(s"$path/params").collect()
     require(p.length == 1, s"expected one params row at $path, got ${p.length}")
     val r = p.head
     PersistedTextIndex(
-      spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/sets"),
+      minusTombstones(spark, spark.read.parquet(s"$path/bands"), path, "doc"),
+      minusTombstones(spark, spark.read.parquet(s"$path/sets"), path, "doc"),
       r.getAs[Int]("shingle_n"), r.getAs[Int]("num_hashes"),
       r.getAs[Int]("bands"), r.getAs[Long]("seed"),
       r.getAs[Double]("threshold"), r.getAs[Int]("max_bucket"))
@@ -115,18 +158,23 @@ object TextIndexArtifacts {
 
   /** COMPACTION: many ingest appends leave bands/sets as piles of
     * small files with interleaved key ranges — rewrite both relations
-    * (one pass each, no logic: index rows are per-doc unique by
-    * construction, so compaction is layout-only), restoring the
-    * sorted-band layout and bounded file counts. Write-to-side +
-    * swap-by-rename is the caller's transactional discipline; this
-    * helper produces the compacted copy at `toPath`. */
+    * (one pass each: index rows are per-doc unique by construction,
+    * so beyond APPLYING TOMBSTONES PHYSICALLY — the anti-join
+    * [[load]] was paying per read — compaction is layout-only),
+    * restoring the sorted-band layout and bounded file counts. The
+    * compacted copy carries NO tombstone relation: the retractions
+    * are in the data now. Write-to-side + swap-by-rename is the
+    * caller's transactional discipline; this helper produces the
+    * compacted copy at `toPath`. */
   def compact(spark: SparkSession, fromPath: String, toPath: String,
               files: Int = 32): Unit = {
-    spark.read.parquet(s"$fromPath/bands")
+    minusTombstones(spark, spark.read.parquet(s"$fromPath/bands"),
+        fromPath, "doc")
       .repartition(files, col("band"), col("sig"))
       .sortWithinPartitions(col("band"), col("sig"))
       .write.mode("overwrite").parquet(s"$toPath/bands")
-    spark.read.parquet(s"$fromPath/sets")
+    minusTombstones(spark, spark.read.parquet(s"$fromPath/sets"),
+        fromPath, "doc")
       .repartition(files, col("doc"))
       .write.mode("overwrite").parquet(s"$toPath/sets")
     spark.read.parquet(s"$fromPath/params")

@@ -52,6 +52,46 @@ object Dedup {
     }
   }
 
+  /** Deterministic 64-bit SURROGATE ID for string-keyed corpora — the
+    * documented answer to every "map string keys to a surrogate id
+    * first" fail-fast in this family ([[minhashCandidates]],
+    * [[TextIndex]], the bounded-collect bucket aggregate): real crawls
+    * key by URL, and the LSH/index operators need integral ids so
+    * shuffles move 8-byte keys and bucket buffers stay primitive.
+    * `xxhash64(key)` is deterministic across runs and cluster sizes
+    * (re-crawls of the same key get the same id — the id IS the key's
+    * identity), narrow (no shuffle), and well-spread.
+    *
+    * Collision note (the 64-bit birthday bound): expected colliding
+    * PAIRS ≈ n²/2⁶⁵ — about 0.005 at 10⁹ keys and ~2.7 at 10¹⁰, and a
+    * collision merely merges two docs' dedup identities (one spurious
+    * drop), never corrupts structure. Corpora past ~10¹⁰ distinct keys
+    * or zero-tolerance pipelines should mint with
+    * [[withUniqueSurrogateId]] instead and persist the mapping. */
+  def withSurrogateId(df: DataFrame, keyCol: String,
+                      idCol: String = "doc_id"): DataFrame =
+    df.withColumn(idCol, xxhash64(col(keyCol)))
+
+  /** [[withSurrogateId]]'s GUARANTEED-unique variant: sort by the key
+    * and zip with the row index — ids are 0..n−1, collision-free, and
+    * deterministic as long as `keyCol` values are distinct (ties get
+    * arbitrary-but-valid distinct ids). Costs one global sort + an
+    * extra pass (zipWithIndex's partition-size count), so the hash
+    * form is the default; this is the zero-tolerance path. The
+    * mapping is RUN-SCOPED — persist (id, key) if later runs must
+    * agree. */
+  def withUniqueSurrogateId(df: DataFrame, keyCol: String,
+                            idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(col(keyCol))
+    val schema = sorted.schema.add(idCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+  }
+
   /** Exact dedup on a normalized-text fingerprint: keeps the row with
     * the smallest `idCol` per distinct content. One shuffle; the
     * min-by runs as partial+final aggregate (map-side combine).
@@ -341,7 +381,8 @@ object Dedup {
     require(docType == org.apache.spark.sql.types.LongType
         || docType == org.apache.spark.sql.types.IntegerType,
       s"minhashCandidates needs an integral doc id, got " +
-        s"${docType.catalogString}; map string keys to a surrogate id first")
+        s"${docType.catalogString}; mint one with Dedup.withSurrogateId " +
+        "(deterministic xxhash64) or withUniqueSurrogateId (collision-free)")
     val buckets = bandBuckets(signatures, bands)
     // Pair generation in ONE bucket shuffle: bounded_collect carries an
     // EXACT bucket count plus at most maxBucket member ids — the

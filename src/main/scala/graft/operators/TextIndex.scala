@@ -77,7 +77,16 @@ import org.apache.spark.sql.functions._
   * between [[buildIndex]] and the judge — they are plain arguments
   * here because the index is two PARQUET RELATIONS a pipeline loads
   * back across runs (a carrier object cannot persist); store them
-  * alongside the index paths.
+  * alongside the index paths ([[graft.io.TextIndexArtifacts]] is the
+  * worked persistence layer — params sidecar, tombstones, compaction).
+  *
+  * Ids must be INTEGRAL (the bounded-collect bucket aggregate's
+  * contract, and what keeps every shuffle here on 8-byte keys). Real
+  * crawls key by URL/string: mint a surrogate with
+  * [[Dedup.withSurrogateId]] (deterministic xxhash64 — the
+  * [[graft.io.WarcRecords.toCrawlDocs]] id discipline; collision math
+  * in its scaladoc) or [[Dedup.withUniqueSurrogateId]]
+  * (collision-free) before building or judging.
   */
 object TextIndex {
 
@@ -87,7 +96,8 @@ object TextIndex {
     require(t == org.apache.spark.sql.types.LongType
         || t == org.apache.spark.sql.types.IntegerType,
       s"$who needs an integral doc id, got ${t.catalogString}; " +
-        "map string keys to a surrogate id first")
+        "mint one with Dedup.withSurrogateId (deterministic xxhash64) " +
+        "or Dedup.withUniqueSurrogateId (collision-free)")
   }
 
   /** Build the two persistable index relations over a corpus:

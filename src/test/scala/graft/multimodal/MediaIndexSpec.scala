@@ -173,6 +173,43 @@ class MediaIndexSpec extends SparkSpec {
       dups1.collect().map(_.toSeq).sortBy(_.toString)
   }
 
+  test("retraction: a tombstoned media keeper stops matching — its former dup survives and re-enters; compaction applies physically") {
+    import graft.io.MediaIndexArtifacts
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mia_tomb").toString
+    MediaIndexArtifacts.build(s"$dir/idx", Seq(
+      Multimodal.Media(100L, "image", img(4, "png")),
+      Multimodal.Media(101L, "image", img(9, "png"))).toDS(),
+      maxBucket = 64)
+    val probe = MediaIndex.mediaHashIndex(Seq(
+        Multimodal.Media(900L, "image", img(4, "png"))).toDS())
+      .localCheckpoint(true)
+    // before retraction: a byte dup of the indexed keeper
+    val (d0, _) = MediaIndexArtifacts.load(spark, s"$dir/idx").ingest(probe)
+    d0.select("dup_id", "keep_id").as[(Long, Long)].collect() shouldBe
+      Array((900L, 100L))
+    // retract the keeper (takedown): the former dup now SURVIVES and
+    // its index rows append — the content re-enters under its new id
+    MediaIndexArtifacts.retract(s"$dir/idx", Seq(100L).toDF("media_id"))
+    val (d1, delta1) = MediaIndexArtifacts.load(spark, s"$dir/idx")
+      .ingest(probe)
+    d1.count() shouldBe 0L
+    delta1.select("media_id").as[Long].collect() shouldBe Array(900L)
+    // compaction applies the tombstone physically and carries none
+    MediaIndexArtifacts.compact(spark, s"$dir/idx", s"$dir/idx2", files = 2)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/idx2/tombstones")) shouldBe false
+    spark.read.parquet(s"$dir/idx2/index").select("media_id")
+      .as[Long].collect() shouldBe Array(101L)
+    // replay through the compacted copy + appended delta: the probe
+    // matches its own row (self excluded), nothing re-appends
+    MediaIndexArtifacts.append(s"$dir/idx2", delta1)
+    val (d2, delta2) = MediaIndexArtifacts.load(spark, s"$dir/idx2")
+      .ingest(probe)
+    d2.count() shouldBe 0L
+    delta2.count() shouldBe 0L
+  }
+
   test("scale contract: the history index is never shuffled — batch broadcasts, history streams") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

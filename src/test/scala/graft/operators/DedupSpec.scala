@@ -234,4 +234,37 @@ class DedupSpec extends SparkSpec {
     out(2L) shouldBe ((0L, 0L, ""))
     out(3L) shouldBe ((0L, 0L, ""))
   }
+
+  test("surrogate ids: deterministic hash minting, the collision-free variant, and the integral-id contract satisfied end to end on a URL-keyed corpus") {
+    import spark.implicits._
+    val urls = Seq(
+      ("https://a.example/reports/1", "annual harbor dredging report"),
+      ("https://b.example/weather/2", "mountain weather station logs"),
+      ("https://c.example/news/3", "regional water quality findings"))
+      .toDF("url", "text")
+    // hash form: deterministic across invocations, distinct, narrow
+    def mint() = Dedup.withSurrogateId(urls, "url")
+      .select("url", "doc_id").as[(String, Long)].collect().toMap
+    val ids = mint()
+    mint() shouldBe ids
+    ids.values.toSeq.distinct should have size 3
+    // the id is the KEY's identity: a re-crawl row of the same URL
+    // mints the same id
+    Dedup.withSurrogateId(urls.limit(1), "url")
+      .select("doc_id").as[Long].head() shouldBe
+      ids("https://a.example/reports/1")
+    // unique variant: ids are exactly 0..n−1, ordered by key
+    val uniq = Dedup.withUniqueSurrogateId(urls, "url")
+      .select("url", "doc_id").as[(String, Long)].collect().sortBy(_._2)
+    uniq.map(_._2) shouldBe Array(0L, 1L, 2L)
+    uniq.map(_._1) shouldBe ids.keySet.toArray.sorted
+    // and the minted frame satisfies the family's integral-id
+    // fail-fasts (the error message's own advice, proven)
+    val minted = Dedup.withSurrogateId(urls, "url")
+    val (hb, hs) = TextIndex.buildIndex(minted, "doc_id", "text")
+    hs.count() shouldBe 3L
+    TextIndex.incrementalTextDups(minted, "doc_id", "text", hb, hs)
+      .count() shouldBe 3L // every doc re-crawls itself at Jaccard 1.0
+    spark.catalog.clearCache()
+  }
 }

@@ -239,6 +239,62 @@ class TextIndexSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("retraction: a tombstoned keeper stops matching — former dups survive or re-elect the next smallest; compaction applies physically; replay idempotency preserved") {
+    import graft.io.TextIndexArtifacts
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tia_tomb").toString
+    // a 4-doc identical crowd (its own text, matching nothing in
+    // `history`) so retraction can demonstrate BOTH outcomes: losing
+    // the only match (doc 1) and re-electing the next-smallest
+    // keeper (doc 2)
+    val crowdText = "annual municipal water quality assessments across " +
+      "twelve river monitoring stations were published by the regional " +
+      "board this spring"
+    val crowd = (200L to 203L).map(i => (i, crowdText))
+      .toDF("doc_id", "text")
+    TextIndexArtifacts.build(s"$dir/idx", history.unionByName(crowd),
+      "doc_id", "text")
+    val probe = Seq((1L, base), (2L, crowdText)).toDF("doc_id", "text")
+    val idx0 = TextIndexArtifacts.load(spark, s"$dir/idx")
+    idx0.dups(probe, "doc_id", "text").select("dup_id", "keep_id")
+      .as[(Long, Long)].collect().sortBy(_._1) shouldBe
+      Array((1L, 100L), (2L, 200L))
+    spark.catalog.clearCache()
+    // retract doc 1's ONLY match and doc 2's elected keeper: without
+    // tombstones a taken-down doc wins keeper elections forever
+    TextIndexArtifacts.retract(s"$dir/idx", Seq(100L, 200L).toDF("doc_id"))
+    TextIndexArtifacts.load(spark, s"$dir/idx")
+      .dups(probe, "doc_id", "text").select("dup_id", "keep_id")
+      .as[(Long, Long)].collect().sortBy(_._1) shouldBe
+      Array((2L, 201L)) // 1 now survives; 2 re-elects the next smallest
+    spark.catalog.clearCache()
+    // compaction applies the tombstones physically and carries none
+    TextIndexArtifacts.compact(spark, s"$dir/idx", s"$dir/idx2")
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/idx2/tombstones")) shouldBe false
+    val idxC = TextIndexArtifacts.load(spark, s"$dir/idx2")
+    idxC.sets.select("doc").as[Long].collect().sorted shouldBe
+      Array(101L, 102L, 201L, 202L, 203L)
+    idxC.dups(probe, "doc_id", "text").select("dup_id", "keep_id")
+      .as[(Long, Long)].collect().sortBy(_._1) shouldBe
+      Array((2L, 201L))
+    spark.catalog.clearCache()
+    // the retracted CONTENT re-enters under its new id (retraction
+    // removes the index entry, not the content's right to exist):
+    // doc 1 survives ingest and appends; replay → identical verdicts,
+    // empty delta — the replay contract holds through retraction
+    val (d1, delta1) = idxC.ingest(probe, "doc_id", "text")
+    d1.select("dup_id").as[Long].collect() shouldBe Array(2L)
+    delta1._2.select("doc").as[Long].collect() shouldBe Array(1L)
+    TextIndexArtifacts.append(s"$dir/idx2", delta1)
+    spark.catalog.clearCache()
+    val (d2, delta2) = TextIndexArtifacts.load(spark, s"$dir/idx2")
+      .ingest(probe, "doc_id", "text")
+    d2.select("dup_id").as[Long].collect() shouldBe Array(2L)
+    delta2._2.count() shouldBe 0L
+    spark.catalog.clearCache()
+  }
+
   test("string ids fail fast (the bounded-collect long contract)") {
     val strBatch = Seq(("a", base)).toDF("doc_id", "text")
     val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")

@@ -510,6 +510,123 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     spark.read.parquet(s"$dir/midx").count() shouldBe 3L
   }
 
+  test("IngestSinks text: idempotent corpus + versioned index appends + MID-RUN compaction — verdicts identical through the compacted copy") {
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank " +
+      "while morning light spreads across the silent valley floor"
+    val novel1 = "a brand new report on deep sea exploration vessels " +
+      "mapping volcanic ridges under the southern ocean currents today " +
+      "with sonar sweeps charting the deepest trenches ever recorded " +
+      "before the research vessel returns"
+    val novel2 = "entirely different prose about mountain weather " +
+      "stations recording wind and snowfall across the high passes " +
+      "during the long winter season while valley roads stayed closed " +
+      "to traffic for six straight days"
+    val novel3 = "the harbor council approved a plan to dredge the old " +
+      "shipping channel next autumn after surveys showed silt levels " +
+      "rising faster than the port authority had projected last year"
+    val root = Files.createTempDirectory("graft_sinks").toString
+    // the production wiring, END TO END from the helper: versioned
+    // index root (v0 built from the seed corpus), per-batch reader,
+    // documented sink with compaction every 2 batches
+    IngestSinks.initTextIndex(spark, s"$root/idx",
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    spark.catalog.clearCache()
+    val emptyIndex = Seq.empty[String].toDF("text")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingIngestPipeline.runWithTextIndexGate(
+        docs, emptyIndex, IngestSinks.textIndex(spark, s"$root/idx"),
+        "ts", "doc_id", "text")(
+        IngestSinks.textSink(spark, s"$root/corpus", s"$root/idx",
+          compactEvery = 2))
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_sinks").toString)
+      .start()
+    try {
+      in.addData((ts(0), 1L, novel1))                 // batch 0: survives
+      q.processAllAvailable()
+      in.addData(
+        (ts(1), 2L, novel1.replace("sonar", "radar")), // dup of batch 0's
+                                                       // survivor via delta
+        (ts(2), 3L, novel2))                           // survives
+      q.processAllAvailable()                          // → compaction fires
+      // the second DATA batch triggered compaction (no-data watermark
+      // batches interleave with unpredictable ids — the cadence counts
+      // data batches): the pointer left v0 and the old version is gone
+      IngestSinks.currentIndexPath(spark, s"$root/idx") should not be
+        s"$root/idx/v0"
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/idx/v0")) shouldBe false
+      in.addData(
+        (ts(10), 4L, novel2.replace("snowfall", "rainfall")), // dup through
+                                                       // the COMPACTED copy
+        (ts(11), 5L, base.replace("distant", "nearby")), // seed memory
+                                                       // survived compaction
+        (ts(12), 6L, novel3))                          // survives
+      q.processAllAvailable()
+    } finally q.stop()
+    // the corpus holds exactly the survivors, batch-partitioned
+    val corpus = spark.read.parquet(s"$root/corpus")
+    corpus.select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 6L)
+    corpus.select("batch_id").distinct().count() shouldBe 3L
+    // the live index: seed + the three survivors
+    spark.read.parquet(
+        s"${IngestSinks.currentIndexPath(spark, s"$root/idx")}/sets")
+      .select("doc").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 6L, 100L)
+  }
+
+  test("IngestSinks media: versioned appends + compaction — batch-2 re-encodes drop through the compacted copy") {
+    import graft.multimodal.{Multimodal, PerceptualHash}
+    def img(gid: Long, fmt: String) =
+      PerceptualHash.renderGrayImage(16, 16, gid * 7, gid % 5 + 1,
+        gid % 11 + 1, gid % 3, 0, fmt)
+    val root = Files.createTempDirectory("graft_msinks").toString
+    IngestSinks.initMediaIndex(spark, s"$root/idx", Seq(
+      Multimodal.Media(100L, "image", img(4, "png"))).toDS(),
+      maxBucket = 64)
+    val drop = Files.createTempDirectory("graft_msinks_drop")
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(drop.toString, name), bytes); ()
+    }
+    put("m21.png", img(21, "png")) // batch 0: fresh, survives
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val q = StreamingIngestPipeline.runMediaIngestIndexed(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .load(drop.toString),
+        IngestSinks.mediaIndex(spark, s"$root/idx"), maxBucket = 64)(
+        IngestSinks.mediaSink(spark, s"$root/corpus", s"$root/idx",
+          compactEvery = 1))
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_msinks").toString)
+      .start()
+    try {
+      q.processAllAvailable() // data batch 1 → compaction (every 1)
+      IngestSinks.currentIndexPath(spark, s"$root/idx") should not be
+        s"$root/idx/v0"
+      put("m21.bmp", img(21, "bmp")) // re-encode of batch 0's survivor:
+                                     // only the delta THROUGH the
+                                     // compacted copy can catch it
+      put("m4.bmp", img(4, "bmp"))   // re-encode of the seed: its
+                                     // memory survived compaction
+      put("m77.png", img(77, "png")) // fresh, survives
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = spark.read.parquet(s"$root/corpus")
+    corpus.select("path").as[String].collect()
+      .map(_.split('/').last).sorted shouldBe Array("m21.png", "m77.png")
+    // live index: seed + the two survivors
+    spark.read.parquet(
+        s"${IngestSinks.currentIndexPath(spark, s"$root/idx")}/index")
+      .count() shouldBe 3L
+  }
+
   test("runMediaGatedDocs: a streamed crawl drops scraped-gallery DOCS — every media object a history dup — and keeps docs with one original or no media") {
     implicit val ctx = spark.sqlContext
     import graft.multimodal.{AudioWave, MediaIndex, Multimodal, PerceptualHash}
