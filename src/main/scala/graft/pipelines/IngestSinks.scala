@@ -150,6 +150,28 @@ object IngestSinks {
       }
   }
 
+  /** The documented ARCHIVE sink
+    * ([[StreamingIngestPipeline.runArchiveIngest]]'s shape): the
+    * [[textSink]] and [[mediaSink]] disciplines applied to the two
+    * legs of one routed batch — doc survivors + text-index delta to
+    * the text root, media survivors + media-index delta to the media
+    * root, each leg skipping when its side of the batch is empty.
+    * Wire the pipeline's index functions to the same roots
+    * ([[textIndex]]/[[mediaIndex]]) and the continuous-crawl loop is
+    * closed: archives in, both corpora and both indexes growing, all
+    * four appends redelivery-safe. */
+  def archiveSink(spark: SparkSession, docCorpusPath: String,
+                  mediaCorpusPath: String, textRoot: String,
+                  mediaRoot: String, compactEvery: Int = 0)
+      : StreamingIngestPipeline.ArchiveIngestBatch => Unit = {
+    val tSink = textSink(spark, docCorpusPath, textRoot, compactEvery)
+    val mSink = mediaSink(spark, mediaCorpusPath, mediaRoot, compactEvery)
+    b => {
+      tSink(b.docs, b.textDelta, b.batchId)
+      mSink(b.media, b.mediaDelta, b.batchId)
+    }
+  }
+
   /** The documented MEDIA sink
     * ([[StreamingIngestPipeline.runMediaIngestIndexed]]'s shape; the
     * [[textSink]] empty-batch and cadence rules). */

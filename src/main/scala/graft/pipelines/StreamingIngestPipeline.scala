@@ -278,17 +278,30 @@ object StreamingIngestPipeline {
     *
     * Both indexes are FUNCTIONS re-evaluated per micro-batch (the
     * [[runMediaIngest]] append-visibility rule): pass
-    * `() => spark.read.parquet(path)` forms so the deltas the sink
-    * appends are visible to the next batch — a batch-2 re-crawl of a
-    * batch-1 survivor (text reworded, media re-encoded) drops through
-    * the appended rows. Redelivery is loss- and duplicate-free under
-    * a batchId-idempotent corpus sink: both ingest steps exclude
+    * `() => spark.read.parquet(path)` forms — or the worked
+    * [[IngestSinks.textIndex]]/[[IngestSinks.mediaIndex]] readers with
+    * [[IngestSinks.archiveSink]] — so the deltas the sink appends are
+    * visible to the next batch: a batch-2 re-crawl of a batch-1
+    * survivor (text reworded, media re-encoded) drops through the
+    * appended rows. Redelivery is loss- and duplicate-free under a
+    * batchId-idempotent corpus sink: both ingest steps exclude
     * self-matches and return empty deltas on replay (their scaladoc
     * contracts). Event time: each record's own `WARC-Date` surfaces
-    * as `mtime` on both legs. */
+    * as `mtime` on both legs.
+    *
+    * `extractHtml = true` seats HTML extraction
+    * ([[graft.operators.HtmlExtract.extractText]] — script/style/
+    * comment strip, block structure, entity decode) at the TOP of the
+    * doc leg: real crawl doc bodies are HTML, and every downstream
+    * text stage (fingerprint, quality score, shingles) wants PROSE —
+    * a tag-soup fingerprint would treat a re-serialized page as fresh
+    * content, and markup depresses quality scores of good pages. The
+    * extracted text REPLACES the doc leg's text; the text index must
+    * then also have been built over extracted prose. */
   def runArchiveIngest(archives: DataFrame,
       textIndex: () => (DataFrame, DataFrame),
       mediaIndex: () => DataFrame,
+      extractHtml: Boolean = false,
       minQuality: Double = 0.3,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
       nearDupThreshold: Double = 0.8, seed: Long = 42L,
@@ -308,14 +321,26 @@ object StreamingIngestPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // ---- doc leg -------------------------------------------------
-        // fingerprint the RAW text before the gate redacts (the run()
-        // rule), gate, then batch-internal exact dedup: min-id keeper
-        // per normalized fingerprint — one batch-bounded shuffle
-        val docs0 = routed.filter(col("kind") === "doc")
+        // (opt-in) HTML extraction FIRST: fingerprints, quality, and
+        // shingles must see prose, not markup (scaladoc)
+        val docsRaw = routed.filter(col("kind") === "doc")
           .select(col("rec_id").as("doc_id"), col("url"), col("mtime"),
             col("text"))
-          .withColumn("__fp",
-            graft.functions.TextFns.fingerprint(col("text")))
+        val docsText =
+          if (!extractHtml) docsRaw
+          else graft.operators.HtmlExtract.extractText(
+              docsRaw.withColumn("__k",
+                struct(col("doc_id"), col("url"), col("mtime")))
+                .withColumnRenamed("text", "__html"),
+              "__k", "__html")
+            .select(col("__k.doc_id").as("doc_id"),
+              col("__k.url").as("url"), col("__k.mtime").as("mtime"),
+              col("text"))
+        // fingerprint the text before the gate redacts (the run()
+        // rule), gate, then batch-internal exact dedup: min-id keeper
+        // per normalized fingerprint — one batch-bounded shuffle
+        val docs0 = docsText.withColumn("__fp",
+          graft.functions.TextFns.fingerprint(col("text")))
         val gated = StreamOps.ingestGate(docs0, "text", minQuality)
         val exactDeduped = gated
           .join(gated.groupBy(col("__fp"))

@@ -2137,8 +2137,54 @@ object DataOps {
       FROM d2 WHERE rn = 1
       ORDER BY cycle, dup_id"""))
 
+  /** q210: index RETRACTION semantics under the oracle — the
+    * tombstone composition [[graft.io.TextIndexArtifacts.load]]
+    * serves (history relations anti-joined against the broadcast
+    * tombstone ids BEFORE the judge): every 7th history doc is
+    * retracted, the batch exact-re-crawls ALL of history, and the
+    * verdicts must show BOTH retraction outcomes — a doc whose only
+    * match was retracted now SURVIVES, and a doc of a planted
+    * near-dup pair whose smaller end was retracted RE-ELECTS the
+    * next-smallest matching keeper (the documents table plants
+    * cross-doc near-dup pairs, so re-election is real data, not a
+    * synthetic sentinel). DuckDB replays the judge over
+    * `hist MINUS retracted` exactly; the artifact layer's
+    * load/compact mechanics are TextIndexSpec/MediaIndexSpec's job —
+    * this pins the SEMANTICS the filter must produce. */
+  private val q210 = QuerySpec(
+    "q210_text_index_retraction",
+    (s, dir) => {
+      import graft.operators.TextIndex
+      val docs = Tables.documents(s, dir)
+      val hist = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val batch = hist.select((col("doc_id") + 1000L).as("doc_id"),
+        col("text"))
+      val (hb, hs) = TextIndex.buildIndex(hist, "doc_id", "text")
+      val tomb = hist.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("doc"))
+      val hbF = hb.join(broadcast(tomb), Seq("doc"), "left_anti")
+      val hsF = hs.join(broadcast(tomb), Seq("doc"), "left_anti")
+      TextIndex.incrementalTextDups(batch, "doc_id", "text", hbF, hsF,
+          threshold = 0.8, maxBucket = Int.MaxValue)
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some(s"""
+      WITH hist AS (
+        SELECT doc_id AS id, text FROM documents
+        WHERE doc_id < 300 AND doc_id % 7 <> 0),
+      batch AS (
+        SELECT doc_id + 1000 AS id, text FROM documents
+        WHERE doc_id < 300),
+      sh_hist AS (${shingleSql("hist")}),
+      sh_b AS (${shingleSql("batch")}),
+      ${crossJaccardSql("sh_b", "sh_hist", "dr")}
+      SELECT dup_id, hid AS keep_id, round(jac, 6) AS jaccard
+      FROM dr WHERE rn = 1
+      ORDER BY dup_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
-    q200, q201, q202, q203, q204, q205, q206, q208)
+    q200, q201, q202, q203, q204, q205, q206, q208, q210)
 }

@@ -435,17 +435,18 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     val fresh2 = "entirely different prose about mountain weather " +
       "stations recording wind and snowfall across the high passes " +
       "during the long winter season this year"
-    // persisted state: the TEXT index over one already-kept doc and
-    // the MEDIA hash index over one already-kept image — both parquet,
-    // both appended by the sink, both re-read per micro-batch
+    // the FULL production wiring from IngestSinks: versioned index
+    // roots (v0 built over the seed corpora), per-batch readers, and
+    // archiveSink — idempotent corpus appends + delta appends + a
+    // compaction after EVERY data batch, so cross-batch memory is
+    // also proven to survive compaction
     val dir = Files.createTempDirectory("graft_archingest")
-    val (hb0, hs0) = graft.operators.TextIndex.buildIndex(
+    IngestSinks.initTextIndex(spark, s"$dir/tidx",
       Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
-    hb0.write.parquet(s"$dir/tbands"); hs0.write.parquet(s"$dir/tsets")
     spark.catalog.clearCache()
-    MediaIndex.mediaHashIndex(Seq(
-        Multimodal.Media(100L, "image", img(4, "png"))).toDS())
-      .write.parquet(s"$dir/midx")
+    IngestSinks.initMediaIndex(spark, s"$dir/midx", Seq(
+      Multimodal.Media(100L, "image", img(4, "png"))).toDS(),
+      maxBucket = 64)
     // the crawler's drop directory: archive 1 lands before the stream
     // starts, archive 2 mid-run
     val drop = Files.createTempDirectory("graft_archdrop")
@@ -460,37 +461,33 @@ class StreamingIngestPipelineSpec extends SparkSpec {
         rec("https://c.example/seedReenc", img(4, "bmp")))
     val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-    val keptDocs = scala.collection.mutable.ArrayBuffer.empty[String]
-    val keptMedia = scala.collection.mutable.ArrayBuffer.empty[String]
     val q = StreamingIngestPipeline.runArchiveIngest(
         spark.readStream.format("binaryFile").schema(binSchema)
           .option("pathGlobFilter", "*.warc").load(drop.toString),
-        () => (spark.read.parquet(s"$dir/tbands"),
-          spark.read.parquet(s"$dir/tsets")),
-        () => spark.read.parquet(s"$dir/midx"),
-        mediaMaxBucket = 64) { b =>
-        keptDocs ++= b.docs.select("url").as[String].collect()
-        keptMedia ++= b.media.select("url").as[String].collect()
-        // the production sink: corpus appends elsewhere; index deltas
-        // appended to the paths the index functions re-read
-        b.textDelta._1.write.mode("append").parquet(s"$dir/tbands")
-        b.textDelta._2.write.mode("append").parquet(s"$dir/tsets")
-        b.mediaDelta.write.mode("append").parquet(s"$dir/midx")
-        ()
-      }
+        IngestSinks.textIndex(spark, s"$dir/tidx"),
+        IngestSinks.mediaIndex(spark, s"$dir/midx"),
+        mediaMaxBucket = 64)(
+        IngestSinks.archiveSink(spark, s"$dir/dcorpus", s"$dir/mcorpus",
+          s"$dir/tidx", s"$dir/midx", compactEvery = 1))
       .option("checkpointLocation",
         Files.createTempDirectory("ckpt_archingest").toString)
       .start()
+    def docUrls() = spark.read.parquet(s"$dir/dcorpus")
+      .select("url").as[String].collect().sorted.toSeq
+    def mediaUrls() = spark.read.parquet(s"$dir/mcorpus")
+      .select("url").as[String].collect().sorted.toSeq
     try {
       q.processAllAvailable()
       // batch 1: the novel doc and the fresh image survive; the
       // reworded re-crawl of the TEXT seed and the BMP re-encode of
       // the MEDIA seed drop against the prebuilt indexes; junk drops
       // at the quality floor — one scan fed both verdict legs
-      keptDocs.sorted.toSeq shouldBe Seq("https://c.example/docA")
-      keptMedia.sorted.toSeq shouldBe Seq("https://c.example/imgM")
+      docUrls() shouldBe Seq("https://c.example/docA")
+      mediaUrls() shouldBe Seq("https://c.example/imgM")
       // archive 2: re-crawls of BATCH 1's survivors (text reworded,
-      // media re-encoded) — only the APPENDED deltas can catch them
+      // media re-encoded) — only the APPENDED deltas can catch them,
+      // and both indexes were COMPACTED after batch 1, so the memory
+      // demonstrably rides through the compacted copies
       java.nio.file.Files.write(
         java.nio.file.Paths.get(drop.toString, "a2.warc"),
         rec("https://c.example/docA2",
@@ -499,15 +496,79 @@ class StreamingIngestPipelineSpec extends SparkSpec {
           rec("https://c.example/imgM2", img(21, "bmp")) ++
           rec("https://c.example/imgN", img(77, "png")))
       q.processAllAvailable()
-      keptDocs.sorted.toSeq shouldBe
+      docUrls() shouldBe
         Seq("https://c.example/docA", "https://c.example/docB")
-      keptMedia.sorted.toSeq shouldBe
+      mediaUrls() shouldBe
         Seq("https://c.example/imgM", "https://c.example/imgN")
     } finally q.stop()
-    // both on-disk indexes GREW: seed + the two surviving docs /
-    // images each — the continuous-crawl loop is closed end to end
-    spark.read.parquet(s"$dir/tsets").count() shouldBe 3L
-    spark.read.parquet(s"$dir/midx").count() shouldBe 3L
+    // both LIVE indexes GREW: seed + the two surviving docs / images
+    // each — the continuous-crawl loop is closed end to end
+    spark.read.parquet(
+        s"${IngestSinks.currentIndexPath(spark, s"$dir/tidx")}/sets")
+      .count() shouldBe 3L
+    spark.read.parquet(
+        s"${IngestSinks.currentIndexPath(spark, s"$dir/midx")}/index")
+      .count() shouldBe 3L
+  }
+
+  test("runArchiveIngest extractHtml: crawl HTML bodies become PROSE before fingerprint/gate/judge — a re-serialized re-crawl of indexed prose drops; survivors carry extracted text") {
+    import graft.multimodal.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank " +
+      "while morning light spreads across the silent valley floor"
+    val novel = "a brand new report on deep sea exploration vessels " +
+      "mapping volcanic ridges under the southern ocean currents today " +
+      "with sonar sweeps charting the deepest trenches ever recorded " +
+      "before the research vessel returns"
+    def rec(uri: String, html: String): Array[Byte] = {
+      val p = html.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val dir = Files.createTempDirectory("graft_archhtml")
+    // the text index holds PROSE (the extracted form — the scaladoc
+    // contract when extractHtml is on)
+    IngestSinks.initTextIndex(spark, s"$dir/tidx",
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    spark.catalog.clearCache()
+    IngestSinks.initMediaIndex(spark, s"$dir/midx",
+      Seq.empty[Multimodal.Media].toDS(), maxBucket = 64)
+    val drop = Files.createTempDirectory("graft_archhtml_drop")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(drop.toString, "a1.warc"),
+      // a re-SERIALIZED re-crawl of the indexed prose: different tag
+      // soup around near-identical text — WITHOUT extraction the
+      // markup tokens depress Jaccard below the gate and it would
+      // sail through; WITH extraction it judges as the near-dup it is
+      rec("https://h.example/seedAgain",
+        "<html><body><p>" + base.replace("distant", "nearby") +
+          "</p><script>junk()</script></body></html>") ++
+        rec("https://h.example/fresh",
+          s"<html><body><p>$novel</p><script>var x=1;</script>" +
+            "</body></html>"))
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = StreamingIngestPipeline.runArchiveIngest(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .option("pathGlobFilter", "*.warc").load(drop.toString),
+        IngestSinks.textIndex(spark, s"$dir/tidx"),
+        IngestSinks.mediaIndex(spark, s"$dir/midx"),
+        extractHtml = true, mediaMaxBucket = 64) { b =>
+        kept ++= b.docs.select("url", "text").as[(String, String)].collect()
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_archhtml").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    kept.map(_._1).toSeq shouldBe Seq("https://h.example/fresh")
+    // extraction really ran inside the doc leg: prose only
+    val text = kept.head._2
+    text should include ("deep sea exploration")
+    (text should not).include("<p>")
+    (text should not).include("var x=1;")
   }
 
   test("IngestSinks text: idempotent corpus + versioned index appends + MID-RUN compaction — verdicts identical through the compacted copy") {
