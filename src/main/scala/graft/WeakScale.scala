@@ -122,7 +122,8 @@ object WeakScale {
       // grow k× per batch doc, timing candidate fanout instead of
       // history-index growth.
       val textIdxDir =
-        if (!selected("text_incr_q206") && !selected("text_ingest_q208")) ""
+        if (!selected("text_incr_q206") && !selected("text_ingest_q208") &&
+            !selected("archive_ingest")) ""
         else {
           val d = java.nio.file.Files
             .createTempDirectory(s"graft_textidx_$k").toString
@@ -181,7 +182,99 @@ object WeakScale {
             }
           d
         }
+      // PREBUILD for the archive_ingest row: a FIXED batch of gzip
+      // archives whose doc records carry r0-SALTED text (each matches
+      // exactly its replica-0 counterpart in the prebuilt text index —
+      // the text ladder's fixture rule) and whose every 5th record is
+      // a fresh per-id PNG (the media leg does real decode + election
+      // work; history media is hash-synthesized at scale k inside the
+      // body, the media_incr fixture). The axis is HISTORY: archives
+      // are constant, both indexes grow k×.
+      val archIngDir =
+        if (!selected("archive_ingest")) ""
+        else {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"graft_arching_$k").toString
+          val mkRec = udf((id: Long, text: String) => {
+            val payload: Array[Byte] =
+              if (id % 5 == 0)
+                graft.multimodal.PerceptualHash.renderGrayImage(16, 16,
+                  id * 7, id % 5 + 1, id % 11 + 1, id % 3, 0, "png")
+              else (if (text == null) "" else text).getBytes("UTF-8")
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: https://i.example/$id\r\n" +
+              "WARC-Date: 2026-01-02T03:04:05Z\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++
+              payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+          })
+          val concatB = udf((rs: Seq[Array[Byte]]) => rs.flatten.toArray)
+          val gzB = udf((b: Array[Byte]) => {
+            val bo = new java.io.ByteArrayOutputStream()
+            val o = new java.util.zip.GZIPOutputStream(bo)
+            o.write(b); o.close(); bo.toByteArray
+          })
+          baseDocs.filter(col("doc_id") % 2 === 0)
+            .select(pmod(col("doc_id"), lit(64)).as("aid"), col("doc_id"),
+              mkRec(col("doc_id"),
+                regexp_replace(col("text"), "\\s+", " r0 ")).as("rec"))
+            .groupBy(col("aid"))
+            .agg(gzB(concatB(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+              x => x.getField("rec")))).as("content"))
+            .collect().foreach { r =>
+              java.nio.file.Files.write(java.nio.file.Paths.get(d,
+                f"a${r.getLong(0)}%03d.warc.gz"),
+                r.getAs[Array[Byte]]("content")); ()
+            }
+          d
+        }
       val ops: Seq[(String, String, () => Long)] = Seq(
+        // the FULL archive ingest step — runArchiveIngest's per-batch
+        // body: ONE routed scan (pinned), text leg (ingestStep vs the
+        // k×-history parquet index) + media leg (hash build +
+        // ingestStep vs a k×-history hash index). The flagship
+        // continuous-crawl entry point, measured against index growth:
+        // expect FLAT — the scan and batch sides are constant, and
+        // both judges' histories stream map-side by contract.
+        ("archive_ingest", D, () => {
+          import org.apache.spark.sql.functions.{col => c}
+          import spark.implicits._
+          val routed = graft.io.WarcRecords.toCrawlRecordsRouted(
+              graft.io.BinaryFileSource(archIngDir).read(spark))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val batchDocs = routed.filter(c("kind") === "doc")
+              .select(c("rec_id").as("doc_id"), c("text"))
+            val (tDups, (db, ds2)) = graft.operators.TextIndex.ingestStep(
+              batchDocs, "doc_id", "text",
+              spark.read.parquet(s"$textIdxDir/bands"),
+              spark.read.parquet(s"$textIdxDir/sets"), cacheSets = false)
+            val histMediaIdx = docs.select(
+              c("doc_id").as("media_id"),
+              element_at(array(lit("image"), lit("audio"), lit("video")),
+                (pmod(c("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+              md5(concat(lit("h"), c("doc_id").cast("string"))).as("fp"),
+              when(c("doc_id") % 3 === 0,
+                xxhash64(lit("a"), c("doc_id"))).as("ahash"),
+              when(c("doc_id") % 3 === 0,
+                xxhash64(lit("d"), c("doc_id"))).as("dhash"),
+              when(c("doc_id") % 3 === 1,
+                xxhash64(lit("e"), c("doc_id"))).as("ehash"),
+              when(c("doc_id") % 3 === 2,
+                transform(sequence(lit(0), lit(5)),
+                  f => xxhash64(lit("f"), c("doc_id"), f))).as("fhashes"))
+            val typed = routed.filter(c("kind") =!= "doc")
+              .select(c("rec_id").as("media_id"), c("kind"), c("payload"))
+              .as[graft.multimodal.Multimodal.Media]
+            val batchIdx = graft.multimodal.MediaIndex
+              .mediaHashIndex(typed).localCheckpoint(true)
+            val (mDups, mDelta) = graft.multimodal.MediaIndex.ingestStep(
+              batchIdx, histMediaIdx)
+            tDups.count() + db.count() + ds2.count() +
+              mDups.count() + mDelta.count()
+          } finally { routed.unpersist(); () }
+        }),
         // the SHARED single-pass splitter: one inflate+parse feeds both
         // legs; sums force full strip/sniff + column materialization so
         // pruning can't skip work the comparison is about
@@ -1017,12 +1110,12 @@ object WeakScale {
         }
         rm(java.nio.file.Paths.get(textIdxDir))
       }
-      if (archDir.nonEmpty) {
-        val s = java.nio.file.Files.list(java.nio.file.Paths.get(archDir))
+      Seq(archDir, archIngDir).filter(_.nonEmpty).foreach { dir =>
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
         try s.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
         finally s.close()
         java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(archDir)); ()
+          java.nio.file.Paths.get(dir)); ()
       }
       out
     }

@@ -2183,8 +2183,55 @@ object DataOps {
       FROM dr WHERE rn = 1
       ORDER BY dup_id"""))
 
+  /** q211: MEDIA index retraction under the oracle — [[q210]]'s twin
+    * for the media family, pinned on the BYTE leg so DuckDB replays
+    * it as render-parameter equality (the q205 thin-routing rule —
+    * the perceptual hash families are q198–q204's proven ground).
+    * History carries TWO byte-identical copies of each content
+    * (ids i and i+100 render the same image); the batch re-crawls
+    * every content; every 7th smaller keeper is retracted
+    * (tombstone-filtered exactly as
+    * [[graft.io.MediaIndexArtifacts.load]] composes), so those batch
+    * objects must RE-ELECT the i+100 copy while the rest keep i —
+    * byte precedence throughout. */
+  private val q211 = QuerySpec(
+    "q211_media_index_retraction",
+    (s, dir) => {
+      import graft.multimodal.{MediaIndex, Multimodal, PerceptualHash}
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      def mediaOf(ids: org.apache.spark.sql.DataFrame,
+                  idc: org.apache.spark.sql.Column,
+                  gid: org.apache.spark.sql.Column) =
+        ids.select(idc.as("media_id"), lit("image").as("kind"),
+          PerceptualHash.renderLetterboxImage16(gid * 7, gid % 5 + 1,
+            gid % 11 + 1, gid % 3, lit(0L), lit("png")).as("payload"))
+      val hist = mediaOf(docs.filter(col("doc_id") < 200),
+        col("doc_id"), pmod(col("doc_id"), lit(100)))
+      val batch = mediaOf(docs.filter(col("doc_id") < 100),
+        col("doc_id") + 1000L, col("doc_id"))
+      val hp = hist.localCheckpoint(true)
+      val bp = batch.localCheckpoint(true)
+      val tomb = docs.filter(col("doc_id") < 100 &&
+          pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("media_id"))
+      val hIdx = MediaIndex.mediaHashIndex(hp.as[Multimodal.Media])
+        .join(broadcast(tomb), Seq("media_id"), "left_anti")
+      MediaIndex.incrementalMediaDups(
+          MediaIndex.mediaHashIndex(bp.as[Multimodal.Media]), hIdx,
+          maxBucket = 16)
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id + 1000 AS dup_id,
+             CASE WHEN doc_id % 7 = 0 THEN doc_id + 100
+                  ELSE doc_id END AS keep_id,
+             'byte' AS via
+      FROM documents WHERE doc_id < 100
+      ORDER BY dup_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
-    q200, q201, q202, q203, q204, q205, q206, q208, q210)
+    q200, q201, q202, q203, q204, q205, q206, q208, q210, q211)
 }
