@@ -297,11 +297,23 @@ object StreamingIngestPipeline {
     * a tag-soup fingerprint would treat a re-serialized page as fresh
     * content, and markup depresses quality scores of good pages. The
     * extracted text REPLACES the doc leg's text; the text index must
-    * then also have been built over extracted prose. */
+    * then also have been built over extracted prose.
+    *
+    * URL-level front gates (the [[TrainingCorpusPipeline]] seating,
+    * cheapest first): `urlBlocklist` (suffix-semantics domain
+    * blocking, [[graft.operators.UrlCuration.blocklistFilter]])
+    * applies to BOTH legs before any byte of content is touched — a
+    * condemned domain's pages AND its media never pay extraction,
+    * hashing, or decode; `urlDedup = true` collapses batch-internal
+    * tracker-variant re-crawls of one canonical URL
+    * ([[graft.operators.UrlCuration.canonicalUrlDedup]], keep
+    * smallest id) on the doc leg before extraction. */
   def runArchiveIngest(archives: DataFrame,
       textIndex: () => (DataFrame, DataFrame),
       mediaIndex: () => DataFrame,
       extractHtml: Boolean = false,
+      urlBlocklist: Option[DataFrame] = None,
+      urlDedup: Boolean = false,
       minQuality: Double = 0.3,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
       nearDupThreshold: Double = 0.8, seed: Long = 42L,
@@ -321,11 +333,23 @@ object StreamingIngestPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // ---- doc leg -------------------------------------------------
-        // (opt-in) HTML extraction FIRST: fingerprints, quality, and
-        // shingles must see prose, not markup (scaladoc)
-        val docsRaw = routed.filter(col("kind") === "doc")
+        // URL gates FIRST (cheapest evidence: no content read for a
+        // condemned domain, no extraction for a tracker-variant
+        // re-crawl — the batch pipeline's -3/-2.5 seating)
+        val docsRaw0 = routed.filter(col("kind") === "doc")
           .select(col("rec_id").as("doc_id"), col("url"), col("mtime"),
             col("text"))
+        val docsBlocked = urlBlocklist match {
+          case Some(blocked) => graft.operators.UrlCuration
+            .blocklistFilter(docsRaw0, "url", blocked)
+          case None => docsRaw0
+        }
+        val docsRaw =
+          if (!urlDedup) docsBlocked
+          else graft.operators.UrlCuration.canonicalUrlDedup(
+            docsBlocked, "url", "doc_id")
+        // (opt-in) HTML extraction next: fingerprints, quality, and
+        // shingles must see prose, not markup (scaladoc)
         val docsText =
           if (!extractHtml) docsRaw
           else graft.operators.HtmlExtract.extractText(
@@ -356,7 +380,14 @@ object StreamingIngestPipeline {
           tDups.select(col("dup_id").as("doc_id")), Seq("doc_id"),
           "left_anti")
         // ---- media leg -----------------------------------------------
-        val mediaRows = routed.filter(col("kind") =!= "doc")
+        // the domain blocklist gates media too: a condemned domain's
+        // images never pay fingerprinting or decode
+        val mediaRows0 = routed.filter(col("kind") =!= "doc")
+        val mediaRows = urlBlocklist match {
+          case Some(blocked) => graft.operators.UrlCuration
+            .blocklistFilter(mediaRows0, "url", blocked)
+          case None => mediaRows0
+        }
         val typed = mediaRows
           .select(col("rec_id").as("media_id"), col("kind"), col("payload"))
           .as[graft.multimodal.Multimodal.Media]

@@ -571,6 +571,78 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     (text should not).include("var x=1;")
   }
 
+  test("runArchiveIngest URL gates: a blocked domain's docs AND media never pay content work; tracker-variant re-crawls collapse to one canonical survivor") {
+    import graft.multimodal.{Multimodal, PerceptualHash}
+    def img(gid: Long) =
+      PerceptualHash.renderGrayImage(16, 16, gid * 7, gid % 5 + 1,
+        gid % 11 + 1, gid % 3, 0, "png")
+    def rec(uri: String, p: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val novel = "a brand new report on deep sea exploration vessels " +
+      "mapping volcanic ridges under the southern ocean currents today " +
+      "with sonar sweeps charting the deepest trenches ever recorded " +
+      "before the research vessel returns"
+    val other = "completely different archival material about ancient " +
+      "trade routes crossing the mountain passes in early winter snow " +
+      "carried by caravans whose tolls the provincial ledgers recorded"
+    val fresh2 = "entirely different prose about mountain weather " +
+      "stations recording wind and snowfall across the high passes " +
+      "during the long winter season while valley roads stayed closed " +
+      "to traffic for six straight days"
+    val dir = Files.createTempDirectory("graft_archurl")
+    IngestSinks.initTextIndex(spark, s"$dir/tidx",
+      Seq((100L, "an unrelated seed document about river dredging " +
+        "surveys measured along the harbor channel late last autumn"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    spark.catalog.clearCache()
+    IngestSinks.initMediaIndex(spark, s"$dir/midx",
+      Seq.empty[Multimodal.Media].toDS(), maxBucket = 64)
+    val drop = Files.createTempDirectory("graft_archurl_drop")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(drop.toString, "a1.warc"),
+      rec("https://ok.example/a", novel.getBytes("UTF-8")) ++
+        // a SUBDOMAIN of the blocked domain: suffix semantics
+        rec("https://sub.blocked.example/x", other.getBytes("UTF-8")) ++
+        // tracker variants of ONE canonical URL, distinct texts (the
+        // exact-fp stage is blind to them) — exactly one survives
+        rec("https://ok.example/p?utm_source=x",
+          fresh2.getBytes("UTF-8")) ++
+        rec("https://ok.example/p?utm_campaign=y",
+          (fresh2 + " republished under a tracking campaign variant")
+            .getBytes("UTF-8")) ++
+        rec("https://blocked.example/i.png", img(21)) ++
+        rec("https://ok.example/j.png", img(77)))
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val keptDocs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keptMedia = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = StreamingIngestPipeline.runArchiveIngest(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .option("pathGlobFilter", "*.warc").load(drop.toString),
+        IngestSinks.textIndex(spark, s"$dir/tidx"),
+        IngestSinks.mediaIndex(spark, s"$dir/midx"),
+        urlBlocklist = Some(Seq("blocked.example").toDF("domain")),
+        urlDedup = true, mediaMaxBucket = 64) { b =>
+        keptDocs ++= b.docs.select("url").as[String].collect()
+        keptMedia ++= b.media.select("url").as[String].collect()
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_archurl").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    keptMedia.toSeq shouldBe Seq("https://ok.example/j.png")
+    keptDocs should contain ("https://ok.example/a")
+    keptDocs.exists(_.startsWith("https://sub.blocked")) shouldBe false
+    // exactly ONE of the two tracker variants survived (keep-first by
+    // id; ids are path-position hashes, so which URL wins is hash
+    // order — the CANONICAL identity is what collapsed)
+    keptDocs.count(_.startsWith("https://ok.example/p")) shouldBe 1
+    keptDocs should have size 2
+  }
+
   test("IngestSinks text: idempotent corpus + versioned index appends + MID-RUN compaction — verdicts identical through the compacted copy") {
     implicit val ctx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog and keeps " +
