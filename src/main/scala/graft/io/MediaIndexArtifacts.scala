@@ -93,7 +93,8 @@ object MediaIndexArtifacts {
     require(p.length == 1, s"expected one params row at $path, got ${p.length}")
     val r = p.head
     PersistedMediaIndex(
-      minusTombstones(spark, spark.read.parquet(s"$path/index"), path),
+      minusTombstones(spark, TextIndexArtifacts.readIdNormalized(
+        spark, s"$path/index", "media_id"), path),
       r.getAs[Int]("image_max_dist"), r.getAs[Int]("audio_max_dist"),
       r.getAs[Int]("video_max_dist"), r.getAs[Int]("video_min_overlap_bp"),
       r.getAs[Int]("max_bucket"))
@@ -105,7 +106,8 @@ object MediaIndexArtifacts {
     * carries none. */
   def compact(spark: SparkSession, fromPath: String, toPath: String,
               files: Int = 32): Unit = {
-    minusTombstones(spark, spark.read.parquet(s"$fromPath/index"), fromPath)
+    minusTombstones(spark, TextIndexArtifacts.readIdNormalized(
+        spark, s"$fromPath/index", "media_id"), fromPath)
       .repartition(files, col("fp"))
       .sortWithinPartitions(col("fp"))
       .write.mode("overwrite").parquet(s"$toPath/index")

@@ -109,7 +109,12 @@ object TextIndexArtifacts {
     * result) — replay-idempotent upstream, plain parquet appends
     * here. Band-row appends keep the sorted-write discipline, and
     * the id column is normalized to LONG (the build rule: one stable
-    * on-disk schema however the caller keys its batches). */
+    * on-disk schema however the caller keys its batches). Appending
+    * beside a PRE-normalization INT32 build leaves a mixed-footer
+    * directory on purpose: every read goes through
+    * [[readIdNormalized]] (the legacy bridge — explicit widened
+    * schema), and the next [[compact]] rewrites the index at LONG
+    * throughout, retiring the bridge for that index. */
   def append(path: String, delta: (DataFrame, DataFrame)): Unit = {
     delta._1.withColumn("doc", col("doc").cast("long"))
       .sortWithinPartitions(col("band"), col("sig"))
@@ -132,6 +137,31 @@ object TextIndexArtifacts {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Read a relation directory with `idCol` normalized to LONG —
+    * the legacy-footer bridge: an index BUILT before the LONG
+    * normalization has INT32 footers on disk, and an upgraded append
+    * beside them leaves a MIXED directory where plain schema
+    * inference reads ONE footer and mis-reads or fails on the other
+    * generation. Requesting an explicit schema with the id field
+    * widened reads BOTH generations (parquet int32 → int64 type
+    * widening — upcasts are safe, supported by the vectorized
+    * reader), so pre-normalization indexes keep loading, appending,
+    * and compacting without a manual migration; the next [[compact]]
+    * rewrites everything at LONG and retires the bridge for that
+    * index. */
+  private[io] def readIdNormalized(spark: SparkSession, dir: String,
+      idCol: String): DataFrame = {
+    val inferred = spark.read.parquet(dir)
+    if (inferred.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType) inferred
+    else spark.read.schema(org.apache.spark.sql.types.StructType(
+        inferred.schema.map(f =>
+          if (f.name == idCol)
+            f.copy(dataType = org.apache.spark.sql.types.LongType)
+          else f)))
+      .parquet(dir)
+  }
+
   /** The tombstone-filtered relation: `rel` anti-joined against the
     * BROADCAST tombstone ids — tombstones are id-sized (takedown
     * lists, not corpora), so the index keeps streaming map-side
@@ -149,8 +179,10 @@ object TextIndexArtifacts {
     require(p.length == 1, s"expected one params row at $path, got ${p.length}")
     val r = p.head
     PersistedTextIndex(
-      minusTombstones(spark, spark.read.parquet(s"$path/bands"), path, "doc"),
-      minusTombstones(spark, spark.read.parquet(s"$path/sets"), path, "doc"),
+      minusTombstones(spark,
+        readIdNormalized(spark, s"$path/bands", "doc"), path, "doc"),
+      minusTombstones(spark,
+        readIdNormalized(spark, s"$path/sets", "doc"), path, "doc"),
       r.getAs[Int]("shingle_n"), r.getAs[Int]("num_hashes"),
       r.getAs[Int]("bands"), r.getAs[Long]("seed"),
       r.getAs[Double]("threshold"), r.getAs[Int]("max_bucket"))
@@ -168,13 +200,13 @@ object TextIndexArtifacts {
     * compacted copy at `toPath`. */
   def compact(spark: SparkSession, fromPath: String, toPath: String,
               files: Int = 32): Unit = {
-    minusTombstones(spark, spark.read.parquet(s"$fromPath/bands"),
-        fromPath, "doc")
+    minusTombstones(spark,
+        readIdNormalized(spark, s"$fromPath/bands", "doc"), fromPath, "doc")
       .repartition(files, col("band"), col("sig"))
       .sortWithinPartitions(col("band"), col("sig"))
       .write.mode("overwrite").parquet(s"$toPath/bands")
-    minusTombstones(spark, spark.read.parquet(s"$fromPath/sets"),
-        fromPath, "doc")
+    minusTombstones(spark,
+        readIdNormalized(spark, s"$fromPath/sets", "doc"), fromPath, "doc")
       .repartition(files, col("doc"))
       .write.mode("overwrite").parquet(s"$toPath/sets")
     spark.read.parquet(s"$fromPath/params")

@@ -87,7 +87,7 @@ object Dedup {
     val schema = sorted.schema.add(idCol,
       org.apache.spark.sql.types.LongType, nullable = false)
     spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }, schema)
   }
@@ -107,6 +107,31 @@ object Dedup {
       .groupBy(col("__fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
       .drop("__fp")
+
+  /** The KEEPER-ROW view of [[exact]] over a PRECOMPUTED fingerprint
+    * column: returns the input rows whose `idCol` is the smallest in
+    * their `fpCol` group, all other columns carried through. One
+    * batch-bounded hash shuffle (groupBy-min with map-side combine +
+    * a semi join on the (fp, id) pair). The fingerprint is
+    * caller-supplied because ingest pipelines must fingerprint BEFORE
+    * redaction mutates the text (the raw-text fingerprint rule —
+    * [[graft.pipelines.StreamingIngestPipeline.run]]).
+    *
+    * NULL fingerprints follow the [[exact]] rule: unknown content is
+    * its own singleton group (the key is coalesced with an id-salted
+    * sentinel), so extraction failures are never merged into one
+    * giant "duplicate" cluster — and never silently dropped by the
+    * semi join's null-key-never-matches behavior. */
+  def exactKeepSmallest(df: DataFrame, idCol: String,
+                        fpCol: String): DataFrame = {
+    val keyed = df.withColumn("__ek",
+      coalesce(col(fpCol).cast("string"),
+        concat(lit("__null__"), col(idCol).cast("string"))))
+    keyed
+      .join(keyed.groupBy(col("__ek")).agg(min(col(idCol)).as(idCol)),
+        Seq("__ek", idCol), "left_semi")
+      .drop("__ek")
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: explode word n-gram shingle
     * sets, self-join on shingle, count intersections, filter by

@@ -201,6 +201,30 @@ object HtmlExtract {
           .as(Seq("pos", "href")))
       .select(col(idCol), col("pos").cast("int").as("pos"), col("href"))
 
+  /** The media-reference pattern — shared verbatim with the q212
+    * oracle (RE2 and java.util.regex read it identically: no
+    * lookahead, no backrefs): the quoted `src` attribute of the five
+    * media-embedding tags. */
+  private[graft] val MediaRefPat: String =
+    "(?is)<(?:img|source|video|audio|embed)\\s[^>]*src\\s*=\\s*" +
+      "[\"']([^\"']+)[\"']"
+
+  /** (idCol, ref): the DISTINCT media objects a page embeds — the
+    * `src` targets of `<img> <source> <video> <audio> <embed>` tags —
+    * the doc→media OWNERSHIP edge a crawl pipeline needs to run the
+    * doc-level media-originality gate from archive records (a page
+    * and its images arrive as separate WARC records; this is what
+    * re-associates them). Distinct per (doc, ref): a page repeating
+    * one image contributes one evidence edge — the election counts
+    * OBJECTS, not occurrences. Refs come out raw (often relative);
+    * resolve against the fetch URL with
+    * [[UrlCuration.resolveHref]] before joining to media URLs. */
+  def mediaRefs(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
+          lit(MediaRefPat), lit(1))).as("ref"))
+      .distinct()
+
   /** DuckDB replay of [[extractText]]. */
   def extractOracle(table: String, idCol: String, htmlExpr: String): String = s"""
       WITH raw AS (SELECT $idCol, coalesce($htmlExpr, '') AS h FROM $table),

@@ -17,28 +17,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Index layout: a VERSIONED root — `<root>/v<N>/…` artifact
   * directories with `<root>/CURRENT` (a one-line text file) naming the
   * live version. Appends go to the current version; compaction writes
-  * `v<batchId+1>` at full integrity beside the live index, then swaps
-  * the pointer and deletes the old version. The pointer swap is the
-  * only non-atomic step (create temp + delete + rename — HDFS rename
-  * refuses to overwrite); it is safe here because foreachBatch
-  * SERIALIZES the only reader with the only writer: the pointer is
-  * re-read at the next batch, never concurrently with the swap. A
-  * multi-reader deployment (other jobs loading the index while ingest
-  * runs) should front the root with its catalog's pointer mechanism
-  * (a Hive table location swap, an Iceberg snapshot) instead.
+  * `v<N+1>` (N parsed from CURRENT — never from the batchId, whose
+  * restart-relative numbering could collide with an already-published
+  * version and crash-loop the stream on a read-from-own-write) at full
+  * integrity beside the live index, then swaps the pointer. The swap
+  * is an ATOMIC overwriting rename where the filesystem supports it
+  * (FileContext + Rename.OVERWRITE — HDFS and POSIX both do); on
+  * filesystems that refuse, the delete+rename fallback's crash window
+  * is closed by [[currentIndexPath]]'s recovery rule: no CURRENT →
+  * the highest complete `v<N>` is the live version (compaction always
+  * COMPLETES a version before any swap names it, so the highest
+  * version on disk is always a complete one), and the pointer is
+  * self-healed on first read.
+  *
+  * Concurrent readers: the swap RETAINS the just-replaced version —
+  * versions older than it are deleted instead (delete-on-NEXT-swap) —
+  * so an external job that resolved `v<N>` keeps a complete index for
+  * a full compaction cycle after `v<N+1>` publishes. Readers that may
+  * lag by more than one compaction should still front the root with a
+  * catalog pointer (a Hive table location swap, an Iceberg snapshot).
   *
   * Redelivery walkthrough (the contract the pieces add up to): a
   * failed-and-replayed batch re-runs the ingest step, whose verdicts
   * and survivors replay IDENTICALLY and whose delta appends nothing
   * (the TextIndex/MediaIndex ingestStep contracts); the corpus append
   * OVERWRITES its own `batch_id=<id>` partition rather than
-  * duplicating; a replayed compaction rewrites the same `v<N>`
-  * deterministically. Every interleaving of partial failure therefore
-  * converges to the same corpus and the same index. Retractions
-  * ([[TextIndexArtifacts.retract]] on the CURRENT version path) are
-  * honored immediately — the per-batch index reads go through `load`,
-  * which filters tombstones — and are applied physically at the next
-  * compaction. */
+  * duplicating; a replayed compaction whose first attempt already
+  * swapped the pointer compacts the NEW current version into a fresh
+  * `v<N+1>` — logically identical content (compaction is layout +
+  * tombstone application and never changes verdicts), never a
+  * read-from-own-path crash. Every interleaving of partial failure
+  * therefore converges to the same corpus and the same index.
+  * Retractions ([[TextIndexArtifacts.retract]] on the CURRENT version
+  * path) are honored immediately — the per-batch index reads go
+  * through `load`, which filters tombstones — and are applied
+  * physically at the next compaction. Corpus-side removal of a
+  * retracted doc's content is [[retractFromCorpus]] (the takedown
+  * story's second half: the index forgets at retract time, the corpus
+  * parquet forgets at sweep time). */
 object IngestSinks {
 
   /** batchId-idempotent corpus append: each batch writes (overwrites)
@@ -55,23 +71,85 @@ object IngestSinks {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** The live index version's full path (`<root>/v<N>` per CURRENT). */
+  private def versionNum(name: String): Long = name.stripPrefix("v").toLong
+
+  /** The complete `v<N>` version directories under `indexRoot`,
+    * highest first. */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Array[String] =
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .sortBy(versionNum).reverse
+
+  /** The live index version's full path (`<root>/v<N>` per CURRENT).
+    * Recovery rule (the non-atomic-swap crash window): when CURRENT is
+    * absent, the highest `v<N>` directory IS the live version —
+    * compaction completes a version before any swap names it, so the
+    * highest on disk is always complete — and the pointer is
+    * re-created (self-heal) so external readers recover too. */
   def currentIndexPath(spark: SparkSession, indexRoot: String): String = {
     val (fs, p) = hfs(spark, s"$indexRoot/CURRENT")
-    val in = fs.open(p)
-    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    s"$indexRoot/$v"
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s"$indexRoot/$v"
+    } else {
+      val vs = listVersions(fs, new org.apache.hadoop.fs.Path(indexRoot))
+      require(vs.nonEmpty,
+        s"no CURRENT pointer and no v<N> version directories at $indexRoot")
+      setCurrent(spark, indexRoot, vs.head)
+      s"$indexRoot/${vs.head}"
+    }
   }
 
+  /** Swap the CURRENT pointer: write CURRENT.tmp, then rename over
+    * CURRENT atomically (FileContext + Rename.OVERWRITE — supported
+    * by HDFS and local POSIX). On filesystems without an overwriting
+    * rename the delete+rename fallback runs; its crash window (no
+    * CURRENT on disk) is recovered by [[currentIndexPath]]. */
   private def setCurrent(spark: SparkSession, indexRoot: String,
                          version: String): Unit = {
-    val (fs, tmp) = hfs(spark, s"$indexRoot/CURRENT.tmp")
-    val cur = new org.apache.hadoop.fs.Path(s"$indexRoot/CURRENT")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, tmp0) = hfs(spark, s"$indexRoot/CURRENT.tmp")
+    val tmp = fs.makeQualified(tmp0)
+    val cur = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$indexRoot/CURRENT"))
     val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
-    fs.delete(cur, false)
-    fs.rename(tmp, cur); ()
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+        .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        fs.delete(cur, false)
+        require(fs.rename(tmp, cur), s"pointer swap failed at $cur")
+    }
+    ()
+  }
+
+  /** Delete version directories strictly OLDER than `keepFrom` — the
+    * delete-on-next-swap retention: after swapping v<N> → v<N+1> this
+    * runs with keepFrom = N, keeping the new version AND the one a
+    * concurrent reader may still be holding. */
+  private def dropVersionsBelow(spark: SparkSession, indexRoot: String,
+                                keepFrom: Long): Unit = {
+    val (fs, root) = hfs(spark, indexRoot)
+    listVersions(fs, root).filter(versionNum(_) < keepFrom)
+      .foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$indexRoot/$v"), true))
+  }
+
+  /** The shared compaction step: compact the current version into
+    * `v<N+1>` (N from the pointer), swap, and apply the retention
+    * rule. `doCompact` is the family-specific artifact compactor. */
+  private def compactAndSwap(spark: SparkSession, indexRoot: String,
+      cur: String)(doCompact: String => Unit): Unit = {
+    val curV = versionNum(cur.substring(cur.lastIndexOf('/') + 1))
+    val next = s"v${curV + 1}"
+    doCompact(s"$indexRoot/$next")
+    setCurrent(spark, indexRoot, next)
+    dropVersionsBelow(spark, indexRoot, curV)
   }
 
   /** Initialize a versioned TEXT index root: build `v0` over `corpus`
@@ -117,7 +195,8 @@ object IngestSinks {
     * ([[StreamingIngestPipeline.runWithTextIndexGate]]'s shape):
     * idempotent corpus append, delta append to the current version,
     * and — every `compactEvery` DATA batches (0 = never) — compaction
-    * to `v<batchId+1>` with the pointer swap and old-version cleanup.
+    * to `v<N+1>` with the pointer swap and the delete-on-next-swap
+    * retention (object doc).
     *
     * Empty batches are SKIPPED outright: Structured Streaming fires
     * NO-DATA batches to advance watermarks (the upstream pipeline has
@@ -140,13 +219,9 @@ object IngestSinks {
         val cur = currentIndexPath(spark, indexRoot)
         TextIndexArtifacts.append(cur, delta)
         if (compactEvery > 0 &&
-            dataBatches.incrementAndGet() % compactEvery == 0) {
-          val next = s"v${id + 1}"
-          TextIndexArtifacts.compact(spark, cur, s"$indexRoot/$next")
-          setCurrent(spark, indexRoot, next)
-          val (fs, old) = hfs(spark, cur)
-          fs.delete(old, true); ()
-        }
+            dataBatches.incrementAndGet() % compactEvery == 0)
+          compactAndSwap(spark, indexRoot, cur)(
+            TextIndexArtifacts.compact(spark, cur, _))
       }
   }
 
@@ -184,13 +259,72 @@ object IngestSinks {
         val cur = currentIndexPath(spark, indexRoot)
         MediaIndexArtifacts.append(cur, delta)
         if (compactEvery > 0 &&
-            dataBatches.incrementAndGet() % compactEvery == 0) {
-          val next = s"v${id + 1}"
-          MediaIndexArtifacts.compact(spark, cur, s"$indexRoot/$next")
-          setCurrent(spark, indexRoot, next)
-          val (fs, old) = hfs(spark, cur)
-          fs.delete(old, true); ()
-        }
+            dataBatches.incrementAndGet() % compactEvery == 0)
+          compactAndSwap(spark, indexRoot, cur)(
+            MediaIndexArtifacts.compact(spark, cur, _))
       }
+  }
+
+  /** CORPUS-side retraction — the takedown story's second half: index
+    * tombstones ([[TextIndexArtifacts.retract]]) stop a doc from
+    * winning keeper elections, but the corpus parquet written by
+    * [[appendCorpusIdempotent]] still carries its text/payload. This
+    * sweep REMOVES the retracted rows physically, touching ONLY the
+    * `batch_id=<id>` partitions that actually contain a retracted id
+    * (the partition layout makes the rewrite targeted — at 100 TB a
+    * takedown list of a few thousand ids rewrites a few partitions,
+    * never the corpus).
+    *
+    * Crash discipline per partition: rewrite to a side directory
+    * (`<corpus>/.retract_tmp/batch_id=<id>`), then delete the
+    * original and rename the side copy in. A crash between delete and
+    * rename leaves the side copy intact — the RECOVERY PREAMBLE here
+    * completes any such orphaned rename on the next invocation, so
+    * re-running the sweep (same or superset id list) always converges;
+    * the sweep is idempotent. Run it at compaction cadence, outside
+    * the streaming query (same single-writer discipline as the index
+    * compaction).
+    *
+    * `ids` is the retraction list (first column, cast to long —
+    * id-sized, broadcast); `idCol` names the corpus id column. */
+  def retractFromCorpus(spark: SparkSession, corpusPath: String,
+                        ids: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val (fs, root) = hfs(spark, corpusPath)
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$corpusPath/.retract_tmp")
+    // recovery preamble: complete any rename a prior crash orphaned
+    // (side copy exists; original may or may not — the side copy is
+    // the post-sweep truth either way)
+    if (fs.exists(tmpRoot)) {
+      fs.listStatus(tmpRoot).filter(_.isDirectory).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        fs.delete(dst, true)
+        require(fs.rename(st.getPath, dst),
+          s"retraction recovery rename failed for ${st.getPath}")
+      }
+      fs.delete(tmpRoot, true)
+    }
+    val tomb = ids.select(
+      col(ids.columns.head).cast("long").as(idCol)).distinct()
+      .localCheckpoint(true)
+    // the affected partitions: batch ids whose partition holds ≥ 1
+    // retracted row — a semi join that prunes to the takedown list,
+    // collected because the result is takedown-sized
+    val affected = spark.read.parquet(corpusPath)
+      .join(broadcast(tomb), Seq(idCol), "left_semi")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    affected.foreach { bid =>
+      val part = s"batch_id=$bid"
+      spark.read.parquet(s"$corpusPath/$part")
+        .join(broadcast(tomb), Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$corpusPath/.retract_tmp/$part")
+      val dst = new org.apache.hadoop.fs.Path(root, part)
+      fs.delete(dst, true)
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(tmpRoot, part), dst),
+        s"retraction rename failed for $part")
+    }
+    if (fs.exists(tmpRoot)) { fs.delete(tmpRoot, true); () }
   }
 }

@@ -307,13 +307,18 @@ object StreamingIngestPipeline {
     * hashing, or decode; `urlDedup = true` collapses batch-internal
     * tracker-variant re-crawls of one canonical URL
     * ([[graft.operators.UrlCuration.canonicalUrlDedup]], keep
-    * smallest id) on the doc leg before extraction. */
+    * smallest id) on the doc leg before extraction.
+    *
+    * `mediaGate = true` seats the DOC-LEVEL media originality gate
+    * (the [[runMediaGatedDocs]] election) in the loop — see
+    * [[archiveIngestStep]], which IS this writer's per-batch body. */
   def runArchiveIngest(archives: DataFrame,
       textIndex: () => (DataFrame, DataFrame),
       mediaIndex: () => DataFrame,
       extractHtml: Boolean = false,
       urlBlocklist: Option[DataFrame] = None,
       urlDedup: Boolean = false,
+      mediaGate: Boolean = false,
       minQuality: Double = 0.3,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
       nearDupThreshold: Double = 0.8, seed: Long = 42L,
@@ -323,91 +328,184 @@ object StreamingIngestPipeline {
       sink: ArchiveIngestBatch => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     archives.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val spark = batch.sparkSession
-      import spark.implicits._
       // ONE scanner pass for both legs, pinned: the media index build
       // re-references payloads ~5× and the text judge re-tokenizes
-      // its batch ~3× (cacheSets=false below) — every re-read must
-      // hit the pinned routed rows, never re-inflate the archives
+      // its batch ~3× (cacheSets=false in the step) — every re-read
+      // must hit the pinned routed rows, never re-inflate the archives
       val routed = graft.io.WarcRecords.toCrawlRecordsRouted(batch)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // ---- doc leg -------------------------------------------------
-        // URL gates FIRST (cheapest evidence: no content read for a
-        // condemned domain, no extraction for a tracker-variant
-        // re-crawl — the batch pipeline's -3/-2.5 seating)
-        val docsRaw0 = routed.filter(col("kind") === "doc")
-          .select(col("rec_id").as("doc_id"), col("url"), col("mtime"),
-            col("text"))
-        val docsBlocked = urlBlocklist match {
-          case Some(blocked) => graft.operators.UrlCuration
-            .blocklistFilter(docsRaw0, "url", blocked)
-          case None => docsRaw0
-        }
-        val docsRaw =
-          if (!urlDedup) docsBlocked
-          else graft.operators.UrlCuration.canonicalUrlDedup(
-            docsBlocked, "url", "doc_id")
-        // (opt-in) HTML extraction next: fingerprints, quality, and
-        // shingles must see prose, not markup (scaladoc)
-        val docsText =
-          if (!extractHtml) docsRaw
-          else graft.operators.HtmlExtract.extractText(
-              docsRaw.withColumn("__k",
-                struct(col("doc_id"), col("url"), col("mtime")))
-                .withColumnRenamed("text", "__html"),
-              "__k", "__html")
-            .select(col("__k.doc_id").as("doc_id"),
-              col("__k.url").as("url"), col("__k.mtime").as("mtime"),
-              col("text"))
-        // fingerprint the text before the gate redacts (the run()
-        // rule), gate, then batch-internal exact dedup: min-id keeper
-        // per normalized fingerprint — one batch-bounded shuffle
-        val docs0 = docsText.withColumn("__fp",
-          graft.functions.TextFns.fingerprint(col("text")))
-        val gated = StreamOps.ingestGate(docs0, "text", minQuality)
-        val exactDeduped = gated
-          .join(gated.groupBy(col("__fp"))
-              .agg(min(col("doc_id")).as("doc_id")),
-            Seq("__fp", "doc_id"), "left_semi")
-          .drop("__fp")
         val (hBands, hSets) = textIndex()
-        val (tDups, tDelta) = graft.operators.TextIndex.ingestStep(
-          exactDeduped, "doc_id", "text", hBands, hSets, shingleN,
-          numHashes, bands, nearDupThreshold, seed, textMaxBucket,
-          cacheSets = false)
-        val docSurvivors = exactDeduped.join(
-          tDups.select(col("dup_id").as("doc_id")), Seq("doc_id"),
-          "left_anti")
-        // ---- media leg -----------------------------------------------
-        // the domain blocklist gates media too: a condemned domain's
-        // images never pay fingerprinting or decode
-        val mediaRows0 = routed.filter(col("kind") =!= "doc")
-        val mediaRows = urlBlocklist match {
-          case Some(blocked) => graft.operators.UrlCuration
-            .blocklistFilter(mediaRows0, "url", blocked)
-          case None => mediaRows0
-        }
-        val typed = mediaRows
-          .select(col("rec_id").as("media_id"), col("kind"), col("payload"))
-          .as[graft.multimodal.Multimodal.Media]
-        // eager-pin the HASH rows: re-referenced by the intra-batch
-        // election, the history judge, and the delta anti-join —
-        // payloads decode exactly once (the runMediaIngestIndexed rule)
-        val batchIdx = graft.multimodal.MediaIndex.mediaHashIndex(typed)
-          .localCheckpoint(true)
-        val (mDups, mDelta) = graft.multimodal.MediaIndex.ingestStep(
-          batchIdx, mediaIndex(), imageMaxDist, audioMaxDist,
-          videoMaxDist, videoMinOverlapBp, mediaMaxBucket)
-        val mediaSurvivors = mediaRows
-          .select(col("rec_id").as("media_id"), col("kind"),
-            col("payload"), col("url"), col("mtime"))
-          .join(mDups.select(col("dup_id").as("media_id")),
-            Seq("media_id"), "left_anti")
-        sink(ArchiveIngestBatch(docSurvivors, tDelta, mediaSurvivors,
-          mDelta, id))
+        sink(archiveIngestStep(routed, hBands, hSets, mediaIndex(),
+          extractHtml, urlBlocklist, urlDedup, mediaGate, minQuality,
+          shingleN, numHashes, bands, nearDupThreshold, seed,
+          textMaxBucket, imageMaxDist, audioMaxDist, videoMaxDist,
+          videoMinOverlapBp, mediaMaxBucket, id))
       } finally { routed.unpersist(); () }
     }
+  }
+
+  /** The per-micro-batch BODY of [[runArchiveIngest]] as a plain
+    * BATCH function over a PINNED routed relation — the same code the
+    * streaming writer runs, callable directly for backfill over a
+    * directory of already-fetched archives, for oracle replay
+    * (q212/q213), and for the weak-scale ladder. `routed` must be
+    * [[graft.io.WarcRecords.toCrawlRecordsRouted]]'s shape and must
+    * be pinned by the CALLER (persist or localCheckpoint — the
+    * wrapper's re-read rule), released after the returned frames are
+    * consumed.
+    *
+    * `mediaGate = true` runs the DOC-LEVEL media originality gate
+    * inside the loop — the capability [[runMediaGatedDocs]] has that
+    * the archive path lacked: in an archive, a page and its images
+    * arrive as SEPARATE records, so ownership must be re-derived.
+    * Media references are extracted from each doc's RAW body
+    * ([[graft.operators.HtmlExtract.mediaRefs]] — `<img/src>` et al,
+    * distinct per (doc, ref), read BEFORE extraction replaces markup
+    * with prose), resolved against the fetch URL
+    * ([[graft.operators.UrlCuration.resolveHref]]), and joined to the
+    * MEDIA LEG's record URLs within the routed batch — a
+    * batch-bounded equi-join (both sides are this batch's rows;
+    * history is never involved, so the gate adds no scale risk). The
+    * [[runMediaGatedDocs]] election then applies: a doc DROPS iff it
+    * references ≥ 1 media object present in the batch AND every such
+    * object judged DUPLICATE (batch-internal election + history
+    * judge — [[graft.multimodal.MediaIndex.ingestStep]]'s dups);
+    * docs whose refs match nothing in the batch (no media, relative
+    * refs that resolve nowhere, objects the crawler never fetched)
+    * carry no evidence and PASS — keep-the-unparseable, exactly the
+    * q196/q199/q203 semantics.
+    *
+    * Seating: the gallery drop runs BEFORE the text judge, so a
+    * dropped doc never enters the text index — an index entry for a
+    * doc the corpus rejected would make every future re-crawl of
+    * that content judge as a near-dup of a ghost and be suppressed
+    * forever; gating first means a re-crawl re-enters and is
+    * re-gated on its own (possibly changed) media evidence.
+    * Verdict replay: the media judge's dups replay identically on
+    * redelivery (ingestStep excludes self-matches), so the DOC
+    * survivor set replays identically too — the sink contract is
+    * unchanged by the gate. */
+  def archiveIngestStep(routed: DataFrame,
+      hBands: DataFrame, hSets: DataFrame, mediaHistoryIndex: DataFrame,
+      extractHtml: Boolean = false,
+      urlBlocklist: Option[DataFrame] = None,
+      urlDedup: Boolean = false,
+      mediaGate: Boolean = false,
+      minQuality: Double = 0.3,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      nearDupThreshold: Double = 0.8, seed: Long = 42L,
+      textMaxBucket: Int = 1000,
+      imageMaxDist: Int = 6, audioMaxDist: Int = 3, videoMaxDist: Int = 3,
+      videoMinOverlapBp: Int = 6000, mediaMaxBucket: Int = 1024,
+      batchId: Long = 0L): ArchiveIngestBatch = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    // ---- media leg (first: its verdicts feed the doc-level gate) ----
+    // the domain blocklist gates media too: a condemned domain's
+    // images never pay fingerprinting or decode
+    val mediaRows0 = routed.filter(col("kind") =!= "doc")
+    val mediaRows = urlBlocklist match {
+      case Some(blocked) => graft.operators.UrlCuration
+        .blocklistFilter(mediaRows0, "url", blocked)
+      case None => mediaRows0
+    }
+    val typed = mediaRows
+      .select(col("rec_id").as("media_id"), col("kind"), col("payload"))
+      .as[graft.multimodal.Multimodal.Media]
+    // eager-pin the HASH rows: re-referenced by the intra-batch
+    // election, the history judge, the delta anti-join, and (gated)
+    // the doc election — payloads decode exactly once (the
+    // runMediaIngestIndexed rule)
+    val batchIdx = graft.multimodal.MediaIndex.mediaHashIndex(typed)
+      .localCheckpoint(true)
+    val (mDups, mDelta) = graft.multimodal.MediaIndex.ingestStep(
+      batchIdx, mediaHistoryIndex, imageMaxDist, audioMaxDist,
+      videoMaxDist, videoMinOverlapBp, mediaMaxBucket)
+    val mediaSurvivors = mediaRows
+      .select(col("rec_id").as("media_id"), col("kind"),
+        col("payload"), col("url"), col("mtime"))
+      .join(mDups.select(col("dup_id").as("media_id")),
+        Seq("media_id"), "left_anti")
+    // ---- doc leg ----------------------------------------------------
+    // URL gates FIRST (cheapest evidence: no content read for a
+    // condemned domain, no extraction for a tracker-variant
+    // re-crawl — the batch pipeline's -3/-2.5 seating)
+    val docsRaw0 = routed.filter(col("kind") === "doc")
+      .select(col("rec_id").as("doc_id"), col("url"), col("mtime"),
+        col("text"))
+    val docsBlocked = urlBlocklist match {
+      case Some(blocked) => graft.operators.UrlCuration
+        .blocklistFilter(docsRaw0, "url", blocked)
+      case None => docsRaw0
+    }
+    val docsRaw =
+      if (!urlDedup) docsBlocked
+      else graft.operators.UrlCuration.canonicalUrlDedup(
+        docsBlocked, "url", "doc_id")
+    // doc→media ownership evidence comes off the RAW body (markup —
+    // extraction strips the very tags the refs live in), resolved
+    // and joined batch-to-batch; the drop set is applied below,
+    // after the cheap text gates prune the frame it anti-joins
+    val galleryDrops =
+      if (!mediaGate) None
+      else {
+        val refs = graft.operators.HtmlExtract.mediaRefs(
+            docsRaw, "doc_id", "text")
+          .join(docsRaw.select(col("doc_id"), col("url")), Seq("doc_id"))
+          .select(col("doc_id"),
+            graft.operators.UrlCuration.resolveHref(
+              col("url"), col("ref")).as("murl"))
+        val evid = refs.join(
+          mediaRows.select(col("url").as("murl"),
+            col("rec_id").as("media_id")), Seq("murl"))
+          .select(col("doc_id"), col("media_id"))
+        val ownerDocs = evid
+          .join(mDups.select(col("dup_id").as("media_id")),
+            Seq("media_id"), "left_anti")
+          .select(col("doc_id")).distinct()
+        Some(evid.select(col("doc_id")).distinct()
+          .join(ownerDocs, Seq("doc_id"), "left_anti"))
+      }
+    // (opt-in) HTML extraction next: fingerprints, quality, and
+    // shingles must see prose, not markup (scaladoc)
+    val docsText =
+      if (!extractHtml) docsRaw
+      else graft.operators.HtmlExtract.extractText(
+          docsRaw.withColumn("__k",
+            struct(col("doc_id"), col("url"), col("mtime")))
+            .withColumnRenamed("text", "__html"),
+          "__k", "__html")
+        .select(col("__k.doc_id").as("doc_id"),
+          col("__k.url").as("url"), col("__k.mtime").as("mtime"),
+          col("text"))
+    // fingerprint the text before the gate redacts (the run() rule),
+    // gate, then batch-internal exact dedup: min-id keeper per
+    // normalized fingerprint — one batch-bounded shuffle
+    // ([[graft.operators.Dedup.exactKeepSmallest]]; its NULL-
+    // fingerprint singleton path is unreachable here by contract —
+    // the quality gate floors NULL text at 0.0 and drops it first)
+    val docs0 = docsText.withColumn("__fp",
+      graft.functions.TextFns.fingerprint(col("text")))
+    val gated = StreamOps.ingestGate(docs0, "text", minQuality)
+    val exactDeduped = graft.operators.Dedup.exactKeepSmallest(
+      gated, "doc_id", "__fp").drop("__fp")
+    // the gallery drop BEFORE the text judge (scaladoc: a dropped
+    // doc must never enter the text index)
+    val preJudge = galleryDrops match {
+      case Some(drops) => exactDeduped.join(drops, Seq("doc_id"),
+        "left_anti")
+      case None => exactDeduped
+    }
+    val (tDups, tDelta) = graft.operators.TextIndex.ingestStep(
+      preJudge, "doc_id", "text", hBands, hSets, shingleN,
+      numHashes, bands, nearDupThreshold, seed, textMaxBucket,
+      cacheSets = false)
+    val docSurvivors = preJudge.join(
+      tDups.select(col("dup_id").as("doc_id")), Seq("doc_id"),
+      "left_anti")
+    ArchiveIngestBatch(docSurvivors, tDelta, mediaSurvivors, mDelta,
+      batchId)
   }
 
   /** The DOC-level continuous pipeline with the MEDIA originality

@@ -2230,8 +2230,265 @@ object DataOps {
       FROM documents WHERE doc_id < 100
       ORDER BY dup_id"""))
 
+  /** The q212 synthetic prose template — unique per-doc tokens
+    * interleaved with stopword scaffolding, so every text passes the
+    * quality floor by construction, pairwise batch Jaccard sits at
+    * ~0.13 (5 shared template shingles of 22 — provably below any
+    * election threshold), and a doc equals a history doc EXACTLY iff
+    * it copies the same (tag, k): the fixture controls every text
+    * relation while the oracle still RECOMPUTES them all. */
+  private def synthText(tag: String, k: org.apache.spark.sql.Column) = {
+    def u(suf: String) = concat(lit(tag), k.cast("string"), lit(suf))
+    concat_ws(" ", lit("the"), u("a"), lit("report and the"), u("b"),
+      lit("survey of the"), u("c"), lit("stations in the"), u("d"),
+      lit("winter with the"), u("e"), lit("results that the"), u("f"),
+      lit("team recorded"))
+  }
+
+  private def synthTextSql(tag: String, k: String): String =
+    s"'the $tag' || $k || 'a report and the $tag' || $k || " +
+      s"'b survey of the $tag' || $k || 'c stations in the $tag' || $k || " +
+      s"'d winter with the $tag' || $k || 'e results that the $tag' || $k || " +
+      s"'f team recorded'"
+
+  /** q212: ONE FULL [[graft.pipelines.StreamingIngestPipeline
+    * .archiveIngestStep]] batch body under the oracle — the flagship
+    * continuous-crawl entry point replayed end to end in SQL, the way
+    * q208 replays two text cycles: routed split (q209's scanner),
+    * HTML extraction, quality gate (the q36 integer formula, applied
+    * as the ≥ 0.3 filter), batch-internal exact dedup (the q26
+    * fingerprint), the DOC-LEVEL MEDIA ORIGINALITY GATE (media
+    * references extracted from each page's markup, resolved against
+    * the fetch URL, joined to the media leg's records within the
+    * batch, judged by the media index — a scraped-gallery page whose
+    * EVERY referenced object is a losing duplicate DROPS; one
+    * original, an unfetched reference, or no media → survives),
+    * batch-internal near-dup election (provably EMPTY on this
+    * fixture and replayed as such), the text history judge (exact
+    * cross Jaccard — a verbatim re-crawl of an indexed doc drops at
+    * 1.0), and BOTH survivor sets PLUS BOTH index deltas (each delta
+    * must name exactly its leg's survivors — the ingestStep
+    * contracts). Media dup-ness replays as render-parameter equality
+    * (the q211 byte-leg rule): history holds letterbox gids 0–29, so
+    * a referenced object is a duplicate iff it renders a history gid.
+    * The IMAGE leg is pinned to exact dual-hash equality
+    * (imageMaxDist = 0) and article originals draw from
+    * [[FreshGids]] — the render family's gradient hashes are
+    * LOW-ENTROPY (half-plane patterns; [[graft.tools.GidCheck]]
+    * measures 29 exact dual-hash collisions in 200 gids), so the
+    * fresh set is the empirically-verified subset of 30–80 whose
+    * dual-hashes collide with nothing in the fixture — the
+    * perceptual legs' own distance semantics are q203/q204's proven
+    * ground; THIS query pins the composition. Five doc classes
+    * (i % 5): 0 = gallery (two dup refs → DROPS), 1 = article (one
+    * dup + one original ref → survives, its original enters the
+    * media corpus + delta), 2 = plain (no media), 3 = ghost (ref the
+    * crawler never fetched — no evidence, keep-the-unparseable),
+    * 4 = verbatim re-crawl of history doc j (→ text judge drops it).
+    * Doc identity crosses the oracle as URLs (rec_ids are xxhash64 —
+    * Spark-side joins map deltas back to URLs against the FULL
+    * routed relation, so a delta row outside its survivor set would
+    * surface as an extra output row, not vanish). */
+  /** The q212 article-original render gids: the first 48 gids ≥ 30
+    * whose letterbox dual-hash (ahash, dhash) collides with no
+    * history gid (0–29) and no other member — verified by
+    * [[graft.tools.GidCheck]] (the render family's gradient hashes
+    * are low-entropy, so "distinct params" does NOT imply "distinct
+    * hashes"; this list makes the q212 election decidable by
+    * byte/render-parameter equality alone at imageMaxDist = 0). */
+  private val FreshGids: Seq[Long] =
+    ((30L to 80L).toSet -- Set(45L, 57L, 66L)).toSeq.sorted
+
+  private val q212 = QuerySpec(
+    "q212_archive_ingest_cycle",
+    (s, dir) => {
+      import graft.multimodal.{MediaIndex, Multimodal, PerceptualHash}
+      import graft.operators.TextIndex
+      import graft.pipelines.StreamingIngestPipeline
+      import s.implicits._
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id").as("i"), pmod(col("doc_id"), lit(5)).as("cls"),
+          (col("doc_id") / 5).cast("long").as("j"))
+      def lb(g: org.apache.spark.sql.Column) =
+        PerceptualHash.renderLetterboxImage16(g * 7, pmod(g, lit(5)) + 1,
+          pmod(g, lit(11)) + 1, pmod(g, lit(3)), lit(0L), lit("png"))
+      val host = concat(lit("https://d"), col("i").cast("string"),
+        lit(".example"))
+      val text = when(col("cls") === 4, synthText("h", col("j")))
+        .otherwise(synthText("t", col("i")))
+      val refs = when(col("cls") === 0,
+          lit("""<img src="/m/a.png"><img src="/m/b.png">"""))
+        .when(col("cls") === 1,
+          lit("""<img src="/m/a.png"><img src="/m/f.png">"""))
+        .when(col("cls") === 3, lit("""<img src="/m/ghost.png">"""))
+        .otherwise(lit(""))
+      val page = encode(concat(lit("<html><body><p>"), text, lit("</p>"),
+        refs, lit("</body></html>")), "UTF-8")
+      val g1 = pmod(col("j"), lit(30))
+      val g2 = pmod(col("j") + 1, lit(30))
+      val gf = element_at(typedLit(FreshGids), (col("j") + 1).cast("int"))
+      val pageRec = struct(lit(0L).as("pos"),
+        concat(host, lit("/p")).as("uri"), page.as("payload"))
+      val medA = struct(lit(1L).as("pos"),
+        concat(host, lit("/m/a.png")).as("uri"), lb(g1).as("payload"))
+      val medB = struct(lit(2L).as("pos"),
+        concat(host, lit("/m/b.png")).as("uri"), lb(g2).as("payload"))
+      val medF = struct(lit(3L).as("pos"),
+        concat(host, lit("/m/f.png")).as("uri"), lb(gf).as("payload"))
+      val recs = when(col("cls") === 0, array(pageRec, medA, medB))
+        .when(col("cls") === 1, array(pageRec, medA, medF))
+        .otherwise(array(pageRec))
+      val mkRec = udf((uri: String, p: Array[Byte]) =>
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+          "WARC-Date: 2026-01-02T03:04:05Z\r\n" +
+          s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+          p ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+      val concatB = udf((rs: Seq[Array[Byte]]) => rs.flatten.toArray)
+      val archives = ids
+        .select(pmod(col("i"), lit(8)).as("aid"), col("i"),
+          explode(recs).as("r"))
+        .select(col("aid"), col("i"), col("r.pos").as("pos"),
+          mkRec(col("r.uri"), col("r.payload")).as("rec"))
+        .groupBy(col("aid"))
+        .agg(concatB(transform(
+          array_sort(collect_list(struct(col("i"), col("pos"), col("rec")))),
+          x => x.getField("rec"))).as("content"))
+      // state the step judges against: a text index over 48 history
+      // docs (explicit long ids — keeper identity is oracle-visible)
+      // and a media hash index over the 30 history letterbox renders
+      val hist = ids.filter(col("cls") === 4)
+        .select((col("j") + 5000L).as("doc_id"),
+          synthText("h", col("j")).as("text"))
+      val (hb, hs) = TextIndex.buildIndex(hist, "doc_id", "text")
+      val gids = Tables.documents(s, dir).filter(col("doc_id") < 30)
+        .select(col("doc_id").as("g"))
+      val histMedia = MediaIndex.mediaHashIndex(
+        gids.select((col("g") + 9000L).as("media_id"),
+            lit("image").as("kind"), lb(col("g")).as("payload"))
+          .as[Multimodal.Media].localCheckpoint(true))
+        .localCheckpoint(true)
+      val routed = graft.io.WarcRecords
+        .toCrawlRecordsRouted(archives, "aid", "content")
+        .localCheckpoint(true)
+      val out = StreamingIngestPipeline.archiveIngestStep(routed, hb, hs,
+        histMedia, extractHtml = true, mediaGate = true,
+        imageMaxDist = 0, mediaMaxBucket = 64)
+      // deltas map back to URLs against the FULL routed relation (an
+      // out-of-survivor-set delta row surfaces, never vanishes)
+      val docUrls = routed.filter(col("kind") === "doc")
+        .select(col("rec_id").as("doc"), col("url"))
+      val mediaUrls = routed.filter(col("kind") =!= "doc")
+        .select(col("rec_id").as("media_id"), col("url"))
+      out.docs.select(lit("doc").as("leg"), col("url"))
+        .unionByName(out.media.select(lit("media").as("leg"), col("url")))
+        .unionByName(out.textDelta._2.select(col("doc"))
+          .join(docUrls, Seq("doc")).select(lit("tdelta").as("leg"),
+            col("url")))
+        .unionByName(out.mediaDelta.select(col("media_id"))
+          .join(mediaUrls, Seq("media_id"))
+          .select(lit("mdelta").as("leg"), col("url")))
+        .orderBy(col("leg"), col("url"))
+    },
+    oracle = Some(s"""
+      WITH ids AS (
+        SELECT doc_id AS i, doc_id % 5 AS cls, doc_id // 5 AS j
+        FROM documents WHERE doc_id < 240),
+      batch AS (
+        SELECT i, cls, j,
+               CASE WHEN cls = 4 THEN ${synthTextSql("h", "j")}
+                    ELSE ${synthTextSql("t", "i")} END AS text,
+               'https://d' || CAST(i AS VARCHAR) || '.example' AS host
+        FROM ids),
+      hist AS (
+        SELECT 5000 + j AS id, ${synthTextSql("h", "j")} AS text
+        FROM ids WHERE cls = 4),
+      -- quality gate: the q36 integer formula at the 0.3 floor
+      qm AS (
+        SELECT i, CAST(len(toks) AS BIGINT) AS n,
+          CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '' AND x IN ('the','a','an','and','or','of','to',
+            'in','is','it','that','for','on','with','as','was','at','by',
+            'this'))) AS BIGINT) AS m1,
+          CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+            AS BIGINT) AS s,
+          CAST(length(text) AS BIGINT) AS c,
+          CAST(length(text)
+            - length(regexp_replace(text, '[!-/:-@\\[-`{-~0-9]', '', 'g'))
+            AS BIGINT) AS pd
+        FROM (SELECT i, text,
+                list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                  AS toks
+              FROM batch)),
+      passq AS (
+        SELECT b.* FROM batch b JOIN qm USING (i)
+        WHERE CASE WHEN n > 0 AND c > 0 THEN
+                CAST((2 * (least(m1 * c * 16000, n * c * 4000)
+                      + (CASE WHEN s >= n * 2 AND s <= n * 12
+                         THEN n * c * 4000 ELSE 0 END)
+                      + (n * c * 2000 - least(pd * n * 4000, n * c * 2000)))
+                     + n * c) // (n * c * 2) AS DOUBLE) / 10000.0
+              ELSE 0.0 END >= 0.3),
+      -- batch-internal exact dedup: min i per normalized fingerprint
+      ex AS (
+        SELECT * FROM passq
+        WHERE i IN (
+          SELECT min(i) FROM passq
+          GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))),
+      -- the media leg: records present in the batch; dup ⇔ the
+      -- object renders a HISTORY gid (render-parameter equality —
+      -- history holds gids 0..29; article originals draw from the
+      -- verified-distinct FreshGids set, never colliding)
+      media AS (
+        SELECT host || '/m/a.png' AS url, 1 AS is_dup, i
+        FROM batch WHERE cls IN (0, 1)
+        UNION ALL
+        SELECT host || '/m/b.png' AS url, 1 AS is_dup, i
+        FROM batch WHERE cls = 0
+        UNION ALL
+        SELECT host || '/m/f.png' AS url, 0 AS is_dup, i
+        FROM batch WHERE cls = 1),
+      -- the doc-level media gate: refs resolve to own-host URLs;
+      -- evidence = refs present in the batch; drop docs whose every
+      -- evidenced object is a duplicate
+      refs AS (
+        SELECT i, host || '/m/a.png' AS url FROM batch WHERE cls IN (0, 1)
+        UNION ALL
+        SELECT i, host || '/m/b.png' AS url FROM batch WHERE cls = 0
+        UNION ALL
+        SELECT i, host || '/m/f.png' AS url FROM batch WHERE cls = 1
+        UNION ALL
+        SELECT i, host || '/m/ghost.png' AS url FROM batch WHERE cls = 3),
+      evid AS (
+        SELECT r.i, m.is_dup FROM refs r JOIN media m ON r.url = m.url),
+      gallery_drop AS (
+        SELECT i FROM evid GROUP BY i
+        HAVING sum(CASE WHEN is_dup = 0 THEN 1 ELSE 0 END) = 0),
+      gated AS (
+        SELECT * FROM ex WHERE i NOT IN (SELECT i FROM gallery_drop)),
+      -- batch-internal near-dup election: recomputed (provably empty
+      -- on this fixture — 5 shared template shingles of 22)
+      gtext AS (SELECT i AS id, text FROM gated),
+      sh_g AS (${shingleSql("gtext")}),
+      ${intraJaccardSql("sh_g", "iq")},
+      pre AS (
+        SELECT * FROM gated WHERE i NOT IN (SELECT dup_id FROM iq)),
+      -- the text history judge: exact cross Jaccard vs the index
+      ptext AS (SELECT i AS id, text FROM pre),
+      sh_p AS (${shingleSql("ptext")}),
+      sh_h AS (${shingleSql("hist")}),
+      ${crossJaccardSql("sh_p", "sh_h", "dq")},
+      doc_surv AS (
+        SELECT host || '/p' AS url FROM pre
+        WHERE i NOT IN (SELECT dup_id FROM dq)),
+      media_surv AS (SELECT url FROM media WHERE is_dup = 0)
+      SELECT 'doc' AS leg, url FROM doc_surv
+      UNION ALL SELECT 'media' AS leg, url FROM media_surv
+      UNION ALL SELECT 'tdelta' AS leg, url FROM doc_surv
+      UNION ALL SELECT 'mdelta' AS leg, url FROM media_surv
+      ORDER BY leg, url"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
-    q200, q201, q202, q203, q204, q205, q206, q208, q210, q211)
+    q200, q201, q202, q203, q204, q205, q206, q208, q210, q211, q212)
 }

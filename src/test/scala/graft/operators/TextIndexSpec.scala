@@ -295,6 +295,45 @@ class TextIndexSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("legacy INT32 footers: an index built pre-normalization accepts LONG appends — the mixed directory loads, judges, and compacts to pure LONG") {
+    import graft.io.TextIndexArtifacts
+    val dir = java.nio.file.Files.createTempDirectory("tidx_legacy").toString
+    // a PRE-normalization build: bands/sets written with INT ids, the
+    // exact on-disk state an upgraded deployment inherits
+    val (b0, s0) = TextIndex.buildIndex(
+      history.withColumn("doc_id", col("doc_id").cast("int")),
+      "doc_id", "text")
+    b0.write.mode("overwrite").parquet(s"$dir/idx/bands")
+    s0.write.mode("overwrite").parquet(s"$dir/idx/sets")
+    Seq((3, 128, 32, 42L, 0.8, 1000))
+      .toDF("shingle_n", "num_hashes", "bands", "seed", "threshold",
+        "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/idx/params")
+    spark.read.parquet(s"$dir/idx/sets").schema("doc").dataType shouldBe
+      org.apache.spark.sql.types.IntegerType
+    // upgraded append: LONG rows land beside the INT32 footers
+    val (_, delta) = TextIndexArtifacts.load(spark, s"$dir/idx")
+      .ingest(Seq((1000L, "a brand new report on deep sea exploration " +
+        "vessels mapping volcanic ridges under the southern ocean"))
+        .toDF("doc_id", "text"), "doc_id", "text", cacheSets = false)
+    TextIndexArtifacts.append(s"$dir/idx", delta)
+    // the mixed directory loads through the widened-schema bridge:
+    // both generations visible, verdicts correct across them
+    val idx = TextIndexArtifacts.load(spark, s"$dir/idx")
+    idx.sets.schema("doc").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    idx.sets.select("doc").as[Long].collect().sorted shouldBe
+      Array(100L, 101L, 102L, 1000L)
+    idx.dups(Seq((7L, base)).toDF("doc_id", "text"), "doc_id", "text",
+      cacheSets = false).select("keep_id").as[Long].collect() shouldBe
+      Array(100L)
+    // compaction retires the bridge: pure LONG footers afterwards
+    TextIndexArtifacts.compact(spark, s"$dir/idx", s"$dir/idx2")
+    spark.read.parquet(s"$dir/idx2/sets").schema("doc").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    TextIndexArtifacts.load(spark, s"$dir/idx2").sets.count() shouldBe 4L
+  }
+
   test("string ids fail fast (the bounded-collect long contract)") {
     val strBatch = Seq(("a", base)).toDF("doc_id", "text")
     val (hBands, hSets) = TextIndex.buildIndex(history, "doc_id", "text")

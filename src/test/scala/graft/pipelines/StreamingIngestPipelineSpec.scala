@@ -688,11 +688,13 @@ class StreamingIngestPipelineSpec extends SparkSpec {
       q.processAllAvailable()                          // → compaction fires
       // the second DATA batch triggered compaction (no-data watermark
       // batches interleave with unpredictable ids — the cadence counts
-      // data batches): the pointer left v0 and the old version is gone
-      IngestSinks.currentIndexPath(spark, s"$root/idx") should not be
-        s"$root/idx/v0"
+      // data batches): the pointer left v0, and v0 is RETAINED for a
+      // concurrent reader until the NEXT swap (the delete-on-next-swap
+      // retention rule)
+      IngestSinks.currentIndexPath(spark, s"$root/idx") shouldBe
+        s"$root/idx/v1"
       java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$root/idx/v0")) shouldBe false
+        java.nio.file.Paths.get(s"$root/idx/v0")) shouldBe true
       in.addData(
         (ts(10), 4L, novel2.replace("snowfall", "rainfall")), // dup through
                                                        // the COMPACTED copy
@@ -741,8 +743,11 @@ class StreamingIngestPipelineSpec extends SparkSpec {
       .start()
     try {
       q.processAllAvailable() // data batch 1 → compaction (every 1)
-      IngestSinks.currentIndexPath(spark, s"$root/idx") should not be
-        s"$root/idx/v0"
+      IngestSinks.currentIndexPath(spark, s"$root/idx") shouldBe
+        s"$root/idx/v1"
+      // v0 retained for a straggling reader until the NEXT swap
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/idx/v0")) shouldBe true
       put("m21.bmp", img(21, "bmp")) // re-encode of batch 0's survivor:
                                      // only the delta THROUGH the
                                      // compacted copy can catch it
@@ -758,6 +763,203 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     spark.read.parquet(
         s"${IngestSinks.currentIndexPath(spark, s"$root/idx")}/index")
       .count() shouldBe 3L
+    // the SECOND swap (v1 → v2) applied the retention rule: v1 is the
+    // held-back reader version, v0 (two swaps old) is gone
+    IngestSinks.currentIndexPath(spark, s"$root/idx") shouldBe
+      s"$root/idx/v2"
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/idx/v1")) shouldBe true
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/idx/v0")) shouldBe false
+  }
+
+  test("runArchiveIngest mediaGate: doc→media ownership re-derived from archive records — a scraped-gallery page (every referenced image a losing duplicate) DROPS and never enters the text index; one-original / unfetched-ref / no-media pages survive") {
+    implicit val ctx = spark.sqlContext
+    import graft.multimodal.{MediaIndex, Multimodal, PerceptualHash}
+    import graft.operators.TextIndex
+    def img(gid: Long, fmt: String) =
+      PerceptualHash.renderGrayImage(16, 16, gid * 7, gid % 5 + 1,
+        gid % 11 + 1, gid % 3, 0, fmt)
+    def rec(uri: String, p: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    def page(prose: String, srcs: String*): Array[Byte] =
+      (s"<html><body><p>$prose</p>" +
+        srcs.map(s => s"""<img src="$s">""").mkString +
+        "</body></html>").getBytes("UTF-8")
+    val proseG = "a gallery of copied holiday pictures scraped from " +
+      "other sites with short captions under every frame describing " +
+      "the beaches and harbors someone else photographed last summer"
+    val proseA = "an original field report on tidal measurements " +
+      "collected along the northern shore over three weeks with one " +
+      "new chart photographed by the author at the survey station"
+    val proseP = "plain prose about the history of the lighthouse " +
+      "keepers and the long winters they spent maintaining the lamp " +
+      "before the station was finally automated in the seventies"
+    val proseR = "an essay referencing a figure that the crawler " +
+      "never fetched because the image host was offline during the " +
+      "crawl window though the text itself reads perfectly well"
+    // persisted-state seeds: the media index already holds two images
+    // (ids 100/101); the text index one unrelated doc
+    val (hb, hs) = TextIndex.buildIndex(
+      Seq((100L, "completely unrelated archival seed material about " +
+        "ancient trade routes crossing the mountain passes in winter"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val mIdx = MediaIndex.mediaHashIndex(Seq(
+      Multimodal.Media(100L, "image", img(4, "png")),
+      Multimodal.Media(101L, "image", img(9, "png"))).toDS())
+      .localCheckpoint(true)
+    val drop = Files.createTempDirectory("graft_gallery")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(drop.toString, "a1.warc"),
+      // the gallery page: BOTH referenced images are losing dups (a
+      // byte copy and a BMP re-encode of index keepers) → doc drops
+      rec("https://g.example/gallery", page(proseG, "/i/x.png", "/i/y.bmp")) ++
+        // one original among a dup → survives
+        rec("https://g.example/article", page(proseA, "/i/x.png", "/i/z.png")) ++
+        // no media references → no evidence → survives
+        rec("https://g.example/plain", page(proseP)) ++
+        // ref resolves to a URL the crawler never fetched → no
+        // evidence in the batch → survives (keep-the-unparseable)
+        rec("https://g.example/ghost", page(proseR, "/i/never.png")) ++
+        // the media records themselves (separate WARC records — the
+        // ownership the gate re-derives via resolved <img src>)
+        rec("https://g.example/i/x.png", img(4, "png")) ++
+        rec("https://g.example/i/y.bmp", img(9, "bmp")) ++
+        rec("https://g.example/i/z.png", img(77, "png")))
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val keptDocs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keptMedia = scala.collection.mutable.ArrayBuffer.empty[String]
+    val deltaDocIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var survivorIds: Map[String, Long] = Map.empty
+    val q = StreamingIngestPipeline.runArchiveIngest(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .load(drop.toString),
+        () => (hb, hs), () => mIdx,
+        extractHtml = true, mediaGate = true, mediaMaxBucket = 64) { b =>
+        val rows = b.docs.select("url", "doc_id")
+          .as[(String, Long)].collect()
+        keptDocs ++= rows.map(_._1)
+        survivorIds ++= rows.toMap
+        keptMedia ++= b.media.select("url").as[String].collect()
+        deltaDocIds ++= b.textDelta._2.select("doc")
+          .as[Long].collect()
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_gallery").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    keptDocs.sorted.toSeq shouldBe Seq("https://g.example/article",
+      "https://g.example/ghost", "https://g.example/plain")
+    keptMedia.sorted.toSeq shouldBe Seq("https://g.example/i/z.png")
+    // the text-index delta carries EXACTLY the three doc survivors —
+    // the gallery doc was gated BEFORE the text judge, so no index
+    // entry can ever suppress a future re-crawl of its content
+    deltaDocIds.sorted.toSeq shouldBe
+      survivorIds.values.toSeq.sorted
+  }
+
+  test("IngestSinks redelivery: a replayed batch whose compaction+swap already completed compacts FORWARD — no read-from-own-path crash, identical index") {
+    // the crash-loop scenario: the stream fails AFTER the sink ran
+    // (compaction done, pointer swapped) but BEFORE the checkpoint
+    // commit, and the batch is redelivered with the SAME batchId. A
+    // version named from the batchId would equal CURRENT and Spark
+    // rejects compacting a path into itself — the sink must instead
+    // derive v<N+1> from the pointer and converge.
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank"
+    val root = Files.createTempDirectory("graft_redeliver").toString
+    IngestSinks.initTextIndex(spark, s"$root/idx",
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    val sink = IngestSinks.textSink(spark, s"$root/corpus", s"$root/idx",
+      compactEvery = 1)
+    val idx0 = IngestSinks.textIndex(spark, s"$root/idx")
+    val batch = Seq((1L, base.replace("quick", "swift") + " plus fresh"))
+      .toDF("doc_id", "text")
+    val (_, delta) = graft.operators.TextIndex.ingestStep(
+      batch, "doc_id", "text", idx0()._1, idx0()._2)
+    sink(batch, delta, 7L)          // first attempt: append + compact
+                                    // v0 → v1 + swap COMPLETE
+    IngestSinks.currentIndexPath(spark, s"$root/idx") shouldBe
+      s"$root/idx/v1"
+    // redelivery: ingestStep replays (delta now empty — the batch
+    // matches its own appended rows), the sink runs again with the
+    // SAME batchId and compacts v1 → v2 instead of crash-looping
+    val idx1 = IngestSinks.textIndex(spark, s"$root/idx")
+    val (_, replayDelta) = graft.operators.TextIndex.ingestStep(
+      batch, "doc_id", "text", idx1()._1, idx1()._2)
+    replayDelta._2.count() shouldBe 0L
+    noException should be thrownBy sink(batch, replayDelta, 7L)
+    IngestSinks.currentIndexPath(spark, s"$root/idx") shouldBe
+      s"$root/idx/v2"
+    // converged: one corpus partition (overwritten, not duplicated),
+    // index holds exactly seed + survivor
+    spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L)
+    spark.read.parquet(
+        s"${IngestSinks.currentIndexPath(spark, s"$root/idx")}/sets")
+      .select("doc").as[Long].collect().sorted shouldBe Array(1L, 100L)
+  }
+
+  test("IngestSinks multi-reader: a reader holding v<N> finishes after the swap to v<N+1>; CURRENT recovery self-heals from the highest version") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank"
+    val root = Files.createTempDirectory("graft_reader").toString
+    IngestSinks.initTextIndex(spark, s"$root/idx",
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    // an EXTERNAL reader resolves the pointer and holds v0
+    val held = graft.io.TextIndexArtifacts.load(spark,
+      IngestSinks.currentIndexPath(spark, s"$root/idx"))
+    val sink = IngestSinks.textSink(spark, s"$root/corpus", s"$root/idx",
+      compactEvery = 1)
+    val idx = IngestSinks.textIndex(spark, s"$root/idx")
+    val batch = Seq((1L, "completely novel prose about harbor dredging " +
+      "surveys and silt levels rising faster than projected"))
+      .toDF("doc_id", "text")
+    val (_, delta) = graft.operators.TextIndex.ingestStep(
+      batch, "doc_id", "text", idx()._1, idx()._2)
+    sink(batch, delta, 0L)          // compaction v0 → v1: v0 RETAINED
+    // the held reader still works against v0 (complete on disk)
+    held.sets.count() shouldBe 1L
+    held.dups(Seq((2L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", cacheSets = false).count() shouldBe 1L
+    // crash-window recovery: CURRENT lost → the highest complete
+    // version is the live one, and the pointer self-heals
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/idx/CURRENT"))
+    IngestSinks.currentIndexPath(spark, s"$root/idx") shouldBe
+      s"$root/idx/v1"
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/idx/CURRENT")) shouldBe true
+  }
+
+  test("IngestSinks.retractFromCorpus: takedown rows leave the corpus parquet; only affected partitions rewritten; idempotent") {
+    val root = Files.createTempDirectory("graft_takedown").toString
+    val corpus = s"$root/corpus"
+    IngestSinks.appendCorpusIdempotent(
+      Seq((1L, "keep one"), (2L, "take me down")).toDF("doc_id", "text"),
+      corpus, 0L)
+    IngestSinks.appendCorpusIdempotent(
+      Seq((3L, "keep three"), (4L, "keep four")).toDF("doc_id", "text"),
+      corpus, 1L)
+    IngestSinks.appendCorpusIdempotent(
+      Seq((5L, "take me down too")).toDF("doc_id", "text"), corpus, 2L)
+    val before = new java.io.File(s"$corpus/batch_id=1").lastModified()
+    IngestSinks.retractFromCorpus(spark, corpus,
+      Seq(2L, 5L, 999L).toDF("doc_id"), "doc_id")
+    // retracted content GONE; untouched rows intact
+    spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 4L)
+    // the untouched partition was NOT rewritten (targeted sweep)
+    new java.io.File(s"$corpus/batch_id=1").lastModified() shouldBe before
+    // idempotent: a re-run (same list) converges without error
+    noException should be thrownBy IngestSinks.retractFromCorpus(
+      spark, corpus, Seq(2L, 5L).toDF("doc_id"), "doc_id")
+    spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 4L)
   }
 
   test("runMediaGatedDocs: a streamed crawl drops scraped-gallery DOCS — every media object a history dup — and keeps docs with one original or no media") {

@@ -692,6 +692,70 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("q212 flagship step: text-index history never shuffles raw rows through the FULL archiveIngestStep (media gate on); no cartesian, no BNLJ") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.multimodal.{MediaIndex, Multimodal, PerceptualHash}
+    def img(g: Long) = PerceptualHash.renderGrayImage(16, 16, g * 7,
+      g % 5 + 1, g % 11 + 1, g % 3, 0, "png")
+    // routed-relation shape directly (the scanner's own one-pass plan
+    // is the q209 pin); pinned as the step requires
+    val routed = Seq(
+      (1L, "doc", "https://p.example/a", """<html><body><p>an original
+        field report on tidal measurements collected along the northern
+        shore over three weeks with one new chart</p>
+        <img src="/m/x.png"></body></html>""", null: Array[Byte]),
+      (2L, "doc", "https://p.example/b", """<html><body><p>plain prose
+        about the history of the lighthouse keepers and the long
+        winters they spent maintaining the lamp</p></body></html>""",
+        null: Array[Byte]),
+      (3L, "image", "https://p.example/m/x.png", null: String, img(21)))
+      .toDF("rec_id", "kind", "url", "text", "payload")
+      .withColumn("mtime", lit("2026-01-02 03:04:05").cast("timestamp"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("plan_q212")
+    val (hb, hs) = graft.operators.TextIndex.buildIndex(
+      Seq((100L, "completely unrelated archival seed material about " +
+        "ancient trade routes crossing the mountain passes in winter"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    hb.write.parquet(s"$dir/text_index_bands")
+    hs.write.parquet(s"$dir/text_index_sets")
+    MediaIndex.mediaHashIndex(Seq(
+      Multimodal.Media(900L, "image", img(4))).toDS())
+      .write.parquet(s"$dir/media_index")
+    spark.catalog.clearCache()
+    val out = graft.pipelines.StreamingIngestPipeline.archiveIngestStep(
+      routed,
+      spark.read.parquet(s"$dir/text_index_bands"),
+      spark.read.parquet(s"$dir/text_index_sets"),
+      spark.read.parquet(s"$dir/media_index"),
+      extractHtml = true, mediaGate = true, mediaMaxBucket = 64)
+    out.docs.select("url").as[String].collect().sorted shouldBe
+      Array("https://p.example/a", "https://p.example/b")
+    val plan = out.docs.queryExecution.executedPlan
+    // the q206 scale contract holds through the WHOLE step: every
+    // shuffle whose subtree reads the text index carries only derived
+    // batch-bounded relations, never raw `doc`/`shs` rows
+    val histShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+            .contains("text_index")
+        case _ => false
+      })
+    histShuffles.foreach { s =>
+      val cols = s.output.map(_.name).toSet
+      assert(!cols.contains("doc") && !cols.contains("shs"),
+        s"history index rows shuffled: $cols")
+    }
+    val ps = plan.toString
+    assert(!ps.contains("CartesianProduct"), ps.take(4000))
+    assert(!ps.contains("BroadcastNestedLoopJoin"), ps.take(4000))
+    spark.catalog.clearCache()
+  }
+
   test("whole-stage codegen active in scalar-heavy queries") {
     // AQE finalizes the physical plan only on execution — run first,
     // then read the final plan. WSCG stages print as `*(n)` prefixes.
