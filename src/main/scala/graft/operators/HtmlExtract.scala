@@ -218,7 +218,11 @@ object HtmlExtract {
     * one image contributes one evidence edge — the election counts
     * OBJECTS, not occurrences. Refs come out raw (often relative);
     * resolve against the fetch URL with
-    * [[UrlCuration.resolveHref]] before joining to media URLs. */
+    * [[UrlCuration.resolveHref]] (or key joins on
+    * [[UrlCuration.canonicalRef]]) before joining to media URLs.
+    * Attribute names ENDING in `src` match too (`data-src` — the
+    * lazy-loading convention): deliberate, spec-pinned — a lazily
+    * loaded image is a real reference in a crawled page. */
   def mediaRefs(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
     df.select(col(idCol),
         explode(regexp_extract_all(coalesce(col(htmlCol), lit("")),

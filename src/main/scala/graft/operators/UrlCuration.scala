@@ -340,6 +340,105 @@ object UrlCuration {
       letBound(resolveHref(col(urlCol), col(hrefCol)))(canonicalUrl(_)),
       idCol)
 
+  /** `canonicalUrl ∘ resolveHref`, LET-BOUND (see [[canonicalLinkDedup]]
+    * and the letBound note below — the naive composition pastes the
+    * resolveHref tree ~15×): the canonical join key for any
+    * page-declared reference (canonical links, media `src` edges —
+    * the [[graft.pipelines.StreamingIngestPipeline.archiveIngestStep]]
+    * ownership join). */
+  def canonicalRef(url: Column, href: Column): Column =
+    letBound(resolveHref(url, href))(canonicalUrl(_))
+
+  /** MEDIA-reference resolution — [[resolveHref]]'s rules EXTENDED
+    * with the path-relative forms real pages use for `src`
+    * attributes (`img/x.png`, `../shared/x.png`, `./x.png`), which
+    * resolveHref deliberately refuses (it keys cross-site DEDUP, and
+    * a mis-resolved relative form must never invent a cross-host
+    * key). Media-ref resolution is same-host BY CONSTRUCTION —
+    * a relative src can only name an object on the page's own
+    * origin — so the conservatism doesn't apply; what DOES apply is
+    * the no-self rule: where resolveHref falls back to the page URL
+    * (empty ref, unparseable base), a media resolver must yield
+    * NULL — a page is not its own media object, and NULL keys join
+    * no evidence. Rules, in order: empty/NULL ref → NULL; `^scheme://`
+    * ref → verbatim; unparseable base (no leading scheme) → NULL;
+    * `//h/p` → base scheme + ref; `/p` → base origin + ref; any
+    * other form → base DIRECTORY (query/fragment stripped, last
+    * path segment dropped; empty path → origin + `/`) + ref, with
+    * `./` segments collapsed and up to FOUR `segment/../` parent
+    * hops folded (regex iterations — RE2-safe, no lookahead, so
+    * [[resolveMediaRefSql]] replays them verbatim; deeper nesting
+    * and dot-leading segments stay UNCOLLAPSED, which can only
+    * under-match: an unjoined ref reads as no-evidence and the doc
+    * PASSES — the safe direction). */
+  def resolveMediaRef(url: Column, ref: Column): Column = {
+    val p = locate("://", url)
+    val scheme = url.substr(lit(1), p - 1)
+    val rest = url.substr(p + 3, length(url))
+    val cut = least(nullif(locate("/", rest), lit(0)),
+      nullif(locate("?", rest), lit(0)))
+    val hostport = when(cut.isNotNull, rest.substr(lit(1), cut - 1))
+      .otherwise(rest)
+    val origin = concat(scheme, lit("://"), hostport)
+    // base directory: strip query/fragment, drop the last segment;
+    // an empty path leaves only "scheme://" behind — fall back to
+    // origin + "/"
+    val noq = element_at(split(element_at(split(url, "\\?"), 1), "#"), 1)
+    val dirRaw = regexp_replace(noq, "[^/]*$", "")
+    val dir = when(length(dirRaw) > length(origin), dirRaw)
+      .otherwise(concat(origin, lit("/")))
+    val joined = concat(dir, ref)
+    val dotless = regexp_replace(joined, "/(\\./)+", "/")
+    val collapsed = (1 to 4).foldLeft(dotless)((c, _) =>
+      regexp_replace(c, "/[^/.][^/]*/\\.\\./", "/"))
+    when(ref.isNull || ref === "", lit(null))
+      .when(ref.rlike(SchemePrefixPat), ref)
+      .when(!url.rlike(SchemePrefixPat) || url.isNull, lit(null))
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(origin, ref))
+      .otherwise(collapsed)
+  }
+
+  /** DuckDB replay of [[resolveMediaRef]] over column names `u`
+    * (fetch URL) and `h` (ref) — branch order, directory rule, and
+    * the bounded dot-collapse iterations identical. */
+  def resolveMediaRefSql(u: String, h: String): String = {
+    val rest = s"substring($u, strpos($u, '://') + 3)"
+    val cut = s"least(nullif(strpos($rest, '/'), 0), " +
+      s"nullif(strpos($rest, '?'), 0))"
+    val hostport = s"(CASE WHEN $cut IS NOT NULL " +
+      s"THEN substring($rest, 1, $cut - 1) ELSE $rest END)"
+    val origin =
+      s"(substring($u, 1, strpos($u, '://') - 1) || '://' || $hostport)"
+    val noq = s"string_split(string_split($u, '?')[1], '#')[1]"
+    val dirRaw = s"regexp_replace($noq, '[^/]*$$', '')"
+    val dir = s"(CASE WHEN length($dirRaw) > length($origin) " +
+      s"THEN $dirRaw ELSE $origin || '/' END)"
+    val joined = s"($dir || $h)"
+    val dotless = s"regexp_replace($joined, '/(\\./)+', '/', 'g')"
+    // 'g' on every pass: Spark's regexp_replace replaces ALL
+    // non-overlapping occurrences per call, so each of the four
+    // iterations must too — both engines then collapse one NESTING
+    // level per pass with unlimited sibling hops
+    val collapsed = (1 to 4).foldLeft(dotless)((c, _) =>
+      s"regexp_replace($c, '/[^/.][^/]*/\\.\\./', '/', 'g')")
+    val pat = s"'$SchemePrefixPat'"
+    s"""CASE WHEN $h IS NULL OR $h = '' THEN NULL
+         WHEN regexp_matches($h, $pat) THEN $h
+         WHEN $u IS NULL OR NOT regexp_matches($u, $pat) THEN NULL
+         WHEN starts_with($h, '//')
+           THEN substring($u, 1, strpos($u, '://') - 1) || ':' || $h
+         WHEN starts_with($h, '/') THEN $origin || $h
+         ELSE $collapsed END"""
+  }
+
+  /** `canonicalUrl ∘ resolveMediaRef`, let-bound — the ownership-join
+    * key for doc→media evidence edges (NULL stays NULL: canonicalUrl
+    * of a NULL resolution never matches a record). */
+  def canonicalMediaRef(url: Column, ref: Column): Column =
+    letBound(resolveMediaRef(url, ref))(r =>
+      when(r.isNull, lit(null)).otherwise(canonicalUrl(r)))
+
   /** Let-binding for expression composition: `f`'s references to its
     * argument become LAMBDA-VARIABLE leaves instead of copies of
     * `x`'s tree. canonicalUrl references its input ~15 times and

@@ -287,6 +287,52 @@ object IngestSinks {
     *
     * `ids` is the retraction list (first column, cast to long —
     * id-sized, broadcast); `idCol` names the corpus id column. */
+  /** Resolve takedown KEYS to ids — the operational front of the
+    * retraction story: takedowns arrive as URLs or content
+    * fingerprints, while [[TextIndexArtifacts.retract]] and
+    * [[retractFromCorpus]] consume ids. One corpus scan, keys
+    * broadcast (takedown-sized), first column of `keys` matched
+    * against `keyCol` — returns the DISTINCT `idCol` values to
+    * retract. Tracker-noised takedown URLs should be canonicalized
+    * to the corpus's URL convention BEFORE resolving (the corpus
+    * stores fetch URLs verbatim; [[graft.operators.UrlCuration
+    * .canonicalUrl]] both sides if the convention allows variants). */
+  def retractionIdsFor(spark: SparkSession, corpusPath: String,
+                       keys: DataFrame, keyCol: String,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    spark.read.parquet(corpusPath)
+      .join(broadcast(
+        keys.select(col(keys.columns.head).as(keyCol)).distinct()),
+        Seq(keyCol), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** One-row per-batch MONITORING summary for the archive loop — the
+    * numbers an ops dashboard appends per micro-batch: routed record
+    * counts per leg, both survivor counts, both delta sizes. Each
+    * count is a Spark action over frames the sink is about to write
+    * anyway (routed is pinned, the doc frame checkpointed) — call it
+    * INSIDE the sink, append beside the corpus, and drop-rate alarms
+    * (survivors/routed collapsing, deltas diverging from survivors)
+    * come for free. Gate-ATTRIBUTED drop counts (quality vs exact vs
+    * gallery vs judge) need the step's intermediates and stay a
+    * deliberate non-goal here: re-deriving them costs re-running the
+    * gates, and the step does not retain per-stage frames. */
+  def archiveBatchSummary(
+      b: StreamingIngestPipeline.ArchiveIngestBatch): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = b.routed.sparkSession
+    import spark.implicits._
+    Seq((b.batchId,
+      b.routed.filter(col("kind") === "doc").count(),
+      b.routed.filter(col("kind") =!= "doc").count(),
+      b.docs.count(), b.media.count(),
+      b.textDelta._2.count(), b.mediaDelta.count()))
+      .toDF("batch_id", "routed_docs", "routed_media", "doc_survivors",
+        "media_survivors", "text_delta_docs", "media_delta_rows")
+  }
+
   def retractFromCorpus(spark: SparkSession, corpusPath: String,
                         ids: DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}

@@ -244,11 +244,16 @@ object StreamingIngestPipeline {
     * columns), the replay-idempotent text-index delta (band rows, set
     * rows — [[graft.io.TextIndexArtifacts.append]]'s argument shape),
     * surviving media objects (media_id, kind, payload, url, mtime),
-    * and the replay-idempotent media-index delta
-    * ([[graft.io.MediaIndexArtifacts.append]]'s argument). */
+    * the replay-idempotent media-index delta
+    * ([[graft.io.MediaIndexArtifacts.append]]'s argument), and the
+    * PINNED routed input relation (read-only batch context — what
+    * [[IngestSinks.archiveBatchSummary]] counts drop rates against;
+    * valid only WITHIN the sink call: the wrapper unpersists it when
+    * the sink returns, the standard foreachBatch consume-inside
+    * rule). */
   final case class ArchiveIngestBatch(docs: DataFrame,
       textDelta: (DataFrame, DataFrame), media: DataFrame,
-      mediaDelta: DataFrame, batchId: Long)
+      mediaDelta: DataFrame, batchId: Long, routed: DataFrame)
 
   /** The END-TO-END crawl-archive ingest: a binaryFile STREAM of
     * `.warc(.gz/.zst)` archives (the shape a crawler actually
@@ -450,14 +455,25 @@ object StreamingIngestPipeline {
     val galleryDrops =
       if (!mediaGate) None
       else {
+        // the ownership join keys on the CANONICAL form of both sides
+        // (resolveMediaRef ∘ canonicalUrl on the refs — absolute,
+        // protocol-/root-/PATH-relative all resolve, empty and
+        // unresolvable forms go NULL and join nothing; canonicalUrl
+        // on the media records' fetch URLs): real crawls carry
+        // tracker-variant media URLs — `<img src="x.png?utm=feed">`
+        // fetched as `x.png?utm=other` — and a verbatim equi-join
+        // would silently drop the evidence edge (the q186 class
+        // rules; q213 oracles the resolver)
         val refs = graft.operators.HtmlExtract.mediaRefs(
             docsRaw, "doc_id", "text")
           .join(docsRaw.select(col("doc_id"), col("url")), Seq("doc_id"))
           .select(col("doc_id"),
-            graft.operators.UrlCuration.resolveHref(
+            graft.operators.UrlCuration.canonicalMediaRef(
               col("url"), col("ref")).as("murl"))
         val evid = refs.join(
-          mediaRows.select(col("url").as("murl"),
+          mediaRows.select(
+            graft.operators.UrlCuration.canonicalUrl(col("url"))
+              .as("murl"),
             col("rec_id").as("media_id")), Seq("murl"))
           .select(col("doc_id"), col("media_id"))
         val ownerDocs = evid
@@ -492,11 +508,22 @@ object StreamingIngestPipeline {
       gated, "doc_id", "__fp").drop("__fp")
     // the gallery drop BEFORE the text judge (scaladoc: a dropped
     // doc must never enter the text index)
-    val preJudge = galleryDrops match {
+    val preJudge0 = galleryDrops match {
       case Some(drops) => exactDeduped.join(drops, Seq("doc_id"),
         "left_anti")
       case None => exactDeduped
     }
+    // eager-pin the judged frame: the text judge re-tokenizes its
+    // batch ~3× (cacheSets = false — the unbounded-micro-batch leak
+    // rule), and each pass would otherwise re-run EVERYTHING above —
+    // HTML extraction's regex chain, the quality gate, the exact-dedup
+    // SHUFFLE, the gallery anti-join — against the routed pin.
+    // Checkpointing the batch-sized survivor frame converts three
+    // extraction+shuffle replays into one materialization (measured
+    // 45 s → judge-bound on the weak-scale flagship rung); eager
+    // localCheckpoint, not persist: blocks GC-release with the plan
+    // (the q203 builder rule), no unpersist obligation on the sink.
+    val preJudge = preJudge0.localCheckpoint(true)
     val (tDups, tDelta) = graft.operators.TextIndex.ingestStep(
       preJudge, "doc_id", "text", hBands, hSets, shingleN,
       numHashes, bands, nearDupThreshold, seed, textMaxBucket,
@@ -505,7 +532,7 @@ object StreamingIngestPipeline {
       tDups.select(col("dup_id").as("doc_id")), Seq("doc_id"),
       "left_anti")
     ArchiveIngestBatch(docSurvivors, tDelta, mediaSurvivors, mDelta,
-      batchId)
+      batchId, routed)
   }
 
   /** The DOC-level continuous pipeline with the MEDIA originality

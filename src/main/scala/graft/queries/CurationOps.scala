@@ -1643,8 +1643,84 @@ object CurationOps {
       SELECT g.doc_id, g.url FROM gated g JOIN keep USING (doc_id)
       ORDER BY g.doc_id"""))
 
+  /** q213: media-reference resolution
+    * ([[graft.operators.UrlCuration.resolveMediaRef]]) — the
+    * doc→media ownership join's key resolver, oracle-checked over
+    * every rule class: absolute refs pass verbatim,
+    * protocol-relative take the base scheme, root-relative take the
+    * origin (query cut from the authority), PATH-relative join the
+    * base DIRECTORY (query/fragment stripped, last segment dropped)
+    * with `./` collapse and bounded `../` folding, empty refs
+    * resolve to NULL (a page is not its own media object), and an
+    * empty base path directories to origin + '/'. The SQL side
+    * replays the exact expression ([[graft.operators.UrlCuration
+    * .resolveMediaRefSql]] — shared regexes, RE2-safe, 'g' flags
+    * matching Spark's all-occurrences-per-pass). */
+  private val q213 = QuerySpec(
+    "q213_media_ref_resolve",
+    (s, dir) => {
+      import graft.operators.UrlCuration
+      val d = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 8 === 2,
+          concat(lit("https://d.example/a/b/p?x=1&y="), d))
+        .when(col("doc_id") % 8 === 3,
+          lit("https://d.example/a/b/page.html"))
+        .when(col("doc_id") % 8 === 4,
+          lit("https://d.example/a/b/c/page.html"))
+        .when(col("doc_id") % 8 === 5,
+          lit("https://d.example/a/page.html#frag"))
+        .when(col("doc_id") % 8 === 7, lit("https://d.example"))
+        .otherwise(lit("https://d.example/x/p"))
+      val ref = when(col("doc_id") % 8 === 0,
+          concat(lit("http://cdn.example/i/"), d, lit(".png")))
+        .when(col("doc_id") % 8 === 1,
+          concat(lit("//cdn.example/i/"), d, lit(".png")))
+        .when(col("doc_id") % 8 === 2,
+          concat(lit("/m/"), d, lit(".png")))
+        .when(col("doc_id") % 8 === 3,
+          concat(lit("img/"), d, lit(".png")))
+        .when(col("doc_id") % 8 === 4,
+          concat(lit("../../shared/"), d, lit(".png")))
+        .when(col("doc_id") % 8 === 5,
+          concat(lit("./x/"), d, lit(".png")))
+        .when(col("doc_id") % 8 === 6, lit(""))
+        .otherwise(concat(lit("pic"), d, lit(".png")))
+      Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          UrlCuration.resolveMediaRef(url, ref).as("resolved"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+          CASE doc_id % 8
+            WHEN 2 THEN 'https://d.example/a/b/p?x=1&y='
+                        || CAST(doc_id AS VARCHAR)
+            WHEN 3 THEN 'https://d.example/a/b/page.html'
+            WHEN 4 THEN 'https://d.example/a/b/c/page.html'
+            WHEN 5 THEN 'https://d.example/a/page.html#frag'
+            WHEN 7 THEN 'https://d.example'
+            ELSE 'https://d.example/x/p' END AS u,
+          CASE doc_id % 8
+            WHEN 0 THEN 'http://cdn.example/i/'
+                        || CAST(doc_id AS VARCHAR) || '.png'
+            WHEN 1 THEN '//cdn.example/i/'
+                        || CAST(doc_id AS VARCHAR) || '.png'
+            WHEN 2 THEN '/m/' || CAST(doc_id AS VARCHAR) || '.png'
+            WHEN 3 THEN 'img/' || CAST(doc_id AS VARCHAR) || '.png'
+            WHEN 4 THEN '../../shared/'
+                        || CAST(doc_id AS VARCHAR) || '.png'
+            WHEN 5 THEN './x/' || CAST(doc_id AS VARCHAR) || '.png'
+            WHEN 6 THEN ''
+            ELSE 'pic' || CAST(doc_id AS VARCHAR) || '.png' END AS h
+        FROM documents WHERE doc_id < 400)
+      SELECT doc_id,
+             ${graft.operators.UrlCuration.resolveMediaRefSql("u", "h")}
+               AS resolved
+      FROM f ORDER BY doc_id"""))
+
   val specs: Seq[QuerySpec] =
     Seq(q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q128, q129,
       q134, q144, q148, q150, q156, q173, q174, q175, q176, q179, q180,
-      q186, q187, q188, q189, q207, q209)
+      q186, q187, q188, q189, q207, q209, q213)
 }

@@ -2485,7 +2485,14 @@ object DataOps {
       UNION ALL SELECT 'media' AS leg, url FROM media_surv
       UNION ALL SELECT 'tdelta' AS leg, url FROM doc_surv
       UNION ALL SELECT 'mdelta' AS leg, url FROM media_surv
-      ORDER BY leg, url"""))
+      ORDER BY leg, url"""),
+    // bench entry (the q203/q206 precedent): the flagship archive
+    // step must be TIMED so a regression anywhere in its composed
+    // body (scanner, extraction, gates, ownership join, either
+    // judge) is visible to BENCH. Fixed-size fixture (doc_id < 240
+    // at every SF) — this times the KERNEL composition; growth is
+    // the SCALE.md archive_ingest ladder's job.
+    bench = true)
 
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,

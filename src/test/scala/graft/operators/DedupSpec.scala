@@ -20,6 +20,22 @@ class DedupSpec extends SparkSpec {
     out shouldBe Seq((1L, 3L), (3L, 1L))
   }
 
+  test("exactKeepSmallest keeps the min-id ROW per precomputed fingerprint; NULL fingerprints are singletons, never dropped") {
+    val df = Seq(
+      (5L, "fpA", "row5"), (2L, "fpA", "row2"), (9L, "fpB", "row9"),
+      (7L, null.asInstanceOf[String], "row7"),
+      (8L, null.asInstanceOf[String], "row8"))
+      .toDF("doc_id", "fp", "payload")
+    val out = Dedup.exactKeepSmallest(df, "doc_id", "fp")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    // fpA keeps 2 (min), fpB keeps 9; both NULL-fp rows survive as
+    // their own singletons (the exact() unknown-content rule — a
+    // plain semi join would silently drop them)
+    out.toSeq shouldBe Seq((2L, "row2"), (7L, "row7"), (8L, "row8"),
+      (9L, "row9"))
+  }
+
   test("ngramJaccardPairs finds known near-dup, exact jaccard value") {
     // doc1/doc2: shingle sets {a b c, b c d, c d e} vs {a b c, b c d, c d X}
     // intersection 2, union 4 → jaccard 0.5

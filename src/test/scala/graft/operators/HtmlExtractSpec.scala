@@ -54,6 +54,28 @@ class HtmlExtractSpec extends SparkSpec {
     rows.toSeq shouldBe Seq((0, "/a"), (1, "/b?q=1"), (2, "/c#frag"))
   }
 
+  test("mediaRefs: the five embedding tags' src, distinct per (doc, ref); anchors and repeats excluded") {
+    val html =
+      """<img src="/i/a.png"><IMG alt="x" SRC='/i/b.jpg'>
+        |<video controls src="/v/c.mp4"></video>
+        |<audio src="/a/d.wav"></audio><embed src="/e/f.pdf">
+        |<source src="/v/c.webm" type="video/webm">
+        |<img src="/i/a.png">
+        |<img data-src="/i/lazy.png">
+        |<a href="/not-media.html">link</a>""".stripMargin
+    val refs = HtmlExtract.mediaRefs(
+        Seq((1L, html), (2L, null.asInstanceOf[String])).toDF("id", "html"),
+        "id", "html")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // doc 1: six src tags + the lazy-loading data-src (DOCUMENTED
+    // behavior: `[^>]*src=` matches attribute names ENDING in src,
+    // so data-src lazy images — real refs in crawled pages — are
+    // edges too), one repeat collapsed; doc 2 (NULL html): nothing
+    refs.map(_._1).toSet shouldBe Set(1L)
+    refs.map(_._2).sorted.toSeq shouldBe Seq("/a/d.wav", "/e/f.pdf",
+      "/i/a.png", "/i/b.jpg", "/i/lazy.png", "/v/c.mp4", "/v/c.webm")
+  }
+
   test("composition: extracted text feeds qualityScore; links feed PageRank") {
     val docs = graft.Tables.documents(spark, sfDir).limit(50)
       .withColumn("html", concat(lit("<p>"), col("text"), lit("</p>"),

@@ -801,6 +801,12 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     val proseR = "an essay referencing a figure that the crawler " +
       "never fetched because the image host was offline during the " +
       "crawl window though the text itself reads perfectly well"
+    val proseT = "a syndicated roundup whose single tracker tagged " +
+      "image link points at the same copied photo every mirror of " +
+      "this network serves under its own campaign parameters"
+    val proseW = "a subdirectory page embedding its one copied image " +
+      "through a path relative source attribute the way most static " +
+      "site generators emit their asset references by default"
     // persisted-state seeds: the media index already holds two images
     // (ids 100/101); the text index one unrelated doc
     val (hb, hs) = TextIndex.buildIndex(
@@ -824,17 +830,30 @@ class StreamingIngestPipelineSpec extends SparkSpec {
         // ref resolves to a URL the crawler never fetched → no
         // evidence in the batch → survives (keep-the-unparseable)
         rec("https://g.example/ghost", page(proseR, "/i/never.png")) ++
+        // TRACKER-VARIANT ref: the src carries a utm parameter the
+        // fetch URL lacks — only the CANONICAL join finds the edge;
+        // its one referenced object is a losing dup → doc DROPS (a
+        // verbatim join would mis-read this page as no-evidence)
+        rec("https://g.example/tracker",
+          page(proseT, "/i/x.png?utm_source=feed")) ++
+        // PATH-RELATIVE ref (the static-site default): resolves
+        // against the page's directory — its one referenced object
+        // is a losing re-encode dup → doc DROPS (the old href-only
+        // resolver read path-relative srcs as no-evidence)
+        rec("https://g.example/sub/rel", page(proseW, "img/w.bmp")) ++
         // the media records themselves (separate WARC records — the
         // ownership the gate re-derives via resolved <img src>)
         rec("https://g.example/i/x.png", img(4, "png")) ++
         rec("https://g.example/i/y.bmp", img(9, "bmp")) ++
-        rec("https://g.example/i/z.png", img(77, "png")))
+        rec("https://g.example/i/z.png", img(77, "png")) ++
+        rec("https://g.example/sub/img/w.bmp", img(4, "bmp")))
     val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
     val keptDocs = scala.collection.mutable.ArrayBuffer.empty[String]
     val keptMedia = scala.collection.mutable.ArrayBuffer.empty[String]
     val deltaDocIds = scala.collection.mutable.ArrayBuffer.empty[Long]
     var survivorIds: Map[String, Long] = Map.empty
+    var summary: Option[org.apache.spark.sql.Row] = None
     val q = StreamingIngestPipeline.runArchiveIngest(
         spark.readStream.format("binaryFile").schema(binSchema)
           .load(drop.toString),
@@ -847,6 +866,9 @@ class StreamingIngestPipelineSpec extends SparkSpec {
         keptMedia ++= b.media.select("url").as[String].collect()
         deltaDocIds ++= b.textDelta._2.select("doc")
           .as[Long].collect()
+        // the monitoring surface: one row of per-batch drop-rate
+        // inputs, computed INSIDE the sink off the pinned batch
+        summary = Some(IngestSinks.archiveBatchSummary(b).collect().head)
         ()
       }
       .option("checkpointLocation",
@@ -861,6 +883,11 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     // entry can ever suppress a future re-crawl of its content
     deltaDocIds.sorted.toSeq shouldBe
       survivorIds.values.toSeq.sorted
+    // the monitoring row: 6 routed pages / 4 media records in, 3 doc
+    // + 1 media survivors out, deltas tracking the survivor sets
+    val s = summary.get
+    (s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4),
+      s.getLong(5), s.getLong(6)) shouldBe (6L, 4L, 3L, 1L, 3L, 1L)
   }
 
   test("IngestSinks redelivery: a replayed batch whose compaction+swap already completed compacts FORWARD — no read-from-own-path crash, identical index") {
@@ -948,8 +975,14 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     IngestSinks.appendCorpusIdempotent(
       Seq((5L, "take me down too")).toDF("doc_id", "text"), corpus, 2L)
     val before = new java.io.File(s"$corpus/batch_id=1").lastModified()
+    // the operational front: takedowns arrive as KEYS (URLs, content
+    // strings) — resolve them to ids with one corpus scan, then sweep
+    val ids = IngestSinks.retractionIdsFor(spark, corpus,
+      Seq("take me down", "take me down too", "never in corpus")
+        .toDF("text"), "text", "doc_id")
+    ids.as[Long].collect().sorted shouldBe Array(2L, 5L)
     IngestSinks.retractFromCorpus(spark, corpus,
-      Seq(2L, 5L, 999L).toDF("doc_id"), "doc_id")
+      ids.unionByName(Seq(999L).toDF("doc_id")), "doc_id")
     // retracted content GONE; untouched rows intact
     spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().sorted shouldBe Array(1L, 3L, 4L)
