@@ -316,9 +316,9 @@ object IngestSinks {
     * INSIDE the sink, append beside the corpus, and drop-rate alarms
     * (survivors/routed collapsing, deltas diverging from survivors)
     * come for free. Gate-ATTRIBUTED drop counts (quality vs exact vs
-    * gallery vs judge) need the step's intermediates and stay a
-    * deliberate non-goal here: re-deriving them costs re-running the
-    * gates, and the step does not retain per-stage frames. */
+    * gallery vs judge) cost an intermediate-frame recount and live
+    * on the carrier as the opt-in
+    * [[StreamingIngestPipeline.ArchiveIngestBatch.funnel]] thunk. */
   def archiveBatchSummary(
       b: StreamingIngestPipeline.ArchiveIngestBatch): DataFrame = {
     import org.apache.spark.sql.functions.col

@@ -250,10 +250,19 @@ object StreamingIngestPipeline {
     * [[IngestSinks.archiveBatchSummary]] counts drop rates against;
     * valid only WITHIN the sink call: the wrapper unpersists it when
     * the sink returns, the standard foreachBatch consume-inside
-    * rule). */
+    * rule), and `funnel` — the GATE-ATTRIBUTED per-batch curation
+    * funnel (the q102 shape from the LIVE loop): a one-row frame of
+    * drop counts per stage (blocklist → URL dedup → quality → exact →
+    * gallery → text judge on the doc leg; blocklist → dup election
+    * on the media leg). A THUNK on purpose: attribution re-counts
+    * the step's intermediate frames (stages above the checkpointed
+    * pre-judge frame re-run extraction against the routed pin), so
+    * only sinks that call it pay for it — the cheap unattributed
+    * in/out row is [[IngestSinks.archiveBatchSummary]]. */
   final case class ArchiveIngestBatch(docs: DataFrame,
       textDelta: (DataFrame, DataFrame), media: DataFrame,
-      mediaDelta: DataFrame, batchId: Long, routed: DataFrame)
+      mediaDelta: DataFrame, batchId: Long, routed: DataFrame,
+      funnel: () => DataFrame)
 
   /** The END-TO-END crawl-archive ingest: a binaryFile STREAM of
     * `.warc(.gz/.zst)` archives (the shape a crawler actually
@@ -531,8 +540,26 @@ object StreamingIngestPipeline {
     val docSurvivors = preJudge.join(
       tDups.select(col("dup_id").as("doc_id")), Seq("doc_id"),
       "left_anti")
+    // the gate-attributed funnel (lazy — see the carrier scaladoc):
+    // stage counts are frame-count DIFFS, so the row reconciles by
+    // construction (routed_docs − Σdrops = doc_survivors)
+    val funnel: () => DataFrame = () => {
+      val rd = docsRaw0.count(); val bl = docsBlocked.count()
+      val ud = docsRaw.count(); val gq = gated.count()
+      val ex = exactDeduped.count(); val pj = preJudge.count()
+      val ds = docSurvivors.count()
+      val rm = mediaRows0.count(); val mb = mediaRows.count()
+      val ms = mediaSurvivors.count()
+      Seq((batchId, rd, rd - bl, bl - ud, ud - gq, gq - ex, ex - pj,
+          pj - ds, ds, rm, rm - mb, mb - ms, ms))
+        .toDF("batch_id", "routed_docs", "doc_blocklist_drops",
+          "doc_url_dup_drops", "doc_quality_drops", "doc_exact_drops",
+          "doc_gallery_drops", "doc_text_dup_drops", "doc_survivors",
+          "routed_media", "media_blocklist_drops", "media_dup_drops",
+          "media_survivors")
+    }
     ArchiveIngestBatch(docSurvivors, tDelta, mediaSurvivors, mDelta,
-      batchId, routed)
+      batchId, routed, funnel)
   }
 
   /** The DOC-level continuous pipeline with the MEDIA originality

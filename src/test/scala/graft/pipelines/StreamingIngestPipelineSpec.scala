@@ -854,6 +854,7 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     val deltaDocIds = scala.collection.mutable.ArrayBuffer.empty[Long]
     var survivorIds: Map[String, Long] = Map.empty
     var summary: Option[org.apache.spark.sql.Row] = None
+    var funnel: Option[org.apache.spark.sql.Row] = None
     val q = StreamingIngestPipeline.runArchiveIngest(
         spark.readStream.format("binaryFile").schema(binSchema)
           .load(drop.toString),
@@ -869,6 +870,10 @@ class StreamingIngestPipelineSpec extends SparkSpec {
         // the monitoring surface: one row of per-batch drop-rate
         // inputs, computed INSIDE the sink off the pinned batch
         summary = Some(IngestSinks.archiveBatchSummary(b).collect().head)
+        // the GATE-ATTRIBUTED funnel (opt-in thunk): every drop this
+        // fixture plants lands in its OWN gate's column, and the row
+        // reconciles (routed − Σdrops = survivors) by construction
+        funnel = Some(b.funnel().collect().head)
         ()
       }
       .option("checkpointLocation",
@@ -888,6 +893,12 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     val s = summary.get
     (s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4),
       s.getLong(5), s.getLong(6)) shouldBe (6L, 4L, 3L, 1L, 3L, 1L)
+    // the attributed funnel: all three doc drops are GALLERY drops
+    // (gallery + tracker + rel), all three media drops are election
+    // dups (x byte-copy, y and w re-encodes); every other gate 0
+    val f = funnel.get
+    f.toSeq.drop(1) shouldBe Seq(6L, 0L, 0L, 0L, 0L, 3L, 0L, 3L,
+      4L, 0L, 3L, 1L)
   }
 
   test("IngestSinks redelivery: a replayed batch whose compaction+swap already completed compacts FORWARD — no read-from-own-path crash, identical index") {
