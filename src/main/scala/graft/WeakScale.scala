@@ -183,6 +183,30 @@ object WeakScale {
       val archDir =
         if (!selected("archive_routed_split") && !selected("archive_two_leg"))
           "" else buildArchives(64)
+      // PREBUILD for the semantic_ingest row: the persisted vector
+      // cell index over the k×-replicated embeddings, written to
+      // parquet OUTSIDE the timed region (the textIdxDir rule — the
+      // index is on-disk state between runs). nCells scales with k
+      // (the q86 SemDeDup sizing rule: cells stay task-sized), which
+      // is what makes the per-batch judge FLAT under history growth —
+      // the family's incremental contract.
+      def buildSemIdx(cells: Int): String = {
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft_semidx_${cells}_$k").toString
+        graft.io.SemanticIndexArtifacts.build(d, vecs, "vec_id",
+          "embedding", nCells = cells, threshold = 0.95, nProbe = 2,
+          maxCell = 4096)
+        d
+      }
+      val semIdxDir =
+        if (!selected("semantic_ingest")) "" else buildSemIdx(32 * k)
+      // the √k sizing (the q86 semantic_dedup_sqrtcells trade): batch
+      // assignment costs |batch|·nCells cosines + a |batch|·nCells
+      // window — ∝ k when nCells ∝ k — while per-cell judge work is
+      // ∝ history/nCells; √k balances the two
+      val semIdxSqrtDir =
+        if (!selected("semantic_ingest_sqrtcells")) ""
+        else buildSemIdx((32 * math.sqrt(k)).toInt)
       // the archives ≫ cores fixture: 512 SMALL archives over
       // local[32], so per-archive inflate dominates and idle
       // parallelism cannot hide the two-leg composition's second
@@ -365,6 +389,33 @@ object WeakScale {
         ("semantic_dedup_sqrtcells", V, () => {
           Similarity.semanticDedupe(vecs, "vec_id", "embedding",
             nCells = (32 * math.sqrt(k)).toInt, threshold = 0.995).count()
+        }),
+        // the incremental SEMANTIC judge vs the k×-history PERSISTED
+        // cell index (prebuilt to parquet outside the timed region):
+        // a fixed batch of near-re-embeds (base + 1e-4 per component —
+        // cosine ≈ 1 vs its replica copies, real election work every
+        // rung) assigned, censused, judged, elected, delta derived.
+        // nCells ∝ k keeps cells task-sized (the q86 sizing rule), so
+        // per-batch cost must track the BATCH, not the corpus — the
+        // text/media families' FLAT contract for embeddings.
+        ("semantic_ingest", V, () => {
+          val idx = graft.io.SemanticIndexArtifacts.load(spark, semIdxDir)
+          val batch = baseVecs.select(
+            (col("vec_id") + 90000000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(1e-4)).as("embedding"))
+          val (dups, delta) = idx.ingest(batch, "vec_id", "embedding")
+          dups.count() + delta.count()
+        }),
+        ("semantic_ingest_sqrtcells", V, () => {
+          val idx = graft.io.SemanticIndexArtifacts.load(spark,
+            semIdxSqrtDir)
+          val batch = baseVecs.select(
+            (col("vec_id") + 90000000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(1e-4)).as("embedding"))
+          val (dups, delta) = idx.ingest(batch, "vec_id", "embedding")
+          dups.count() + delta.count()
         }),
         ("temperature_mixture_q88", D, () => {
           Sampling.temperatureMixture(docs, "doc_id", "source",

@@ -1,0 +1,121 @@
+package graft.io
+
+import graft.operators.SemanticIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semantic-dedup-index persistence — the third member of the
+  * artifact family ([[TextIndexArtifacts]], [[MediaIndexArtifacts]]):
+  * the [[SemanticIndex]] relations ARE parquet state between ingest
+  * runs, and the judge's parameters (threshold, nProbe, maxCell) must
+  * match across runs or verdicts drift silently. The CENTROIDS ship
+  * inside the artifact — they are frozen model state (assignment must
+  * be identical across batches; the [[SemanticIndex]] frozen-cells
+  * rule), so a loaded index can only be judged against the cells it
+  * was built with.
+  *
+  * Layout: `<path>/centroids` ((cell, cvec) — cell-count sized),
+  * `<path>/assigned` ((id, cell, vec) — the admitted vectors, written
+  * cell-clustered so parquet row-group stats support cell skipping),
+  * `<path>/params` (one row), and optionally `<path>/tombstones`
+  * ((id) — retracted; the [[TextIndexArtifacts]] takedown semantics:
+  * a retracted keeper stops matching, former dups survive or re-elect
+  * the next smallest, and the content may re-enter under a new id).
+  * Appends go to `assigned` (the [[SemanticIndex.ingestStep]] delta);
+  * centroids and params are written once. Ids are normalized to LONG
+  * on disk and reads bridge legacy INT32 footers
+  * ([[TextIndexArtifacts.readIdNormalized]]). */
+object SemanticIndexArtifacts {
+
+  /** A loaded index: relations plus the build/judge parameters. */
+  final case class PersistedSemanticIndex(centroids: DataFrame,
+      assigned: DataFrame, threshold: Double, nProbe: Int, maxCell: Int) {
+    /** Batch vectors that near-duplicate this index (stored
+      * parameters applied — no silent mismatch possible). */
+    def dups(batch: DataFrame, idCol: String, vecCol: String): DataFrame =
+      SemanticIndex.incrementalSemanticDups(batch, idCol, vecCol,
+        centroids, assigned, threshold, nProbe, maxCell)
+
+    /** The batch with every index near-duplicate dropped. */
+    def dedupe(batch: DataFrame, idCol: String, vecCol: String): DataFrame =
+      SemanticIndex.dedupeAgainstIndex(batch, idCol, vecCol, centroids,
+        assigned, threshold, nProbe, maxCell)
+
+    /** Judge + replay-idempotent delta ([[SemanticIndex.ingestStep]])
+      * — pass the delta to [[SemanticIndexArtifacts.append]]. */
+    def ingest(batch: DataFrame, idCol: String,
+               vecCol: String): (DataFrame, DataFrame) =
+      SemanticIndex.ingestStep(batch, idCol, vecCol, centroids, assigned,
+        threshold, nProbe, maxCell)
+  }
+
+  /** Build the index over `corpus` and write it. Consumers LOAD (the
+    * TextIndexArtifacts round-trip rule). */
+  def build(path: String, corpus: DataFrame, idCol: String, vecCol: String,
+            nCells: Int, threshold: Double, nProbe: Int = 2,
+            maxCell: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (centroids, assigned) = SemanticIndex.buildIndex(corpus, idCol,
+      vecCol, nCells)
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    assigned.withColumn("id", col("id").cast("long"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$path/assigned")
+    Seq((threshold, nProbe, maxCell, nCells))
+      .toDF("threshold", "n_probe", "max_cell", "n_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Append an ingest delta ([[SemanticIndex.ingestStep]]'s second
+    * result — replay-idempotent upstream); ids normalized to LONG,
+    * cell-clustered writes (the build rule). */
+  def append(path: String, delta: DataFrame): Unit =
+    delta.withColumn("id", col("id").cast("long"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$path/assigned")
+
+  /** RETRACT ids (takedowns — the [[TextIndexArtifacts.retract]]
+    * semantics): O(|ids|), no index rewrite; [[load]] filters,
+    * [[compact]] applies physically. */
+  def retract(path: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def minusTombstones(spark: SparkSession, rel: DataFrame,
+      path: String): DataFrame =
+    if (!TextIndexArtifacts.dirExists(spark, s"$path/tombstones")) rel
+    else rel.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("id")).distinct()),
+      Seq("id"), "left_anti")
+
+  def load(spark: SparkSession, path: String): PersistedSemanticIndex = {
+    val p = spark.read.parquet(s"$path/params").collect()
+    require(p.length == 1, s"expected one params row at $path, got ${p.length}")
+    val r = p.head
+    PersistedSemanticIndex(
+      spark.read.parquet(s"$path/centroids"),
+      minusTombstones(spark, TextIndexArtifacts.readIdNormalized(
+        spark, s"$path/assigned", "id"), path),
+      r.getAs[Double]("threshold"), r.getAs[Int]("n_probe"),
+      r.getAs[Int]("max_cell"))
+  }
+
+  /** Compaction (the TextIndexArtifacts discipline: write-to-side,
+    * caller swaps by rename): layout + physical tombstone
+    * application; the compacted copy carries no tombstone relation. */
+  def compact(spark: SparkSession, fromPath: String, toPath: String,
+              files: Int = 32): Unit = {
+    minusTombstones(spark, TextIndexArtifacts.readIdNormalized(
+        spark, s"$fromPath/assigned", "id"), fromPath)
+      .repartition(files, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$toPath/assigned")
+    spark.read.parquet(s"$fromPath/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$toPath/centroids")
+    spark.read.parquet(s"$fromPath/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$toPath/params")
+  }
+}

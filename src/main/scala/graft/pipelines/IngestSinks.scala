@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.io.{MediaIndexArtifacts, TextIndexArtifacts}
+import graft.io.{MediaIndexArtifacts, SemanticIndexArtifacts, TextIndexArtifacts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** WORKED production sinks for the streaming ingest pipelines — the
@@ -175,6 +175,43 @@ object IngestSinks {
     setCurrent(spark, indexRoot, "v0")
   }
 
+  /** Initialize a versioned SEMANTIC index root (the text twin —
+    * centroids are frozen inside the artifact). */
+  def initSemanticIndex(spark: SparkSession, indexRoot: String,
+                        corpus: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int, threshold: Double, nProbe: Int = 2,
+                        maxCell: Int = 4096): Unit = {
+    SemanticIndexArtifacts.build(s"$indexRoot/v0", corpus, idCol, vecCol,
+      nCells, threshold, nProbe, maxCell)
+    setCurrent(spark, indexRoot, "v0")
+  }
+
+  /** The per-batch SEMANTIC index reader (tombstones filtered,
+    * pointer re-read per batch — the [[textIndex]] rules). */
+  def semanticIndex(spark: SparkSession, indexRoot: String)
+      : () => SemanticIndexArtifacts.PersistedSemanticIndex =
+    () => SemanticIndexArtifacts.load(spark,
+      currentIndexPath(spark, indexRoot))
+
+  /** The SEMANTIC sink ([[StreamingIngestPipeline.runSemanticIngest]]'s
+    * shape; the [[textSink]] empty-batch, cadence, and versioning
+    * rules). */
+  def semanticSink(spark: SparkSession, corpusPath: String,
+                   indexRoot: String, compactEvery: Int = 0)
+      : (DataFrame, DataFrame, Long) => Unit = {
+    val dataBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    (batch, delta, id) =>
+      if (!batch.isEmpty) {
+        appendCorpusIdempotent(batch, corpusPath, id)
+        val cur = currentIndexPath(spark, indexRoot)
+        SemanticIndexArtifacts.append(cur, delta)
+        if (compactEvery > 0 &&
+            dataBatches.incrementAndGet() % compactEvery == 0)
+          compactAndSwap(spark, indexRoot, cur)(
+            SemanticIndexArtifacts.compact(spark, cur, _))
+      }
+  }
+
   /** The per-batch TEXT index reader — pass as the pipelines'
     * `textIndex` function. Goes through [[TextIndexArtifacts.load]]
     * so tombstones are filtered and the version pointer is re-read
@@ -287,6 +324,60 @@ object IngestSinks {
     *
     * `ids` is the retraction list (first column, cast to long —
     * id-sized, broadcast); `idCol` names the corpus id column. */
+  /** The binaryFile source schema (Spark requires it explicitly on
+    * STREAMING reads — unlike the batch reader, readStream refuses to
+    * infer it). */
+  val BinaryFileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+
+  /** Turnkey CHUNKED BACKFILL over a directory of already-fetched
+    * archives — the job a crawl team runs over an existing bucket
+    * before the live loop starts. One call wires the full production
+    * composition: a binaryFile stream capped at `maxFilesPerTrigger`
+    * archives per micro-batch, Trigger.AvailableNow (process
+    * everything currently present, then STOP — the documented
+    * batch-with-streaming-guarantees shape), the
+    * [[StreamingIngestPipeline.runArchiveIngest]] body per chunk, and
+    * [[archiveSink]]'s redelivery-safe appends + compaction cadence.
+    *
+    * Why a stream and not one giant batch call: chunking BOUNDS the
+    * working set (a 100 TB bucket cannot be one routed relation), the
+    * CHECKPOINT makes the backfill resumable (kill it at archive
+    * 40 000 of 80 000, rerun the same call, it continues — and a
+    * rerun after completion processes nothing), and cross-chunk
+    * memory rides the appended index deltas exactly as in live
+    * ingest, so a re-crawl in chunk 2 of a chunk-1 survivor drops.
+    * Blocks until the directory is drained; returns the number of
+    * micro-batches this invocation ran. */
+  def backfillArchives(spark: SparkSession, archiveDir: String,
+      checkpointDir: String, docCorpusPath: String,
+      mediaCorpusPath: String, textRoot: String, mediaRoot: String,
+      maxFilesPerTrigger: Int = 64, compactEvery: Int = 8,
+      extractHtml: Boolean = true,
+      urlBlocklist: Option[DataFrame] = None,
+      urlDedup: Boolean = true, mediaGate: Boolean = true,
+      minQuality: Double = 0.3): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sink = archiveSink(spark, docCorpusPath, mediaCorpusPath,
+      textRoot, mediaRoot, compactEvery)
+    val q = StreamingIngestPipeline.runArchiveIngest(
+        spark.readStream.format("binaryFile").schema(BinaryFileSchema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+          .load(archiveDir),
+        textIndex(spark, textRoot), mediaIndex(spark, mediaRoot),
+        extractHtml = extractHtml, urlBlocklist = urlBlocklist,
+        urlDedup = urlDedup, mediaGate = mediaGate,
+        minQuality = minQuality) { b =>
+        batches.incrementAndGet(); sink(b)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
   /** Resolve takedown KEYS to ids — the operational front of the
     * retraction story: takedowns arrive as URLs or content
     * fingerprints, while [[TextIndexArtifacts.retract]] and

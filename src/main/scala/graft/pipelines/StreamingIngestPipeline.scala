@@ -238,6 +238,42 @@ object StreamingIngestPipeline {
     runMediaIngest(files, () => historyIndex, imageMaxDist, audioMaxDist,
       videoMaxDist, videoMinOverlapBp, maxBucket)(sink)
 
+  /** The SEMANTIC twin of [[runMediaIngestIndexed]]: continuous
+    * embedding-level dedup of a vector stream against the persisted
+    * semantic cell index ([[graft.operators.SemanticIndex]] — the
+    * third incremental family beside the text and media gates: the
+    * paraphrase-level re-crawls shingle dedup cannot see). Per
+    * micro-batch: batch-internal greedy election + history judge +
+    * replay-idempotent delta ([[graft.operators.SemanticIndex
+    * .ingestStep]]); the sink receives (survivor rows, delta,
+    * batchId) and appends the delta to the path the `index` function
+    * re-reads ([[graft.io.SemanticIndexArtifacts.append]] /
+    * [[IngestSinks]]-style wiring) — cross-batch memory lives in the
+    * appended parquet, zero streaming state, and `index` is a
+    * FUNCTION re-evaluated per batch (the [[runMediaIngest]]
+    * append-visibility rule). Centroids are FROZEN inside the
+    * artifact: every batch assigns against the same cells, so
+    * verdicts never drift with batch boundaries. Redelivery: both
+    * elections exclude same-id matches and the delta excludes
+    * already-present ids, so a failed-and-replayed batch re-presents
+    * identical survivors and appends nothing (the family contract). */
+  def runSemanticIngest(vectors: DataFrame,
+      index: () => graft.io.SemanticIndexArtifacts.PersistedSemanticIndex,
+      idCol: String, vecCol: String)(
+      sink: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val pinned = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (dups, delta) = index().ingest(pinned, idCol, vecCol)
+        sink(pinned.join(
+          dups.select(col("dup_id").cast("long").as("__d")),
+          col(idCol).cast("long") === col("__d"), "left_anti"),
+          delta, id)
+      } finally { pinned.unpersist(); () }
+    }
+
   /** One micro-batch's output from [[runArchiveIngest]] — everything
     * a production sink appends, in one carrier: surviving documents
     * (doc_id, url, mtime, text + the gate's quality/n_pii audit

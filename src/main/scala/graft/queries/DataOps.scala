@@ -2494,8 +2494,163 @@ object DataOps {
     // the SCALE.md archive_ingest ladder's job.
     bench = true)
 
+  /** q214: incremental SEMANTIC dedup against the persisted vector
+    * cell index ([[graft.operators.SemanticIndex]]) — the q208 shape
+    * for EMBEDDINGS, closing the third incremental family: TWO ingest
+    * cycles against the growing index, replayed EXACTLY in SQL.
+    * History (vec_id < 800) builds the frozen portable-draw centroids
+    * (the q86 md5 rank — DuckDB recomputes the selection) and the
+    * primary-cell assignment; cycle-1's batch carries exact
+    * re-embeds (cosine 1.0), uniformly SHIFTED variants (+0.01 per
+    * component — cosine computed by BOTH engines, so each threshold
+    * crossing is checked, not assumed), and reversed vectors (fresh
+    * by construction for random-ish embeddings, but JUDGED, never
+    * presumed); cycle-2's shifted re-embeds of cycle-1 survivors can
+    * only be caught through the APPENDED delta — the cross-cycle
+    * memory contract. The oracle replays centroid draw, nProbe=2
+    * batch assignment (row_number over cosine DESC, cell ASC),
+    * the PRIMARY-cell batch-internal greedy election, the history
+    * judge with smallest-matching-id keeper election, survivor/delta
+    * derivation, and cycle 2 against history ∪ delta. All vectors
+    * CAST to double on both sides (the q30/q86 parity convention);
+    * maxCell uncapped at this call site (an exact oracle needs the
+    * uncapped operator — the q206 rule). */
+  private val q214 = QuerySpec(
+    "q214_semantic_incremental_dedup",
+    (s, dir) => {
+      import graft.operators.SemanticIndex
+      val emb = Tables.embeddings(s, dir)
+      val hist = emb.filter(col("vec_id") < 800)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val (cent, assigned) = SemanticIndex.buildIndex(hist, "id", "vec",
+        nCells = 8)
+      val vd = col("embedding").cast("array<double>")
+      val b1 = emb.filter(col("vec_id") < 300).select(
+        (col("vec_id") + 10000L).as("id"),
+        when(pmod(col("vec_id"), lit(3)) === 0, vd)
+          .when(pmod(col("vec_id"), lit(3)) === 1,
+            transform(vd, x => x + lit(0.01)))
+          .otherwise(reverse(vd)).as("vec"))
+      val (dups1, delta) = SemanticIndex.ingestStep(b1, "id", "vec",
+        cent, assigned, threshold = 0.9, nProbe = 2,
+        maxCell = Int.MaxValue)
+      val b2 = emb.filter(col("vec_id") < 300).select(
+        (col("vec_id") + 20000L).as("id"),
+        when(pmod(col("vec_id"), lit(2)) === 0,
+            transform(vd, x => x + lit(0.01)))
+          .otherwise(transform(reverse(vd), x => x + lit(0.02)))
+          .as("vec"))
+      val dups2 = SemanticIndex.incrementalSemanticDups(b2, "id", "vec",
+        cent, assigned.unionByName(delta), threshold = 0.9, nProbe = 2,
+        maxCell = Int.MaxValue)
+      dups1.withColumn("cycle", lit(1L))
+        .unionByName(dups2.withColumn("cycle", lit(2L)))
+        .select(col("cycle"), col("dup_id"), col("keep_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cycle"), col("dup_id"))
+    },
+    oracle = Some("""
+      WITH hist AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings WHERE vec_id < 800),
+      cent AS (
+        SELECT id AS cell, vec AS cvec FROM hist
+        ORDER BY ('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000, id
+        LIMIT 8),
+      hassign AS (
+        SELECT id, cell, vec FROM (
+          SELECT h.id, c.cell, h.vec,
+                 row_number() OVER (PARTITION BY h.id
+                   ORDER BY list_cosine_similarity(h.vec, c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM hist h CROSS JOIN cent c)
+        WHERE rnk = 1),
+      b1 AS (
+        SELECT vec_id + 10000 AS id,
+               CASE vec_id % 3
+                 WHEN 0 THEN CAST(embedding AS DOUBLE[])
+                 WHEN 1 THEN list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> x + 0.01)
+                 ELSE list_reverse(CAST(embedding AS DOUBLE[])) END AS vec
+        FROM embeddings WHERE vec_id < 300),
+      b1a AS (
+        SELECT id, cell, vec, rnk FROM (
+          SELECT b.id, c.cell, b.vec,
+                 row_number() OVER (PARTITION BY b.id
+                   ORDER BY list_cosine_similarity(b.vec, c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM b1 b CROSS JOIN cent c)
+        WHERE rnk <= 2),
+      i1 AS (
+        SELECT dup_id, kid, cos,
+               row_number() OVER (PARTITION BY dup_id ORDER BY kid) AS rn
+        FROM (
+          SELECT y.id AS dup_id, x.id AS kid,
+                 list_cosine_similarity(y.vec, x.vec) AS cos
+          FROM b1a x JOIN b1a y
+            ON x.cell = y.cell AND x.rnk = 1 AND y.rnk = 1
+              AND x.id < y.id)
+        WHERE cos >= 0.9),
+      p1 AS (
+        SELECT * FROM b1a
+        WHERE id NOT IN (SELECT dup_id FROM i1)),
+      x1 AS (
+        SELECT dup_id, hid, cos,
+               row_number() OVER (PARTITION BY dup_id ORDER BY hid) AS rn
+        FROM (
+          SELECT p.id AS dup_id, h.id AS hid,
+                 list_cosine_similarity(p.vec, h.vec) AS cos
+          FROM p1 p JOIN hassign h ON p.cell = h.cell AND h.id <> p.id)
+        WHERE cos >= 0.9),
+      surv1 AS (
+        SELECT id, cell, vec FROM p1
+        WHERE rnk = 1 AND id NOT IN (SELECT dup_id FROM x1)),
+      idx2 AS (
+        SELECT id, cell, vec FROM hassign
+        UNION ALL SELECT id, cell, vec FROM surv1),
+      b2 AS (
+        SELECT vec_id + 20000 AS id,
+               CASE vec_id % 2
+                 WHEN 0 THEN list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> x + 0.01)
+                 ELSE list_transform(
+                        list_reverse(CAST(embedding AS DOUBLE[])),
+                        x -> x + 0.02) END AS vec
+        FROM embeddings WHERE vec_id < 300),
+      b2a AS (
+        SELECT id, cell, vec FROM (
+          SELECT b.id, c.cell, b.vec,
+                 row_number() OVER (PARTITION BY b.id
+                   ORDER BY list_cosine_similarity(b.vec, c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM b2 b CROSS JOIN cent c)
+        WHERE rnk <= 2),
+      x2 AS (
+        SELECT dup_id, hid, cos,
+               row_number() OVER (PARTITION BY dup_id ORDER BY hid) AS rn
+        FROM (
+          SELECT p.id AS dup_id, h.id AS hid,
+                 list_cosine_similarity(p.vec, h.vec) AS cos
+          FROM b2a p JOIN idx2 h ON p.cell = h.cell AND h.id <> p.id)
+        WHERE cos >= 0.9)
+      SELECT CAST(1 AS BIGINT) AS cycle, dup_id,
+             kid AS keep_id, round(cos, 6) AS cosine
+      FROM i1 WHERE rn = 1
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS cycle, dup_id,
+             hid AS keep_id, round(cos, 6) AS cosine
+      FROM x1 WHERE rn = 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS cycle, dup_id,
+             hid AS keep_id, round(cos, 6) AS cosine
+      FROM x2 WHERE rn = 1
+      ORDER BY cycle, dup_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
-    q200, q201, q202, q203, q204, q205, q206, q208, q210, q211, q212)
+    q200, q201, q202, q203, q204, q205, q206, q208, q210, q211, q212,
+    q214)
 }

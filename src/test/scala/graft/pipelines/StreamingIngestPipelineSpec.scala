@@ -901,6 +901,78 @@ class StreamingIngestPipelineSpec extends SparkSpec {
       4L, 0L, 3L, 1L)
   }
 
+  test("IngestSinks.backfillArchives: chunked AvailableNow backfill — cross-chunk memory through the deltas, checkpoint resume processes only new archives, completed rerun is a no-op") {
+    import graft.multimodal.{Multimodal, PerceptualHash}
+    def img(gid: Long) = PerceptualHash.renderGrayImage(16, 16, gid * 7,
+      gid % 5 + 1, gid % 11 + 1, gid % 3, 0, "png")
+    def rec(uri: String, p: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    def page(prose: String): Array[Byte] =
+      s"<html><body><p>$prose</p></body></html>".getBytes("UTF-8")
+    val proseX = "a long form essay about the migration patterns of " +
+      "arctic terns across two hemispheres and the instruments " +
+      "researchers attach to track their yearly journeys"
+    val fresh1 = "an original report on tidal measurements collected " +
+      "along the northern shore over three weeks with one new chart " +
+      "photographed by the author at the survey station"
+    val fresh2 = "plain prose about the history of the lighthouse " +
+      "keepers and the long winters they spent maintaining the lamp " +
+      "before the station was finally automated in the seventies"
+    val fresh3 = "a harbor council plan to dredge the old shipping " +
+      "channel next autumn after surveys showed silt levels rising " +
+      "faster than the port authority had projected last year"
+    val root = Files.createTempDirectory("graft_backfill").toString
+    val drop = Files.createTempDirectory("graft_backfill_drop").toString
+    val ckpt = Files.createTempDirectory("graft_backfill_ckpt").toString
+    IngestSinks.initTextIndex(spark, s"$root/tidx",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    IngestSinks.initMediaIndex(spark, s"$root/midx",
+      Seq(Multimodal.Media(100L, "image", img(4))).toDS(), maxBucket = 64)
+    def put(name: String, recs: Array[Byte]): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(drop, name), recs); ()
+    }
+    // two archives, ONE per chunk: a2 carries an EXACT re-crawl of
+    // a1's essay under a new URL — only the chunk-1 delta, appended
+    // and re-read between chunks, can catch it (whichever chunk runs
+    // first: exactly one copy of the essay survives)
+    put("a1.warc", rec("https://b.example/essay", page(proseX)) ++
+      rec("https://b.example/fresh1", page(fresh1)) ++
+      rec("https://b.example/i/new.png", img(21)))
+    put("a2.warc", rec("https://b.example/essayCopy", page(proseX)) ++
+      rec("https://b.example/fresh2", page(fresh2)) ++
+      rec("https://b.example/i/seedReenc.bmp", img(4)))
+    val n1 = IngestSinks.backfillArchives(spark, drop, ckpt,
+      s"$root/dcorpus", s"$root/mcorpus", s"$root/tidx", s"$root/midx",
+      maxFilesPerTrigger = 1, compactEvery = 1, urlDedup = false)
+    n1 should be >= 2L
+    def docUrls() = spark.read.parquet(s"$root/dcorpus")
+      .select("url").as[String].collect().sorted.toSeq
+    docUrls() should have size 3 // both fresh pages + ONE essay copy
+    docUrls().count(_.startsWith("https://b.example/essay")) shouldBe 1
+    // media: the fresh PNG survives; the seed re-encode drops against
+    // the prebuilt index
+    spark.read.parquet(s"$root/mcorpus").select("url").as[String]
+      .collect().toSeq shouldBe Seq("https://b.example/i/new.png")
+    // RESUME: one new archive lands; the same call processes ONLY it,
+    // and its essay re-crawl drops via the PERSISTED cross-run memory
+    put("a3.warc", rec("https://b.example/essayAgain", page(proseX)) ++
+      rec("https://b.example/fresh3", page(fresh3)))
+    IngestSinks.backfillArchives(spark, drop, ckpt,
+      s"$root/dcorpus", s"$root/mcorpus", s"$root/tidx", s"$root/midx",
+      maxFilesPerTrigger = 1, compactEvery = 1, urlDedup = false)
+    docUrls() should have size 4
+    docUrls() should contain ("https://b.example/fresh3")
+    docUrls().count(_.startsWith("https://b.example/essay")) shouldBe 1
+    // completed rerun: nothing new — corpus byte-stable
+    IngestSinks.backfillArchives(spark, drop, ckpt,
+      s"$root/dcorpus", s"$root/mcorpus", s"$root/tidx", s"$root/midx",
+      maxFilesPerTrigger = 1, compactEvery = 1, urlDedup = false)
+    docUrls() should have size 4
+  }
+
   test("IngestSinks redelivery: a replayed batch whose compaction+swap already completed compacts FORWARD — no read-from-own-path crash, identical index") {
     // the crash-loop scenario: the stream fails AFTER the sink ran
     // (compaction done, pointer swapped) but BEFORE the checkpoint
