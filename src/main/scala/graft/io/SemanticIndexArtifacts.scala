@@ -78,7 +78,15 @@ object SemanticIndexArtifacts {
 
   /** RETRACT ids (takedowns — the [[TextIndexArtifacts.retract]]
     * semantics): O(|ids|), no index rewrite; [[load]] filters,
-    * [[compact]] applies physically. */
+    * [[compact]] applies physically. Honest boundary: retraction
+    * removes the vector from the ASSIGNED relation (it stops
+    * matching and stops winning elections), but the CENTROIDS are
+    * frozen model state — a centroid drawn from a later-retracted
+    * vector keeps defining its cell's geometry, exactly as a trained
+    * LM or tokenizer keeps statistics from retracted training text
+    * until retrained. A takedown policy that extends to derived
+    * model state requires an index REBUILD over the retained corpus
+    * ([[build]]), not a tombstone. */
   def retract(path: String, ids: DataFrame): Unit =
     ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")

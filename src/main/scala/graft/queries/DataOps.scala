@@ -2648,9 +2648,87 @@ object DataOps {
       FROM x2 WHERE rn = 1
       ORDER BY cycle, dup_id"""))
 
+  /** q215: SEMANTIC index retraction under the oracle — the
+    * q210/q211 twin for the third family, so ALL THREE incremental
+    * indexes have their takedown semantics oracle-checked: every 7th
+    * history vector under 300 is tombstoned (the exact composition
+    * [[graft.io.SemanticIndexArtifacts.load]] serves — the ASSIGNED
+    * relation anti-joined, the frozen CENTROIDS untouched: cells are
+    * model state, the retract scaladoc's documented boundary), the
+    * batch exactly re-embeds history < 300, and DuckDB replays the
+    * judge over `assigned MINUS retracted` — a vector whose only
+    * match was retracted now SURVIVES; one with other ≥-threshold
+    * neighbors RE-ELECTS the next-smallest keeper, recomputed, not
+    * assumed. */
+  private val q215 = QuerySpec(
+    "q215_semantic_index_retraction",
+    (s, dir) => {
+      import graft.operators.SemanticIndex
+      val emb = Tables.embeddings(s, dir)
+      val hist = emb.filter(col("vec_id") < 800)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val (cent, assigned) = SemanticIndex.buildIndex(hist, "id", "vec",
+        nCells = 8)
+      val tomb = emb.filter(col("vec_id") < 300 &&
+          pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("id"))
+      val filtered = assigned.join(broadcast(tomb), Seq("id"), "left_anti")
+      val batch = emb.filter(col("vec_id") < 300).select(
+        (col("vec_id") + 1000L).as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      SemanticIndex.incrementalSemanticDups(batch, "id", "vec", cent,
+          filtered, threshold = 0.9, nProbe = 2, maxCell = Int.MaxValue)
+        .select(col("dup_id"), col("keep_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("dup_id"))
+    },
+    oracle = Some("""
+      WITH hist AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings WHERE vec_id < 800),
+      cent AS (
+        SELECT id AS cell, vec AS cvec FROM hist
+        ORDER BY ('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000, id
+        LIMIT 8),
+      hassign AS (
+        SELECT id, cell, vec FROM (
+          SELECT h.id, c.cell, h.vec,
+                 row_number() OVER (PARTITION BY h.id
+                   ORDER BY list_cosine_similarity(h.vec, c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM hist h CROSS JOIN cent c)
+        WHERE rnk = 1),
+      kept AS (
+        SELECT * FROM hassign
+        WHERE NOT (id < 300 AND id % 7 = 0)),
+      b AS (
+        SELECT vec_id + 1000 AS id, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings WHERE vec_id < 300),
+      ba AS (
+        SELECT id, cell, vec FROM (
+          SELECT b.id, c.cell, b.vec,
+                 row_number() OVER (PARTITION BY b.id
+                   ORDER BY list_cosine_similarity(b.vec, c.cvec) DESC,
+                            c.cell ASC) AS rnk
+          FROM b CROSS JOIN cent c)
+        WHERE rnk <= 2),
+      xr AS (
+        SELECT dup_id, hid, cos,
+               row_number() OVER (PARTITION BY dup_id ORDER BY hid) AS rn
+        FROM (
+          SELECT p.id AS dup_id, h.id AS hid,
+                 list_cosine_similarity(p.vec, h.vec) AS cos
+          FROM ba p JOIN kept h ON p.cell = h.cell AND h.id <> p.id)
+        WHERE cos >= 0.9)
+      SELECT dup_id, hid AS keep_id, round(cos, 6) AS cosine
+      FROM xr WHERE rn = 1
+      ORDER BY dup_id"""))
+
   val specs: Seq[QuerySpec] = Seq(
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q44, q45,
     q48, q49, q50, q51, q92, q130, q194, q195, q196, q197, q198, q199,
     q200, q201, q202, q203, q204, q205, q206, q208, q210, q211, q212,
-    q214)
+    q214, q215)
 }
