@@ -509,17 +509,25 @@ object StreamingIngestPipeline {
         // fetched as `x.png?utm=other` — and a verbatim equi-join
         // would silently drop the evidence edge (the q186 class
         // rules; q213 oracles the resolver)
+        // the resolved+canonical key trees are LARGE expressions
+        // (resolveMediaRef ∘ canonicalUrl ≈ 300 nodes); eager-pinning
+        // both id-sized key relations CUTS them out of every
+        // downstream plan — without the cut, the join/election
+        // subtree re-plans the composed tree per consuming action
+        // (measured: ~5.7 s of planning on the q212 fixture)
         val refs = graft.operators.HtmlExtract.mediaRefs(
             docsRaw, "doc_id", "text")
           .join(docsRaw.select(col("doc_id"), col("url")), Seq("doc_id"))
           .select(col("doc_id"),
             graft.operators.UrlCuration.canonicalMediaRef(
               col("url"), col("ref")).as("murl"))
-        val evid = refs.join(
-          mediaRows.select(
+          .localCheckpoint(true)
+        val mediaKeys = mediaRows.select(
             graft.operators.UrlCuration.canonicalUrl(col("url"))
               .as("murl"),
-            col("rec_id").as("media_id")), Seq("murl"))
+            col("rec_id").as("media_id"))
+          .localCheckpoint(true)
+        val evid = refs.join(mediaKeys, Seq("murl"))
           .select(col("doc_id"), col("media_id"))
         val ownerDocs = evid
           .join(mDups.select(col("dup_id").as("media_id")),
