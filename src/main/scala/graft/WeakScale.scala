@@ -190,12 +190,12 @@ object WeakScale {
       // (the q86 SemDeDup sizing rule: cells stay task-sized), which
       // is what makes the per-batch judge FLAT under history growth —
       // the family's incremental contract.
-      def buildSemIdx(cells: Int): String = {
+      def buildSemIdx(cells: Int, maxCell: Int = 4096): String = {
         val d = java.nio.file.Files
           .createTempDirectory(s"graft_semidx_${cells}_$k").toString
         graft.io.SemanticIndexArtifacts.build(d, vecs, "vec_id",
           "embedding", nCells = cells, threshold = 0.95, nProbe = 2,
-          maxCell = 4096)
+          maxCell = maxCell)
         d
       }
       val semIdxDir =
@@ -207,6 +207,105 @@ object WeakScale {
       val semIdxSqrtDir =
         if (!selected("semantic_ingest_sqrtcells")) ""
         else buildSemIdx((32 * math.sqrt(k)).toInt)
+      // PREBUILDS for the occupancy-alarm rungs: the SAME k× history
+      // in two sizings. "frozen1x" is an index whose cell count was
+      // √n-derived at 1× and never rebuilt — the drift scenario the
+      // alarm exists for: per-cell occupancy grows ∝ k over a fixed
+      // maxCell guard, and the report's capped_bp (the ladder's ROWS
+      // column) must climb toward 10000. "sqrtcells" is what
+      // SemanticIndexArtifacts.recell would have produced at this
+      // history size (⌈√(kn)⌉ cells): mean occupancy √(kn) stays
+      // under the same guard, capped_bp stays near 0 — the alarm is
+      // quiet exactly when the sizing is honest.
+      // the guard is sized off the 1× fixture (≈ 4× the 1× mean
+      // occupancy — the documented build-time sizing rule: maxCell is
+      // a degenerate-crowd multiple of n/nCells, and re-celling keeps
+      // it honest by lowering the mean back under it): history
+      // outgrowing its frozen cells by ~4× must fire; a freshly
+      // √n-sized index at the same history must not
+      lazy val semOccN1 = baseVecs.count()
+      lazy val semOccMaxCell = (4.0 * semOccN1 /
+        math.ceil(math.sqrt(semOccN1.toDouble))).toInt
+      val semOccFrozenDir =
+        if (!selected("semantic_occupancy_frozen1x")) ""
+        else buildSemIdx(
+          math.ceil(math.sqrt(semOccN1.toDouble)).toInt, semOccMaxCell)
+      val semOccSqrtDir =
+        if (!selected("semantic_occupancy_sqrtcells")) ""
+        else {
+          // what recell() produces at this history: ⌈√(kn)⌉ cells
+          // AND the guard re-derived to ≥ 4× the new mean (the
+          // recell sizing rule — a rebuild keeping the outgrown 1×
+          // guard stays half-capped, measured at 5332 bp before the
+          // rule landed)
+          val cells = math.ceil(math.sqrt((k * semOccN1).toDouble)).toInt
+          buildSemIdx(cells, math.max(semOccMaxCell,
+            math.ceil(4.0 * k * semOccN1 / cells).toInt))
+        }
+      // PREBUILD for the sink-leg A/B pair: ONE materialized
+      // ArchiveIngestBatch carrier with a DELIBERATELY media-heavy
+      // payload mix (512 objects × 512 KB = 256 MB of write IO on
+      // the media leg vs a docs+bands+sets shuffle-and-write on the
+      // doc leg), so the serial-vs-overlap question is asked where
+      // it matters. Everything is pinned OUTSIDE the timed region —
+      // the rungs time ONLY the sink call (both appends, to
+      // independent corpus paths and index roots per variant).
+      val sinkABNeeded = selected("archive_sink_serial") ||
+        selected("archive_sink_overlap")
+      val sinkFix: Option[(graft.pipelines.StreamingIngestPipeline.ArchiveIngestBatch,
+          graft.pipelines.StreamingIngestPipeline.ArchiveIngestBatch => Unit,
+          graft.pipelines.StreamingIngestPipeline.ArchiveIngestBatch => Unit, Long)] =
+        if (!sinkABNeeded) None
+        else {
+          import spark.implicits._
+          import graft.pipelines.IngestSinks
+          val dFrame = baseDocs.select(col("doc_id"), col("text"))
+            .localCheckpoint(true)
+          val (bands, sets) = graft.operators.TextIndex.buildIndex(
+            dFrame, "doc_id", "text")
+          val tDelta = (bands.localCheckpoint(true),
+            sets.localCheckpoint(true))
+          val mkPayload = udf((i: Long) => {
+            val a = new Array[Byte](512 * 1024)
+            var j = 0
+            while (j < a.length) { a(j) = ((i + j) & 0xff).toByte; j += 1 }
+            a
+          })
+          val mFrame = spark.range(512)
+            .select(col("id").as("media_id"), lit("image").as("kind"),
+              mkPayload(col("id")).as("payload"))
+            .localCheckpoint(true)
+          val mdFrame = spark.range(512)
+            .select(col("id").as("media_id"), lit("image").as("kind"),
+              md5(concat(lit("m"), col("id").cast("string"))).as("fp"),
+              xxhash64(lit("a"), col("id")).as("ahash"),
+              xxhash64(lit("d"), col("id")).as("dhash"),
+              lit(null).cast("long").as("ehash"),
+              lit(null).cast("array<bigint>").as("fhashes"))
+            .localCheckpoint(true)
+          val emptyDocs = dFrame.limit(0)
+          val emptyMedia = Seq.empty[(Long, String, Array[Byte])]
+            .toDF("media_id", "kind", "payload")
+            .as[graft.multimodal.Multimodal.Media]
+          def mkRoots(tag: String) = {
+            val r = java.nio.file.Files
+              .createTempDirectory(s"graft_sinkab_$tag").toString
+            IngestSinks.initTextIndex(spark, s"$r/tidx", emptyDocs,
+              "doc_id", "text")
+            IngestSinks.initMediaIndex(spark, s"$r/midx", emptyMedia)
+            r
+          }
+          val rs = mkRoots("serial"); val ro = mkRoots("overlap")
+          val fix = graft.pipelines.StreamingIngestPipeline
+            .ArchiveIngestBatch(dFrame, tDelta, mFrame, mdFrame, 0L,
+              dFrame, () => dFrame.limit(0))
+          Some((fix,
+            IngestSinks.archiveSink(spark, s"$rs/dcorpus", s"$rs/mcorpus",
+              s"$rs/tidx", s"$rs/midx"),
+            IngestSinks.archiveSink(spark, s"$ro/dcorpus", s"$ro/mcorpus",
+              s"$ro/tidx", s"$ro/midx", overlapLegs = true),
+            dFrame.count() + 512L))
+        }
       // the archives ≫ cores fixture: 512 SMALL archives over
       // local[32], so per-archive inflate dominates and idle
       // parallelism cannot hide the two-leg composition's second
@@ -215,7 +314,9 @@ object WeakScale {
       // rows time the same bytes at 2 archives/core, where the
       // second pass overlaps idle cores and the ratio compresses)
       val archDir512 =
-        if (!selected("archive512")) "" else buildArchives(512)
+        if (!selected("archive512_routed_split") &&
+            !selected("archive512_two_leg")) ""
+        else buildArchives(512)
       // PREBUILD for the archive_ingest row: a FIXED batch of gzip
       // archives in the full crawl shape the media-gated step consumes
       // — every 5th EVEN id (id % 10 == 0) is a PNG media record at
@@ -341,6 +442,19 @@ object WeakScale {
               out.mediaDelta.count()
           } finally { routed.unpersist(); () }
         }),
+        // the sink-leg A/B pair (verdict r16 item 3): SAME pinned
+        // batch, both appends per call — serial submission vs
+        // two-thread overlapped. Constant-size (the sink axis is the
+        // batch, not history) — compare the SEC columns of the two
+        // rows at any one rung.
+        ("archive_sink_serial", D, () => {
+          val (fix, serial, _, n) = sinkFix.get
+          serial(fix); n
+        }),
+        ("archive_sink_overlap", D, () => {
+          val (fix, _, overlap, n) = sinkFix.get
+          overlap(fix); n
+        }),
         // the SHARED single-pass splitter: one inflate+parse feeds both
         // legs; sums force full strip/sniff + column materialization so
         // pruning can't skip work the comparison is about
@@ -432,6 +546,37 @@ object WeakScale {
               x => x + lit(1e-4)).as("embedding"))
           val (dups, delta) = idx.ingest(batch, "vec_id", "embedding")
           dups.count() + delta.count()
+        }),
+        // occupancy-alarm rungs: ROWS = the report's capped_bp (exact
+        // integer basis points of batch probe mass in capped cells) —
+        // the alarm signal itself IS the ladder observable. Latency
+        // should stay FLAT on both (the report is batch-assignment +
+        // a batch-cell-restricted census); the frozen rung's
+        // capped_bp must CLIMB with k, the recelled rung's must not.
+        ("semantic_occupancy_frozen1x", V, () => {
+          val idx = graft.io.SemanticIndexArtifacts.load(spark,
+            semOccFrozenDir)
+          val batch = baseVecs.select(
+            (col("vec_id") + 90000000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(1e-4)).as("embedding"))
+          val r = idx.occupancyReport(batch, "vec_id", "embedding")
+            .collect().head
+          if (sys.env.contains("SPARK_GRAFT_OCC_DEBUG"))
+            System.err.println(s"[occ-debug frozen1x] $r maxCell=${idx.maxCell} " +
+              s"assigned=${idx.assigned.count()} cells=${idx.centroids.count()}")
+          r.getAs[Long]("capped_bp")
+        }),
+        ("semantic_occupancy_sqrtcells", V, () => {
+          val idx = graft.io.SemanticIndexArtifacts.load(spark,
+            semOccSqrtDir)
+          val batch = baseVecs.select(
+            (col("vec_id") + 90000000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(1e-4)).as("embedding"))
+          val r = idx.occupancyReport(batch, "vec_id", "embedding")
+            .collect().head
+          r.getAs[Long]("capped_bp")
         }),
         ("temperature_mixture_q88", D, () => {
           Sampling.temperatureMixture(docs, "doc_id", "source",

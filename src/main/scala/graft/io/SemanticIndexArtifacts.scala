@@ -47,10 +47,32 @@ object SemanticIndexArtifacts {
                vecCol: String): (DataFrame, DataFrame) =
       SemanticIndex.ingestStep(batch, idCol, vecCol, centroids, assigned,
         threshold, nProbe, maxCell)
+
+    /** Cell-occupancy drift report for this index against a batch
+      * ([[SemanticIndex.cellOccupancyReport]] with the stored
+      * parameters): the fraction of the batch's probe mass landing
+      * in cells the index can no longer judge. `recell` true ⇒
+      * rebuild with √n cells ([[SemanticIndexArtifacts.recell]]). */
+    def occupancyReport(batch: DataFrame, idCol: String, vecCol: String,
+                        alarmBp: Long = 2500): DataFrame =
+      SemanticIndex.cellOccupancyReport(batch, idCol, vecCol, centroids,
+        assigned, nProbe, maxCell, alarmBp)
   }
 
   /** Build the index over `corpus` and write it. Consumers LOAD (the
-    * TextIndexArtifacts round-trip rule). */
+    * TextIndexArtifacts round-trip rule).
+    *
+    * Sizing rule for `maxCell` (the degenerate-crowd guard, which
+    * doubles as the occupancy alarm's yardstick): it must sit WELL
+    * ABOVE the expected mean occupancy n/nCells at build time — a
+    * 4–8× multiple — or ordinary cells read as capped and the index
+    * silently stops matching ordinary content. At the √n-cells
+    * sizing the mean IS √n, which grows with the corpus: an
+    * absolute guard that was generous at build time is outgrown by
+    * accumulated history, which is exactly the drift
+    * [[SemanticIndex.cellOccupancyReport]] measures and [[recell]]
+    * repairs (re-celling raises nCells AND re-derives the guard to
+    * ≥ 4× the new mean, resetting the alarm). */
   def build(path: String, corpus: DataFrame, idCol: String, vecCol: String,
             nCells: Int, threshold: Double, nProbe: Int = 2,
             maxCell: Int = 4096): Unit = {
@@ -109,6 +131,42 @@ object SemanticIndexArtifacts {
         spark, s"$path/assigned", "id"), path),
       r.getAs[Double]("threshold"), r.getAs[Int]("n_probe"),
       r.getAs[Int]("max_cell"))
+  }
+
+  /** RE-CELL rebuild — the occupancy alarm's consequence
+    * ([[SemanticIndex.cellOccupancyReport]]): the retained vectors
+    * (tombstones applied) get a FRESH portable centroid draw at
+    * `nCells` (0 = auto: ⌈√n⌉, the sizing that keeps per-batch judge
+    * work flat as history grows — the √k-cells ladder trade) and are
+    * re-assigned. Written as a complete sibling version for the
+    * pointer swap ([[graft.pipelines.IngestSinks
+    * .recellSemanticIndex]]); threshold/nProbe/maxCell travel
+    * unchanged. This is a VERDICT-CHANGING rebuild in one narrow
+    * sense — cell boundaries move, so boundary pairs nProbe probing
+    * recovered under the old draw may differ under the new — which
+    * is exactly why it runs as an explicit versioned swap at
+    * compaction cadence, never silently inside a batch. */
+  def recell(spark: SparkSession, fromPath: String, toPath: String,
+             nCells: Int = 0): Unit = {
+    val p = spark.read.parquet(s"$fromPath/params").collect().head
+    val vecs = minusTombstones(spark, TextIndexArtifacts.readIdNormalized(
+        spark, s"$fromPath/assigned", "id"), fromPath)
+      .select(col("id"), col("vec"))
+    val n = vecs.count()
+    val k =
+      if (nCells > 0) nCells
+      else math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    // the GUARD is re-derived with the cells ([[build]]'s sizing
+    // rule: a 4× multiple of the post-recell mean occupancy, never
+    // below the stored absolute): a rebuild that kept an outgrown
+    // guard would stay half-capped — the r17 ladder measured
+    // √-resized cells under a frozen guard still reading
+    // capped_bp ≈ 5300 — and the alarm that triggered the rebuild
+    // would never reset
+    val newMax = math.max(p.getAs[Int]("max_cell"),
+      math.ceil(4.0 * n / k).toInt)
+    build(toPath, vecs, "id", "vec", k, p.getAs[Double]("threshold"),
+      p.getAs[Int]("n_probe"), newMax)
   }
 
   /** Compaction (the TextIndexArtifacts discipline: write-to-side,

@@ -53,6 +53,17 @@ import org.apache.spark.sql.functions._
   * operator compares only across the batch/history boundary, so the
   * two compose: gate the batch internally, dedupe it against history,
   * append the survivors' index rows to the index.
+  *
+  * Determinism note for integrators (the SCALE.md r16 ladder lesson,
+  * root-caused there): greedy smallest-id elections are deterministic
+  * GIVEN the ids, but their drop COUNTS are input-order-independent
+  * only when the match relation is TRANSITIVE. Byte/exact legs are
+  * transitive; the DISTANCE legs are not (dual-hash near-collisions
+  * compose a~b, b~c with a≁c), so regenerating ids (e.g. hashing a
+  * per-run path into rec_ids) can legitimately move the dup count at
+  * equal inputs. Fixtures or replays that need a constant count must
+  * either pin ids or pin the matching to an exact-equality leg
+  * (imageMaxDist = 0).
   */
 object MediaIndex {
 

@@ -70,12 +70,33 @@ object SemanticIndex {
         asDouble(col(vecCol)).as("vec"))
 
   /** Assign `vecs` (id, vec) to their `nProbe` nearest centroids —
-    * (id, cell, vec); the centroid relation broadcasts (cell-count
-    * sized), assignment is one narrow pass + a per-id window over
-    * nCells rows. Ties break toward the smaller cell id (the
-    * [[Similarity.ivfCells]] rule). */
+    * (id, cell, vec, prb); the centroid relation broadcasts
+    * (cell-count sized). Ties break toward the smaller cell id (the
+    * [[Similarity.ivfCells]] rule).
+    *
+    * Default path: a bounded-heap top-nProbe AGGREGATE
+    * ([[TopKAgg]]): the |vecs|×nCells cosine expansion reduces to
+    * ≤ nProbe rows per id AT THE MAP SIDE (each id's expansion rows
+    * are co-partitioned with their input row), so the assignment
+    * shuffle carries |vecs|×nProbe rows instead of sorting the full
+    * |vecs|×nCells expansion through a per-id window — at √n-cells
+    * sizing on a large corpus that is the difference between a
+    * terabyte-scale sort and the batch itself. Ordering (cosine
+    * desc, cell asc) is IDENTICAL to the window form's; the one
+    * documented divergence is an all-NaN score row (a zero-norm
+    * vector): the window form would rank NaN first (Spark sorts NaN
+    * high) and assign arbitrary cells, the aggregate SKIPS NaN and
+    * assigns such a vector nowhere — no-evidence semantics,
+    * strictly saner. `SPARK_GRAFT_SEM_ASSIGN=window` selects the
+    * window form (the A/B harness the SCALE.md ladder documents). */
   private[operators] def assignCells(vecs: DataFrame, centroids: DataFrame,
-                                     nProbe: Int): DataFrame = {
+                                     nProbe: Int): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_SEM_ASSIGN").contains("window"))
+      assignCellsWindow(vecs, centroids, nProbe)
+    else assignCellsTopK(vecs, centroids, nProbe)
+
+  private[operators] def assignCellsWindow(vecs: DataFrame,
+      centroids: DataFrame, nProbe: Int): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("__sim").desc, col("cell").asc)
     vecs.crossJoin(broadcast(centroids))
@@ -85,6 +106,19 @@ object SemanticIndex {
       .filter(col("prb") <= nProbe)
       .select(col("id"), col("cell"), col("vec"), col("prb"))
   }
+
+  private[operators] def assignCellsTopK(vecs: DataFrame,
+      centroids: DataFrame, nProbe: Int): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cell"),
+        VectorFns.cosine(col("vec"), col("cvec")).as("__sim"))
+      .groupBy(col("id"))
+      .agg(TopKAgg.topK(nProbe)(col("__sim"), col("cell")).as("__tk"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"),
+        posexplode(col("__tk")).as(Seq("__p", "__t")))
+      .select(col("id"), col("__t._2").as("cell"), col("vec"),
+        (col("__p") + 1).cast("int").as("prb"))
 
   /** Build the index over `corpus`: frozen portable-draw centroids +
     * the primary-cell assignment of every clean vector. Returns
@@ -165,6 +199,47 @@ object SemanticIndex {
         col("m.cosine").as("cosine"))
   }
 
+  /** Cell-OCCUPANCY drift report — the q181/q185 retrain-alarm
+    * pattern applied to the frozen cells: centroids never move after
+    * build, but history keeps growing, and a cell crossing `maxCell`
+    * silently stops matching (the documented degenerate-crowd rule).
+    * This one-row report measures how much of a BATCH's probe mass
+    * lands in capped cells — the fraction of incoming evidence the
+    * index can no longer judge:
+    * (n_probes, n_probed_cells, n_capped_cells, capped_probes,
+    * capped_bp, recell) with capped_bp = capped_probes·10⁴ div
+    * n_probes (exact integer basis points — engine-replayable) and
+    * `recell` tripping when capped_bp > alarmBp. NULL capped_bp
+    * (empty batch) = no evidence, recell false — an empty probe must
+    * not page anyone. Alarm ⇒ rebuild with √n cells at compaction
+    * cadence ([[graft.io.SemanticIndexArtifacts.recell]] — build IS
+    * the rebuild; re-celling re-derives the sizing the alarm judged
+    * against). Scale shape: the census is batch-cell-restricted
+    * (only probed cells are counted, (cell, count) partials shuffle)
+    * and the assignment is pinned once for its three consumers. */
+  def cellOccupancyReport(batch: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, history: DataFrame, nProbe: Int = 2,
+      maxCell: Int = 4096, alarmBp: Long = 2500): DataFrame = {
+    val bAssign = assignCells(cleanVecs(batch, idCol, vecCol), centroids,
+      nProbe).localCheckpoint(true)
+    val capped = history
+      .join(broadcast(bAssign.select(col("cell")).distinct()), Seq("cell"))
+      .groupBy(col("cell")).count()
+      .filter(col("count") > maxCell)
+      .select(col("cell"))
+    val probesAgg = bAssign.agg(count(lit(1)).as("n_probes"),
+      countDistinct(col("cell")).as("n_probed_cells"))
+    val cappedAgg = bAssign.join(broadcast(capped), Seq("cell"))
+      .agg(count(lit(1)).as("capped_probes"),
+        countDistinct(col("cell")).as("n_capped_cells"))
+    probesAgg.crossJoin(cappedAgg)
+      .select(col("n_probes"), col("n_probed_cells"),
+        col("n_capped_cells"), col("capped_probes"),
+        expr("case when n_probes > 0 " +
+          "then (capped_probes * 10000) div n_probes end").as("capped_bp"))
+      .withColumn("recell", coalesce(col("capped_bp") > alarmBp, lit(false)))
+  }
+
   /** The batch with every index near-duplicate dropped (gate form). */
   def dedupeAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, history: DataFrame, threshold: Double,
@@ -187,8 +262,13 @@ object SemanticIndex {
   def ingestStep(batch: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, history: DataFrame, threshold: Double,
       nProbe: Int = 2, maxCell: Int = 4096): (DataFrame, DataFrame) = {
+    // eager-pin the assignment (id×nProbe-sized: id, cell, vec, prb)
+    // — the mediaHashIndex rule: downstream it feeds the intra
+    // election, the census, the probe broadcast, the history join,
+    // the present check, AND the delta, and without the pin each
+    // consumer replays the |batch|×nCells cosine expansion
     val bAssign = assignCells(cleanVecs(batch, idCol, vecCol),
-      centroids, nProbe)
+      centroids, nProbe).localCheckpoint(true)
     // batch-internal election on PRIMARY cells only (the batch's own
     // rows meet in their primary cell exactly as they will live in
     // the index); eager, id-sized: consumed by the prune and the

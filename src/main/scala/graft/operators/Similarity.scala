@@ -338,14 +338,36 @@ object Similarity {
       .withColumn("__r", centroidRank(col("id")))
       .orderBy(col("__r"), col("id")).limit(cells)
       .select(col("id").as("cell"), col("vec").as("cvec"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("sim").desc, col("cell").asc)
-    vecs.crossJoin(broadcast(centroids))
+    val scored = vecs.crossJoin(broadcast(centroids))
       .select(col("id"), col("cell"),
         VectorFns.cosine(col("vec"), col("cvec")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= nProbe)
-      .select(col("id"), col("cell"))
+    val idType = df.schema(idCol).dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
+    if (integral && !sys.env.get("SPARK_GRAFT_SEM_ASSIGN").contains("window"))
+      // bounded-heap top-nProbe aggregate ([[TopKAgg]] — the
+      // SemanticIndex.assignCells rationale): the n·nCells cosine
+      // expansion reduces to ≤ nProbe rows per id at the MAP side,
+      // so the shuffle carries n·nProbe rows instead of sorting the
+      // full expansion through a per-id window. Same ordering
+      // (sim desc, cell asc); NaN scores (zero-norm vectors) are
+      // SKIPPED rather than ranked first — no-evidence semantics.
+      // Non-integral ids keep the window form (the aggregate's heap
+      // is (double, long)-typed).
+      scored
+        .groupBy(col("id"))
+        .agg(TopKAgg.topK(nProbe)(col("sim"), col("cell")).as("__tk"))
+        .select(col("id"), explode(col("__tk")).as("__t"))
+        .select(col("id"), col("__t._2").cast(idType).as("cell"))
+    else {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("sim").desc, col("cell").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= nProbe)
+        .select(col("id"), col("cell"))
+    }
   }
 
   /** Embedding-cosine near-dup removal (SemDeDup-style): assign every

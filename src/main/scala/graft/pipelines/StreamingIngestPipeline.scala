@@ -262,15 +262,69 @@ object StreamingIngestPipeline {
       idCol: String, vecCol: String)(
       sink: (DataFrame, DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    runSemanticIngestAudited(vectors, index, idCol, vecCol)(b =>
+      sink(b.survivors, b.delta, b.batchId))
+
+  /** One micro-batch's output from [[runSemanticIngestAudited]] — the
+    * [[ArchiveIngestBatch]] carrier pattern for the semantic family:
+    * survivors and the replay-idempotent delta (what the plain
+    * [[runSemanticIngest]] sink receives), the PINNED batch relation
+    * (read-only context, valid only within the sink call), and
+    * `funnel` — the one-row per-batch monitoring report. The funnel
+    * row reconciles BY CONSTRUCTION:
+    * `vectors_in − dup_drops = survivors` and
+    * `survivors − no_evidence = delta_rows + already_present`
+    * (no-evidence rows — NULL/corrupt embeddings — are never judged
+    * and never indexed; already-present ids are replays whose delta
+    * append is suppressed). A THUNK: the counts re-run the judged
+    * frames against the pinned batch, so only sinks that call it pay
+    * for it (the [[ArchiveIngestBatch.funnel]] rule). */
+  final case class SemanticIngestBatch(survivors: DataFrame,
+      delta: DataFrame, batchId: Long, batch: DataFrame,
+      funnel: () => DataFrame)
+
+  /** [[runSemanticIngest]] with the audited carrier — drop-rate and
+    * replay monitoring for the third family (survivors/vectors_in
+    * collapsing, delta diverging from survivors, already_present
+    * spiking on redelivery storms). */
+  def runSemanticIngestAudited(vectors: DataFrame,
+      index: () => graft.io.SemanticIndexArtifacts.PersistedSemanticIndex,
+      idCol: String, vecCol: String)(
+      sink: SemanticIngestBatch => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val pinned = batch.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val (dups, delta) = index().ingest(pinned, idCol, vecCol)
-        sink(pinned.join(
+        val idx = index()
+        val (dups, delta) = idx.ingest(pinned, idCol, vecCol)
+        val survivors = pinned.join(
           dups.select(col("dup_id").cast("long").as("__d")),
-          col(idCol).cast("long") === col("__d"), "left_anti"),
-          delta, id)
+          col(idCol).cast("long") === col("__d"), "left_anti")
+        val funnel: () => DataFrame = () => {
+          val spark = pinned.sparkSession
+          import spark.implicits._
+          val vecsIn = pinned.count()
+          // the ingestStep no-evidence rule: NULL or element-NULL
+          // embeddings are excluded from judging and from the delta
+          val noEv = pinned.filter(col(vecCol).isNull ||
+            exists(col(vecCol), x => x.isNull)).count()
+          val surv = survivors.count()
+          // replays: surviving CLEAN ids already in the index (their
+          // delta append was suppressed — the redelivery contract)
+          val present = idx.assigned.select(col("id"))
+            .join(broadcast(survivors
+                .filter(col(vecCol).isNotNull &&
+                  !exists(col(vecCol), x => x.isNull))
+                .select(col(idCol).cast("long").as("id")).distinct()),
+              Seq("id"))
+            .distinct().count()
+          Seq((id, vecsIn, noEv, vecsIn - surv, surv, delta.count(),
+            present))
+            .toDF("batch_id", "vectors_in", "no_evidence", "dup_drops",
+              "survivors", "delta_rows", "already_present")
+        }
+        sink(SemanticIngestBatch(survivors, delta, id, pinned, funnel))
       } finally { pinned.unpersist(); () }
     }
 

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *                           vs the persisted MinHash band index — skip
   *                           reworded re-crawls of what's already kept;
   *                           history streams, never shuffles)
+  *   0.6 incremental SEMANTIC gate (opt-in: SemanticIndex
+  *                           .dedupeAgainstIndex vs the persisted
+  *                           vector-cell index — skip PARAPHRASE-level
+  *                           re-crawls no shingle survives; cheapest
+  *                           evidence first: exact < shingle < cosine)
   *   0b. line dedup         (opt-in: LineDedup.firstOccurrence — strip
   *                           corpus-wide boilerplate LINES before any
   *                           scoring sees them; the CCNet order)
@@ -181,7 +186,17 @@ object TrainingCorpusPipeline {
       // images do, instead of riding through with NULL image-hashes
       // as always-"original". Requires mediaPerceptualDedup (byte
       // election is already kind-agnostic without it)
-      mediaKindCol: Option[String] = None)
+      mediaKindCol: Option[String] = None,
+      // embedding column (array<float/double>) for the opt-in stage
+      // 0.6 SEMANTIC incremental gate — used with run()'s
+      // semanticIndex: docs whose embedding near-duplicates the
+      // persisted vector-cell index (paraphrase-level re-crawls of
+      // already-kept documents — evidence the exact Bloom gate and
+      // the shingle near-dup gate are both blind to) drop before any
+      // scoring is spent on them. Docs with a NULL/corrupt embedding
+      // carry no semantic evidence and PASS (the SemanticIndex
+      // cleanVecs convention — the text gates judge them)
+      embeddingCol: Option[String] = None)
 
   /** docs(idCol, textCol) + evalHoldout(idCol, textCol) →
     * (doc_id, chunk_id, n_chunk_tokens, chunk_text, pack_group, bin,
@@ -207,7 +222,65 @@ object TrainingCorpusPipeline {
           qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None,
           urlBlocklist: Option[DataFrame] = None,
           media: Option[DataFrame] = None,
-          textNearDupIndex: Option[graft.io.TextIndexArtifacts.PersistedTextIndex] = None): DataFrame = {
+          textNearDupIndex: Option[graft.io.TextIndexArtifacts.PersistedTextIndex] = None,
+          semanticIndex: Option[graft.io.SemanticIndexArtifacts.PersistedSemanticIndex] = None): DataFrame =
+    runStaged(docs, evalHoldout, idCol, textCol, cfg, historicalIndex,
+      qualityModel, urlBlocklist, media, textNearDupIndex, semanticIndex)._1
+
+  /** [[run]] plus the STAGE-ATTRIBUTED curation funnel — the
+    * [[StreamingIngestPipeline.ArchiveIngestBatch.funnel]] pattern
+    * for the batch pipeline: a thunk producing ONE row of per-stage
+    * doc-level drop counts (docs_in, <stage>_drops…, survivors) that
+    * reconciles BY CONSTRUCTION (docs_in − Σ drops = survivors —
+    * each drop column is a frame-count DIFF between consecutive
+    * stages). Disabled stages report 0 (their frame IS the previous
+    * frame — detected by reference, counted once). A THUNK on
+    * purpose: attribution counts every doc-level stage frame, and
+    * stage i's count re-runs the sub-DAG above it (bounded by the
+    * stage-3 checkpoint and the stage-4c persist), so only callers
+    * that want the audit pay for it. Call it AFTER materializing the
+    * corpus (the frames share the run's cached intermediates). */
+  def runWithFunnel(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
+          textCol: String, cfg: Config = Config(),
+          historicalIndex: Option[DataFrame] = None,
+          qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)] = None,
+          urlBlocklist: Option[DataFrame] = None,
+          media: Option[DataFrame] = None,
+          textNearDupIndex: Option[graft.io.TextIndexArtifacts.PersistedTextIndex] = None,
+          semanticIndex: Option[graft.io.SemanticIndexArtifacts.PersistedSemanticIndex] = None): (DataFrame, () => DataFrame) = {
+    val (out, frames) = runStaged(docs, evalHoldout, idCol, textCol, cfg,
+      historicalIndex, qualityModel, urlBlocklist, media, textNearDupIndex,
+      semanticIndex)
+    val spark = out.sparkSession
+    val funnel = () => {
+      val counts = new Array[Long](frames.length)
+      frames.zipWithIndex.foreach { case ((_, f), i) =>
+        counts(i) =
+          if (i > 0 && (f eq frames(i - 1)._2)) counts(i - 1) else f.count()
+      }
+      val names = "docs_in" +:
+        frames.tail.map(_._1 + "_drops") :+ "survivors"
+      val values: Seq[Any] = counts.head +:
+        (1 until frames.length).map(i => counts(i - 1) - counts(i)) :+
+        counts.last
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(values)),
+        org.apache.spark.sql.types.StructType(names.map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    (out, funnel)
+  }
+
+  private def runStaged(docs: DataFrame, evalHoldout: DataFrame, idCol: String,
+          textCol: String, cfg: Config,
+          historicalIndex: Option[DataFrame],
+          qualityModel: Option[(org.apache.spark.ml.classification.LogisticRegressionModel, Double)],
+          urlBlocklist: Option[DataFrame],
+          media: Option[DataFrame],
+          textNearDupIndex: Option[graft.io.TextIndexArtifacts.PersistedTextIndex],
+          semanticIndex: Option[graft.io.SemanticIndexArtifacts.PersistedSemanticIndex]): (DataFrame, Seq[(String, DataFrame)]) = {
     // config sanity: the htmlCol path drops htmlCol after joining the
     // extracted text in as textCol — htmlCol colliding with either
     // role column would silently delete the column every later stage
@@ -226,6 +299,12 @@ object TrainingCorpusPipeline {
       "Config.mediaKindCol requires mediaPerceptualDedup: the byte " +
         "election is already kind-agnostic — a kind column changes " +
         "nothing without the perceptual legs")
+    // the semantic gate needs BOTH halves: an index without a column
+    // name cannot be judged (fail loudly — a silently-skipped gate
+    // would misread as seated on every later run)
+    require(semanticIndex.isEmpty || cfg.embeddingCol.nonEmpty,
+      "semanticIndex requires Config.embeddingCol: the semantic gate " +
+        "cannot judge without knowing which column holds the embedding")
     // -3. (opt-in) URL blocklist gate: the FIRST stage — suffix-
     // semantics domain blocking over the URL column alone (the
     // RefinedWeb/FineWeb order: no text is read for docs whose
@@ -340,6 +419,34 @@ object TrainingCorpusPipeline {
       case None => fresh
     }
 
+    // 0.6 (opt-in) incremental SEMANTIC gate vs the persisted
+    // vector-cell index (a SemanticIndexArtifacts
+    // .PersistedSemanticIndex — centroids, admitted vectors, and the
+    // judge parameters frozen together, so the gate always judges
+    // with the threshold/nProbe/maxCell the index was built with):
+    // PARAPHRASE-level re-crawls of already-kept documents drop here
+    // — rewordings distant enough that no shingle survives, which
+    // stage 0.5's Jaccard evidence is blind to (the SemDeDup insight
+    // applied incrementally). Seated LAST of the three incremental
+    // gates — cheapest evidence first: exact hash (0) < shingle
+    // MinHash (0.5) < embedding cosine (0.6) — so the costliest
+    // judge sees only what the cheaper two could not already drop.
+    // Scale shape: the batch side assigns to nProbe cells and
+    // BROADCASTS into the cell join; history streams map-side (the
+    // q214 plan contract) — the gate costs |batch|·nCells cosines
+    // however large the accumulated index is. Docs with NULL/corrupt
+    // embeddings pass (no semantic evidence; the text gates judge
+    // them). This gate judges against HISTORY only — batch-internal
+    // semantic near-dups are not its job (stage 3's text near-dup
+    // catches intra-batch rewordings with shared shingles; a batch-
+    // internal embedding election belongs to the ingest path,
+    // SemanticIndex.ingestStep, where survivors are indexed).
+    val freshSem = (semanticIndex, cfg.embeddingCol) match {
+      case (Some(index), Some(vecCol)) =>
+        index.dedupe(freshNear, idCol, vecCol)
+      case _ => freshNear
+    }
+
     // 0b. (opt-in) line-level boilerplate strip: every distinct line
     // survives only at its corpus-wide first occurrence, documents are
     // rebuilt from their surviving lines. Runs BEFORE quality scoring
@@ -349,11 +456,11 @@ object TrainingCorpusPipeline {
     // every line is boilerplate rebuild to empty and are dropped.
     val lineClean = cfg.lineDedupSep match {
       case Some(sep) =>
-        freshNear.drop(textCol)
-          .join(LineDedup.firstOccurrence(freshNear, idCol, textCol, sep)
+        freshSem.drop(textCol)
+          .join(LineDedup.firstOccurrence(freshSem, idCol, textCol, sep)
             .select(col(idCol), col("clean").as(textCol)), Seq(idCol))
           .filter(length(col(textCol)) > 0)
-      case None => freshNear
+      case None => freshSem
     }
 
     // 1. quality floor — narrow scan
@@ -565,7 +672,7 @@ object TrainingCorpusPipeline {
     // surviving DOCUMENTS (short first, md5-shuffled within a bin);
     // every chunk carries its document's position — downstream orders
     // by (pos, chunk_id) for the curriculum epoch.
-    cfg.curriculumBinChars match {
+    val out = cfg.curriculumBinChars match {
       case Some(binChars) =>
         val pos = Sampling.curriculumOrder(
             clean.select(col(idCol),
@@ -575,6 +682,22 @@ object TrainingCorpusPipeline {
         split.join(pos, Seq(idCol), "left")
       case None => split
     }
+    // the DOC-level stage frames, in pipeline order — what
+    // runWithFunnel diffs into per-stage drop counts. Disabled
+    // stages alias the previous frame (reference-equal → 0 drops,
+    // counted once). The unicode-norm stage is deliberately absent:
+    // it rewrites text and can drop nothing.
+    (out, Seq(
+      "input" -> docs, "url_blocklist" -> urlGated,
+      "url_dedup" -> urlDeduped, "media_gate" -> mediaGated,
+      "html_extract" -> docsText, "bloom_exact_gate" -> fresh,
+      "text_neardup_gate" -> freshNear, "semantic_gate" -> freshSem,
+      "line_dedup" -> lineClean, "quality_floor" -> quality,
+      "lang_filter" -> langGated, "exact_dedup" -> exactDeduped0,
+      "boilerplate_ceiling" -> exactDeduped, "lm_floor" -> lmGated,
+      "ppl_tail" -> pplGated, "model_gate" -> modelGated,
+      "near_dedup" -> deduped0, "span_excise" -> deduped,
+      "decontamination" -> clean0, "token_budget" -> clean))
   }
 
   /** Stage 3b: repeated-span excision over the dedup survivors. Docs

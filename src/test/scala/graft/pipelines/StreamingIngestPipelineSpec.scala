@@ -1046,6 +1046,82 @@ class StreamingIngestPipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root/idx/CURRENT")) shouldBe true
   }
 
+  test("IngestSinks retain-K: at retainVersions=3 a reader TWO swaps behind still reads a complete index; the third swap finally drops it") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest toward the distant river bank"
+    val root = Files.createTempDirectory("graft_retaink").toString
+    IngestSinks.initTextIndex(spark, s"$root/idx",
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    // an EXTERNAL reader resolves and holds v0
+    val held = graft.io.TextIndexArtifacts.load(spark,
+      IngestSinks.currentIndexPath(spark, s"$root/idx"))
+    val sink = IngestSinks.textSink(spark, s"$root/corpus", s"$root/idx",
+      compactEvery = 1, retainVersions = 3)
+    def ingest(id: Long, text: String): Unit = {
+      val idx = IngestSinks.textIndex(spark, s"$root/idx")
+      val batch = Seq((id, text)).toDF("doc_id", "text")
+      val (_, delta) = graft.operators.TextIndex.ingestStep(
+        batch, "doc_id", "text", idx()._1, idx()._2)
+      sink(batch, delta, id)
+    }
+    ingest(1L, "novel prose about harbor dredging surveys and silt " +
+      "levels rising faster than projected")          // v0 → v1
+    ingest(2L, "different prose entirely on alpine glacier mass " +
+      "balance and seasonal melt acceleration")       // v1 → v2
+    // TWO swaps behind: v0 must still be complete on disk at K=3
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/idx/v0")) shouldBe true
+    held.sets.count() shouldBe 1L
+    held.dups(Seq((9L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", cacheSets = false).count() shouldBe 1L
+    // the THIRD swap retires v0 (newest 3 = v1, v2, v3)
+    ingest(3L, "a third unrelated passage concerning tidal turbine " +
+      "arrays and estuary sediment transport modelling")  // v2 → v3
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/idx/v0")) shouldBe false
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/idx/v1")) shouldBe true
+    IngestSinks.currentIndexPath(spark, s"$root/idx") shouldBe
+      s"$root/idx/v3"
+  }
+
+  test("IngestSinks.retractFromCorpus recovery: an UNCOMMITTED side copy (no _SUCCESS — crash mid-write) is discarded, never installed; a committed orphan completes its rename") {
+    val root = Files.createTempDirectory("graft_takedown_crash").toString
+    val corpus = s"$root/corpus"
+    IngestSinks.appendCorpusIdempotent(
+      Seq((1L, "keep one"), (2L, "take me down")).toDF("doc_id", "text"),
+      corpus, 0L)
+    IngestSinks.appendCorpusIdempotent(
+      Seq((3L, "keep three"), (4L, "take me down too"))
+        .toDF("doc_id", "text"), corpus, 1L)
+    // simulate a crash DURING the side-copy write of batch 0: an
+    // uncommitted partial dir (no _SUCCESS, a _temporary subtree and
+    // a lone part file MISSING doc 1's row) while the ORIGINAL
+    // partition is intact. Installing it would silently lose doc 1.
+    val tmp0 = java.nio.file.Paths.get(s"$corpus/.retract_tmp/batch_id=0")
+    java.nio.file.Files.createDirectories(tmp0.resolve("_temporary"))
+    Seq((99L, "partial garbage")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/partial")
+    val part = new java.io.File(s"$root/partial").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, tmp0.resolve(part.getName))
+    // and a COMMITTED orphan for batch 1 (crash BETWEEN delete and
+    // rename: side copy complete with _SUCCESS, original gone)
+    Seq((3L, "keep three")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpus/.retract_tmp/batch_id=1")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$corpus/batch_id=1"))
+    IngestSinks.retractFromCorpus(spark, corpus,
+      Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    // batch 0: the partial was DISCARDED and the sweep re-ran from
+    // the intact original — doc 1 survives, doc 2 retracted, the
+    // garbage row never entered; batch 1: the committed orphan was
+    // installed (doc 4 already swept by the crashed first attempt)
+    spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L)
+    new java.io.File(s"$corpus/.retract_tmp").exists() shouldBe false
+  }
+
   test("IngestSinks.retractFromCorpus: takedown rows leave the corpus parquet; only affected partitions rewritten; idempotent") {
     val root = Files.createTempDirectory("graft_takedown").toString
     val corpus = s"$root/corpus"

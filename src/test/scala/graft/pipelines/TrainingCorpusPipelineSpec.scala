@@ -140,6 +140,95 @@ class TrainingCorpusPipelineSpec extends SparkSpec {
     out3.count() should be > 0L
   }
 
+  test("opt-in incremental semantic gate (stage 0.6): paraphrase re-embeds of the persisted index drop; fresh and NULL-embedding docs pass; stage-off unchanged") {
+    import graft.functions.VectorFns
+    // history: the first 200 embedding vectors, PERSISTED via the
+    // artifact layer (production state shape — the loaded index
+    // carries the threshold/nProbe/maxCell it was built with).
+    // nProbe = nCells so the gate probes EVERY cell: its verdict set
+    // then equals the brute-force cosine judge computed below, and
+    // the assertions are exact set equalities, not samples.
+    val emb = Tables.embeddings(spark, sfDir)
+    val hist = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcp_semidx")
+    graft.io.SemanticIndexArtifacts.build(s"$dir/idx", hist, "id", "vec",
+      nCells = 8, threshold = 0.9, nProbe = 8, maxCell = Int.MaxValue)
+    val idx = graft.io.SemanticIndexArtifacts.load(spark, s"$dir/idx")
+    // crawl: 120 docs with mutually-disjoint token sets (no text
+    // stage can couple elections — survivor differences are the
+    // gate's alone); embeddings by k%3: shifted re-embed of history
+    // vec k (paraphrase re-crawl), reversed (fresh-ish — JUDGED by
+    // the brute-force set, never presumed), NULL (no evidence)
+    val crawl = emb.filter(col("vec_id") < 120)
+      .select(col("vec_id").as("k"),
+        col("embedding").cast("array<double>").as("e0"))
+      .select((col("k") + 1000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          j => concat(lit("w"), col("k").cast("string"), lit("x"),
+            j.cast("string")))).as("text"),
+        when(pmod(col("k"), lit(3)) === 0,
+            transform(col("e0"), x => x + lit(0.01)))
+          .when(pmod(col("k"), lit(3)) === 1, reverse(col("e0")))
+          .as("emb"))
+    val gCfg = cfg.copy(embeddingCol = Some("emb"))
+    val (gatedOut, gatedFunnel) = TrainingCorpusPipeline.runWithFunnel(
+      crawl, holdout, "doc_id", "text", gCfg, semanticIndex = Some(idx))
+    val gated = gatedOut
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val ungated = TrainingCorpusPipeline.run(crawl, holdout, "doc_id",
+      "text", gCfg).select("doc_id").distinct().as[Long].collect().toSet
+    // the brute-force judge: crawl docs with ANY history vector at
+    // cosine ≥ the stored threshold
+    val matched = crawl.filter(col("emb").isNotNull)
+      .select(col("doc_id"), col("emb"))
+      .crossJoin(hist.select(col("vec")))
+      .filter(VectorFns.cosine(col("emb"), col("vec")) >= 0.9)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    matched should not be empty
+    // ONE equality carries the whole contract: gated = ungated minus
+    // exactly the semantic matches (re-crawls drop; fresh docs,
+    // NULL-embedding docs, and every text-stage verdict unchanged)
+    gated shouldBe (ungated -- matched)
+    // NULL-embedding docs (k%3==2) carry no evidence and survive
+    gated.count(id => (id - 1000L) % 3 == 2) should be > 0
+    // the funnel ATTRIBUTES the drops to the semantic gate: every
+    // crawl doc reaches stage 0.6 (nothing drops above it on this
+    // fixture), so semantic_gate_drops = the brute-force match count
+    val fr = gatedFunnel().collect().head
+    fr.getAs[Long]("semantic_gate_drops") shouldBe matched.size.toLong
+    // misconfiguration fails loudly at the front door
+    an[IllegalArgumentException] should be thrownBy
+      TrainingCorpusPipeline.run(crawl, holdout, "doc_id", "text", cfg,
+        semanticIndex = Some(idx))
+  }
+
+  test("runWithFunnel: the one-row funnel reconciles (docs_in − Σ drops = survivors = distinct output docs); disabled stages report 0") {
+    val (out2, funnel) = TrainingCorpusPipeline.runWithFunnel(
+      pool, holdout, "doc_id", "text", cfg)
+    val survivors = out2.select("doc_id").distinct().count()
+    val r = funnel().collect().head
+    val dropCols = r.schema.fieldNames.filter(_.endsWith("_drops"))
+    val drops = dropCols.map(c => r.getAs[Long](c))
+    every(drops.toSeq) should be >= 0L
+    r.getAs[Long]("docs_in") - drops.sum shouldBe
+      r.getAs[Long]("survivors")
+    r.getAs[Long]("survivors") shouldBe survivors
+    // the default config leaves every opt-in gate OFF: zero drops
+    Seq("url_blocklist_drops", "url_dedup_drops", "media_gate_drops",
+      "html_extract_drops", "bloom_exact_gate_drops",
+      "text_neardup_gate_drops", "semantic_gate_drops",
+      "line_dedup_drops", "lang_filter_drops",
+      "boilerplate_ceiling_drops", "lm_floor_drops", "ppl_tail_drops",
+      "model_gate_drops", "span_excise_drops", "token_budget_drops")
+      .foreach(c => r.getAs[Long](c) shouldBe 0L)
+    // the mandatory stages did real work on this corpus
+    (r.getAs[Long]("quality_floor_drops") +
+      r.getAs[Long]("exact_dedup_drops") +
+      r.getAs[Long]("near_dedup_drops")) should be > 0L
+  }
+
   test("opt-in curation stages: LM floor, token budget, curriculum position") {
     import graft.functions.TextFns
     val curCfg = cfg.copy(
