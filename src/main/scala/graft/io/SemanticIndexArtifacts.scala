@@ -72,7 +72,9 @@ object SemanticIndexArtifacts {
     * accumulated history, which is exactly the drift
     * [[SemanticIndex.cellOccupancyReport]] measures and [[recell]]
     * repairs (re-celling raises nCells AND re-derives the guard to
-    * ≥ 4× the new mean, resetting the alarm). */
+    * ≥ 4× the new mean, resetting the alarm). `maxCell = 0` applies
+    * the rule FOR you: ⌈4·n/nCells⌉, floored at 64 (tiny corpora
+    * must not degenerate to single-digit guards). */
   def build(path: String, corpus: DataFrame, idCol: String, vecCol: String,
             nCells: Int, threshold: Double, nProbe: Int = 2,
             maxCell: Int = 4096): Unit = {
@@ -85,7 +87,14 @@ object SemanticIndexArtifacts {
     assigned.withColumn("id", col("id").cast("long"))
       .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(s"$path/assigned")
-    Seq((threshold, nProbe, maxCell, nCells))
+    // auto guard reads the row count off the just-written footers
+    // (metadata-cheap) — deriving it BEFORE the write would re-run
+    // the assignment pass
+    val mc =
+      if (maxCell > 0) maxCell
+      else math.max(64, math.ceil(4.0 *
+        spark.read.parquet(s"$path/assigned").count() / nCells).toInt)
+    Seq((threshold, nProbe, mc, nCells))
       .toDF("threshold", "n_probe", "max_cell", "n_cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }

@@ -247,6 +247,45 @@ object IngestSinks {
       }
   }
 
+  /** [[semanticSink]] with the occupancy alarm WIRED INTO the sink
+    * cadence — the closed loop: every `recellCheckEvery` DATA
+    * batches (0 = never), the sink runs
+    * [[SemanticIndexArtifacts.PersistedSemanticIndex
+    * .occupancyReport]] against the batch it just appended, and a
+    * tripped alarm (capped_bp > alarmBp) triggers
+    * [[recellSemanticIndex]] — the √n rebuild with the re-derived
+    * guard, published as a versioned pointer swap. Runs from the
+    * sink thread (the single-writer discipline compaction already
+    * follows), AFTER the append, so the check sees the index state
+    * the NEXT batch will be judged against. `idCol`/`vecCol` name
+    * the batch's columns (the sink's survivor frame carries the
+    * pipeline's original columns). Check cost: one batch assignment
+    * + a batch-cell-restricted census — the r17 ladder measured the
+    * report FLAT (~1.2 s) against 16× history, so a checking
+    * cadence of every few batches is noise next to the appends. */
+  def semanticSinkAutoRecell(spark: SparkSession, corpusPath: String,
+      indexRoot: String, idCol: String, vecCol: String,
+      compactEvery: Int = 0, retainVersions: Int = 2,
+      recellCheckEvery: Int = 8, alarmBp: Long = 2500)
+      : (DataFrame, DataFrame, Long) => Unit = {
+    val inner = semanticSink(spark, corpusPath, indexRoot, compactEvery,
+      retainVersions)
+    val dataBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    (batch, delta, id) =>
+      if (!batch.isEmpty) {
+        inner(batch, delta, id)
+        if (recellCheckEvery > 0 &&
+            dataBatches.incrementAndGet() % recellCheckEvery == 0) {
+          val idx = SemanticIndexArtifacts.load(spark,
+            currentIndexPath(spark, indexRoot))
+          val fired = idx.occupancyReport(batch, idCol, vecCol, alarmBp)
+            .collect().head.getAs[Boolean]("recell")
+          if (fired) recellSemanticIndex(spark, indexRoot,
+            retainVersions = retainVersions)
+        }
+      }
+  }
+
   /** RE-CELL the live semantic index into `v<N+1>` and swap — the
     * occupancy alarm's consequence ([[SemanticIndexArtifacts
     * .recell]]: fresh √n centroid draw over the retained vectors;

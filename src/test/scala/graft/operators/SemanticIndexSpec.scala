@@ -125,6 +125,21 @@ class SemanticIndexSpec extends SparkSpec {
         s"history index rows shuffled: $cols")
     }
     plan.toString should include ("BroadcastHashJoin")
+    // the occupancy report obeys the same rule: its census streams
+    // the index map-side — only (cell, count) partials may shuffle
+    val rPlan = idx.occupancyReport(batch, "vec_id", "embedding")
+      .queryExecution.executedPlan
+    rPlan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",").contains("sem_index")
+        case _ => false
+      })
+      .foreach { s =>
+        val cols = s.output.map(_.name).toSet
+        assert(!cols.contains("vec") && !cols.contains("id"),
+          s"history rows shuffled in the occupancy census: $cols")
+      }
     spark.catalog.clearCache()
   }
 
@@ -232,6 +247,65 @@ class SemanticIndexSpec extends SparkSpec {
     idx1.dups(hist.filter(col("vec_id") === 7L)
         .select(lit(7777L).as("vec_id"), col("embedding")),
       "vec_id", "embedding").count() shouldBe 1L
+  }
+
+  test("semanticSinkAutoRecell: the alarm wired into the sink cadence — an over-capped index re-cells itself mid-stream, fresh vectors still land") {
+    implicit val ctx = spark.sqlContext
+    import graft.pipelines.{IngestSinks, StreamingIngestPipeline}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the alarm fixture: 120 vectors in ONE cell, guard 100 —
+    // over-capped from the first batch
+    val hist = (0 until 120).map { i =>
+      def ax(c: Int) = if (i % 3 == c) 1.0 else 0.0
+      (i.toLong, Seq(ax(0), ax(1), ax(2), 0.001 * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("sem_autorecell").toString
+    IngestSinks.initSemanticIndex(spark, s"$root/idx", hist, "vec_id",
+      "embedding", nCells = 1, threshold = 0.9, nProbe = 1, maxCell = 100)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingIngestPipeline.runSemanticIngest(
+        in.toDF().toDF("vec_id", "embedding"),
+        IngestSinks.semanticIndex(spark, s"$root/idx"),
+        "vec_id", "embedding")(
+        IngestSinks.semanticSinkAutoRecell(spark, s"$root/corpus",
+          s"$root/idx", "vec_id", "embedding", recellCheckEvery = 1))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sem_ar_ck").toString)
+      .start()
+    try {
+      in.addData((5000L, v(0.5, -0.5, 0.5, 0)),
+        (5001L, v(-0.5, 0.5, 0.5, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch appended, the check fired, the re-cell published v1
+    IngestSinks.currentIndexPath(spark, s"$root/idx") shouldBe
+      s"$root/idx/v1"
+    val idx1 = graft.io.SemanticIndexArtifacts.load(spark, s"$root/idx/v1")
+    idx1.assigned.count() shouldBe 122L
+    idx1.centroids.count() shouldBe
+      math.ceil(math.sqrt(122.0)).toLong
+    // and the alarm is quiet on the re-celled index
+    idx1.occupancyReport(hist, "vec_id", "embedding")
+      .collect().head.getAs[Boolean]("recell") shouldBe false
+  }
+
+  test("build maxCell=0 auto-derives the guard: ⌈4·n/nCells⌉ floored at 64") {
+    val hist = (0 until 120).map { i =>
+      def ax(c: Int) = if (i % 3 == c) 1.0 else 0.0
+      (i.toLong, Seq(ax(0), ax(1), ax(2), 0.001 * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val d = java.nio.file.Files
+      .createTempDirectory("sem_autoguard").toString
+    graft.io.SemanticIndexArtifacts.build(s"$d/a", hist, "vec_id",
+      "embedding", nCells = 2, threshold = 0.9, nProbe = 1, maxCell = 0)
+    graft.io.SemanticIndexArtifacts.load(spark, s"$d/a")
+      .maxCell shouldBe 240 // 4 × 120/2
+    graft.io.SemanticIndexArtifacts.build(s"$d/b",
+      hist.filter(col("vec_id") < 6), "vec_id", "embedding",
+      nCells = 2, threshold = 0.9, nProbe = 1, maxCell = 0)
+    graft.io.SemanticIndexArtifacts.load(spark, s"$d/b")
+      .maxCell shouldBe 64 // 4 × 6/2 = 12 → floor 64
   }
 
   test("runSemanticIngestAudited funnel: the one-row report reconciles by construction, including no-evidence rows and redelivered (already-present) ids") {
