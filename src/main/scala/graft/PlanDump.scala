@@ -67,7 +67,8 @@ object PlanDump {
       "q206_text_incremental_dedup" -> "incremental TEXT near-dup: the q204 shape for documents — batch band rows broadcast (bounded-collect capped), the history band index streams map-side through the census and candidate BroadcastHashJoins, the history SET index streams through the verification join; the one history-derived exchange is the batch-key-restricted census (batch-sized by construction); exact-Jaccard re-check and keeper election run on batch-bounded candidate relations",
       "q207_warc_media_extract" -> "WARC media leg: one aggregate shuffle assembles the archives (fixture), the record scanner + byte-level envelope strip + magic sniff are ONE narrow mapPartitions-and-projection pass — media payloads route by body bytes and never shuffle",
       "q209_warc_routed_split" -> "routed crawl split: ONE scanner pass feeds BOTH legs — scan, content-length record split, byte-level envelope strip, magic sniff, and doc/media routing fuse into a single narrow mapPartitions chain; no join glues legs back together, payloads never shuffle, and the archive inflates exactly once (the two-leg composition inflates it twice — the cost the shared splitter halves)",
-      "q212_archive_ingest_cycle" -> "the FULL archiveIngestStep batch body, media gate ON: one pinned routed relation feeds the media leg (hash build, intra election, history judge) and the doc leg (extraction, quality gate, exact dedup — ONE batch-bounded shuffle, ownership evidence equi-join — batch-bounded by construction, gallery anti-join, then the text judge off an eagerly-pinned survivor frame so the judge's ~3 tokenization passes replay neither extraction nor the dedup shuffle); both histories stream map-side (the q204/q206 contracts), deltas join back to URLs against the pinned routed relation")
+      "q212_archive_ingest_cycle" -> "the FULL archiveIngestStep batch body, media gate ON: one pinned routed relation feeds the media leg (hash build, intra election, history judge) and the doc leg (extraction, quality gate, exact dedup — ONE batch-bounded shuffle, ownership evidence equi-join — batch-bounded by construction, gallery anti-join, then the text judge off an eagerly-pinned survivor frame so the judge's ~3 tokenization passes replay neither extraction nor the dedup shuffle); both histories stream map-side (the q204/q206 contracts), deltas join back to URLs against the pinned routed relation",
+      "q217_semantic_occupancy_alarm" -> "occupancy drift alarm: the batch assignment pins once (centroids broadcast, bounded-heap top-nProbe aggregate — no window sort), the history census is batch-cell-restricted and map-side-combined (only (cell, count) partials shuffle — history id/vec rows never do), and the report is a crossJoin of two ONE-ROW aggregates with integer basis-point division")
     val out = new StringBuilder
     out ++= "# PLANS — executed physical plans of representative queries\n\n"
     out ++= "Generated by `graft.PlanDump` on sf0.001 (plan shape is\n"
