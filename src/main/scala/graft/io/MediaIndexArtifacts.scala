@@ -38,6 +38,15 @@ object MediaIndexArtifacts {
     def dedupe(batch: Dataset[Multimodal.Media]): Dataset[Multimodal.Media] =
       MediaIndex.dedupeAgainstHistory(batch, index, imageMaxDist,
         audioMaxDist, videoMaxDist, videoMinOverlapBp, maxBucket)
+
+    /** Band-occupancy drift report for this index against a batch
+      * HASH relation ([[MediaIndex.bandOccupancyReport]] with the
+      * stored cap): the per-leg probe-mass fraction the perceptual
+      * judge silently refuses because history band buckets crossed
+      * `maxBucket`. */
+    def occupancyReport(batchIdx: DataFrame,
+                        alarmBp: Long = 2500): DataFrame =
+      MediaIndex.bandOccupancyReport(batchIdx, index, maxBucket, alarmBp)
   }
 
   /** Index `corpus` and write the artifact. Consumers LOAD (the

@@ -68,6 +68,19 @@ object TextIndexArtifacts {
                cacheSets: Boolean = true): (DataFrame, (DataFrame, DataFrame)) =
       TextIndex.ingestStep(batch, idCol, textCol, bands, sets, shingleN,
         numHashes, nBands, threshold, seed, maxBucket, cacheSets)
+
+    /** Bucket-occupancy drift report for this index against a batch
+      * ([[TextIndex.bucketOccupancyReport]] with the stored
+      * parameters): the probe-mass fraction the judge silently
+      * refuses because history band buckets crossed `maxBucket`.
+      * `rebuild` true ⇒ rebuild with a larger maxBucket / more
+      * bands at compaction cadence (no recell analog — bands are
+      * hash-structural). */
+    def occupancyReport(batch: DataFrame, idCol: String, textCol: String,
+                        alarmBp: Long = 2500,
+                        cacheSets: Boolean = true): DataFrame =
+      TextIndex.bucketOccupancyReport(batch, idCol, textCol, bands,
+        shingleN, numHashes, nBands, seed, maxBucket, alarmBp, cacheSets)
   }
 
   /** Build the index over `corpus` and write it (relations + params).

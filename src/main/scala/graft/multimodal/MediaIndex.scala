@@ -350,4 +350,75 @@ object MediaIndex {
         Seq("media_id"), "left_anti")
       .as[Multimodal.Media]
   }
+
+  /** Band-OCCUPANCY drift report — the
+    * [[graft.operators.SemanticIndex.cellOccupancyReport]] /
+    * [[graft.operators.TextIndex.bucketOccupancyReport]] twin for the
+    * media family, completing the alarm matrix: history (band, value)
+    * buckets crossing `maxBucket` stop generating candidates (the
+    * two-sided degenerate-region cap), so batch probe mass landing
+    * there is evidence the perceptual judge silently refuses — the
+    * family's documented degenerate class (flat/letterboxed media)
+    * measured instead of assumed. One row, per-LEG accounting plus
+    * the combined alarm: (image_probes, image_capped, audio_probes,
+    * audio_capped, video_probes, video_capped, n_probes,
+    * capped_probes, capped_bp, rebuild) — probes are the batch's
+    * band rows per leg AFTER its own batch-side cap (self-pathology
+    * never reads as history drift), capped_bp is exact integer basis
+    * points over all legs. Both arguments are HASH-INDEX relations
+    * ([[mediaHashIndex]] / the persisted index) — payload bytes are
+    * never touched. Remedy, as for text: a rebuild with a larger
+    * maxBucket — or acceptance where the capped mass really is the
+    * degenerate class the cap exists for; there is no recell analog
+    * (bands are hash-structural). Scale shape: each leg's census is
+    * batch-key-restricted and map-side-combined; history rows never
+    * shuffle. */
+  def bandOccupancyReport(batchIdx: DataFrame, history: DataFrame,
+                          maxBucket: Int = 1024,
+                          alarmBp: Long = 2500): DataFrame = {
+    def legReport(bRows: DataFrame, hRows: DataFrame,
+                  keyCols: Seq[String], hashCols: Seq[String],
+                  prefix: String): DataFrame = {
+      val probes = PerceptualHash.cappedBandsCross(bRows, keyCols,
+          hashCols, maxBucket)
+        .select(col("__b"), col("__v"))
+        .localCheckpoint(true)
+      val capped = PerceptualHash.bandsOf(hRows, Seq("__h"), hashCols)
+        .join(broadcast(probes.distinct()), Seq("__b", "__v"))
+        .groupBy(col("__b"), col("__v"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket)
+        .select(col("__b"), col("__v"))
+      probes.agg(count(lit(1)).as(s"${prefix}_probes"))
+        .crossJoin(probes.join(broadcast(capped), Seq("__b", "__v"))
+          .agg(count(lit(1)).as(s"${prefix}_capped")))
+    }
+    def imgRows(idx: DataFrame, idAs: String) =
+      idx.filter(col("ahash").isNotNull && col("dhash").isNotNull)
+        .select(col("media_id").as(idAs), col("ahash"), col("dhash"))
+    def audRows(idx: DataFrame, idAs: String) =
+      idx.filter(col("ehash").isNotNull)
+        .select(col("media_id").as(idAs), col("ehash"))
+    def vidRows(idx: DataFrame, idAs: String) =
+      idx.filter(col("fhashes").isNotNull && size(col("fhashes")) > 0)
+        .select(col("media_id").as(idAs),
+          posexplode(col("fhashes")).as(Seq("__f", "fh")))
+    legReport(imgRows(batchIdx, "dup_id"), imgRows(history, "__h"),
+        Seq("dup_id"), Seq("ahash", "dhash"), "image")
+      .crossJoin(legReport(audRows(batchIdx, "dup_id"),
+        audRows(history, "__h"), Seq("dup_id"), Seq("ehash"), "audio"))
+      .crossJoin(legReport(vidRows(batchIdx, "dup_id"),
+        vidRows(history, "__h"), Seq("dup_id", "__f"), Seq("fh"), "video"))
+      .select(col("image_probes"), col("image_capped"),
+        col("audio_probes"), col("audio_capped"),
+        col("video_probes"), col("video_capped"),
+        (col("image_probes") + col("audio_probes") + col("video_probes"))
+          .as("n_probes"),
+        (col("image_capped") + col("audio_capped") + col("video_capped"))
+          .as("capped_probes"))
+      .withColumn("capped_bp",
+        expr("case when n_probes > 0 " +
+          "then (capped_probes * 10000) div n_probes end"))
+      .withColumn("rebuild", coalesce(col("capped_bp") > alarmBp, lit(false)))
+  }
 }

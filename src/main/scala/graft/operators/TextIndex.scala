@@ -290,6 +290,71 @@ object TextIndex {
     ingestStep(batch, idCol, textCol, histBands, histSets, shingleN,
       numHashes, bands, threshold, seed, maxBucket)._2
 
+  /** Bucket-OCCUPANCY drift report — the
+    * [[SemanticIndex.cellOccupancyReport]] twin for the text family:
+    * band buckets crossing `maxBucket` stop generating candidates
+    * (the degenerate-bucket guard), and as HISTORY grows, more
+    * buckets cross it — incoming batch probes landing there are
+    * evidence the judge silently refuses. One row of exact-integer
+    * accounting: (n_probes = batch band rows actually probing,
+    * n_probed_keys, n_capped_keys = probed (band, sig) keys whose
+    * HISTORY count exceeds maxBucket, capped_probes, capped_bp =
+    * capped_probes·10⁴ div n_probes, batch_capped_rows = band rows
+    * the BATCH's own bucket cap dropped — self-pathology, reported
+    * separately, and `rebuild` when capped_bp > alarmBp).
+    *
+    * Interpreting it differs from the cell alarm: a crowded TEXT
+    * bucket usually IS boilerplate (near-identical templated
+    * content), so a few capped keys are the guard working as
+    * intended — the alarm keys on the probe-MASS fraction, the
+    * signal that the judge is refusing ordinary content at scale.
+    * And there is no recell analog: bands are hash-structural, not
+    * data-adaptive, so the remedy is a REBUILD with a larger
+    * maxBucket (or more bands / a different seed) at compaction
+    * cadence — or accepting the cap where the capped mass really is
+    * boilerplate. Scale shape: the census is batch-key-restricted
+    * and map-side-combined (history band rows stream — the
+    * incrementalTextDups contract); the probe relation pins once
+    * for its three consumers. */
+  def bucketOccupancyReport(batch: DataFrame, idCol: String,
+      textCol: String, histBands: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 128, bands: Int = 32, seed: Long = 42L,
+      maxBucket: Int = 1000, alarmBp: Long = 2500,
+      cacheSets: Boolean = true): DataFrame = {
+    requireIntegralId(batch, idCol, "TextIndex.bucketOccupancyReport")
+    val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleN,
+      "dup_id", cache = cacheSets)
+    val bBuckets = bandRowsOf(bSets, numHashes, bands, seed)
+      .groupBy(col("band"), col("sig"))
+      .agg(BoundedCollectLong.boundedCollect(maxBucket)(col("doc")).as("bc"))
+      .localCheckpoint(true)
+    val probes = bBuckets.filter(col("bc.n") <= maxBucket)
+      .select(col("band"), col("sig"), explode(col("bc.items")).as("doc"))
+      .localCheckpoint(true)
+    val cappedKeys = histBands
+      .join(broadcast(probes.select(col("band"), col("sig")).distinct()),
+        Seq("band", "sig"))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("band"), col("sig"))
+    val pAgg = probes.agg(count(lit(1)).as("n_probes"),
+      countDistinct(col("band"), col("sig")).as("n_probed_keys"))
+    val cAgg = probes.join(broadcast(cappedKeys), Seq("band", "sig"))
+      .agg(count(lit(1)).as("capped_probes"),
+        countDistinct(col("band"), col("sig")).as("n_capped_keys"))
+    val sAgg = bBuckets.filter(col("bc.n") > maxBucket)
+      .agg(coalesce(sum(col("bc.n")), lit(0L)).as("batch_capped_rows"))
+    pAgg.crossJoin(cAgg).crossJoin(sAgg)
+      .select(col("n_probes"), col("n_probed_keys"), col("n_capped_keys"),
+        col("capped_probes"),
+        expr("case when n_probes > 0 " +
+          "then (capped_probes * 10000) div n_probes end").as("capped_bp"),
+        col("batch_capped_rows"))
+      .withColumn("rebuild",
+        coalesce(col("capped_bp") > alarmBp, lit(false)))
+  }
+
   /** ONE ingest step (the [[graft.multimodal.MediaIndex.ingestStep]]
     * twin for text): batch-internal near-dup election
     * ([[intraDupsFromSets]]), then the history judge over the

@@ -240,4 +240,55 @@ class MediaIndexSpec extends SparkSpec {
     // and the joins against history really are broadcast joins
     plan.toString should include ("BroadcastHashJoin")
   }
+
+  test("bandOccupancyReport: the alarm fires on the leg the judge refuses; quiet under a generous cap; artifact wrapper uses the stored cap") {
+    // synthetic HASH relations (the report never touches payloads):
+    // a 20-copy image crowd — every (band, value) bucket holds 20
+    def idxRow(id: Long, kind: String, fp: String,
+               ah: java.lang.Long, dh: java.lang.Long,
+               eh: java.lang.Long, fh: Seq[Long]) =
+      (id, kind, fp, ah, dh, eh, fh)
+    val crowd = (200L to 219L).map(i => idxRow(i, "image", s"fp$i",
+        0x1234567890abcdefL, 0x0fedcba987654321L, null, null))
+      .toDF("media_id", "kind", "fp", "ahash", "dhash", "ehash", "fhashes")
+    // batch: a re-encode of the crowd (same hashes, different bytes)
+    // plus an audio object history has no evidence about
+    val batchIdx = Seq(
+      idxRow(1L, "image", "fresh-bytes",
+        0x1234567890abcdefL, 0x0fedcba987654321L, null, null),
+      idxRow(2L, "audio", "aud-bytes", null, null, 0x7777L, null))
+      .toDF("media_id", "kind", "fp", "ahash", "dhash", "ehash", "fhashes")
+    // cap below the crowd: the image leg's 8 probe rows (4 bands × 2
+    // hashes) ALL land capped; the audio leg's 4 are uncapped
+    val fired = MediaIndex.bandOccupancyReport(batchIdx, crowd,
+      maxBucket = 8).collect().head
+    (fired.getAs[Long]("image_probes"), fired.getAs[Long]("image_capped"),
+      fired.getAs[Long]("audio_probes"), fired.getAs[Long]("audio_capped"),
+      fired.getAs[Long]("video_probes"), fired.getAs[Long]("video_capped"),
+      fired.getAs[Long]("n_probes"), fired.getAs[Long]("capped_probes"),
+      fired.getAs[Long]("capped_bp"),
+      fired.getAs[Boolean]("rebuild")) shouldBe
+      ((8L, 8L, 4L, 0L, 0L, 0L, 12L, 8L, 6666L, true))
+    // the judge IS blind there (no byte match — fp differs — and the
+    // perceptual leg's buckets are all capped)…
+    MediaIndex.incrementalMediaDups(batchIdx, crowd, maxBucket = 8)
+      .count() shouldBe 0L
+    // …and sees again under a generous cap, where the report is quiet
+    MediaIndex.incrementalMediaDups(batchIdx, crowd, maxBucket = 1024)
+      .select("dup_id").as[Long].collect() shouldBe Array(1L)
+    MediaIndex.bandOccupancyReport(batchIdx, crowd, maxBucket = 1024)
+      .collect().head.getAs[Boolean]("rebuild") shouldBe false
+    // the artifact wrapper judges with the STORED cap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_midx_occ").toString
+    val media = (200L to 219L)
+      .map(i => Multimodal.Media(i, "image", img(4, "png"))).toDS()
+    graft.io.MediaIndexArtifacts.build(s"$dir/idx", media,
+      maxBucket = 8)
+    val rep = graft.io.MediaIndexArtifacts.load(spark, s"$dir/idx")
+      .occupancyReport(MediaIndex.mediaHashIndex(
+        Seq(Multimodal.Media(1L, "image", img(4, "bmp"))).toDS()))
+      .collect().head
+    rep.getAs[Boolean]("rebuild") shouldBe true
+  }
 }

@@ -54,6 +54,35 @@ def run_oracle(sf_dir, sql):
         finally:
             con.close()
 
+def run_oracle_isolated(sf_dir, sql):
+    # last-resort escape hatch for allocator exhaustion the in-process
+    # retry cannot cure (glibc arena state is process-wide): run the
+    # ONE query in a fresh python/duckdb subprocess, hand the result
+    # back as parquet. Flaky KB-sized bad_allocs with ~120 GB free
+    # were observed even in 3-query chunk processes; a per-query
+    # process either passes or fails deterministically on content.
+    import subprocess, tempfile
+    fd, out = tempfile.mkstemp(suffix=".parquet")
+    os.close(fd)
+    helper = (
+        "import duckdb, sys\n"
+        "sf, out = sys.argv[1], sys.argv[2]\n"
+        "con = duckdb.connect()\n"
+        "con.execute('SET threads=8')\n"
+        "con.execute(\"SET memory_limit='16GB'\")\n"
+        f"for t in {TABLES!r}:\n"
+        "    con.execute('CREATE VIEW ' + t + \" AS SELECT * FROM \"\n"
+        "        \"read_parquet('\" + sf + '/' + t + \".parquet')\")\n"
+        "sql = sys.stdin.read()\n"
+        "con.execute('COPY (' + sql + ') TO ' + chr(39) + out + chr(39)\n"
+        "    + ' (FORMAT parquet)')\n")
+    subprocess.run([sys.executable, "-c", helper, sf_dir, out],
+                   input=sql.encode(), check=True)
+    try:
+        return pq.read_table(out)
+    finally:
+        os.unlink(out)
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -95,7 +124,17 @@ def main():
             # 2KB allocation failures with 120 GB free)
             exp = run_oracle(sf_dir, oracle[name])
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); failures += 1; continue
+            if "Out of Memory" in str(e):
+                # escape to a fresh process (see run_oracle_isolated)
+                try:
+                    exp = run_oracle_isolated(sf_dir, oracle[name])
+                except Exception as e2:
+                    print(f"FAIL {name}: oracle error (isolated retry): {e2}")
+                    failures += 1
+                    continue
+            else:
+                print(f"FAIL {name}: oracle error: {e}"); failures += 1
+                continue
         gc, gt, gr = normalize(res)
         ec, et, er = normalize(exp)
         if gc != ec:
