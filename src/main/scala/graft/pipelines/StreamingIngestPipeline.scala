@@ -33,6 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object StreamingIngestPipeline {
 
+  /** Shared daemon pool for overlapping a step's independent eager
+    * pins ([[graft.pipelines.IngestSinks.archiveSink]]'s leg-overlap
+    * idiom applied inside [[archiveIngestStep]]): three slots — the
+    * media hash/judge chain and the two ownership-evidence key pins.
+    * Futures here never spawn futures, so the shared fixed pool
+    * cannot deadlock; concurrent steps (parallel streams/tests) just
+    * queue, which only serializes what was serial before. */
+  private lazy val stepPinEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicLong(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r,
+              s"archive-step-pin-${n.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }))
+
   def run(docs: DataFrame, corpusIndex: DataFrame, tsCol: String,
           textCol: String, minQuality: Double = 0.3,
           lateness: String = "1 hour", fpCol: String = "fp"): DataFrame = {
@@ -126,6 +145,11 @@ object StreamingIngestPipeline {
         // cacheSets=false: leak-free across unbounded micro-batches
         // (the ingestStep parameter doc); the batch itself is pinned
         // above, so the ~3 tokenization passes read pinned rows
+        // (r17 A/B: an eager localCheckpoint of the set relation
+        // instead measured a wash-to-slight-loss at micro-batch
+        // sizes — 8.64 s vs 8.44 s on the 16× text_ingest rung —
+        // confirming the re-tokenize trade; revisit only if batches
+        // carry much longer documents)
         val (dups, delta) = graft.operators.TextIndex.ingestStep(
           pinned, idCol, textCol, hBands, hSets, shingleN, numHashes,
           bands, nearDupThreshold, seed, maxBucket, cacheSets = false)
@@ -520,17 +544,18 @@ object StreamingIngestPipeline {
     // eager-pin the HASH rows: re-referenced by the intra-batch
     // election, the history judge, the delta anti-join, and (gated)
     // the doc election — payloads decode exactly once (the
-    // runMediaIngestIndexed rule)
-    val batchIdx = graft.multimodal.MediaIndex.mediaHashIndex(typed)
-      .localCheckpoint(true)
-    val (mDups, mDelta) = graft.multimodal.MediaIndex.ingestStep(
-      batchIdx, mediaHistoryIndex, imageMaxDist, audioMaxDist,
-      videoMaxDist, videoMinOverlapBp, mediaMaxBucket)
-    val mediaSurvivors = mediaRows
-      .select(col("rec_id").as("media_id"), col("kind"),
-        col("payload"), col("url"), col("mtime"))
-      .join(mDups.select(col("dup_id").as("media_id")),
-        Seq("media_id"), "left_anti")
+    // runMediaIngestIndexed rule). A THUNK so the gated path below
+    // can OVERLAP this chain with the doc leg's evidence pins (guide
+    // §2.6: independent jobs submitted from one thread serialize for
+    // no reason — the media decode often has fewer tasks than cores,
+    // and the evidence extraction back-fills the idle ones).
+    def mediaChain(): (DataFrame, DataFrame) = {
+      val batchIdx = graft.multimodal.MediaIndex.mediaHashIndex(typed)
+        .localCheckpoint(true)
+      graft.multimodal.MediaIndex.ingestStep(
+        batchIdx, mediaHistoryIndex, imageMaxDist, audioMaxDist,
+        videoMaxDist, videoMinOverlapBp, mediaMaxBucket)
+    }
     // ---- doc leg ----------------------------------------------------
     // URL gates FIRST (cheapest evidence: no content read for a
     // condemned domain, no extraction for a tracker-variant
@@ -551,8 +576,8 @@ object StreamingIngestPipeline {
     // extraction strips the very tags the refs live in), resolved
     // and joined batch-to-batch; the drop set is applied below,
     // after the cheap text gates prune the frame it anti-joins
-    val galleryDrops =
-      if (!mediaGate) None
+    val ((mDups, mDelta), galleryDrops) =
+      if (!mediaGate) (mediaChain(), None)
       else {
         // the ownership join keys on the CANONICAL form of both sides
         // (resolveMediaRef ∘ canonicalUrl on the refs — absolute,
@@ -569,27 +594,45 @@ object StreamingIngestPipeline {
         // downstream plan — without the cut, the join/election
         // subtree re-plans the composed tree per consuming action
         // (measured: ~5.7 s of planning on the q212 fixture)
-        val refs = graft.operators.HtmlExtract.mediaRefs(
+        def refsPin(): DataFrame = graft.operators.HtmlExtract.mediaRefs(
             docsRaw, "doc_id", "text")
           .join(docsRaw.select(col("doc_id"), col("url")), Seq("doc_id"))
           .select(col("doc_id"),
             graft.operators.UrlCuration.canonicalMediaRef(
               col("url"), col("ref")).as("murl"))
           .localCheckpoint(true)
-        val mediaKeys = mediaRows.select(
+        def keysPin(): DataFrame = mediaRows.select(
             graft.operators.UrlCuration.canonicalUrl(col("url"))
               .as("murl"),
             col("rec_id").as("media_id"))
           .localCheckpoint(true)
+        // the media hash/judge chain and the two evidence-key pins
+        // are mutually independent eager jobs — submit them from the
+        // shared pin pool so they overlap (the archiveSink leg
+        // idiom); all three are awaited, the first failure surfaces
+        // after every job has come home (no job outlives its batch)
+        val fM = scala.concurrent.Future(mediaChain())(stepPinEc)
+        val fR = scala.concurrent.Future(refsPin())(stepPinEc)
+        val fK = scala.concurrent.Future(keysPin())(stepPinEc)
+        val inf = scala.concurrent.duration.Duration.Inf
+        val rM = scala.util.Try(scala.concurrent.Await.result(fM, inf))
+        val rR = scala.util.Try(scala.concurrent.Await.result(fR, inf))
+        val rK = scala.util.Try(scala.concurrent.Await.result(fK, inf))
+        val md = rM.get; val refs = rR.get; val mediaKeys = rK.get
         val evid = refs.join(mediaKeys, Seq("murl"))
           .select(col("doc_id"), col("media_id"))
         val ownerDocs = evid
-          .join(mDups.select(col("dup_id").as("media_id")),
+          .join(md._1.select(col("dup_id").as("media_id")),
             Seq("media_id"), "left_anti")
           .select(col("doc_id")).distinct()
-        Some(evid.select(col("doc_id")).distinct()
-          .join(ownerDocs, Seq("doc_id"), "left_anti"))
+        (md, Some(evid.select(col("doc_id")).distinct()
+          .join(ownerDocs, Seq("doc_id"), "left_anti")))
       }
+    val mediaSurvivors = mediaRows
+      .select(col("rec_id").as("media_id"), col("kind"),
+        col("payload"), col("url"), col("mtime"))
+      .join(mDups.select(col("dup_id").as("media_id")),
+        Seq("media_id"), "left_anti")
     // (opt-in) HTML extraction next: fingerprints, quality, and
     // shingles must see prose, not markup (scaladoc)
     val docsText =
